@@ -1,13 +1,607 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Each `queries` entry is one operator from the survey; `oracleSql`
+  * holds the equivalent DuckDB SQL the driver hash-compares against.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("fact_sales")(spark, "/root/testdata/sf0.001")
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. dimensional warehouse ----
+    "dim_date" -> ((s, d) => Dims.dimDate(t(s, d, "orders"))),
+    "dim_customer" -> ((s, d) =>
+      Dims.dimCustomer(t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
+    "dim_product" -> ((s, d) => Dims.dimProduct(t(s, d, "part"))),
+    "dim_supplier" -> ((s, d) =>
+      Dims.dimSupplier(t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "region"))),
+    "dim_geography" -> ((s, d) => Dims.dimGeography(t(s, d, "nation"), t(s, d, "region"))),
+    "dim_order_status" -> ((s, d) => Dims.dimOrderStatus(t(s, d, "orders"))),
+    "fact_sales" -> ((s, d) => Facts.factSales(
+      t(s, d, "lineitem"), t(s, d, "orders"),
+      Dims.dimCustomer(t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region")),
+      Dims.dimProduct(t(s, d, "part")),
+      Dims.dimSupplier(t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "region")),
+      Dims.dimOrderStatus(t(s, d, "orders")))),
+    "fact_inventory" -> ((s, d) =>
+      Facts.factInventory(t(s, d, "lineitem"), t(s, d, "part"), t(s, d, "supplier"))),
+    "fact_transactions" -> ((s, d) => Facts.factTransactions(Tables.events(s, d))),
+    "fact_pnl" -> ((s, d) => Facts.factPnl(t(s, d, "lineitem"), t(s, d, "orders"))),
+    "scd2_customer" -> ((s, d) => Dims.scd2Customer(t(s, d, "orders"))),
+    // ---- B. validation ----
+    "validate_nulls" -> ((s, d) => Validation.nullProfile(s,
+      Seq("customer" -> t(s, d, "customer"), "orders" -> t(s, d, "orders")))),
+    "validate_ranges" -> ((s, d) =>
+      Validation.rangeChecks(t(s, d, "lineitem"), Tables.events(s, d))),
+    "validate_ri" -> ((s, d) => Validation.riChecks(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
+      t(s, d, "part"), t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "region"))),
+    "validate_duplicates" -> ((s, d) => Validation.duplicateProfile(
+      t(s, d, "documents"), Tables.events(s, d), t(s, d, "lineitem"))),
+    "reconcile_orders" -> ((s, d) =>
+      Validation.reconcileOrders(t(s, d, "lineitem"), t(s, d, "orders"))),
+    // ---- C. analytics ----
+    "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(t(s, d, "lineitem"))),
+    "q3_top_unshipped" -> ((s, d) =>
+      Analytics.topUnshipped(t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"))),
+    "q5_region_volume" -> ((s, d) => Analytics.regionVolume(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
+      t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "region"))),
+    "top_customers" -> ((s, d) =>
+      Analytics.topCustomers(t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"))),
+    "window_topk_per_brand" -> ((s, d) => Analytics.topkPerBrand(t(s, d, "part"))),
+    "running_monthly_revenue" -> ((s, d) => Analytics.runningMonthlyRevenue(t(s, d, "orders"))),
+    "rollup_sales" -> ((s, d) => Analytics.rollupSales(t(s, d, "orders"))),
+    "pivot_status_priority" -> ((s, d) => Analytics.pivotStatusPriority(t(s, d, "orders"))),
+    "order_value_percentiles" -> ((s, d) => Analytics.orderValuePercentiles(t(s, d, "orders"))),
+    "asof_join_events_orders" -> ((s, d) =>
+      EventOps.asofJoinEventsOrders(Tables.events(s, d), t(s, d, "orders"))),
+    "sessionize_events" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
+    "funnel_signup_purchase" -> ((s, d) => EventOps.funnel(Tables.events(s, d))),
+    "dedup_events_latest" -> ((s, d) => EventOps.dedupLatest(Tables.events(s, d))),
+    "events_json_kv" -> ((s, d) => EventOps.jsonKv(Tables.events(s, d))),
+    "events_hourly" -> ((s, d) => EventOps.hourly(Tables.events(s, d))),
+    // ---- D. LLM-data-pipeline ----
+    "text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
+    "text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
+    "lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
+    "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashBands(t(s, d, "documents"))),
+    "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(t(s, d, "documents"))),
+    "dedup_jaccard" -> ((s, d) => Dedup.jaccardTop(t(s, d, "documents"))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
+    "knn_cosine_bruteforce" -> ((s, d) => Similarity.knnBrute(t(s, d, "embeddings"))),
+    "knn_lsh" -> ((s, d) => Similarity.knnLsh(t(s, d, "embeddings"))),
+    "embedding_stats" -> ((s, d) => Similarity.embeddingStats(t(s, d, "embeddings"))),
+    "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents")))
+  )
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL (DuckDB). Shared fragments keep Spark/SQL decimal math in
+  // lockstep: money → DECIMAL(12,2), rates → DECIMAL(4,2),
+  // net = ep*(1-dc) → DECIMAL(14,4); every aggregate cast to
+  // BIGINT/DOUBLE to match the Spark output schema exactly.
+  // ---------------------------------------------------------------------
+
+  /** lineitem with exact-decimal derived columns. */
+  private val liCte =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+      |  l_extendedprice, l_returnflag, l_linestatus, l_shipdate,
+      |  CAST(l_quantity AS DECIMAL(12,2)) AS qt,
+      |  CAST(l_extendedprice AS DECIMAL(12,2)) AS ep,
+      |  CAST(l_discount AS DECIMAL(4,2)) AS dc,
+      |  CAST(l_tax AS DECIMAL(4,2)) AS tx,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |       CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+      |       AS DECIMAL(14,4)) AS net
+      |FROM lineitem""".stripMargin
+
+  private val dayCase =
+    """CASE dw WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday'
+      | WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday' WHEN 6 THEN 'Saturday'
+      | ELSE 'Sunday' END""".stripMargin
+  private val monthCase =
+    """CASE m WHEN 1 THEN 'January' WHEN 2 THEN 'February' WHEN 3 THEN 'March'
+      | WHEN 4 THEN 'April' WHEN 5 THEN 'May' WHEN 6 THEN 'June' WHEN 7 THEN 'July'
+      | WHEN 8 THEN 'August' WHEN 9 THEN 'September' WHEN 10 THEN 'October'
+      | WHEN 11 THEN 'November' ELSE 'December' END""".stripMargin
+
+  private val minhashCols = (0 until 12).map(k =>
+    s"list_min(list_transform(range(1, length(nt)-3), i -> md5(substr(nt,i,5) || ':$k'))) AS mh_$k"
+  ).mkString(",\n  ")
+  private val bandCols = (0 until 4).map(b =>
+    s"md5(mh_${3 * b} || '|' || mh_${3 * b + 1} || '|' || mh_${3 * b + 2}) AS band_$b"
+  ).mkString(",\n  ")
+  private val minhashCtes =
+    s"""t AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents),
+       |m AS (SELECT doc_id,
+       |  $minhashCols
+       |FROM t),
+       |bands AS (SELECT doc_id,
+       |  $bandCols
+       |FROM m)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "dim_date" ->
+      s"""WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_value FROM orders),
+         |e AS (SELECT date_value, year(date_value) AS y, month(date_value) AS m,
+         |  day(date_value) AS dd, quarter(date_value) AS q,
+         |  weekofyear(date_value) AS w, isodow(date_value) AS dw FROM d)
+         |SELECT y*10000 + m*100 + dd AS date_key, date_value, y AS year, m AS month,
+         |  dd AS day, q AS quarter, w AS iso_week, dw AS iso_dow,
+         |  $dayCase AS day_name,
+         |  $monthCase AS month_name,
+         |  dw >= 6 AS is_weekend
+         |FROM e ORDER BY date_key""".stripMargin,
+
+    "dim_customer" ->
+      """SELECT c_custkey, md5('cust:' || CAST(c_custkey AS VARCHAR)) AS customer_sk,
+        |  c_name, c_mktsegment, c_acctbal,
+        |  CASE WHEN c_acctbal < 0 THEN 'NEGATIVE' WHEN c_acctbal < 5000 THEN 'STANDARD'
+        |    ELSE 'PREMIUM' END AS balance_tier,
+        |  n_name AS nation, r_name AS region
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "dim_product" ->
+      """SELECT p_partkey, md5('part:' || CAST(p_partkey AS VARCHAR)) AS product_sk,
+        |  p_name, p_brand, p_type, split_part(p_type, ' ', 1) AS type_family,
+        |  p_size, p_retailprice,
+        |  CASE WHEN p_retailprice < 500 THEN 'BUDGET' WHEN p_retailprice < 1000 THEN 'MID'
+        |    ELSE 'PREMIUM' END AS price_band
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "dim_supplier" ->
+      """SELECT s_suppkey, md5('supp:' || CAST(s_suppkey AS VARCHAR)) AS supplier_sk,
+        |  s_name, s_acctbal, n_name AS nation, r_name AS region
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "dim_geography" ->
+      """SELECT n_nationkey, md5('geo:' || CAST(n_nationkey AS VARCHAR)) AS geo_sk,
+        |  n_name AS nation, r_regionkey, r_name AS region
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "dim_order_status" ->
+      """SELECT row_number() OVER (ORDER BY o_orderstatus, o_orderpriority) AS status_sk,
+        |  o_orderstatus, o_orderpriority
+        |FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) t
+        |ORDER BY status_sk""".stripMargin,
+
+    "fact_sales" ->
+      s"""WITH li AS ($liCte),
+         |ds AS (SELECT row_number() OVER (ORDER BY o_orderstatus, o_orderpriority) AS status_sk,
+         |  o_orderstatus, o_orderpriority
+         |  FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) t)
+         |SELECT l_orderkey, l_linenumber,
+         |  year(CAST(o_orderdate AS DATE))*10000 + month(CAST(o_orderdate AS DATE))*100 +
+         |    day(CAST(o_orderdate AS DATE)) AS date_key,
+         |  md5('cust:' || CAST(o_custkey AS VARCHAR)) AS customer_sk,
+         |  md5('part:' || CAST(l_partkey AS VARCHAR)) AS product_sk,
+         |  md5('supp:' || CAST(l_suppkey AS VARCHAR)) AS supplier_sk,
+         |  ds.status_sk,
+         |  l_quantity AS quantity,
+         |  l_extendedprice AS gross_amount,
+         |  CAST(ep * dc AS DOUBLE) AS discount_amount,
+         |  CAST(net AS DOUBLE) AS net_amount,
+         |  CAST(net * tx AS DOUBLE) AS tax_amount,
+         |  CAST(net * CAST(1 + tx AS DECIMAL(4,2)) AS DOUBLE) AS total_amount
+         |FROM li JOIN orders ON l_orderkey = o_orderkey
+         |JOIN ds ON orders.o_orderstatus = ds.o_orderstatus
+         |  AND orders.o_orderpriority = ds.o_orderpriority
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fact_inventory" ->
+      """WITH agg AS (SELECT l_partkey, l_suppkey, count(*) AS n_shipments,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+        |  MAX(CAST(l_shipdate AS DATE)) AS last_ship
+        |FROM lineitem GROUP BY 1, 2)
+        |SELECT p_partkey, s_suppkey, p_name, p_brand, s_name, n_shipments,
+        |  total_qty, total_value, total_value/total_qty AS avg_unit_price,
+        |  first_ship, last_ship
+        |FROM agg JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    "fact_transactions" ->
+      """SELECT user_id, event_type, CAST(ts AS DATE) AS event_date,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, event_date""".stripMargin,
+
+    "fact_pnl" ->
+      s"""WITH li AS ($liCte),
+         |base AS (SELECT year(CAST(o_orderdate AS DATE)) AS fiscal_year,
+         |  net, ep * dc AS disc, CAST(net * tx AS DECIMAL(19,6)) AS taxamt
+         |  FROM li JOIN orders ON l_orderkey = o_orderkey),
+         |st AS (
+         |  SELECT fiscal_year, 'REVENUE' AS account, CAST(net AS DECIMAL(19,6)) AS amt FROM base
+         |  UNION ALL
+         |  SELECT fiscal_year, 'DISCOUNT', CAST(-disc AS DECIMAL(19,6)) FROM base
+         |  UNION ALL
+         |  SELECT fiscal_year, 'TAX', taxamt FROM base)
+         |SELECT fiscal_year, account, count(*) AS n_lines,
+         |  CAST(SUM(amt) AS DOUBLE) AS amount
+         |FROM st GROUP BY 1, 2 ORDER BY fiscal_year, account""".stripMargin,
+
+    "scd2_customer" ->
+      """WITH daily AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,
+        |  count(*) AS orders_in_version,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_dec
+        |FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey AS c_custkey,
+        |  row_number() OVER w AS version_n,
+        |  valid_from,
+        |  lead(valid_from) OVER w AS valid_to,
+        |  lead(valid_from) OVER w IS NULL AS is_current,
+        |  orders_in_version,
+        |  CAST(SUM(orders_in_version) OVER (PARTITION BY o_custkey ORDER BY valid_from
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_orders,
+        |  CAST(SUM(spend_dec) OVER (PARTITION BY o_custkey ORDER BY valid_from
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
+        |FROM daily WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from)
+        |ORDER BY c_custkey, version_n""".stripMargin,
+
+    "validate_nulls" -> {
+      val custCols = Seq("c_custkey" -> false, "c_name" -> true,
+        "c_nationkey" -> false, "c_acctbal" -> false, "c_mktsegment" -> true)
+      val ordCols = Seq("o_orderkey" -> false, "o_custkey" -> false,
+        "o_orderstatus" -> true, "o_totalprice" -> false,
+        "o_orderdate" -> false, "o_orderpriority" -> true)
+      def sel(tbl: String, c: String, isStr: Boolean) = {
+        val blank = if (isStr) s"count(CASE WHEN trim($c) = '' THEN 1 END)"
+        else "CAST(0 AS BIGINT)"
+        s"SELECT '$tbl' AS table_name, '$c' AS column_name, count(*) AS n_rows, " +
+          s"count(*) - count($c) AS n_null, $blank AS n_blank FROM $tbl"
+      }
+      (custCols.map { case (c, s) => sel("customer", c, s) } ++
+        ordCols.map { case (c, s) => sel("orders", c, s) })
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
+    },
+
+    "validate_ranges" ->
+      """SELECT 'lineitem.qty_not_positive' AS rule, count(CASE WHEN l_quantity <= 0 THEN 1 END) AS n_violations FROM lineitem
+        |UNION ALL SELECT 'lineitem.discount_out_of_range', count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) FROM lineitem
+        |UNION ALL SELECT 'lineitem.price_negative', count(CASE WHEN l_extendedprice < 0 THEN 1 END) FROM lineitem
+        |UNION ALL SELECT 'lineitem.tax_negative', count(CASE WHEN l_tax < 0 THEN 1 END) FROM lineitem
+        |UNION ALL SELECT 'lineitem.shipdate_null', count(CASE WHEN l_shipdate IS NULL THEN 1 END) FROM lineitem
+        |UNION ALL SELECT 'events.value_null', count(CASE WHEN value IS NULL THEN 1 END) FROM events
+        |UNION ALL SELECT 'events.ts_null', count(CASE WHEN ts IS NULL THEN 1 END) FROM events
+        |ORDER BY rule""".stripMargin,
+
+    "validate_ri" ->
+      """SELECT 'lineitem->orders' AS check_name, count(*) AS n_orphans FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL SELECT 'lineitem->part', count(*) FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |UNION ALL SELECT 'lineitem->supplier', count(*) FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        |UNION ALL SELECT 'orders->customer', count(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL SELECT 'customer->nation', count(*) FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |UNION ALL SELECT 'nation->region', count(*) FROM nation n
+        |  WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+        |ORDER BY check_name""".stripMargin,
+
+    "validate_duplicates" ->
+      """WITH d1 AS (SELECT md5(lower(trim(text))) AS k, count(*) AS n FROM documents GROUP BY 1),
+        |d2 AS (SELECT user_id || '|' || event_type || '|' || CAST(ts AS VARCHAR) AS k, count(*) AS n FROM events GROUP BY 1),
+        |d3 AS (SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS k, count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT 'documents' AS table_name, 'norm_text_md5' AS key_name, count(*) AS n_keys,
+        |  count(CASE WHEN n > 1 THEN 1 END) AS n_dup_keys,
+        |  COALESCE(CAST(SUM(CASE WHEN n > 1 THEN n - 1 END) AS BIGINT), 0) AS n_surplus_rows FROM d1
+        |UNION ALL SELECT 'events', 'user_type_ts', count(*),
+        |  count(CASE WHEN n > 1 THEN 1 END),
+        |  COALESCE(CAST(SUM(CASE WHEN n > 1 THEN n - 1 END) AS BIGINT), 0) FROM d2
+        |UNION ALL SELECT 'lineitem', 'order_line', count(*),
+        |  count(CASE WHEN n > 1 THEN 1 END),
+        |  COALESCE(CAST(SUM(CASE WHEN n > 1 THEN n - 1 END) AS BIGINT), 0) FROM d3
+        |ORDER BY table_name""".stripMargin,
+
+    "reconcile_orders" ->
+      s"""WITH li AS ($liCte),
+         |lt AS (SELECT l_orderkey, SUM(net) AS line_net FROM li GROUP BY 1)
+         |SELECT o_orderstatus, count(*) AS n_orders,
+         |  count(CASE WHEN abs(CAST(o_totalprice AS DECIMAL(12,2)) -
+         |    COALESCE(line_net, CAST(0 AS DECIMAL(14,4)))) > 1.0 THEN 1 END) AS n_mismatched,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) -
+         |    COALESCE(line_net, CAST(0 AS DECIMAL(14,4)))) AS DOUBLE) AS total_diff
+         |FROM orders LEFT JOIN lt ON o_orderkey = l_orderkey
+         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "q1_pricing_summary" ->
+      s"""WITH li AS ($liCte)
+         |SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(qt) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(ep) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(net) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(net * CAST(1 + tx AS DECIMAL(4,2)) AS DECIMAL(19,6))) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(qt) AS DOUBLE)/count(*) AS avg_qty,
+         |  CAST(SUM(ep) AS DOUBLE)/count(*) AS avg_price,
+         |  CAST(SUM(dc) AS DOUBLE)/count(*) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM li WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+         |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_unshipped" ->
+      s"""WITH li AS ($liCte)
+         |SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+         |  CAST(SUM(net) AS DOUBLE) AS revenue
+         |FROM li
+         |JOIN orders ON l_orderkey = o_orderkey AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+         |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+         |WHERE CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, order_date, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_volume" ->
+      s"""WITH li AS ($liCte)
+         |SELECT n_name, CAST(SUM(net) AS DOUBLE) AS revenue
+         |FROM li
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "top_customers" ->
+      s"""WITH li AS ($liCte),
+         |rev AS (SELECT o_custkey, CAST(SUM(net) AS DOUBLE) AS revenue, count(*) AS n_lines
+         |  FROM li JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+         |top AS (SELECT c_custkey, c_name, c_mktsegment, revenue, n_lines
+         |  FROM rev JOIN customer ON o_custkey = c_custkey
+         |  ORDER BY revenue DESC, c_custkey LIMIT 25)
+         |SELECT row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank,
+         |  c_custkey, c_name, c_mktsegment, revenue, n_lines
+         |FROM top ORDER BY rank""".stripMargin,
+
+    "window_topk_per_brand" ->
+      """WITH r AS (SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS brand_rank
+        |FROM part)
+        |SELECT p_brand, brand_rank, p_partkey, p_name, p_retailprice
+        |FROM r WHERE brand_rank <= 3 ORDER BY p_brand, brand_rank""".stripMargin,
+
+    "running_monthly_revenue" ->
+      """WITH m AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+        |  count(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        |FROM orders GROUP BY 1)
+        |SELECT month, n_orders, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_revenue
+        |FROM m ORDER BY month""".stripMargin,
+
+    "rollup_sales" ->
+      """WITH o AS (SELECT year(CAST(o_orderdate AS DATE)) AS yr, o_orderpriority AS prio,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS tp FROM orders)
+        |SELECT CAST(CASE WHEN grouping(yr) = 1 THEN -1 ELSE yr END AS BIGINT) AS year_d,
+        |  CASE WHEN grouping(prio) = 1 THEN 'ALL' ELSE prio END AS priority_d,
+        |  count(*) AS n_orders, CAST(SUM(tp) AS DOUBLE) AS revenue
+        |FROM o GROUP BY ROLLUP(yr, prio)
+        |ORDER BY year_d, priority_d""".stripMargin,
+
+    "pivot_status_priority" -> {
+      val prios = Seq("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+        "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "notspec", "5-LOW" -> "low")
+      val cols = prios.map { case (p, n) =>
+        s"count(CASE WHEN o_orderpriority = '$p' THEN 1 END) AS n_$n,\n" +
+          s"  CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '$p' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS rev_$n"
+      }.mkString(",\n  ")
+      s"SELECT o_orderstatus,\n  $cols\nFROM orders GROUP BY 1 ORDER BY o_orderstatus"
+    },
+
+    "order_value_percentiles" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "asof_join_events_orders" ->
+      """WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+        |  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_date,
+        |  o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date, o.o_totalprice
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+        |ASOF LEFT JOIN ord o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    "sessionize_events" ->
+      """WITH f AS (SELECT user_id, ts, event_id, event_type, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts)//1000000 - epoch_us(lag(ts) OVER w)//1000000 > 1800
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS session_n FROM f)
+        |SELECT user_id, CAST(session_n AS BIGINT) AS session_n, count(*) AS n_events,
+        |  count(DISTINCT event_type) AS n_event_types,
+        |  epoch_us(max(ts))//1000000 - epoch_us(min(ts))//1000000 AS duration_sec,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_n ORDER BY user_id, session_n""".stripMargin,
+
+    "funnel_signup_purchase" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY 1)
+        |SELECT 1 AS stage_n, 'signup' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'view_after_signup', count(*) FROM s2
+        |UNION ALL SELECT 3, 'click_after_view', count(*) FROM s3
+        |UNION ALL SELECT 4, 'purchase_after_click', count(*) FROM s4
+        |ORDER BY stage_n""".stripMargin,
+
+    "dedup_events_latest" ->
+      """WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |SELECT user_id, event_type, event_id, CAST(ts AS DATE) AS last_date,
+        |  CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "events_json_kv" ->
+      """SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(SUM(k) AS DOUBLE)/count(k) AS avg_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events) t
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "text_stats" ->
+      """WITH s AS (SELECT doc_id, text, lower(trim(text)) AS nt,
+        |  string_split(lower(trim(text)), ' ') AS tk FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(tk) AS n_tokens,
+        |  CAST(length(replace(nt, ' ', '')) AS DOUBLE)/len(tk) AS avg_word_len,
+        |  length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_alnum_space,
+        |  CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)/length(text) AS punct_ratio,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to'))) AS DOUBLE)/len(tk) AS stopword_ratio
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH s AS (SELECT doc_id, length(text) AS nc,
+        |  string_split(lower(trim(text)), ' ') AS tk,
+        |  CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)/length(text) AS pr
+        |FROM documents),
+        |v AS (SELECT doc_id,
+        |  CASE WHEN nc BETWEEN 100 AND 2000 THEN 1 ELSE 0 END AS s1,
+        |  CASE WHEN len(tk) >= 20 THEN 1 ELSE 0 END AS s2,
+        |  CASE WHEN CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to'))) AS DOUBLE)/len(tk)
+        |    BETWEEN 0.02 AND 0.6 THEN 1 ELSE 0 END AS s3,
+        |  CASE WHEN pr < 0.1 THEN 1 ELSE 0 END AS s4 FROM s)
+        |SELECT doc_id, CAST(s1 AS BIGINT) AS s_length, CAST(s2 AS BIGINT) AS s_tokens,
+        |  CAST(s3 AS BIGINT) AS s_stopwords, CAST(s4 AS BIGINT) AS s_punct,
+        |  CAST(s1 + s2 + s3 + s4 AS DOUBLE)/4.0 AS quality_score,
+        |  (s1 + s2 + s3 + s4) >= 3 AS keep
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """WITH s AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(tk, x -> x IN ('der','die','und','das','ein'))) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','y'))) AS BIGINT) AS score_es,
+        |  CAST(len(list_filter(tk, x -> x IN ('le','la','de','et','un'))) AS BIGINT) AS score_fr
+        |FROM s)
+        |SELECT doc_id, score_de, score_en, score_es, score_fr,
+        |  CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'unknown'
+        |    WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+        |    WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+        |    WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+        |    ELSE 'fr' END AS predicted_lang,
+        |  lang AS labeled_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp_md5,
+        |  sha256(lower(trim(text))) AS fp_sha256,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH f AS (SELECT doc_id, md5(lower(trim(text))) AS fp_md5 FROM documents)
+        |SELECT doc_id, fp_md5,
+        |  min(doc_id) OVER (PARTITION BY fp_md5) AS canonical_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY fp_md5) AS is_dup
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $minhashCtes
+         |SELECT doc_id, band_0, band_1, band_2, band_3 FROM bands ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      s"""WITH $minhashCtes,
+         |e AS (
+         |  SELECT doc_id, 0 AS band_idx, band_0 AS band_key FROM bands
+         |  UNION ALL SELECT doc_id, 1, band_1 FROM bands
+         |  UNION ALL SELECT doc_id, 2, band_2 FROM bands
+         |  UNION ALL SELECT doc_id, 3, band_3 FROM bands)
+         |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |FROM e a JOIN e c ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+         |  AND a.doc_id < c.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+        |  lang || ':' || CAST(n_chars//100 AS VARCHAR) AS blk,
+        |  lower(trim(text)) AS nt FROM documents),
+        |g AS (SELECT doc_id, blk,
+        |  list_distinct(list_transform(range(1, length(nt)-2), i -> substr(nt, i, 4))) AS gs
+        |FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_common,
+        |  CAST(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_union
+        |FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, n_common, n_union,
+        |  CAST(n_common AS DOUBLE)/n_union AS jaccard
+        |FROM p ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_transform(string_split(lower(trim(text)), ' '), tok -> md5(tok)) AS tms
+        |FROM documents)
+        |SELECT doc_id, array_to_string(list_transform(range(1, 33), j ->
+        |  CASE WHEN list_sum(list_transform(tms, m ->
+        |    CASE WHEN substr(m, j, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+        |  THEN '1' ELSE '0' END), '') AS simhash
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "knn_cosine_bruteforce" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM e),
+        |s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+        |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT qid, nid, cos_sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM s)
+        |SELECT qid, rank, nid, cos_sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "embedding_stats" ->
+      """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT label,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM e)
+        |SELECT label, count(*) AS n_vectors,
+        |  CAST(SUM(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS avg_norm,
+        |  min(nrm) AS min_norm, max(nrm) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "multimodal_meta" ->
+      """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents)
+        |SELECT doc_id, nb AS n_bytes,
+        |  CASE WHEN nb % 3 = 0 THEN 'png' WHEN nb % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |  (nb*7) % 640 + 16 AS width,
+        |  (nb*13) % 480 + 16 AS height,
+        |  CAST((nb*7) % 640 + 16 AS DOUBLE) / ((nb*13) % 480 + 16) AS aspect_ratio
+        |FROM t ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.ColUtil._
+
+/** Analytics query surface over the star schema — the read side the
+  * reference serves from its warehouse (docs/ queries + the measures its
+  * fact builders precompute). All money math on DECIMAL for exactness.
+  */
+object Analytics {
+
+  private def netDec = (money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+    .cast(DecimalType(14, 4))
+
+  /** TPC-H Q1-shaped pricing summary: flag/status rollup with exact sums. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(to_date(col("l_shipdate")) <= lit("2000-12-01").cast("date"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dbl(sum(money(col("l_quantity")))).as("sum_qty"),
+        dbl(sum(money(col("l_extendedprice")))).as("sum_base_price"),
+        dbl(sum(netDec)).as("sum_disc_price"),
+        dbl(sum((netDec * onePlus(col("l_tax"))).cast(DecimalType(19, 6)))).as("sum_charge"),
+        (dbl(sum(money(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (dbl(sum(money(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        (dbl(sum(rate(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped: top-10 unshipped orders by revenue for a segment. */
+  def topUnshipped(lineitem: DataFrame, orders: DataFrame, customer: DataFrame): DataFrame =
+    lineitem
+      .filter(to_date(col("l_shipdate")) > lit("1998-01-01").cast("date"))
+      .join(orders.filter(to_date(col("o_orderdate")) < lit("1998-01-01").cast("date")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("o_orderpriority"))
+      .agg(dbl(sum(netDec)).as("revenue"))
+      .orderBy(col("revenue").desc, col("order_date"), col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5-shaped: revenue by nation for one region/date window,
+    * customer and supplier co-national. Nation/region broadcast.
+    */
+  def regionVolume(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                   supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders.filter(to_date(col("o_orderdate")).between("1996-01-01", "1997-12-31")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dbl(sum(netDec)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** Top-25 customers by lifetime revenue with rank. */
+  def topCustomers(lineitem: DataFrame, orders: DataFrame, customer: DataFrame): DataFrame = {
+    val rev = lineitem
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(dbl(sum(netDec)).as("revenue"), count(lit(1)).as("n_lines"))
+    rev.join(broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(25)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("revenue").desc, col("c_custkey"))).cast("long"))
+      .select("rank", "c_custkey", "c_name", "c_mktsegment", "revenue", "n_lines")
+      .orderBy("rank")
+  }
+
+  /** Top-3 parts per brand by retail price (windowed top-k per group). */
+  def topkPerBrand(part: DataFrame): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    part.withColumn("brand_rank", row_number().over(w).cast("long"))
+      .filter(col("brand_rank") <= 3)
+      .select("p_brand", "brand_rank", "p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_brand", "brand_rank")
+  }
+
+  /** Monthly revenue + cumulative running total (window over ordered
+    * months; exact decimal window sums).
+    */
+  def runningMonthlyRevenue(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).as("rev_dec"))
+    val w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    monthly
+      .select(col("month"), col("n_orders"), dbl(col("rev_dec")).as("revenue"),
+        dbl(sum(col("rev_dec")).over(w)).as("cumulative_revenue"))
+      .orderBy("month")
+  }
+
+  /** ROLLUP(year, priority) with sentinel display values (-1 / 'ALL')
+    * so ordering is NULL-free and engine-portable.
+    */
+  def rollupSales(orders: DataFrame): DataFrame =
+    orders
+      .select(year(to_date(col("o_orderdate"))).as("yr"),
+        col("o_orderpriority").as("prio"), money(col("o_totalprice")).as("tp"))
+      .rollup("yr", "prio")
+      .agg(grouping(col("yr")).as("g_year"), grouping(col("prio")).as("g_prio"),
+        count(lit(1)).as("n_orders"), dbl(sum(col("tp"))).as("revenue"))
+      .select(
+        when(col("g_year") === 1, -1).otherwise(col("yr")).cast("long").as("year_d"),
+        when(col("g_prio") === 1, "ALL").otherwise(col("prio")).as("priority_d"),
+        col("n_orders"), col("revenue"))
+      .orderBy("year_d", "priority_d")
+
+  /** Status × priority matrix via conditional aggregation (engine-
+    * portable pivot; a `.pivot` variant is spec-only).
+    */
+  def pivotStatusPriority(orders: DataFrame): DataFrame = {
+    def cnt(p: String) = count(when(col("o_orderpriority") === p, 1))
+    def rev(p: String) =
+      dbl(coalesce(sum(when(col("o_orderpriority") === p, money(col("o_totalprice")))),
+        lit(0).cast(DecimalType(12, 2))))
+    orders.groupBy("o_orderstatus").agg(
+        cnt("1-URGENT").as("n_urgent"), rev("1-URGENT").as("rev_urgent"),
+        cnt("2-HIGH").as("n_high"), rev("2-HIGH").as("rev_high"),
+        cnt("3-MEDIUM").as("n_medium"), rev("3-MEDIUM").as("rev_medium"),
+        cnt("4-NOT SPECIFIED").as("n_notspec"), rev("4-NOT SPECIFIED").as("rev_notspec"),
+        cnt("5-LOW").as("n_low"), rev("5-LOW").as("rev_low"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Exact p50/p90/p99 of order value per priority (reference computes
+    * distribution stats during validation; exact percentile = sort-based).
+    */
+  def orderValuePercentiles(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("round(percentile(o_totalprice, 0.5), 2)").as("p50"),
+        expr("round(percentile(o_totalprice, 0.9), 2)").as("p90"),
+        expr("round(percentile(o_totalprice, 0.99), 2)").as("p99"))
+      .orderBy("o_orderpriority")
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.ColUtil._
+
+/** Dimension builders — Spark-first re-expression of
+  * transformers/complete_dimension_builder.py (reference builds each dim
+  * as a pandas frame from SQL extracts; here each is a declarative plan
+  * over the star-schema parquet so Catalyst prunes/pushes down).
+  *
+  * Scale notes: every dim here is small relative to facts, so fact
+  * builders broadcast them. Surrogate keys are md5-of-natural-key
+  * (ColUtil.surrogate) — no global sequence / row_number bottleneck.
+  */
+object Dims {
+
+  /** Calendar dim over the order-date span
+    * (ref complete_dimension_builder.py:75 `build_dim_fecha`: yyyymmdd
+    * key, year/month/day/quarter/iso week/dow, names, weekend flag).
+    */
+  def dimDate(orders: DataFrame): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    orders
+      .select(d.as("date_value")).distinct()
+      .select(
+        dateKey(col("date_value")).as("date_key"),
+        col("date_value"),
+        year(col("date_value")).cast(LongType).as("year"),
+        month(col("date_value")).cast(LongType).as("month"),
+        dayofmonth(col("date_value")).cast(LongType).as("day"),
+        quarter(col("date_value")).cast(LongType).as("quarter"),
+        weekofyear(col("date_value")).cast(LongType).as("iso_week"),
+        isoDow(col("date_value")).as("iso_dow"))
+      .withColumn("day_name", dowName(col("iso_dow")))
+      .withColumn("month_name", monthName(col("month")))
+      .withColumn("is_weekend", col("iso_dow") >= 6)
+      .orderBy("date_key")
+  }
+
+  /** Customer dim ⋈ nation ⋈ region + balance tier
+    * (ref :349 `build_dim_cliente`). Dims broadcast: tiny vs fact side.
+    */
+  def dimCustomer(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(
+        col("c_custkey"),
+        surrogate("cust", col("c_custkey")).as("customer_sk"),
+        col("c_name"),
+        col("c_mktsegment"),
+        col("c_acctbal"),
+        when(col("c_acctbal") < 0, "NEGATIVE")
+          .when(col("c_acctbal") < 5000, "STANDARD")
+          .otherwise("PREMIUM").as("balance_tier"),
+        col("n_name").as("nation"),
+        col("r_name").as("region"))
+      .orderBy("c_custkey")
+
+  /** Product dim + type family + price band (ref :197 `build_dim_producto`). */
+  def dimProduct(part: DataFrame): DataFrame =
+    part.select(
+        col("p_partkey"),
+        surrogate("part", col("p_partkey")).as("product_sk"),
+        col("p_name"),
+        col("p_brand"),
+        col("p_type"),
+        element_at(split(col("p_type"), " "), 1).as("type_family"),
+        col("p_size"),
+        col("p_retailprice"),
+        when(col("p_retailprice") < 500, "BUDGET")
+          .when(col("p_retailprice") < 1000, "MID")
+          .otherwise("PREMIUM").as("price_band"))
+      .orderBy("p_partkey")
+
+  /** Supplier dim ⋈ nation ⋈ region (ref :872 `build_dim_proveedor`). */
+  def dimSupplier(supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    supplier
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(
+        col("s_suppkey"),
+        surrogate("supp", col("s_suppkey")).as("supplier_sk"),
+        col("s_name"),
+        col("s_acctbal"),
+        col("n_name").as("nation"),
+        col("r_name").as("region"))
+      .orderBy("s_suppkey")
+
+  /** Conformed geography dim (ref :480 `build_dim_direccion` flattened). */
+  def dimGeography(nation: DataFrame, region: DataFrame): DataFrame =
+    nation
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(
+        col("n_nationkey"),
+        surrogate("geo", col("n_nationkey")).as("geo_sk"),
+        col("n_name").as("nation"),
+        col("r_regionkey"),
+        col("r_name").as("region"))
+      .orderBy("n_nationkey")
+
+  /** Junk dim: distinct status × priority with a stable dense surrogate
+    * (ref :655/:673 `build_dim_estado_orden`/`_pago`). Cardinality is
+    * tiny (|status|×|priority|) so a global row_number is fine here —
+    * the only place we allow one.
+    */
+  def dimOrderStatus(orders: DataFrame): DataFrame = {
+    val w = Window.orderBy("o_orderstatus", "o_orderpriority")
+    orders.select("o_orderstatus", "o_orderpriority").distinct()
+      .withColumn("status_sk", row_number().over(w).cast(LongType))
+      .select("status_sk", "o_orderstatus", "o_orderpriority")
+      .orderBy("status_sk")
+  }
+
+  /** SCD Type-2 customer activity versions from order history: each
+    * active day opens a version; valid_to = next version's start
+    * (generalizes the reference loader's overwrite-upsert into proper
+    * SCD2 — loaders/database_loader.py keeps only current state).
+    * Windows partition by customer → shuffles once on c_custkey,
+    * then all versioning is partition-local.
+    */
+  def scd2Customer(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("valid_from"))
+      .agg(count(lit(1)).as("orders_in_version"),
+           sum(money(col("o_totalprice"))).as("spend_dec"))
+    val w = Window.partitionBy("o_custkey").orderBy("valid_from")
+    daily
+      .withColumn("version_n", row_number().over(w).cast(LongType))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("cum_orders", sum(col("orders_in_version"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_spend", dbl(sum(col("spend_dec"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))))
+      .select(col("o_custkey").as("c_custkey"), col("version_n"),
+        col("valid_from"), col("valid_to"), col("is_current"),
+        col("orders_in_version"), col("cum_orders"), col("cum_spend"))
+      .orderBy("c_custkey", "version_n")
+  }
+}

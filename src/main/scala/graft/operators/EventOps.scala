@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.ColUtil._
+
+/** Event-stream operators (batch side). The reference treats CRM
+  * activity as another extract (fact_transacciones); here the event
+  * table also exercises the operators a stream warehouse needs:
+  * as-of join, sessionization, funnel, latest-record dedup, JSON
+  * attribute extraction, tumbling windows. Streaming twins live in
+  * graft.streaming.
+  */
+object EventOps {
+
+  /** As-of join: for each purchase event, the latest order of that user
+    * at-or-before the event timestamp.
+    *
+    * Implementation is the union-merge pattern, not a per-row lookup:
+    * tag both streams, union, single shuffle on user_id, sort by
+    * (time, tag) within partition, then `last(_, ignoreNulls)` carries
+    * the most recent order attributes forward onto each event row.
+    * O(n log n) per partition, no broadcast of the big side — this is
+    * the shape that holds at 100 TB (a broadcast-hash or nested-loop
+    * as-of would not).
+    *
+    * Orders are first deduped to one row per (user, date) keeping the
+    * max orderkey so the as-of winner is well-defined.
+    */
+  def asofJoinEventsOrders(events: DataFrame, orders: DataFrame): DataFrame = {
+    val wDedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val ord = orders
+      .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+        lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("o_totalprice"))
+    val ev = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("tag"),
+        col("event_id"), lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("date").as("order_date"),
+        lit(null).cast("double").as("o_totalprice"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ord.unionAll(ev)
+      .withColumn("last_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("last_order_date", last(col("order_date"), ignoreNulls = true).over(w))
+      .withColumn("last_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), to_date(col("t")).as("event_date"),
+        col("last_orderkey").as("o_orderkey"),
+        col("last_order_date").as("order_date"),
+        col("last_totalprice").as("o_totalprice"))
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization (30-min inactivity closes a session):
+    * lag → new-session flag → running count = session number. One
+    * shuffle on user_id; everything else partition-local.
+    */
+  def sessionize(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_n",
+        sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy("user_id", "session_n")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"),
+        dbl(sum(col("value").cast(DecimalType(18, 6)))).as("total_value"))
+      .orderBy("user_id", "session_n")
+  }
+
+  /** Ordered funnel signup → view → click → purchase: each stage's
+    * timestamp must be ≥ the previous stage's. Per-user conditional-min
+    * aggregation chained through joins; output is one row per stage with
+    * the surviving user count.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val s1 = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = events.filter(col("event_type") === "view")
+      .join(s1, Seq("user_id")).filter(col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = events.filter(col("event_type") === "click")
+      .join(s2, Seq("user_id")).filter(col("ts") >= col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    val s4 = events.filter(col("event_type") === "purchase")
+      .join(s3, Seq("user_id")).filter(col("ts") >= col("t3"))
+      .groupBy("user_id").agg(min(col("ts")).as("t4"))
+    def stage(n: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("stage_n"), lit(name).as("stage"), col("n_users"))
+    stage(1, "signup", s1).unionAll(stage(2, "view_after_signup", s2))
+      .unionAll(stage(3, "click_after_view", s3))
+      .unionAll(stage(4, "purchase_after_click", s4))
+      .orderBy("stage_n")
+  }
+
+  /** Latest-record-per-key dedup (ref data_validator.py:299 keep-first,
+    * generalized to keep-latest-by-timestamp): one row per
+    * (user, event_type) keeping max ts, tie-broken by event_id.
+    */
+  def dedupLatest(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        to_date(col("ts")).as("last_date"),
+        dbl(col("value").cast(DecimalType(18, 6))).as("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** JSON attribute extraction from the props payload + aggregation
+    * (schema-on-read semi-structured column, codegen'd get_json_object).
+    */
+  def jsonKv(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        (dbl(sum(col("k"))) / count(col("k"))).as("avg_k"))
+      .orderBy("event_type")
+
+  /** Tumbling 1-hour aggregate — the batch twin of the streaming
+    * pipeline in graft.streaming.EventStream.
+    */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dbl(sum(col("value").cast(DecimalType(18, 6)))).as("total_value"))
+      .orderBy("hour", "event_type")
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+import graft.functions.ColUtil._
+
+/** Fact builders — Spark-first re-expression of
+  * transformers/complete_fact_builder.py. The reference resolves
+  * surrogate keys by pandas-merging each dim (`_resolve_surrogate_keys`
+  * :75); here every dim join is an explicit broadcast so the fact-side
+  * scan streams once with map-side hash joins — no shuffle of the big
+  * table at any dim resolution, which is the property that survives a
+  * 1000-executor 100 TB run.
+  *
+  * All measures are computed on DECIMAL (see ColUtil) → exact,
+  * shuffle-order-independent results.
+  */
+object Facts {
+
+  /** Line-item-grain sales fact (ref :198 `build_fact_ventas`:
+    * order ⋈ line_item, one row per line item, qty/gross/discount/net
+    * measures, dup-guarded). The only shuffle is lineitem⋈orders on
+    * orderkey — both sides large; at scale this is the join to bucket
+    * or co-partition by orderkey.
+    */
+  def factSales(lineitem: DataFrame, orders: DataFrame,
+                dimCustomer: DataFrame, dimProduct: DataFrame,
+                dimSupplier: DataFrame, dimOrderStatus: DataFrame): DataFrame = {
+    val net = (money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+      .cast(DecimalType(14, 4))
+    val joined = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dimCustomer.select("c_custkey", "customer_sk")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(dimProduct.select("p_partkey", "product_sk")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(dimSupplier.select("s_suppkey", "supplier_sk")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(dimOrderStatus),
+        Seq("o_orderstatus", "o_orderpriority"))
+    joined.select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        dateKey(to_date(col("o_orderdate"))).as("date_key"),
+        col("customer_sk"),
+        col("product_sk"),
+        col("supplier_sk"),
+        col("status_sk"),
+        col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("gross_amount"),
+        dbl(money(col("l_extendedprice")) * rate(col("l_discount"))).as("discount_amount"),
+        dbl(net).as("net_amount"),
+        dbl(net * rate(col("l_tax"))).as("tax_amount"),
+        dbl(net * onePlus(col("l_tax"))).as("total_amount"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Stock-position fact per part × supplier from shipment history
+    * (ref :558 `build_fact_inventario`). One shuffle: groupBy
+    * (partkey, suppkey) with map-side partial aggregation.
+    */
+  def factInventory(lineitem: DataFrame, part: DataFrame, supplier: DataFrame): DataFrame = {
+    val agg = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+      count(lit(1)).as("n_shipments"),
+      dbl(sum(money(col("l_quantity")))).as("total_qty"),
+      dbl(sum(money(col("l_extendedprice")))).as("total_value"),
+      min(to_date(col("l_shipdate"))).as("first_ship"),
+      max(to_date(col("l_shipdate"))).as("last_ship"))
+    agg
+      .join(broadcast(part.select("p_partkey", "p_name", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .withColumn("avg_unit_price", col("total_value") / col("total_qty"))
+      .select("p_partkey", "s_suppkey", "p_name", "p_brand", "s_name",
+        "n_shipments", "total_qty", "total_value", "avg_unit_price",
+        "first_ship", "last_ship")
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  /** Transaction fact from the event stream: user × type × day grain
+    * (ref :648 `build_fact_transacciones`). `value` is cast to exact
+    * DECIMAL(18,6) before summing — sums don't drift with task order.
+    */
+  def factTransactions(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"),
+        to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        dbl(sum(col("value").cast(DecimalType(18, 6)))).as("total_value"))
+      .orderBy("user_id", "event_type", "event_date")
+
+  /** P&L-style classification fact (ref :1011 `build_fact_estado_resultados`
+    * classifies rows into signed accounting buckets via per-row CASE;
+    * :1113 `clasificar_y_calcular_monto`). Re-expressed as a codegen'd
+    * stack + aggregate: REVENUE +net, DISCOUNT −discount, TAX +tax.
+    */
+  def factPnl(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val net = (money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+      .cast(DecimalType(14, 4))
+    lineitem
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        year(to_date(col("o_orderdate"))).cast(LongType).as("fiscal_year"),
+        net.as("net_dec"),
+        (money(col("l_extendedprice")) * rate(col("l_discount"))).as("disc_dec"),
+        (net * rate(col("l_tax"))).cast(DecimalType(19, 6)).as("tax_dec"))
+      .selectExpr("fiscal_year",
+        "stack(3, 'REVENUE', cast(net_dec as decimal(19,6)), " +
+        "'DISCOUNT', cast(-disc_dec as decimal(19,6)), " +
+        "'TAX', tax_dec) as (account, amount_dec)")
+      .groupBy("fiscal_year", "account")
+      .agg(count(lit(1)).as("n_lines"), dbl(sum(col("amount_dec"))).as("amount"))
+      .orderBy("fiscal_year", "account")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for the training-data pipeline surface:
+  * per-document stats, quality scoring, language ID, fingerprinting.
+  * Everything is Column-level (higher-order functions over the token
+  * array) — no UDFs, no shuffle: a pure map stage that scales linearly
+  * with the corpus.
+  */
+object TextOps {
+
+  private def norm: Column = lower(trim(col("text")))
+  private def toks: Column = split(norm, " ")
+
+  /** Tokens/chars/word-length/punct/stopword profile per document. */
+  def textStats(documents: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to")
+    documents.select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(toks).cast(LongType).as("n_tokens"),
+        (length(regexp_replace(norm, " ", "")).cast("double") /
+          size(toks)).as("avg_word_len"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")))
+          .cast(LongType)).as("n_alnum_space"),
+        ((length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))).cast("double") /
+          length(col("text"))).as("punct_ratio"),
+        (size(filter(toks, t => t.isInCollection(stop))).cast("double") /
+          size(toks)).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Composite quality score (length / token-count / stopword / punct
+    * signals, each 0-1) + keep verdict — the filter stage of a corpus
+    * cleaning pipeline.
+    */
+  def textQuality(documents: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to")
+    val nChars = length(col("text"))
+    val nToks = size(toks)
+    val stopRatio = size(filter(toks, t => t.isInCollection(stop))).cast("double") / nToks
+    val punctRatio = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+      .cast("double") / nChars
+    val s1 = when(nChars.between(100, 2000), 1).otherwise(0)
+    val s2 = when(nToks >= 20, 1).otherwise(0)
+    val s3 = when(stopRatio.between(0.02, 0.6), 1).otherwise(0)
+    val s4 = when(punctRatio < 0.1, 1).otherwise(0)
+    documents.select(
+        col("doc_id"),
+        s1.cast(LongType).as("s_length"), s2.cast(LongType).as("s_tokens"),
+        s3.cast(LongType).as("s_stopwords"), s4.cast(LongType).as("s_punct"),
+        ((s1 + s2 + s3 + s4).cast("double") / 4.0).as("quality_score"),
+        ((s1 + s2 + s3 + s4) >= 3).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-profile language scorer: per-language function-word hit
+    * counts, argmax with fixed alphabetical tie-break. (An n-gram model
+    * would be the production path; the profile approach is the standard
+    * cheap heuristic and is exactly reproducible.)
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val profiles = Seq(
+      "de" -> Seq("der", "die", "und", "das", "ein"),
+      "en" -> Seq("the", "a", "of", "and", "to"),
+      "es" -> Seq("el", "la", "de", "que", "y"),
+      "fr" -> Seq("le", "la", "de", "et", "un"))
+    val scored = profiles.foldLeft(documents.select(col("doc_id"), col("lang"), toks.as("tk"))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(col("tk"), t => t.isInCollection(words))).cast(LongType))
+    }
+    val best = greatest(col("score_de"), col("score_en"), col("score_es"), col("score_fr"))
+    scored.select(
+        col("doc_id"),
+        col("score_de"), col("score_en"), col("score_es"), col("score_fr"),
+        when(best === 0, "unknown")
+          .when(col("score_de") === best, "de")
+          .when(col("score_en") === best, "en")
+          .when(col("score_es") === best, "es")
+          .otherwise("fr").as("predicted_lang"),
+        col("lang").as("labeled_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Canonical-form md5 + sha256 fingerprints (content addressing for
+    * exact dedup and incremental-load change detection).
+    */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+        col("doc_id"),
+        md5(norm.cast("binary")).as("fp_md5"),
+        sha2(norm.cast("binary"), 256).as("fp_sha256"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ColUtil._
+
+/** Data-quality suite — Spark-first re-expression of
+  * core/data_validator.py. Each check is a declarative plan returning
+  * violation rows/counts, so the whole suite runs as a handful of
+  * scans with map-side aggregation (the reference iterates pandas rows).
+  */
+object Validation {
+
+  /** Per-column null/blank profile (ref data_validator.py:166
+    * `_validate_required_fields`). One aggregate pass per table; long
+    * format (table, column, n_rows, n_null, n_blank).
+    */
+  def nullProfile(spark: SparkSession, tables: Seq[(String, DataFrame)]): DataFrame = {
+    val frames = tables.map { case (tname, df) =>
+      val aggs = df.schema.fields.flatMap { f =>
+        val c = col(f.name)
+        val isBlank = f.dataType.typeName match {
+          case "string" => trim(c) === ""
+          case _        => lit(false)
+        }
+        Seq(
+          count(when(c.isNull, 1)).as(s"__null_${f.name}"),
+          count(when(isBlank, 1)).as(s"__blank_${f.name}"))
+      }
+      val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+      val stackArgs = df.schema.fields.map { f =>
+        s"'${f.name}', __rows, `__null_${f.name}`, `__blank_${f.name}`"
+      }.mkString(", ")
+      wide.selectExpr(s"'$tname' as table_name",
+        s"stack(${df.schema.fields.length}, $stackArgs) " +
+          "as (column_name, n_rows, n_null, n_blank)")
+    }
+    frames.reduce(_ unionAll _).orderBy("table_name", "column_name")
+  }
+
+  /** Range-rule violations (ref :260 `_validate_ranges`). One scan,
+    * conditional counts.
+    */
+  def rangeChecks(lineitem: DataFrame, events: DataFrame): DataFrame = {
+    val li = lineitem.agg(
+      count(when(col("l_quantity") <= 0, 1)).as("qty_not_positive"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)).as("discount_out_of_range"),
+      count(when(col("l_extendedprice") < 0, 1)).as("price_negative"),
+      count(when(col("l_tax") < 0, 1)).as("tax_negative"),
+      count(when(col("l_shipdate").isNull, 1)).as("shipdate_null"))
+      .selectExpr("stack(5, " +
+        "'lineitem.qty_not_positive', qty_not_positive, " +
+        "'lineitem.discount_out_of_range', discount_out_of_range, " +
+        "'lineitem.price_negative', price_negative, " +
+        "'lineitem.tax_negative', tax_negative, " +
+        "'lineitem.shipdate_null', shipdate_null) as (rule, n_violations)")
+    val ev = events.agg(
+      count(when(col("value").isNull, 1)).as("value_null"),
+      count(when(col("ts").isNull, 1)).as("ts_null"))
+      .selectExpr("stack(2, " +
+        "'events.value_null', value_null, " +
+        "'events.ts_null', ts_null) as (rule, n_violations)")
+    li.unionAll(ev).orderBy("rule")
+  }
+
+  /** Referential-integrity orphan counts (ref :204
+    * `_validate_referential_integrity`). Each check is a left-anti join;
+    * the dim side of every check is broadcast.
+    */
+  def riChecks(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+               part: DataFrame, supplier: DataFrame, nation: DataFrame,
+               region: DataFrame): DataFrame = {
+    def orphans(name: String, child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String, bcast: Boolean): DataFrame = {
+      val p = parent.select(col(parentKey))
+      val rhs = if (bcast) broadcast(p) else p
+      child.join(rhs, col(childKey) === col(parentKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("check_name"), col("n_orphans"))
+    }
+    Seq(
+      orphans("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey", bcast = false),
+      orphans("lineitem->part", lineitem, "l_partkey", part, "p_partkey", bcast = true),
+      orphans("lineitem->supplier", lineitem, "l_suppkey", supplier, "s_suppkey", bcast = true),
+      orphans("orders->customer", orders, "o_custkey", customer, "c_custkey", bcast = true),
+      orphans("customer->nation", customer, "c_nationkey", nation, "n_nationkey", bcast = true),
+      orphans("nation->region", nation, "n_regionkey", region, "r_regionkey", bcast = true)
+    ).reduce(_ unionAll _).orderBy("check_name")
+  }
+
+  /** Duplicate-key profile (ref :299 `_remove_duplicates` keep-first):
+    * summary per table/key of how many keys, how many duplicated keys,
+    * and how many surplus rows a keep-first dedup would drop.
+    */
+  def duplicateProfile(documents: DataFrame, events: DataFrame,
+                       lineitem: DataFrame): DataFrame = {
+    def profile(tname: String, keyName: String, df: DataFrame, key: Column): DataFrame =
+      df.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"),
+          count(when(col("n") > 1, 1)).as("n_dup_keys"),
+          coalesce(sum(when(col("n") > 1, col("n") - 1)), lit(0)).as("n_surplus_rows"))
+        .select(lit(tname).as("table_name"), lit(keyName).as("key_name"),
+          col("n_keys"), col("n_dup_keys"), col("n_surplus_rows"))
+    Seq(
+      profile("documents", "norm_text_md5", documents,
+        md5(lower(trim(col("text"))).cast("binary"))),
+      profile("events", "user_type_ts", events,
+        concat_ws("|", col("user_id"), col("event_type"), col("ts").cast("string"))),
+      profile("lineitem", "order_line", lineitem,
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+    ).reduce(_ unionAll _).orderBy("table_name")
+  }
+
+  /** Fact↔source reconciliation (ref :339 `validate_symmetry` + :394
+    * `merge_and_reconcile`): Σ line net+tax vs order header total, per
+    * status; mismatch = |diff| > 1.00.
+    */
+  def reconcileOrders(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val lineTotals = lineitem.groupBy(col("l_orderkey")).agg(
+      sum((money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(14, 4)))
+        .as("line_net_dec"))
+    orders
+      .join(lineTotals, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderstatus"),
+        (money(col("o_totalprice")) - coalesce(col("line_net_dec"),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(14, 4)))).as("diff_dec"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(abs(col("diff_dec")) > 1.0, 1)).as("n_mismatched"),
+        dbl(sum(col("diff_dec"))).as("total_diff"))
+      .orderBy("o_orderstatus")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming twins of the batch event pipeline
+  * (graft.operators.EventOps). Same transforms, readStream source,
+  * watermarked state — specs drive them with the static parquet via
+  * processAllAvailable() and assert equality with the batch results.
+  */
+object EventStream {
+
+  /** Streaming tumbling 1-hour aggregate with a 2-hour watermark —
+    * twin of EventOps.hourly.
+    */
+  /** readStream over the raw parquet: nanos-as-long + div-1000 convert,
+    * mirroring graft.sources.Tables.events.
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def hourlyStream(spark: SparkSession, dir: String): DataFrame = {
+    eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class SessionOut(user_id: Long, session_n: Long, n_events: Long)
+  private case class SessState(sessionN: Long, lastTsMicros: Long, count: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState — the streaming
+    * counterpart of EventOps.sessionize (gap > 30 min opens a session).
+    * Emits closed-session summaries as state times out or gaps appear.
+    */
+  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = eventsStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[Ev]
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          var st = state.getOption.getOrElse(SessState(0L, Long.MinValue, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime * 1000L
+            if (st.lastTsMicros == Long.MinValue || t - st.lastTsMicros > 1800L * 1000000L) {
+              if (st.count > 0) closed += SessionOut(uid, st.sessionN, st.count)
+              st = SessState(st.sessionN + 1, t, 1L)
+            } else st = st.copy(lastTsMicros = t, count = st.count + 1)
+          }
+          state.update(st)
+          closed.iterator
+      }.toDF()
+  }
+}
