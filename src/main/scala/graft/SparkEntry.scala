@@ -116,17 +116,23 @@ object SparkEntry {
       | WHEN 8 THEN 'August' WHEN 9 THEN 'September' WHEN 10 THEN 'October'
       | WHEN 11 THEN 'November' ELSE 'December' END""".stripMargin
 
-  private val minhashCols = (0 until 12).map(k =>
-    s"list_min(list_transform(range(1, length(nt)-3), i -> md5(substr(nt,i,5) || ':$k'))) AS mh_$k"
-  ).mkString(",\n  ")
+  // byte-identical twin of Dedup.minhashBands: one md5 per 5-char
+  // shingle (28 bits hex-parsed) + the shared Carter-Wegman mixes
+  private val minhashCols = (0 until 12).map { k =>
+    val (a, b) = (Dedup.MixA(k), Dedup.MixB(k))
+    s"list_min(list_transform(xs, x -> ($a * x + $b) % ${Dedup.MixP})) AS mh_$k"
+  }.mkString(",\n  ")
   private val bandCols = (0 until 4).map(b =>
-    s"md5(mh_${3 * b} || '|' || mh_${3 * b + 1} || '|' || mh_${3 * b + 2}) AS band_$b"
+    s"md5(CAST(mh_${3 * b} AS VARCHAR) || '|' || CAST(mh_${3 * b + 1} AS VARCHAR) || " +
+      s"'|' || CAST(mh_${3 * b + 2} AS VARCHAR)) AS band_$b"
   ).mkString(",\n  ")
   private val minhashCtes =
     s"""t AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents),
+       |x AS (SELECT doc_id, list_transform(range(1, length(nt)-3),
+       |  i -> ('0x' || substr(md5(substr(nt, i, 5)), 1, 7))::BIGINT) AS xs FROM t),
        |m AS (SELECT doc_id,
        |  $minhashCols
-       |FROM t),
+       |FROM x),
        |bands AS (SELECT doc_id,
        |  $bandCols
        |FROM m)""".stripMargin
@@ -551,9 +557,10 @@ object SparkEntry {
     "dedup_jaccard" ->
       """WITH t AS (SELECT doc_id,
         |  lang || ':' || CAST(n_chars//100 AS VARCHAR) AS blk,
-        |  lower(trim(text)) AS nt FROM documents),
+        |  string_split(lower(trim(text)), ' ') AS tk FROM documents),
         |g AS (SELECT doc_id, blk,
-        |  list_distinct(list_transform(range(1, length(nt)-2), i -> substr(nt, i, 4))) AS gs
+        |  list_distinct(list_transform(range(1, len(tk)-1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gs
         |FROM t),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_common,

