@@ -63,6 +63,7 @@ object SparkEntry {
     "rollup_sales" -> ((s, d) => Analytics.rollupSales(t(s, d, "orders"))),
     "pivot_status_priority" -> ((s, d) => Analytics.pivotStatusPriority(t(s, d, "orders"))),
     "order_value_percentiles" -> ((s, d) => Analytics.orderValuePercentiles(t(s, d, "orders"))),
+    "customer_order_gaps" -> ((s, d) => Analytics.orderGaps(t(s, d, "orders"))),
     "asof_join_events_orders" -> ((s, d) =>
       EventOps.asofJoinEventsOrders(Tables.events(s, d), t(s, d, "orders"))),
     "sessionize_events" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
@@ -75,6 +76,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
     "lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
+    "token_counts" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
+    "doc_rolling_fp" -> ((s, d) => TextOps.rollingHash(t(s, d, "documents"))),
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashBands(t(s, d, "documents"))),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(t(s, d, "documents"))),
@@ -83,6 +86,7 @@ object SparkEntry {
     "knn_cosine_bruteforce" -> ((s, d) => Similarity.knnBrute(t(s, d, "embeddings"))),
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(t(s, d, "embeddings"))),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(t(s, d, "embeddings"))),
+    "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents")))
   )
 
@@ -601,6 +605,44 @@ object SparkEntry {
         |  CAST(SUM(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS avg_norm,
         |  min(nrm) AS min_norm, max(nrm) AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "customer_order_gaps" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date, o_orderkey FROM orders),
+        |r AS (SELECT o_custkey, order_date, o_orderkey,
+        |  row_number() OVER w AS order_n,
+        |  lag(order_date) OVER w AS prev_date
+        |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date, o_orderkey))
+        |SELECT o_custkey, order_n, o_orderkey, order_date,
+        |  date_diff('day', prev_date, order_date) AS gap_days
+        |FROM r ORDER BY o_custkey, order_n""".stripMargin,
+
+    "token_counts" ->
+      s"""WITH t AS (SELECT doc_id, text, lower(trim(text)) AS nt FROM documents)
+         |SELECT doc_id, length(text) AS n_chars,
+         |  len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+         |  len(regexp_extract_all(nt, '${TextOps.BpeIshPattern}')) AS bpe_tokens,
+         |  CAST(length(text) AS DOUBLE) /
+         |    len(regexp_extract_all(nt, '${TextOps.BpeIshPattern}')) AS chars_per_bpe_token
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "doc_rolling_fp" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents)
+        |SELECT doc_id, length(nt) AS n_chars,
+        |  list_reduce(list_transform(range(1, length(nt)+1),
+        |    i -> CAST(ascii(substr(nt, i, 1)) AS BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM e),
+        |p AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) / (a.nrm * b.nrm) AS cos_sim
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, id_a, id_b, cos_sim
+        |FROM p ORDER BY cos_sim DESC, id_a, id_b LIMIT 50""".stripMargin,
 
     "multimodal_meta" ->
       """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents)

@@ -140,6 +140,21 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** Per-customer order cadence: order sequence numbers and day gaps
+    * between consecutive orders (lag window; one shuffle on custkey).
+    */
+  def orderGaps(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("order_date"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("o_orderkey"))
+      .withColumn("order_n", row_number().over(w).cast("long"))
+      .withColumn("gap_days",
+        datediff(col("order_date"), lag(col("order_date"), 1).over(w)).cast("long"))
+      .select("o_custkey", "order_n", "o_orderkey", "order_date", "gap_days")
+      .orderBy("o_custkey", "order_n")
+  }
+
   /** Exact p50/p90/p99 of order value per priority (reference computes
     * distribution stats during validation; exact percentile = sort-based).
     */

@@ -19,14 +19,21 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   */
 object Similarity {
 
-  /** Ordered left-to-right dot product in double. */
+  /** Ordered left-to-right dot product in double (declarative HOF
+    * form; kept as the portable reference implementation).
+    */
   def vdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def vnorm(a: Column): Column = sqrt(vdot(a, a))
 
-  def cosine(a: Column, b: Column): Column = vdot(a, b) / (vnorm(a) * vnorm(b))
+  /** Cosine via the native codegen'd Catalyst expression
+    * (graft.functions.CosineSim) — single fused loop, no intermediate
+    * arrays; bit-compatible with the HOF form (same accumulation order).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors for probes (vec_id < nProbes).
     * Probe side broadcast; corpus streamed once.
@@ -83,6 +90,23 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "cos_sim")
       .orderBy("qid", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: label-blocked all-pairs
+    * (blocks bound the quadratic term; at scale the LSH signature from
+    * lshSignature is the blocking key instead), global top-50 most
+    * similar with deterministic tie-break.
+    */
+  def embeddingNearDup(embeddings: DataFrame, topN: Int = 50): DataFrame = {
+    val a = embeddings.select(col("label").as("blk"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = embeddings.select(col("label").as("blk_b"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    a.join(b, col("blk") === col("blk_b") && col("id_a") < col("id_b"))
+      .select(col("blk").as("label"), col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+      .limit(topN)
   }
 
   /** Per-label corpus stats: count + exact-summed mean norm (norms cast

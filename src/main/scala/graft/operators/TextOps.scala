@@ -96,4 +96,39 @@ object TextOps {
         sha2(norm.cast("binary"), 256).as("fp_sha256"),
         length(col("text")).cast(LongType).as("n_chars"))
       .orderBy("doc_id")
+
+  /** BPE-ish regex used for subword-style token counting: letter runs,
+    * single digits, or single punctuation marks — the shape of a GPT-2
+    * pre-tokenizer, engine-portable.
+    */
+  val BpeIshPattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+  /** Token counting two ways — whitespace words vs BPE-ish pieces —
+    * plus the chars-per-token compression ratio a data pipeline uses
+    * for quality/cost estimates.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("ws_tokens"),
+        size(regexp_extract_all(norm, lit(BpeIshPattern), lit(0))).cast(LongType).as("bpe_tokens"))
+      .withColumn("chars_per_bpe_token",
+        col("n_chars").cast("double") / col("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Polynomial rolling-hash fingerprint (base 31 mod 1e9+7 over code
+    * points) — the incremental-hash family used for shingling/content-
+    * defined chunking; one expression-level fold, no UDF.
+    */
+  def rollingHash(documents: DataFrame): DataFrame = {
+    val codes = transform(sequence(lit(1), length(col("nt"))),
+      i => ascii(col("nt").substr(i, lit(1))).cast(LongType))
+    documents.select(col("doc_id"), norm.as("nt"))
+      .select(col("doc_id"),
+        length(col("nt")).cast(LongType).as("n_chars"),
+        aggregate(codes, lit(0L),
+          (acc, c) => (acc * 31 + c) % 1000000007L).as("rolling_fp"))
+      .orderBy("doc_id")
+  }
 }

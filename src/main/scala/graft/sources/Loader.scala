@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Load-side semantics — Spark-first re-expression of the reference
+  * loaders (loaders/simple_loader.py truncate-and-load;
+  * loaders/database_loader.py PK-conflict upsert; core/batch_processor.py
+  * checkpoint/resume). Sinks are parquet; the merge policies are pure
+  * DataFrame ops so they run distributed and land atomically via
+  * overwrite-by-directory.
+  */
+object Loader {
+
+  /** Truncate-and-load (ref simple_loader.py): full overwrite. */
+  def truncateAndLoad(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** PK upsert, keep the winning row per key by `orderCol` descending
+    * (ref database_loader.py ON CONFLICT semantics; incoming rows win
+    * ties via the source rank). One shuffle on the key.
+    */
+  def upsertKeepLatest(existing: DataFrame, incoming: DataFrame,
+                       keys: Seq[String], orderCol: String): DataFrame = {
+    val tagged = existing.withColumn("__src", lit(0))
+      .unionByName(incoming.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col("__src").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__src")
+  }
+
+  /** SCD2 merge: close current versions whose tracked attributes
+    * changed and open new ones effective `asOf`. History rows carry
+    * (valid_from, valid_to, is_current); updates are a key+attrs
+    * snapshot. Both sides shuffle once on the key.
+    */
+  def scd2Merge(history: DataFrame, updates: DataFrame, key: String,
+                attrs: Seq[String], asOf: java.sql.Date): DataFrame = {
+    val current = history.filter(col("is_current"))
+    val closed = history.filter(!col("is_current"))
+    val changeCond = attrs.map(a => col(s"cur.$a") =!= col(s"upd.$a"))
+      .reduce(_ || _)
+    val joined = current.as("cur").join(updates.as("upd"), Seq(key), "left")
+    // unchanged (or no update): keep as-is
+    val keep = joined.filter(col(s"upd.${attrs.head}").isNull || !changeCond)
+      .select(col(s"cur.$key").as(key) +:
+        (attrs.map(a => col(s"cur.$a").as(a)) ++
+          Seq(col("cur.valid_from").as("valid_from"),
+            col("cur.valid_to").as("valid_to"),
+            col("cur.is_current").as("is_current"))): _*)
+    // changed: close old version at asOf
+    val closedNow = joined.filter(col(s"upd.${attrs.head}").isNotNull && changeCond)
+      .select(col(s"cur.$key").as(key) +:
+        (attrs.map(a => col(s"cur.$a").as(a)) ++
+          Seq(col("cur.valid_from").as("valid_from"),
+            lit(asOf).as("valid_to"), lit(false).as("is_current"))): _*)
+    // changed: open new version from asOf
+    val opened = joined.filter(col(s"upd.${attrs.head}").isNotNull && changeCond)
+      .select(col(s"cur.$key").as(key) +:
+        (attrs.map(a => col(s"upd.$a").as(a)) ++
+          Seq(lit(asOf).as("valid_from"),
+            lit(null).cast("date").as("valid_to"),
+            lit(true).as("is_current"))): _*)
+    // brand-new keys: open first version
+    val fresh = updates.as("upd").join(current.select(col(key)), Seq(key), "left_anti")
+      .select(col(key) +:
+        (attrs.map(a => col(a)) ++
+          Seq(lit(asOf).as("valid_from"),
+            lit(null).cast("date").as("valid_to"),
+            lit(true).as("is_current"))): _*)
+    closed.select(keep.columns.map(col): _*)
+      .unionByName(keep).unionByName(closedNow).unionByName(opened).unionByName(fresh)
+  }
+
+  /** Incremental (checkpointed) load: process only rows with watermark
+    * beyond the last committed high-water mark, then advance it — the
+    * Spark shape of core/batch_processor.py's checkpoint/resume. The
+    * mark is stored next to the sink as a one-line file.
+    */
+  def incrementalLoad(spark: SparkSession, source: DataFrame, watermarkCol: String,
+                      sinkPath: String): Long = {
+    val markPath = java.nio.file.Paths.get(sinkPath + ".watermark")
+    val last = if (java.nio.file.Files.exists(markPath))
+      java.nio.file.Files.readString(markPath).trim.toLong else Long.MinValue
+    val fresh = source.filter(col(watermarkCol).cast("long") > last)
+    val n = fresh.count()
+    if (n > 0) {
+      fresh.write.mode(SaveMode.Append).parquet(sinkPath)
+      val newMark = fresh.agg(max(col(watermarkCol).cast("long"))).head.getLong(0)
+      java.nio.file.Files.createDirectories(markPath.getParent)
+      java.nio.file.Files.writeString(markPath, newMark.toString)
+    }
+    n
+  }
+}

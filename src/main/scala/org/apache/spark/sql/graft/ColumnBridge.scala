@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made Column wrap a ColumnNode and gated the
+  * Expression↔Column converters behind private[sql]
+  * (org.apache.spark.sql.classic.ExpressionUtils). This bridge —
+  * placed under the sql package per the standard extension pattern —
+  * re-exports just the two conversions custom Catalyst expressions
+  * need.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

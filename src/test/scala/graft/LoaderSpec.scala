@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Loader, Tables}
+
+class LoaderSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("truncate-and-load then read-back round-trips") {
+    val dir = Files.createTempDirectory("graft_load").toString + "/t"
+    val src = Tables.nation(spark, sf)
+    Loader.truncateAndLoad(src, dir)
+    Loader.truncateAndLoad(src, dir)   // second overwrite, no dup rows
+    assert(spark.read.parquet(dir).count() === src.count())
+  }
+
+  test("upsert keeps the latest row per key, incoming wins ties") {
+    val existing = Seq((1L, "old", 10L), (2L, "keep", 20L)).toDF("k", "v", "ver")
+    val incoming = Seq((1L, "new", 11L), (3L, "ins", 5L), (2L, "tie", 20L))
+      .toDF("k", "v", "ver")
+    val r = Loader.upsertKeepLatest(existing, incoming, Seq("k"), "ver")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toList
+    assert(r === List((1L, "new"), (2L, "tie"), (3L, "ins")))
+  }
+
+  test("scd2 merge closes changed versions and opens new ones") {
+    val asOf = java.sql.Date.valueOf("2026-01-15")
+    val d0 = java.sql.Date.valueOf("2025-01-01")
+    val history = Seq(
+      (1L, "FURNITURE", d0, null.asInstanceOf[java.sql.Date], true),
+      (2L, "MACHINERY", d0, null.asInstanceOf[java.sql.Date], true)
+    ).toDF("k", "segment", "valid_from", "valid_to", "is_current")
+    val updates = Seq((1L, "BUILDING"), (2L, "MACHINERY"), (9L, "AUTOMOBILE"))
+      .toDF("k", "segment")
+    val r = Loader.scd2Merge(history, updates, "k", Seq("segment"), asOf).cache()
+    // key 1 changed: closed old + opened new
+    val k1 = r.filter(col("k") === 1).orderBy("valid_from").collect()
+    assert(k1.length === 2)
+    assert(!k1(0).getBoolean(4) && k1(0).getDate(3) === asOf)
+    assert(k1(1).getBoolean(4) && k1(1).getString(1) === "BUILDING")
+    // key 2 unchanged: single current row
+    assert(r.filter(col("k") === 2).count() === 1)
+    // key 9 fresh insert, current from asOf
+    val k9 = r.filter(col("k") === 9).collect()
+    assert(k9.length === 1 && k9(0).getBoolean(4) && k9(0).getDate(2) === asOf)
+    r.unpersist()
+  }
+
+  test("incremental load processes only rows past the watermark") {
+    val dir = Files.createTempDirectory("graft_inc").toString + "/sink"
+    val src = Seq((1L, 100L), (2L, 200L)).toDF("id", "ver")
+    assert(Loader.incrementalLoad(spark, src, "ver", dir) === 2)
+    // replay: nothing new
+    assert(Loader.incrementalLoad(spark, src, "ver", dir) === 0)
+    // one newer row arrives
+    val src2 = Seq((1L, 100L), (3L, 300L)).toDF("id", "ver")
+    assert(Loader.incrementalLoad(spark, src2, "ver", dir) === 1)
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
+  test("native cosine expression matches the declarative HOF form exactly") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+    val hof = graft.operators.Similarity.vdot(col("va"), col("vb")) /
+      (graft.operators.Similarity.vnorm(col("va")) *
+        graft.operators.Similarity.vnorm(col("vb")))
+    val diff = pairs.select(
+        graft.functions.VectorExpressions.cosineSim(col("va"), col("vb")).as("native"),
+        hof.as("declarative"))
+      .filter(col("native") =!= col("declarative"))
+    assert(diff.count() === 0, "native codegen result must be bit-identical")
+  }
+}
