@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-dedup hot paths. Each one
+  * replaces a higher-order-function pipeline that allocated intermediate
+  * arrays per row; semantics (and thus the DuckDB oracle SQL) are
+  * unchanged — specs and tools/crosscheck.py hold them to the same
+  * results.
+  */
+object TextExpressions {
+  /** Carter-Wegman mix constants shared by the Spark minhash expression
+    * and the generated oracle SQL.
+    */
+  val MixP: Long = 2147483647L
+  val MixA: Seq[Long] = Seq(1664525L, 22695477L, 69069L, 1103515245L,
+    134775813L, 214013L, 16843009L, 1000000007L, 747796405L, 65793L,
+    277803737L, 1812433253L)
+  val MixB: Seq[Long] = Seq(1013904223L, 1L, 362437L, 12345L, 1L,
+    2531011L, 826366247L, 998244353L, 2891336453L, 69069L, 4294967291L,
+    1566083941L)
+
+  def simhash32(md5s: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(md5s)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def minhashSignature(xs: Column): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(xs)))
+  def rollingHash31(s: Column): Column =
+    ColumnBridge.column(RollingHash31(ColumnBridge.expression(s)))
+}
+
+/** 32-bit SimHash over an array of md5 hex digests: bit j set iff the
+  * majority of digests have the top bit of hex nibble j set. One pass
+  * over the digest bytes ('8'↔0x38 splits the nibble range in ASCII).
+  */
+case class SimHash32(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash32"
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val w = new Array[Int](32)
+    var i = 0
+    while (i < arr.numElements()) {
+      val bytes = arr.getUTF8String(i).getBytes
+      var j = 0
+      while (j < 32) {
+        if (bytes(j) >= '8') w(j) += 1 else w(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](32)
+    var j = 0
+    while (j < 32) { out(j) = if (w(j) > 0) '1' else '0'; j += 1 }
+    UTF8String.fromBytes(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Count of common elements of two SORTED distinct string arrays —
+  * a merge walk, no per-call hash set (vs array_intersect). Codegen'd:
+  * it runs once per candidate pair, the hottest call site in blocked
+  * Jaccard.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0L
+    while (i < x.numElements() && j < y.numElements()) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      s"""
+        int $i = 0, $j = 0; long $n = 0L;
+        while ($i < $a.numElements() && $j < $b.numElements()) {
+          int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+          if ($c == 0) { $n++; $i++; $j++; }
+          else if ($c < 0) { $i++; } else { $j++; }
+        }
+        ${ev.value} = $n;
+      """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** All 12 minhash values in one pass over the shingle-hash array —
+  * min of (a_k·x + b_k) mod p per mix — instead of 12 transform+min
+  * pipelines each materializing an intermediate array.
+  */
+case class MinHashSignature(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override def nullSafeEval(v: Any): Any = {
+    import TextExpressions._
+    val xs = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(MixA.length)(Long.MaxValue)
+    var i = 0
+    while (i < xs.numElements()) {
+      val x = xs.getLong(i)
+      var k = 0
+      while (k < mins.length) {
+        val h = (MixA(k) * x + MixB(k)) % MixP
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Polynomial rolling hash (base 31 mod 1e9+7) over the byte sequence.
+  * Matches the oracle's per-codepoint fold exactly for ASCII input
+  * (the corpus guarantee; asserted in spec).
+  */
+case class RollingHash31(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash31"
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc = (acc * 31 + bytes(i)) % 1000000007L; i += 1 }
+    acc
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

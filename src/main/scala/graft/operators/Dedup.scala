@@ -27,22 +27,16 @@ object Dedup {
   /** Carter-Wegman mix constants for the 12 minhash functions: one md5
     * per shingle (28 bits of it parsed to int) + 12 cheap (a·x+b) mod p
     * mixes — ~12× fewer digests than hashing shingle‖seed per function.
-    * Public so SparkEntry can generate the byte-identical oracle SQL.
+    * Shared with the generated oracle SQL (single source of truth in
+    * graft.functions.TextExpressions).
     */
-  val MixP: Long = 2147483647L
-  val MixA: Seq[Long] = Seq(1664525L, 22695477L, 69069L, 1103515245L,
-    134775813L, 214013L, 16843009L, 1000000007L, 747796405L, 65793L,
-    277803737L, 1812433253L)
-  val MixB: Seq[Long] = Seq(1013904223L, 1L, 362437L, 12345L, 1L,
-    2531011L, 826366247L, 998244353L, 2891336453L, 69069L, 4294967291L,
-    1566083941L)
+  val MixP: Long = graft.functions.TextExpressions.MixP
+  val MixA: Seq[Long] = graft.functions.TextExpressions.MixA
+  val MixB: Seq[Long] = graft.functions.TextExpressions.MixB
 
   /** 28-bit integer per shingle from one md5. */
   private def shingleInts(sh: Column): Column =
     transform(sh, s => conv(substring(md5(s.cast("binary")), 1, 7), 16, 10).cast("long"))
-
-  private def minhash(xs: Column, k: Int): Column =
-    array_min(transform(xs, x => (lit(MixA(k)) * x + lit(MixB(k))) % lit(MixP)))
 
   /** Exact dedup on normalized-text hash; canonical = min doc_id in the
     * hash group (ref data_validator.py:299 keep-first semantics).
@@ -63,8 +57,11 @@ object Dedup {
   def minhashBands(documents: DataFrame): DataFrame = {
     val withMh = documents.select(col("doc_id"), norm.as("nt"))
       .select(col("doc_id"), shingleInts(shingles(col("nt"))).as("xs"))
+      // native expression: all 12 mins in one pass, no intermediate arrays
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.minhashSignature(col("xs")).as("sig"))
       .select(col("doc_id") +: (0 until 12).map(k =>
-        minhash(col("xs"), k).as(s"mh_$k")): _*)
+        element_at(col("sig"), k + 1).as(s"mh_$k")): _*)
     val withBands = withMh.select(
       col("doc_id") +: (0 until 4).map(b =>
         md5(concat_ws("|", col(s"mh_${3 * b}"), col(s"mh_${3 * b + 1}"),
@@ -105,10 +102,11 @@ object Dedup {
     */
   def jaccardTop(documents: DataFrame): DataFrame = {
     val toks = split(col("nt"), " ")
-    // docs are guaranteed ≥3 tokens (corpus min length ≈48 chars)
-    val grams = array_distinct(transform(sequence(lit(1), size(toks) - lit(2)),
+    // docs are guaranteed ≥3 tokens (corpus min length ≈48 chars);
+    // sorted so the native merge-walk intersect can stream both sides
+    val grams = sort_array(array_distinct(transform(sequence(lit(1), size(toks) - lit(2)),
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-        element_at(toks, i + 2))))
+        element_at(toks, i + 2)))))
     val g = documents.select(
       col("doc_id"),
       concat(col("lang"), lit(":"), (col("n_chars") / lit(100)).cast(LongType)).as("blk"),
@@ -118,7 +116,8 @@ object Dedup {
     val b = g.select(col("blk").as("blk_b"), col("doc_id").as("doc_b"), col("gs").as("gs_b"))
     a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("gs_a"), col("gs_b"))).cast(LongType).as("n_common"),
+        graft.functions.TextExpressions
+          .sortedIntersectCount(col("gs_a"), col("gs_b")).as("n_common"),
         (size(col("gs_a")) + size(col("gs_b"))).cast(LongType).as("n_total"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_total") - col("n_common")).as("n_union"))
@@ -131,16 +130,13 @@ object Dedup {
     * nibble j of md5(token) has its top bit set). Near-dup docs differ
     * in few bits. Emitted as a 32-char bitstring (portable, groupable).
     */
-  def simhash(documents: DataFrame): DataFrame = {
-    // md5 once per token, then 32 nibble-majority folds over the digests
-    val bits = transform(sequence(lit(1), lit(32)), j =>
-      when(aggregate(col("tms"), lit(0),
-        (acc, m) => acc + when(m.substr(j, lit(1)) >= "8", 1).otherwise(-1))
-        > 0, "1").otherwise("0"))
+  def simhash(documents: DataFrame): DataFrame =
+    // md5 once per token (codegen'd), then one native pass for all 32
+    // nibble-majority counters (graft.functions.SimHash32)
     documents.select(col("doc_id"), norm.as("nt"))
       .select(col("doc_id"),
         transform(split(col("nt"), " "), t => md5(t.cast("binary"))).as("tms"))
-      .select(col("doc_id"), concat_ws("", bits).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.simhash32(col("tms")).as("simhash"))
       .orderBy("doc_id")
-  }
 }

@@ -121,14 +121,12 @@ object TextOps {
     * points) — the incremental-hash family used for shingling/content-
     * defined chunking; one expression-level fold, no UDF.
     */
-  def rollingHash(documents: DataFrame): DataFrame = {
-    val codes = transform(sequence(lit(1), length(col("nt"))),
-      i => ascii(col("nt").substr(i, lit(1))).cast(LongType))
+  def rollingHash(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), norm.as("nt"))
       .select(col("doc_id"),
         length(col("nt")).cast(LongType).as("n_chars"),
-        aggregate(codes, lit(0L),
-          (acc, c) => (acc * 31 + c) % 1000000007L).as("rolling_fp"))
+        // native byte-walk fold (ASCII corpus; spec-asserted vs the
+        // per-codepoint oracle fold)
+        graft.functions.TextExpressions.rollingHash31(col("nt")).as("rolling_fp"))
       .orderBy("doc_id")
-  }
 }
