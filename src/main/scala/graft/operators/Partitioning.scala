@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Skew- and layout-management utilities — the knobs a 100 TB run
+  * actually turns. Kept as library functions so pipelines compose them
+  * declaratively; each is spec-verified equivalent to its naive form.
+  */
+object Partitioning {
+
+  /** Two-phase salted aggregation for skewed keys: groupBy(key, salt)
+    * partial-aggregates hot keys across `saltBuckets` reducers, then a
+    * cheap second aggregation merges the partials. Exact because the
+    * measure is summed on DECIMAL. Equivalent to groupBy(key).sum —
+    * spec-asserted.
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                saltBuckets: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)))
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(sum(col(valueCol).cast(DecimalType(18, 6))).as("__partial"),
+        count(lit(1)).as("__pn"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__partial")).cast("double").as(s"sum_$valueCol"),
+        sum(col("__pn")).as("n_rows"))
+  }
+
+  /** Hive-style partitioned parquet layout (partition pruning at scan). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Explicit co-partitioning of two frames on their join key — the
+    * repartition both sides share so the join is a local zip of
+    * pre-shuffled partitions (the manual form of bucketing when no
+    * catalog is available).
+    */
+  def coPartition(a: DataFrame, b: DataFrame, aKey: String, bKey: String,
+                  n: Int): (DataFrame, DataFrame) =
+    (a.repartition(n, col(aKey)), b.repartition(n, col(bKey)))
+}

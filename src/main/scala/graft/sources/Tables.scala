@@ -32,4 +32,25 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** CSV ingest with explicit schema (the reference's CSV extractor:
+    * extractors/csv_extractor.py — header, delimiter, encoding knobs;
+    * explicit schema instead of inference so a malformed file fails
+    * loudly and the scan stays single-pass).
+    */
+  def readCsv(s: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType,
+              delimiter: String = ",", header: Boolean = true): DataFrame =
+    s.read.schema(schema)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  def writeCsv(df: DataFrame, path: String, delimiter: String = ",",
+               header: Boolean = true): Unit =
+    df.write.mode("overwrite")
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .csv(path)
 }

@@ -45,6 +45,17 @@ object EventStream {
         col("n_events"), col("total_value"))
   }
 
+  /** Streaming exact dedup: watermarked dropDuplicates keeps the first
+    * arrival per (user, event_type); state for keys older than the
+    * watermark is evicted — the streaming twin of the keep-first dedup
+    * in the validator (data_validator.py:299).
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   case class SessionOut(user_id: Long, session_n: Long, n_events: Long)
   case class SessState(sessionN: Long, lastTsMicros: Long, count: Long)

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Partitioning
+import graft.sources.{Loader, Tables}
+import graft.streaming.EventStream
+
+/** Scale-mechanics specs: salting equivalence, partition pruning,
+  * co-partitioned joins, CSV round-trip, streaming dedup.
+  */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("salted aggregation equals direct groupBy exactly") {
+    val ev = Tables.events(spark, sf)
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val direct = toMap(ev.groupBy("event_type")
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double").as("sum_value"), count(lit(1)).as("n_rows"))
+      .collect())
+    val salted = toMap(Partitioning.saltedSum(ev, Seq("event_type"), "value")
+      .select("event_type", "sum_value", "n_rows").collect())
+    assert(salted === direct)
+  }
+
+  test("partitioned layout prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/orders_by_status"
+    Partitioning.writePartitioned(Tables.orders(spark, sf), dir, Seq("o_orderstatus"))
+    val df = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"partition filter missing:\n$plan")
+    // only the F partition directory is read
+    assert(df.select("o_orderstatus").distinct().collect().map(_.getString(0)).toSet === Set("F"))
+  }
+
+  test("co-partitioned join of pre-shuffled sides produces correct counts") {
+    val (li, o) = Partitioning.coPartition(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf), "l_orderkey", "o_orderkey", 8)
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    assert(joined.count() === Tables.lineitem(spark, sf).count())
+  }
+
+  test("csv round-trip with explicit schema and delimiter") {
+    val dir = Files.createTempDirectory("graft_csv").toString + "/nation_csv"
+    val src = Tables.nation(spark, sf)
+    Tables.writeCsv(src, dir, delimiter = "|")
+    val back = Tables.readCsv(spark, dir, src.schema, delimiter = "|")
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
+
+  test("streaming dedup keeps one row per key (vs batch distinct)") {
+    val q = EventStream.dedupStream(spark, sf)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dedup_out")
+    val batchKeys = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().count()
+    assert(streamed.count() === batchKeys)
+  }
+}
