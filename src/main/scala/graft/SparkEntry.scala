@@ -85,6 +85,8 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "knn_cosine_bruteforce" -> ((s, d) => Similarity.knnBrute(t(s, d, "embeddings"))),
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(t(s, d, "embeddings"))),
+    "knn_ivf" -> ((s, d) => Similarity.knnIvf(t(s, d, "embeddings"))),
+    "multimodal_frames" -> ((s, d) => Multimodal.frameSample(t(s, d, "documents"))),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(t(s, d, "embeddings"))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents")))
@@ -645,12 +647,23 @@ object SparkEntry {
         |FROM p ORDER BY cos_sim DESC, id_a, id_b LIMIT 50""".stripMargin,
 
     "multimodal_meta" ->
-      """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents)
-        |SELECT doc_id, nb AS n_bytes,
+      """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+        |m AS (SELECT doc_id, nb AS n_bytes,
         |  CASE WHEN nb % 3 = 0 THEN 'png' WHEN nb % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
         |  (nb*7) % 640 + 16 AS width,
         |  (nb*13) % 480 + 16 AS height,
         |  CAST((nb*7) % 640 + 16 AS DOUBLE) / ((nb*13) % 480 + 16) AS aspect_ratio
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t)
+        |SELECT doc_id, n_bytes, format, width, height, aspect_ratio,
+        |  CAST(256 AS BIGINT) AS resized_w, (height*256)//width AS resized_h
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+        |f AS (SELECT doc_id, nb % 5 + 1 AS n_frames FROM t),
+        |e AS (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS frame_idx FROM f)
+        |SELECT doc_id, n_frames, frame_idx, frame_idx*1000 AS frame_ts_ms,
+        |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+        |FROM e ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -33,7 +33,30 @@ object Multimodal {
         ((nBytes * 13) % 480 + 16).as("height"),
         (((nBytes * 7) % 640 + 16).cast("double") /
           ((nBytes * 13) % 480 + 16)).as("aspect_ratio"))
+      // resize stage (stub): scale to width 256 preserving aspect via
+      // integer math (deterministic, engine-portable)
+      .withColumn("resized_w", lit(256L))
+      .withColumn("resized_h", expr("(height * 256) div width"))
       .orderBy("doc_id")
+  }
+
+  /** Frame sampling for video-shaped payloads (stub): a deterministic
+    * frame count from the payload size, one row per sampled frame with
+    * a content-addressed frame id. The plan shape — narrow explode, no
+    * shuffle — is what a real frame extractor produces.
+    */
+  def frameSample(documents: DataFrame): DataFrame = {
+    val nBytes = octet_length(col("text")).cast(LongType)
+    documents
+      .select(col("doc_id"), nBytes.as("n_bytes"),
+        (nBytes % 5 + 1).as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        (col("frame_idx") * 1000).as("frame_ts_ms"),
+        md5(concat(col("doc_id").cast(StringType), lit(":"),
+          col("frame_idx").cast(StringType)).cast(BinaryType)).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
   }
 
   /** Decoded-frame schema produced by the (stubbed) codec stage. */

@@ -92,6 +92,39 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** IVF-style ANN (training-free variant): the first `nCentroids`
+    * vectors act as fixed coarse centroids; every corpus vector is
+    * assigned to its nearest centroid's inverted list, probes search
+    * their `probeLists` nearest lists only. Candidate generation is a
+    * bucket join on list id — O(|corpus|·k/nLists) per probe instead of
+    * O(|corpus|). Recall properties asserted in spec (rows-only entry).
+    */
+  def knnIvf(embeddings: DataFrame, nProbes: Int = 20, k: Int = 5,
+             nCentroids: Int = 16, probeLists: Int = 2): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scoredLists = embeddings.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("cv")).as("ccos"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val assigned = scoredLists
+      .withColumn("crank", row_number().over(wAssign))
+    val corpus = assigned.filter(col("crank") === 1)
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cid").as("list_id"))
+    val probes = assigned.filter(col("crank") <= probeLists && col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid").as("list_id"))
+    val scored = corpus.join(broadcast(probes), Seq("list_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos_sim"))
+      .groupBy("qid", "nid").agg(max(col("cos_sim")).as("cos_sim")) // probe may hit 2 lists
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cos_sim")
+      .orderBy("qid", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: label-blocked all-pairs
     * (blocks bound the quadratic term; at scale the LSH signature from
     * lshSignature is the blocking key instead), global top-50 most

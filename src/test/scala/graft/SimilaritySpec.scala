@@ -43,6 +43,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.0)   // documented: 8 random planes on d=64 is coarse
   }
 
+  test("ivf: structural guarantees hold; recall vs brute force reported") {
+    val ivf = Similarity.knnIvf(Tables.embeddings(spark, sf)).cache()
+    assert(ivf.filter(col("qid") === col("nid")).count() === 0)
+    assert(ivf.groupBy("qid").count().filter(col("count") > 5).count() === 0)
+    val brute = Similarity.knnBrute(Tables.embeddings(spark, sf))
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(f"IVF recall@5 = ${got.intersect(brute).size.toDouble / brute.size}%.2f")
+    ivf.unpersist()
+  }
+
   test("plan shape: filter pushdown reaches the parquet scan") {
     val plan = Tables.lineitem(spark, sf)
       .filter(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
