@@ -26,6 +26,8 @@ object SparkEntry {
       Dims.dimSupplier(t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "region"))),
     "dim_geography" -> ((s, d) => Dims.dimGeography(t(s, d, "nation"), t(s, d, "region"))),
     "dim_order_status" -> ((s, d) => Dims.dimOrderStatus(t(s, d, "orders"))),
+    "dim_brand" -> ((s, d) => Dims.dimBrand(t(s, d, "part"))),
+    "dim_event_type" -> ((s, d) => Dims.dimEventType(Tables.events(s, d))),
     "fact_sales" -> ((s, d) => Facts.factSales(
       t(s, d, "lineitem"), t(s, d, "orders"),
       Dims.dimCustomer(t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region")),
@@ -64,6 +66,11 @@ object SparkEntry {
     "pivot_status_priority" -> ((s, d) => Analytics.pivotStatusPriority(t(s, d, "orders"))),
     "order_value_percentiles" -> ((s, d) => Analytics.orderValuePercentiles(t(s, d, "orders"))),
     "customer_order_gaps" -> ((s, d) => Analytics.orderGaps(t(s, d, "orders"))),
+    "customer_value_tiers" -> ((s, d) => Analytics.customerValueTiers(t(s, d, "orders"))),
+    "q4_late_priority" -> ((s, d) =>
+      Analytics.latePriorityCount(t(s, d, "lineitem"), t(s, d, "orders"))),
+    "q18_big_orders" -> ((s, d) =>
+      Analytics.bigOrders(t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"))),
     "asof_join_events_orders" -> ((s, d) =>
       EventOps.asofJoinEventsOrders(Tables.events(s, d), t(s, d, "orders"))),
     "sessionize_events" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
@@ -192,6 +199,53 @@ object SparkEntry {
         |  o_orderstatus, o_orderpriority
         |FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) t
         |ORDER BY status_sk""".stripMargin,
+
+    "dim_brand" ->
+      """SELECT p_brand, md5('brand:' || p_brand) AS brand_sk,
+        |  count(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)/count(*) AS avg_retail,
+        |  min(p_retailprice) AS min_retail, max(p_retailprice) AS max_retail
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "dim_event_type" ->
+      """WITH a AS (SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(CAST(ts AS DATE)) AS first_seen, max(CAST(ts AS DATE)) AS last_seen
+        |FROM events GROUP BY 1)
+        |SELECT event_type, md5('etype:' || event_type) AS event_type_sk,
+        |  CASE WHEN event_type = 'purchase' THEN 'conversion'
+        |    WHEN event_type IN ('click', 'view') THEN 'engagement'
+        |    WHEN event_type = 'signup' THEN 'acquisition'
+        |    ELSE 'ops' END AS category,
+        |  n_events, n_users, first_seen, last_seen
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "customer_value_tiers" ->
+      """WITH rev AS (SELECT o_custkey, count(*) AS n_orders,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+        |FROM orders GROUP BY 1)
+        |SELECT o_custkey, n_orders, CAST(rev_dec AS DOUBLE) AS revenue,
+        |  ntile(4) OVER w AS value_tier,
+        |  percent_rank() OVER w AS pct_rank
+        |FROM rev WINDOW w AS (ORDER BY rev_dec DESC, o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q4_late_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q18_big_orders" ->
+      """WITH q AS (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+        |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 130.0)
+        |SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  o_totalprice, CAST(qty_dec AS DOUBLE) AS sum_qty
+        |FROM orders JOIN q ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "fact_sales" ->
       s"""WITH li AS ($liCte),

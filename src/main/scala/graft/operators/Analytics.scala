@@ -140,6 +140,51 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** Customer value segmentation: lifetime order value → quartile tier
+    * (ntile) + exact percentile rank. One shuffle for the groupBy, one
+    * global window over the (small) per-customer aggregate.
+    */
+  def customerValueTiers(orders: DataFrame): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(money(col("o_totalprice"))).as("rev_dec"))
+    val w = Window.orderBy(col("rev_dec").desc, col("o_custkey"))
+    rev.select(col("o_custkey"), col("n_orders"), dbl(col("rev_dec")).as("revenue"),
+        ntile(4).over(w).cast("long").as("value_tier"),
+        percent_rank().over(w).as("pct_rank"))
+      .orderBy("o_custkey")
+  }
+
+  /** TPC-H Q4-shaped: orders with at least one line shipped >60 days
+    * after the order date, counted per priority (EXISTS semi-join).
+    */
+  def latePriorityCount(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    orders
+      .join(lineitem.select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("sd") > date_add(to_date(col("o_orderdate")), 60),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q18-shaped: large-volume orders (Σqty > threshold via
+    * HAVING), joined back to the customer, top-100 by value.
+    */
+  def bigOrders(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                minQty: Double = 130.0): DataFrame = {
+    val q = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(money(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > minQty)
+    orders.join(q, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"), col("o_totalprice"),
+        dbl(col("qty_dec")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Per-customer order cadence: order sequence numbers and day gaps
     * between consecutive orders (lag window; one shuffle on custkey).
     */

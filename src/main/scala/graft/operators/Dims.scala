@@ -115,6 +115,38 @@ object Dims {
       .orderBy("status_sk")
   }
 
+  /** Brand dim derived from the product master with price-profile
+    * attributes (ref :945 `build_dim_categoria_producto` pattern:
+    * dimension distilled from a wider master).
+    */
+  def dimBrand(part: DataFrame): DataFrame =
+    part.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        (dbl(sum(money(col("p_retailprice")))) / count(lit(1))).as("avg_retail"),
+        min(col("p_retailprice")).as("min_retail"),
+        max(col("p_retailprice")).as("max_retail"))
+      .select(col("p_brand"), surrogate("brand", col("p_brand")).as("brand_sk"),
+        col("n_parts"), col("avg_retail"), col("min_retail"), col("max_retail"))
+      .orderBy("p_brand")
+
+  /** Event-type dim from the activity stream: volume, reach, lifetime,
+    * and a category classification (ref :441 `build_dim_canal`).
+    */
+  def dimEventType(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(to_date(col("ts"))).as("first_seen"),
+        max(to_date(col("ts"))).as("last_seen"))
+      .select(col("event_type"),
+        surrogate("etype", col("event_type")).as("event_type_sk"),
+        when(col("event_type") === "purchase", "conversion")
+          .when(col("event_type").isin("click", "view"), "engagement")
+          .when(col("event_type") === "signup", "acquisition")
+          .otherwise("ops").as("category"),
+        col("n_events"), col("n_users"), col("first_seen"), col("last_seen"))
+      .orderBy("event_type")
+
   /** SCD Type-2 customer activity versions from order history: each
     * active day opens a version; valid_to = next version's start
     * (generalizes the reference loader's overwrite-upsert into proper
