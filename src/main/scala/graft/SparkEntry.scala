@@ -73,6 +73,8 @@ object SparkEntry {
       Analytics.bigOrders(t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"))),
     "asof_join_events_orders" -> ((s, d) =>
       EventOps.asofJoinEventsOrders(Tables.events(s, d), t(s, d, "orders"))),
+    "asof_join_custom" -> ((s, d) =>
+      EventOps.asofJoinCustom(s, Tables.events(s, d), t(s, d, "orders"))),
     "sessionize_events" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "funnel_signup_purchase" -> ((s, d) => EventOps.funnel(Tables.events(s, d))),
     "dedup_events_latest" -> ((s, d) => EventOps.dedupLatest(Tables.events(s, d))),
@@ -482,6 +484,18 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "asof_join_events_orders" ->
+      """WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+        |  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_date,
+        |  o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date, o.o_totalprice
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+        |ASOF LEFT JOIN ord o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    // identical contract to asof_join_events_orders — the DuckDB ASOF
+    // oracle pins BOTH the union-window and the custom-exec paths
+    "asof_join_custom" ->
       """WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
         |  arg_max(o_totalprice, o_orderkey) AS o_totalprice
         |FROM orders GROUP BY 1, 2)

@@ -30,10 +30,7 @@ object EventOps {
     * max orderkey so the as-of winner is well-defined.
     */
   def asofJoinEventsOrders(events: DataFrame, orders: DataFrame): DataFrame = {
-    val wDedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
-      .orderBy(col("o_orderkey").desc)
-    val ord = orders
-      .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+    val ord = ordersPerCustDate(orders)
       .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
         lit(0).as("tag"), lit(null).cast("long").as("event_id"),
         col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"),
@@ -55,6 +52,35 @@ object EventOps {
         col("last_orderkey").as("o_orderkey"),
         col("last_order_date").as("order_date"),
         col("last_totalprice").as("o_totalprice"))
+      .orderBy("event_id")
+  }
+
+  /** Orders deduped to one row per (customer, date) keeping the max
+    * orderkey — the unique-(key,time) contract both as-of
+    * implementations require.
+    */
+  def ordersPerCustDate(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    orders.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Same as-of semantics as asofJoinEventsOrders, but through the
+    * custom whole-operator plan (graft.plans.AsOfJoinPlan →
+    * AsOfJoinExec): co-partitioned sort + single streaming merge per
+    * partition instead of union + window.
+    */
+  def asofJoinCustom(spark: org.apache.spark.sql.SparkSession,
+                     events: DataFrame, orders: DataFrame): DataFrame = {
+    val ev = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = ordersPerCustDate(orders)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.AsOf.join(spark, ev, ord,
+        "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("event_date"),
+        col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("o_totalprice"))
       .orderBy("event_id")
   }
 

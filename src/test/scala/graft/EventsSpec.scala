@@ -24,6 +24,18 @@ class EventsSpec extends AnyFunSuite {
     assert(a.count() === purchases.count())
   }
 
+  test("custom as-of exec matches the union-window implementation") {
+    val ev = Tables.events(spark, sf)
+    val ord = Tables.orders(spark, sf)
+    val viaWindow = EventOps.asofJoinEventsOrders(ev, ord)
+    val viaCustom = EventOps.asofJoinCustom(spark, ev, ord)
+    assert(viaCustom.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaCustom).count() === 0)
+    // and the plan really is the custom exec
+    // TreeNode.nodeName strips the Exec suffix in plan rendering
+    assert(viaCustom.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+  }
+
   test("funnel: stage counts monotonically decrease") {
     val f = EventOps.funnel(Tables.events(spark, sf)).orderBy("stage_n")
       .select("n_users").collect().map(_.getLong(0))
