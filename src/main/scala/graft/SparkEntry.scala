@@ -634,7 +634,7 @@ object SparkEntry {
         |  string_split(lower(trim(text)), ' ') AS tk FROM documents),
         |g AS (SELECT doc_id, blk,
         |  list_distinct(list_transform(range(1, len(tk)-1),
-        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gs
+        |    i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT)) AS gs
         |FROM t),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_common,

@@ -65,23 +65,38 @@ case class SimHash32(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
-/** Count of common elements of two SORTED distinct string arrays —
-  * a merge walk, no per-call hash set (vs array_intersect). Codegen'd:
-  * it runs once per candidate pair, the hottest call site in blocked
-  * Jaccard.
+/** Count of common elements of two SORTED distinct arrays (string or
+  * long elements) — a merge walk, no per-call hash set (vs
+  * array_intersect). Codegen'd: it runs once per candidate pair, the
+  * hottest call site in blocked Jaccard.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
+
+  private lazy val isLongElems = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var n = 0L
-    while (i < x.numElements() && j < y.numElements()) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { n += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+    if (isLongElems) {
+      while (i < x.numElements() && j < y.numElements()) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { n += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < x.numElements() && j < y.numElements()) {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     n
   }
@@ -89,10 +104,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val cmp =
+        if (isLongElems)
+          s"int $c = Long.compare($a.getLong($i), $b.getLong($j));"
+        else
+          s"int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));"
       s"""
         int $i = 0, $j = 0; long $n = 0L;
         while ($i < $a.numElements() && $j < $b.numElements()) {
-          int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+          $cmp
           if ($c == 0) { $n++; $i++; $j++; }
           else if ($c < 0) { $i++; } else { $j++; }
         }

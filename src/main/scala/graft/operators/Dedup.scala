@@ -102,11 +102,18 @@ object Dedup {
     */
   def jaccardTop(documents: DataFrame): DataFrame = {
     val toks = split(col("nt"), " ")
-    // docs are guaranteed ≥3 tokens (corpus min length ≈48 chars);
-    // sorted so the native merge-walk intersect can stream both sides
-    val grams = sort_array(array_distinct(transform(sequence(lit(1), size(toks) - lit(2)),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-        element_at(toks, i + 2)))))
+    // docs are guaranteed ≥3 tokens (corpus min length ≈48 chars).
+    // Grams are hashed to 60-bit ints (md5-prefix) BEFORE the set ops:
+    // 8-byte elements instead of ~20-byte strings shrinks the pair-join
+    // shuffle ~2.5× and the merge-walk compares become Long.compare;
+    // collision probability ~1e-14 per pair — set counts are effectively
+    // exact, and both engines hash identically so parity is exact.
+    // Sorted so the native merge-walk intersect can stream both sides.
+    val grams = sort_array(array_distinct(transform(
+      transform(sequence(lit(1), size(toks) - lit(2)),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))),
+      g => conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast(LongType))))
     val g = documents.select(
       col("doc_id"),
       concat(col("lang"), lit(":"), (col("n_chars") / lit(100)).cast(LongType)).as("blk"),
