@@ -45,6 +45,25 @@ object EventStream {
         col("n_events"), col("total_value"))
   }
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks from the preceding hour. Watermarks on both sides
+    * bound the join state; the time-range predicate lets Spark evict
+    * rows older than (watermark − interval).
+    */
+  def purchaseClickJoin(spark: SparkSession, dir: String): DataFrame = {
+    val src = eventsStream(spark, dir)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"))
+  }
+
   /** Streaming exact dedup: watermarked dropDuplicates keeps the first
     * arrival per (user, event_type); state for keys older than the
     * watermark is evicted — the streaming twin of the keep-first dedup

@@ -54,6 +54,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(src.exceptAll(back).count() === 0)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val q = EventStream.purchaseClickJoin(spark, sf)
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj_out").select("p_event", "c_event")
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pt"), col("event_id").as("p_event"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("ct"), col("event_id").as("c_event"))
+    val batch = p.join(c, expr("pu = cu AND ct >= pt - INTERVAL 1 HOUR AND ct <= pt"))
+      .select("p_event", "c_event")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(batch.count() > 0)
+  }
+
   test("streaming dedup keeps one row per key (vs batch distinct)") {
     val q = EventStream.dedupStream(spark, sf)
       .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
