@@ -38,6 +38,8 @@ object SparkEntry {
       Facts.factInventory(t(s, d, "lineitem"), t(s, d, "part"), t(s, d, "supplier"))),
     "fact_transactions" -> ((s, d) => Facts.factTransactions(Tables.events(s, d))),
     "fact_pnl" -> ((s, d) => Facts.factPnl(t(s, d, "lineitem"), t(s, d, "orders"))),
+    "fact_balance" -> ((s, d) => Facts.factBalance(t(s, d, "orders"))),
+    "dim_time_of_day" -> ((s, d) => Dims.dimTimeOfDay(Tables.events(s, d))),
     "scd2_customer" -> ((s, d) => Dims.scd2Customer(t(s, d, "orders"))),
     // ---- B. validation ----
     "validate_nulls" -> ((s, d) => Validation.nullProfile(s,
@@ -307,6 +309,28 @@ object SparkEntry {
          |SELECT fiscal_year, account, count(*) AS n_lines,
          |  CAST(SUM(amt) AS DOUBLE) AS amount
          |FROM st GROUP BY 1, 2 ORDER BY fiscal_year, account""".stripMargin,
+
+    "fact_balance" ->
+      """WITH m AS (SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+        |  count(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_dec
+        |FROM orders GROUP BY 1, 2),
+        |c AS (SELECT *, SUM(spend_dec) OVER (PARTITION BY o_custkey ORDER BY month
+        |  ROWS UNBOUNDED PRECEDING) AS closing_dec FROM m)
+        |SELECT o_custkey AS c_custkey, month, n_orders,
+        |  CAST(spend_dec AS DOUBLE) AS period_spend,
+        |  CAST(closing_dec - spend_dec AS DOUBLE) AS opening_balance,
+        |  CAST(closing_dec AS DOUBLE) AS closing_balance
+        |FROM c ORDER BY c_custkey, month""".stripMargin,
+
+    "dim_time_of_day" ->
+      """WITH h AS (SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, count(*) AS n_events
+        |FROM events GROUP BY 1)
+        |SELECT hour_of_day,
+        |  CASE WHEN hour_of_day <= 5 THEN 'night' WHEN hour_of_day <= 11 THEN 'morning'
+        |    WHEN hour_of_day <= 17 THEN 'afternoon' ELSE 'evening' END AS daypart,
+        |  hour_of_day BETWEEN 9 AND 17 AS is_business_hours,
+        |  n_events
+        |FROM h ORDER BY hour_of_day""".stripMargin,
 
     "scd2_customer" ->
       """WITH daily AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,

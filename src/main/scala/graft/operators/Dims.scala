@@ -147,6 +147,23 @@ object Dims {
         col("n_events"), col("n_users"), col("first_seen"), col("last_seen"))
       .orderBy("event_type")
 
+  /** Hour-of-day dim from the activity stream with daypart
+    * classification (the intraday sibling of dim_date; ref dim_fecha
+    * pattern at finer grain).
+    */
+  def dimTimeOfDay(events: DataFrame): DataFrame =
+    events
+      .groupBy(hour(col("ts")).cast(LongType).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("hour_of_day"),
+        when(col("hour_of_day") <= 5, "night")
+          .when(col("hour_of_day") <= 11, "morning")
+          .when(col("hour_of_day") <= 17, "afternoon")
+          .otherwise("evening").as("daypart"),
+        col("hour_of_day").between(9, 17).as("is_business_hours"),
+        col("n_events"))
+      .orderBy("hour_of_day")
+
   /** SCD Type-2 customer activity versions from order history: each
     * active day opens a version; valid_to = next version's start
     * (generalizes the reference loader's overwrite-upsert into proper

@@ -91,6 +91,29 @@ object Facts {
         dbl(sum(col("value").cast(DecimalType(18, 6)))).as("total_value"))
       .orderBy("user_id", "event_type", "event_date")
 
+  /** Period-balance fact (ref :908 `build_fact_balance`): per customer ×
+    * month — period activity plus opening/closing running balances.
+    * Monthly grain keeps the window state tiny; cumulative sums on
+    * DECIMAL stay exact.
+    */
+  def factBalance(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(col("o_custkey"),
+        trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).as("spend_dec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("month")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    monthly
+      .withColumn("closing_dec", sum(col("spend_dec")).over(w))
+      .select(col("o_custkey").as("c_custkey"), col("month"), col("n_orders"),
+        dbl(col("spend_dec")).as("period_spend"),
+        dbl(col("closing_dec") - col("spend_dec")).as("opening_balance"),
+        dbl(col("closing_dec")).as("closing_balance"))
+      .orderBy("c_custkey", "month")
+  }
+
   /** P&L-style classification fact (ref :1011 `build_fact_estado_resultados`
     * classifies rows into signed accounting buckets via per-row CASE;
     * :1113 `clasificar_y_calcular_monto`). Re-expressed as a codegen'd

@@ -63,6 +63,25 @@ class WarehouseSpec extends AnyFunSuite {
     s.unpersist()
   }
 
+  test("fact_balance: opening + period = closing, balances monotone") {
+    val b = Facts.factBalance(Tables.orders(spark, sf)).cache()
+    assert(b.filter(
+      abs(col("opening_balance") + col("period_spend") - col("closing_balance")) > 1e-6)
+      .count() === 0)
+    assert(b.filter(col("opening_balance") < 0).count() === 0)
+    b.unpersist()
+  }
+
+  test("Graft.registerViews: SQL-first use with custom function") {
+    Graft.registerViews(spark, sf)
+    assert(spark.sql("SELECT count(*) n FROM lineitem").head.getLong(0) > 0)
+    val sim = spark.sql(
+      """SELECT cosine_sim(a.embedding, b.embedding) AS s
+        |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 1
+        |""".stripMargin).head.getDouble(0)
+    assert(sim >= -1.0 && sim <= 1.0)
+  }
+
   test("validation: clean synthetic data yields zero violations/orphans") {
     val ri = Validation.riChecks(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
       Tables.customer(spark, sf), Tables.part(spark, sf), Tables.supplier(spark, sf),
