@@ -73,6 +73,13 @@ object SparkEntry {
       Analytics.latePriorityCount(t(s, d, "lineitem"), t(s, d, "orders"))),
     "q18_big_orders" -> ((s, d) =>
       Analytics.bigOrders(t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"))),
+    "q7_nation_trade" -> ((s, d) => Analytics.nationTrade(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
+      t(s, d, "supplier"), t(s, d, "nation"))),
+    "q14_promo_share" -> ((s, d) =>
+      Analytics.promoShare(t(s, d, "lineitem"), t(s, d, "part"))),
+    "q22_dormant_rich" -> ((s, d) =>
+      Analytics.dormantRichCustomers(t(s, d, "customer"), t(s, d, "orders"))),
     "asof_join_events_orders" -> ((s, d) =>
       EventOps.asofJoinEventsOrders(Tables.events(s, d), t(s, d, "orders"))),
     "asof_join_custom" -> ((s, d) =>
@@ -454,6 +461,44 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
          |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
          |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q7_nation_trade" ->
+      s"""WITH li AS ($liCte)
+         |SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year,
+         |  CAST(SUM(net) AS DOUBLE) AS revenue, count(*) AS n_lines
+         |FROM li
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+         |   OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+
+    "q14_promo_share" ->
+      s"""WITH li AS ($liCte),
+         |j AS (SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS ship_month,
+         |  net, p_type LIKE 'PROMO%' AS is_promo
+         |  FROM li JOIN part ON l_partkey = p_partkey),
+         |g AS (SELECT ship_month,
+         |  CAST(COALESCE(SUM(CASE WHEN is_promo THEN net END), CAST(0 AS DECIMAL(14,4))) AS DOUBLE) AS promo_revenue,
+         |  CAST(SUM(net) AS DOUBLE) AS total_revenue, count(*) AS n_lines
+         |FROM j GROUP BY 1)
+         |SELECT ship_month, promo_revenue, total_revenue, n_lines,
+         |  100.0 * promo_revenue / total_revenue AS promo_pct
+         |FROM g ORDER BY ship_month""".stripMargin,
+
+    "q22_dormant_rich" ->
+      """WITH a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)/count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+        |FROM customer, a
+        |WHERE c_acctbal > a.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     "top_customers" ->
       s"""WITH li AS ($liCte),

@@ -140,6 +140,64 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** TPC-H Q7-shaped: bilateral trade volume between two nations by
+    * year (customer nation ↔ supplier nation, both directions).
+    */
+  def nationTrade(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  supplier: DataFrame, nation: DataFrame,
+                  n1: String = "NATION_1", n2: String = "NATION_2"): DataFrame = {
+    val cn = nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val sn = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    lineitem
+      .join(orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .filter((col("cust_nation") === n1 && col("supp_nation") === n2) ||
+        (col("cust_nation") === n2 && col("supp_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(to_date(col("l_shipdate"))).cast("long").as("ship_year"))
+      .agg(dbl(sum(netDec)).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  /** TPC-H Q14-shaped: promo revenue share per ship-month (conditional
+    * aggregation ratio; exact decimal sums then one double division).
+    */
+  def promoShare(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"),
+        col("p_type").startsWith("PROMO").as("is_promo"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(trunc(to_date(col("l_shipdate")), "month").as("ship_month"))
+      .agg(
+        dbl(coalesce(sum(when(col("is_promo"), netDec)),
+          lit(0).cast(DecimalType(14, 4)))).as("promo_revenue"),
+        dbl(sum(netDec)).as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+      .orderBy("ship_month")
+
+  /** TPC-H Q22-shaped: well-funded customers (balance above the global
+    * positive mean) who never ordered — scalar subquery + anti join.
+    */
+  def dormantRichCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val avgPos = customer.filter(col("c_acctbal") > 0)
+      .agg((dbl(sum(money(col("c_acctbal")))) / count(lit(1))).as("avg_bal"))
+    customer
+      .join(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        dbl(sum(money(col("c_acctbal")))).as("total_balance"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Customer value segmentation: lifetime order value → quartile tier
     * (ntile) + exact percentile rank. One shuffle for the groupBy, one
     * global window over the (small) per-customer aggregate.

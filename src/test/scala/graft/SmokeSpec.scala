@@ -17,8 +17,11 @@ class SmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  // candidate-pair queries may legitimately be empty on a dup-free corpus
-  private val mayBeEmpty = Set("dedup_minhash_pairs", "knn_lsh")
+  // queries that may legitimately be empty at sf0.001: candidate pairs
+  // on a dup-free corpus, a specific nation pair with no trade in 6k
+  // lines, no dormant-rich customers in a 150-customer sample
+  private val mayBeEmpty = Set("dedup_minhash_pairs", "knn_lsh",
+    "q7_nation_trade", "q22_dormant_rich")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
