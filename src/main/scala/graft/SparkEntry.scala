@@ -140,8 +140,15 @@ object SparkEntry {
       | WHEN 8 THEN 'August' WHEN 9 THEN 'September' WHEN 10 THEN 'October'
       | WHEN 11 THEN 'November' ELSE 'December' END""".stripMargin
 
-  // byte-identical twin of Dedup.minhashBands: one md5 per 5-char
-  // shingle (28 bits hex-parsed) + the shared Carter-Wegman mixes
+  // byte-identical twin of Dedup.minhashBands: polynomial base-31 hash
+  // of every 5-char window over ASCII code points (mod p), then the
+  // shared Carter-Wegman mixes
+  private val shingleHashSql = {
+    val poly = (0 until 5).map(j => s"ascii(substr(nt, i+$j, 1))")
+      .reduce((acc, c) => s"($acc * 31 + $c)")
+    // BIGINT so the downstream a_k·x products don't overflow INT32
+    s"CAST($poly % ${Dedup.MixP} AS BIGINT)"
+  }
   private val minhashCols = (0 until 12).map { k =>
     val (a, b) = (Dedup.MixA(k), Dedup.MixB(k))
     s"list_min(list_transform(xs, x -> ($a * x + $b) % ${Dedup.MixP})) AS mh_$k"
@@ -153,7 +160,7 @@ object SparkEntry {
   private val minhashCtes =
     s"""t AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents),
        |x AS (SELECT doc_id, list_transform(range(1, length(nt)-3),
-       |  i -> ('0x' || substr(md5(substr(nt, i, 5)), 1, 7))::BIGINT) AS xs FROM t),
+       |  i -> $shingleHashSql) AS xs FROM t),
        |m AS (SELECT doc_id,
        |  $minhashCols
        |FROM x),
@@ -699,7 +706,7 @@ object SparkEntry {
 
     "dedup_jaccard" ->
       """WITH t AS (SELECT doc_id,
-        |  lang || ':' || CAST(n_chars//100 AS VARCHAR) AS blk,
+        |  lang || ':' || CAST(n_chars//50 AS VARCHAR) AS blk,
         |  string_split(lower(trim(text)), ' ') AS tk FROM documents),
         |g AS (SELECT doc_id, blk,
         |  list_distinct(list_transform(range(1, len(tk)-1),

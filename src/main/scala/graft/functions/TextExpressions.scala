@@ -33,6 +33,8 @@ object TextExpressions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def minhashSignature(xs: Column): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(xs)))
+  def shingleMinhash(s: Column, width: Int = 5): Column =
+    ColumnBridge.column(ShingleMinHash(ColumnBridge.expression(s), width))
   def rollingHash31(s: Column): Column =
     ColumnBridge.column(RollingHash31(ColumnBridge.expression(s)))
 }
@@ -148,6 +150,43 @@ case class MinHashSignature(child: Expression) extends UnaryExpression with Code
     new GenericArrayData(mins)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** The full minhash signature straight from the text: polynomial
+  * base-31 hash of every `width`-char window (mod p), then the 12
+  * Carter-Wegman mins — all in ONE native pass, no digests, no
+  * intermediate arrays. Each window hash is the same expression the
+  * oracle SQL spells out per position:
+  * ((((c0·31+c1)·31+c2)·31+c3)·31+c4) mod p over ASCII code points.
+  */
+case class ShingleMinHash(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_minhash"
+  override def nullSafeEval(v: Any): Any = {
+    import TextExpressions._
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val nMix = MixA.length
+    val mins = Array.fill(nMix)(Long.MaxValue)
+    val last = bytes.length - width
+    var i = 0
+    while (i <= last) {
+      var h = 0L
+      var j = 0
+      while (j < width) { h = h * 31 + bytes(i + j); j += 1 }
+      val x = h % MixP
+      var k = 0
+      while (k < nMix) {
+        val m = (MixA(k) * x + MixB(k)) % MixP
+        if (m < mins(k)) mins(k) = m
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Polynomial rolling hash (base 31 mod 1e9+7) over the byte sequence.

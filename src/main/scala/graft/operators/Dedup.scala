@@ -56,10 +56,10 @@ object Dedup {
     */
   def minhashBands(documents: DataFrame): DataFrame = {
     val withMh = documents.select(col("doc_id"), norm.as("nt"))
-      .select(col("doc_id"), shingleInts(shingles(col("nt"))).as("xs"))
-      // native expression: all 12 mins in one pass, no intermediate arrays
+      // native expression: rolling polynomial window hashes + all 12
+      // Carter-Wegman mins in ONE pass — no digests, no arrays
       .select(col("doc_id"),
-        graft.functions.TextExpressions.minhashSignature(col("xs")).as("sig"))
+        graft.functions.TextExpressions.shingleMinhash(col("nt")).as("sig"))
       .select(col("doc_id") +: (0 until 12).map(k =>
         element_at(col("sig"), k + 1).as(s"mh_$k")): _*)
     val withBands = withMh.select(
@@ -116,7 +116,7 @@ object Dedup {
       g => conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast(LongType))))
     val g = documents.select(
       col("doc_id"),
-      concat(col("lang"), lit(":"), (col("n_chars") / lit(100)).cast(LongType)).as("blk"),
+      concat(col("lang"), lit(":"), (col("n_chars") / lit(50)).cast(LongType)).as("blk"),
       norm.as("nt"))
       .select(col("doc_id"), col("blk"), grams.as("gs"))
     val a = g.select(col("blk"), col("doc_id").as("doc_a"), col("gs").as("gs_a"))
