@@ -95,6 +95,9 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"))),
     "token_counts" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
+    "doc_chunks" -> ((s, d) => TextOps.chunk(t(s, d, "documents"))),
+    "doc_split" -> ((s, d) => TextOps.split_assign(t(s, d, "documents"))),
+    "doc_split_summary" -> ((s, d) => TextOps.splitSummary(t(s, d, "documents"))),
     "doc_rolling_fp" -> ((s, d) => TextOps.rollingHash(t(s, d, "documents"))),
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashBands(t(s, d, "documents"))),
@@ -770,6 +773,37 @@ object SparkEntry {
          |  CAST(length(text) AS DOUBLE) /
          |    len(regexp_extract_all(nt, '${TextOps.BpeIshPattern}')) AS chars_per_bpe_token
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id, tk, len(tk) AS n,
+        |  1 + (greatest(len(tk) - 40, 0) + 29)//30 AS n_chunks FROM t),
+        |e AS (SELECT doc_id, tk, n, n_chunks,
+        |  unnest(range(0, n_chunks)) AS chunk_idx FROM s),
+        |c AS (SELECT doc_id, n_chunks, chunk_idx,
+        |  list_slice(tk, chunk_idx*30 + 1, least(chunk_idx*30 + 40, n)) AS ck FROM e)
+        |SELECT doc_id, n_chunks, chunk_idx,
+        |  CAST(len(ck) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(ck, ' ')) AS chunk_md5,
+        |  ck[1] AS first_token
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "doc_split" ->
+      """SELECT doc_id, lang,
+        |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 < 8 THEN 'train'
+        |    WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 = 8 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_split_summary" ->
+      """WITH a AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 AS bucket
+        |FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM a GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "doc_rolling_fp" ->
       """WITH t AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents)

@@ -117,6 +117,51 @@ object TextOps {
         col("n_chars").cast("double") / col("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Fixed-size token chunking with overlap (size 40, stride 30) — the
+    * context-window packing stage of a training pipeline. Narrow
+    * explode; chunk text emitted as md5 (content address) to keep the
+    * result compact.
+    */
+  def chunk(documents: DataFrame, size: Int = 40, stride: Int = 30): DataFrame = {
+    val toks = split(norm, " ")
+    val n = org.apache.spark.sql.functions.size(toks)
+    val nStarts = (greatest(n - size, lit(0)) + (stride - 1)) / stride + 1
+    documents.select(col("doc_id"), toks.as("tk"), n.as("n_tokens"),
+        nStarts.cast(LongType).as("n_chunks"))
+      .select(col("doc_id"), col("tk"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("n_chunks"), col("chunk_idx"),
+        slice(col("tk"), (col("chunk_idx") * stride + 1).cast("int"), lit(size)).as("ck"))
+      .select(col("doc_id"), col("n_chunks"), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("ck")).cast(LongType).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("ck")).cast("binary")).as("chunk_md5"),
+        element_at(col("ck"), 1).as("first_token"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Deterministic hash-based train/val/test assignment (80/10/10 by
+    * md5 bucket of the doc id) — reproducible across engines and runs,
+    * no RNG state; the split is a pure function of the key.
+    */
+  def split_assign(documents: DataFrame): DataFrame = {
+    val bucket = (conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast(LongType) % 10).as("bucket")
+    documents.select(col("doc_id"), col("lang"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val").otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  /** Split × lang distribution summary (the balance check run after
+    * assignment).
+    */
+  def splitSummary(documents: DataFrame): DataFrame =
+    split_assign(documents).groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+
   /** Polynomial rolling-hash fingerprint (base 31 mod 1e9+7 over code
     * points) — the incremental-hash family used for shingling/content-
     * defined chunking; one expression-level fold, no UDF.
