@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_events_latest" -> ((s, d) => EventOps.dedupLatest(Tables.events(s, d))),
     "events_json_kv" -> ((s, d) => EventOps.jsonKv(Tables.events(s, d))),
     "events_hourly" -> ((s, d) => EventOps.hourly(Tables.events(s, d))),
+    "events_anomaly" -> ((s, d) => EventOps.valueAnomalies(Tables.events(s, d))),
     // ---- D. LLM-data-pipeline ----
     "text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
@@ -626,6 +627,19 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events) t
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        |FROM events GROUP BY 1),
+        |mm AS (SELECT event_type AS et, s1/n AS mean_value,
+        |  sqrt((s2 - s1*s1/n)/(n-1)) AS std_value FROM m)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  round(min(mean_value), 6) AS mean_value, round(min(std_value), 6) AS std_value,
+        |  count(CASE WHEN abs(e.value - mean_value) > std_value * 3 THEN 1 END) AS n_outliers
+        |FROM events e JOIN mm ON e.event_type = mm.et
+        |GROUP BY 1 ORDER BY e.event_type""".stripMargin,
 
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,

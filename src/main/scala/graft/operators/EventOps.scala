@@ -161,6 +161,33 @@ object EventOps {
         (dbl(sum(col("k"))) / count(col("k"))).as("avg_k"))
       .orderBy("event_type")
 
+  /** Per-type anomaly profile: moments computed from exact decimal
+    * sums (mean/std via the explicit two-moment formula — engine
+    * stddev implementations differ numerically, Σ/Σ² don't), then
+    * |z| > 3 outlier counts in a second conditional pass.
+    */
+  def valueAnomalies(events: DataFrame): DataFrame = {
+    val vDec = col("value").cast(DecimalType(18, 6))
+    val moments = events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      dbl(sum(vDec)).as("s1"),
+      sum(vDec * vDec).cast("double").as("s2"))
+      .select(col("event_type").as("et"), col("n"),
+        (col("s1") / col("n")).as("mean_value"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("std_value"))
+    events.join(broadcast(moments), col("event_type") === col("et"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        // publish rounded moments: the exact decimal→double conversion
+        // differs by 1 ulp across runtimes (JDK BigDecimal vs DuckDB)
+        round(first(col("mean_value")), 6).as("mean_value"),
+        round(first(col("std_value")), 6).as("std_value"),
+        count(when(abs(col("value") - col("mean_value")) >
+          col("std_value") * 3, 1)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** Tumbling 1-hour aggregate — the batch twin of the streaming
     * pipeline in graft.streaming.EventStream.
     */
