@@ -119,9 +119,19 @@ object Dedup {
       concat(col("lang"), lit(":"), (col("n_chars") / lit(50)).cast(LongType)).as("blk"),
       norm.as("nt"))
       .select(col("doc_id"), col("blk"), grams.as("gs"))
-    val a = g.select(col("blk"), col("doc_id").as("doc_a"), col("gs").as("gs_a"))
-    val b = g.select(col("blk").as("blk_b"), col("doc_id").as("doc_b"), col("gs").as("gs_b"))
-    a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+    // bucket-grouped pair enumeration: gram sets computed and shuffled
+    // ONCE (a self-join would evaluate the gram pipeline on both
+    // branches); items sorted by doc_id so a<b falls out of slice order
+    val pairs = g
+      .groupBy("blk")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("gs")))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(flatten(transform(col("items"), (a, i) =>
+        transform(slice(col("items"), i + 2, size(col("items"))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.gs").as("gs_a"), col("p.b.gs").as("gs_b"))
+    pairs
       .select(col("doc_a"), col("doc_b"),
         graft.functions.TextExpressions
           .sortedIntersectCount(col("gs_a"), col("gs_b")).as("n_common"),
