@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.ColUtil._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Data-quality suite — Spark-first re-expression of
   * core/data_validator.py. Each check is a declarative plan returning
@@ -10,6 +11,44 @@ import graft.functions.ColUtil._
   * scans with map-side aggregation (the reference iterates pandas rows).
   */
 object Validation {
+
+  /** Schema contract for a table (ref data_validator.py schema dicts). */
+  case class ColumnContract(name: String,
+                            dataType: org.apache.spark.sql.types.DataType,
+                            required: Boolean = true,
+                            default: Any = null)
+
+  /** Structure/type report against a contract (ref :101
+    * `_validate_structure` + :125 `_validate_data_types`): one row per
+    * contract column with its status.
+    */
+  def schemaReport(spark: SparkSession, df: DataFrame,
+                   contract: Seq[ColumnContract]): DataFrame = {
+    import spark.implicits._
+    val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    contract.map { c =>
+      actual.get(c.name) match {
+        case None if c.required => (c.name, "missing", "", c.dataType.typeName)
+        case None => (c.name, "absent_optional", "", c.dataType.typeName)
+        case Some(t) if t == c.dataType => (c.name, "ok", t.typeName, c.dataType.typeName)
+        case Some(t) => (c.name, "type_mismatch", t.typeName, c.dataType.typeName)
+      }
+    }.toDF("column_name", "status", "found_type", "expected_type")
+  }
+
+  /** Conform a frame to the contract: add missing required columns with
+    * their defaults, cast mismatched types, project to contract order
+    * (the reference mutates the pandas frame in place; here it's a pure
+    * projection the optimizer can push around).
+    */
+  def conformSchema(df: DataFrame, contract: Seq[ColumnContract]): DataFrame = {
+    val actual = df.schema.fieldNames.toSet
+    val cols = contract.map { c =>
+      if (!actual.contains(c.name)) lit(c.default).cast(c.dataType).as(c.name)
+      else col(c.name).cast(c.dataType).as(c.name)
+    }
+    df.select(cols: _*)
+  }
 
   /** Per-column null/blank profile (ref data_validator.py:166
     * `_validate_required_fields`). One aggregate pass per table; long

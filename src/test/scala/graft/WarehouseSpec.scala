@@ -82,6 +82,27 @@ class WarehouseSpec extends AnyFunSuite {
     assert(sim >= -1.0 && sim <= 1.0)
   }
 
+  test("schema contract: report flags drift, conform repairs it") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val contract = Seq(
+      Validation.ColumnContract("id", LongType),
+      Validation.ColumnContract("name", StringType),
+      Validation.ColumnContract("score", DoubleType, required = true, default = 0.0))
+    // drifted frame: score missing, id arrives as string
+    val drifted = Seq(("1", "a"), ("2", "b")).toDF("id", "name")
+    val report = Validation.schemaReport(spark, drifted, contract)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(report("id") === "type_mismatch")
+    assert(report("name") === "ok")
+    assert(report("score") === "missing")
+    val fixed = Validation.conformSchema(drifted, contract)
+    assert(fixed.schema.map(f => f.name -> f.dataType) ===
+      Seq("id" -> LongType, "name" -> StringType, "score" -> DoubleType))
+    assert(fixed.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      === Seq((1L, 0.0), (2L, 0.0)))
+  }
+
   test("validation: clean synthetic data yields zero violations/orphans") {
     val ri = Validation.riChecks(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
       Tables.customer(spark, sf), Tables.part(spark, sf), Tables.supplier(spark, sf),
