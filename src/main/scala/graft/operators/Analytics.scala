@@ -199,8 +199,14 @@ object Analytics {
   }
 
   /** Customer value segmentation: lifetime order value → quartile tier
-    * (ntile) + exact percentile rank. One shuffle for the groupBy, one
-    * global window over the (small) per-customer aggregate.
+    * (ntile) + exact percentile rank. One shuffle for the groupBy, then
+    * a GLOBAL window over the per-customer aggregate.
+    *
+    * Scale caveat: an unpartitioned window collapses to one task. Fine
+    * while |customers| ≪ |facts| (the aggregate is millions of rows at
+    * 100 TB fact scale, single-task sortable); beyond that, swap the
+    * ntile for bucketing against approxQuantile boundaries — exactness
+    * of the tier boundary is the only thing traded.
     */
   def customerValueTiers(orders: DataFrame): DataFrame = {
     val rev = orders.groupBy(col("o_custkey"))
