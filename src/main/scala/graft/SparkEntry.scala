@@ -84,6 +84,8 @@ object SparkEntry {
       EventOps.asofJoinEventsOrders(Tables.events(s, d), t(s, d, "orders"))),
     "asof_join_custom" -> ((s, d) =>
       EventOps.asofJoinCustom(s, Tables.events(s, d), t(s, d, "orders"))),
+    "pit_join_scd2" -> ((s, d) => EventOps.pointInTimeJoin(
+      Tables.events(s, d), Dims.scd2Customer(t(s, d, "orders")))),
     "sessionize_events" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "funnel_signup_purchase" -> ((s, d) => EventOps.funnel(Tables.events(s, d))),
     "dedup_events_latest" -> ((s, d) => EventOps.dedupLatest(Tables.events(s, d))),
@@ -571,6 +573,28 @@ object SparkEntry {
         |  o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date, o.o_totalprice
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
         |ASOF LEFT JOIN ord o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    "pit_join_scd2" ->
+      """WITH daily AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,
+        |  count(*) AS orders_in_version,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_dec
+        |FROM orders GROUP BY 1, 2),
+        |scd AS (SELECT o_custkey AS c_custkey,
+        |  row_number() OVER w AS version_n,
+        |  valid_from,
+        |  lead(valid_from) OVER w AS valid_to,
+        |  CAST(SUM(orders_in_version) OVER (PARTITION BY o_custkey ORDER BY valid_from
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_orders,
+        |  CAST(SUM(spend_dec) OVER (PARTITION BY o_custkey ORDER BY valid_from
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
+        |FROM daily WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from))
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_date,
+        |  s.version_n, s.valid_from, s.cum_orders, s.cum_spend
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+        |JOIN scd s ON e.user_id = s.c_custkey
+        |  AND CAST(e.ts AS DATE) >= s.valid_from
+        |  AND (s.valid_to IS NULL OR CAST(e.ts AS DATE) < s.valid_to)
         |ORDER BY event_id""".stripMargin,
 
     // identical contract to asof_join_events_orders — the DuckDB ASOF

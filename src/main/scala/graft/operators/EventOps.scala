@@ -84,6 +84,26 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Point-in-time (temporal range) join: each purchase event matched
+    * to the SCD2 customer version whose [valid_from, valid_to) interval
+    * covers the event date — the "which version was true when this
+    * happened" join every dimensional warehouse needs. Equality on the
+    * key + range predicate → sort-merge join on user_id with a
+    * partition-local interval filter; no broadcast needed, scales with
+    * both sides.
+    */
+  def pointInTimeJoin(events: DataFrame, scd2: DataFrame): DataFrame = {
+    val ev = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("event_date"))
+    ev.join(scd2,
+        col("user_id") === col("c_custkey") &&
+          col("event_date") >= col("valid_from") &&
+          (col("valid_to").isNull || col("event_date") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("event_date"),
+        col("version_n"), col("valid_from"), col("cum_orders"), col("cum_spend"))
+      .orderBy("event_id")
+  }
+
   /** Gap-based sessionization (30-min inactivity closes a session):
     * lag → new-session flag → running count = session number. One
     * shuffle on user_id; everything else partition-local.
