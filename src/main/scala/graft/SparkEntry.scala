@@ -92,6 +92,7 @@ object SparkEntry {
     "events_json_kv" -> ((s, d) => EventOps.jsonKv(Tables.events(s, d))),
     "events_hourly" -> ((s, d) => EventOps.hourly(Tables.events(s, d))),
     "events_anomaly" -> ((s, d) => EventOps.valueAnomalies(Tables.events(s, d))),
+    "events_retention" -> ((s, d) => EventOps.cohortRetention(Tables.events(s, d))),
     // ---- D. LLM-data-pipeline ----
     "text_stats" -> ((s, d) => TextOps.textStats(t(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextOps.textQuality(t(s, d, "documents"))),
@@ -651,6 +652,17 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events) t
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "events_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, date_trunc('month', CAST(ts AS DATE)) AS activity_month
+        |  FROM events),
+        |c AS (SELECT user_id, min(activity_month) AS cohort_month FROM a GROUP BY 1)
+        |SELECT c.cohort_month,
+        |  (year(a.activity_month) - year(c.cohort_month)) * 12 +
+        |    (month(a.activity_month) - month(c.cohort_month)) AS month_n,
+        |  count(*) AS n_active_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_month, month_n""".stripMargin,
 
     "events_anomaly" ->
       """WITH m AS (SELECT event_type, count(*) AS n,

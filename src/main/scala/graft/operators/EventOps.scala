@@ -181,6 +181,27 @@ object EventOps {
         (dbl(sum(col("k"))) / count(col("k"))).as("avg_k"))
       .orderBy("event_type")
 
+  /** Cohort retention matrix: users bucketed by first-activity month,
+    * counted per months-since-cohort. Month offsets via integer
+    * year·12+month arithmetic (months_between returns fractional
+    * doubles — not engine-portable). Two shuffles: per-user min, then
+    * the cohort×offset rollup.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val am = trunc(to_date(col("ts")), "month")
+    val activity = events.select(col("user_id"), am.as("activity_month")).distinct()
+    val cohorts = activity.groupBy("user_id")
+      .agg(min(col("activity_month")).as("cohort_month"))
+    activity.join(cohorts, Seq("user_id"))
+      .select(col("cohort_month"),
+        ((year(col("activity_month")) - year(col("cohort_month"))) * 12 +
+          (month(col("activity_month")) - month(col("cohort_month"))))
+          .cast("long").as("month_n"))
+      .groupBy("cohort_month", "month_n")
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy("cohort_month", "month_n")
+  }
+
   /** Per-type anomaly profile: moments computed from exact decimal
     * sums (mean/std via the explicit two-moment formula — engine
     * stddev implementations differ numerically, Σ/Σ² don't), then
