@@ -175,6 +175,21 @@ object SparkEntry {
        |  $bandCols
        |FROM m)""".stripMargin
 
+  // LSH band-bucket candidate pairs, bucket-size-capped — twin of
+  // Dedup.minhashPairs (shares Dedup.BandBucketCap)
+  private val bandPairCtes =
+    s"""e AS (
+       |  SELECT doc_id, 0 AS band_idx, band_0 AS band_key FROM bands
+       |  UNION ALL SELECT doc_id, 1, band_1 FROM bands
+       |  UNION ALL SELECT doc_id, 2, band_2 FROM bands
+       |  UNION ALL SELECT doc_id, 3, band_3 FROM bands),
+       |bc AS (SELECT band_idx, band_key FROM e GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND ${Dedup.BandBucketCap}),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM e a JOIN bc USING (band_idx, band_key)
+       |  JOIN e c ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+       |    AND a.doc_id < c.doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dim_date" ->
       s"""WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_value FROM orders),
@@ -747,31 +762,25 @@ object SparkEntry {
 
     "dedup_minhash_pairs" ->
       s"""WITH $minhashCtes,
-         |e AS (
-         |  SELECT doc_id, 0 AS band_idx, band_0 AS band_key FROM bands
-         |  UNION ALL SELECT doc_id, 1, band_1 FROM bands
-         |  UNION ALL SELECT doc_id, 2, band_2 FROM bands
-         |  UNION ALL SELECT doc_id, 3, band_3 FROM bands)
-         |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-         |FROM e a JOIN e c ON a.band_idx = c.band_idx AND a.band_key = c.band_key
-         |  AND a.doc_id < c.doc_id
+         |$bandPairCtes
+         |SELECT doc_a, doc_b FROM cand
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_jaccard" ->
-      """WITH t AS (SELECT doc_id,
-        |  lang || ':' || CAST(n_chars//50 AS VARCHAR) AS blk,
-        |  string_split(lower(trim(text)), ' ') AS tk FROM documents),
-        |g AS (SELECT doc_id, blk,
-        |  list_distinct(list_transform(range(1, len(tk)-1),
-        |    i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT)) AS gs
-        |FROM t),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_common,
-        |  CAST(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_union
-        |FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, n_common, n_union,
-        |  CAST(n_common AS DOUBLE)/n_union AS jaccard
-        |FROM p ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin,
+      s"""WITH $minhashCtes,
+         |$bandPairCtes,
+         |gt AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM t),
+         |g AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(tk)-1),
+         |    i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT)) AS gs
+         |FROM gt),
+         |p AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_common,
+         |  CAST(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_union
+         |FROM cand JOIN g a ON doc_a = a.doc_id JOIN g b ON doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, n_common, n_union,
+         |  CAST(n_common AS DOUBLE)/n_union AS jaccard
+         |FROM p ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin,
 
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id,

@@ -69,13 +69,21 @@ object Dedup {
     withBands.orderBy("doc_id")
   }
 
+  /** Degenerate-bucket guard: a corpus of millions of identical docs
+    * puts them all in one band bucket; capping bucket size bounds both
+    * the collect_list state and the O(k²) pair fan-out. Shared with the
+    * generated DuckDB oracle so semantics stay single-sourced.
+    */
+  val BandBucketCap: Int = 1000
+
   /** LSH candidate pairs: docs sharing any band key. Bucket-grouped
     * pair generation — one groupBy on (band_idx, band_key) (short,
     * uniform hash keys), then pairs enumerated inside each bucket with
     * higher-order functions. One pass over the signature computation
     * (a self-join would evaluate the 12-minhash pipeline twice) and
-    * bucket-local O(k²) work where k = bucket size (LSH keeps k tiny),
-    * which is the property that holds at corpus scale.
+    * bucket-local O(k²) work where k = bucket size (LSH keeps k tiny
+    * on non-degenerate corpora; [[BandBucketCap]] bounds the worst
+    * case), which is the property that holds at corpus scale.
     */
   def minhashPairs(documents: DataFrame): DataFrame = {
     val bands = minhashBands(documents)
@@ -85,7 +93,7 @@ object Dedup {
     bands
       .groupBy("band_idx", "band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= BandBucketCap)
       // all (a,b) with a<b inside the bucket
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
@@ -94,11 +102,16 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Blocked n-gram Jaccard: block on (lang, length-bucket), compare
-    * distinct token-3-gram sets within each block (≈5× smaller sets
-    * than char shingles → ≈25× cheaper intersections; intersection
-    * computed once and reused), keep the global top-100 most-similar
-    * pairs (deterministic tie-break on ids).
+  /** LSH-blocked n-gram Jaccard: candidate pairs come from the minhash
+    * band buckets ([[minhashPairs]] — uniform short keys, bucket-size
+    * capped), then the exact token-3-gram Jaccard is computed ONLY for
+    * those candidates; keep the global top-100 most-similar pairs
+    * (deterministic tie-break on ids).
+    *
+    * Scale shape: no low-cardinality blocking key, no per-block
+    * collect_list of gram arrays — candidate count is O(n·dup_rate)
+    * by LSH, and the two gram-side joins shuffle on doc ids (uniform).
+    * This is the bucketed-o(n²) shape that survives 100 TB.
     */
   def jaccardTop(documents: DataFrame): DataFrame = {
     val toks = split(col("nt"), " ")
@@ -114,23 +127,11 @@ object Dedup {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
           element_at(toks, i + 2))),
       g => conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast(LongType))))
-    val g = documents.select(
-      col("doc_id"),
-      concat(col("lang"), lit(":"), (col("n_chars") / lit(50)).cast(LongType)).as("blk"),
-      norm.as("nt"))
-      .select(col("doc_id"), col("blk"), grams.as("gs"))
-    // bucket-grouped pair enumeration: gram sets computed and shuffled
-    // ONCE (a self-join would evaluate the gram pipeline on both
-    // branches); items sorted by doc_id so a<b falls out of slice order
-    val pairs = g
-      .groupBy("blk")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("gs")))).as("items"))
-      .filter(size(col("items")) > 1)
-      .select(explode(flatten(transform(col("items"), (a, i) =>
-        transform(slice(col("items"), i + 2, size(col("items"))),
-          b => struct(a.as("a"), b.as("b")))))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        col("p.a.gs").as("gs_a"), col("p.b.gs").as("gs_b"))
+    val g = documents.select(col("doc_id"), norm.as("nt"))
+      .select(col("doc_id"), grams.as("gs"))
+    val pairs = minhashPairs(documents)
+      .join(g.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), Seq("doc_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), Seq("doc_b"))
     pairs
       .select(col("doc_a"), col("doc_b"),
         graft.functions.TextExpressions

@@ -116,8 +116,12 @@ object Facts {
 
   /** P&L-style classification fact (ref :1011 `build_fact_estado_resultados`
     * classifies rows into signed accounting buckets via per-row CASE;
-    * :1113 `clasificar_y_calcular_monto`). Re-expressed as a codegen'd
-    * stack + aggregate: REVENUE +net, DISCOUNT −discount, TAX +tax.
+    * :1113 `clasificar_y_calcular_monto`). Aggregate-then-stack: ONE
+    * groupBy(fiscal_year) computes the three exact-decimal sums, then
+    * the 3 account rows per year are stacked from ~7 aggregate rows —
+    * the stack never multiplies the fact-grain row count. Decimal sums
+    * are exact, so sum-then-negate ≡ negate-then-sum and the result is
+    * bit-identical to the per-row-stacked formulation.
     */
   def factPnl(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val net = (money(col("l_extendedprice")) * oneMinus(col("l_discount")))
@@ -127,15 +131,20 @@ object Facts {
         col("l_orderkey") === col("o_orderkey"))
       .select(
         year(to_date(col("o_orderdate"))).cast(LongType).as("fiscal_year"),
-        net.as("net_dec"),
-        (money(col("l_extendedprice")) * rate(col("l_discount"))).as("disc_dec"),
+        net.cast(DecimalType(19, 6)).as("net_dec"),
+        (money(col("l_extendedprice")) * rate(col("l_discount")))
+          .cast(DecimalType(19, 6)).as("disc_dec"),
         (net * rate(col("l_tax"))).cast(DecimalType(19, 6)).as("tax_dec"))
-      .selectExpr("fiscal_year",
-        "stack(3, 'REVENUE', cast(net_dec as decimal(19,6)), " +
-        "'DISCOUNT', cast(-disc_dec as decimal(19,6)), " +
-        "'TAX', tax_dec) as (account, amount_dec)")
-      .groupBy("fiscal_year", "account")
-      .agg(count(lit(1)).as("n_lines"), dbl(sum(col("amount_dec"))).as("amount"))
+      .groupBy("fiscal_year")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("net_dec")).as("rev_sum"),
+        sum(col("disc_dec")).as("disc_sum"),
+        sum(col("tax_dec")).as("tax_sum"))
+      .selectExpr("fiscal_year", "n_lines",
+        "stack(3, 'REVENUE', rev_sum, 'DISCOUNT', -disc_sum, 'TAX', tax_sum) " +
+        "as (account, amount_dec)")
+      .select(col("fiscal_year"), col("account"), col("n_lines"),
+        dbl(col("amount_dec")).as("amount"))
       .orderBy("fiscal_year", "account")
   }
 }
