@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -43,7 +43,7 @@ object TextExpressions {
   * majority of digests have the top bit of hex nibble j set. One pass
   * over the digest bytes ('8'↔0x38 splits the nibble range in ASCII).
   */
-case class SimHash32(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "simhash32"
   override def nullSafeEval(v: Any): Any = {
@@ -64,6 +64,26 @@ case class SimHash32(child: Expression) extends UnaryExpression with CodegenFall
     while (j < 32) { out(j) = if (w(j) > 0) '1' else '0'; j += 1 }
     UTF8String.fromBytes(out)
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val w = ctx.freshName("w"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val bs = ctx.freshName("bs")
+      val out = ctx.freshName("out")
+      s"""
+        int[] $w = new int[32];
+        for (int $i = 0; $i < $arr.numElements(); $i++) {
+          byte[] $bs = $arr.getUTF8String($i).getBytes();
+          for (int $j = 0; $j < 32; $j++) {
+            if ($bs[$j] >= '8') $w[$j]++; else $w[$j]--;
+          }
+        }
+        byte[] $out = new byte[32];
+        for (int $j = 0; $j < 32; $j++) {
+          $out[$j] = $w[$j] > 0 ? (byte) '1' : (byte) '0';
+        }
+        ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes($out);
+      """
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
@@ -129,7 +149,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * min of (a_k·x + b_k) mod p per mix — instead of 12 transform+min
   * pipelines each materializing an intermediate array.
   */
-case class MinHashSignature(child: Expression) extends UnaryExpression with CodegenFallback {
+case class MinHashSignature(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
   override def nullSafeEval(v: Any): Any = {
@@ -149,6 +169,27 @@ case class MinHashSignature(child: Expression) extends UnaryExpression with Code
     }
     new GenericArrayData(mins)
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      import TextExpressions._
+      val mixA = ctx.addReferenceObj("mixA", MixA.toArray, "long[]")
+      val mixB = ctx.addReferenceObj("mixB", MixB.toArray, "long[]")
+      val mins = ctx.freshName("mins"); val i = ctx.freshName("i")
+      val k = ctx.freshName("k"); val x = ctx.freshName("x")
+      val h = ctx.freshName("h")
+      s"""
+        long[] $mins = new long[${MixA.length}];
+        java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        for (int $i = 0; $i < $xs.numElements(); $i++) {
+          long $x = $xs.getLong($i);
+          for (int $k = 0; $k < ${MixA.length}; $k++) {
+            long $h = ($mixA[$k] * $x + $mixB[$k]) % ${MixP}L;
+            if ($h < $mins[$k]) $mins[$k] = $h;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+      """
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
@@ -160,7 +201,7 @@ case class MinHashSignature(child: Expression) extends UnaryExpression with Code
   * ((((c0·31+c1)·31+c2)·31+c3)·31+c4) mod p over ASCII code points.
   */
 case class ShingleMinHash(child: Expression, width: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_minhash"
   override def nullSafeEval(v: Any): Any = {
@@ -185,6 +226,33 @@ case class ShingleMinHash(child: Expression, width: Int)
     }
     new GenericArrayData(mins)
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      import TextExpressions._
+      val mixA = ctx.addReferenceObj("mixA", MixA.toArray, "long[]")
+      val mixB = ctx.addReferenceObj("mixB", MixB.toArray, "long[]")
+      val bs = ctx.freshName("bs"); val mins = ctx.freshName("mins")
+      val last = ctx.freshName("last"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val k = ctx.freshName("k")
+      val h = ctx.freshName("h"); val x = ctx.freshName("x")
+      val m = ctx.freshName("m")
+      s"""
+        byte[] $bs = $s.getBytes();
+        long[] $mins = new long[${MixA.length}];
+        java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        int $last = $bs.length - $width;
+        for (int $i = 0; $i <= $last; $i++) {
+          long $h = 0L;
+          for (int $j = 0; $j < $width; $j++) { $h = $h * 31 + $bs[$i + $j]; }
+          long $x = $h % ${MixP}L;
+          for (int $k = 0; $k < ${MixA.length}; $k++) {
+            long $m = ($mixA[$k] * $x + $mixB[$k]) % ${MixP}L;
+            if ($m < $mins[$k]) $mins[$k] = $m;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+      """
+    })
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -193,7 +261,7 @@ case class ShingleMinHash(child: Expression, width: Int)
   * Matches the oracle's per-codepoint fold exactly for ASCII input
   * (the corpus guarantee; asserted in spec).
   */
-case class RollingHash31(child: Expression) extends UnaryExpression with CodegenFallback {
+case class RollingHash31(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash31"
   override def nullSafeEval(v: Any): Any = {
@@ -203,5 +271,18 @@ case class RollingHash31(child: Expression) extends UnaryExpression with Codegen
     while (i < bytes.length) { acc = (acc * 31 + bytes(i)) % 1000000007L; i += 1 }
     acc
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bs = ctx.freshName("bs"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+        byte[] $bs = $s.getBytes();
+        long $acc = 0L;
+        for (int $i = 0; $i < $bs.length; $i++) {
+          $acc = ($acc * 31 + $bs[$i]) % 1000000007L;
+        }
+        ${ev.value} = $acc;
+      """
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

@@ -68,6 +68,34 @@ class TextDedupSpec extends AnyFunSuite {
     s.unpersist()
   }
 
+  test("native text expressions: generated code compiles and agrees with interpreted eval") {
+    // CODEGEN_ONLY makes a janino failure throw instead of silently
+    // falling back — this is the proof the doGenCode bodies are valid.
+    val probe = docs.limit(200)
+    def all() = {
+      val a = Dedup.simhash(probe).collect().toSeq
+      val b = Dedup.minhashBands(probe).collect().toSeq
+      val c = probe.select(col("doc_id"),
+        graft.functions.TextExpressions.rollingHash31(lower(trim(col("text")))).as("h"),
+        graft.functions.TextExpressions.minhashSignature(
+          transform(split(lower(trim(col("text"))), " "),
+            t => conv(substring(md5(t.cast("binary")), 1, 7), 16, 10).cast("long"))).as("sig"))
+        .orderBy("doc_id").collect().toSeq
+      (a, b, c)
+    }
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val gen = all()
+      spark.conf.set(key, "NO_CODEGEN")
+      val interp = all()
+      assert(gen === interp)
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("multimodal: expression path and mapPartitions decode stub agree") {
     val meta = Multimodal.mediaMeta(docs).select("doc_id", "width", "height")
     val decoded = Multimodal.decodeBatch(spark, docs)
