@@ -175,6 +175,17 @@ object SparkEntry {
        |  $bandCols
        |FROM m)""".stripMargin
 
+  // DuckDB twin of Similarity.lshSignature over a double-list column
+  // `v`: 8 bits, each the sign of the ordered dot with the md5-derived
+  // ±1 hyperplane (coefficients embedded from the same generator —
+  // single source of truth)
+  private val lshSigSql = (0 until 8).map { p =>
+    val coefs = graft.operators.Similarity.lshPlaneCoefs(p, 64)
+      .map(c => if (c > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * ($coefs)[i])) > 0" +
+      " THEN '1' ELSE '0' END)"
+  }.mkString(" || ")
+
   // LSH band-bucket candidate pairs, bucket-size-capped — twin of
   // Dedup.minhashPairs (shares Dedup.BandBucketCap)
   private val bandPairCtes =
@@ -873,15 +884,29 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, label, v,
-        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM e),
-        |p AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) / (a.nrm * b.nrm) AS cos_sim
-        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT label, id_a, id_b, cos_sim
-        |FROM p ORDER BY cos_sim DESC, id_a, id_b LIMIT 50""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sg AS (SELECT vec_id, label, v, $lshSigSql AS sig FROM e),
+         |n AS (SELECT vec_id, label, v, sig,
+         |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM sg),
+         |p AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) / (a.nrm * b.nrm) AS cos_sim
+         |FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT label, id_a, id_b, cos_sim
+         |FROM p ORDER BY cos_sim DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    "knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sg AS (SELECT vec_id, v, $lshSigSql AS sig FROM e),
+         |n AS (SELECT vec_id, v, sig,
+         |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM sg),
+         |s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+         |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id AND q.sig = c.sig),
+         |r AS (SELECT qid, nid, cos_sim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM s)
+         |SELECT qid, rank, nid, cos_sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "multimodal_meta" ->
       """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),

@@ -51,20 +51,27 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** Random-hyperplane signature: bit p = sign of ⟨v, plane_p⟩ where
-    * plane_p has deterministic ±1 coefficients derived from
-    * md5("p:i"). Engine-free randomness → reproducible buckets.
+  /** ±1 coefficients of hyperplane `p`: deterministic, derived from
+    * md5("p:i") — engine-free randomness, so the DuckDB oracle can
+    * embed the identical planes (single source of truth).
+    */
+  def lshPlaneCoefs(p: Int, dim: Int = 64): IndexedSeq[Double] =
+    (1 to dim).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (hex.charAt(0) >= '8') 1.0 else -1.0
+    }
+
+  /** Random-hyperplane signature: bit p = sign of ⟨v, plane_p⟩.
+    * Reproducible buckets; bucket count = 2^nPlanes (tune nPlanes to
+    * corpus size — 8 bits for the registered sf-scale queries, 16-24
+    * at 100 TB so per-bucket populations stay bounded).
     */
   def lshSignature(v: Column, nPlanes: Int = 8, dim: Int = 64): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val coefs = (1 to dim).map { i =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
-        if (hex.charAt(0) >= '8') 1.0 else -1.0
-      }
       // dot(v, ±1 plane) = ordered sum of signed components
       val signed = aggregate(
-        zip_with(v, lit(coefs.toArray), (x, c) => x.cast("double") * c),
+        zip_with(v, lit(lshPlaneCoefs(p, dim).toArray), (x, c) => x.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)
       when(signed > 0, "1").otherwise("0")
     }
@@ -101,19 +108,30 @@ object Similarity {
     */
   def knnIvf(embeddings: DataFrame, nProbes: Int = 20, k: Int = 5,
              nCentroids: Int = 16, probeLists: Int = 2): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val scoredLists = embeddings.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        cosine(col("embedding"), col("cv")).as("ccos"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    val assigned = scoredLists
-      .withColumn("crank", row_number().over(wAssign))
-    val corpus = assigned.filter(col("crank") === 1)
-      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cid").as("list_id"))
-    val probes = assigned.filter(col("crank") <= probeLists && col("vec_id") < nProbes)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid").as("list_id"))
+    // Tiny bounded collect: the centroid codebook (nCentroids × d
+    // floats) ships to every task as a literal, so list assignment is a
+    // per-row expression — no corpus×centroids join, no
+    // row_number-over-vec_id window, zero assignment shuffle. (The old
+    // formulation shuffled nCentroids× the corpus just to take a
+    // per-row argmax.)
+    val centRows = embeddings.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val cidsLit = typedLit(centRows.map(_._1).toSeq)
+    val centsLit = typedLit(centRows.map(_._2.toSeq).toSeq) // array<array<float>>
+    // per-row centroid ranking: (−ccos, cid) sorted asc ≡ the old
+    // window's (ccos desc, cid asc) — identical assignment + tie-break
+    val ranked = array_sort(zip_with(
+      transform(centsLit, c => cosine(col("embedding"), c)),
+      cidsLit, (s, c) => struct((-s).as("ns"), c.as("cid"))))
+    val base = embeddings.select(col("vec_id"), col("embedding"), ranked.as("ranked"))
+    val corpus = base
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        element_at(col("ranked"), 1).getField("cid").as("list_id"))
+    val probes = base.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        explode(transform(slice(col("ranked"), 1, probeLists),
+          r => r.getField("cid"))).as("list_id"))
     val scored = corpus.join(broadcast(probes), Seq("list_id"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos_sim"))
@@ -125,18 +143,25 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs: label-blocked all-pairs
-    * (blocks bound the quadratic term; at scale the LSH signature from
-    * lshSignature is the blocking key instead), global top-50 most
-    * similar with deterministic tie-break.
+  /** Embedding-cosine near-duplicate pairs, blocked on the LSH
+    * hyperplane signature: only vectors in the same 2^nPlanes bucket
+    * are compared (near-identical vectors agree on every plane with
+    * high probability). Unlike a label/category block, bucket count
+    * scales with nPlanes, not data semantics — at 100 TB raise
+    * nPlanes so per-bucket populations stay bounded and the
+    * within-bucket join never goes quadratic in the corpus. Global
+    * top-N most similar, deterministic tie-break.
     */
-  def embeddingNearDup(embeddings: DataFrame, topN: Int = 50): DataFrame = {
-    val a = embeddings.select(col("label").as("blk"), col("vec_id").as("id_a"),
-      col("embedding").as("va"))
-    val b = embeddings.select(col("label").as("blk_b"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"))
-    a.join(b, col("blk") === col("blk_b") && col("id_a") < col("id_b"))
-      .select(col("blk").as("label"), col("id_a"), col("id_b"),
+  def embeddingNearDup(embeddings: DataFrame, topN: Int = 50,
+                       nPlanes: Int = 8): DataFrame = {
+    val withSig = embeddings.select(col("label"), col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), nPlanes).as("sig"))
+    val a = withSig.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("sig"))
+    val b = withSig.select(col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("sig").as("sig_b"))
+    a.join(b, col("sig") === col("sig_b") && col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
         cosine(col("va"), col("vb")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
       .limit(topN)

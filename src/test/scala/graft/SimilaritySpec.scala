@@ -54,6 +54,62 @@ class SimilaritySpec extends AnyFunSuite {
     ivf.unpersist()
   }
 
+  test("ivf: expression-argmax assignment ≡ old window-based reference; one Window in plan") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf)
+    val ivf = Similarity.knnIvf(emb)
+    // the r1 formulation: corpus × broadcast(centroids) join, then
+    // row_number over partitionBy(vec_id) — kept here as the semantic
+    // reference the shuffle-free rewrite must reproduce exactly
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scoredLists = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        Similarity.cosine(col("embedding"), col("cv")).as("ccos"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val assigned = scoredLists.withColumn("crank", row_number().over(wAssign))
+    val corpus = assigned.filter(col("crank") === 1)
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cid").as("list_id"))
+    val probes = assigned.filter(col("crank") <= 2 && col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cid").as("list_id"))
+    val scored = corpus.join(broadcast(probes), Seq("list_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Similarity.cosine(col("qv"), col("nv")).as("cos_sim"))
+      .groupBy("qid", "nid").agg(max(col("cos_sim")).as("cos_sim"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    val ref = scored.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5).select("qid", "rank", "nid", "cos_sim")
+      .orderBy("qid", "rank")
+    assert(ivf.collect().toSeq === ref.collect().toSeq)
+    ivf.collect()
+    val plan = ivf.queryExecution.executedPlan.toString
+    // the assignment window of the old shape partitioned by vec_id;
+    // only the final per-probe top-k window (over qid) may remain
+    assert(!plan.contains("windowspecdefinition(vec_id"),
+      s"assignment must not use a per-vector window:\n$plan")
+    assert(!plan.contains("windowspecdefinition(nid"),
+      s"assignment must not use a per-vector window:\n$plan")
+  }
+
+  test("near-dup: LSH-sig blocking finds planted near-identical pairs across labels") {
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val tweaked = base.clone(); tweaked(0) = base(0) + 1e-4f
+    val noise = Array.tabulate(64)(i => (math.cos(3 * i + 2) * 0.5).toFloat)
+    // near-dup pair spans two labels: a label-blocked variant would
+    // miss it — the sig block must find it
+    val df = Seq((0L, base, 0), (1L, tweaked, 1), (2L, noise, 2))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.embeddingNearDup(df, topN = 10).collect()
+    assert(r.nonEmpty)
+    val top = r.head
+    assert((top.getAs[Long]("id_a"), top.getAs[Long]("id_b")) === ((0L, 1L)))
+    assert(top.getAs[Double]("cos_sim") > 0.999999)
+    // determinism: every returned pair ordered and unique
+    assert(r.map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).distinct.length === r.length)
+  }
+
   test("plan shape: filter pushdown reaches the parquet scan") {
     val plan = Tables.lineitem(spark, sf)
       .filter(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
