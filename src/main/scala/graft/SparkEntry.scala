@@ -40,6 +40,8 @@ object SparkEntry {
     "fact_pnl" -> ((s, d) => Facts.factPnl(t(s, d, "lineitem"), t(s, d, "orders"))),
     "fact_balance" -> ((s, d) => Facts.factBalance(t(s, d, "orders"))),
     "dim_time_of_day" -> ((s, d) => Dims.dimTimeOfDay(Tables.events(s, d))),
+    "dim_fiscal_period" -> ((s, d) => Dims.dimFiscalPeriod(t(s, d, "orders"))),
+    "dim_payment_method" -> ((s, _) => Dims.dimPaymentMethod(s)),
     "scd2_customer" -> ((s, d) => Dims.scd2Customer(t(s, d, "orders"))),
     // ---- B. validation ----
     "validate_nulls" -> ((s, d) => Validation.nullProfile(s,
@@ -378,6 +380,38 @@ object SparkEntry {
         |  hour_of_day BETWEEN 9 AND 17 AS is_business_hours,
         |  n_events
         |FROM h ORDER BY hour_of_day""".stripMargin,
+
+    "dim_fiscal_period" ->
+      """WITH s AS (SELECT min(CAST(o_orderdate AS DATE)) AS dmin,
+        |  max(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+        |m AS (SELECT CAST(unnest(generate_series(date_trunc('month', dmin),
+        |  date_trunc('month', dmax), INTERVAL 1 MONTH)) AS DATE) AS start_date, dmax FROM s)
+        |SELECT CAST(year(start_date)*100 + month(start_date) AS BIGINT) AS period_id,
+        |  CAST(year(start_date) AS BIGINT) AS year,
+        |  CAST(month(start_date) AS BIGINT) AS month,
+        |  CAST(quarter(start_date) AS BIGINT) AS quarter,
+        |  strftime(start_date, '%Y-%m') AS period_name,
+        |  start_date,
+        |  last_day(start_date) AS end_date,
+        |  last_day(start_date) < date_trunc('month', dmax) AS is_closed
+        |FROM m ORDER BY period_id""".stripMargin,
+
+    "dim_payment_method" ->
+      """WITH c(pay_method_id, method, processor, payment_type) AS (VALUES
+        |  (1, 'Cash', 'Manual', 'Immediate'),
+        |  (2, 'Credit Card', 'Visa/MC', 'Immediate'),
+        |  (3, 'Debit Card', 'Visa/MC', 'Immediate'),
+        |  (4, 'Wire Transfer', 'Bank', 'Immediate'),
+        |  (5, 'Check', 'Bank', 'Deferred'),
+        |  (6, 'PayPal', 'PayPal', 'Immediate'),
+        |  (7, 'Stripe', 'Stripe', 'Immediate'),
+        |  (8, 'Bitcoin', 'Blockchain', 'Immediate'),
+        |  (9, 'Net 30', 'Internal', 'Credit'),
+        |  (10, 'Net 60', 'Internal', 'Credit'))
+        |SELECT CAST(pay_method_id AS BIGINT) AS pay_method_id,
+        |  md5('pay:' || CAST(pay_method_id AS VARCHAR)) AS payment_sk,
+        |  method, processor, payment_type
+        |FROM c ORDER BY pay_method_id""".stripMargin,
 
     "scd2_customer" ->
       """WITH daily AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,

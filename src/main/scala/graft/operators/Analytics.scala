@@ -218,6 +218,29 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** The 100 TB path for [[customerValueTiers]]: quartile boundaries
+    * come from approxQuantile (a driver-side handful of doubles;
+    * Greenwald–Khanna sketch, distributed, no global sort) and the tier
+    * is a per-row comparison against them — no unpartitioned window,
+    * no single-task sort anywhere in the plan. Trades only boundary-tie
+    * placement vs the exact ntile (all ties of a boundary value land in
+    * the lower tier); spec quantifies the agreement.
+    */
+  def customerValueTiersBucketed(orders: DataFrame,
+                                 relErr: Double = 0.0): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dbl(sum(money(col("o_totalprice")))).as("revenue"))
+    val Array(q25, q50, q75) =
+      rev.stat.approxQuantile("revenue", Array(0.25, 0.5, 0.75), relErr)
+    rev.select(col("o_custkey"), col("n_orders"), col("revenue"),
+        when(col("revenue") > lit(q75), 1L)
+          .when(col("revenue") > lit(q50), 2L)
+          .when(col("revenue") > lit(q25), 3L)
+          .otherwise(4L).as("value_tier"))
+      .orderBy("o_custkey")
+  }
+
   /** TPC-H Q4-shaped: orders with at least one line shipped >60 days
     * after the order date, counted per priority (EXISTS semi-join).
     */

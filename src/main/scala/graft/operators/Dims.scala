@@ -164,6 +164,58 @@ object Dims {
         col("n_events"))
       .orderBy("hour_of_day")
 
+  /** Accounting-period dim: one row per yyyymm month over the order-date
+    * span (ref complete_dimension_builder.py:1138
+    * `build_dim_periodo_contable` generates a fixed 2020–2026 grid; here
+    * the span is data-derived). A period is closed once it precedes the
+    * month of the newest order. Tiny by construction (≈1 row/month) —
+    * the 1-row span aggregate plus explode is deliberate.
+    */
+  def dimFiscalPeriod(orders: DataFrame): DataFrame =
+    orders
+      .agg(min(to_date(col("o_orderdate"))).as("dmin"),
+        max(to_date(col("o_orderdate"))).as("dmax"))
+      .select(explode(sequence(trunc(col("dmin"), "month"),
+        trunc(col("dmax"), "month"), expr("interval 1 month"))).as("start_date"),
+        col("dmax"))
+      .select(
+        (year(col("start_date")) * 100 + month(col("start_date")))
+          .cast(LongType).as("period_id"),
+        year(col("start_date")).cast(LongType).as("year"),
+        month(col("start_date")).cast(LongType).as("month"),
+        quarter(col("start_date")).cast(LongType).as("quarter"),
+        date_format(col("start_date"), "yyyy-MM").as("period_name"),
+        col("start_date"),
+        last_day(col("start_date")).as("end_date"),
+        (last_day(col("start_date")) < trunc(col("dmax"), "month")).as("is_closed"))
+      .orderBy("period_id")
+
+  /** Payment-method catalog dim (ref complete_dimension_builder.py:696
+    * `build_dim_pago`: a static 10-method catalog with processor and
+    * payment-type attributes). Static reference data is legitimate dim
+    * content; the surrogate follows the same md5 discipline as every
+    * other dim.
+    */
+  def dimPaymentMethod(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val catalog = Seq(
+      (1L, "Cash", "Manual", "Immediate"),
+      (2L, "Credit Card", "Visa/MC", "Immediate"),
+      (3L, "Debit Card", "Visa/MC", "Immediate"),
+      (4L, "Wire Transfer", "Bank", "Immediate"),
+      (5L, "Check", "Bank", "Deferred"),
+      (6L, "PayPal", "PayPal", "Immediate"),
+      (7L, "Stripe", "Stripe", "Immediate"),
+      (8L, "Bitcoin", "Blockchain", "Immediate"),
+      (9L, "Net 30", "Internal", "Credit"),
+      (10L, "Net 60", "Internal", "Credit"))
+    catalog.toDF("pay_method_id", "method", "processor", "payment_type")
+      .select(col("pay_method_id"),
+        surrogate("pay", col("pay_method_id")).as("payment_sk"),
+        col("method"), col("processor"), col("payment_type"))
+      .orderBy("pay_method_id")
+  }
+
   /** SCD Type-2 customer activity versions from order history: each
     * active day opens a version; valid_to = next version's start
     * (generalizes the reference loader's overwrite-upsert into proper

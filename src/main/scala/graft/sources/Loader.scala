@@ -81,19 +81,30 @@ object Loader {
     * beyond the last committed high-water mark, then advance it — the
     * Spark shape of core/batch_processor.py's checkpoint/resume. The
     * mark is stored next to the sink as a one-line file.
+    *
+    * Batch stats (count + new mark) come from ONE aggregation pass, and
+    * the mark is committed by temp-file + atomic rename strictly AFTER
+    * the append: a crash can only leave data ahead of the mark (re-run
+    * re-loads, at-least-once), never a mark that claims rows the sink
+    * doesn't have.
     */
   def incrementalLoad(spark: SparkSession, source: DataFrame, watermarkCol: String,
                       sinkPath: String): Long = {
-    val markPath = java.nio.file.Paths.get(sinkPath + ".watermark")
-    val last = if (java.nio.file.Files.exists(markPath))
-      java.nio.file.Files.readString(markPath).trim.toLong else Long.MinValue
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val markPath = Paths.get(sinkPath + ".watermark")
+    val last = if (Files.exists(markPath))
+      Files.readString(markPath).trim.toLong else Long.MinValue
     val fresh = source.filter(col(watermarkCol).cast("long") > last)
-    val n = fresh.count()
+    val stats = fresh
+      .agg(count(lit(1)).as("n"), max(col(watermarkCol).cast("long")).as("mx")).head
+    val n = stats.getLong(0)
     if (n > 0) {
       fresh.write.mode(SaveMode.Append).parquet(sinkPath)
-      val newMark = fresh.agg(max(col(watermarkCol).cast("long"))).head.getLong(0)
-      java.nio.file.Files.createDirectories(markPath.getParent)
-      java.nio.file.Files.writeString(markPath, newMark.toString)
+      Files.createDirectories(markPath.getParent)
+      val tmp = markPath.resolveSibling(markPath.getFileName.toString + ".tmp")
+      Files.writeString(tmp, stats.getLong(1).toString)
+      Files.move(tmp, markPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
     n
   }

@@ -61,6 +61,28 @@ class LoaderSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === 3)
   }
 
+  test("incremental load crash-consistency: a committed mark never claims missing data") {
+    val dir = Files.createTempDirectory("graft_inc_crash").toString + "/sink"
+    val markPath = java.nio.file.Paths.get(dir + ".watermark")
+    Loader.incrementalLoad(spark, Seq((1L, 100L), (2L, 200L)).toDF("id", "ver"), "ver", dir)
+    // invariant after every successful batch: every version the mark
+    // claims is present in the sink
+    val mark = Files.readString(markPath).trim.toLong
+    val maxInSink = spark.read.parquet(dir).agg(max(col("ver"))).head.getLong(0)
+    assert(maxInSink >= mark)
+    assert(!Files.exists(markPath.resolveSibling("sink.watermark.tmp")),
+      "temp mark must not survive the rename")
+    // simulate a crash BETWEEN append and mark-commit: data ahead of the
+    // mark. Re-run must re-select those rows (at-least-once), because the
+    // mark — not the sink — is the source of truth for progress.
+    val crashed = Seq((3L, 300L)).toDF("id", "ver")
+    crashed.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    assert(Files.readString(markPath).trim.toLong === mark, "mark unchanged by crash")
+    assert(Loader.incrementalLoad(spark, crashed, "ver", dir) === 1,
+      "row past the committed mark must be re-processed after a crash")
+    assert(Files.readString(markPath).trim.toLong === 300L)
+  }
+
   test("native cosine expression matches the declarative HOF form exactly") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))

@@ -26,6 +26,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("bucketed value tiers agree with exact ntile; no single-partition exchange") {
+    val orders = Tables.orders(spark, sf)
+    val exact = graft.operators.Analytics.customerValueTiers(orders)
+      .select("o_custkey", "revenue", "value_tier").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val bucketedDf = graft.operators.Analytics.customerValueTiersBucketed(orders)
+    val bucketed = bucketedDf.select("o_custkey", "revenue", "value_tier").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(bucketed.keySet === exact.keySet)
+    // agreement everywhere except boundary values (ntile splits a tie
+    // group positionally; value-bucketing keeps it together) — allow
+    // the four boundary-straddling rows at most
+    val mismatches = exact.collect {
+      case (ck, (rev, t)) if bucketed(ck)._2 != t => (ck, rev, t, bucketed(ck)._2)
+    }
+    assert(mismatches.size <= 4, s"too many tier mismatches: $mismatches")
+    // scale shape: no global window ⇒ no single-partition exchange
+    bucketedDf.collect()
+    val plan = bucketedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global bottleneck:\n$plan")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val dir = Files.createTempDirectory("graft_part").toString + "/orders_by_status"
     Partitioning.writePartitioned(Tables.orders(spark, sf), dir, Seq("o_orderstatus"))
