@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end warehouse build at sf0.01 (the correctness-gate scale):
+  * every table lands, the report reconciles with what's on disk, and
+  * key row counts match the oracle-verified figures.
+  */
+class EtlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("buildAll lands the full star schema and the report reconciles") {
+    val out = Files.createTempDirectory("graft_etl").toString
+    val report = Etl.buildAll(spark, sf001, out).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(4)))
+
+    // every stage green
+    val broken = report.filter(_._4 != "ok")
+    assert(broken.isEmpty, s"failed stages: ${broken.mkString(", ")}")
+
+    // phases present and dependency-ordered (extract < dim < fact < validate)
+    val stages = report.map(_._1)
+    assert(stages.distinct.toSeq === Seq("extract", "dim", "fact", "validate"))
+
+    // the report's row counts reconcile with the parquet actually landed
+    report.filter(r => r._1 == "dim" || r._1 == "fact").foreach {
+      case (_, table, rows, _) =>
+        assert(spark.read.parquet(s"$out/$table").count() === rows,
+          s"report row count must match landed table $table")
+    }
+
+    // spot-check against the oracle-verified sf0.01 figures
+    val byTable = report.map(r => r._2 -> r._3).toMap
+    assert(byTable("dim_customer") === 1500L)
+    assert(byTable("fact_sales") === 60000L)
+    assert(byTable("fact_pnl") === 21L)
+    assert(byTable("dim_payment_method") === 10L)
+
+    // the report itself lands as a queryable table
+    val persisted = spark.read.parquet(s"$out/etl_run_report")
+    assert(persisted.count() === report.length.toLong)
+    assert(persisted.columns.toSeq ===
+      Seq("stage", "table", "rows", "seconds", "status"))
+  }
+}
