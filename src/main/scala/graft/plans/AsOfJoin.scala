@@ -4,7 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
@@ -55,10 +56,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKeyB = BindReferences.bindReference(leftKey, left.output)
-    val lTimeB = BindReferences.bindReference(leftTime, left.output)
-    val rKeyB = BindReferences.bindReference(rightKey, right.output)
-    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    // Bind once on the driver; type support is validated here (planning
+    // time), not per row. All four columns read through the row's
+    // primitive getters — no per-row boxing through Number.
+    val lKeyA = new AsOfJoinExec.LongCol(leftKey, left.output)
+    val lTimeA = new AsOfJoinExec.LongCol(leftTime, left.output)
+    val rKeyA = new AsOfJoinExec.LongCol(rightKey, right.output)
+    val rTimeA = new AsOfJoinExec.LongCol(rightTime, right.output)
     val rWidth = right.output.size
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -71,37 +75,75 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var rHeld: InternalRow = null   // last right row matched for current key
       var rHeldKey = 0L; var rHeldTime = 0L; var rHeldValid = false
       def advanceRight(): Unit = {
-        if (rIter.hasNext) {
+        // null key/time on the right can never win a match — skip
+        rCur = null
+        while (rCur == null && rIter.hasNext) {
           val r = rIter.next()
-          rCur = r
-          rCurKey = rKeyB.eval(r).asInstanceOf[Number].longValue()
-          rCurTime = rTimeB.eval(r).asInstanceOf[Number].longValue()
-        } else rCur = null
+          if (!rKeyA.isNull(r) && !rTimeA.isNull(r)) {
+            rCur = r
+            rCurKey = rKeyA.get(r)
+            rCurTime = rTimeA.get(r)
+          }
+        }
       }
       advanceRight()
       lIter.map { l =>
-        val lKey = lKeyB.eval(l).asInstanceOf[Number].longValue()
-        val lTime = lTimeB.eval(l).asInstanceOf[Number].longValue()
-        // drop held match from a previous key
-        if (rHeldValid && rHeldKey != lKey) rHeldValid = false
-        // consume right rows with (key < lKey) or (key == lKey && time <= lTime)
-        while (rCur != null &&
-          (rCurKey < lKey || (rCurKey == lKey && rCurTime <= lTime))) {
-          if (rCurKey == lKey) {
-            rHeld = rCur.copy(); rHeldKey = rCurKey; rHeldTime = rCurTime
-            rHeldValid = true
+        if (lKeyA.isNull(l) || lTimeA.isNull(l)) {
+          // null key/time matches nothing: LEFT OUTER keeps the row
+          outProj(joined(l, nullRight))
+        } else {
+          val lKey = lKeyA.get(l)
+          val lTime = lTimeA.get(l)
+          // drop held match from a previous key
+          if (rHeldValid && rHeldKey != lKey) rHeldValid = false
+          // consume right rows with (key < lKey) or (key == lKey && time <= lTime)
+          while (rCur != null &&
+            (rCurKey < lKey || (rCurKey == lKey && rCurTime <= lTime))) {
+            if (rCurKey == lKey) {
+              rHeld = rCur.copy(); rHeldKey = rCurKey; rHeldTime = rCurTime
+              rHeldValid = true
+            }
+            advanceRight()
           }
-          advanceRight()
+          val rSide = if (rHeldValid && rHeldKey == lKey && rHeldTime <= lTime) rHeld
+            else nullRight
+          outProj(joined(l, rSide))
         }
-        val rSide = if (rHeldValid && rHeldKey == lKey && rHeldTime <= lTime) rHeld
-          else nullRight
-        outProj(joined(l, rSide))
       }
     }
   }
 
   override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): SparkPlan =
     copy(left = l, right = r)
+}
+
+object AsOfJoinExec {
+  /** Bound, null-aware long view of a key/time column. Integral, date,
+    * and timestamp types map onto the sorted-long merge; anything else
+    * is rejected when the accessor is built (driver side), so an
+    * unsupported schema fails the job with a typed message instead of a
+    * per-row ClassCastException on executors.
+    */
+  final class LongCol(e: Expression, output: Seq[Attribute]) extends Serializable {
+    private val bound = BindReferences.bindReference(e, output)
+    private val ordinal = bound match {
+      case br: BoundReference => br.ordinal
+      case _ => -1
+    }
+    private val getAt: (InternalRow, Int) => Long = bound.dataType match {
+      case LongType | TimestampType | TimestampNTZType => (r, o) => r.getLong(o)
+      case IntegerType | DateType                      => (r, o) => r.getInt(o).toLong
+      case ShortType                                   => (r, o) => r.getShort(o).toLong
+      case ByteType                                    => (r, o) => r.getByte(o).toLong
+      case other => throw new IllegalArgumentException(
+        s"as-of join key/time must be an integral, date, or timestamp column; got $other")
+    }
+    def isNull(r: InternalRow): Boolean =
+      if (ordinal >= 0) r.isNullAt(ordinal) else bound.eval(r) == null
+    def get(r: InternalRow): Long =
+      if (ordinal >= 0) getAt(r, ordinal)
+      else bound.eval(r).asInstanceOf[Number].longValue()
+  }
 }
 
 object AsOfJoinStrategy extends SparkStrategy {

@@ -36,6 +36,38 @@ class EventsSpec extends AnyFunSuite {
     assert(viaCustom.queryExecution.executedPlan.toString.contains("AsOfJoin"))
   }
 
+  test("custom as-of exec: null keys/times join nothing but survive (left outer)") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(10L), "a"), (None, Some(20L), "b"),
+      (Some(1L), None, "c"), (Some(2L), Some(30L), "d"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Some(1L), Some(5L), "r1"), (None, Some(1L), "skip"),
+      (Some(2L), None, "skip2"), (Some(2L), Some(25L), "r2"))
+      .toDF("rk", "rt", "rtag")
+    val out = graft.plans.AsOf.join(spark, l, r, "k", "rk", "t", "rt")
+      .collect().map(x => x.getString(2) -> Option(x.getString(5))).toMap
+    assert(out === Map("a" -> Some("r1"), "b" -> None, "c" -> None, "d" -> Some("r2")))
+  }
+
+  test("custom as-of exec: date keys work; string keys rejected with a typed error") {
+    import spark.implicits._
+    val l = Seq((1L, java.sql.Date.valueOf("2024-03-05")), (2L, java.sql.Date.valueOf("2024-03-01")))
+      .toDF("k", "d")
+    val r = Seq((1L, java.sql.Date.valueOf("2024-03-01"), 99.0)).toDF("rk", "rd", "v")
+    val out = graft.plans.AsOf.join(spark, l, r, "k", "rk", "d", "rd")
+      .collect().map(x => x.getLong(0) -> Option(x.get(4))).toMap
+    assert(out === Map(1L -> Some(99.0), 2L -> None))
+    val ls = Seq(("x", 1L)).toDF("k", "t")
+    val rs = Seq(("x", 1L)).toDF("rk", "rt")
+    val e = intercept[Exception] {
+      graft.plans.AsOf.join(spark, ls, rs, "k", "rk", "t", "rt").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("as-of join key/time")), s"got: $e")
+  }
+
   test("funnel: stage counts monotonically decrease") {
     val f = EventOps.funnel(Tables.events(spark, sf)).orderBy("stage_n")
       .select("n_users").collect().map(_.getLong(0))
