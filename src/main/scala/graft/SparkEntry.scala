@@ -82,6 +82,17 @@ object SparkEntry {
       Analytics.promoShare(t(s, d, "lineitem"), t(s, d, "part"))),
     "q22_dormant_rich" -> ((s, d) =>
       Analytics.dormantRichCustomers(t(s, d, "customer"), t(s, d, "orders"))),
+    "q2_min_cost_supp" -> ((s, d) => Analytics.minCostSupplier(
+      t(s, d, "lineitem"), t(s, d, "part"), t(s, d, "supplier"),
+      t(s, d, "nation"), t(s, d, "region"))),
+    "q9_profit_nation" -> ((s, d) => Analytics.profitByNation(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "part"),
+      t(s, d, "supplier"), t(s, d, "nation"))),
+    "q15_top_supplier" -> ((s, d) =>
+      Analytics.topSupplierOfQuarter(t(s, d, "lineitem"), t(s, d, "supplier"))),
+    "q20_excess_share" -> ((s, d) => Analytics.excessShareSuppliers(
+      t(s, d, "lineitem"), t(s, d, "part"), t(s, d, "supplier"),
+      t(s, d, "nation"), t(s, d, "region"))),
     "asof_join_events_orders" -> ((s, d) =>
       EventOps.asofJoinEventsOrders(Tables.events(s, d), t(s, d, "orders"))),
     "asof_join_custom" -> ((s, d) =>
@@ -573,6 +584,67 @@ object SparkEntry {
         |WHERE c_acctbal > a.avg_bal
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "q2_min_cost_supp" ->
+      """WITH costs AS (SELECT l_partkey, l_suppkey,
+        |  MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost_dec
+        |  FROM lineitem GROUP BY 1, 2),
+        |pp AS (SELECT p_partkey, p_brand FROM part
+        |  WHERE p_type = 'STANDARD' AND p_size <= 10),
+        |sup AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |j AS (SELECT * FROM costs JOIN pp ON l_partkey = p_partkey
+        |  JOIN sup ON l_suppkey = s_suppkey),
+        |m AS (SELECT *, MIN(cost_dec) OVER (PARTITION BY p_partkey) AS min_cost FROM j)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  CAST(cost_dec AS DOUBLE) AS supply_cost
+        |FROM m WHERE cost_dec = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "q9_profit_nation" ->
+      s"""WITH li AS ($liCte),
+         |j AS (SELECT n_name AS nation,
+         |  year(CAST(o_orderdate AS DATE)) AS o_year,
+         |  CAST(net AS DECIMAL(21,6)) -
+         |    CAST(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * qt AS DECIMAL(25,4))
+         |      * CAST(0.1 AS DECIMAL(4,2)) AS DECIMAL(21,6)) AS amount_dec
+         |  FROM li
+         |  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN orders ON l_orderkey = o_orderkey)
+         |SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+         |  CAST(SUM(amount_dec) AS DOUBLE) AS profit
+         |FROM j GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH li AS ($liCte),
+         |rev AS (SELECT l_suppkey, SUM(net) AS rev_dec FROM li
+         |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+         |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q20_excess_share" ->
+      """WITH q AS (SELECT l_partkey, l_suppkey,
+        |  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%' GROUP BY 1, 2),
+        |f AS (SELECT l_suppkey FROM (
+        |  SELECT l_suppkey, qty_dec,
+        |    SUM(qty_dec) OVER (PARTITION BY l_partkey) AS tot_dec FROM q)
+        |  WHERE qty_dec > tot_dec * CAST(0.08 AS DECIMAL(4,2))),
+        |d AS (SELECT DISTINCT l_suppkey FROM f)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM d JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |ORDER BY s_suppkey""".stripMargin,
 
     "top_customers" ->
       s"""WITH li AS ($liCte),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 import graft.functions.ColUtil._
 
 /** Analytics query surface over the star schema — the read side the
@@ -297,4 +297,115 @@ object Analytics {
         expr("round(percentile(o_totalprice, 0.9), 2)").as("p90"),
         expr("round(percentile(o_totalprice, 0.99), 2)").as("p99"))
       .orderBy("o_orderpriority")
+
+  /** TPC-H Q2-shaped: cheapest eligible supplier per part. Supply cost
+    * = min historical line price per (part, supplier); eligibility =
+    * STANDARD small parts × EUROPE suppliers; winner = cost equal to
+    * the per-part minimum (window min over p_partkey — key-partitioned,
+    * never global). Part/supplier/geo sides all broadcast; the only
+    * shuffle is the (part,supplier) cost aggregation.
+    */
+  def minCostSupplier(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame = {
+    val costs = lineitem.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(money(col("l_extendedprice"))).as("cost_dec"))
+    val pp = part.filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+      .select("p_partkey", "p_brand")
+    val sup = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val w = Window.partitionBy("p_partkey")
+    costs
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost", min(col("cost_dec")).over(w))
+      .filter(col("cost_dec") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_brand"), dbl(col("cost_dec")).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9-shaped: profit by supplier nation × order year over a
+    * part-name filter. Profit = net revenue − 10% holding cost of
+    * retail×qty, all on exact decimals (both engines mirror the cast
+    * ladder, so sums are bit-identical). Dims broadcast; lineitem⋈orders
+    * is the one big shuffle.
+    */
+  def profitByNation(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+                     supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val net = (money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+      .cast(DecimalType(14, 4))
+    val cost = ((money(col("p_retailprice")) * money(col("l_quantity")))
+      .cast(DecimalType(25, 4)) * rate(lit(0.1))).cast(DecimalType(21, 6))
+    lineitem
+      .join(broadcast(part.filter(col("p_name").like("red%"))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name").as("nation"),
+        year(to_date(col("o_orderdate"))).cast(LongType).as("o_year"),
+        (net.cast(DecimalType(21, 6)) - cost).as("amount_dec"))
+      .groupBy("nation", "o_year")
+      .agg(dbl(sum(col("amount_dec"))).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q15-shaped: the supplier(s) with maximum revenue in a
+    * quarter. The scalar max comes from a broadcast 1-row aggregate
+    * joined back on equality — no global window, no second scan of the
+    * detail (the per-supplier aggregate is reused for both sides).
+    */
+  def topSupplierOfQuarter(lineitem: DataFrame, supplier: DataFrame,
+                           qStart: String = "1996-01-01",
+                           qEnd: String = "1996-04-01"): DataFrame = {
+    val net = (money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+      .cast(DecimalType(14, 4))
+    val rev = lineitem
+      .filter(to_date(col("l_shipdate")) >= lit(qStart) &&
+        to_date(col("l_shipdate")) < lit(qEnd))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(net).as("rev_dec"))
+    val mx = rev.agg(max(col("rev_dec")).as("mx_dec"))
+    rev.join(broadcast(mx), col("rev_dec") === col("mx_dec"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), dbl(col("rev_dec")).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q20-shaped: suppliers holding an outsized share of a part
+    * family's volume. Share test is decimal-exact (qty > 8% × part
+    * total via multiplication — no division, no float drift); the part
+    * total is a key-partitioned window sum. Output: qualifying ASIA
+    * suppliers.
+    */
+  def excessShareSuppliers(lineitem: DataFrame, part: DataFrame,
+                           supplier: DataFrame, nation: DataFrame,
+                           region: DataFrame): DataFrame = {
+    val qty = lineitem
+      .join(broadcast(part.filter(col("p_name").like("small%")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(money(col("l_quantity"))).as("qty_dec"))
+    val w = Window.partitionBy("l_partkey")
+    val flagged = qty
+      .withColumn("tot_dec", sum(col("qty_dec")).over(w))
+      .filter(col("qty_dec") > col("tot_dec") * rate(lit(0.08)))
+      .select("l_suppkey").distinct()
+    flagged
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
 }
