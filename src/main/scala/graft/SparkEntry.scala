@@ -93,6 +93,7 @@ object SparkEntry {
     "q20_excess_share" -> ((s, d) => Analytics.excessShareSuppliers(
       t(s, d, "lineitem"), t(s, d, "part"), t(s, d, "supplier"),
       t(s, d, "nation"), t(s, d, "region"))),
+    "events_session_window" -> ((s, d) => EventOps.sessionWindows(Tables.events(s, d))),
     "asof_join_events_orders" -> ((s, d) =>
       EventOps.asofJoinEventsOrders(Tables.events(s, d), t(s, d, "orders"))),
     "asof_join_custom" -> ((s, d) =>
@@ -755,6 +756,19 @@ object SparkEntry {
         |  epoch_us(max(ts))//1000000 - epoch_us(min(ts))//1000000 AS duration_sec,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_n ORDER BY user_id, session_n""".stripMargin,
+
+    "events_session_window" ->
+      """WITH f AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "funnel_signup_purchase" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),

@@ -127,6 +127,25 @@ object EventOps {
       .orderBy("user_id", "session_n")
   }
 
+  /** Sessionization through Spark's NATIVE session-window operator
+    * (`session_window(ts, gap)` → SessionWindowing/MergingSessions
+    * physical aggregation) — the same semantics [[sessionize]] derives
+    * with lag+cumsum, but as a first-class Catalyst construct that also
+    * drops into Structured Streaming unchanged. Session end = last
+    * event + gap; an event exactly `gap` after its predecessor starts a
+    * NEW session (windows are half-open — the oracle mirrors this with
+    * `ts >= prev + gap`, at full µs precision rather than whole
+    * seconds).
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        dbl(sum(col("value").cast(DecimalType(18, 6)))).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
   /** Ordered funnel signup → view → click → purchase: each stage's
     * timestamp must be ≥ the previous stage's. Per-user conditional-min
     * aggregation chained through joins; output is one row per stage with

@@ -60,6 +60,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.select("o_orderstatus").distinct().collect().map(_.getString(0)).toSet === Set("F"))
   }
 
+  test("bucketed tables join with zero exchanges") {
+    // drop any leftovers (catalog entry AND managed location) so the
+    // test is rerunnable after an interrupted run
+    Seq("li_bkt", "o_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    Partitioning.writeBucketed(li, "li_bkt", "l_orderkey", 4, Seq("l_orderkey"))
+    Partitioning.writeBucketed(o, "o_bkt", "o_orderkey", 4, Seq("o_orderkey"))
+    // at test scale the planner would broadcast the small side and never
+    // exercise bucketing — disable broadcast to get the big-big shape
+    // this layout exists for
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val joined = spark.table("li_bkt")
+        .join(spark.table("o_bkt"), col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must be bucketed:\n$plan")
+      // and it is still the same join result
+      assert(joined.count() ===
+        li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.set(thresholdKey, prev)
+      spark.sql("DROP TABLE IF EXISTS li_bkt"); spark.sql("DROP TABLE IF EXISTS o_bkt")
+    }
+  }
+
   test("co-partitioned join of pre-shuffled sides produces correct counts") {
     val (li, o) = Partitioning.coPartition(
       Tables.lineitem(spark, sf), Tables.orders(spark, sf), "l_orderkey", "o_orderkey", 8)
