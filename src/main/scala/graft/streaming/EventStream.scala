@@ -75,6 +75,22 @@ object EventStream {
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
 
+  /** Streaming sessionization through the SAME native session_window
+    * construct the batch operator uses (EventOps.sessionWindows) — this
+    * is the point of preferring the first-class operator over a
+    * hand-rolled lag+cumsum: one definition, two execution modes.
+    * Watermark bounds the session state; sessions emit once the
+    * watermark passes their close.
+    */
+  def sessionWindowStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   case class SessionOut(user_id: Long, session_n: Long, n_events: Long)
   case class SessState(sessionN: Long, lastTsMicros: Long, count: Long)

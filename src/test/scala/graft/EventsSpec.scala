@@ -92,6 +92,19 @@ class EventsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming native session windows equal batch session windows") {
+    val batch = graft.operators.EventOps.sessionWindows(Tables.events(spark, sf))
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    val q = EventStream.sessionWindowStream(spark, sf)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sess_sw_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_sw_out")
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming sessionization matches batch closed sessions") {
     val q = EventStream.sessionizeStream(spark, sf)
       .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
