@@ -115,6 +115,8 @@ object SparkEntry {
     "token_counts" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
     "doc_chunks" -> ((s, d) => TextOps.chunk(t(s, d, "documents"))),
     "doc_split" -> ((s, d) => TextOps.split_assign(t(s, d, "documents"))),
+    "decontaminate" -> ((s, d) => TextOps.decontaminate(t(s, d, "documents"))),
+    "doc_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
     "doc_split_summary" -> ((s, d) => TextOps.splitSummary(t(s, d, "documents"))),
     "doc_rolling_fp" -> ((s, d) => TextOps.rollingHash(t(s, d, "documents"))),
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
@@ -977,6 +979,34 @@ object SparkEntry {
         |  md5(array_to_string(ck, ' ')) AS chunk_md5,
         |  ck[1] AS first_token
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 AS b,
+        |  string_split(lower(trim(text)), ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, b,
+        |  unnest(list_distinct(list_transform(range(1, greatest(len(tk)-6, 1)),
+        |    i -> ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT))) AS g8
+        |FROM t)
+        |SELECT a.doc_id AS train_doc, c.doc_id AS eval_doc, count(*) AS n_shared_grams
+        |FROM g a JOIN g c ON a.g8 = c.g8 AND a.b < 8 AND c.b >= 8
+        |GROUP BY 1, 2 ORDER BY train_doc, eval_doc""".stripMargin,
+
+    "doc_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(len(tk), 1)), i -> tk[i] || ' ' || tk[i+1]) AS g2,
+        |  list_transform(range(1, greatest(len(tk)-1, 1)), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+        |FROM t)
+        |SELECT doc_id,
+        |  CAST(len(g2) AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_bigrams,
+        |  1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2) AS dup_bigram_ratio,
+        |  CAST(len(g3) AS BIGINT) AS n_trigrams,
+        |  CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct_trigrams,
+        |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) AS dup_trigram_ratio,
+        |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) > 0.2 AS is_repetitive
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "doc_split" ->
       """SELECT doc_id, lang,

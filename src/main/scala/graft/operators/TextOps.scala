@@ -139,18 +139,69 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  private def splitBucket: Column =
+    conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast(LongType) % 10
+
   /** Deterministic hash-based train/val/test assignment (80/10/10 by
     * md5 bucket of the doc id) — reproducible across engines and runs,
     * no RNG state; the split is a pure function of the key.
     */
   def split_assign(documents: DataFrame): DataFrame = {
-    val bucket = (conv(substring(md5(concat(lit("split:"),
-      col("doc_id").cast("string")).cast("binary")), 1, 4), 16, 10)
-      .cast(LongType) % 10).as("bucket")
-    documents.select(col("doc_id"), col("lang"), bucket)
+    documents.select(col("doc_id"), col("lang"), splitBucket.as("bucket"))
       .withColumn("split",
         when(col("bucket") < 8, "train")
           .when(col("bucket") === 8, "val").otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-split n-gram decontamination — the benchmark-leakage check a
+    * training pipeline runs before shipping a corpus: any train-split
+    * document sharing an 8-token gram with a held-out (val/test)
+    * document is flagged, with the shared-gram count as evidence.
+    * Grams are distinct per doc and hashed to 60-bit ints, the
+    * explode→join is keyed on that uniform hash (same shuffle shape as
+    * the LSH pair generation — no low-cardinality key), and the held-out
+    * side is ~20% of the corpus by construction.
+    */
+  def decontaminate(documents: DataFrame, n: Int = 8): DataFrame = {
+    val tk = toks
+    val grams = array_distinct(transform(
+      sequence(lit(1), greatest(size(tk) - lit(n - 1), lit(0))),
+      i => conv(substring(md5(array_join(slice(tk, i, lit(n)), " ").cast("binary")),
+        1, 15), 16, 10).cast(LongType)))
+    val base = documents
+      .select(col("doc_id"), splitBucket.as("b"), grams.as("gs"))
+    val train = base.filter(col("b") < 8)
+      .select(col("doc_id").as("train_doc"), explode(col("gs")).as("g8"))
+    val heldOut = base.filter(col("b") >= 8)
+      .select(col("doc_id").as("eval_doc"), explode(col("gs")).as("g8"))
+    train.join(heldOut, "g8")
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  /** Intra-document repetition profile (the Gopher-style repetition
+    * filter): duplicate bigram/trigram mass per document. Pure per-row
+    * array math — no shuffle, linear scan.
+    */
+  def repetition(documents: DataFrame): DataFrame = {
+    val tk = toks
+    def grams(n: Int): Column = transform(
+      sequence(lit(1), greatest(size(tk) - lit(n - 1), lit(0))),
+      i => array_join(slice(tk, i, lit(n)), " "))
+    def profile(n: Int, name: String): Seq[Column] = {
+      val g = grams(n)
+      val total = size(g).cast(LongType)
+      val distinctN = size(array_distinct(g)).cast(LongType)
+      Seq(total.as(s"n_${name}s"), distinctN.as(s"n_distinct_${name}s"),
+        (lit(1.0) - distinctN.cast("double") / total).as(s"dup_${name}_ratio"))
+    }
+    documents.select(
+        col("doc_id") +: (profile(2, "bigram") ++ profile(3, "trigram")): _*)
+      .withColumn("is_repetitive", col("dup_trigram_ratio") > 0.2)
       .orderBy("doc_id")
   }
 
