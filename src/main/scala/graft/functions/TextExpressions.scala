@@ -28,6 +28,8 @@ object TextExpressions {
 
   def simhash32(md5s: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(md5s)))
+  def profileHitCounts(tokens: Column, profiles: Seq[Seq[String]]): Column =
+    ColumnBridge.column(ProfileHitCounts(ColumnBridge.expression(tokens), profiles))
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -251,6 +253,70 @@ case class ShingleMinHash(child: Expression, width: Int)
           }
         }
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+      """
+    })
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Hit counts of a token array against N static word profiles in ONE
+  * pass (profiles × words compared per token; word lists are tiny).
+  * Replaces N higher-order `filter(...contains...)` pipelines — HOF
+  * lambdas are interpreted and break whole-stage codegen, which made
+  * the language-ID scorer the slowest per-row text op. Semantics are
+  * identical to size(filter(tokens, isInCollection(words))) per
+  * profile.
+  */
+case class ProfileHitCounts(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "profile_hit_counts"
+
+  @transient private lazy val words: Array[Array[UTF8String]] =
+    profiles.map(_.map(UTF8String.fromString).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Long](words.length)
+    var i = 0
+    while (i < arr.numElements()) {
+      val t = arr.getUTF8String(i)
+      var p = 0
+      while (p < words.length) {
+        val ws = words(p)
+        var j = 0
+        var hit = false
+        while (!hit && j < ws.length) { hit = ws(j).equals(t); j += 1 }
+        if (hit) counts(p) += 1
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val wordsRef = ctx.addReferenceObj("profileWords", words,
+        "org.apache.spark.unsafe.types.UTF8String[][]")
+      val counts = ctx.freshName("counts"); val i = ctx.freshName("i")
+      val p = ctx.freshName("p"); val j = ctx.freshName("j")
+      val t = ctx.freshName("t"); val hit = ctx.freshName("hit")
+      val ws = ctx.freshName("ws")
+      s"""
+        long[] $counts = new long[${words.length}];
+        for (int $i = 0; $i < $arr.numElements(); $i++) {
+          org.apache.spark.unsafe.types.UTF8String $t = $arr.getUTF8String($i);
+          for (int $p = 0; $p < ${words.length}; $p++) {
+            org.apache.spark.unsafe.types.UTF8String[] $ws = $wordsRef[$p];
+            boolean $hit = false;
+            for (int $j = 0; !$hit && $j < $ws.length; $j++) {
+              $hit = $ws[$j].equals($t);
+            }
+            if ($hit) $counts[$p]++;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($counts);
       """
     })
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -28,8 +28,8 @@ object TextOps {
           .cast(LongType)).as("n_alnum_space"),
         ((length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))).cast("double") /
           length(col("text"))).as("punct_ratio"),
-        (size(filter(toks, t => t.isInCollection(stop))).cast("double") /
-          size(toks)).as("stopword_ratio"))
+        (element_at(graft.functions.TextExpressions.profileHitCounts(toks, Seq(stop)), 1)
+          .cast("double") / size(toks)).as("stopword_ratio"))
       .orderBy("doc_id")
   }
 
@@ -41,7 +41,8 @@ object TextOps {
     val stop = Seq("the", "a", "and", "of", "to")
     val nChars = length(col("text"))
     val nToks = size(toks)
-    val stopRatio = size(filter(toks, t => t.isInCollection(stop))).cast("double") / nToks
+    val stopRatio = element_at(graft.functions.TextExpressions
+      .profileHitCounts(toks, Seq(stop)), 1).cast("double") / nToks
     val punctRatio = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
       .cast("double") / nChars
     val s1 = when(nChars.between(100, 2000), 1).otherwise(0)
@@ -68,11 +69,15 @@ object TextOps {
       "en" -> Seq("the", "a", "of", "and", "to"),
       "es" -> Seq("el", "la", "de", "que", "y"),
       "fr" -> Seq("le", "la", "de", "et", "un"))
-    val scored = profiles.foldLeft(documents.select(col("doc_id"), col("lang"), toks.as("tk"))) {
-      case (df, (lang, words)) =>
-        df.withColumn(s"score_$lang",
-          size(filter(col("tk"), t => t.isInCollection(words))).cast(LongType))
-    }
+    // all four profile scores in ONE codegen'd pass over the token
+    // array (the HOF filter-per-language form ran interpreted lambdas)
+    val scored = documents.select(col("doc_id"), col("lang"),
+        graft.functions.TextExpressions
+          .profileHitCounts(toks, profiles.map(_._2)).as("sc"))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        profiles.zipWithIndex.map { case ((lang, _), i) =>
+          element_at(col("sc"), i + 1).as(s"score_$lang")
+        }: _*)
     val best = greatest(col("score_de"), col("score_en"), col("score_es"), col("score_fr"))
     scored.select(
         col("doc_id"),

@@ -75,13 +75,14 @@ class TextDedupSpec extends AnyFunSuite {
     def all() = {
       val a = Dedup.simhash(probe).collect().toSeq
       val b = Dedup.minhashBands(probe).collect().toSeq
+      val d = TextOps.langId(probe).collect().toSeq
       val c = probe.select(col("doc_id"),
         graft.functions.TextExpressions.rollingHash31(lower(trim(col("text")))).as("h"),
         graft.functions.TextExpressions.minhashSignature(
           transform(split(lower(trim(col("text"))), " "),
             t => conv(substring(md5(t.cast("binary")), 1, 7), 16, 10).cast("long"))).as("sig"))
         .orderBy("doc_id").collect().toSeq
-      (a, b, c)
+      (a, b, c, d)
     }
     val key = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.getOption(key)
