@@ -79,6 +79,9 @@ object Etl {
     run("dim", "dim_time_of_day") { Dims.dimTimeOfDay(Tables.events(spark, sfDir)) }
     run("dim", "dim_fiscal_period") { Dims.dimFiscalPeriod(t("orders")) }
     run("dim", "dim_payment_method") { Dims.dimPaymentMethod(spark) }
+    run("dim", "dim_tax_rate") { Dims.dimTaxRate(t("lineitem")) }
+    run("dim", "dim_promotion") { Dims.dimPromotion(t("part")) }
+    run("dim", "dim_account") { Dims.dimAccount(spark) }
     run("dim", "scd2_customer") { Dims.scd2Customer(t("orders")) }
 
     // ---- phase 3: facts (consume the dims just landed — the surrogate

@@ -42,6 +42,9 @@ object SparkEntry {
     "dim_time_of_day" -> ((s, d) => Dims.dimTimeOfDay(Tables.events(s, d))),
     "dim_fiscal_period" -> ((s, d) => Dims.dimFiscalPeriod(t(s, d, "orders"))),
     "dim_payment_method" -> ((s, _) => Dims.dimPaymentMethod(s)),
+    "dim_tax_rate" -> ((s, d) => Dims.dimTaxRate(t(s, d, "lineitem"))),
+    "dim_promotion" -> ((s, d) => Dims.dimPromotion(t(s, d, "part"))),
+    "dim_account" -> ((s, _) => Dims.dimAccount(s)),
     "scd2_customer" -> ((s, d) => Dims.scd2Customer(t(s, d, "orders"))),
     // ---- B. validation ----
     "validate_nulls" -> ((s, d) => Validation.nullProfile(s,
@@ -426,6 +429,44 @@ object SparkEntry {
         |  md5('pay:' || CAST(pay_method_id AS VARCHAR)) AS payment_sk,
         |  method, processor, payment_type
         |FROM c ORDER BY pay_method_id""".stripMargin,
+
+    "dim_tax_rate" ->
+      """WITH r AS (SELECT CAST(l_tax AS DECIMAL(4,2)) AS tr, count(*) AS n_lines
+        |FROM lineitem GROUP BY 1)
+        |SELECT CAST(tr*100 AS BIGINT) AS tax_rate_key,
+        |  md5('tax:' || CAST(CAST(tr*100 AS BIGINT) AS VARCHAR)) AS tax_sk,
+        |  CAST(tr AS DOUBLE) AS tax_rate,
+        |  CASE WHEN tr = 0 THEN 'EXEMPT' WHEN tr < 0.05 THEN 'REDUCED'
+        |    ELSE 'STANDARD' END AS tax_class,
+        |  n_lines
+        |FROM r ORDER BY tax_rate_key""".stripMargin,
+
+    "dim_promotion" ->
+      """WITH promo AS (SELECT p_brand, count(*) AS n_parts,
+        |  SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS price_dec
+        |  FROM part WHERE p_type = 'PROMO' GROUP BY 1),
+        |p2 AS (SELECT CAST(regexp_extract(p_brand, '[0-9]+') AS BIGINT) AS promo_id,
+        |  'PROMO ' || p_brand AS promo_name, TRUE AS is_active,
+        |  CAST(n_parts AS BIGINT) AS n_parts,
+        |  CAST(price_dec AS DOUBLE)/n_parts AS avg_retail FROM promo
+        |UNION ALL
+        |SELECT -1, 'NO_PROMOTION', TRUE, 0, NULL)
+        |SELECT promo_id, md5('promo:' || CAST(promo_id AS VARCHAR)) AS promo_sk,
+        |  promo_name, is_active, n_parts, avg_retail
+        |FROM p2 ORDER BY promo_id""".stripMargin,
+
+    "dim_account" ->
+      """WITH c(account_code, account_name, account_type, category, level, parent_code, is_active) AS (VALUES
+        |  ('4000', 'Operating Income', 'revenue', 'P&L', 1, '', TRUE),
+        |  ('4100', 'REVENUE', 'revenue', 'P&L', 2, '4000', TRUE),
+        |  ('4200', 'DISCOUNT', 'contra-revenue', 'P&L', 2, '4000', TRUE),
+        |  ('2000', 'Current Liabilities', 'liability', 'BALANCE', 1, '', TRUE),
+        |  ('2100', 'TAX', 'liability', 'BALANCE', 2, '2000', TRUE),
+        |  ('9999', 'Suspense', 'other', 'NONE', 1, '', FALSE))
+        |SELECT account_code, md5('acct:' || account_code) AS account_sk,
+        |  account_name, account_type, category, CAST(level AS BIGINT) AS level,
+        |  parent_code, is_active
+        |FROM c ORDER BY account_code""".stripMargin,
 
     "scd2_customer" ->
       """WITH daily AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,

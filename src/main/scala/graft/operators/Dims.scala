@@ -216,6 +216,74 @@ object Dims {
       .orderBy("pay_method_id")
   }
 
+  /** Tax-rate dim distilled from observed line tax rates (ref
+    * complete_dimension_builder.py:745 `build_dim_impuestos` ships a
+    * static 3-rate catalog; here the catalog is data-derived — every
+    * distinct rate with usage counts and a classification).
+    */
+  def dimTaxRate(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(rate(col("l_tax")).as("tax_rate_dec"))
+      .agg(count(lit(1)).as("n_lines"))
+      .select(
+        (col("tax_rate_dec") * 100).cast(LongType).as("tax_rate_key"),
+        surrogate("tax", (col("tax_rate_dec") * 100).cast(LongType)).as("tax_sk"),
+        dbl(col("tax_rate_dec")).as("tax_rate"),
+        when(col("tax_rate_dec") === 0, "EXEMPT")
+          .when(col("tax_rate_dec") < 0.05, "REDUCED")
+          .otherwise("STANDARD").as("tax_class"),
+        col("n_lines"))
+      .orderBy("tax_rate_key")
+
+  /** Promotion dim from the PROMO part family plus the reference's
+    * mandatory default row (ref :766 `build_dim_promocion` prepends a
+    * "Sin Promoción" record so facts without a promotion still resolve
+    * a surrogate). One promo row per brand carrying PROMO-typed parts.
+    */
+  def dimPromotion(part: DataFrame): DataFrame = {
+    val promo = part.filter(col("p_type") === "PROMO")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(money(col("p_retailprice"))).as("price_dec"))
+      .select(
+        regexp_extract(col("p_brand"), "[0-9]+", 0).cast(LongType).as("promo_id"),
+        concat(lit("PROMO "), col("p_brand")).as("promo_name"),
+        lit(true).as("is_active"),
+        col("n_parts"),
+        (dbl(col("price_dec")) / col("n_parts")).as("avg_retail"))
+    val default = promo.sparkSession.range(1).select(
+      lit(-1L).as("promo_id"), lit("NO_PROMOTION").as("promo_name"),
+      lit(true).as("is_active"), lit(0L).as("n_parts"),
+      lit(null).cast("double").as("avg_retail"))
+    default.unionByName(promo)
+      .select(col("promo_id"), surrogate("promo", col("promo_id")).as("promo_sk"),
+        col("promo_name"), col("is_active"), col("n_parts"), col("avg_retail"))
+      .orderBy("promo_id")
+  }
+
+  /** Chart-of-accounts dim (ref :1013 `build_dim_cuenta_contable`:
+    * code/name/type/category/level/parent/active). Static reference
+    * data aligned with the fact_pnl account buckets so the P&L fact
+    * resolves against it.
+    */
+  def dimAccount(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = Seq(
+      ("4000", "Operating Income", "revenue", "P&L", 1L, "", true),
+      ("4100", "REVENUE", "revenue", "P&L", 2L, "4000", true),
+      ("4200", "DISCOUNT", "contra-revenue", "P&L", 2L, "4000", true),
+      ("2000", "Current Liabilities", "liability", "BALANCE", 1L, "", true),
+      ("2100", "TAX", "liability", "BALANCE", 2L, "2000", true),
+      ("9999", "Suspense", "other", "NONE", 1L, "", false))
+    rows.toDF("account_code", "account_name", "account_type",
+        "category", "level", "parent_code", "is_active")
+      .select(col("account_code"),
+        surrogate("acct", col("account_code")).as("account_sk"),
+        col("account_name"), col("account_type"), col("category"),
+        col("level"), col("parent_code"), col("is_active"))
+      .orderBy("account_code")
+  }
+
   /** SCD Type-2 customer activity versions from order history: each
     * active day opens a version; valid_to = next version's start
     * (generalizes the reference loader's overwrite-upsert into proper
