@@ -134,4 +134,26 @@ object Etl {
     Loader.truncateAndLoad(reportDf, s"$outDir/etl_run_report")
     reportDf
   }
+
+  /** Export every landed warehouse table as headered CSV (the
+    * reference ships a driver-side Excel exporter —
+    * exportar_dimensiones_excel.py; CSV is the scale-sane stand-in:
+    * distributed writes, no single-process workbook). Returns a
+    * (table, rows) report; row counts come from the parquet footers,
+    * not a re-scan of the export.
+    */
+  def exportCsv(spark: SparkSession, warehouseDir: String,
+                exportDir: String): DataFrame = {
+    import spark.implicits._
+    val tables = Option(new java.io.File(warehouseDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      .map(_.getName).sorted.toSeq
+    val rows = tables.map { t =>
+      val df = spark.read.parquet(s"$warehouseDir/$t")
+      Tables.writeCsv(df, s"$exportDir/$t")
+      (t, df.count())
+    }
+    rows.toDF("table", "rows")
+  }
 }

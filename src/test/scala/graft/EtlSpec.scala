@@ -45,5 +45,14 @@ class EtlSpec extends AnyFunSuite {
     assert(persisted.count() === report.length.toLong)
     assert(persisted.columns.toSeq ===
       Seq("stage", "table", "rows", "seconds", "status"))
+
+    // export surface: every landed table round-trips to headered CSV
+    val exp = Files.createTempDirectory("graft_export").toString
+    val expReport = Etl.exportCsv(spark, out, exp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(expReport("dim_customer") === 1500L)
+    val csvCount = spark.read.option("header", "true")
+      .csv(s"$exp/dim_customer").count()
+    assert(csvCount === 1500L)
   }
 }
