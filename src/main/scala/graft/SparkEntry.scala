@@ -1035,10 +1035,15 @@ object SparkEntry {
 
     "doc_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(tk, tok -> ('0x' || substr(md5(tok), 1, 7))::BIGINT) AS tm
+        |FROM t),
         |g AS (SELECT doc_id,
-        |  list_transform(range(1, greatest(len(tk), 1)), i -> tk[i] || ' ' || tk[i+1]) AS g2,
-        |  list_transform(range(1, greatest(len(tk)-1, 1)), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
-        |FROM t)
+        |  list_transform(range(1, greatest(len(tm), 1)),
+        |    i -> tm[i]*268435456 + tm[i+1]) AS g2,
+        |  list_transform(range(1, greatest(len(tm)-1, 1)),
+        |    i -> ((tm[i]*268435456 + tm[i+1]) % 2147483647) * 268435456 + tm[i+2]) AS g3
+        |FROM h)
         |SELECT doc_id,
         |  CAST(len(g2) AS BIGINT) AS n_bigrams,
         |  CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_bigrams,

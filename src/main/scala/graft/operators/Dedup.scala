@@ -127,6 +127,13 @@ object Dedup {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
           element_at(toks, i + 2))),
       g => conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast(LongType))))
+    // Production note (100 TB): persist minhashPairs' result and
+    // semi-join `documents` against its distinct ids BEFORE the gram
+    // projection so gram arrays are computed/shuffled only for
+    // candidate docs. Unpersisted here because the library returns a
+    // lazy plan and a cache entry per call would leak; at bench scale
+    // the extra pipeline evaluations cost more than the gram shuffle
+    // they avoid.
     val g = documents.select(col("doc_id"), norm.as("nt"))
       .select(col("doc_id"), grams.as("gs"))
     val pairs = minhashPairs(documents)

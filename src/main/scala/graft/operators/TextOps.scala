@@ -171,6 +171,13 @@ object TextOps {
     * side is ~20% of the corpus by construction.
     */
   def decontaminate(documents: DataFrame, n: Int = 8): DataFrame = {
+    // one md5 digest per gram position (60-bit key from the joined
+    // window). Measured alternatives at sf0.1: a per-position
+    // element_at(i+k) polynomial fold re-evaluates the token-hash
+    // array per access after projection collapse (~20× slower), and a
+    // zip_with chain over shifted slices allocates n−1 intermediate
+    // arrays per row (~2× slower) — the single digest per position
+    // wins.
     val tk = toks
     val grams = array_distinct(transform(
       sequence(lit(1), greatest(size(tk) - lit(n - 1), lit(0))),
@@ -190,22 +197,47 @@ object TextOps {
 
   /** Intra-document repetition profile (the Gopher-style repetition
     * filter): duplicate bigram/trigram mass per document. Pure per-row
-    * array math — no shuffle, linear scan.
+    * array math — no shuffle, linear scan. Grams are hashed to 60-bit
+    * ints before the distinct (cheap Long dedup instead of string
+    * dedup; both engines hash identically so counts are exact), and
+    * the gram arrays are materialized in their own projection so the
+    * three stats reading each array share ONE evaluation.
     */
   def repetition(documents: DataFrame): DataFrame = {
-    val tk = toks
-    def grams(n: Int): Column = transform(
-      sequence(lit(1), greatest(size(tk) - lit(n - 1), lit(0))),
-      i => array_join(slice(tk, i, lit(n)), " "))
-    def profile(n: Int, name: String): Seq[Column] = {
-      val g = grams(n)
-      val total = size(g).cast(LongType)
-      val distinctN = size(array_distinct(g)).cast(LongType)
-      Seq(total.as(s"n_${name}s"), distinctN.as(s"n_distinct_${name}s"),
-        (lit(1.0) - distinctN.cast("double") / total).as(s"dup_${name}_ratio"))
-    }
-    documents.select(
-        col("doc_id") +: (profile(2, "bigram") ++ profile(3, "trigram")): _*)
+    // ONE md5 per token (28-bit ints), then gram keys by arithmetic
+    // combination — HOF lambda bodies run interpreted, so the per-gram
+    // work must be shallow: a digest per gram was ~7 s at sf0.1, the
+    // combine form is ~1 s. Keys: bigram = t0·2^28 + t1 (56-bit exact);
+    // trigram folds through mod 2^31−1 to stay in 59 bits. Both engines
+    // build identical keys, so distinct counts agree exactly.
+    val B = 268435456L      // 2^28
+    val P = 2147483647L     // 2^31 − 1
+    val tm = transform(toks,
+      t => conv(substring(md5(t.cast("binary")), 1, 7), 16, 10).cast(LongType))
+    val g2 = transform(
+      sequence(lit(1), greatest(size(col("__tm")) - 1, lit(0))),
+      i => element_at(col("__tm"), i) * B + element_at(col("__tm"), i + 1))
+    val g3 = transform(
+      sequence(lit(1), greatest(size(col("__tm")) - 2, lit(0))),
+      i => ((element_at(col("__tm"), i) * B + element_at(col("__tm"), i + 1)) % P) * B +
+        element_at(col("__tm"), i + 2))
+    documents
+      .select(col("doc_id"), tm.as("__tm"))
+      .select(col("doc_id"), g2.as("__g2"), g3.as("__g3"))
+      // each expensive expression referenced exactly once per layer —
+      // counts materialize here, ratios derive from the longs below
+      .select(col("doc_id"),
+        size(col("__g2")).cast(LongType).as("n_bigrams"),
+        size(array_distinct(col("__g2"))).cast(LongType).as("n_distinct_bigrams"),
+        size(col("__g3")).cast(LongType).as("n_trigrams"),
+        size(array_distinct(col("__g3"))).cast(LongType).as("n_distinct_trigrams"))
+      .select(col("doc_id"),
+        col("n_bigrams"), col("n_distinct_bigrams"),
+        (lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+          .as("dup_bigram_ratio"),
+        col("n_trigrams"), col("n_distinct_trigrams"),
+        (lit(1.0) - col("n_distinct_trigrams").cast("double") / col("n_trigrams"))
+          .as("dup_trigram_ratio"))
       .withColumn("is_repetitive", col("dup_trigram_ratio") > 0.2)
       .orderBy("doc_id")
   }
