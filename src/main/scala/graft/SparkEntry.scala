@@ -85,6 +85,13 @@ object SparkEntry {
       Analytics.promoShare(t(s, d, "lineitem"), t(s, d, "part"))),
     "q22_dormant_rich" -> ((s, d) =>
       Analytics.dormantRichCustomers(t(s, d, "customer"), t(s, d, "orders"))),
+    "q6_forecast_revenue" -> ((s, d) => Analytics.forecastRevenue(t(s, d, "lineitem"))),
+    "q10_returned_customers" -> ((s, d) => Analytics.returnedRevenue(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
+    "q12_lateness_by_flag" -> ((s, d) =>
+      Analytics.latenessByFlag(t(s, d, "lineitem"), t(s, d, "orders"))),
+    "q19_bracket_revenue" -> ((s, d) =>
+      Analytics.bracketRevenue(t(s, d, "lineitem"), t(s, d, "part"))),
     "q2_min_cost_supp" -> ((s, d) => Analytics.minCostSupplier(
       t(s, d, "lineitem"), t(s, d, "part"), t(s, d, "supplier"),
       t(s, d, "nation"), t(s, d, "region"))),
@@ -628,6 +635,47 @@ object SparkEntry {
         |WHERE c_acctbal > a.avg_bal
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(19,6))) AS DOUBLE) AS revenue_uplift
+        |FROM lineitem
+        |WHERE year(CAST(l_shipdate AS DATE)) = 1996
+        |  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_customers" ->
+      s"""WITH li AS ($liCte),
+         |r AS (SELECT o_custkey, SUM(net) AS lost_dec, count(*) AS n_return_lines
+         |  FROM li JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag = 'R'
+         |    AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+         |    AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+         |  GROUP BY 1)
+         |SELECT c_custkey, c_name, n_name AS nation,
+         |  CAST(lost_dec AS DOUBLE) AS lost_revenue, n_return_lines
+         |FROM r JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_lateness_by_flag" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS n_high_priority_late,
+        |  count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS n_low_priority_late
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q19_bracket_revenue" ->
+      s"""WITH li AS ($liCte),
+         |j AS (SELECT p_brand, net FROM li
+         |  JOIN part ON l_partkey = p_partkey
+         |  WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         |     OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+         |     OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40))
+         |SELECT p_brand, count(*) AS n_lines, CAST(SUM(net) AS DOUBLE) AS revenue
+         |FROM j GROUP BY 1 ORDER BY p_brand""".stripMargin,
 
     "q2_min_cost_supp" ->
       """WITH costs AS (SELECT l_partkey, l_suppkey,

@@ -298,6 +298,78 @@ object Analytics {
         expr("round(percentile(o_totalprice, 0.99), 2)").as("p99"))
       .orderBy("o_orderpriority")
 
+  /** TPC-H Q6-shaped: revenue uplift from a discount band in one year —
+    * a pure filtered aggregate; the whole query is scan + map-side
+    * partial sum, the cheapest possible shape.
+    */
+  def forecastRevenue(lineitem: DataFrame, year: Int = 1996,
+                      discLo: Double = 0.02, discHi: Double = 0.04,
+                      maxQty: Double = 24): DataFrame =
+    lineitem
+      .filter(org.apache.spark.sql.functions.year(to_date(col("l_shipdate"))) === year &&
+        rate(col("l_discount")).between(discLo, discHi) &&
+        col("l_quantity") < maxQty)
+      .agg(count(lit(1)).as("n_lines"),
+        dbl(sum((money(col("l_extendedprice")) * rate(col("l_discount")))
+          .cast(DecimalType(19, 6)))).as("revenue_uplift"))
+
+  /** TPC-H Q10-shaped: customers ranked by revenue lost to returned
+    * items in a quarter (returnflag = 'R'), top-20 with geography.
+    */
+  def returnedRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                      nation: DataFrame, qStart: String = "1996-01-01",
+                      qEnd: String = "1996-04-01"): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders.filter(to_date(col("o_orderdate")) >= lit(qStart) &&
+          to_date(col("o_orderdate")) < lit(qEnd))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(netDec).as("lost_dec"), count(lit(1)).as("n_return_lines"))
+      .join(broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+        dbl(col("lost_dec")).as("lost_revenue"), col("n_return_lines"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q12-shaped (shipmode → returnflag adapted): per return flag,
+    * how many high- vs low-priority orders shipped late. Conditional
+    * aggregation over one join.
+    */
+  def latenessByFlag(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 30))
+      .groupBy(col("l_returnflag"))
+      .agg(count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("n_high_priority_late"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("n_low_priority_late"))
+      .orderBy("l_returnflag")
+
+  /** TPC-H Q19-shaped: revenue from disjunctive (brand × size × qty)
+    * brackets — the predicate-pushdown stress shape; the OR of brackets
+    * is one scan with the disjunction pushed to the join filter.
+    */
+  def bracketRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val j = lineitem.join(broadcast(part.select("p_partkey", "p_brand", "p_size")),
+      col("l_partkey") === col("p_partkey"))
+    val bracket1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1, 20)
+    val bracket2 = col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+      col("l_quantity").between(10, 30)
+    val bracket3 = col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+      col("l_quantity").between(20, 40)
+    j.filter(bracket1 || bracket2 || bracket3)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"), dbl(sum(netDec)).as("revenue"))
+      .orderBy("p_brand")
+  }
+
   /** TPC-H Q2-shaped: cheapest eligible supplier per part. Supply cost
     * = min historical line price per (part, supplier); eligibility =
     * STANDARD small parts × EUROPE suppliers; winner = cost equal to
