@@ -58,6 +58,8 @@ object SparkEntry {
       t(s, d, "documents"), Tables.events(s, d), t(s, d, "lineitem"))),
     "reconcile_orders" -> ((s, d) =>
       Validation.reconcileOrders(t(s, d, "lineitem"), t(s, d, "orders"))),
+    "validate_freshness" -> ((s, d) => Validation.freshness(
+      t(s, d, "orders"), t(s, d, "lineitem"), Tables.events(s, d))),
     // ---- C. analytics ----
     "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(t(s, d, "lineitem"))),
     "q3_top_unshipped" -> ((s, d) =>
@@ -104,6 +106,7 @@ object SparkEntry {
       t(s, d, "lineitem"), t(s, d, "part"), t(s, d, "supplier"),
       t(s, d, "nation"), t(s, d, "region"))),
     "events_session_window" -> ((s, d) => EventOps.sessionWindows(Tables.events(s, d))),
+    "events_new_returning" -> ((s, d) => EventOps.newVsReturning(Tables.events(s, d))),
     "asof_join_events_orders" -> ((s, d) =>
       EventOps.asofJoinEventsOrders(Tables.events(s, d), t(s, d, "orders"))),
     "asof_join_custom" -> ((s, d) =>
@@ -140,7 +143,8 @@ object SparkEntry {
     "multimodal_frames" -> ((s, d) => Multimodal.frameSample(t(s, d, "documents"))),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(t(s, d, "embeddings"))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
-    "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents")))
+    "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
+    "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents")))
   )
 
   // ---------------------------------------------------------------------
@@ -394,6 +398,39 @@ object SparkEntry {
         |  CAST(closing_dec - spend_dec AS DOUBLE) AS opening_balance,
         |  CAST(closing_dec AS DOUBLE) AS closing_balance
         |FROM c ORDER BY c_custkey, month""".stripMargin,
+
+    "validate_freshness" ->
+      """WITH p AS (
+        |  SELECT 'orders' AS table_name, max(CAST(o_orderdate AS DATE)) AS max_date FROM orders
+        |  UNION ALL SELECT 'lineitem', max(CAST(l_shipdate AS DATE)) FROM lineitem
+        |  UNION ALL SELECT 'events', max(CAST(ts AS DATE)) FROM events),
+        |g AS (SELECT max(max_date) AS gm FROM p)
+        |SELECT table_name, max_date,
+        |  CAST(date_diff('day', max_date, gm) AS BIGINT) AS lag_days,
+        |  date_diff('day', max_date, gm) > 30 AS is_stale
+        |FROM p, g ORDER BY table_name""".stripMargin,
+
+    "events_new_returning" ->
+      """WITH a AS (SELECT DISTINCT user_id, date_trunc('month', CAST(ts AS DATE)) AS m FROM events),
+        |f AS (SELECT user_id, min(m) AS fm FROM a GROUP BY 1)
+        |SELECT m AS month, count(*) AS n_active,
+        |  count(*) FILTER (m = fm) AS n_new,
+        |  count(*) - count(*) FILTER (m = fm) AS n_returning
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "multimodal_audio" ->
+      """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+        |d AS (SELECT doc_id, nb*37 % 50000 + 1000 AS duration_ms FROM t),
+        |w AS (SELECT doc_id, duration_ms,
+        |  CAST((duration_ms + 9999)//10000 AS BIGINT) AS n_windows FROM d),
+        |e AS (SELECT doc_id, duration_ms, n_windows,
+        |  unnest(range(0, n_windows)) AS window_idx FROM w)
+        |SELECT doc_id, duration_ms, n_windows, window_idx,
+        |  window_idx*10000 AS start_ms,
+        |  least((window_idx+1)*10000, duration_ms) AS end_ms,
+        |  md5(CAST(doc_id AS VARCHAR) || ':aw:' || CAST(window_idx AS VARCHAR)) AS window_md5
+        |FROM e ORDER BY doc_id, window_idx""".stripMargin,
 
     "dim_time_of_day" ->
       """WITH h AS (SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, count(*) AS n_events

@@ -221,6 +221,25 @@ object EventOps {
       .orderBy("cohort_month", "month_n")
   }
 
+  /** New-vs-returning users per month: a user is "new" in their
+    * first-activity month, "returning" in every later active month —
+    * the growth-accounting twin of [[cohortRetention]]. Two shuffles
+    * (per-user distinct months, then the monthly rollup), both on
+    * well-distributed keys.
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val am = trunc(to_date(col("ts")), "month")
+    val activity = events.select(col("user_id"), am.as("activity_month")).distinct()
+    val firstMonth = activity.groupBy("user_id")
+      .agg(min(col("activity_month")).as("first_month"))
+    activity.join(firstMonth, Seq("user_id"))
+      .groupBy(col("activity_month").as("month"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("activity_month") === col("first_month"), 1)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .orderBy("month")
+  }
+
   /** Per-type anomaly profile: moments computed from exact decimal
     * sums (mean/std via the explicit two-moment formula — engine
     * stddev implementations differ numerically, Σ/Σ² don't), then

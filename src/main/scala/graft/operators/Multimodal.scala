@@ -59,6 +59,30 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Audio-style window segmentation (stub): a deterministic duration
+    * from the payload size, sliced into fixed 10-second analysis
+    * windows (last window truncated) — the feature-extraction grain an
+    * audio pipeline feeds to an encoder. Same narrow-explode shape as
+    * [[frameSample]]; a real demuxer replaces only the duration/sample
+    * derivation.
+    */
+  def audioWindows(documents: DataFrame, windowMs: Long = 10000L): DataFrame = {
+    val nBytes = octet_length(col("text")).cast(LongType)
+    documents
+      .select(col("doc_id"), nBytes.as("n_bytes"),
+        (nBytes * 37 % 50000 + 1000).as("duration_ms"))
+      .select(col("doc_id"), col("duration_ms"),
+        ((col("duration_ms") + windowMs - 1) / windowMs).cast(LongType).as("n_windows"))
+      .select(col("doc_id"), col("duration_ms"), col("n_windows"),
+        explode(sequence(lit(0L), col("n_windows") - 1)).as("window_idx"))
+      .select(col("doc_id"), col("duration_ms"), col("n_windows"), col("window_idx"),
+        (col("window_idx") * windowMs).as("start_ms"),
+        least((col("window_idx") + 1) * windowMs, col("duration_ms")).as("end_ms"),
+        md5(concat(col("doc_id").cast(StringType), lit(":aw:"),
+          col("window_idx").cast(StringType)).cast(BinaryType)).as("window_md5"))
+      .orderBy("doc_id", "window_idx")
+  }
+
   /** Decoded-frame schema produced by the (stubbed) codec stage. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

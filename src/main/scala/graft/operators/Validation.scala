@@ -170,4 +170,28 @@ object Validation {
         dbl(sum(col("diff_dec"))).as("total_diff"))
       .orderBy("o_orderstatus")
   }
+
+  /** Data-freshness check across the time-bearing tables: per table,
+    * newest record date and its lag (days) behind the freshest table —
+    * the staleness alarm an operational warehouse runs after each load
+    * (the reference logs per-table extract timestamps; this makes the
+    * check a queryable result). One tiny 1-row aggregate per table,
+    * cross-joined to the global max — no data-size-dependent state.
+    */
+  def freshness(orders: DataFrame, lineitem: DataFrame,
+                events: DataFrame): DataFrame = {
+    val perTable = Seq(
+      ("orders", orders.agg(max(to_date(col("o_orderdate"))).as("max_date"))),
+      ("lineitem", lineitem.agg(max(to_date(col("l_shipdate"))).as("max_date"))),
+      ("events", events.agg(max(to_date(col("ts"))).as("max_date"))))
+      .map { case (name, df) => df.select(lit(name).as("table_name"), col("max_date")) }
+      .reduce(_ unionByName _)
+    val global = perTable.agg(max(col("max_date")).as("global_max"))
+    perTable.crossJoin(broadcast(global))
+      .select(col("table_name"), col("max_date"),
+        datediff(col("global_max"), col("max_date")).cast(org.apache.spark.sql.types.LongType)
+          .as("lag_days"))
+      .withColumn("is_stale", col("lag_days") > 30)
+      .orderBy("table_name")
+  }
 }
