@@ -298,6 +298,24 @@ object Analytics {
         expr("round(percentile(o_totalprice, 0.99), 2)").as("p99"))
       .orderBy("o_orderpriority")
 
+  /** The 100 TB path for [[orderValuePercentiles]]: percentile_approx
+    * (t-digest-style sketch, bounded memory per group) instead of the
+    * exact sort-based `percentile`, whose aggregation buffer holds
+    * EVERY group value — 10⁸⁺ rows per buffer at fact scale. Accuracy
+    * 10⁴ bounds the rank error to ~0.01 %; spec quantifies agreement
+    * with the exact form. The exact variant stays registered for the
+    * oracle (sketch merge order is engine-specific, so the approx form
+    * is not hash-comparable).
+    */
+  def orderValuePercentilesApprox(orders: DataFrame,
+                                  accuracy: Int = 10000): DataFrame =
+    orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        expr(s"round(approx_percentile(o_totalprice, 0.5, $accuracy), 2)").as("p50"),
+        expr(s"round(approx_percentile(o_totalprice, 0.9, $accuracy), 2)").as("p90"),
+        expr(s"round(approx_percentile(o_totalprice, 0.99, $accuracy), 2)").as("p99"))
+      .orderBy("o_orderpriority")
+
   /** TPC-H Q6-shaped: revenue uplift from a discount band in one year —
     * a pure filtered aggregate; the whole query is scan + map-side
     * partial sum, the cheapest possible shape.

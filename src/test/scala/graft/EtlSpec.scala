@@ -46,6 +46,15 @@ class EtlSpec extends AnyFunSuite {
     assert(persisted.columns.toSeq ===
       Seq("stage", "table", "rows", "seconds", "status"))
 
+    // the landed warehouse serves SQL directly through the facade
+    val registered = Graft.registerWarehouse(spark, out)
+    assert(registered.contains("fact_sales") && registered.contains("dim_customer"))
+    val sqlRows = spark.sql(
+      """SELECT d.balance_tier, count(*) AS n
+        |FROM fact_sales f JOIN dim_customer d ON f.customer_sk = d.customer_sk
+        |GROUP BY 1""".stripMargin).collect()
+    assert(sqlRows.map(_.getLong(1)).sum === 60000L)
+
     // export surface: every landed table round-trips to headered CSV
     val exp = Files.createTempDirectory("graft_export").toString
     val expReport = Etl.exportCsv(spark, out, exp).collect()

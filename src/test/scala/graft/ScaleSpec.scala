@@ -48,6 +48,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"global bottleneck:\n$plan")
   }
 
+  test("approx percentiles track exact percentiles within sketch tolerance") {
+    val orders = Tables.orders(spark, sf)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val exact = toMap(graft.operators.Analytics.orderValuePercentiles(orders))
+    val approx = toMap(graft.operators.Analytics.orderValuePercentilesApprox(orders))
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, (e50, e90, e99)) =>
+      val (a50, a90, a99) = approx(k)
+      // rank error ≤ 1/accuracy ⇒ values within 2% of range at test scale
+      Seq((e50, a50), (e90, a90), (e99, a99)).foreach { case (e, a) =>
+        assert(math.abs(e - a) / e < 0.02, s"$k: exact $e vs approx $a")
+      }
+    }
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val dir = Files.createTempDirectory("graft_part").toString + "/orders_by_status"
     Partitioning.writePartitioned(Tables.orders(spark, sf), dir, Seq("o_orderstatus"))
