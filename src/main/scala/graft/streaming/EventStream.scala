@@ -91,6 +91,39 @@ object EventStream {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** Streaming incremental fact maintenance: the transaction fact
+    * (user × type × day grain, same as Facts.factTransactions) kept
+    * up to date by micro-batch upserts — each update-mode batch emits
+    * the changed grains, foreachBatch merges them into the parquet
+    * sink with keep-latest semantics (Loader.upsertKeepLatest keyed on
+    * the grain, ordered by batch id). This is the streaming form of
+    * the reference's incremental load: state lives in the streaming
+    * aggregation, the sink always holds one current row per grain.
+    */
+  def factTransactionsStream(spark: SparkSession, dir: String,
+                             sinkPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    eventsStream(spark, dir)
+      .groupBy(col("user_id"), col("event_type"), to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val incoming = batch.withColumn("__batch", lit(batchId))
+        val existing =
+          if (new java.io.File(sinkPath).exists())
+            spark.read.parquet(sinkPath)
+              .withColumn("__batch", lit(-1L)) // pre-existing rows lose ties
+          else incoming.limit(0)
+        val merged = graft.sources.Loader.upsertKeepLatest(
+            existing, incoming, Seq("user_id", "event_type", "event_date"), "__batch")
+          .drop("__batch")
+          // materialize before overwriting the path being read
+          .localCheckpoint(eager = true)
+        graft.sources.Loader.truncateAndLoad(merged, sinkPath)
+        ()
+      }
+      .start()
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   case class SessionOut(user_id: Long, session_n: Long, n_events: Long)
   case class SessState(sessionN: Long, lastTsMicros: Long, count: Long)

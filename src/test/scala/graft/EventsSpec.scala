@@ -105,6 +105,19 @@ class EventsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming incremental fact upsert converges to the batch fact") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_factstream")
+      .toString + "/fact_transactions"
+    val q = EventStream.factTransactionsStream(spark, sf, sink)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(sink)
+      .select("user_id", "event_type", "event_date", "n_events", "total_value")
+    val batch = graft.operators.Facts.factTransactions(Tables.events(spark, sf))
+      .select("user_id", "event_type", "event_date", "n_events", "total_value")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming sessionization matches batch closed sessions") {
     val q = EventStream.sessionizeStream(spark, sf)
       .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
