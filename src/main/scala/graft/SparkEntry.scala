@@ -107,6 +107,7 @@ object SparkEntry {
       t(s, d, "nation"), t(s, d, "region"))),
     "events_session_window" -> ((s, d) => EventOps.sessionWindows(Tables.events(s, d))),
     "events_new_returning" -> ((s, d) => EventOps.newVsReturning(Tables.events(s, d))),
+    "events_sliding" -> ((s, d) => EventOps.slidingActivity(Tables.events(s, d))),
     "asof_join_events_orders" -> ((s, d) =>
       EventOps.asofJoinEventsOrders(Tables.events(s, d), t(s, d, "orders"))),
     "asof_join_custom" -> ((s, d) =>
@@ -418,6 +419,17 @@ object SparkEntry {
         |  count(*) - count(*) FILTER (m = fm) AS n_returning
         |FROM a JOIN f USING (user_id)
         |GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "events_sliding" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS tus FROM events),
+        |w AS (SELECT event_type, value,
+        |  (tus // 900000000) * 900000000 - j * 900000000 AS start_us
+        |FROM e, (SELECT unnest(range(0, 4)) AS j))
+        |SELECT make_timestamp(start_us) AS window_start,
+        |  make_timestamp(start_us + 3600000000) AS window_end,
+        |  event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
 
     "multimodal_audio" ->
       """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),

@@ -221,6 +221,22 @@ object EventOps {
       .orderBy("cohort_month", "month_n")
   }
 
+  /** Sliding-window activity: 1-hour windows advancing every 15
+    * minutes (each event lands in 4 overlapping windows) — the
+    * trailing-indicator grain dashboards read. Spark's native
+    * `window(ts, len, slide)` generator; the oracle replicates the
+    * epoch-aligned window starts at µs precision.
+    */
+  def slidingActivity(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dbl(sum(col("value").cast(DecimalType(18, 6)))).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
   /** New-vs-returning users per month: a user is "new" in their
     * first-activity month, "returning" in every later active month —
     * the growth-accounting twin of [[cohortRetention]]. Two shuffles
