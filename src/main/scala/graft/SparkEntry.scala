@@ -131,6 +131,7 @@ object SparkEntry {
     "doc_split" -> ((s, d) => TextOps.split_assign(t(s, d, "documents"))),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(t(s, d, "documents"))),
     "doc_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
+    "corpus_funnel" -> ((s, d) => TextOps.corpusFunnel(t(s, d, "documents"))),
     "doc_split_summary" -> ((s, d) => TextOps.splitSummary(t(s, d, "documents"))),
     "doc_rolling_fp" -> ((s, d) => TextOps.rollingHash(t(s, d, "documents"))),
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
@@ -1150,6 +1151,37 @@ object SparkEntry {
         |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) AS dup_trigram_ratio,
         |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) > 0.2 AS is_repetitive
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "corpus_funnel" ->
+      """WITH s AS (SELECT doc_id, text, lower(trim(text)) AS nt, length(text) AS nc,
+        |  string_split(lower(trim(text)), ' ') AS tk,
+        |  CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)/length(text) AS pr
+        |FROM documents),
+        |v AS (SELECT doc_id, nt, tk,
+        |  (CASE WHEN nc BETWEEN 100 AND 2000 THEN 1 ELSE 0 END
+        | + CASE WHEN len(tk) >= 20 THEN 1 ELSE 0 END
+        | + CASE WHEN CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to'))) AS DOUBLE)/len(tk)
+        |     BETWEEN 0.02 AND 0.6 THEN 1 ELSE 0 END
+        | + CASE WHEN pr < 0.1 THEN 1 ELSE 0 END) >= 3 AS keep FROM s),
+        |d AS (SELECT doc_id, keep, tk,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(nt)) AS is_dup FROM v),
+        |h AS (SELECT keep, is_dup,
+        |  list_transform(tk, tok -> ('0x' || substr(md5(tok), 1, 7))::BIGINT) AS tm FROM d),
+        |g AS (SELECT keep, is_dup,
+        |  list_transform(range(1, greatest(len(tm)-1, 1)),
+        |    i -> ((tm[i]*268435456 + tm[i+1]) % 2147483647) * 268435456 + tm[i+2]) AS g3 FROM h),
+        |r AS (SELECT keep, is_dup,
+        |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) > 0.2 AS is_rep FROM g),
+        |a AS (SELECT count(*) AS n_total,
+        |  count(*) FILTER (keep) AS n_quality,
+        |  count(*) FILTER (keep AND NOT is_dup) AS n_qd,
+        |  count(*) FILTER (keep AND NOT is_dup AND NOT is_rep) AS n_clean FROM r)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_n, 'total' AS stage, n_total AS n_docs FROM a
+        |  UNION ALL SELECT 2, 'quality', n_quality FROM a
+        |  UNION ALL SELECT 3, 'quality+dedup', n_qd FROM a
+        |  UNION ALL SELECT 4, 'quality+dedup+repetition', n_clean FROM a)
+        |ORDER BY stage_n""".stripMargin,
 
     "doc_split" ->
       """SELECT doc_id, lang,

@@ -195,6 +195,32 @@ object TextOps {
       .orderBy("train_doc", "eval_doc")
   }
 
+  /** Corpus-cleaning funnel: how many documents survive each filter
+    * stage — quality gate, then exact dedup, then repetition — the
+    * pipeline summary a training-data run reports (each stage is the
+    * conjunction of all previous filters). Composes the per-doc flags
+    * of [[textQuality]], [[Dedup.exact]] and [[repetition]] via
+    * doc_id joins, then unpivots the four cumulative counts.
+    */
+  def corpusFunnel(documents: DataFrame): DataFrame = {
+    val q = textQuality(documents).select(col("doc_id"), col("keep"))
+    val d = Dedup.exact(documents).select(col("doc_id"), col("is_dup"))
+    val r = repetition(documents).select(col("doc_id"), col("is_repetitive"))
+    q.join(d, Seq("doc_id")).join(r, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("keep"), 1)).as("n_quality"),
+        count(when(col("keep") && !col("is_dup"), 1)).as("n_qd"),
+        count(when(col("keep") && !col("is_dup") && !col("is_repetitive"), 1))
+          .as("n_clean"))
+      .selectExpr(
+        "stack(4, CAST(1 AS BIGINT), 'total', n_total, " +
+          "CAST(2 AS BIGINT), 'quality', n_quality, " +
+          "CAST(3 AS BIGINT), 'quality+dedup', n_qd, " +
+          "CAST(4 AS BIGINT), 'quality+dedup+repetition', n_clean) " +
+          "as (stage_n, stage, n_docs)")
+      .orderBy("stage_n")
+  }
+
   /** Intra-document repetition profile (the Gopher-style repetition
     * filter): duplicate bigram/trigram mass per document. Pure per-row
     * array math — no shuffle, linear scan. Grams are hashed to 60-bit

@@ -77,6 +77,35 @@ object Loader {
       .unionByName(keep).unionByName(closedNow).unionByName(opened).unionByName(fresh)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes/target) files — the maintenance job every incremental
+    * sink needs (micro-batch appends accumulate KB-scale files whose
+    * open/footer cost dominates scans at 100 TB). Rewrites through a
+    * temp directory then swaps; returns the resulting file count.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path)
+    val dataBytes = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    val n = math.max(1, math.ceil(dataBytes.toDouble / targetBytes).toInt)
+    val tmp = path + ".compact.tmp"
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap: remove original, move rewrite into place
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      Files.delete(p)
+    }
+    rm(dir)
+    Files.move(Paths.get(tmp), dir)
+    Files.list(dir).iterator().asScala
+      .count(p => p.getFileName.toString.endsWith(".parquet"))
+  }
+
   /** Incremental (checkpointed) load: process only rows with watermark
     * beyond the last committed high-water mark, then advance it — the
     * Spark shape of core/batch_processor.py's checkpoint/resume. The

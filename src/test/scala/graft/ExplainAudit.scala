@@ -14,7 +14,8 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
     val qs = if (args.nonEmpty) args.toSeq
-      else Seq("fact_sales", "q5_region_volume", "asof_join_events_orders", "dedup_jaccard")
+      else Seq("fact_sales", "q5_region_volume", "asof_join_events_orders",
+        "dedup_jaccard", "decontaminate", "q9_profit_nation", "events_sliding")
     for (q <- qs) {
       println(s"\n================ $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

@@ -83,6 +83,21 @@ class LoaderSpec extends AnyFunSuite {
     assert(Files.readString(markPath).trim.toLong === 300L)
   }
 
+  test("compaction shrinks file count and preserves rows exactly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (1 to 10000).map(i => (i.toLong, s"row_$i")).toDF("id", "v")
+    df.repartition(40).write.parquet(dir)
+    def files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files === 40)
+    val n = Loader.compact(spark, dir, targetBytes = 64L * 1024 * 1024)
+    assert(n < 40 && files === n)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 10000)
+    assert(back.agg(org.apache.spark.sql.functions.sum(col("id"))).head.getLong(0)
+      === (1 to 10000).map(_.toLong).sum)
+  }
+
   test("native cosine expression matches the declarative HOF form exactly") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
