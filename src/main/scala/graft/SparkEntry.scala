@@ -145,6 +145,7 @@ object SparkEntry {
     "multimodal_frames" -> ((s, d) => Multimodal.frameSample(t(s, d, "documents"))),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(t(s, d, "embeddings"))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
+    "embedding_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents")))
   )
@@ -1075,6 +1076,16 @@ object SparkEntry {
         |r AS (SELECT qid, nid, cos_sim,
         |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM s)
         |SELECT qid, rank, nid, cos_sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "embedding_centroids" ->
+      """WITH u AS (SELECT label,
+        |  unnest(list_transform(range(1, len(embedding)+1),
+        |    i -> {'i': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS e
+        |FROM embeddings)
+        |SELECT label, CAST(e.i - 1 AS BIGINT) AS dim_idx,
+        |  count(*) AS n_vectors,
+        |  CAST(SUM(CAST(round(e.v * 1e9) AS BIGINT)) AS DOUBLE)/1e9/count(*) AS mean_val
+        |FROM u GROUP BY 1, 2 ORDER BY label, dim_idx""".stripMargin,
 
     "embedding_stats" ->
       """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

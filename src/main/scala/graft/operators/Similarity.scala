@@ -167,6 +167,25 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Per-label centroid vectors in exploded long format (label ×
+    * dimension × mean): posexplode keys the shuffle on (label, dim) —
+    * uniform, 64×|labels| groups — and element sums go through
+    * DECIMAL(18,9) so the means are shuffle-order independent. The
+    * centroids feed probing/cluster-init downstream (and are the
+    * training step a learned IVF would add to [[knnIvf]]).
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos").cast(LongType).as("dim_idx"))
+      // exact integer nano-units: explicit round() ties away from zero
+      // in both engines (double→DECIMAL casts round differently across
+      // engines), then one exact Long sum
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(round(col("col").cast("double") * 1e9).cast(LongType)).cast("double") /
+          1e9 / count(lit(1))).as("mean_val"))
+      .orderBy("label", "dim_idx")
+
   /** Per-label corpus stats: count + exact-summed mean norm (norms cast
     * to DECIMAL before the group sum so results don't drift with task
     * order), min/max norm.
