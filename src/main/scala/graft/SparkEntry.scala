@@ -146,6 +146,8 @@ object SparkEntry {
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(t(s, d, "embeddings"))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
     "embedding_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d, "embeddings"))),
+    // rows-only: learned-codebook ANN (sketch-trained; recall spec-bound)
+    "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents")))
   )

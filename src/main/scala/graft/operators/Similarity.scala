@@ -116,9 +116,39 @@ object Similarity {
     // per-row argmax.)
     val centRows = embeddings.filter(col("vec_id") < nCentroids)
       .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
-    val cidsLit = typedLit(centRows.map(_._1).toSeq)
-    val centsLit = typedLit(centRows.map(_._2.toSeq).toSeq) // array<array<float>>
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
+    ivfSearch(embeddings, centRows.map(_._1), centRows.map(_._2),
+      nProbes, k, probeLists)
+  }
+
+  /** IVF with a TRAINED codebook: coarse centroids are the per-label
+    * mean vectors ([[labelCentroids]] — the training step a k-means IVF
+    * iterates; one pass here), then the same shuffle-free literal-
+    * codebook search as [[knnIvf]]. Lists follow the corpus's own
+    * cluster structure instead of arbitrary seed vectors, which is
+    * what recovers recall when labels ≈ modes. (On the synthetic test
+    * corpus the labels are uncorrelated with geometry, so per-label
+    * means sit near the origin and the seed-vector codebook of
+    * [[knnIvf]] actually wins — the spec reports both recalls rather
+    * than asserting an ordering.)
+    */
+  def knnIvfTrained(embeddings: DataFrame, nProbes: Int = 20, k: Int = 5,
+                    probeLists: Int = 2): DataFrame = {
+    val cents = labelCentroids(embeddings)
+      .select(col("label").cast(LongType), col("dim_idx"), col("mean_val"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (label, dims) =>
+        (label, dims.sortBy(_._2).map(_._3.toFloat).toSeq)
+      }
+    ivfSearch(embeddings, cents.map(_._1), cents.map(_._2), nProbes, k, probeLists)
+  }
+
+  private def ivfSearch(embeddings: DataFrame, cids: Seq[Long],
+                        cvecs: Seq[Seq[Float]], nProbes: Int, k: Int,
+                        probeLists: Int): DataFrame = {
+    val cidsLit = typedLit(cids)
+    val centsLit = typedLit(cvecs) // array<array<float>>
     // per-row centroid ranking: (−ccos, cid) sorted asc ≡ the old
     // window's (ccos desc, cid asc) — identical assignment + tie-break
     val ranked = array_sort(zip_with(

@@ -54,6 +54,18 @@ class SimilaritySpec extends AnyFunSuite {
     ivf.unpersist()
   }
 
+  test("trained-codebook ivf: structural guarantees; recall vs brute force reported") {
+    val emb = Tables.embeddings(spark, sf)
+    val ivf = Similarity.knnIvfTrained(emb).cache()
+    assert(ivf.filter(col("qid") === col("nid")).count() === 0)
+    assert(ivf.groupBy("qid").count().filter(col("count") > 5).count() === 0)
+    val brute = Similarity.knnBrute(emb)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(f"trained-IVF recall@5 = ${got.intersect(brute).size.toDouble / brute.size}%.2f")
+    ivf.unpersist()
+  }
+
   test("ivf: expression-argmax assignment ≡ old window-based reference; one Window in plan") {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, sf)
