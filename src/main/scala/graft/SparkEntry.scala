@@ -87,6 +87,10 @@ object SparkEntry {
       Analytics.promoShare(t(s, d, "lineitem"), t(s, d, "part"))),
     "q22_dormant_rich" -> ((s, d) =>
       Analytics.dormantRichCustomers(t(s, d, "customer"), t(s, d, "orders"))),
+    "q11_value_concentration" -> ((s, d) =>
+      Analytics.valueConcentration(t(s, d, "lineitem"))),
+    "q16_supplier_counts" -> ((s, d) => Analytics.supplierCountMatrix(
+      t(s, d, "lineitem"), t(s, d, "part"), t(s, d, "supplier"))),
     "q6_forecast_revenue" -> ((s, d) => Analytics.forecastRevenue(t(s, d, "lineitem"))),
     "q10_returned_customers" -> ((s, d) => Analytics.returnedRevenue(
       t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"), t(s, d, "nation"))),
@@ -688,6 +692,27 @@ object SparkEntry {
         |WHERE c_acctbal > a.avg_bal
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "q11_value_concentration" ->
+      """WITH p AS (SELECT l_partkey,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_dec,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(value_dec) AS total_dec FROM p)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value, n_lines
+        |FROM p, t
+        |WHERE value_dec > CAST(total_dec AS DECIMAL(24,2)) * CAST(0.0005 AS DECIMAL(12,6))
+        |ORDER BY part_value DESC, l_partkey LIMIT 100""".stripMargin,
+
+    "q16_supplier_counts" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |j AS (SELECT p_brand, p_type, p_size, l_suppkey
+        |  FROM ps JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type <> 'PROMO'
+        |    AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0))
+        |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS n_suppliers
+        |FROM j GROUP BY 1, 2, 3
+        |ORDER BY n_suppliers DESC, p_brand, p_type, p_size LIMIT 100""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT count(*) AS n_lines,

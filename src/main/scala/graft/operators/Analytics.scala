@@ -388,6 +388,47 @@ object Analytics {
       .orderBy("p_brand")
   }
 
+  /** TPC-H Q11-shaped: value concentration — parts whose shipped value
+    * exceeds a fraction of the global total. The global scalar comes
+    * from a broadcast 1-row aggregate (no window); the threshold test
+    * is decimal-exact via multiplication.
+    */
+  def valueConcentration(lineitem: DataFrame, fraction: Double = 0.0005,
+                         topN: Int = 100): DataFrame = {
+    val perPart = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(money(col("l_extendedprice"))).as("value_dec"),
+        count(lit(1)).as("n_lines"))
+    val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
+    perPart.crossJoin(broadcast(total))
+      // cast ladder keeps the product inside 38 digits in BOTH engines
+      .filter(col("value_dec") >
+        col("total_dec").cast(DecimalType(24, 2)) *
+          lit(fraction).cast(DecimalType(12, 6)))
+      .select(col("l_partkey"), dbl(col("value_dec")).as("part_value"),
+        col("n_lines"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+      .limit(topN)
+  }
+
+  /** TPC-H Q16-shaped: how many distinct suppliers serve each
+    * (brand, type, size) combination, counting only suppliers in good
+    * standing (acctbal ≥ 0 — the reference excludes complaint
+    * suppliers) and skipping the PROMO family. Supplier-part pairs come
+    * from shipment history.
+    */
+  def supplierCountMatrix(lineitem: DataFrame, part: DataFrame,
+                          supplier: DataFrame): DataFrame =
+    lineitem.select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(part.filter(col("p_type") =!= "PROMO")
+        .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.filter(col("s_acctbal") >= 0).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"))
+      .orderBy(col("n_suppliers").desc, col("p_brand"), col("p_type"), col("p_size"))
+      .limit(100)
+
   /** TPC-H Q2-shaped: cheapest eligible supplier per part. Supply cost
     * = min historical line price per (part, supplier); eligibility =
     * STANDARD small parts × EUROPE suppliers; winner = cost equal to
