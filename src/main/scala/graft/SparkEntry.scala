@@ -89,6 +89,11 @@ object SparkEntry {
       Analytics.dormantRichCustomers(t(s, d, "customer"), t(s, d, "orders"))),
     "q11_value_concentration" -> ((s, d) =>
       Analytics.valueConcentration(t(s, d, "lineitem"))),
+    "q17_small_qty_revenue" -> ((s, d) =>
+      Analytics.smallQuantityRevenue(t(s, d, "lineitem"))),
+    "q8_market_share" -> ((s, d) => Analytics.marketShare(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
+      t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "region"))),
     "q16_supplier_counts" -> ((s, d) => Analytics.supplierCountMatrix(
       t(s, d, "lineitem"), t(s, d, "part"), t(s, d, "supplier"))),
     "q6_forecast_revenue" -> ((s, d) => Analytics.forecastRevenue(t(s, d, "lineitem"))),
@@ -703,6 +708,35 @@ object SparkEntry {
         |FROM p, t
         |WHERE value_dec > CAST(total_dec AS DECIMAL(24,2)) * CAST(0.0005 AS DECIMAL(12,6))
         |ORDER BY part_value DESC, l_partkey LIMIT 100""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH p AS (SELECT l_partkey AS pk,
+        |  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/7.0 AS avg_yearly
+        |FROM lineitem JOIN p ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < total_qty""".stripMargin,
+
+    "q8_market_share" ->
+      s"""WITH li AS ($liCte),
+         |j AS (SELECT year(CAST(o_orderdate AS DATE)) AS o_year, net,
+         |  sn.n_name AS supp_nation
+         |FROM li
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey),
+         |g AS (SELECT CAST(o_year AS BIGINT) AS o_year,
+         |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN net END) AS DOUBLE) AS nation_rev,
+         |  CAST(SUM(net) AS DOUBLE) AS total_rev
+         |FROM j GROUP BY 1)
+         |SELECT o_year, COALESCE(nation_rev, 0.0) AS nation_rev, total_rev,
+         |  COALESCE(nation_rev, 0.0) / total_rev AS mkt_share
+         |FROM g ORDER BY o_year""".stripMargin,
 
     "q16_supplier_counts" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

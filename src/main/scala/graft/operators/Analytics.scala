@@ -388,6 +388,57 @@ object Analytics {
       .orderBy("p_brand")
   }
 
+  /** TPC-H Q17-shaped: revenue locked in small-quantity lines — lines
+    * with qty below 20 % of their part's average. The correlated
+    * average is rewritten division-free: qty < 0.2·(total/cnt) ⟺
+    * 5·qty·cnt < total, so the threshold stays exact decimal in both
+    * engines; only the final /7 display division is double (single
+    * deterministic op on the exact sum).
+    */
+  def smallQuantityRevenue(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(money(col("l_quantity"))).as("total_qty"),
+        count(lit(1)).as("cnt"))
+    lineitem.join(perPart, col("l_partkey") === col("pk"))
+      .filter(money(col("l_quantity")) * 5 * col("cnt") < col("total_qty"))
+      .agg(count(lit(1)).as("n_lines"),
+        (dbl(sum(money(col("l_extendedprice")))) / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q8-shaped: one nation's share of a region's revenue per
+    * order year. Shares divide two exact-decimal sums in double — a
+    * single deterministic operation per row, no accumulation drift.
+    */
+  def marketShare(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  supplier: DataFrame, nation: DataFrame, region: DataFrame,
+                  targetNation: String = "NATION_3"): DataFrame = {
+    val net = (money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+      .cast(DecimalType(14, 4))
+    lineitem
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nk"),
+        col("n_regionkey"))), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("s_nk"))
+      .select(year(to_date(col("o_orderdate"))).cast(LongType).as("o_year"),
+        net.as("net_dec"), col("supp_nation"))
+      .groupBy("o_year")
+      .agg(dbl(sum(when(col("supp_nation") === targetNation, col("net_dec")))).as("nation_rev"),
+        dbl(sum(col("net_dec"))).as("total_rev"))
+      .select(col("o_year"),
+        coalesce(col("nation_rev"), lit(0.0)).as("nation_rev"),
+        col("total_rev"),
+        (coalesce(col("nation_rev"), lit(0.0)) / col("total_rev")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** TPC-H Q11-shaped: value concentration — parts whose shipped value
     * exceeds a fraction of the global total. The global scalar comes
     * from a broadcast 1-row aggregate (no window); the threshold test
