@@ -91,6 +91,10 @@ object SparkEntry {
       Analytics.valueConcentration(t(s, d, "lineitem"))),
     "q17_small_qty_revenue" -> ((s, d) =>
       Analytics.smallQuantityRevenue(t(s, d, "lineitem"))),
+    "q13_order_distribution" -> ((s, d) =>
+      Analytics.customerOrderDistribution(t(s, d, "customer"), t(s, d, "orders"))),
+    "q21_waiting_suppliers" -> ((s, d) => Analytics.waitingSuppliers(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "supplier"))),
     "q8_market_share" -> ((s, d) => Analytics.marketShare(
       t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
       t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "region"))),
@@ -708,6 +712,31 @@ object SparkEntry {
         |FROM p, t
         |WHERE value_dec > CAST(total_dec AS DECIMAL(24,2)) * CAST(0.0005 AS DECIMAL(12,6))
         |ORDER BY part_value DESC, l_partkey LIMIT 100""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH c AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1)
+        |SELECT c_count, count(*) AS n_customers
+        |FROM c GROUP BY 1 ORDER BY n_customers DESC, c_count DESC""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH lines AS (SELECT l_orderkey, l_suppkey,
+        |  CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS is_late
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'),
+        |per_order AS (SELECT l_orderkey AS ok,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+        |FROM lines GROUP BY 1),
+        |late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE is_late),
+        |w AS (SELECT l_suppkey, count(*) AS n_waiting_orders
+        |FROM late JOIN per_order ON l_orderkey = ok
+        |WHERE n_supp > 1 AND n_late_supp = 1
+        |GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_waiting_orders
+        |FROM w JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY n_waiting_orders DESC, s_suppkey LIMIT 20""".stripMargin,
 
     "q17_small_qty_revenue" ->
       """WITH p AS (SELECT l_partkey AS pk,

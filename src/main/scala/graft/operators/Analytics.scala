@@ -388,6 +388,51 @@ object Analytics {
       .orderBy("p_brand")
   }
 
+  /** TPC-H Q13-shaped: customer distribution by order count, zero
+    * included (left join ← the whole point of Q13), then the histogram
+    * of counts.
+    */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("c_count").desc)
+
+  /** TPC-H Q21-shaped: suppliers who kept a multi-supplier order
+    * waiting — their line shipped late (>90 days after the order) while
+    * every other supplier on the order shipped on time. Two aggregates
+    * per order (distinct suppliers, distinct late suppliers) joined
+    * back to the late lines; top-20 offenders.
+    */
+  def waitingSuppliers(lineitem: DataFrame, orders: DataFrame,
+                       supplier: DataFrame, lateDays: Int = 90): DataFrame = {
+    val lines = lineitem
+      .join(orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderstatus") === "F")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (to_date(col("l_shipdate")) >
+          date_add(to_date(col("o_orderdate")), lateDays)).as("is_late"))
+    val perOrder = lines.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
+    lines.filter(col("is_late"))
+      .select("l_orderkey", "l_suppkey").distinct()
+      .join(perOrder, col("l_orderkey") === col("ok"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_waiting_orders"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_waiting_orders"))
+      .orderBy(col("n_waiting_orders").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q17-shaped: revenue locked in small-quantity lines — lines
     * with qty below 20 % of their part's average. The correlated
     * average is rewritten division-free: qty < 0.2·(total/cnt) ⟺
