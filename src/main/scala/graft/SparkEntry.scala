@@ -145,6 +145,7 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => TextOps.decontaminate(t(s, d, "documents"))),
     "doc_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
     "corpus_funnel" -> ((s, d) => TextOps.corpusFunnel(t(s, d, "documents"))),
+    "corpus_vocabulary" -> ((s, d) => TextOps.vocabulary(t(s, d, "documents"))),
     "doc_split_summary" -> ((s, d) => TextOps.splitSummary(t(s, d, "documents"))),
     "doc_rolling_fp" -> ((s, d) => TextOps.rollingHash(t(s, d, "documents"))),
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
@@ -1252,6 +1253,14 @@ object SparkEntry {
         |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) AS dup_trigram_ratio,
         |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) > 0.2 AS is_repetitive
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "corpus_vocabulary" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS corpus_freq,
+        |  count(DISTINCT doc_id) AS doc_freq
+        |FROM t GROUP BY 1
+        |ORDER BY corpus_freq DESC, token LIMIT 100""".stripMargin,
 
     "corpus_funnel" ->
       """WITH s AS (SELECT doc_id, text, lower(trim(text)) AS nt, length(text) AS nc,

@@ -195,6 +195,21 @@ object TextOps {
       .orderBy("train_doc", "eval_doc")
   }
 
+  /** Corpus vocabulary table: corpus frequency + document frequency
+    * per token, top-N by usage — the df side of tf-idf and the
+    * stopword/tokenizer-coverage diagnostic a corpus run reports.
+    * Explode keys the shuffle on the token itself (Zipf-skewed: the
+    * head tokens are the natural salting candidates at extreme scale;
+    * partial map-side aggregation absorbs most of the skew first).
+    */
+  def vocabulary(documents: DataFrame, topN: Int = 100): DataFrame =
+    documents.select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("corpus_freq"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("corpus_freq").desc, col("token"))
+      .limit(topN)
+
   /** Corpus-cleaning funnel: how many documents survive each filter
     * stage — quality gate, then exact dedup, then repetition — the
     * pipeline summary a training-data run reports (each stage is the
