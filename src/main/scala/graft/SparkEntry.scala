@@ -260,7 +260,8 @@ object SparkEntry {
          |  dd AS day, q AS quarter, w AS iso_week, dw AS iso_dow,
          |  $dayCase AS day_name,
          |  $monthCase AS month_name,
-         |  dw >= 6 AS is_weekend
+         |  dw >= 6 AS is_weekend,
+         |  (m = 1 AND dd = 1) OR (m = 5 AND dd = 1) OR (m = 12 AND dd = 25) AS is_holiday
          |FROM e ORDER BY date_key""".stripMargin,
 
     "dim_customer" ->

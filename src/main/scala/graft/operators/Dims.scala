@@ -37,6 +37,12 @@ object Dims {
       .withColumn("day_name", dowName(col("iso_dow")))
       .withColumn("month_name", monthName(col("month")))
       .withColumn("is_weekend", col("iso_dow") >= 6)
+      // fixed-date holiday set (ref dim_fecha carries holiday flags;
+      // the observed list is config, the mechanism is the deliverable)
+      .withColumn("is_holiday",
+        (col("month") === 1 && col("day") === 1) ||
+          (col("month") === 5 && col("day") === 1) ||
+          (col("month") === 12 && col("day") === 25))
       .orderBy("date_key")
   }
 
