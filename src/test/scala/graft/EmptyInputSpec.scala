@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Degenerate-input robustness: every core operator must handle an
+  * EMPTY input without failing — at cluster scale empty partitions,
+  * empty incremental batches, and freshly-truncated tables are routine,
+  * and an operator that NPEs on them kills the job.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def empty(schema: StructType) =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("ts", TimestampType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+  private val orderSchema = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  test("text/dedup operators survive an empty corpus") {
+    val docs = empty(docSchema)
+    assert(Dedup.exact(docs).count() === 0)
+    assert(Dedup.minhashPairs(docs).count() === 0)
+    assert(Dedup.jaccardTop(docs).count() === 0)
+    assert(Dedup.simhash(docs).count() === 0)
+    assert(TextOps.textStats(docs).count() === 0)
+    assert(TextOps.langId(docs).count() === 0)
+    assert(TextOps.repetition(docs).count() === 0)
+    assert(TextOps.decontaminate(docs).count() === 0)
+    assert(TextOps.vocabulary(docs).count() === 0)
+    // the funnel still reports its four stages, all zero
+    val funnel = TextOps.corpusFunnel(docs).collect()
+    assert(funnel.length === 4 && funnel.forall(_.getLong(2) === 0L))
+  }
+
+  test("event operators survive an empty stream") {
+    val ev = empty(eventSchema)
+    assert(EventOps.sessionize(ev).count() === 0)
+    assert(EventOps.sessionWindows(ev).count() === 0)
+    assert(EventOps.dedupLatest(ev).count() === 0)
+    assert(EventOps.newVsReturning(ev).count() === 0)
+    assert(EventOps.slidingActivity(ev).count() === 0)
+  }
+
+  test("dims/facts survive empty sources") {
+    val orders = empty(orderSchema)
+    assert(Dims.dimDate(orders).count() === 0)
+    assert(Dims.scd2Customer(orders).count() === 0)
+    assert(Dims.dimFiscalPeriod(orders).count() === 0, "empty span → no periods")
+    assert(Facts.factBalance(orders).count() === 0)
+    assert(Analytics.customerOrderDistribution(
+      empty(StructType(Seq(StructField("c_custkey", LongType)))), orders).count() === 0)
+  }
+
+  test("similarity operators survive an empty embedding corpus") {
+    val emb = empty(embSchema)
+    assert(Similarity.knnBrute(emb).count() === 0)
+    assert(Similarity.knnLsh(emb).count() === 0)
+    assert(Similarity.embeddingNearDup(emb).count() === 0)
+    assert(Similarity.labelCentroids(emb).count() === 0)
+    assert(Similarity.knnIvf(emb).count() === 0, "empty codebook must not throw")
+  }
+}
