@@ -97,17 +97,22 @@ object Etl {
     run("fact", "fact_pnl") { Facts.factPnl(t("lineitem"), t("orders")) }
     run("fact", "fact_balance") { Facts.factBalance(t("orders")) }
 
-    // ---- phase 4: final validation (suite results folded into the
-    // report; "rows" = findings count, status fails when any check
-    // reports a violation)
+    // ---- phase 4: final validation. Each check's findings column is
+    // named per check (n_violations / n_orphans / n_dup_keys /
+    // n_mismatched); a non-zero finding marks the stage "findings: N"
+    // — data-quality signal, NOT a failed build — while exceptions
+    // mark it "error: …".
+    val findingCols = Seq("n_violations", "n_orphans", "n_dup_keys", "n_mismatched")
     def validate(table: String)(build: => DataFrame): Unit = {
       val t0 = System.nanoTime()
       try {
         val df = build
-        val bad = df.columns.find(_ == "n_violations")
-          .map(c => df.filter(col(c) > 0).count()).getOrElse(0L)
+        val present = df.columns.filter(findingCols.contains)
+        val bad =
+          if (present.isEmpty) 0L
+          else df.filter(present.map(c => col(c) > 0).reduce(_ || _)).count()
         report += StageRow("validate", table, df.count(),
-          (System.nanoTime() - t0) / 1e9, if (bad == 0) "ok" else s"violations: $bad")
+          (System.nanoTime() - t0) / 1e9, if (bad == 0) "ok" else s"findings: $bad")
       } catch {
         case e: Exception =>
           report += StageRow("validate", table, -1L,

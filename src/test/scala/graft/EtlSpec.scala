@@ -18,9 +18,17 @@ class EtlSpec extends AnyFunSuite {
     val report = Etl.buildAll(spark, sf001, out).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(4)))
 
-    // every stage green
-    val broken = report.filter(_._4 != "ok")
-    assert(broken.isEmpty, s"failed stages: ${broken.mkString(", ")}")
+    // no stage errored; extract/dim/fact all clean. Validation stages
+    // may legitimately carry "findings: N" (the corpus plants dup keys
+    // on purpose) — findings are data-quality signal, not build failure.
+    val errored = report.filter(_._4.startsWith("error"))
+    assert(errored.isEmpty, s"failed stages: ${errored.mkString(", ")}")
+    report.filter(r => r._1 != "validate").foreach { r =>
+      assert(r._4 === "ok", s"non-validation stage not ok: $r")
+    }
+    // the planted duplicates MUST surface as findings
+    val dupStatus = report.find(_._2 == "validate_duplicates").get._4
+    assert(dupStatus.startsWith("findings:"), s"planted dups invisible: $dupStatus")
 
     // phases present and dependency-ordered (extract < dim < fact < validate)
     val stages = report.map(_._1)
