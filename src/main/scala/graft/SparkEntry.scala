@@ -40,6 +40,7 @@ object SparkEntry {
     "fact_pnl" -> ((s, d) => Facts.factPnl(t(s, d, "lineitem"), t(s, d, "orders"))),
     "fact_balance" -> ((s, d) => Facts.factBalance(t(s, d, "orders"))),
     "dim_time_of_day" -> ((s, d) => Dims.dimTimeOfDay(Tables.events(s, d))),
+    "dim_date_full" -> ((s, d) => Dims.dimDateFull(t(s, d, "orders"))),
     "dim_fiscal_period" -> ((s, d) => Dims.dimFiscalPeriod(t(s, d, "orders"))),
     "dim_payment_method" -> ((s, _) => Dims.dimPaymentMethod(s)),
     "dim_tax_rate" -> ((s, d) => Dims.dimTaxRate(t(s, d, "lineitem"))),
@@ -60,6 +61,8 @@ object SparkEntry {
       Validation.reconcileOrders(t(s, d, "lineitem"), t(s, d, "orders"))),
     "validate_freshness" -> ((s, d) => Validation.freshness(
       t(s, d, "orders"), t(s, d, "lineitem"), Tables.events(s, d))),
+    "key_skew_orders" -> ((s, d) =>
+      Partitioning.keySkewProfile(t(s, d, "orders"), Seq("o_custkey"))),
     // ---- C. analytics ----
     "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(t(s, d, "lineitem"))),
     "q3_top_unshipped" -> ((s, d) =>
@@ -472,6 +475,31 @@ object SparkEntry {
         |  hour_of_day BETWEEN 9 AND 17 AS is_business_hours,
         |  n_events
         |FROM h ORDER BY hour_of_day""".stripMargin,
+
+    "dim_date_full" ->
+      s"""WITH s AS (SELECT min(CAST(o_orderdate AS DATE)) AS dmin,
+         |  max(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+         |d AS (SELECT CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE)
+         |  AS date_value FROM s),
+         |e AS (SELECT date_value, year(date_value) AS y, month(date_value) AS m,
+         |  day(date_value) AS dd, quarter(date_value) AS q,
+         |  weekofyear(date_value) AS w, isodow(date_value) AS dw FROM d)
+         |SELECT y*10000 + m*100 + dd AS date_key, date_value, y AS year, m AS month,
+         |  dd AS day, q AS quarter, w AS iso_week, dw AS iso_dow,
+         |  $dayCase AS day_name,
+         |  $monthCase AS month_name,
+         |  dw >= 6 AS is_weekend,
+         |  (m = 1 AND dd = 1) OR (m = 5 AND dd = 1) OR (m = 12 AND dd = 25) AS is_holiday
+         |FROM e ORDER BY date_key""".stripMargin,
+
+    "key_skew_orders" ->
+      """WITH pk AS (SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1),
+        |g AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+        |  count(*) AS n_keys, max(n_rows) AS max_rows FROM pk)
+        |SELECT o_custkey, n_rows,
+        |  CAST(n_rows AS DOUBLE)/total_rows AS share,
+        |  CAST(max_rows AS DOUBLE)*n_keys/total_rows AS skew_factor
+        |FROM pk, g ORDER BY n_rows DESC, o_custkey LIMIT 10""".stripMargin,
 
     "dim_fiscal_period" ->
       """WITH s AS (SELECT min(CAST(o_orderdate AS DATE)) AS dmin,

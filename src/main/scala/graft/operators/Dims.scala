@@ -46,6 +46,35 @@ object Dims {
       .orderBy("date_key")
   }
 
+  /** Continuous calendar over the full order-date span — one row per
+    * DAY whether or not it saw activity (the reference's dim_fecha
+    * generates the complete range; [[dimDate]] keeps only active dates
+    * for the sparse use case). Same attribute set.
+    */
+  def dimDateFull(orders: DataFrame): DataFrame =
+    orders
+      .agg(min(to_date(col("o_orderdate"))).as("dmin"),
+        max(to_date(col("o_orderdate"))).as("dmax"))
+      .select(explode(sequence(col("dmin"), col("dmax"),
+        expr("interval 1 day"))).as("date_value"))
+      .select(
+        dateKey(col("date_value")).as("date_key"),
+        col("date_value"),
+        year(col("date_value")).cast(LongType).as("year"),
+        month(col("date_value")).cast(LongType).as("month"),
+        dayofmonth(col("date_value")).cast(LongType).as("day"),
+        quarter(col("date_value")).cast(LongType).as("quarter"),
+        weekofyear(col("date_value")).cast(LongType).as("iso_week"),
+        isoDow(col("date_value")).as("iso_dow"))
+      .withColumn("day_name", dowName(col("iso_dow")))
+      .withColumn("month_name", monthName(col("month")))
+      .withColumn("is_weekend", col("iso_dow") >= 6)
+      .withColumn("is_holiday",
+        (col("month") === 1 && col("day") === 1) ||
+          (col("month") === 5 && col("day") === 1) ||
+          (col("month") === 12 && col("day") === 25))
+      .orderBy("date_key")
+
   /** Customer dim ⋈ nation ⋈ region + balance tier
     * (ref :349 `build_dim_cliente`). Dims broadcast: tiny vs fact side.
     */

@@ -42,6 +42,26 @@ object Partitioning {
                   n: Int): (DataFrame, DataFrame) =
     (a.repartition(n, col(aKey)), b.repartition(n, col(bKey)))
 
+  /** Key-skew diagnostic: per-key share of the table for the heaviest
+    * keys plus the skew factor (max/avg key population) — the number
+    * that decides whether a join needs salting or AQE skew handling.
+    * One aggregation; the global count rides along via a broadcast
+    * 1-row aggregate.
+    */
+  def keySkewProfile(df: DataFrame, keys: Seq[String], topN: Int = 10): DataFrame = {
+    val perKey = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    val global = perKey.agg(sum(col("n_rows")).as("total_rows"),
+      count(lit(1)).as("n_keys"), max(col("n_rows")).as("max_rows"))
+    perKey.crossJoin(broadcast(global))
+      .select(keys.map(col) :+
+        col("n_rows") :+
+        (col("n_rows").cast("double") / col("total_rows")).as("share") :+
+        (col("max_rows").cast("double") * col("n_keys") / col("total_rows"))
+          .as("skew_factor"): _*)
+      .orderBy(col("n_rows").desc +: keys.map(col): _*)
+      .limit(topN)
+  }
+
   /** Catalog-backed bucketed table: rows hash-clustered (and optionally
     * sorted) by the join key at write time, so every later join or
     * aggregation on that key reads co-located buckets and skips the

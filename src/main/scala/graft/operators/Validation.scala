@@ -171,6 +171,27 @@ object Validation {
       .orderBy("o_orderstatus")
   }
 
+  /** Row-count drift between two snapshots of the same tables (the
+    * post-load sanity check a scheduled warehouse runs against the
+    * previous run): per table, both counts, delta, and pct change.
+    * Footer-metadata counts when the inputs are parquet — no data scan.
+    */
+  def rowCountDrift(prev: Seq[(String, DataFrame)],
+                    current: Seq[(String, DataFrame)]): DataFrame = {
+    val prevMap = prev.toMap
+    val rows = current.map { case (name, cur) =>
+      val nCur = cur.count()
+      val nPrev = prevMap.get(name).map(_.count()).getOrElse(0L)
+      val pct = if (nPrev == 0) null
+        else java.lang.Double.valueOf(100.0 * (nCur - nPrev) / nPrev)
+      (name, nPrev, nCur, nCur - nPrev, pct)
+    }
+    val spark = current.head._2.sparkSession
+    import spark.implicits._
+    rows.toDF("table_name", "prev_rows", "current_rows", "delta", "pct_change")
+      .orderBy("table_name")
+  }
+
   /** Data-freshness check across the time-bearing tables: per table,
     * newest record date and its lag (days) behind the freshest table —
     * the staleness alarm an operational warehouse runs after each load

@@ -76,6 +76,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.select("o_orderstatus").distinct().collect().map(_.getString(0)).toSet === Set("F"))
   }
 
+  test("row-count drift report compares snapshots correctly") {
+    import spark.implicits._
+    val prev = Seq("t1" -> Seq(1, 2, 3).toDF("v"), "t2" -> Seq(1).toDF("v"))
+    val cur = Seq("t1" -> Seq(1, 2, 3, 4).toDF("v"),
+      "t2" -> Seq(1).toDF("v"), "t3" -> Seq(9, 9).toDF("v"))
+    val r = graft.operators.Validation.rowCountDrift(prev, cur).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("t1") === ((3L, 4L, 1L)))
+    assert(r("t2") === ((1L, 1L, 0L)))
+    assert(r("t3") === ((0L, 2L, 2L)), "brand-new table has prev=0")
+  }
+
   test("bucketed tables join with zero exchanges") {
     // drop any leftovers (catalog entry AND managed location) so the
     // test is rerunnable after an interrupted run
