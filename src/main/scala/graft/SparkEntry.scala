@@ -124,6 +124,7 @@ object SparkEntry {
     "events_session_window" -> ((s, d) => EventOps.sessionWindows(Tables.events(s, d))),
     "events_new_returning" -> ((s, d) => EventOps.newVsReturning(Tables.events(s, d))),
     "events_sliding" -> ((s, d) => EventOps.slidingActivity(Tables.events(s, d))),
+    "events_dau_wau" -> ((s, d) => EventOps.dauWau(Tables.events(s, d))),
     "asof_join_events_orders" -> ((s, d) =>
       EventOps.asofJoinEventsOrders(Tables.events(s, d), t(s, d, "orders"))),
     "asof_join_custom" -> ((s, d) =>
@@ -149,6 +150,7 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
     "corpus_funnel" -> ((s, d) => TextOps.corpusFunnel(t(s, d, "documents"))),
     "corpus_vocabulary" -> ((s, d) => TextOps.vocabulary(t(s, d, "documents"))),
+    "doc_length_hist" -> ((s, d) => TextOps.lengthHistogram(t(s, d, "documents"))),
     "doc_split_summary" -> ((s, d) => TextOps.splitSummary(t(s, d, "documents"))),
     "doc_rolling_fp" -> ((s, d) => TextOps.rollingHash(t(s, d, "documents"))),
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
@@ -452,6 +454,22 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    "events_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM ud),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT d AS day, count(DISTINCT user_id) AS wau
+        |  FROM days JOIN ud ON ud.day >= d - 6 AND ud.day <= d GROUP BY 1)
+        |SELECT day, dau, wau, CAST(dau AS DOUBLE)/wau AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+
+    "doc_length_hist" ->
+      """WITH b AS (SELECT CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT) AS log2_bucket,
+        |  n_chars FROM documents)
+        |SELECT log2_bucket, CAST(pow(2.0, log2_bucket) AS BIGINT) AS bucket_floor,
+        |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM b GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
 
     "multimodal_audio" ->
       """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),

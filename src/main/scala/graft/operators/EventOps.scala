@@ -221,6 +221,25 @@ object EventOps {
       .orderBy("cohort_month", "month_n")
   }
 
+  /** DAU / trailing-7-day WAU per active day. Exact windowed distinct
+    * users can't ride a plain window function; the trailing set is an
+    * interval join of the (tiny, broadcast) day grid against distinct
+    * user-days — ≤7× multiplicity, keyed shuffle on day.
+    */
+  def dauWau(events: DataFrame): DataFrame = {
+    val ud = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = ud.select(col("day").as("d")).distinct()
+    val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    val wau = broadcast(days)
+      .join(ud, col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Sliding-window activity: 1-hour windows advancing every 15
     * minutes (each event lands in 4 overlapping windows) — the
     * trailing-indicator grain dashboards read. Spark's native

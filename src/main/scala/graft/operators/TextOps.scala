@@ -195,6 +195,22 @@ object TextOps {
       .orderBy("train_doc", "eval_doc")
   }
 
+  /** Document-length histogram in power-of-two character buckets — the
+    * length-distribution diagnostic that sizes chunking and batch
+    * shapes. Pure per-row bucket + one tiny groupBy.
+    */
+  def lengthHistogram(documents: DataFrame): DataFrame = {
+    val b = floor(log2(greatest(col("n_chars"), lit(1)))).cast(LongType)
+    documents.select(b.as("log2_bucket"), col("n_chars"))
+      .groupBy("log2_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("bucket_floor", pow(lit(2.0), col("log2_bucket")).cast(LongType))
+      .select("log2_bucket", "bucket_floor", "n_docs", "min_chars", "max_chars")
+      .orderBy("log2_bucket")
+  }
+
   /** Corpus vocabulary table: corpus frequency + document frequency
     * per token, top-N by usage — the df side of tf-idf and the
     * stopword/tokenizer-coverage diagnostic a corpus run reports.
