@@ -125,6 +125,7 @@ object SparkEntry {
     "events_new_returning" -> ((s, d) => EventOps.newVsReturning(Tables.events(s, d))),
     "events_sliding" -> ((s, d) => EventOps.slidingActivity(Tables.events(s, d))),
     "events_dau_wau" -> ((s, d) => EventOps.dauWau(Tables.events(s, d))),
+    "events_transitions" -> ((s, d) => EventOps.typeTransitions(Tables.events(s, d))),
     "asof_join_events_orders" -> ((s, d) =>
       EventOps.asofJoinEventsOrders(Tables.events(s, d), t(s, d, "orders"))),
     "asof_join_custom" -> ((s, d) =>
@@ -454,6 +455,15 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+
+    "events_transitions" ->
+      """WITH t AS (SELECT event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n_transitions
+        |FROM t WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     "events_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),

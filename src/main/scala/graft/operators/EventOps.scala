@@ -221,6 +221,21 @@ object EventOps {
       .orderBy("cohort_month", "month_n")
   }
 
+  /** Event-type transition matrix: counts of consecutive
+    * (type → next type) pairs per user timeline — the first-order
+    * Markov view behavioral models start from. One shuffle on user_id;
+    * the lead window is partition-local.
+    */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** DAU / trailing-7-day WAU per active day. Exact windowed distinct
     * users can't ride a plain window function; the trailing set is an
     * interval join of the (tiny, broadcast) day grid against distinct
