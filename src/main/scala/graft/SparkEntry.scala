@@ -98,6 +98,8 @@ object SparkEntry {
       Analytics.customerOrderDistribution(t(s, d, "customer"), t(s, d, "orders"))),
     "q21_waiting_suppliers" -> ((s, d) => Analytics.waitingSuppliers(
       t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "supplier"))),
+    "supplier_scorecard" -> ((s, d) => Analytics.supplierScorecard(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "supplier"))),
     "q8_market_share" -> ((s, d) => Analytics.marketShare(
       t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
       t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "region"))),
@@ -777,6 +779,20 @@ object SparkEntry {
         |GROUP BY 1)
         |SELECT c_count, count(*) AS n_customers
         |FROM c GROUP BY 1 ORDER BY n_customers DESC, c_count DESC""".stripMargin,
+
+    "supplier_scorecard" ->
+      s"""WITH li AS ($liCte),
+         |g AS (SELECT l_suppkey, count(*) AS n_lines,
+         |  count(DISTINCT l_partkey) AS n_parts,
+         |  CAST(SUM(net) AS DOUBLE) AS revenue,
+         |  count(*) FILTER (CAST(l_shipdate AS DATE) <=
+         |    CAST(o_orderdate AS DATE) + INTERVAL 30 DAY) AS n_on_time
+         |FROM li JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1)
+         |SELECT s_suppkey, s_name, n_lines, n_parts, revenue, n_on_time,
+         |  CAST(n_on_time AS DOUBLE)/n_lines AS on_time_rate, s_acctbal
+         |FROM g JOIN supplier ON l_suppkey = s_suppkey
+         |ORDER BY s_suppkey""".stripMargin,
 
     "q21_waiting_suppliers" ->
       """WITH lines AS (SELECT l_orderkey, l_suppkey,

@@ -388,6 +388,33 @@ object Analytics {
       .orderBy("p_brand")
   }
 
+  /** Supplier scorecard: per-supplier delivery KPIs — shipped volume,
+    * revenue, on-time rate (≤30 days from order), distinct parts
+    * served. One fact-side shuffle (the orderkey join) then a grouped
+    * conditional aggregation; dims broadcast.
+    */
+  def supplierScorecard(lineitem: DataFrame, orders: DataFrame,
+                        supplier: DataFrame): DataFrame = {
+    val net = (money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+      .cast(DecimalType(14, 4))
+    lineitem
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        dbl(sum(net)).as("revenue"),
+        count(when(to_date(col("l_shipdate")) <=
+          date_add(to_date(col("o_orderdate")), 30), 1)).as("n_on_time"))
+      .withColumn("on_time_rate",
+        col("n_on_time").cast("double") / col("n_lines"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name", "s_acctbal")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_lines"), col("n_parts"),
+        col("revenue"), col("n_on_time"), col("on_time_rate"), col("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
   /** TPC-H Q13-shaped: customer distribution by order count, zero
     * included (left join ← the whole point of Q13), then the histogram
     * of counts.
