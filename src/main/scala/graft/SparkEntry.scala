@@ -1301,9 +1301,11 @@ object SparkEntry {
         |g AS (SELECT doc_id, b,
         |  unnest(list_distinct(list_transform(range(1, greatest(len(tk)-6, 1)),
         |    i -> ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT))) AS g8
-        |FROM t)
+        |FROM t),
+        |r AS (SELECT g8 FROM g GROUP BY g8 HAVING count(*) <= 1000)
         |SELECT a.doc_id AS train_doc, c.doc_id AS eval_doc, count(*) AS n_shared_grams
         |FROM g a JOIN g c ON a.g8 = c.g8 AND a.b < 8 AND c.b >= 8
+        |WHERE a.g8 IN (SELECT g8 FROM r)
         |GROUP BY 1, 2 ORDER BY train_doc, eval_doc""".stripMargin,
 
     "doc_repetition" ->

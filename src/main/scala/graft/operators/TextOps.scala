@@ -169,8 +169,20 @@ object TextOps {
     * explode→join is keyed on that uniform hash (same shuffle shape as
     * the LSH pair generation — no low-cardinality key), and the held-out
     * side is ~20% of the corpus by construction.
+    *
+    * Hot-gram guard: a corpus-wide boilerplate gram (license header,
+    * template sentence) shared by M train × K eval docs makes the pair
+    * join emit M×K rows for that one key — quadratic in its document
+    * frequency. Grams with df > [[GramDfCap]] are dropped before the
+    * join (grams are distinct per doc, so the count IS document
+    * frequency); such grams carry no contamination signal anyway —
+    * the same insurance [[Dedup.BandBucketCap]] gives the LSH bucket
+    * join. The cap predicate is mirrored verbatim in the DuckDB oracle.
     */
-  def decontaminate(documents: DataFrame, n: Int = 8): DataFrame = {
+  val GramDfCap: Int = 1000
+
+  def decontaminate(documents: DataFrame, n: Int = 8,
+      maxGramDf: Int = GramDfCap): DataFrame = {
     // one md5 digest per gram position (60-bit key from the joined
     // window). Measured alternatives at sf0.1: a per-position
     // element_at(i+k) polynomial fold re-evaluates the token-hash
@@ -185,10 +197,19 @@ object TextOps {
         1, 15), 16, 10).cast(LongType)))
     val base = documents
       .select(col("doc_id"), splitBucket.as("b"), grams.as("gs"))
-    val train = base.filter(col("b") < 8)
-      .select(col("doc_id").as("train_doc"), explode(col("gs")).as("g8"))
-    val heldOut = base.filter(col("b") >= 8)
-      .select(col("doc_id").as("eval_doc"), explode(col("gs")).as("g8"))
+    val exploded = base.select(col("doc_id"), col("b"), explode(col("gs")).as("g8"))
+    // df-capped gram set: one uniform-key aggregation (map-side partials
+    // absorb the hot keys), then a semi-join filters both splits before
+    // the pair join — every surviving key's fan-out is <= cap².
+    val rare = exploded.groupBy("g8")
+      .agg(count(lit(1)).as("gram_df"))
+      .filter(col("gram_df") <= maxGramDf)
+      .select("g8")
+    val capped = exploded.join(rare, Seq("g8"), "left_semi")
+    val train = capped.filter(col("b") < 8)
+      .select(col("doc_id").as("train_doc"), col("g8"))
+    val heldOut = capped.filter(col("b") >= 8)
+      .select(col("doc_id").as("eval_doc"), col("g8"))
     train.join(heldOut, "g8")
       .groupBy("train_doc", "eval_doc")
       .agg(count(lit(1)).as("n_shared_grams"))

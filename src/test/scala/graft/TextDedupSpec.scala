@@ -97,6 +97,42 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate: ubiquitous boilerplate gram is df-capped, true contamination survives") {
+    // Learn which md5 buckets doc ids 1..60 land in, then plant docs on
+    // both sides of the train/held-out split.
+    val buckets = TextOps.split_assign(
+        (1L to 60L).map(i => (i, "x", "en", "s", 1L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val trainIds = (1L to 60L).filter(buckets(_) < 8)
+    val evalIds = (1L to 60L).filter(buckets(_) >= 8)
+    assert(trainIds.size >= 21 && evalIds.size >= 6, "need both splits populated")
+
+    // Every doc opens with the same 8-token boilerplate (license-header
+    // analogue); one train/eval pair additionally shares a secret 8-gram
+    // (real leakage).
+    val boiler = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val secret = "corge grault garply waldo fred plugh xyzzy thud"
+    val (x, y) = (trainIds.head, evalIds.head)
+    val corpus = (
+      trainIds.tail.take(20).map(id => (id, s"$boiler unique$id")) ++
+        evalIds.tail.take(5).map(id => (id, s"$boiler unique$id")) ++
+        Seq((x, s"$boiler $secret"), (y, s"$boiler $secret")))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    // Uncapped: the boilerplate gram alone pairs every train doc with
+    // every eval doc — the quadratic blow-up the cap exists to stop.
+    val uncapped = TextOps.decontaminate(corpus, 8, maxGramDf = 1000000)
+    assert(uncapped.count() === 21L * 6L)
+
+    // Capped below the boilerplate df (27): only the secret-gram pair
+    // survives, with the boilerplate gram excluded from its count.
+    val capped = TextOps.decontaminate(corpus, 8, maxGramDf = 5).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((x, y)))
+    assert(capped.head.getLong(2) === 8L) // 16 tokens → 9 grams, minus the capped one
+  }
+
   test("multimodal: expression path and mapPartitions decode stub agree") {
     val meta = Multimodal.mediaMeta(docs).select("doc_id", "width", "height")
     val decoded = Multimodal.decodeBatch(spark, docs)
