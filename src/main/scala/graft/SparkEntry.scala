@@ -168,7 +168,6 @@ object SparkEntry {
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(t(s, d, "embeddings"))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
     "embedding_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d, "embeddings"))),
-    // rows-only: learned-codebook ANN (sketch-trained; recall spec-bound)
     "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents")))
@@ -1417,6 +1416,73 @@ object SparkEntry {
          |r AS (SELECT qid, nid, cos_sim,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM s)
          |SELECT qid, rank, nid, cos_sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // IVF oracles: both codebooks are pure functions of the embeddings
+    // table (seed vectors vec_id<16 / per-label means), so assignment +
+    // probe-list ranking replicate exactly in SQL — no literals needed.
+    // Shared shape: rank centroids per vector (cos desc, cid asc);
+    // corpus keeps rank 1 as its list, probes (vec_id<20) search their
+    // top-2 lists; exact cosine within lists, max over the (≤2) list
+    // hits, top-5 per probe.
+    "knn_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |a AS (SELECT x.vec_id, x.v, x.nrm, c.cid,
+        |  list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*c.cv[i])) / (x.nrm * c.cnrm) AS ccos
+        |FROM n x CROSS JOIN cent c),
+        |rk AS (SELECT vec_id, v, nrm, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM a),
+        |corpus AS (SELECT vec_id AS nid, v AS nv, nrm AS nnrm, cid AS list_id
+        |  FROM rk WHERE crank = 1),
+        |probes AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS list_id
+        |  FROM rk WHERE vec_id < 20 AND crank <= 2),
+        |s AS (SELECT p.qid, c.nid,
+        |  list_sum(list_transform(range(1, len(p.qv)+1), i -> p.qv[i]*c.nv[i])) / (p.qnrm * c.nnrm) AS cos_sim
+        |FROM corpus c JOIN probes p ON p.list_id = c.list_id AND p.qid <> c.nid),
+        |g AS (SELECT qid, nid, max(cos_sim) AS cos_sim FROM s GROUP BY 1, 2),
+        |r AS (SELECT qid, nid, cos_sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM g)
+        |SELECT qid, rank, nid, cos_sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // Trained variant: centroids are the labelCentroids means (same
+    // nano-unit integer-sum recipe as embedding_centroids), rounded
+    // through REAL because the Scala side ships the codebook as floats.
+    "knn_ivf_trained" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM e),
+        |u AS (SELECT label,
+        |  unnest(list_transform(range(1, len(embedding)+1),
+        |    i -> {'i': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS x
+        |FROM embeddings),
+        |m AS (SELECT CAST(label AS BIGINT) AS cid, x.i AS dim_i,
+        |  CAST(CAST(SUM(CAST(round(x.v * 1e9) AS BIGINT)) AS DOUBLE)/1e9/count(*) AS REAL) AS mv
+        |FROM u GROUP BY 1, 2),
+        |cl AS (SELECT cid,
+        |  list_transform(list(mv ORDER BY dim_i), f -> CAST(f AS DOUBLE)) AS cv
+        |FROM m GROUP BY cid),
+        |cent AS (SELECT cid, cv,
+        |  sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))) AS cnrm FROM cl),
+        |a AS (SELECT x.vec_id, x.v, x.nrm, c.cid,
+        |  list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*c.cv[i])) / (x.nrm * c.cnrm) AS ccos
+        |FROM n x CROSS JOIN cent c),
+        |rk AS (SELECT vec_id, v, nrm, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM a),
+        |corpus AS (SELECT vec_id AS nid, v AS nv, nrm AS nnrm, cid AS list_id
+        |  FROM rk WHERE crank = 1),
+        |probes AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS list_id
+        |  FROM rk WHERE vec_id < 20 AND crank <= 2),
+        |s AS (SELECT p.qid, c.nid,
+        |  list_sum(list_transform(range(1, len(p.qv)+1), i -> p.qv[i]*c.nv[i])) / (p.qnrm * c.nnrm) AS cos_sim
+        |FROM corpus c JOIN probes p ON p.list_id = c.list_id AND p.qid <> c.nid),
+        |g AS (SELECT qid, nid, max(cos_sim) AS cos_sim FROM s GROUP BY 1, 2),
+        |r AS (SELECT qid, nid, cos_sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM g)
+        |SELECT qid, rank, nid, cos_sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "multimodal_meta" ->
       """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),

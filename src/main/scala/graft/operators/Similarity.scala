@@ -150,18 +150,25 @@ object Similarity {
     val cidsLit = typedLit(cids)
     val centsLit = typedLit(cvecs) // array<array<float>>
     // per-row centroid ranking: (−ccos, cid) sorted asc ≡ the old
-    // window's (ccos desc, cid asc) — identical assignment + tie-break
-    val ranked = array_sort(zip_with(
-      transform(centsLit, c => cosine(col("embedding"), c)),
+    // window's (ccos desc, cid asc) — identical assignment + tie-break.
+    // Built per join side over that side's own renamed vector column,
+    // and list_id comes from an explode (Generate) on BOTH sides: a
+    // Project-alias list_id carries an expression-equality constraint
+    // that the optimizer substitutes across the self-join's key
+    // equality, landing a filter over one side's pre-dedup attribute
+    // ids on the other side (runtime ATTRIBUTE_NOT_FOUND). Generate
+    // outputs carry no such constraint, so nothing leaks across.
+    def ranked(v: Column) = array_sort(zip_with(
+      transform(centsLit, c => cosine(v, c)),
       cidsLit, (s, c) => struct((-s).as("ns"), c.as("cid"))))
-    val base = embeddings.select(col("vec_id"), col("embedding"), ranked.as("ranked"))
-    val corpus = base
-      .select(col("vec_id").as("nid"), col("embedding").as("nv"),
-        element_at(col("ranked"), 1).getField("cid").as("list_id"))
-    val probes = base.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        explode(transform(slice(col("ranked"), 1, probeLists),
-          r => r.getField("cid"))).as("list_id"))
+    def lists(v: Column, n: Int) =
+      explode(transform(slice(ranked(v), 1, n), r => r.getField("cid")))
+    val corpus = embeddings
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .select(col("nid"), col("nv"), lists(col("nv"), 1).as("list_id"))
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("qid"), col("qv"), lists(col("qv"), probeLists).as("list_id"))
     val scored = corpus.join(broadcast(probes), Seq("list_id"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos_sim"))
