@@ -150,10 +150,7 @@ object Etl {
   def exportCsv(spark: SparkSession, warehouseDir: String,
                 exportDir: String): DataFrame = {
     import spark.implicits._
-    val tables = Option(new java.io.File(warehouseDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !f.getName.startsWith("."))
-      .map(_.getName).sorted.toSeq
+    val tables = graft.sources.Fs.childDirs(spark, warehouseDir)
     val rows = tables.map { t =>
       val df = spark.read.parquet(s"$warehouseDir/$t")
       Tables.writeCsv(df, s"$exportDir/$t")

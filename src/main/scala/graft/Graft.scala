@@ -27,10 +27,7 @@ object Graft {
     * `spark.sql("SELECT ... FROM fact_sales JOIN dim_customer ...")`.
     */
   def registerWarehouse(spark: SparkSession, warehouseDir: String): Seq[String] = {
-    val tables = Option(new java.io.File(warehouseDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !f.getName.startsWith("."))
-      .map(_.getName).sorted.toSeq
+    val tables = graft.sources.Fs.childDirs(spark, warehouseDir)
     tables.foreach { t =>
       spark.read.parquet(s"$warehouseDir/$t").createOrReplaceTempView(t)
     }

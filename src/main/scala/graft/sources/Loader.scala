@@ -38,29 +38,38 @@ object Loader {
     * changed and open new ones effective `asOf`. History rows carry
     * (valid_from, valid_to, is_current); updates are a key+attrs
     * snapshot. Both sides shuffle once on the key.
+    *
+    * Update presence is carried by an explicit join-side flag — NOT by
+    * null-sniffing an attribute column, which misreads an update whose
+    * first tracked attribute is legitimately null as "no update". Change
+    * detection is null-safe (`<=>`): null→value and value→null
+    * transitions close/open versions like any other change.
     */
   def scd2Merge(history: DataFrame, updates: DataFrame, key: String,
                 attrs: Seq[String], asOf: java.sql.Date): DataFrame = {
     val current = history.filter(col("is_current"))
     val closed = history.filter(!col("is_current"))
-    val changeCond = attrs.map(a => col(s"cur.$a") =!= col(s"upd.$a"))
+    val changeCond = attrs.map(a => !(col(s"cur.$a") <=> col(s"upd.$a")))
       .reduce(_ || _)
-    val joined = current.as("cur").join(updates.as("upd"), Seq(key), "left")
+    val joined = current.as("cur")
+      .join(updates.withColumn("__upd_present", lit(true)).as("upd"),
+        Seq(key), "left")
+    val present = coalesce(col("upd.__upd_present"), lit(false))
     // unchanged (or no update): keep as-is
-    val keep = joined.filter(col(s"upd.${attrs.head}").isNull || !changeCond)
+    val keep = joined.filter(!present || !changeCond)
       .select(col(s"cur.$key").as(key) +:
         (attrs.map(a => col(s"cur.$a").as(a)) ++
           Seq(col("cur.valid_from").as("valid_from"),
             col("cur.valid_to").as("valid_to"),
             col("cur.is_current").as("is_current"))): _*)
     // changed: close old version at asOf
-    val closedNow = joined.filter(col(s"upd.${attrs.head}").isNotNull && changeCond)
+    val closedNow = joined.filter(present && changeCond)
       .select(col(s"cur.$key").as(key) +:
         (attrs.map(a => col(s"cur.$a").as(a)) ++
           Seq(col("cur.valid_from").as("valid_from"),
             lit(asOf).as("valid_to"), lit(false).as("is_current"))): _*)
     // changed: open new version from asOf
-    val opened = joined.filter(col(s"upd.${attrs.head}").isNotNull && changeCond)
+    val opened = joined.filter(present && changeCond)
       .select(col(s"cur.$key").as(key) +:
         (attrs.map(a => col(s"upd.$a").as(a)) ++
           Seq(lit(asOf).as("valid_from"),
@@ -80,30 +89,36 @@ object Loader {
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes/target) files — the maintenance job every incremental
     * sink needs (micro-batch appends accumulate KB-scale files whose
-    * open/footer cost dominates scans at 100 TB). Rewrites through a
-    * temp directory then swaps; returns the resulting file count.
+    * open/footer cost dominates scans at 100 TB). Runs against whatever
+    * FileSystem the path resolves to (HDFS/S3A/local).
+    *
+    * Swap ordering: rewrite into a temp dir, rename the original aside,
+    * rename the rewrite into place, only then delete the old data — the
+    * original bytes survive intact until the new directory is live, and
+    * the swap itself is two metadata renames (no recursive delete while
+    * the path is the readable location).
     */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val dir = Paths.get(path)
-    val dataBytes = Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(Files.size).sum
+    val (fs, dir) = Fs.fileSystem(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    fs.delete(tmp, true) // leftovers of a crashed prior run
+    fs.delete(old, true)
+    val dataBytes = fs.listStatus(dir).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
     val n = math.max(1, math.ceil(dataBytes.toDouble / targetBytes).toInt)
-    val tmp = path + ".compact.tmp"
     spark.read.parquet(path).repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    // swap: remove original, move rewrite into place
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
-      Files.delete(p)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"compact: rename $dir -> $old failed")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // roll back: original data back in place
+      throw new java.io.IOException(s"compact: rename $tmp -> $dir failed")
     }
-    rm(dir)
-    Files.move(Paths.get(tmp), dir)
-    Files.list(dir).iterator().asScala
-      .count(p => p.getFileName.toString.endsWith(".parquet"))
+    fs.delete(old, true)
+    fs.listStatus(dir).count(s => s.getPath.getName.endsWith(".parquet"))
   }
 
   /** Incremental (checkpointed) load: process only rows with watermark
@@ -119,21 +134,16 @@ object Loader {
     */
   def incrementalLoad(spark: SparkSession, source: DataFrame, watermarkCol: String,
                       sinkPath: String): Long = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val markPath = Paths.get(sinkPath + ".watermark")
-    val last = if (Files.exists(markPath))
-      Files.readString(markPath).trim.toLong else Long.MinValue
+    val markPath = sinkPath + ".watermark"
+    val last = Fs.readSmallText(spark, markPath)
+      .map(_.trim.toLong).getOrElse(Long.MinValue)
     val fresh = source.filter(col(watermarkCol).cast("long") > last)
     val stats = fresh
       .agg(count(lit(1)).as("n"), max(col(watermarkCol).cast("long")).as("mx")).head
     val n = stats.getLong(0)
     if (n > 0) {
       fresh.write.mode(SaveMode.Append).parquet(sinkPath)
-      Files.createDirectories(markPath.getParent)
-      val tmp = markPath.resolveSibling(markPath.getFileName.toString + ".tmp")
-      Files.writeString(tmp, stats.getLong(1).toString)
-      Files.move(tmp, markPath,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      Fs.writeSmallTextAtomic(spark, markPath, stats.getLong(1).toString)
     }
     n
   }

@@ -49,6 +49,30 @@ class LoaderSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("scd2 merge handles null attribute values (presence flag + null-safe compare)") {
+    val asOf = java.sql.Date.valueOf("2026-01-15")
+    val d0 = java.sql.Date.valueOf("2025-01-01")
+    val ns = null.asInstanceOf[String]
+    val history = Seq(
+      (1L, "A", "P1", d0, null.asInstanceOf[java.sql.Date], true),
+      (2L, ns, "P2", d0, null.asInstanceOf[java.sql.Date], true),
+      (3L, "C", "P3", d0, null.asInstanceOf[java.sql.Date], true)
+    ).toDF("k", "seg", "pay", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      (1L, ns, "P1"), // first tracked attr nulled — IS a change, not "no update"
+      (2L, ns, "P2"), // null <=> null — unchanged
+      (3L, "C", "P3") // unchanged
+    ).toDF("k", "seg", "pay")
+    val r = Loader.scd2Merge(history, updates, "k", Seq("seg", "pay"), asOf).cache()
+    val k1 = r.filter(col("k") === 1).orderBy("valid_from").collect()
+    assert(k1.length === 2, "null-ing a tracked attr must close + open")
+    assert(!k1(0).getBoolean(5) && k1(0).getDate(4) === asOf)
+    assert(k1(1).getBoolean(5) && k1(1).isNullAt(1))
+    assert(r.filter(col("k") === 2).count() === 1, "null==null is no change")
+    assert(r.filter(col("k") === 3).count() === 1)
+    r.unpersist()
+  }
+
   test("incremental load processes only rows past the watermark") {
     val dir = Files.createTempDirectory("graft_inc").toString + "/sink"
     val src = Seq((1L, 100L), (2L, 200L)).toDF("id", "ver")
@@ -96,6 +120,11 @@ class LoaderSpec extends AnyFunSuite {
     assert(back.count() === 10000)
     assert(back.agg(org.apache.spark.sql.functions.sum(col("id"))).head.getLong(0)
       === (1 to 10000).map(_.toLong).sum)
+    // swap hygiene: neither the rewrite staging dir nor the renamed-aside
+    // original may survive a completed compaction
+    val siblings = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!siblings.exists(_.endsWith(".compact.tmp")), "staging dir must be swapped away")
+    assert(!siblings.exists(_.endsWith(".compact.old")), "old data must be dropped after swap")
   }
 
   test("native cosine expression matches the declarative HOF form exactly") {

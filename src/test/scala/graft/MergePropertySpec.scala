@@ -48,9 +48,12 @@ class MergePropertySpec extends AnyFunSuite {
 
   test("scd2Merge: at most one current version per key; updates never lose keys") {
     val asOf = java.sql.Date.valueOf("2024-06-01")
+    // null is a legitimate attribute value — the presence-flag/null-safe
+    // merge must treat it like any other (the old first-attr-isNull
+    // sentinel silently dropped such updates)
     val histGen = Gen.listOfN(6, for {
       k <- Gen.choose(1L, 4L)
-      p <- Gen.oneOf("a", "b", "c")
+      p <- Gen.oneOf("a", "b", "c", null.asInstanceOf[String])
     } yield (k, p))
     run(Prop.forAll(histGen, histGen) { (hs, us) =>
       (hs.nonEmpty && us.nonEmpty) ==> {
