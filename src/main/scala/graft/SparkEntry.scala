@@ -46,6 +46,15 @@ object SparkEntry {
     "dim_tax_rate" -> ((s, d) => Dims.dimTaxRate(t(s, d, "lineitem"))),
     "dim_promotion" -> ((s, d) => Dims.dimPromotion(t(s, d, "part"))),
     "dim_account" -> ((s, _) => Dims.dimAccount(s)),
+    "dim_warehouse" -> ((s, d) => Dims.dimWarehouse(t(s, d, "nation"), t(s, d, "region"))),
+    "dim_shipping" -> ((s, d) =>
+      Dims.dimShipping(t(s, d, "lineitem"), t(s, d, "orders"))),
+    "dim_cost_center" -> ((s, _) => Dims.dimCostCenter(s)),
+    "dim_transaction_type" -> ((s, _) => Dims.dimTransactionType(s)),
+    "dim_movement_type" -> ((s, d) => Dims.dimMovementType(t(s, d, "lineitem"))),
+    "fact_inventory_wh" -> ((s, d) => Facts.factInventoryWarehouse(
+      t(s, d, "lineitem"), t(s, d, "supplier"), t(s, d, "part"),
+      Dims.dimWarehouse(t(s, d, "nation"), t(s, d, "region")))),
     "scd2_customer" -> ((s, d) => Dims.scd2Customer(t(s, d, "orders"))),
     // ---- B. validation ----
     "validate_nulls" -> ((s, d) => Validation.nullProfile(s,
@@ -599,6 +608,108 @@ object SparkEntry {
         |  account_name, account_type, category, CAST(level AS BIGINT) AS level,
         |  parent_code, is_active
         |FROM c ORDER BY account_code""".stripMargin,
+
+    "dim_warehouse" ->
+      """SELECT n_nationkey AS warehouse_code,
+        |  md5('wh:' || CAST(n_nationkey AS VARCHAR)) AS warehouse_sk,
+        |  'WAREHOUSE ' || n_name AS warehouse_name,
+        |  n_name AS country, r_name AS region,
+        |  CAST(10000 + (n_nationkey * 37 % 20) * 500 AS BIGINT) AS capacity_m3,
+        |  CASE n_nationkey % 3 WHEN 0 THEN 'central' WHEN 1 THEN 'regional'
+        |    ELSE 'transit' END AS warehouse_type,
+        |  TRUE AS is_active
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY warehouse_code""".stripMargin,
+
+    "dim_shipping" ->
+      """WITH e AS (SELECT
+        |  (['AIR', 'FOB', 'MAIL', 'RAIL', 'REG AIR', 'SHIP', 'TRUCK'])
+        |    [CAST((l_orderkey * 7 + l_linenumber) % 7 + 1 AS INT)] AS ship_mode,
+        |  l_linestatus AS line_status,
+        |  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lead_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |g AS (SELECT ship_mode, line_status, count(*) AS n_lines,
+        |  SUM(lead_days) AS lead_sum
+        |FROM e GROUP BY 1, 2)
+        |SELECT row_number() OVER (ORDER BY ship_mode, line_status) AS ship_sk,
+        |  ship_mode, line_status,
+        |  CASE WHEN ship_mode IN ('AIR', 'REG AIR') THEN 'AeroFreight'
+        |    WHEN ship_mode = 'SHIP' THEN 'OceanLine'
+        |    WHEN ship_mode = 'RAIL' THEN 'RailCo'
+        |    WHEN ship_mode = 'TRUCK' THEN 'RoadRunner'
+        |    WHEN ship_mode = 'MAIL' THEN 'PostalService'
+        |    WHEN ship_mode = 'FOB' THEN 'FreightOnBoard'
+        |    ELSE 'GenericCarrier' END AS carrier,
+        |  n_lines,
+        |  CAST(lead_sum AS DOUBLE)/n_lines AS avg_lead_days
+        |FROM g ORDER BY ship_sk""".stripMargin,
+
+    "dim_cost_center" ->
+      """WITH c(cost_center_code, cost_center_name, description, center_type, manager, is_active) AS (VALUES
+        |  ('CC100', 'Sales', 'Revenue generation', 'revenue', 'Sales Director', TRUE),
+        |  ('CC200', 'Operations', 'Order fulfillment', 'operational', 'COO', TRUE),
+        |  ('CC300', 'Finance', 'General and administrative', 'support', 'CFO', TRUE),
+        |  ('CC400', 'IT', 'Technology platform', 'support', 'CTO', TRUE),
+        |  ('CC500', 'Logistics', 'Distribution network', 'operational', 'Logistics Manager', TRUE),
+        |  ('CC900', 'Legacy', 'Closed cost center', 'other', '', FALSE))
+        |SELECT cost_center_code, md5('cc:' || cost_center_code) AS cost_center_sk,
+        |  cost_center_name, description, center_type, manager, is_active
+        |FROM c ORDER BY cost_center_code""".stripMargin,
+
+    "dim_transaction_type" ->
+      """WITH c(txn_type_code, txn_type_name, description, category) AS (VALUES
+        |  ('TT01', 'Sale', 'Customer sale', 'ingreso'),
+        |  ('TT02', 'Refund', 'Customer refund', 'egreso'),
+        |  ('TT03', 'Purchase', 'Supplier purchase', 'gasto'),
+        |  ('TT04', 'Transfer', 'Internal transfer', 'transferencia'),
+        |  ('TT05', 'Adjustment', 'Inventory adjustment', 'ajuste'),
+        |  ('TT06', 'Interest', 'Interest income', 'ingreso'))
+        |SELECT txn_type_code, md5('tt:' || txn_type_code) AS txn_type_sk,
+        |  txn_type_name, description, category,
+        |  CASE WHEN category IN ('ingreso', 'entrada') THEN 'positivo'
+        |    WHEN category IN ('gasto', 'egreso') THEN 'negativo'
+        |    ELSE 'neutro' END AS cash_flow_effect,
+        |  TRUE AS is_active
+        |FROM c ORDER BY txn_type_code""".stripMargin,
+
+    "dim_movement_type" ->
+      """SELECT l_returnflag AS movement_code,
+        |  md5('mov:' || l_returnflag) AS movement_sk,
+        |  CASE WHEN l_returnflag = 'R' THEN 'Returned Shipment'
+        |    WHEN l_returnflag = 'A' THEN 'Accepted Shipment'
+        |    ELSE 'Normal Shipment' END AS movement_name,
+        |  CASE WHEN l_returnflag = 'R' THEN 'outbound' ELSE 'inbound' END AS direction,
+        |  CAST(CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END AS BIGINT) AS stock_effect,
+        |  TRUE AS is_active, count(*) AS n_lines
+        |FROM lineitem GROUP BY 1
+        |ORDER BY movement_code""".stripMargin,
+
+    "fact_inventory_wh" ->
+      """WITH agg AS (SELECT l_partkey, s_nationkey AS warehouse_code,
+        |  count(*) AS n_movements,
+        |  CAST(SUM(CASE WHEN l_returnflag <> 'R'
+        |    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_in,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_out,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |    THEN -CAST(l_quantity AS DECIMAL(12,2))
+        |    ELSE CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS net_qty,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |    THEN -CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS DECIMAL(14,4))
+        |    ELSE CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS DECIMAL(14,4))
+        |    END) AS DOUBLE) AS net_value,
+        |  MAX(CAST(l_shipdate AS DATE)) AS last_movement
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2)
+        |SELECT p_partkey, warehouse_code,
+        |  md5('wh:' || CAST(warehouse_code AS VARCHAR)) AS warehouse_sk,
+        |  'WAREHOUSE ' || n_name AS warehouse_name, p_name,
+        |  n_movements, qty_in, qty_out, net_qty, net_value, last_movement
+        |FROM agg JOIN part ON l_partkey = p_partkey
+        |JOIN nation ON warehouse_code = n_nationkey
+        |ORDER BY p_partkey, warehouse_code""".stripMargin,
 
     "scd2_customer" ->
       """WITH daily AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,

@@ -319,6 +319,137 @@ object Dims {
       .orderBy("account_code")
   }
 
+  /** Warehouse dim (ref complete_dimension_builder.py:819
+    * `build_dim_almacen`: codigo/nombre/ciudad/pais/capacidad/tipo/
+    * activo from a warehouse CSV). The testdata has no warehouse
+    * entity, so warehouses are derived deterministically from supplier
+    * geography — one per nation, typed and capacity-profiled as pure
+    * functions of the nation key. Broadcast-sized by construction.
+    */
+  def dimWarehouse(nation: DataFrame, region: DataFrame): DataFrame =
+    nation
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(
+        col("n_nationkey").as("warehouse_code"),
+        surrogate("wh", col("n_nationkey")).as("warehouse_sk"),
+        concat(lit("WAREHOUSE "), col("n_name")).as("warehouse_name"),
+        col("n_name").as("country"),
+        col("r_name").as("region"),
+        (lit(10000) + (col("n_nationkey") * 37 % 20) * 500)
+          .cast(LongType).as("capacity_m3"),
+        when(col("n_nationkey") % 3 === 0, "central")
+          .when(col("n_nationkey") % 3 === 1, "regional")
+          .otherwise("transit").as("warehouse_type"),
+        lit(true).as("is_active"))
+      .orderBy("warehouse_code")
+
+  /** Shipping junk dim (ref :623 `build_dim_envio`: method/carrier/
+    * estimated-days). The testdata lineitem carries no shipmode, so
+    * the mode is a deterministic pure function of the line's natural
+    * key (multimodal_meta precedent for synthetic attributes); the
+    * second junk attribute is the real l_linestatus and the lead-time
+    * profile is the real shipdate − orderdate. Tiny cardinality
+    * (7 modes × |status|) so the dense row_number surrogate is fine,
+    * like dimOrderStatus.
+    */
+  def dimShipping(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val modes = array(Seq("AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK")
+      .map(lit): _*)
+    val mode = element_at(modes,
+      ((col("l_orderkey") * 7 + col("l_linenumber")) % 7 + 1).cast("int"))
+    val w = Window.orderBy("ship_mode", "line_status")
+    lineitem
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(mode.as("ship_mode"), col("l_linestatus").as("line_status"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast(LongType).as("lead_days"))
+      .groupBy("ship_mode", "line_status")
+      .agg(count(lit(1)).as("n_lines"), sum(col("lead_days")).as("lead_sum"))
+      .withColumn("ship_sk", row_number().over(w).cast(LongType))
+      .select(col("ship_sk"), col("ship_mode"), col("line_status"),
+        when(col("ship_mode").isin("AIR", "REG AIR"), "AeroFreight")
+          .when(col("ship_mode") === "SHIP", "OceanLine")
+          .when(col("ship_mode") === "RAIL", "RailCo")
+          .when(col("ship_mode") === "TRUCK", "RoadRunner")
+          .when(col("ship_mode") === "MAIL", "PostalService")
+          .when(col("ship_mode") === "FOB", "FreightOnBoard")
+          .otherwise("GenericCarrier").as("carrier"),
+        col("n_lines"),
+        (col("lead_sum").cast("double") / col("n_lines")).as("avg_lead_days"))
+      .orderBy("ship_sk")
+  }
+
+  /** Cost-center dim (ref :1066 `build_dim_centro_costo`:
+    * codigo/nombre/descripcion/tipo/responsable/activo). Static
+    * organizational reference data, dimAccount pattern.
+    */
+  def dimCostCenter(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = Seq(
+      ("CC100", "Sales", "Revenue generation", "revenue", "Sales Director", true),
+      ("CC200", "Operations", "Order fulfillment", "operational", "COO", true),
+      ("CC300", "Finance", "General and administrative", "support", "CFO", true),
+      ("CC400", "IT", "Technology platform", "support", "CTO", true),
+      ("CC500", "Logistics", "Distribution network", "operational", "Logistics Manager", true),
+      ("CC900", "Legacy", "Closed cost center", "other", "", false))
+    rows.toDF("cost_center_code", "cost_center_name", "description",
+        "center_type", "manager", "is_active")
+      .select(col("cost_center_code"),
+        surrogate("cc", col("cost_center_code")).as("cost_center_sk"),
+        col("cost_center_name"), col("description"), col("center_type"),
+        col("manager"), col("is_active"))
+      .orderBy("cost_center_code")
+  }
+
+  /** Transaction-type dim (ref :1102 `build_dim_tipo_transaccion`).
+    * afecta_flujo (cash-flow direction) is DERIVED from the category,
+    * mirroring the reference's lambda: ingreso/entrada → positivo,
+    * gasto/egreso → negativo, else neutro.
+    */
+  def dimTransactionType(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = Seq(
+      ("TT01", "Sale", "Customer sale", "ingreso"),
+      ("TT02", "Refund", "Customer refund", "egreso"),
+      ("TT03", "Purchase", "Supplier purchase", "gasto"),
+      ("TT04", "Transfer", "Internal transfer", "transferencia"),
+      ("TT05", "Adjustment", "Inventory adjustment", "ajuste"),
+      ("TT06", "Interest", "Interest income", "ingreso"))
+    rows.toDF("txn_type_code", "txn_type_name", "description", "category")
+      .select(col("txn_type_code"),
+        surrogate("tt", col("txn_type_code")).as("txn_type_sk"),
+        col("txn_type_name"), col("description"), col("category"),
+        when(col("category").isin("ingreso", "entrada"), "positivo")
+          .when(col("category").isin("gasto", "egreso"), "negativo")
+          .otherwise("neutro").as("cash_flow_effect"),
+        lit(true).as("is_active"))
+      .orderBy("txn_type_code")
+  }
+
+  /** Movement-type dim (ref :917 `build_dim_tipo_movimiento`:
+    * codigo/nombre/tipo/afecta_stock/activo). Data-derived from the
+    * observed return flags — the same signing rule
+    * [[Facts.factInventoryWarehouse]] applies, so the inventory fact
+    * resolves against it (dimTaxRate pattern: catalog distilled from
+    * data with usage counts).
+    */
+  def dimMovementType(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag").as("movement_code"))
+      .agg(count(lit(1)).as("n_lines"))
+      .select(col("movement_code"),
+        surrogate("mov", col("movement_code")).as("movement_sk"),
+        when(col("movement_code") === "R", "Returned Shipment")
+          .when(col("movement_code") === "A", "Accepted Shipment")
+          .otherwise("Normal Shipment").as("movement_name"),
+        when(col("movement_code") === "R", "outbound")
+          .otherwise("inbound").as("direction"),
+        when(col("movement_code") === "R", -1L).otherwise(1L).as("stock_effect"),
+        lit(true).as("is_active"),
+        col("n_lines"))
+      .orderBy("movement_code")
+
   /** SCD Type-2 customer activity versions from order history: each
     * active day opens a version; valid_to = next version's start
     * (generalizes the reference loader's overwrite-upsert into proper

@@ -79,6 +79,42 @@ object Facts {
       .orderBy("p_partkey", "s_suppkey")
   }
 
+  /** Warehouse-grain inventory movement fact (ref :558
+    * `build_fact_inventario`: movements at product × almacen grain with
+    * signed quantities per movement type). Each shipment lands in its
+    * supplier's nation warehouse ([[Dims.dimWarehouse]] — one per
+    * nation); return-flagged lines are outbound, the rest inbound, the
+    * same signing rule [[Dims.dimMovementType]] catalogs. One shuffle:
+    * groupBy (partkey, warehouse) with map-side partials; warehouse +
+    * supplier resolution are broadcast joins so lineitem streams once.
+    */
+  def factInventoryWarehouse(lineitem: DataFrame, supplier: DataFrame,
+                             part: DataFrame, dimWarehouse: DataFrame): DataFrame = {
+    val qt = money(col("l_quantity"))
+    val net = (money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+      .cast(DecimalType(14, 4))
+    val agg = lineitem
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("s_nationkey").as("warehouse_code"))
+      .agg(
+        count(lit(1)).as("n_movements"),
+        dbl(sum(when(col("l_returnflag") =!= "R", qt))).as("qty_in"),
+        dbl(sum(when(col("l_returnflag") === "R", qt))).as("qty_out"),
+        dbl(sum(when(col("l_returnflag") === "R", -qt).otherwise(qt))).as("net_qty"),
+        dbl(sum(when(col("l_returnflag") === "R", -net).otherwise(net))).as("net_value"),
+        max(to_date(col("l_shipdate"))).as("last_movement"))
+    agg
+      .join(broadcast(dimWarehouse.select("warehouse_code", "warehouse_sk",
+        "warehouse_name")), Seq("warehouse_code"))
+      .join(broadcast(part.select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .select("p_partkey", "warehouse_code", "warehouse_sk", "warehouse_name",
+        "p_name", "n_movements", "qty_in", "qty_out", "net_qty", "net_value",
+        "last_movement")
+      .orderBy("p_partkey", "warehouse_code")
+  }
+
   /** Transaction fact from the event stream: user × type × day grain
     * (ref :648 `build_fact_transacciones`). `value` is cast to exact
     * DECIMAL(18,6) before summing — sums don't drift with task order.

@@ -72,6 +72,37 @@ class WarehouseSpec extends AnyFunSuite {
     b.unpersist()
   }
 
+  test("warehouse grain: one warehouse per nation; inventory in/out reconciles") {
+    val wh = Dims.dimWarehouse(Tables.nation(spark, sf), Tables.region(spark, sf))
+    assert(wh.count() === Tables.nation(spark, sf).count())
+    assert(wh.select("warehouse_sk").distinct().count() === wh.count())
+    val fact = Facts.factInventoryWarehouse(Tables.lineitem(spark, sf),
+      Tables.supplier(spark, sf), Tables.part(spark, sf), wh).cache()
+    // grain: product × warehouse unique
+    assert(fact.groupBy("p_partkey", "warehouse_code").count()
+      .filter(col("count") > 1).count() === 0)
+    // signed identity: net = in − out wherever both flows exist
+    val broken = fact.filter(col("qty_in").isNotNull && col("qty_out").isNotNull &&
+      col("net_qty") =!= (col("qty_in") - col("qty_out")))
+    assert(broken.count() === 0)
+    // every movement lands in a warehouse that exists in the dim
+    assert(fact.join(wh, Seq("warehouse_code"), "left_anti").count() === 0)
+    fact.unpersist()
+  }
+
+  test("movement/shipping dims: full coverage of observed flags, sane lead times") {
+    val li = Tables.lineitem(spark, sf)
+    val mov = Dims.dimMovementType(li)
+    val flags = li.select("l_returnflag").distinct().count()
+    assert(mov.count() === flags)
+    assert(mov.filter(col("movement_code") === "R").head.getLong(4) === -1L)
+    val ship = Dims.dimShipping(li, Tables.orders(spark, sf))
+    assert(ship.count() <= 7 * 2 && ship.count() > 0)
+    // every line is profiled exactly once across the junk-dim cells
+    assert(ship.agg(sum("n_lines")).head.getLong(0) === li.count())
+    assert(ship.filter(col("avg_lead_days").isNull).count() === 0)
+  }
+
   test("Graft.registerViews: SQL-first use with custom function") {
     Graft.registerViews(spark, sf)
     assert(spark.sql("SELECT count(*) n FROM lineitem").head.getLong(0) > 0)
