@@ -447,13 +447,13 @@ object SparkEntry {
         |FROM p, g ORDER BY table_name""".stripMargin,
 
     "events_new_returning" ->
-      """WITH a AS (SELECT DISTINCT user_id, date_trunc('month', CAST(ts AS DATE)) AS m FROM events),
-        |f AS (SELECT user_id, min(m) AS fm FROM a GROUP BY 1)
-        |SELECT m AS month, count(*) AS n_active,
-        |  count(*) FILTER (m = fm) AS n_new,
-        |  count(*) - count(*) FILTER (m = fm) AS n_returning
+      """WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS w FROM events),
+        |f AS (SELECT user_id, min(w) AS fw FROM a GROUP BY 1)
+        |SELECT w AS week, count(*) AS n_active,
+        |  count(*) FILTER (w = fw) AS n_new,
+        |  count(*) - count(*) FILTER (w = fw) AS n_returning
         |FROM a JOIN f USING (user_id)
-        |GROUP BY 1 ORDER BY month""".stripMargin,
+        |GROUP BY 1 ORDER BY week""".stripMargin,
 
     "events_sliding" ->
       """WITH e AS (SELECT event_type, value, epoch_us(ts) AS tus FROM events),
@@ -864,12 +864,14 @@ object SparkEntry {
 
     "q22_dormant_rich" ->
       """WITH a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)/count(*) AS avg_bal
-        |  FROM customer WHERE c_acctbal > 0)
+        |  FROM customer WHERE c_acctbal > 0),
+        |co AS (SELECT CAST(max(o_orderdate) AS DATE) - INTERVAL 24 MONTH AS cutoff FROM orders)
         |SELECT c_mktsegment, count(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
-        |FROM customer, a
+        |FROM customer, a, co
         |WHERE c_acctbal > a.avg_bal
-        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+        |    AND CAST(o.o_orderdate AS DATE) >= co.cutoff)
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     "q11_value_concentration" ->
@@ -1216,15 +1218,14 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "events_retention" ->
-      """WITH a AS (SELECT DISTINCT user_id, date_trunc('month', CAST(ts AS DATE)) AS activity_month
+      """WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS activity_week
         |  FROM events),
-        |c AS (SELECT user_id, min(activity_month) AS cohort_month FROM a GROUP BY 1)
-        |SELECT c.cohort_month,
-        |  (year(a.activity_month) - year(c.cohort_month)) * 12 +
-        |    (month(a.activity_month) - month(c.cohort_month)) AS month_n,
+        |c AS (SELECT user_id, min(activity_week) AS cohort_week FROM a GROUP BY 1)
+        |SELECT c.cohort_week,
+        |  date_diff('day', c.cohort_week, a.activity_week) // 7 AS week_n,
         |  count(*) AS n_active_users
         |FROM a JOIN c ON a.user_id = c.user_id
-        |GROUP BY 1, 2 ORDER BY cohort_month, month_n""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_n""".stripMargin,
 
     "events_anomaly" ->
       """WITH m AS (SELECT event_type, count(*) AS n,

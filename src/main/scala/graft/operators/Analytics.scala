@@ -183,15 +183,26 @@ object Analytics {
       .orderBy("ship_month")
 
   /** TPC-H Q22-shaped: well-funded customers (balance above the global
-    * positive mean) who never ordered — scalar subquery + anti join.
+    * positive mean) gone dormant — no order in the trailing 24 months
+    * of the order history. Two broadcast scalars (mean balance, the
+    * dormancy cutoff) + anti join against the recent-order keys. (The
+    * literal Q22 "never ordered" predicate is empty on this data —
+    * every customer has orders — which made the checked result a 0-row
+    * hash; the windowed dormancy keeps the shape and produces a real
+    * per-segment rollup.)
     */
   def dormantRichCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
     val avgPos = customer.filter(col("c_acctbal") > 0)
       .agg((dbl(sum(money(col("c_acctbal")))) / count(lit(1))).as("avg_bal"))
+    val cutoff = orders
+      .agg(add_months(max(to_date(col("o_orderdate"))), -24).as("cutoff"))
+    val recent = orders.join(broadcast(cutoff))
+      .filter(to_date(col("o_orderdate")) >= col("cutoff"))
+      .select("o_custkey")
     customer
       .join(broadcast(avgPos))
       .filter(col("c_acctbal") > col("avg_bal"))
-      .join(orders.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"),
         dbl(sum(money(col("c_acctbal")))).as("total_balance"))

@@ -207,18 +207,20 @@ object EventOps {
     * the cohort×offset rollup.
     */
   def cohortRetention(events: DataFrame): DataFrame = {
-    val am = trunc(to_date(col("ts")), "month")
-    val activity = events.select(col("user_id"), am.as("activity_month")).distinct()
+    // weekly cohorts: the event history spans ~a month, so a monthly
+    // grain collapses the matrix to a single cell — ISO weeks give a
+    // real cohort × offset triangle at every scale factor
+    val aw = trunc(to_date(col("ts")), "week")
+    val activity = events.select(col("user_id"), aw.as("activity_week")).distinct()
     val cohorts = activity.groupBy("user_id")
-      .agg(min(col("activity_month")).as("cohort_month"))
+      .agg(min(col("activity_week")).as("cohort_week"))
     activity.join(cohorts, Seq("user_id"))
-      .select(col("cohort_month"),
-        ((year(col("activity_month")) - year(col("cohort_month"))) * 12 +
-          (month(col("activity_month")) - month(col("cohort_month"))))
-          .cast("long").as("month_n"))
-      .groupBy("cohort_month", "month_n")
+      .select(col("cohort_week"),
+        (datediff(col("activity_week"), col("cohort_week")) / 7)
+          .cast("long").as("week_n"))
+      .groupBy("cohort_week", "week_n")
       .agg(count(lit(1)).as("n_active_users"))
-      .orderBy("cohort_month", "month_n")
+      .orderBy("cohort_week", "week_n")
   }
 
   /** Event-type transition matrix: counts of consecutive
@@ -271,23 +273,24 @@ object EventOps {
         col("event_type"), col("n_events"), col("total_value"))
       .orderBy("window_start", "event_type")
 
-  /** New-vs-returning users per month: a user is "new" in their
-    * first-activity month, "returning" in every later active month —
-    * the growth-accounting twin of [[cohortRetention]]. Two shuffles
-    * (per-user distinct months, then the monthly rollup), both on
-    * well-distributed keys.
+  /** New-vs-returning users per ISO week: a user is "new" in their
+    * first-activity week, "returning" in every later active week —
+    * the growth-accounting twin of [[cohortRetention]] (weekly for the
+    * same reason: the history spans ~a month). Two shuffles (per-user
+    * distinct weeks, then the weekly rollup), both on well-distributed
+    * keys.
     */
   def newVsReturning(events: DataFrame): DataFrame = {
-    val am = trunc(to_date(col("ts")), "month")
-    val activity = events.select(col("user_id"), am.as("activity_month")).distinct()
-    val firstMonth = activity.groupBy("user_id")
-      .agg(min(col("activity_month")).as("first_month"))
-    activity.join(firstMonth, Seq("user_id"))
-      .groupBy(col("activity_month").as("month"))
+    val aw = trunc(to_date(col("ts")), "week")
+    val activity = events.select(col("user_id"), aw.as("activity_week")).distinct()
+    val firstWeek = activity.groupBy("user_id")
+      .agg(min(col("activity_week")).as("first_week"))
+    activity.join(firstWeek, Seq("user_id"))
+      .groupBy(col("activity_week").as("week"))
       .agg(count(lit(1)).as("n_active"),
-        count(when(col("activity_month") === col("first_month"), 1)).as("n_new"))
+        count(when(col("activity_week") === col("first_week"), 1)).as("n_new"))
       .withColumn("n_returning", col("n_active") - col("n_new"))
-      .orderBy("month")
+      .orderBy("week")
   }
 
   /** Per-type anomaly profile: moments computed from exact decimal
