@@ -108,10 +108,17 @@ object Etl {
       try {
         val df = build
         val present = df.columns.filter(findingCols.contains)
-        val bad =
-          if (present.isEmpty) 0L
-          else df.filter(present.map(c => col(c) > 0).reduce(_ || _)).count()
-        report += StageRow("validate", table, df.count(),
+        // one aggregation pass yields both the row count and the
+        // findings count — each check's plan evaluates exactly once
+        val (rows, bad) =
+          if (present.isEmpty) (df.count(), 0L)
+          else {
+            val r = df.agg(count(lit(1)).as("n"),
+              count(when(present.map(c => col(c) > 0).reduce(_ || _), 1))
+                .as("bad")).head
+            (r.getLong(0), r.getLong(1))
+          }
+        report += StageRow("validate", table, rows,
           (System.nanoTime() - t0) / 1e9, if (bad == 0) "ok" else s"findings: $bad")
       } catch {
         case e: Exception =>

@@ -134,6 +134,36 @@ class WarehouseSpec extends AnyFunSuite {
       === Seq((1L, 0.0), (2L, 0.0)))
   }
 
+  test("row repair: contract defaults coalesce nulls, AUTO_ID fills null keys") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val contract = Seq(
+      Validation.ColumnContract("key", StringType, required = true,
+        default = Validation.AutoId),
+      Validation.ColumnContract("status", StringType, required = true,
+        default = "UNKNOWN"),
+      Validation.ColumnContract("note", StringType, required = false))
+    val ns = null.asInstanceOf[String]
+    val dirty = Seq(
+      ("K1", "open", "a"), (ns, ns, "b"), (ns, "closed", ns))
+      .toDF("key", "status", "note")
+    val fixed = Validation.conformRows(dirty, contract).cache()
+    // every required column repaired; optional nulls untouched
+    assert(fixed.filter(col("key").isNull || col("status").isNull).count() === 0)
+    assert(fixed.filter(col("note").isNull).count() === 1)
+    val byNote = fixed.collect()
+      .map(r => Option(r.getString(2)) -> (r.getString(0), r.getString(1))).toMap
+    assert(byNote(Some("a")) === (("K1", "open")))
+    assert(byNote(Some("b"))._1.startsWith("AUTO_key_") &&
+      byNote(Some("b"))._2 === "UNKNOWN")
+    assert(byNote(None)._1.startsWith("AUTO_key_") && byNote(None)._2 === "closed")
+    // generated ids: distinct per distinct row, stable across runs
+    assert(fixed.select("key").distinct().count() === 3)
+    val again = Validation.conformRows(dirty, contract)
+    assert(fixed.exceptAll(again).count() === 0)
+    fixed.unpersist()
+  }
+
   test("validation: clean synthetic data yields zero violations/orphans") {
     val ri = Validation.riChecks(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
       Tables.customer(spark, sf), Tables.part(spark, sf), Tables.supplier(spark, sf),
