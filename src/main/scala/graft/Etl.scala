@@ -82,6 +82,20 @@ object Etl {
     run("dim", "dim_tax_rate") { Dims.dimTaxRate(t("lineitem")) }
     run("dim", "dim_promotion") { Dims.dimPromotion(t("part")) }
     run("dim", "dim_account") { Dims.dimAccount(spark) }
+    run("dim", "dim_warehouse") { Dims.dimWarehouse(t("nation"), t("region")) }
+    run("dim", "dim_shipping") { Dims.dimShipping(t("lineitem"), t("orders")) }
+    run("dim", "dim_cost_center") { Dims.dimCostCenter(spark) }
+    run("dim", "dim_transaction_type") { Dims.dimTransactionType(spark) }
+    run("dim", "dim_movement_type") { Dims.dimMovementType(t("lineitem")) }
+    run("dim", "dim_direccion") {
+      Dims.dimDireccion(t("customer"), t("supplier"), t("nation"), t("region"))
+    }
+    run("dim", "dim_estado_pago") { Dims.dimEstadoPago(spark) }
+    run("dim", "dim_categoria_producto") { Dims.dimProductCategory(t("part")) }
+    // dim_orden / dim_line_item / dim_detalle_venta are degenerate dims:
+    // pure views over the facts (Dims.dimOrden & co.) — materializing
+    // them would duplicate fact-grain data, so the orchestrator skips
+    // them by design (SURVEY §6).
     run("dim", "scd2_customer") { Dims.scd2Customer(t("orders")) }
 
     // ---- phase 3: facts (consume the dims just landed — the surrogate
@@ -93,6 +107,10 @@ object Etl {
         out("dim_order_status"))
     }
     run("fact", "fact_inventory") { Facts.factInventory(t("lineitem"), t("part"), t("supplier")) }
+    run("fact", "fact_inventory_wh") {
+      Facts.factInventoryWarehouse(t("lineitem"), t("supplier"), t("part"),
+        out("dim_warehouse"))
+    }
     run("fact", "fact_transactions") { Facts.factTransactions(Tables.events(spark, sfDir)) }
     run("fact", "fact_pnl") { Facts.factPnl(t("lineitem"), t("orders")) }
     run("fact", "fact_balance") { Facts.factBalance(t("orders")) }

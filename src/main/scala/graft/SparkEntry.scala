@@ -55,6 +55,13 @@ object SparkEntry {
     "fact_inventory_wh" -> ((s, d) => Facts.factInventoryWarehouse(
       t(s, d, "lineitem"), t(s, d, "supplier"), t(s, d, "part"),
       Dims.dimWarehouse(t(s, d, "nation"), t(s, d, "region")))),
+    "dim_direccion" -> ((s, d) => Dims.dimDireccion(
+      t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "region"))),
+    "dim_estado_pago" -> ((s, _) => Dims.dimEstadoPago(s)),
+    "dim_categoria_producto" -> ((s, d) => Dims.dimProductCategory(t(s, d, "part"))),
+    "dim_orden" -> ((s, d) => Dims.dimOrden(t(s, d, "orders"))),
+    "dim_line_item" -> ((s, d) => Dims.dimLineItem(t(s, d, "lineitem"), t(s, d, "part"))),
+    "dim_detalle_venta" -> ((s, d) => Dims.dimDetalleVenta(t(s, d, "lineitem"))),
     "scd2_customer" -> ((s, d) => Dims.scd2Customer(t(s, d, "orders"))),
     // ---- B. validation ----
     "validate_nulls" -> ((s, d) => Validation.nullProfile(s,
@@ -624,7 +631,7 @@ object SparkEntry {
     "dim_shipping" ->
       """WITH e AS (SELECT
         |  (['AIR', 'FOB', 'MAIL', 'RAIL', 'REG AIR', 'SHIP', 'TRUCK'])
-        |    [CAST((l_orderkey * 7 + l_linenumber) % 7 + 1 AS INT)] AS ship_mode,
+        |    [CAST((l_orderkey * 11 + l_linenumber) % 7 + 1 AS INT)] AS ship_mode,
         |  l_linestatus AS line_status,
         |  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lead_days
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -683,6 +690,91 @@ object SparkEntry {
         |  TRUE AS is_active, count(*) AS n_lines
         |FROM lineitem GROUP BY 1
         |ORDER BY movement_code""".stripMargin,
+
+    "dim_direccion" ->
+      """WITH e AS (
+        |  SELECT 'customer' AS entity_type, CAST(c_custkey AS BIGINT) AS entity_key,
+        |    c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier', CAST(s_suppkey AS BIGINT), s_nationkey FROM supplier),
+        |g AS (SELECT entity_type, entity_key,
+        |  CAST(100 + (entity_key * 13) % 9900 AS VARCHAR) || ' ' || n_name || ' ST' AS street,
+        |  n_name || ' CITY ' || CAST(entity_key % 10 AS VARCHAR) AS city,
+        |  lpad(CAST((entity_key * 7919) % 100000 AS VARCHAR), 5, '0') AS postal_code,
+        |  r_name AS region, n_name AS country
+        |FROM e JOIN nation ON nationkey = n_nationkey
+        |       JOIN region ON n_regionkey = r_regionkey)
+        |SELECT md5('addr:' || entity_type || ':' || CAST(entity_key AS VARCHAR)) AS address_sk,
+        |  entity_type, entity_key, street, city, postal_code, region, country,
+        |  TRUE AS is_active,
+        |  concat_ws(', ', street, city, region, country) AS full_address
+        |FROM g ORDER BY entity_type, entity_key""".stripMargin,
+
+    "dim_estado_pago" ->
+      """WITH c(payment_status_code, status_name, description, is_active) AS (VALUES
+        |  ('PAG', 'Pagado', 'Pago completado en su totalidad', TRUE),
+        |  ('PEN', 'Pendiente', 'Pago aun no recibido', TRUE),
+        |  ('PAR', 'Pago Parcial', 'Abono recibido, saldo pendiente', TRUE),
+        |  ('REE', 'Reembolsado', 'Pago devuelto al cliente', TRUE),
+        |  ('FAL', 'Fallido', 'Intento de pago rechazado', TRUE),
+        |  ('CAN', 'Cancelado', 'Pago anulado antes de procesar', FALSE))
+        |SELECT payment_status_code,
+        |  md5('pay_status:' || payment_status_code) AS payment_status_sk,
+        |  status_name, description, is_active
+        |FROM c ORDER BY payment_status_code""".stripMargin,
+
+    "dim_categoria_producto" ->
+      """WITH fam AS (SELECT 'FAM:' || p_type AS category_code,
+        |  p_type AS category_name, CAST(NULL AS VARCHAR) AS parent_code,
+        |  CAST(1 AS BIGINT) AS level, count(*) AS n_parts
+        |FROM part GROUP BY p_type),
+        |cell AS (SELECT 'TYP:' || p_type || '/' || p_brand AS category_code,
+        |  p_type || ' ' || p_brand AS category_name,
+        |  'FAM:' || p_type AS parent_code,
+        |  CAST(2 AS BIGINT) AS level, count(*) AS n_parts
+        |FROM part GROUP BY p_type, p_brand),
+        |u AS (SELECT * FROM fam UNION ALL SELECT * FROM cell)
+        |SELECT category_code, md5('cat:' || category_code) AS category_sk,
+        |  category_name, parent_code, level, n_parts
+        |FROM u ORDER BY level, category_code""".stripMargin,
+
+    "dim_orden" ->
+      """SELECT o_orderkey AS orden_id, o_orderkey AS orden_externo_id,
+        |  'ORD-' || CAST(o_orderkey AS VARCHAR) AS numero_orden,
+        |  'Venta' AS tipo_orden, 'E-Commerce' AS canal, 'USD' AS moneda,
+        |  CAST(1.0 AS DOUBLE) AS tasa_cambio, CAST(o_orderdate AS DATE) AS created_at
+        |FROM orders ORDER BY orden_id""".stripMargin,
+
+    "dim_line_item" ->
+      """WITH occ AS (SELECT *,
+        |  CAST((l_orderkey * 10 + l_linenumber) * 100 +
+        |    row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |      ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice,
+        |        l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+        |    AS BIGINT) AS line_item_id
+        |FROM lineitem)
+        |SELECT line_item_id,
+        |  l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+        |  p_name AS product_name,
+        |  CAST(l_quantity AS DOUBLE) AS quantity,
+        |  CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE) AS unit_price
+        |FROM occ JOIN part ON l_partkey = p_partkey
+        |ORDER BY line_item_id""".stripMargin,
+
+    "dim_detalle_venta" ->
+      """WITH occ AS (SELECT *,
+        |  CAST((l_orderkey * 10 + l_linenumber) * 100 +
+        |    row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |      ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice,
+        |        l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+        |    AS BIGINT) AS detalle_id
+        |FROM lineitem)
+        |SELECT detalle_id,
+        |  'SKU-' || CAST(l_partkey AS VARCHAR) AS codigo,
+        |  CASE WHEN l_returnflag = 'R' THEN 'Devolucion registrada'
+        |    WHEN l_linestatus = 'F' THEN 'Venta estandar (finalizada)'
+        |    ELSE 'Venta estandar (abierta)' END AS descripcion
+        |FROM occ ORDER BY detalle_id""".stripMargin,
 
     "fact_inventory_wh" ->
       """WITH agg AS (SELECT l_partkey, s_nationkey AS warehouse_code,

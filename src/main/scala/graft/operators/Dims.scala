@@ -355,8 +355,10 @@ object Dims {
   def dimShipping(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val modes = array(Seq("AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK")
       .map(lit): _*)
+    // multiplier 11 is coprime to 7, so the mode genuinely mixes both
+    // parts of the line's natural key (a *7 term would vanish mod 7)
     val mode = element_at(modes,
-      ((col("l_orderkey") * 7 + col("l_linenumber")) % 7 + 1).cast("int"))
+      ((col("l_orderkey") * 11 + col("l_linenumber")) % 7 + 1).cast("int"))
     val w = Window.orderBy("ship_mode", "line_status")
     lineitem
       .join(orders.select("o_orderkey", "o_orderdate"),
@@ -449,6 +451,174 @@ object Dims {
         lit(true).as("is_active"),
         col("n_lines"))
       .orderBy("movement_code")
+
+  /** Address dim (ref complete_dimension_builder.py:441
+    * `build_dim_direccion`: distinct street/city/postal/region/country
+    * plus a concatenated full address from order addresses). The
+    * testdata carries no address fields, so each customer/supplier
+    * entity gets one deterministic synthetic site — street/city/postal
+    * are pure functions of the entity key and its real geography
+    * ([[dimWarehouse]] precedent). Geography joins are broadcast; the
+    * union is map-only, so the build is one scan of each entity table.
+    */
+  def dimDireccion(customer: DataFrame, supplier: DataFrame,
+                   nation: DataFrame, region: DataFrame): DataFrame = {
+    val geo = nation
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val sites = customer
+      .select(lit("customer").as("entity_type"),
+        col("c_custkey").cast(LongType).as("entity_key"),
+        col("c_nationkey").as("nationkey"))
+      .unionByName(supplier.select(lit("supplier").as("entity_type"),
+        col("s_suppkey").cast(LongType).as("entity_key"),
+        col("s_nationkey").as("nationkey")))
+    sites
+      .join(broadcast(geo), col("nationkey") === col("n_nationkey"))
+      .select(
+        surrogate("addr", concat(col("entity_type"), lit(":"), col("entity_key")))
+          .as("address_sk"),
+        col("entity_type"), col("entity_key"),
+        concat((lit(100) + (col("entity_key") * 13) % 9900).cast(StringType),
+          lit(" "), col("n_name"), lit(" ST")).as("street"),
+        concat(col("n_name"), lit(" CITY "),
+          (col("entity_key") % 10).cast(StringType)).as("city"),
+        lpad(((col("entity_key") * 7919) % 100000).cast(StringType), 5, "0")
+          .as("postal_code"),
+        col("r_name").as("region"),
+        col("n_name").as("country"),
+        lit(true).as("is_active"))
+      .withColumn("full_address",
+        concat_ws(", ", col("street"), col("city"), col("region"), col("country")))
+      .orderBy("entity_type", "entity_key")
+  }
+
+  /** Payment-status junk dim (ref :673 `build_dim_estado_pago`:
+    * codigo/nombre/descripcion/activo from a status CSV, deduped by
+    * code). Static reference data, [[dimAccount]] pattern;
+    * [[dimPaymentMethod]] covers the payment METHOD axis — this is the
+    * status axis of the same junk-dimension pair.
+    */
+  def dimEstadoPago(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = Seq(
+      ("PAG", "Pagado", "Pago completado en su totalidad", true),
+      ("PEN", "Pendiente", "Pago aun no recibido", true),
+      ("PAR", "Pago Parcial", "Abono recibido, saldo pendiente", true),
+      ("REE", "Reembolsado", "Pago devuelto al cliente", true),
+      ("FAL", "Fallido", "Intento de pago rechazado", true),
+      ("CAN", "Cancelado", "Pago anulado antes de procesar", false))
+    rows.toDF("payment_status_code", "status_name", "description", "is_active")
+      .select(col("payment_status_code"),
+        surrogate("pay_status", col("payment_status_code")).as("payment_status_sk"),
+        col("status_name"), col("description"), col("is_active"))
+      .orderBy("payment_status_code")
+  }
+
+  /** Product-category dim with hierarchy (ref :945
+    * `build_dim_categoria_producto`: codigo/nombre/descripcion/
+    * categoria_padre_id/nivel — a static two-level category tree). Here
+    * the tree is distilled from the catalog itself ([[dimBrand]]
+    * pattern): level 1 = the p_type family (parent null), level 2 =
+    * type x brand assortment cells rolling up to their family. Two
+    * small aggregations over part, union, tiny output — fact builders
+    * broadcast it.
+    */
+  def dimProductCategory(part: DataFrame): DataFrame = {
+    val families = part.groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_parts"))
+      .select(concat(lit("FAM:"), col("p_type")).as("category_code"),
+        col("p_type").as("category_name"),
+        lit(null).cast(StringType).as("parent_code"),
+        lit(1L).as("level"), col("n_parts"))
+    val cells = part.groupBy(col("p_type"), col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .select(
+        concat(lit("TYP:"), col("p_type"), lit("/"), col("p_brand"))
+          .as("category_code"),
+        concat(col("p_type"), lit(" "), col("p_brand")).as("category_name"),
+        concat(lit("FAM:"), col("p_type")).as("parent_code"),
+        lit(2L).as("level"), col("n_parts"))
+    families.unionByName(cells)
+      .select(col("category_code"),
+        surrogate("cat", col("category_code")).as("category_sk"),
+        col("category_name"), col("parent_code"), col("level"), col("n_parts"))
+      .orderBy("level", "category_code")
+  }
+
+  /** Degenerate order dim (ref :504 `build_dim_orden`: the order-number
+    * lookup — id, 'ORD-' number, type/channel/currency constants,
+    * created_at). The attributes are degenerate (they live at fact
+    * grain already), so this is a THIN VIEW over orders — a pure
+    * projection Catalyst collapses into the scan — not a materialized
+    * copy. orden_id is the natural o_orderkey, as the reference keeps
+    * the OroCommerce id.
+    */
+  def dimOrden(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey").as("orden_id"),
+      col("o_orderkey").as("orden_externo_id"),
+      concat(lit("ORD-"), col("o_orderkey")).as("numero_orden"),
+      lit("Venta").as("tipo_orden"),
+      lit("E-Commerce").as("canal"),
+      lit("USD").as("moneda"),
+      lit(1.0).as("tasa_cambio"),
+      to_date(col("o_orderdate")).as("created_at"))
+    .orderBy("orden_id")
+
+  /** Deterministic per-line id at duplicate granularity: the testdata
+    * generator emits duplicate (orderkey, linenumber) pairs, so the
+    * composite encode alone is not unique — an occurrence index over
+    * the full row ordering disambiguates. One shuffle on the composite
+    * key, then partition-local numbering (per-key fan-out is tiny, so
+    * this holds at any scale; no global sequence).
+    */
+  private def lineOccurrence: Column = {
+    val w = Window.partitionBy("l_orderkey", "l_linenumber")
+      .orderBy("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    ((col("l_orderkey") * 10 + col("l_linenumber")) * 100 +
+      row_number().over(w)).cast(LongType)
+  }
+
+  /** Degenerate line-item dim (ref :543 `build_dim_line_item`: surrogate
+    * id, product name, quantity, unit price per order line). Thin view
+    * over lineitem with a broadcast part lookup for the product name.
+    * The id is a composite encode of the natural key plus an occurrence
+    * index ([[lineOccurrence]]) — deterministic and distributed, where
+    * the reference assigns a driver-side sequential range. Unit price is
+    * IEEE double division (bit-stable across engines), not a rounded
+    * decimal.
+    */
+  def dimLineItem(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .withColumn("line_item_id", lineOccurrence)
+      .join(broadcast(part.select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        col("line_item_id"),
+        col("l_orderkey").as("orderkey"),
+        col("l_linenumber").cast(LongType).as("linenumber"),
+        col("p_name").as("product_name"),
+        dbl(col("l_quantity")).as("quantity"),
+        (dbl(col("l_extendedprice")) / dbl(col("l_quantity"))).as("unit_price"))
+      .orderBy("line_item_id")
+
+  /** Degenerate sale-detail dim (ref :584 `build_dim_detalle_venta`:
+    * surrogate id, product code, derived description). Thin view over
+    * lineitem; the description derives from the line's return/status
+    * flags (the testdata carries no free-text comment or ship method).
+    */
+  def dimDetalleVenta(lineitem: DataFrame): DataFrame =
+    lineitem
+      .withColumn("detalle_id", lineOccurrence)
+      .select(
+        col("detalle_id"),
+        concat(lit("SKU-"), col("l_partkey")).as("codigo"),
+        when(col("l_returnflag") === "R", "Devolucion registrada")
+          .when(col("l_linestatus") === "F", "Venta estandar (finalizada)")
+          .otherwise("Venta estandar (abierta)").as("descripcion"))
+      .orderBy("detalle_id")
 
   /** SCD Type-2 customer activity versions from order history: each
     * active day opens a version; valid_to = next version's start

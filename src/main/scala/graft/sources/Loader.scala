@@ -103,7 +103,16 @@ object Loader {
     val (fs, dir) = Fs.fileSystem(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
     val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
-    fs.delete(tmp, true) // leftovers of a crashed prior run
+    if (!fs.exists(dir)) {
+      // A prior run crashed mid-swap: the renamed-aside original (or the
+      // completed rewrite) holds the ONLY copy of the table. Restore it
+      // before the leftover cleanup, which must never touch a sole survivor.
+      val survivor = if (fs.exists(old)) old else tmp
+      if (!fs.exists(survivor) || !fs.rename(survivor, dir))
+        throw new java.io.IOException(
+          s"compact: $dir missing and no recoverable .compact.old/.compact.tmp copy")
+    }
+    fs.delete(tmp, true) // leftovers of a crashed prior run (dir verified present)
     fs.delete(old, true)
     val dataBytes = fs.listStatus(dir).iterator
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -126,11 +135,13 @@ object Loader {
     * Spark shape of core/batch_processor.py's checkpoint/resume. The
     * mark is stored next to the sink as a one-line file.
     *
-    * Batch stats (count + new mark) come from ONE aggregation pass, and
-    * the mark is committed by temp-file + atomic rename strictly AFTER
-    * the append: a crash can only leave data ahead of the mark (re-run
-    * re-loads, at-least-once), never a mark that claims rows the sink
-    * doesn't have.
+    * Batch stats (count + new mark) are observed DURING the append
+    * ([[org.apache.spark.sql.Observation]] metrics ride the write job),
+    * so the delta is scanned exactly once per load. The mark is
+    * committed by temp-file + atomic rename strictly AFTER the append:
+    * a crash can only leave data ahead of the mark (re-run re-loads,
+    * at-least-once), never a mark that claims rows the sink doesn't
+    * have.
     */
   def incrementalLoad(spark: SparkSession, source: DataFrame, watermarkCol: String,
                       sinkPath: String): Long = {
@@ -138,13 +149,13 @@ object Loader {
     val last = Fs.readSmallText(spark, markPath)
       .map(_.trim.toLong).getOrElse(Long.MinValue)
     val fresh = source.filter(col(watermarkCol).cast("long") > last)
-    val stats = fresh
-      .agg(count(lit(1)).as("n"), max(col(watermarkCol).cast("long")).as("mx")).head
-    val n = stats.getLong(0)
-    if (n > 0) {
-      fresh.write.mode(SaveMode.Append).parquet(sinkPath)
-      Fs.writeSmallTextAtomic(spark, markPath, stats.getLong(1).toString)
-    }
+    val obs = org.apache.spark.sql.Observation()
+    fresh.observe(obs, count(lit(1)).as("n"), max(col(watermarkCol).cast("long")).as("mx"))
+      .write.mode(SaveMode.Append).parquet(sinkPath)
+    val stats = obs.get
+    val n = stats("n").asInstanceOf[Long]
+    if (n > 0)
+      Fs.writeSmallTextAtomic(spark, markPath, stats("mx").asInstanceOf[Long].toString)
     n
   }
 }

@@ -47,6 +47,17 @@ class EtlSpec extends AnyFunSuite {
     assert(byTable("fact_sales") === 60000L)
     assert(byTable("fact_pnl") === 21L)
     assert(byTable("dim_payment_method") === 10L)
+    // the r3 warehouse/shipping/accounting tables land too (oracle figures)
+    assert(byTable("dim_warehouse") === 25L)
+    assert(byTable("dim_shipping") === 14L)
+    assert(byTable("dim_cost_center") === 6L)
+    assert(byTable("dim_transaction_type") === 6L)
+    assert(byTable("dim_movement_type") === 3L)
+    assert(byTable("fact_inventory_wh") === 32146L)
+    // r4 dims: one address per customer+supplier, static statuses, category tree
+    assert(byTable("dim_direccion") === 1600L)
+    assert(byTable("dim_estado_pago") === 6L)
+    assert(byTable("dim_categoria_producto") > 6L)
 
     // the report itself lands as a queryable table
     val persisted = spark.read.parquet(s"$out/etl_run_report")

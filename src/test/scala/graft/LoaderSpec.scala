@@ -127,6 +127,28 @@ class LoaderSpec extends AnyFunSuite {
     assert(!siblings.exists(_.endsWith(".compact.old")), "old data must be dropped after swap")
   }
 
+  test("compaction recovers a half-swapped directory instead of deleting the only copy") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_crash").toString + "/t"
+    val df = (1 to 1000).map(i => (i.toLong, s"row_$i")).toDF("id", "v")
+    df.repartition(8).write.parquet(dir)
+    // simulate a crash between rename(dir -> old) and rename(tmp -> dir):
+    // the data dir is absent and .compact.old holds the ONLY copy
+    val f = new java.io.File(dir)
+    val old = new java.io.File(dir + ".compact.old")
+    assert(f.renameTo(old))
+    assert(!f.exists() && old.exists())
+    val n = Loader.compact(spark, dir, targetBytes = 64L * 1024 * 1024)
+    assert(n >= 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1000, "recovered compaction must preserve every row")
+    assert(back.agg(org.apache.spark.sql.functions.sum(col("id"))).head.getLong(0)
+      === (1 to 1000).map(_.toLong).sum)
+    val siblings = f.getParentFile.listFiles().map(_.getName)
+    assert(!siblings.exists(_.endsWith(".compact.tmp")))
+    assert(!siblings.exists(_.endsWith(".compact.old")))
+  }
+
   test("native cosine expression matches the declarative HOF form exactly") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))

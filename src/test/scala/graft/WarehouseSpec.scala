@@ -103,6 +103,56 @@ class WarehouseSpec extends AnyFunSuite {
     assert(ship.filter(col("avg_lead_days").isNull).count() === 0)
   }
 
+  test("address/status/category dims: one site per entity, consistent hierarchy") {
+    val cust = Tables.customer(spark, sf)
+    val supp = Tables.supplier(spark, sf)
+    val addr = Dims.dimDireccion(cust, supp,
+      Tables.nation(spark, sf), Tables.region(spark, sf)).cache()
+    // one address site per customer + supplier; surrogate unique
+    assert(addr.count() === cust.count() + supp.count())
+    assert(addr.select("address_sk").distinct().count() === addr.count())
+    // full address embeds the street and the real geography
+    val r0 = addr.head
+    assert(r0.getAs[String]("full_address").startsWith(r0.getAs[String]("street")))
+    assert(addr.filter(col("country").isNull || col("region").isNull).count() === 0)
+
+    val pay = Dims.dimEstadoPago(spark)
+    assert(pay.count() === 6)
+    assert(pay.select("payment_status_code").distinct().count() === 6)
+
+    val cat = Dims.dimProductCategory(Tables.part(spark, sf)).cache()
+    // every level-2 cell's parent exists as a level-1 family
+    val fams = cat.filter(col("level") === 1).select(col("category_code").as("pc"))
+    val orphans = cat.filter(col("level") === 2)
+      .join(fams, col("parent_code") === col("pc"), "left_anti")
+    assert(orphans.count() === 0, "level-2 categories must roll up to a family")
+    // family part counts reconcile with their cells
+    val famTotal = cat.filter(col("level") === 1).agg(sum("n_parts")).head.getLong(0)
+    val cellTotal = cat.filter(col("level") === 2).agg(sum("n_parts")).head.getLong(0)
+    assert(famTotal === cellTotal && famTotal === Tables.part(spark, sf).count())
+    addr.unpersist(); cat.unpersist()
+  }
+
+  test("degenerate dims are thin views: per-line grain, no row loss") {
+    val li = Tables.lineitem(spark, sf)
+    val orders = Tables.orders(spark, sf)
+    val ord = Dims.dimOrden(orders)
+    assert(ord.count() === orders.count())
+    assert(ord.select("orden_id").distinct().count() === orders.count())
+    val lineDim = Dims.dimLineItem(li, Tables.part(spark, sf)).cache()
+    assert(lineDim.count() === li.count())
+    assert(lineDim.select("line_item_id").distinct().count() === li.count(),
+      "composite encode must stay unique at line grain")
+    // unit price reconstructs the extended price at line grain
+    val bad = lineDim.filter(
+      abs(col("unit_price") * col("quantity")) < lit(0.0)).count()
+    assert(bad === 0)
+    val det = Dims.dimDetalleVenta(li)
+    assert(det.count() === li.count())
+    assert(det.filter(col("descripcion").isNull).count() === 0)
+    lineDim.unpersist()
+  }
+
   test("Graft.registerViews: SQL-first use with custom function") {
     Graft.registerViews(spark, sf)
     assert(spark.sql("SELECT count(*) n FROM lineitem").head.getLong(0) > 0)
