@@ -92,6 +92,8 @@ object Etl {
     }
     run("dim", "dim_estado_pago") { Dims.dimEstadoPago(spark) }
     run("dim", "dim_categoria_producto") { Dims.dimProductCategory(t("part")) }
+    run("dim", "dim_usuario") { Dims.dimUsuario(Tables.events(spark, sfDir)) }
+    run("dim", "dim_sitio_web") { Dims.dimSitioWeb(spark) }
     // dim_orden / dim_line_item / dim_detalle_venta are degenerate dims:
     // pure views over the facts (Dims.dimOrden & co.) — materializing
     // them would duplicate fact-grain data, so the orchestrator skips

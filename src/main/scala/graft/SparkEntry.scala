@@ -62,6 +62,8 @@ object SparkEntry {
     "dim_orden" -> ((s, d) => Dims.dimOrden(t(s, d, "orders"))),
     "dim_line_item" -> ((s, d) => Dims.dimLineItem(t(s, d, "lineitem"), t(s, d, "part"))),
     "dim_detalle_venta" -> ((s, d) => Dims.dimDetalleVenta(t(s, d, "lineitem"))),
+    "dim_usuario" -> ((s, d) => Dims.dimUsuario(Tables.events(s, d))),
+    "dim_sitio_web" -> ((s, _) => Dims.dimSitioWeb(s)),
     "scd2_customer" -> ((s, d) => Dims.scd2Customer(t(s, d, "orders"))),
     // ---- B. validation ----
     "validate_nulls" -> ((s, d) => Validation.nullProfile(s,
@@ -775,6 +777,32 @@ object SparkEntry {
         |    WHEN l_linestatus = 'F' THEN 'Venta estandar (finalizada)'
         |    ELSE 'Venta estandar (abierta)' END AS descripcion
         |FROM occ ORDER BY detalle_id""".stripMargin,
+
+    "dim_usuario" ->
+      """SELECT user_id AS usuario_id, user_id AS usuario_externo_id,
+        |  'usuario_' || CAST(user_id AS VARCHAR) AS username,
+        |  'user' || CAST(user_id AS VARCHAR) || '@example.com' AS email,
+        |  'Usuario ' || CAST(user_id AS VARCHAR) AS nombre_completo,
+        |  TRUE AS activo,
+        |  MIN(CAST(ts AS DATE)) AS created_at,
+        |  MAX(CAST(ts AS DATE)) AS updated_at,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY usuario_id""".stripMargin,
+
+    "dim_sitio_web" ->
+      """WITH c(sitio_externo_id, nombre, url, tipo, activo) AS (VALUES
+        |  (1, 'Tienda Online', 'https://shop.example.com', 'b2c', TRUE),
+        |  (2, 'Portal Mayorista', 'https://b2b.example.com', 'b2b', TRUE),
+        |  (3, 'Outlet', 'https://outlet.example.com', 'b2c', TRUE),
+        |  (4, 'Marketplace', 'https://market.example.com', 'marketplace', TRUE),
+        |  (5, 'Sitio Legado', 'https://legacy.example.com', 'b2c', FALSE))
+        |SELECT CAST(sitio_externo_id AS BIGINT) AS sitio_externo_id,
+        |  md5('web:' || CAST(sitio_externo_id AS VARCHAR)) AS sitio_sk,
+        |  nombre, url, tipo, activo,
+        |  CAST('2024-01-01' AS DATE) AS created_at,
+        |  CAST('2024-01-01' AS DATE) AS updated_at
+        |FROM c ORDER BY sitio_externo_id""".stripMargin,
 
     "fact_inventory_wh" ->
       """WITH agg AS (SELECT l_partkey, s_nationkey AS warehouse_code,

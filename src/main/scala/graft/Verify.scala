@@ -17,12 +17,18 @@ object Verify {
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // plan-diversity crosscheck knob: set to -1 to force every join
+    // onto the shuffle path (the plan family a 100 TB run would use
+    // once dims outgrow the broadcast threshold) — results must stay
+    // hash-identical to the broadcast plans and to DuckDB
+    sys.env.get("SPARK_GRAFT_BROADCAST_THRESHOLD")
+      .foreach(t => builder.config("spark.sql.autoBroadcastJoinThreshold", t))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -620,6 +620,54 @@ object Dims {
           .otherwise("Venta estandar (abierta)").as("descripcion"))
       .orderBy("detalle_id")
 
+  /** User dim (ref :146 `build_dim_usuario`: id, username, email,
+    * display name, active flag, created/updated timestamps from
+    * oro_user). The testdata's user population lives in the events
+    * stream, so the dim derives from it: one row per observed user,
+    * created_at/updated_at = first/last activity day, identity fields
+    * as deterministic functions of the id (the reference itself
+    * synthesizes fallbacks: `usuario_<id>`, a placeholder email). One
+    * groupBy on user_id — uniform key, map-side partials.
+    */
+  def dimUsuario(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id").as("usuario_id"))
+      .agg(min(to_date(col("ts"))).as("created_at"),
+        max(to_date(col("ts"))).as("updated_at"),
+        count(lit(1)).as("n_events"))
+      .select(col("usuario_id"),
+        col("usuario_id").as("usuario_externo_id"),
+        concat(lit("usuario_"), col("usuario_id")).as("username"),
+        concat(lit("user"), col("usuario_id"), lit("@example.com")).as("email"),
+        concat(lit("Usuario "), col("usuario_id")).as("nombre_completo"),
+        lit(true).as("activo"),
+        col("created_at"), col("updated_at"), col("n_events"))
+      .orderBy("usuario_id")
+
+  /** Website dim (ref :405 `build_dim_sitio_web`: id/name/url/active
+    * from a sites CSV; oro_website is empty in the reference). Static
+    * reference data, [[dimPaymentMethod]] pattern. The reference stamps
+    * created_at = wall-clock now — here a fixed catalog date keeps the
+    * dim deterministic across runs/engines.
+    */
+  def dimSitioWeb(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val catalogDate = java.sql.Date.valueOf("2024-01-01")
+    val rows = Seq(
+      (1L, "Tienda Online", "https://shop.example.com", "b2c", true),
+      (2L, "Portal Mayorista", "https://b2b.example.com", "b2b", true),
+      (3L, "Outlet", "https://outlet.example.com", "b2c", true),
+      (4L, "Marketplace", "https://market.example.com", "marketplace", true),
+      (5L, "Sitio Legado", "https://legacy.example.com", "b2c", false))
+    rows.toDF("sitio_externo_id", "nombre", "url", "tipo", "activo")
+      .select(col("sitio_externo_id"),
+        surrogate("web", col("sitio_externo_id")).as("sitio_sk"),
+        col("nombre"), col("url"), col("tipo"), col("activo"),
+        lit(catalogDate).as("created_at"),
+        lit(catalogDate).as("updated_at"))
+      .orderBy("sitio_externo_id")
+  }
+
   /** SCD Type-2 customer activity versions from order history: each
     * active day opens a version; valid_to = next version's start
     * (generalizes the reference loader's overwrite-upsert into proper

@@ -75,6 +75,40 @@ object EventStream {
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
 
+  /** readStream over the documents corpus, staged the same way as
+    * [[eventsStream]]. The corpus carries no arrival time, so a
+    * deterministic ingest timestamp derives from doc_id (in production
+    * this is the landing time of the file the row arrived in).
+    */
+  private def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_docs_stream",
+      Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(staged)
+    val target = staged.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(target))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "documents.parquet"), target)
+    spark.readStream.schema(schema).parquet(staged.toString)
+      .withColumn("ingest_ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+  }
+
+  /** Streaming dedup-by-signature: the streaming twin of Dedup.exact.
+    * Each document is fingerprinted with the SAME normalized-text md5
+    * the batch operator uses; dropDuplicatesWithinWatermark keeps the
+    * first arrival per fingerprint and EVICTS state once the watermark
+    * passes — bounded memory however long the stream runs, where a
+    * plain dropDuplicates would accumulate one state row per distinct
+    * document forever. Duplicates arriving farther apart than the
+    * watermark delay are the batch layer's job (lambda split).
+    */
+  def dedupBySignatureStream(spark: SparkSession, dir: String): DataFrame =
+    documentsStream(spark, dir)
+      .withColumn("fp_md5", md5(lower(trim(col("text"))).cast("binary")))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp_md5")
+      .select(col("doc_id"), col("fp_md5"), col("n_chars"))
+
   /** Streaming sessionization through the SAME native session_window
     * construct the batch operator uses (EventOps.sessionWindows) — this
     * is the point of preferring the first-class operator over a

@@ -58,6 +58,8 @@ class EtlSpec extends AnyFunSuite {
     assert(byTable("dim_direccion") === 1600L)
     assert(byTable("dim_estado_pago") === 6L)
     assert(byTable("dim_categoria_producto") > 6L)
+    assert(byTable("dim_usuario") > 0L)
+    assert(byTable("dim_sitio_web") === 5L)
 
     // the report itself lands as a queryable table
     val persisted = spark.read.parquet(s"$out/etl_run_report")

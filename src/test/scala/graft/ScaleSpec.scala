@@ -64,6 +64,28 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("fact_inventory_wh plan: broadcast dims, single hash shuffle from the groupBy") {
+    val df = SparkEntry.queries("fact_inventory_wh")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // supplier, dim_warehouse, part resolve via broadcast (plus the
+    // nation-region join inside dimWarehouse itself) — lineitem streams once
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"supplier/warehouse/part must all broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no join may degrade to a shuffle join:\n$plan")
+    // exactly one hash shuffle — the (partkey, warehouse) groupBy; the
+    // only other exchange is the deterministic output sort's range split
+    // (formatted mode puts the partitioning in the Arguments footer)
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx === 1, s"exactly one shuffle (the groupBy) expected:\n$plan")
+    assert("Arguments: rangepartitioning".r.findAllIn(plan).size === 1,
+      s"one range split for the output sort expected:\n$plan")
+    // map-side partial aggregation precedes the shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial + final aggregate expected:\n$plan")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val dir = Files.createTempDirectory("graft_part").toString + "/orders_by_status"
     Partitioning.writePartitioned(Tables.orders(spark, sf), dir, Seq("o_orderstatus"))
@@ -169,5 +191,27 @@ class ScaleSpec extends AnyFunSuite {
     val batchKeys = Tables.events(spark, sf)
       .select("user_id", "event_type").distinct().count()
     assert(streamed.count() === batchKeys)
+  }
+
+  test("streaming dedup-by-signature matches the batch canonical set") {
+    val q = EventStream.dedupBySignatureStream(spark, sf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sig_dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sig_dedup_out").cache()
+    val batch = graft.operators.Dedup.exact(Tables.documents(spark, sf)).cache()
+    // one survivor per distinct fingerprint — same group count as batch
+    val batchGroups = batch.select("fp_md5").distinct()
+    assert(streamed.count() === batchGroups.count())
+    assert(streamed.select("fp_md5").exceptAll(batchGroups).count() === 0)
+    assert(batchGroups.exceptAll(streamed.select("fp_md5")).count() === 0)
+    // every kept doc belongs to the fingerprint group batch assigns it to
+    // (streaming keeps first ARRIVAL, batch keeps min id — membership,
+    // not identity, is the cross-mode contract)
+    val misassigned = streamed.join(batch,
+        Seq("doc_id"), "inner")
+      .filter(streamed("fp_md5") =!= batch("fp_md5"))
+    assert(misassigned.count() === 0)
+    streamed.unpersist(); batch.unpersist()
   }
 }

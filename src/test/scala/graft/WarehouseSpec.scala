@@ -120,6 +120,14 @@ class WarehouseSpec extends AnyFunSuite {
     assert(pay.count() === 6)
     assert(pay.select("payment_status_code").distinct().count() === 6)
 
+    val usr = Dims.dimUsuario(Tables.events(spark, sf)).cache()
+    assert(usr.count() ===
+      Tables.events(spark, sf).select("user_id").distinct().count())
+    assert(usr.filter(col("created_at") > col("updated_at")).count() === 0,
+      "first activity can never postdate last activity")
+    usr.unpersist()
+    assert(Dims.dimSitioWeb(spark).count() === 5)
+
     val cat = Dims.dimProductCategory(Tables.part(spark, sf)).cache()
     // every level-2 cell's parent exists as a level-1 family
     val fams = cat.filter(col("level") === 1).select(col("category_code").as("pc"))
