@@ -216,6 +216,40 @@ object TextOps {
       .orderBy("train_doc", "eval_doc")
   }
 
+  /** Hot-LIST variant of the df cap: aggregate only the grams ABOVE the
+    * cap (a tiny set — bounded by total_grams/cap) and anti-join it,
+    * instead of semi-joining the full rare set. The anti-join side is
+    * small enough for AQE to broadcast, so boilerplate-gram rows are
+    * dropped map-side and never cross a shuffle — where the semi-join
+    * formulation moves every exploded row (hot ones included) through
+    * the join exchange. Same result set by construction (df > cap is
+    * the complement of df <= cap).
+    */
+  def decontaminateV2(documents: DataFrame, n: Int = 8,
+      maxGramDf: Int = GramDfCap): DataFrame = {
+    val tk = toks
+    val grams = array_distinct(transform(
+      sequence(lit(1), greatest(size(tk) - lit(n - 1), lit(0))),
+      i => conv(substring(md5(array_join(slice(tk, i, lit(n)), " ").cast("binary")),
+        1, 15), 16, 10).cast(LongType)))
+    val base = documents
+      .select(col("doc_id"), splitBucket.as("b"), grams.as("gs"))
+    val exploded = base.select(col("doc_id"), col("b"), explode(col("gs")).as("g8"))
+    val hot = exploded.groupBy("g8")
+      .agg(count(lit(1)).as("gram_df"))
+      .filter(col("gram_df") > maxGramDf)
+      .select("g8")
+    val capped = exploded.join(hot, Seq("g8"), "left_anti")
+    val train = capped.filter(col("b") < 8)
+      .select(col("doc_id").as("train_doc"), col("g8"))
+    val heldOut = capped.filter(col("b") >= 8)
+      .select(col("doc_id").as("eval_doc"), col("g8"))
+    train.join(heldOut, "g8")
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("train_doc", "eval_doc")
+  }
+
   /** Document-length histogram in power-of-two character buckets — the
     * length-distribution diagnostic that sizes chunking and batch
     * shapes. Pure per-row bucket + one tiny groupBy.
