@@ -188,7 +188,16 @@ object SparkEntry {
     "embedding_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d, "embeddings"))),
     "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
-    "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents")))
+    "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents"))),
+    // ---- D (r5). corpus construction ----
+    "dedup_clusters" -> ((s, d) => Dedup.clusters(t(s, d, "documents"))),
+    "corpus_sample" -> ((s, d) => Corpus.sample(t(s, d, "documents"))),
+    "corpus_mix_summary" -> ((s, d) => Corpus.mixSummary(t(s, d, "documents"))),
+    "stratified_sample" -> ((s, d) => Corpus.stratifiedSample(t(s, d, "documents"))),
+    "seq_pack" -> ((s, d) => Corpus.packPlan(t(s, d, "documents"))),
+    "seq_pack_summary" -> ((s, d) => Corpus.packSummary(t(s, d, "documents"))),
+    "pii_scrub" -> ((s, d) => Corpus.piiScrub(t(s, d, "documents"))),
+    "tfidf_top_terms" -> ((s, d) => Corpus.tfidfTopTerms(t(s, d, "documents")))
   )
 
   // ---------------------------------------------------------------------
@@ -1734,6 +1743,123 @@ object SparkEntry {
         |e AS (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS frame_idx FROM f)
         |SELECT doc_id, n_frames, frame_idx, frame_idx*1000 AS frame_ts_ms,
         |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_md5
-        |FROM e ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM e ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // ---- D (r5). corpus construction ----
+
+    // Connected components over the LSH candidate-pair graph: the
+    // recursive CTE floods every reachable label through the (doubled)
+    // edge set; min per doc = Dedup.clusters' propagated fixpoint.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |$bandPairCtes,
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(doc_id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ed.src, r.lbl FROM ed JOIN reach r ON ed.dst = r.doc_id),
+         |lab AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  doc_id = cluster_id AS is_canonical
+         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample" ->
+      s"""WITH s AS (SELECT doc_id, source, lang,
+         |  CAST(CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 0.9
+         |    WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.5
+         |    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 0.25
+         |    ELSE 0.1 END AS DOUBLE) AS weight,
+         |  ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+         |    / CAST(268435456 AS DOUBLE) AS sample_key
+         |FROM documents)
+         |SELECT doc_id, source, lang, weight, sample_key FROM s
+         |WHERE sample_key < weight ORDER BY doc_id""".stripMargin,
+
+    "corpus_mix_summary" ->
+      s"""WITH s AS (SELECT source, doc_id,
+         |  CAST(substr(source, 4) AS BIGINT) AS src_num,
+         |  CAST(CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 0.9
+         |    WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.5
+         |    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 0.25
+         |    ELSE 0.1 END AS DOUBLE) AS weight,
+         |  ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+         |    / CAST(268435456 AS DOUBLE) AS sample_key
+         |FROM documents),
+         |g AS (SELECT src_num, source, weight, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN sample_key < weight THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM s GROUP BY 1, 2, 3)
+         |SELECT src_num, source, weight, n_docs, n_kept,
+         |  CAST(n_kept AS DOUBLE) / n_docs AS achieved_rate
+         |FROM g ORDER BY src_num""".stripMargin,
+
+    "stratified_sample" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+         |    / CAST(268435456 AS DOUBLE) AS sample_key
+         |FROM documents),
+         |r AS (SELECT lang, doc_id, sample_key,
+         |  row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id) AS rn FROM s)
+         |SELECT lang, rn, doc_id, sample_key FROM r WHERE rn <= 20
+         |ORDER BY lang, rn""".stripMargin,
+
+    "seq_pack" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+         |FROM tk)
+         |SELECT doc_id, lang, n_tokens, tokens_before // 2048 AS pack_id,
+         |  tokens_before % 2048 AS pack_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "seq_pack_summary" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+         |FROM tk)
+         |SELECT lang, tokens_before // 2048 AS pack_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(n_tokens) AS DOUBLE) / 2048 AS fill_ratio
+         |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
+
+    // URL → EMAIL → PHONE replace order mirrors Corpus.piiScrub; the
+    // patterns are the shared Scala constants (single source of truth).
+    "pii_scrub" ->
+      s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents),
+         |r AS (SELECT doc_id, nt,
+         |  regexp_replace(regexp_replace(regexp_replace(nt,
+         |    '${Corpus.UrlPattern}', '<URL>', 'g'),
+         |    '${Corpus.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${Corpus.PhonePattern}', '<PHONE>', 'g') AS red
+         |FROM t)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(nt, '${Corpus.UrlPattern}')) AS n_urls,
+         |  len(regexp_extract_all(nt, '${Corpus.EmailPattern}')) AS n_emails,
+         |  len(regexp_extract_all(nt, '${Corpus.PhonePattern}')) AS n_phones,
+         |  length(red) AS n_chars_redacted, md5(red) AS redacted_md5
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Rational tf·N/df score (not tf·ln(N/df)): integer-derived doubles
+    // are bit-identical across engines, ln() is not — see Corpus
+    // .tfidfTopTerms.
+    "tfidf_top_terms" ->
+      s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents),
+         |e AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM t),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM e GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, term, tf, df,
+         |  CAST(tf AS DOUBLE) * n_docs / df AS score
+         |FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tf, df, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+         |FROM s)
+         |SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin
   )
 }

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-construction operators for the training-data pipeline:
+  * deterministic weighted source mixing, stratified sampling,
+  * context-window pack planning, PII scrubbing, and tf-idf keyword
+  * extraction. (Beyond the reference's surface — the reference stops
+  * at warehouse ETL; these are the stages a 100 TB pretraining-corpus
+  * build adds on top. Ref touchpoint: core/batch_processor.py's
+  * per-batch filtering is the closest analogue.)
+  *
+  * All sampling decisions are hash-threshold based (md5-derived keys),
+  * never `rand()`: reproducible across runs, engines, and cluster
+  * sizes, and re-running a 100 TB job samples the SAME rows — the
+  * property that makes corpus builds auditable. Everything except the
+  * pack/tf-idf aggregations is a pure per-row map stage (no shuffle).
+  */
+object Corpus {
+
+  /** Uniform [0,1) sample key from md5(salt || doc_id): top 28 bits of
+    * the digest over 2^28. Exact dyadic rational — the double is
+    * bit-identical in any IEEE engine, so threshold comparisons agree
+    * everywhere (same trick as Similarity.lshPlaneCoefs).
+    */
+  def sampleKey(salt: String, id: Column): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string")).cast("binary")), 1, 7),
+      16, 10).cast(LongType).cast("double") / lit(268435456.0)
+
+  /** Per-source mixing weight: sources src0..src4 are "high-trust"
+    * (keep 90%), src5..src9 mid (50%), src10..src14 low (25%), the
+    * rest tail (10%) — the shape of a real corpus-mixing config.
+    */
+  def sourceWeight(source: Column): Column = {
+    val num = substring(source, 4, 10).cast("int")
+    when(num < 5, 0.9).when(num < 10, 0.5).when(num < 15, 0.25).otherwise(0.1)
+  }
+
+  /** Deterministic weighted corpus sample: keep a doc iff its hash key
+    * falls under its source's mixing weight. Stateless per-row filter —
+    * at 100 TB this is a map-only stage with full predicate pushdown
+    * upstream of it; no shuffle, no coordination, and adding a source
+    * only touches the weight expression.
+    */
+  def sample(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("source"), col("lang"),
+        sourceWeight(col("source")).as("weight"),
+        sampleKey("sample:", col("doc_id")).as("sample_key"))
+      .filter(col("sample_key") < col("weight"))
+      .orderBy("doc_id")
+
+  /** Mixing report: per source, corpus share before/after sampling and
+    * achieved vs target rate. One small groupBy on the source key.
+    */
+  def mixSummary(documents: DataFrame): DataFrame =
+    documents.select(col("source"),
+        substring(col("source"), 4, 10).cast(LongType).as("src_num"),
+        sourceWeight(col("source")).as("weight"),
+        when(sampleKey("sample:", col("doc_id")) < sourceWeight(col("source")), 1L)
+          .otherwise(0L).as("kept"))
+      .groupBy("source", "src_num", "weight")
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+      .withColumn("achieved_rate", col("n_kept").cast("double") / col("n_docs"))
+      .select("src_num", "source", "weight", "n_docs", "n_kept", "achieved_rate")
+      .orderBy("src_num")
+
+  /** Stratified sample: the `perStratum` docs with the smallest hash
+    * keys per language — equal representation regardless of stratum
+    * skew. The rank window partitions on the stratum key, so state per
+    * partition is one counter; at 100 TB strata are processed in
+    * parallel and only top-k per stratum survive the shuffle (the
+    * window's sort is per-stratum, not global).
+    */
+  def stratifiedSample(documents: DataFrame, perStratum: Int = 20): DataFrame = {
+    val key = sampleKey("strat:", col("doc_id"))
+    val w = Window.partitionBy("lang").orderBy(col("sample_key"), col("doc_id"))
+    documents.select(col("doc_id"), col("lang"), key.as("sample_key"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= perStratum)
+      .select("lang", "rn", "doc_id", "sample_key")
+      .orderBy("lang", "rn")
+  }
+
+  private def wsTokens: Column =
+    size(split(trim(col("text")), "\\s+")).cast(LongType)
+
+  /** Context-window pack plan: docs stream in doc_id order within each
+    * language and fill `capacity`-token packs greedily; a doc belongs
+    * to the pack where it STARTS (docs may straddle pack boundaries —
+    * the standard concat-then-chunk pretraining layout, where pack
+    * boundaries cut sequences, not documents into bins).
+    * `pack_id = floor(tokens_before / capacity)` — one prefix-sum
+    * window per language partition, integer-exact, embarrassingly
+    * parallel across languages.
+    */
+  def packPlan(documents: DataFrame, capacity: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents.select(col("doc_id"), col("lang"), wsTokens.as("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("tokens_before") / capacity).cast(LongType).as("pack_id"),
+        (col("tokens_before") % capacity).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Pack-level rollup of [[packPlan]]: docs starting in each pack and
+    * their token mass (≥ capacity utilisation since tails straddle).
+    */
+  def packSummary(documents: DataFrame, capacity: Int = 2048): DataFrame =
+    packPlan(documents, capacity)
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("fill_ratio", col("sum_tokens").cast("double") / capacity)
+      .orderBy("lang", "pack_id")
+
+  /** PII patterns (lower-case text): kept to regex constructs with
+    * identical semantics in Java regex and RE2 (char classes, counted
+    * and greedy quantifiers only — no lookaround, no backrefs).
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  val UrlPattern = "https?://[a-z0-9./_%&=?#-]+"
+  val PhonePattern = "\\+[0-9][0-9() -]{6,14}[0-9]"
+
+  /** PII scrub: count and redact emails/URLs/phone numbers per doc.
+    * URL → EMAIL → PHONE order (a URL may embed an @ userinfo part; the
+    * URL placeholder must win). Pure per-row map stage. The synthetic
+    * corpus contains no PII, so the oracle run checks engine parity of
+    * the plumbing; CorpusSpec plants real PII strings and asserts each
+    * redaction exactly.
+    */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val nt = lower(trim(col("text")))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(nt,
+      UrlPattern, "<URL>"), EmailPattern, "<EMAIL>"), PhonePattern, "<PHONE>")
+    documents.select(
+        col("doc_id"),
+        size(regexp_extract_all(nt, lit(UrlPattern), lit(0))).cast(LongType).as("n_urls"),
+        size(regexp_extract_all(nt, lit(EmailPattern), lit(0))).cast(LongType).as("n_emails"),
+        size(regexp_extract_all(nt, lit(PhonePattern), lit(0))).cast(LongType).as("n_phones"),
+        length(redacted).cast(LongType).as("n_chars_redacted"),
+        md5(redacted.cast("binary")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-k terms per document by tf-idf. The score is the rational
+    * form tf·N/df (monotone in the usual tf·ln(N/df) for fixed tf):
+    * integer-valued numerators keep the double exactly reproducible
+    * across engines, where ln() is only correct to a ulp and can flip
+    * ranks at ties. Shuffle shape: one (doc,term) count with map-side
+    * partials, one term-keyed df aggregate, then a term-keyed join —
+    * all uniform short keys; the top-k window partitions per doc.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val terms = documents
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = documents.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs)) // 1-row scalar
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+}

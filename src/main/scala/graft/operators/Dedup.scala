@@ -102,6 +102,50 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected-component cluster assignment over the MinHash/LSH
+    * candidate-pair graph: every doc gets the minimum doc_id reachable
+    * through [[minhashPairs]] edges as its cluster id (so near-dup
+    * GROUPS collapse to one keep-decision, not just pairwise flags —
+    * the form a corpus build actually consumes).
+    *
+    * Algorithm: distributed min-label propagation — labels start as
+    * self, each round takes the min over neighbours, fixpoint when no
+    * label decreased. Rounds = graph diameter; LSH dup clusters are
+    * band-bucket near-cliques, so diameters stay in low single digits
+    * even at corpus scale (each round is one uniform-key shuffle —
+    * the standard large-graph CC shape). Iterations run through
+    * eager `localCheckpoint` so lineage stays flat instead of growing
+    * a join per round.
+    */
+  def clusters(documents: DataFrame): DataFrame = {
+    val edges = minhashPairs(documents).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val sym = edges.union(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val neigh = sym.join(labels, sym("doc_b") === labels("doc_id"))
+        .groupBy(sym("doc_a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("neigh_min"))
+      val next = labels.withColumnRenamed("cluster_id", "prev")
+        .join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("prev"), coalesce(col("neigh_min"), col("prev"))).as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next.filter(col("cluster_id") < col("prev")).isEmpty
+      labels = next.select("doc_id", "cluster_id")
+      rounds += 1
+    }
+    val w = Window.partitionBy("cluster_id")
+    labels.withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .orderBy("doc_id")
+  }
+
   /** LSH-blocked n-gram Jaccard: candidate pairs come from the minhash
     * band buckets ([[minhashPairs]] — uniform short keys, bucket-size
     * capped), then the exact token-3-gram Jaccard is computed ONLY for

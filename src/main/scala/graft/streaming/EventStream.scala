@@ -158,6 +158,45 @@ object EventStream {
       }
       .start()
 
+  case class DocTok(doc_id: Long, lang: String, n_tokens: Long)
+  case class PackOut(doc_id: Long, lang: String, n_tokens: Long,
+                     pack_id: Long, pack_offset: Long)
+  case class PackState(tokensBefore: Long)
+
+  /** Streaming context-window pack planner — twin of Corpus.packPlan.
+    * State per language is ONE counter (the running token total), so a
+    * stream can assign pack slots to an unbounded corpus with O(#langs)
+    * state: each arriving doc takes `pack_id = tokens_before/capacity`
+    * and advances the counter. Within a micro-batch docs sort by doc_id
+    * (the batch operator's order); across batches assignment follows
+    * arrival order, which IS the contract for an append-only corpus
+    * feed (the batch twin re-derives the same plan as long as doc_id
+    * order matches arrival order).
+    */
+  def packPlanStream(spark: SparkSession, dir: String,
+                     capacity: Int = 2048): DataFrame = {
+    import spark.implicits._
+    val src = documentsStream(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .as[DocTok]
+    src.groupByKey(_.lang)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (lang: String, docs: Iterator[DocTok], state: GroupState[PackState]) =>
+          val sorted = docs.toSeq.sortBy(_.doc_id)
+          var before = state.getOption.map(_.tokensBefore).getOrElse(0L)
+          val out = sorted.map { d =>
+            val o = PackOut(d.doc_id, lang, d.n_tokens,
+              before / capacity, before % capacity)
+            before += d.n_tokens
+            o
+          }
+          state.update(PackState(before))
+          out.iterator
+      }.toDF()
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   case class SessionOut(user_id: Long, session_n: Long, n_events: Long)
   case class SessState(sessionN: Long, lastTsMicros: Long, count: Long)

@@ -1,0 +1,199 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Corpus, Dedup}
+import graft.sources.Tables
+
+class CorpusSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def doc(id: Long, text: String, lang: String = "en",
+                  source: String = "src0") =
+    (id, text, lang, source, text.length.toLong)
+
+  // ---- dedup_clusters -------------------------------------------------
+
+  test("clusters: exact-dup groups collapse to min doc_id; singletons stay") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val planted = Seq(
+      doc(1L, base), doc(2L, base), doc(7L, base), // one 3-doc group
+      doc(4L, "completely different words about spark shuffles and partitions yes"),
+      doc(5L, "el rapido zorro marron salta sobre el perro perezoso de la casa", "es")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.clusters(planted).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(1L) === ((1L, 3L, true)))
+    assert(r(2L) === ((1L, 3L, false)))
+    assert(r(7L) === ((1L, 3L, false)))
+    assert(r(4L) === ((4L, 1L, true)))
+    assert(r(5L) === ((5L, 1L, true)))
+  }
+
+  test("clusters: transitive chain A~B, B~C lands A,B,C in ONE cluster") {
+    // b is a near-dup of a (one edit) and c a near-dup of b (one other
+    // edit); a vs c are two edits apart and need NOT share a band —
+    // only propagation can unify all three.
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home tonight again ok"
+    val b = a.replace("quick", "swift")
+    val c = b.replace("tonight", "tomorrow")
+    val planted = Seq(doc(1L, a), doc(2L, b), doc(3L, c))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.minhashPairs(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(pairs((1L, 2L)) && pairs((2L, 3L)),
+      "chain premise: consecutive edits collide in some band")
+    val r = Dedup.clusters(planted).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("clusters on the real corpus: partitions the doc set; ids are group minima") {
+    val r = Dedup.clusters(docs).collect()
+    assert(r.length === docs.count())
+    val byCluster = r.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min === cid, "cluster id = min member")
+      assert(members.forall(_.getLong(2) === members.length.toLong))
+    }
+  }
+
+  // ---- sampling -------------------------------------------------------
+
+  test("weighted sample keeps ≈weight share per source and is deterministic") {
+    val s1 = Corpus.sample(docs).collect().map(_.getLong(0)).toSeq
+    val s2 = Corpus.sample(docs).collect().map(_.getLong(0)).toSeq
+    assert(s1 === s2, "hash-threshold sampling is reproducible")
+    val summary = Corpus.mixSummary(docs).collect()
+    summary.foreach { r =>
+      val (w, n, kept) = (r.getDouble(2), r.getLong(3), r.getLong(4))
+      assert(math.abs(kept.toDouble / n - w) < 0.35,
+        s"source ${r.getString(1)}: kept $kept/$n vs weight $w")
+    }
+    // mixSummary's kept counts must agree with the sample itself
+    val bySrc = Corpus.sample(docs).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    summary.foreach { r =>
+      assert(bySrc.getOrElse(r.getString(1), 0L) === r.getLong(4))
+    }
+  }
+
+  test("stratified sample: exactly perStratum per language, ranked by hash key") {
+    val r = Corpus.stratifiedSample(docs, perStratum = 7).collect()
+    val byLang = r.groupBy(_.getString(0))
+    assert(byLang.keySet === Set("en", "de", "es", "fr", "zh"))
+    byLang.values.foreach { rows =>
+      assert(rows.length === 7)
+      val keys = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(keys === keys.sorted, "rank follows the sample key")
+    }
+  }
+
+  // ---- packing --------------------------------------------------------
+
+  test("pack plan: prefix-sum assignment, offsets wrap at capacity") {
+    val planted = Seq(
+      doc(1L, Seq.fill(60)("w").mkString(" ")),  // 60 tokens
+      doc(2L, Seq.fill(50)("w").mkString(" ")),  // starts at 60
+      doc(3L, Seq.fill(10)("w").mkString(" ")),  // starts at 110 → pack 1
+      doc(4L, Seq.fill(5)("x").mkString(" "), "de") // own lang → pack 0
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.packPlan(planted, capacity = 100).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1L) === ((0L, 0L)))
+    assert(r(2L) === ((0L, 60L)))  // straddles into pack 1, starts in 0
+    assert(r(3L) === ((1L, 10L)))
+    assert(r(4L) === ((0L, 0L)))
+    val s = Corpus.packSummary(planted, capacity = 100).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> ((x.getLong(2), x.getLong(3)))).toMap
+    assert(s(("en", 0L)) === ((2L, 110L)))
+    assert(s(("en", 1L)) === ((1L, 10L)))
+    assert(s(("de", 0L)) === ((1L, 5L)))
+  }
+
+  test("pack plan on the real corpus: offsets < capacity, ids contiguous per lang") {
+    val r = Corpus.packPlan(docs).collect()
+    assert(r.forall(x => x.getLong(4) >= 0 && x.getLong(4) < 2048))
+    r.groupBy(_.getString(1)).values.foreach { rows =>
+      val ids = rows.map(_.getLong(3)).distinct.sorted
+      assert(ids === (0L until ids.length).toSeq, "pack ids are dense per lang")
+    }
+  }
+
+  // ---- PII scrub ------------------------------------------------------
+
+  test("pii scrub: planted email/url/phone are counted and redacted") {
+    val planted = Seq(
+      doc(1L, "contact me at john.doe+spam@example.co.uk for details"),
+      doc(2L, "docs live at https://spark.apache.org/docs/latest?x=1#top today"),
+      doc(3L, "call +1 (415) 555-0132 now"),
+      doc(4L, "mixed: a@b.io and https://x.io/a_b and +44 20 7946 0958 end"),
+      doc(5L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.piiScrub(planted).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(5)))).toMap
+    assert(r(1L)._1 === 0L); assert(r(1L)._2 === 1L); assert(r(1L)._3 === 0L)
+    assert(r(1L)._4 === md5hex("contact me at <EMAIL> for details"))
+    assert(r(2L)._1 === 1L)
+    assert(r(2L)._4 === md5hex("docs live at <URL> today"))
+    assert(r(3L)._3 === 1L)
+    assert(r(3L)._4 === md5hex("call <PHONE> now"))
+    assert(r(4L) === ((1L, 1L, 1L,
+      md5hex("mixed: <EMAIL> and <URL> and <PHONE> end"))))
+    assert(r(5L) === ((0L, 0L, 0L, md5hex("nothing sensitive here at all"))))
+  }
+
+  // ---- plan shapes ----------------------------------------------------
+
+  test("sample plan: text column never read, no shuffle before the sort") {
+    val df = Corpus.sample(docs)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"sampling must not read the payload column:\n$readSchema")
+    // per-row filter only — the single exchange is the output sort's
+    // range split (formatted mode: partitioning in the Arguments footer)
+    assert(!plan.contains("Arguments: hashpartitioning"),
+      s"no hash shuffle expected in a stateless sample:\n$plan")
+  }
+
+  test("tfidf plan: map-side partial aggregates, 1-row corpus count broadcasts") {
+    val df = Corpus.tfidfTopTerms(docs)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"partial+final aggregates expected for tf and df:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row n_docs scalar must broadcast, not shuffle:\n$plan")
+  }
+
+  // ---- tf-idf ---------------------------------------------------------
+
+  test("tfidf: doc-specific term outranks corpus-wide term") {
+    val planted = Seq(
+      doc(1L, "alpha alpha alpha common common"),
+      doc(2L, "beta beta common common common"),
+      doc(3L, "gamma common")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.tfidfTopTerms(planted, k = 2).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).toSeq).toMap
+    assert(r(1L) === Seq("alpha", "common"))
+    assert(r(2L) === Seq("beta", "common"))
+    assert(r(3L).head === "gamma")
+    // df=1 term in a 3-doc corpus: score = tf * 3 / 1
+    val row1 = Corpus.tfidfTopTerms(planted, k = 2).collect()
+      .find(x => x.getLong(0) === 1L && x.getLong(1) === 1L).get
+    assert(row1.getLong(3) === 3L)      // tf(alpha in doc 1)
+    assert(row1.getLong(4) === 1L)      // df(alpha)
+    assert(row1.getDouble(5) === 9.0)   // 3 * 3 / 1
+  }
+}

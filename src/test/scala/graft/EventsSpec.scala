@@ -118,6 +118,18 @@ class EventsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming pack planner matches the batch pack plan") {
+    val q = EventStream.packPlanStream(spark, sf)
+      .writeStream.outputMode("append").format("memory").queryName("pack_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("pack_out")
+      .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+    val batch = graft.operators.Corpus.packPlan(Tables.documents(spark, sf))
+      .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming sessionization matches batch closed sessions") {
     val q = EventStream.sessionizeStream(spark, sf)
       .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
