@@ -56,7 +56,9 @@ object Bench {
       "supplier_scorecard", "sessionize_events", "dedup_exact",
       "dedup_minhash", "decontaminate", "knn_cosine_bruteforce",
       "knn_ivf", "knn_lsh", "embedding_centroids", "doc_chunks",
-      "token_counts", "reconcile_orders", "order_value_percentiles")
+      "token_counts", "reconcile_orders", "order_value_percentiles",
+      "dedup_jaccard", "dedup_clusters", "dedup_prune",
+      "corpus_sample", "seq_pack", "tfidf_top_terms")
     val resultMap = results.toMap
     val qs = headline.flatMap(k => resultMap.get(k).map(v =>
         s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0)))

@@ -191,6 +191,7 @@ object SparkEntry {
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents"))),
     // ---- D (r5). corpus construction ----
     "dedup_clusters" -> ((s, d) => Dedup.clusters(t(s, d, "documents"))),
+    "dedup_prune" -> ((s, d) => Dedup.prune(t(s, d, "documents"))),
     "corpus_sample" -> ((s, d) => Corpus.sample(t(s, d, "documents"))),
     "corpus_mix_summary" -> ((s, d) => Corpus.mixSummary(t(s, d, "documents"))),
     "stratified_sample" -> ((s, d) => Corpus.stratifiedSample(t(s, d, "documents"))),
@@ -1764,6 +1765,25 @@ object SparkEntry {
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |  doc_id = cluster_id AS is_canonical
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // The deduplicated corpus itself: canonical survivors of the
+    // cluster components, annotated with absorbed-dup counts.
+    "dedup_prune" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |$bandPairCtes,
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(doc_id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ed.src, r.lbl FROM ed JOIN reach r ON ed.dst = r.doc_id),
+         |lab AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+         |sz AS (SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM lab)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         |  s.cluster_size, s.cluster_size - 1 AS n_dups_removed
+         |FROM sz s JOIN documents d ON s.doc_id = d.doc_id
+         |WHERE s.doc_id = s.cluster_id ORDER BY d.doc_id""".stripMargin,
 
     "corpus_sample" ->
       s"""WITH s AS (SELECT doc_id, source, lang,

@@ -146,6 +146,23 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Apply the cluster decisions: the deduplicated corpus — one
+    * canonical (min-id) survivor per [[clusters]] component, annotated
+    * with how many near-dups it absorbed. This is the actual output a
+    * corpus build ships; the survivors join back to `documents` on the
+    * uniform doc_id key (semi-join shape — survivors are the bulk of a
+    * real corpus, so the join shuffles both sides on doc_id and never
+    * collects).
+    */
+  def prune(documents: DataFrame): DataFrame =
+    clusters(documents).filter(col("is_canonical"))
+      .select(col("doc_id"), col("cluster_size"),
+        (col("cluster_size") - 1).as("n_dups_removed"))
+      .join(documents.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+      .select("doc_id", "lang", "source", "n_chars", "cluster_size", "n_dups_removed")
+      .orderBy("doc_id")
+
   /** LSH-blocked n-gram Jaccard: candidate pairs come from the minhash
     * band buckets ([[minhashPairs]] — uniform short keys, bucket-size
     * capped), then the exact token-3-gram Jaccard is computed ONLY for
@@ -175,9 +192,9 @@ object Dedup {
     // semi-join `documents` against its distinct ids BEFORE the gram
     // projection so gram arrays are computed/shuffled only for
     // candidate docs. Unpersisted here because the library returns a
-    // lazy plan and a cache entry per call would leak; at bench scale
-    // the extra pipeline evaluations cost more than the gram shuffle
-    // they avoid.
+    // lazy plan and a cache entry per call would leak; measured at
+    // sf0.1 a localCheckpoint of the gram table buys nothing (the cost
+    // is the pair generation + intersect, not the double evaluation).
     val g = documents.select(col("doc_id"), norm.as("nt"))
       .select(col("doc_id"), grams.as("gs"))
     val pairs = minhashPairs(documents)

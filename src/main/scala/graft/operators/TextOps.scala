@@ -197,7 +197,16 @@ object TextOps {
         1, 15), 16, 10).cast(LongType)))
     val base = documents
       .select(col("doc_id"), splitBucket.as("b"), grams.as("gs"))
+    // The exploded gram stream feeds THREE consumers (the df aggregate
+    // and both sides of the train×eval join), and the split filters
+    // push below the semi-join so Catalyst can't reuse one exchange —
+    // without materialization the md5-per-gram scan runs 3×
+    // (measured ~2× wall-clock on the whole query at sf0.1). One eager
+    // localCheckpoint pays the pipeline once; the checkpoint is
+    // (doc_id, bucket, 8-byte hash) rows — a fraction of corpus bytes,
+    // distributed across executor-local storage at scale.
     val exploded = base.select(col("doc_id"), col("b"), explode(col("gs")).as("g8"))
+      .localCheckpoint(true)
     // df-capped gram set: one uniform-key aggregation (map-side partials
     // absorb the hot keys), then a semi-join filters both splits before
     // the pair join — every surviving key's fan-out is <= cap².

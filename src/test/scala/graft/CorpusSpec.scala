@@ -64,6 +64,21 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("prune: only canonical survivors remain, dup counts carried") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val planted = Seq(
+      doc(1L, base), doc(2L, base), doc(7L, base),
+      doc(4L, "completely different words about spark shuffles and partitions yes"),
+      doc(5L, "el rapido zorro marron salta sobre el perro perezoso de la casa", "es")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.prune(planted).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(4), x.getLong(5)))).toMap
+    assert(r.keySet === Set(1L, 4L, 5L))
+    assert(r(1L) === ((3L, 2L)))
+    assert(r(4L) === ((1L, 0L)))
+    assert(r(5L) === ((1L, 0L)))
+  }
+
   // ---- sampling -------------------------------------------------------
 
   test("weighted sample keeps ≈weight share per source and is deterministic") {
