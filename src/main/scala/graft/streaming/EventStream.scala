@@ -158,6 +158,19 @@ object EventStream {
       }
       .start()
 
+  /** Streaming twin of Corpus.sample: the weighted mixing filter is a
+    * stateless per-row predicate on a deterministic hash key, so it
+    * applies to a document stream unchanged — no state, no watermark,
+    * and the kept set is row-for-row the batch sample of the same data
+    * (the property hash-threshold sampling buys over rand()).
+    */
+  def sampleStream(spark: SparkSession, dir: String): DataFrame =
+    documentsStream(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        graft.operators.Corpus.sourceWeight(col("source")).as("weight"),
+        graft.operators.Corpus.sampleKey("sample:", col("doc_id")).as("sample_key"))
+      .filter(col("sample_key") < col("weight"))
+
   case class DocTok(doc_id: Long, lang: String, n_tokens: Long)
   case class PackOut(doc_id: Long, lang: String, n_tokens: Long,
                      pack_id: Long, pack_offset: Long)

@@ -130,6 +130,18 @@ class EventsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming weighted sample keeps exactly the batch sample rows") {
+    val q = EventStream.sampleStream(spark, sf)
+      .writeStream.outputMode("append").format("memory").queryName("sample_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sample_out")
+      .select("doc_id", "source", "lang", "weight", "sample_key")
+    val batch = graft.operators.Corpus.sample(Tables.documents(spark, sf))
+      .select("doc_id", "source", "lang", "weight", "sample_key")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming sessionization matches batch closed sessions") {
     val q = EventStream.sessionizeStream(spark, sf)
       .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
