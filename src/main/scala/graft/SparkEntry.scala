@@ -198,6 +198,7 @@ object SparkEntry {
     "seq_pack" -> ((s, d) => Corpus.packPlan(t(s, d, "documents"))),
     "seq_pack_summary" -> ((s, d) => Corpus.packSummary(t(s, d, "documents"))),
     "pii_scrub" -> ((s, d) => Corpus.piiScrub(t(s, d, "documents"))),
+    "corpus_report" -> ((s, d) => Corpus.report(t(s, d, "documents"))),
     "tfidf_top_terms" -> ((s, d) => Corpus.tfidfTopTerms(t(s, d, "documents")))
   )
 
@@ -1863,6 +1864,52 @@ object SparkEntry {
          |  len(regexp_extract_all(nt, '${Corpus.PhonePattern}')) AS n_phones,
          |  length(red) AS n_chars_redacted, md5(red) AS redacted_md5
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // End-to-end manifest: quality keep (text_quality's verdict),
+    // cluster-canonical (the recursive label flood), sampled (the
+    // mixing threshold) — same per-stage logic as the standalone
+    // oracles, composed and rolled up per language.
+    "corpus_report" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |$bandPairCtes,
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(doc_id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ed.src, r.lbl FROM ed JOIN reach r ON ed.dst = r.doc_id),
+         |lab AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+         |q AS (SELECT doc_id, (s1 + s2 + s3 + s4) >= 3 AS keep FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END AS s1,
+         |    CASE WHEN len(string_split(lower(trim(text)), ' ')) >= 20 THEN 1 ELSE 0 END AS s2,
+         |    CASE WHEN CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+         |        x -> x IN ('the','a','and','of','to'))) AS DOUBLE) /
+         |        len(string_split(lower(trim(text)), ' ')) BETWEEN 0.02 AND 0.6
+         |      THEN 1 ELSE 0 END AS s3,
+         |    CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |        / length(text) < 0.1 THEN 1 ELSE 0 END AS s4
+         |  FROM documents)),
+         |smp AS (SELECT doc_id,
+         |  ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+         |    / CAST(268435456 AS DOUBLE) <
+         |  CAST(CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 0.9
+         |    WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.5
+         |    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 0.25
+         |    ELSE 0.1 END AS DOUBLE) AS sampled
+         |FROM documents),
+         |j AS (SELECT d.doc_id, d.lang,
+         |  len(string_split_regex(trim(d.text), '\\s+')) AS n_tokens,
+         |  q.keep, lab.doc_id = lab.cluster_id AS canon, smp.sampled
+         |FROM documents d JOIN q USING (doc_id)
+         |JOIN lab ON d.doc_id = lab.doc_id JOIN smp USING (doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+         |  CAST(sum(CASE WHEN keep AND canon AND sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(CASE WHEN keep AND canon AND sampled THEN n_tokens ELSE 0 END) AS BIGINT) AS final_tokens
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Rational tf·N/df score (not tf·ln(N/df)): integer-derived doubles
     // are bit-identical across engines, ln() is not — see Corpus

@@ -146,6 +146,34 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus-build manifest: per language, how many docs
+    * survive each stage — quality filter ([[TextOps.textQuality]]),
+    * near-dup canonicalisation ([[Dedup.clusters]]), weighted source
+    * mixing ([[sample]]) — and the token mass before/after. The single
+    * report a data team reads before shipping a corpus; every stage is
+    * the SAME operator the standalone queries run (one definition per
+    * stage, composed). Each side is doc_id-keyed, so the joins shuffle
+    * on the uniform id and the rollup groups on the tiny lang key.
+    */
+  def report(documents: DataFrame): DataFrame = {
+    val q = TextOps.textQuality(documents).select(col("doc_id"), col("keep"))
+    val c = Dedup.clusters(documents).select(col("doc_id"), col("is_canonical"))
+    val s = sample(documents).select(col("doc_id"), lit(true).as("sampled"))
+    val fin = col("keep") && col("is_canonical") && col("sampled")
+    documents.select(col("doc_id"), col("lang"), wsTokens.as("n_tokens"))
+      .join(q, Seq("doc_id")).join(c, Seq("doc_id"))
+      .join(s, Seq("doc_id"), "left")
+      .withColumn("sampled", coalesce(col("sampled"), lit(false)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(fin, 1L).otherwise(0L)).as("n_final"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(when(fin, col("n_tokens")).otherwise(0L)).as("final_tokens"))
+      .orderBy("lang")
+  }
+
   /** Top-k terms per document by tf-idf. The score is the rational
     * form tf·N/df (monotone in the usual tf·ln(N/df) for fixed tf):
     * integer-valued numerators keep the double exactly reproducible

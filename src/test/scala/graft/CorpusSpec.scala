@@ -141,6 +141,21 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus report: per-language stage counts compose the stage operators") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val planted = Seq(
+      doc(1L, base), doc(2L, base), doc(7L, base),
+      doc(4L, "completely different words about spark shuffles and partitions yes"),
+      doc(5L, "el rapido zorro marron salta sobre el perro perezoso de la casa", "es")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.report(planted).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // (n_docs, n_quality, n_canonical): the short planted docs all fail
+    // the length gate; en has the 3-dup cluster (1 canonical) + doc 4
+    assert(r("en") === ((4L, 0L, 2L)))
+    assert(r("es") === ((1L, 0L, 1L)))
+  }
+
   // ---- PII scrub ------------------------------------------------------
 
   test("pii scrub: planted email/url/phone are counted and redacted") {
