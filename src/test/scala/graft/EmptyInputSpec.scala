@@ -49,6 +49,21 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(funnel.length === 4 && funnel.forall(_.getLong(2) === 0L))
   }
 
+  test("corpus-construction operators survive an empty corpus") {
+    val docs = empty(docSchema)
+    // the propagation loop must detect the empty fixpoint in one round
+    assert(Dedup.clusters(docs).count() === 0)
+    assert(Dedup.prune(docs).count() === 0)
+    assert(Corpus.sample(docs).count() === 0)
+    assert(Corpus.mixSummary(docs).count() === 0)
+    assert(Corpus.stratifiedSample(docs).count() === 0)
+    assert(Corpus.packPlan(docs).count() === 0)
+    assert(Corpus.packSummary(docs).count() === 0)
+    assert(Corpus.piiScrub(docs).count() === 0)
+    assert(Corpus.tfidfTopTerms(docs).count() === 0)
+    assert(Corpus.report(docs).count() === 0)
+  }
+
   test("event operators survive an empty stream") {
     val ev = empty(eventSchema)
     assert(EventOps.sessionize(ev).count() === 0)
