@@ -156,6 +156,45 @@ class CorpusSpec extends AnyFunSuite {
     assert(r("es") === ((1L, 0L, 1L)))
   }
 
+  test("pack plan properties: random corpora satisfy the prefix-sum contract") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val corpusGen: Gen[List[(Long, String, Int)]] = for {
+      n <- Gen.choose(1, 25)
+      rows <- Gen.listOfN(n, for {
+        lang <- Gen.oneOf("en", "de", "zh")
+        toks <- Gen.choose(1, 50)
+      } yield (lang, toks))
+    } yield rows.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+    val capacity = 64
+    val prop = Prop.forAll(corpusGen) { rows =>
+      rows.nonEmpty ==> {
+        val df = rows.map { case (id, lang, t) =>
+          (id, Seq.fill(t)("w").mkString(" "), lang, "src0", t.toLong)
+        }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        val out = Corpus.packPlan(df, capacity).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        val offsetsBounded = out.forall { case (_, _, _, _, off) =>
+          off >= 0 && off < capacity }
+        // pack_id*capacity + offset must equal the per-lang prefix sum,
+        // and pack ids must be non-decreasing in doc_id order
+        val prefixExact = out.groupBy(_._2).forall { case (_, docs) =>
+          val sorted = docs.sortBy(_._1)
+          var cum = 0L
+          sorted.forall { case (_, _, t, pid, off) =>
+            val ok = pid * capacity + off == cum
+            cum += t
+            ok
+          } && sorted.map(_._4) == sorted.map(_._4).sorted
+        }
+        offsetsBounded && prefixExact
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20).withInitialSeed(42L), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ---- PII scrub ------------------------------------------------------
 
   test("pii scrub: planted email/url/phone are counted and redacted") {
