@@ -167,6 +167,27 @@ object Etl {
     reportDf
   }
 
+  /** One-row rollup of a run report — the Spark twin of the
+    * reference's MetricsCollector.get_summary() (utils/metrics.py:50):
+    * records processed/failed, stage counts, success rate, duration.
+    * The reference's psutil memory/CPU telemetry maps to Spark's own
+    * metrics system (executor metrics via SparkListener / the metrics
+    * sink), deliberately not re-invented here.
+    */
+  def runSummary(report: DataFrame): DataFrame = {
+    // "findings: N" from validation stages is data-quality signal, not
+    // a stage failure — only "error: ..." statuses count as failed
+    val failed = col("status").startsWith("error")
+    report.agg(
+      sum(when(col("status") === "ok", col("rows")).otherwise(0L))
+        .as("records_processed"),
+      sum(when(failed, 1L).otherwise(0L)).as("stages_failed"),
+      count(lit(1)).as("stages_total"),
+      (sum(when(!failed, 1L).otherwise(0L)) * lit(100.0) /
+        count(lit(1))).as("success_rate_pct"),
+      sum(col("seconds")).as("duration_seconds"))
+  }
+
   /** Export every landed warehouse table as headered CSV (the
     * reference ships a driver-side Excel exporter —
     * exportar_dimensiones_excel.py; CSV is the scale-sane stand-in:

@@ -61,6 +61,15 @@ class EtlSpec extends AnyFunSuite {
     assert(byTable("dim_usuario") > 0L)
     assert(byTable("dim_sitio_web") === 5L)
 
+    // the one-row run summary (ref MetricsCollector.get_summary twin)
+    // reconciles with the per-stage report
+    val summary = Etl.runSummary(spark.read.parquet(s"$out/etl_run_report")).head()
+    assert(summary.getLong(2) === report.length.toLong)   // stages_total
+    assert(summary.getLong(1) === 0L)                     // stages_failed
+    assert(summary.getDouble(3) > 0.0 && summary.getDouble(3) <= 100.0)
+    assert(summary.getLong(0) >= byTable("fact_sales"))   // records_processed
+    assert(summary.getDouble(4) > 0.0)                    // duration_seconds
+
     // the report itself lands as a queryable table
     val persisted = spark.read.parquet(s"$out/etl_run_report")
     assert(persisted.count() === report.length.toLong)
