@@ -108,6 +108,9 @@ object Etl {
         out("dim_customer"), out("dim_product"), out("dim_supplier"),
         out("dim_order_status"))
     }
+    run("fact", "fact_sales_promo") {
+      Facts.factSalesPromo(t("lineitem"), t("part"), out("dim_promotion"))
+    }
     run("fact", "fact_inventory") { Facts.factInventory(t("lineitem"), t("part"), t("supplier")) }
     run("fact", "fact_inventory_wh") {
       Facts.factInventoryWarehouse(t("lineitem"), t("supplier"), t("part"),

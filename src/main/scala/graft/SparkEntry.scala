@@ -55,6 +55,8 @@ object SparkEntry {
     "fact_inventory_wh" -> ((s, d) => Facts.factInventoryWarehouse(
       t(s, d, "lineitem"), t(s, d, "supplier"), t(s, d, "part"),
       Dims.dimWarehouse(t(s, d, "nation"), t(s, d, "region")))),
+    "fact_sales_promo" -> ((s, d) => Facts.factSalesPromo(
+      t(s, d, "lineitem"), t(s, d, "part"), Dims.dimPromotion(t(s, d, "part")))),
     "dim_direccion" -> ((s, d) => Dims.dimDireccion(
       t(s, d, "customer"), t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "region"))),
     "dim_estado_pago" -> ((s, _) => Dims.dimEstadoPago(s)),
@@ -406,6 +408,24 @@ object SparkEntry {
          |JOIN ds ON orders.o_orderstatus = ds.o_orderstatus
          |  AND orders.o_orderpriority = ds.o_orderpriority
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // promo_name = 'PROMO ' || p_brand matches dim_promotion's name for
+    // the extracted brand number, so no dim re-derivation is needed
+    "fact_sales_promo" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS ep,
+        |  CAST(l_discount AS DECIMAL(4,2)) AS dc FROM lineitem),
+        |j AS (SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN p_type = 'PROMO' AND dc > 0
+        |    THEN CAST(regexp_extract(p_brand, '[0-9]+') AS BIGINT) ELSE -1 END AS promo_id,
+        |  CASE WHEN p_type = 'PROMO' AND dc > 0
+        |    THEN 'PROMO ' || p_brand ELSE 'NO_PROMOTION' END AS promo_name,
+        |  CAST(ep * dc AS DOUBLE) AS discount_amount
+        |FROM li JOIN part ON l_partkey = p_partkey)
+        |SELECT l_orderkey, l_linenumber, promo_id,
+        |  md5('promo:' || CAST(promo_id AS VARCHAR)) AS promo_sk,
+        |  promo_name, discount_amount
+        |FROM j ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "fact_inventory" ->
       """WITH agg AS (SELECT l_partkey, l_suppkey, count(*) AS n_shipments,

@@ -56,6 +56,33 @@ object Facts {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Per-line promotion resolution on the sales fact (ref
+    * complete_fact_builder.py:272 — PASO 3 of build_fact_ventas: one
+    * promotion per line item, top discount wins, default "none"). In
+    * this mapping a line's candidate promotion is its part's
+    * brand-promo when the part is PROMO-typed AND the line carries a
+    * discount — at most one candidate per line, so the reference's
+    * DISTINCT ON top-1 collapses to a deterministic CASE. Both the
+    * part attributes and dim_promotion resolve via broadcast
+    * (dims ≪ fact); the fact streams once, no shuffle before the
+    * output sort.
+    */
+  def factSalesPromo(lineitem: DataFrame, part: DataFrame,
+                     dimPromotion: DataFrame): DataFrame = {
+    val promoId = when(col("p_type") === "PROMO" && rate(col("l_discount")) > 0,
+      regexp_extract(col("p_brand"), "[0-9]+", 0).cast(LongType)).otherwise(-1L)
+    lineitem
+      .join(broadcast(part.select("p_partkey", "p_type", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), promoId.as("promo_id"),
+        dbl(money(col("l_extendedprice")) * rate(col("l_discount"))).as("discount_amount"))
+      .join(broadcast(dimPromotion.select("promo_id", "promo_sk", "promo_name")),
+        Seq("promo_id"))
+      .select("l_orderkey", "l_linenumber", "promo_id", "promo_sk",
+        "promo_name", "discount_amount")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Stock-position fact per part × supplier from shipment history
     * (ref :558 `build_fact_inventario`). One shuffle: groupBy
     * (partkey, suppkey) with map-side partial aggregation.

@@ -45,6 +45,7 @@ class EtlSpec extends AnyFunSuite {
     val byTable = report.map(r => r._2 -> r._3).toMap
     assert(byTable("dim_customer") === 1500L)
     assert(byTable("fact_sales") === 60000L)
+    assert(byTable("fact_sales_promo") === 60000L)  // same line grain
     assert(byTable("fact_pnl") === 21L)
     assert(byTable("dim_payment_method") === 10L)
     // the r3 warehouse/shipping/accounting tables land too (oracle figures)

@@ -43,6 +43,24 @@ class WarehouseSpec extends AnyFunSuite {
     fs.unpersist()
   }
 
+  test("fact_sales_promo: line grain preserved, promo only on discounted PROMO parts") {
+    val li = Tables(spark, sf, "lineitem")
+    val part = Tables(spark, sf, "part")
+    val f = Facts.factSalesPromo(li, part, Dims.dimPromotion(part)).cache()
+    assert(f.count() === li.count(), "left-join semantics: every line keeps one row")
+    // a promotion implies a discount was applied (ref PASO 3 join shape)
+    assert(f.filter(col("promo_id") =!= -1L && col("discount_amount") <= 0).count() === 0)
+    // undiscounted lines always resolve to the default member
+    assert(f.filter(col("promo_id") === -1L).select("promo_name")
+      .distinct().collect().map(_.getString(0)).toSeq === Seq("NO_PROMOTION"))
+    // every non-default key resolves against dim_promotion
+    val dimIds = Dims.dimPromotion(part).select("promo_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(f.select("promo_id").distinct().collect().map(_.getLong(0))
+      .forall(dimIds.contains))
+    f.unpersist()
+  }
+
   test("fact_pnl: REVENUE - DISCOUNT sign convention") {
     val p = Facts.factPnl(Tables.lineitem(spark, sf), Tables.orders(spark, sf)).cache()
     assert(p.filter(col("account") === "DISCOUNT" && col("amount") > 0).count() === 0)
