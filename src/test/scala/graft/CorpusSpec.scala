@@ -167,7 +167,10 @@ class CorpusSpec extends AnyFunSuite {
       } yield (lang, toks))
     } yield rows.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
     val capacity = 64
-    val prop = Prop.forAll(corpusGen) { rows =>
+    // forAllNoShrink: shrinking ignores generator bounds and produces
+    // 0-token docs (split("") = [""], one token) — out of the
+    // operator's input domain (corpus texts are non-empty)
+    val prop = Prop.forAllNoShrink(corpusGen) { rows =>
       rows.nonEmpty ==> {
         val df = rows.map { case (id, lang, t) =>
           (id, Seq.fill(t)("w").mkString(" "), lang, "src0", t.toLong)
@@ -179,7 +182,7 @@ class CorpusSpec extends AnyFunSuite {
         // pack_id*capacity + offset must equal the per-lang prefix sum,
         // and pack ids must be non-decreasing in doc_id order
         val prefixExact = out.groupBy(_._2).forall { case (_, docs) =>
-          val sorted = docs.sortBy(_._1)
+          val sorted = docs.sortBy(_._1).toSeq
           var cum = 0L
           sorted.forall { case (_, _, t, pid, off) =>
             val ok = pid * capacity + off == cum
