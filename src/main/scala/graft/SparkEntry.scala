@@ -199,6 +199,7 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) => Corpus.stratifiedSample(t(s, d, "documents"))),
     "seq_pack" -> ((s, d) => Corpus.packPlan(t(s, d, "documents"))),
     "seq_pack_summary" -> ((s, d) => Corpus.packSummary(t(s, d, "documents"))),
+    "seq_pack_manifest" -> ((s, d) => Corpus.packManifest(t(s, d, "documents"))),
     "pii_scrub" -> ((s, d) => Corpus.piiScrub(t(s, d, "documents"))),
     "corpus_report" -> ((s, d) => Corpus.report(t(s, d, "documents"))),
     "tfidf_top_terms" -> ((s, d) => Corpus.tfidfTopTerms(t(s, d, "documents")))
@@ -1867,6 +1868,25 @@ object SparkEntry {
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  CAST(sum(n_tokens) AS DOUBLE) / 2048 AS fill_ratio
          |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
+
+    // Doc → pack span pieces (straddlers split at pack boundaries);
+    // DuckDB range() is end-exclusive, so the covered-pack range is
+    // range(start//cap, (end-1)//cap + 1).
+    "seq_pack_manifest" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |FROM tk),
+         |e AS (SELECT doc_id, lang, start_tok, start_tok + n_tokens AS end_tok FROM c),
+         |x AS (SELECT doc_id, lang, start_tok, end_tok,
+         |  unnest(range(start_tok // 2048, (end_tok - 1) // 2048 + 1)) AS pack_id FROM e)
+         |SELECT lang, pack_id, doc_id,
+         |  greatest(start_tok, pack_id * 2048) AS span_start,
+         |  least(end_tok, (pack_id + 1) * 2048) AS span_end,
+         |  least(end_tok, (pack_id + 1) * 2048) - greatest(start_tok, pack_id * 2048) AS span_tokens
+         |FROM x ORDER BY lang, pack_id, doc_id""".stripMargin,
 
     // URL → EMAIL → PHONE replace order mirrors Corpus.piiScrub; the
     // patterns are the shared Scala constants (single source of truth).

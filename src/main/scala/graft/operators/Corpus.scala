@@ -107,6 +107,32 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The executable packing manifest: for every document, the exact
+    * (pack_id, span) pieces its token stream contributes — straddling
+    * docs split at pack boundaries, so the spans of one pack tile
+    * [pack·capacity, (pack+1)·capacity) exactly (spec-asserted: every
+    * full pack's span lengths sum to capacity, every doc's spans sum
+    * to its token count). This is what a writer job consumes to emit
+    * fixed-length training sequences. One narrow explode over the
+    * per-doc pack range (a doc spans ≤ n_tokens/capacity + 1 packs);
+    * geometry is the same per-language prefix sum as [[packPlan]].
+    */
+  def packManifest(documents: DataFrame, capacity: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents.select(col("doc_id"), col("lang"), wsTokens.as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("end_tok", col("start_tok") + col("n_tokens")) // exclusive
+      .withColumn("pack_id", explode(sequence(
+        (col("start_tok") / capacity).cast(LongType),
+        ((col("end_tok") - 1) / capacity).cast(LongType))))
+      .select(col("lang"), col("pack_id"), col("doc_id"),
+        greatest(col("start_tok"), col("pack_id") * capacity).as("span_start"),
+        least(col("end_tok"), (col("pack_id") + 1) * capacity).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+      .orderBy("lang", "pack_id", "doc_id")
+  }
+
   /** Pack-level rollup of [[packPlan]]: docs starting in each pack and
     * their token mass (≥ capacity utilisation since tails straddle).
     */

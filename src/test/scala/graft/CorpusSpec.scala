@@ -132,6 +132,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(s(("de", 0L)) === ((1L, 5L)))
   }
 
+  test("pack manifest: spans tile every full pack exactly, docs keep their token mass") {
+    val m = Corpus.packManifest(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // every doc's spans sum to its token count
+    val plan = Corpus.packPlan(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    m.groupBy(_._3).foreach { case (docId, spans) =>
+      assert(spans.map(_._6).sum === plan(docId), s"doc $docId loses tokens")
+    }
+    // every pack except the last per language is tiled to exactly 2048
+    m.groupBy(x => (x._1, x._2)).foreach { case ((lang, pid), spans) =>
+      val lastPack = m.filter(_._1 == lang).map(_._2).max
+      val total = spans.map(_._6).sum
+      if (pid < lastPack) assert(total === 2048L, s"pack ($lang,$pid) not full: $total")
+      else assert(total <= 2048L)
+      // spans are contiguous and non-overlapping inside the pack
+      val sorted = spans.sortBy(_._4)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 === b._4, "gap/overlap in pack tiling")
+        case _ => ()
+      }
+    }
+  }
+
   test("pack plan on the real corpus: offsets < capacity, ids contiguous per lang") {
     val r = Corpus.packPlan(docs).collect()
     assert(r.forall(x => x.getLong(4) >= 0 && x.getLong(4) < 2048))
