@@ -83,6 +83,7 @@ object SparkEntry {
       t(s, d, "orders"), t(s, d, "lineitem"), Tables.events(s, d))),
     "key_skew_orders" -> ((s, d) =>
       Partitioning.keySkewProfile(t(s, d, "orders"), Seq("o_custkey"))),
+    "zorder_layout" -> ((s, d) => Partitioning.zOrderLayout(t(s, d, "lineitem"))),
     // ---- C. analytics ----
     "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(t(s, d, "lineitem"))),
     "q3_top_unshipped" -> ((s, d) =>
@@ -177,6 +178,26 @@ object SparkEntry {
     "doc_split_summary" -> ((s, d) => TextOps.splitSummary(t(s, d, "documents"))),
     "doc_rolling_fp" -> ((s, d) => TextOps.rollingHash(t(s, d, "documents"))),
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
+    "dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      Dedup.incremental(
+        docs.filter(col("doc_id") % 3 =!= 0),  // the standing corpus
+        docs.filter(col("doc_id") % 3 === 0))  // the arriving batch
+    }),
+    "snapshot_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val orders = t(s, d, "orders")
+      // deterministic synthetic snapshots: 1/7 of keys are new-only
+      // (inserts), 1/13 old-only (deletes), 1/11 change status (updates)
+      val oldSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+      val newSnap = orders.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 11 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      Validation.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+    }),
     "dedup_minhash" -> ((s, d) => Dedup.minhashBands(t(s, d, "documents"))),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(t(s, d, "documents"))),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardTop(t(s, d, "documents"))),
@@ -197,9 +218,13 @@ object SparkEntry {
     "corpus_sample" -> ((s, d) => Corpus.sample(t(s, d, "documents"))),
     "corpus_mix_summary" -> ((s, d) => Corpus.mixSummary(t(s, d, "documents"))),
     "stratified_sample" -> ((s, d) => Corpus.stratifiedSample(t(s, d, "documents"))),
+    "corpus_temperature" -> ((s, d) => Corpus.temperatureSample(t(s, d, "documents"))),
+    "corpus_temperature_summary" ->
+      ((s, d) => Corpus.temperatureSummary(t(s, d, "documents"))),
     "seq_pack" -> ((s, d) => Corpus.packPlan(t(s, d, "documents"))),
     "seq_pack_summary" -> ((s, d) => Corpus.packSummary(t(s, d, "documents"))),
     "seq_pack_manifest" -> ((s, d) => Corpus.packManifest(t(s, d, "documents"))),
+    "seq_pack_sequences" -> ((s, d) => Corpus.packSequences(t(s, d, "documents"))),
     "pii_scrub" -> ((s, d) => Corpus.piiScrub(t(s, d, "documents"))),
     "corpus_report" -> ((s, d) => Corpus.report(t(s, d, "documents"))),
     "tfidf_top_terms" -> ((s, d) => Corpus.tfidfTopTerms(t(s, d, "documents")))
@@ -579,6 +604,24 @@ object SparkEntry {
         |  CAST(n_rows AS DOUBLE)/total_rows AS share,
         |  CAST(max_rows AS DOUBLE)*n_keys/total_rows AS skew_factor
         |FROM pk, g ORDER BY n_rows DESC, o_custkey LIMIT 10""".stripMargin,
+
+    // The same magic-number Morton-spread ladder as Partitioning
+    // .spread16, one CTE per shift-mask step (masks: 0x00FF00FF,
+    // 0x0F0F0F0F, 0x33333333, 0x55555555), x in even bits, y odd.
+    "zorder_layout" ->
+      """WITH b AS (SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y FROM lineitem),
+        |s0 AS (SELECT x, y, x & 65535 AS xs, y & 65535 AS ys FROM b),
+        |s1 AS (SELECT x, y, (xs | (xs << 8)) & 16711935 AS xs,
+        |                    (ys | (ys << 8)) & 16711935 AS ys FROM s0),
+        |s2 AS (SELECT x, y, (xs | (xs << 4)) & 252645135 AS xs,
+        |                    (ys | (ys << 4)) & 252645135 AS ys FROM s1),
+        |s3 AS (SELECT x, y, (xs | (xs << 2)) & 858993459 AS xs,
+        |                    (ys | (ys << 2)) & 858993459 AS ys FROM s2),
+        |s4 AS (SELECT x, y, (xs | (xs << 1)) & 1431655765 AS xs,
+        |                    (ys | (ys << 1)) & 1431655765 AS ys FROM s3)
+        |SELECT (xs | (ys << 1)) >> 20 AS z_bucket, count(*) AS n_rows,
+        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+        |FROM s4 GROUP BY 1 ORDER BY z_bucket""".stripMargin,
 
     "dim_fiscal_period" ->
       """WITH s AS (SELECT min(CAST(o_orderdate AS DATE)) AS dmin,
@@ -1456,6 +1499,37 @@ object SparkEntry {
         |  doc_id <> min(doc_id) OVER (PARTITION BY fp_md5) AS is_dup
         |FROM f ORDER BY doc_id""".stripMargin,
 
+    // Batch-vs-corpus admission: NOT-IN over the corpus fingerprints =
+    // Spark's left-anti; QUALIFY keep-first = the min-doc_id window.
+    "dedup_incremental" ->
+      """WITH f AS (SELECT doc_id, md5(lower(trim(text))) AS fp_md5 FROM documents),
+        |fresh AS (SELECT doc_id, fp_md5 FROM f WHERE doc_id % 3 = 0
+        |  AND fp_md5 NOT IN (SELECT DISTINCT fp_md5 FROM f WHERE doc_id % 3 <> 0))
+        |SELECT doc_id, fp_md5 FROM fresh
+        |QUALIFY row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // chr(1) is the u0001 column separator of Validation.snapshotDiff's
+    // compare signature (no nullable compare columns in this slice, so
+    // the coalesce branch is inert on both sides).
+    "snapshot_diff" ->
+      """WITH o_s AS (SELECT o_orderkey,
+        |  md5(CAST(o_custkey AS VARCHAR) || chr(1) || o_orderstatus || chr(1)
+        |      || o_orderpriority) AS old_sig
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |n_s AS (SELECT o_orderkey,
+        |  md5(CAST(o_custkey AS VARCHAR) || chr(1)
+        |      || CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+        |      || chr(1) || o_orderpriority) AS new_sig
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT o_orderkey,
+        |  CASE WHEN old_sig IS NULL THEN 'I' WHEN new_sig IS NULL THEN 'D'
+        |       WHEN old_sig <> new_sig THEN 'U' END AS change_op,
+        |  old_sig, new_sig
+        |FROM o_s FULL OUTER JOIN n_s USING (o_orderkey)
+        |WHERE old_sig IS NULL OR new_sig IS NULL OR old_sig <> new_sig
+        |ORDER BY o_orderkey""".stripMargin,
+
     "dedup_minhash" ->
       s"""WITH $minhashCtes
          |SELECT doc_id, band_0, band_1, band_2, band_3 FROM bands ORDER BY doc_id""".stripMargin,
@@ -1846,6 +1920,35 @@ object SparkEntry {
          |SELECT lang, rn, doc_id, sample_key FROM r WHERE rn <= 20
          |ORDER BY lang, rn""".stripMargin,
 
+    // α = 1/2 temperature rebalance: sqrt is correctly rounded in both
+    // engines, so rate (and every threshold decision) is bit-identical.
+    "corpus_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_lang) AS n_min FROM c),
+        |r AS (SELECT lang, sqrt(CAST(n_min AS DOUBLE) / n_lang) AS rate FROM c, m),
+        |k AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |    / CAST(268435456 AS DOUBLE) AS sample_key
+        |FROM documents)
+        |SELECT k.doc_id, k.lang, r.rate, k.sample_key
+        |FROM k JOIN r USING (lang)
+        |WHERE sample_key < rate ORDER BY doc_id""".stripMargin,
+
+    "corpus_temperature_summary" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_lang) AS n_min FROM c),
+        |r AS (SELECT lang, n_lang, sqrt(CAST(n_min AS DOUBLE) / n_lang) AS rate FROM c, m),
+        |k AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |    / CAST(268435456 AS DOUBLE) AS sample_key
+        |FROM documents)
+        |SELECT lang, n_lang, rate,
+        |  CAST(sum(CASE WHEN sample_key < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN sample_key < rate THEN 1 ELSE 0 END) AS DOUBLE) / n_lang
+        |    AS achieved_rate
+        |FROM k JOIN r USING (lang)
+        |GROUP BY lang, n_lang, rate ORDER BY lang""".stripMargin,
+
     "seq_pack" ->
       s"""WITH tk AS (SELECT doc_id, lang,
          |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents),
@@ -1887,6 +1990,34 @@ object SparkEntry {
          |  least(end_tok, (pack_id + 1) * 2048) AS span_end,
          |  least(end_tok, (pack_id + 1) * 2048) - greatest(start_tok, pack_id * 2048) AS span_tokens
          |FROM x ORDER BY lang, pack_id, doc_id""".stripMargin,
+
+    // The writer: slice each doc's token list to its manifest spans
+    // (DuckDB list_slice is 1-based inclusive; Spark slice is 1-based
+    // start + length — same window), concat pieces in doc_id order,
+    // md5 the stream.
+    "seq_pack_sequences" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |  string_split_regex(trim(text), '\\s+') AS tokens,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, tokens, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |FROM tk),
+         |e AS (SELECT doc_id, lang, tokens, start_tok,
+         |  start_tok + n_tokens AS end_tok FROM c),
+         |x AS (SELECT doc_id, lang, tokens, start_tok, end_tok,
+         |  unnest(range(start_tok // 2048, (end_tok - 1) // 2048 + 1)) AS pack_id FROM e),
+         |s AS (SELECT lang, pack_id, doc_id,
+         |  greatest(start_tok, pack_id * 2048) AS span_start,
+         |  least(end_tok, (pack_id + 1) * 2048) AS span_end,
+         |  array_to_string(list_slice(tokens,
+         |    CAST(greatest(start_tok, pack_id * 2048) - start_tok + 1 AS BIGINT),
+         |    CAST(least(end_tok, (pack_id + 1) * 2048) - start_tok AS BIGINT)), ' ') AS piece
+         |FROM x)
+         |SELECT lang, pack_id, count(*) AS n_docs,
+         |  CAST(sum(span_end - span_start) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(piece, ' ' ORDER BY doc_id)) AS pack_md5
+         |FROM s GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
 
     // URL → EMAIL → PHONE replace order mirrors Corpus.piiScrub; the
     // patterns are the shared Scala constants (single source of truth).

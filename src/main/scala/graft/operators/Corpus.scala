@@ -133,6 +133,46 @@ object Corpus {
       .orderBy("lang", "pack_id", "doc_id")
   }
 
+  /** The sequence-writer job itself: materialize every pack's token
+    * stream by slicing each contributing document's token array to its
+    * [[packManifest]] span and concatenating the pieces in doc_id
+    * order. Emits one row per (lang, pack) with the stream's md5 —
+    * the executable proof that the plan, manifest and writer agree
+    * (spec asserts every full pack carries exactly `capacity` tokens
+    * and re-splits to them).
+    *
+    * Scale shape: the explode fans a doc out to ≤ n_tokens/capacity + 1
+    * spans, and the groupBy key (lang, pack_id) is uniform with every
+    * group bounded by `capacity` tokens — the collect_list can never
+    * exceed one context window, so no group outgrows an executor at
+    * any corpus size.
+    */
+  def packSequences(documents: DataFrame, capacity: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = documents
+      .select(col("doc_id"), col("lang"),
+        split(trim(col("text")), "\\s+").as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast(LongType))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("end_tok", col("start_tok") + col("n_tokens"))
+      .withColumn("pack_id", explode(sequence(
+        (col("start_tok") / capacity).cast(LongType),
+        ((col("end_tok") - 1) / capacity).cast(LongType))))
+      .withColumn("span_start", greatest(col("start_tok"), col("pack_id") * capacity))
+      .withColumn("span_end", least(col("end_tok"), (col("pack_id") + 1) * capacity))
+      .withColumn("piece", array_join(slice(col("tokens"),
+        (col("span_start") - col("start_tok") + 1).cast("int"),
+        (col("span_end") - col("span_start")).cast("int")), " "))
+    spans.groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("span_end") - col("span_start")).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("piece")))),
+          x => x.getField("piece")), " ").cast("binary")).as("pack_md5"))
+      .orderBy("lang", "pack_id")
+  }
+
   /** Pack-level rollup of [[packPlan]]: docs starting in each pack and
     * their token mass (≥ capacity utilisation since tails straddle).
     */
@@ -199,6 +239,45 @@ object Corpus {
         sum(when(fin, col("n_tokens")).otherwise(0L)).as("final_tokens"))
       .orderBy("lang")
   }
+
+  /** Temperature-balanced language sampling (the multilingual-corpus
+    * p_l ∝ share^α rebalance at α = 1/2): each language keeps
+    * sqrt(n_min / n_l) of its docs, so the rarest language keeps
+    * everything and head languages are downsampled toward balance.
+    * α = 1/2 on purpose — sqrt is correctly rounded in every IEEE
+    * engine, so the rate (and thus every threshold decision) is
+    * bit-identical across engines, where pow(x, 0.7) need not be.
+    * Shuffle shape: one tiny per-language count, broadcast back; the
+    * keep decision stays a per-row map stage.
+    */
+  def temperatureRates(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
+    counts.crossJoin(broadcast(nMin)) // 1-row scalar
+      .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_lang")))
+      .select("lang", "n_lang", "rate")
+  }
+
+  /** Per-doc survivors of the temperature rebalance. */
+  def temperatureSample(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"),
+        sampleKey("temp:", col("doc_id")).as("sample_key"))
+      .join(broadcast(temperatureRates(documents).select("lang", "rate")), Seq("lang"))
+      .filter(col("sample_key") < col("rate"))
+      .select("doc_id", "lang", "rate", "sample_key")
+      .orderBy("doc_id")
+
+  /** Per-language report of the rebalance: size, rate, survivors. */
+  def temperatureSummary(documents: DataFrame): DataFrame =
+    documents.select(col("lang"), col("doc_id"))
+      .join(broadcast(temperatureRates(documents)), Seq("lang"))
+      .withColumn("kept",
+        when(sampleKey("temp:", col("doc_id")) < col("rate"), 1L).otherwise(0L))
+      .groupBy("lang", "n_lang", "rate")
+      .agg(sum(col("kept")).as("n_kept"))
+      .withColumn("achieved_rate", col("n_kept").cast("double") / col("n_lang"))
+      .select("lang", "n_lang", "rate", "n_kept", "achieved_rate")
+      .orderBy("lang")
 
   /** Top-k terms per document by tf-idf. The score is the rational
     * form tf·N/df (monotone in the usual tf·ln(N/df) for fixed tf):

@@ -212,6 +212,29 @@ object Dedup {
       .limit(100)
   }
 
+  /** Incremental (batch-vs-corpus) exact dedup: an arriving batch is
+    * admitted only where its normalized fingerprint is unseen — both
+    * against the existing corpus AND within the batch itself (first
+    * doc_id wins, matching [[exact]]'s keep-first semantics). This is
+    * the steady-state shape of corpus maintenance at 100 TB: the
+    * corpus side reduces to a distinct fingerprint set (in production,
+    * a bucketed fingerprint index that the anti-join co-locates with —
+    * no O(corpus) reshuffle per batch), and the batch side is a
+    * per-row map + one anti-join + one window on the short uniform
+    * hash key.
+    */
+  def incremental(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val fp = md5(norm.cast("binary"))
+    val seen = corpus.select(fp.as("fp_md5")).distinct()
+    val fresh = batch.select(col("doc_id"), fp.as("fp_md5"))
+      .join(seen, Seq("fp_md5"), "left_anti")
+    val w = Window.partitionBy(col("fp_md5"))
+    fresh.withColumn("first_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("first_id"))
+      .select("doc_id", "fp_md5")
+      .orderBy("doc_id")
+  }
+
   /** 32-bit SimHash: bit j is the sign of Σ_tokens (±1 by whether hex
     * nibble j of md5(token) has its top bit set). Near-dup docs differ
     * in few bits. Emitted as a 32-char bitstring (portable, groupable).

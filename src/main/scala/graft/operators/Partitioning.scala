@@ -62,6 +62,64 @@ object Partitioning {
       .limit(topN)
   }
 
+  /** 16-bit → even-bit Morton spread via the classic magic-number
+    * shift-mask ladder (public-domain bit-twiddling identity). Pure
+    * arithmetic on the Column — whole-stage codegen'd, constant masks
+    * folded; no custom Expression needed because every step is a
+    * built-in integral op.
+    */
+  private def spread16(c: Column): Column = {
+    val s0 = c.bitwiseAND(lit(0xFFFFL))
+    val s1 = s0.bitwiseOR(shiftleft(s0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) key interleaving the low 16 bits of two
+    * dimensions: sorting by it clusters rows that are close in BOTH
+    * columns, so parquet footer min/max stats stay tight on both and a
+    * scan filtered on either dimension skips most files — multi-column
+    * data skipping without an index, the standard lakehouse layout
+    * trick for 100 TB fact tables queried on more than one key.
+    */
+  def zOrderKey(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Z-ordered parquet layout: range-partition + sort by the Morton
+    * key of the two cluster columns, so each output file covers a
+    * compact rectangle of the (x, y) key space. The write is one range
+    * exchange (sampled bounds) + a per-partition sort — the same cost
+    * as any global sort, paid once at load time.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    nFiles: Int): Unit = {
+    val z = zOrderKey(col(xCol), col(yCol))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Z-locality profile of the lineitem (partkey, suppkey) plane:
+    * bucket by the top Morton bits and report each bucket's row count
+    * and per-dimension bounding box — the direct measure of how tight
+    * file-level min/max stats would be under a z-ordered layout.
+    */
+  def zOrderLayout(lineitem: DataFrame): DataFrame = {
+    val x = col("l_partkey") % 65536
+    val y = col("l_suppkey") % 65536
+    lineitem.select(x.as("x"), y.as("y"),
+        shiftright(zOrderKey(col("l_partkey") % 65536, col("l_suppkey") % 65536), 20)
+          .as("z_bucket"))
+      .groupBy("z_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy("z_bucket")
+  }
+
   /** Catalog-backed bucketed table: rows hash-clustered (and optionally
     * sorted) by the join key at write time, so every later join or
     * aggregation on that key reads co-located buckets and skips the

@@ -226,6 +226,34 @@ object Validation {
       .orderBy("table_name")
   }
 
+  /** Snapshot diff (CDC between two loads of the same table): one
+    * full-outer join on the natural key classifies every key as
+    * inserted (new only), deleted (old only) or updated (both sides
+    * present, compare-signature differs); unchanged keys are dropped.
+    * Signatures use the collision-proof \\u0001-separator / \\u0000-null row encoding
+    * (same scheme as [[conformRows]]), computed map-side, so the only
+    * shuffle is the key join and the change stream — not the
+    * snapshots — is what flows downstream. This is the diff a 100 TB
+    * warehouse feeds into incremental fact maintenance instead of
+    * rebuilding; with both snapshots bucketed on the key it runs
+    * exchange-free.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    def sig(c: String) = md5(concat_ws("\u0001",
+      compareCols.map(x => coalesce(col(x).cast(StringType), lit("\u0000"))): _*)).as(c)
+    val o = oldSnap.select(keys.map(col) :+ sig("old_sig"): _*)
+    val n = newSnap.select(keys.map(col) :+ sig("new_sig"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_op",
+        when(col("old_sig").isNull, "I")
+          .when(col("new_sig").isNull, "D")
+          .when(col("old_sig") =!= col("new_sig"), "U"))
+      .filter(col("change_op").isNotNull)
+      .select((keys.map(col) :+ col("change_op") :+ col("old_sig") :+ col("new_sig")): _*)
+      .orderBy(keys.head, keys.tail: _*)
+  }
+
   /** Data-freshness check across the time-bearing tables: per table,
     * newest record date and its lag (days) behind the freshest table —
     * the staleness alarm an operational warehouse runs after each load

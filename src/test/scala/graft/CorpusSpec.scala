@@ -157,6 +157,38 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("pack sequences: planted corpus reconstructs exact token streams") {
+    val planted = Seq(
+      doc(1L, (1 to 60).map(i => s"a$i").mkString(" ")),   // tokens 0..59
+      doc(2L, (1 to 50).map(i => s"b$i").mkString(" ")),   // 60..109 → straddles
+      doc(3L, (1 to 10).map(i => s"c$i").mkString(" ")),   // 110..119
+      doc(4L, "x1 x2 x3", "de")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.packSequences(planted, capacity = 100).collect()
+      .map(x => (x.getString(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getString(4)))).toMap
+    // pack (en,0) = all of doc1 + first 40 tokens of doc2 — exactly 100
+    val en0 = (1 to 60).map(i => s"a$i") ++ (1 to 40).map(i => s"b$i")
+    assert(r(("en", 0L)) === ((2L, 100L, md5hex(en0.mkString(" ")))))
+    // pack (en,1) = doc2's last 10 tokens + all of doc3 — the tail pack
+    val en1 = (41 to 50).map(i => s"b$i") ++ (1 to 10).map(i => s"c$i")
+    assert(r(("en", 1L)) === ((2L, 20L, md5hex(en1.mkString(" ")))))
+    assert(r(("de", 0L)) === ((1L, 3L, md5hex("x1 x2 x3"))))
+  }
+
+  test("pack sequences on the real corpus: full packs carry exactly 2048 tokens") {
+    val r = Corpus.packSequences(docs).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(3)))
+    assert(r.nonEmpty)
+    r.groupBy(_._1).foreach { case (lang, packs) =>
+      val last = packs.map(_._2).max
+      packs.foreach { case (_, pid, nTok) =>
+        if (pid < last) assert(nTok === 2048L, s"pack ($lang,$pid) not full")
+        else assert(nTok <= 2048L)
+      }
+    }
+  }
+
   test("pack plan on the real corpus: offsets < capacity, ids contiguous per lang") {
     val r = Corpus.packPlan(docs).collect()
     assert(r.forall(x => x.getLong(4) >= 0 && x.getLong(4) < 2048))
@@ -164,6 +196,29 @@ class CorpusSpec extends AnyFunSuite {
       val ids = rows.map(_.getLong(3)).distinct.sorted
       assert(ids === (0L until ids.length).toSeq, "pack ids are dense per lang")
     }
+  }
+
+  test("temperature rebalance: rarest language keeps everything, head languages shrink") {
+    val rates = Corpus.temperatureRates(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val nMin = rates.values.map(_._1).min
+    val minLang = rates.minBy(_._2._1)._1
+    assert(rates(minLang)._2 === 1.0) // sqrt(n_min/n_min)
+    rates.foreach { case (_, (n, rate)) =>
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(rate === math.sqrt(nMin.toDouble / n))
+    }
+    val summary = Corpus.temperatureSummary(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    summary.foreach { case (lang, (nLang, rate, nKept)) =>
+      assert(nKept <= nLang)
+      // achieved rate tracks the target within sampling noise
+      assert(math.abs(nKept.toDouble / nLang - rate) < 0.15)
+    }
+    // deterministic: a second run keeps the same docs
+    val a = Corpus.temperatureSample(docs).collect().map(_.getLong(0))
+    val b = Corpus.temperatureSample(docs).collect().map(_.getLong(0))
+    assert(a.sameElements(b))
   }
 
   test("corpus report: per-language stage counts compose the stage operators") {

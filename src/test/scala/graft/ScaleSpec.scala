@@ -98,6 +98,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.select("o_orderstatus").distinct().collect().map(_.getString(0)).toSet === Set("F"))
   }
 
+  test("z-ordered layout: per-file bounding boxes far tighter than hash layout on BOTH dims") {
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+    val base = Files.createTempDirectory("graft_zorder").toString
+    Partitioning.writeZOrdered(li, s"$base/zordered", "l_partkey", "l_suppkey", 8)
+    li.repartition(8).write.parquet(s"$base/hashed")
+    // per-file normalized bounding-box area — what footer min/max
+    // pruning sees. Hash layout ≈ every file spans the full plane.
+    def meanArea(path: String): Double = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("l_partkey").as("nx"), max("l_partkey").as("xx"),
+          min("l_suppkey").as("ny"), max("l_suppkey").as("xy"))
+        .collect()
+      // col 0 is the file name; 1..4 are min_x, max_x, min_y, max_y
+      val (gx, gy) = (stats.map(_.getLong(2)).max.toDouble,
+        stats.map(_.getLong(4)).max.toDouble)
+      stats.map(r => ((r.getLong(2) - r.getLong(1)) / gx) *
+        ((r.getLong(4) - r.getLong(3)) / gy)).sum / stats.length
+    }
+    val (zArea, hArea) = (meanArea(s"$base/zordered"), meanArea(s"$base/hashed"))
+    assert(hArea > 0.9, s"hash layout should span the plane, got $hArea")
+    assert(zArea < hArea / 2, s"z-order not tighter: z=$zArea hash=$hArea")
+    // the morton key clusters, it must not lose or duplicate rows
+    assert(spark.read.parquet(s"$base/zordered").count() === li.count())
+  }
+
   test("row-count drift report compares snapshots correctly") {
     import spark.implicits._
     val prev = Seq("t1" -> Seq(1, 2, 3).toDF("v"), "t2" -> Seq(1).toDF("v"))

@@ -53,6 +53,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(hamming(sigs(1L), sigs(4L)) > 6, "unrelated doc → many bits differ")
   }
 
+  test("incremental dedup: batch docs already in the corpus (or earlier in batch) are dropped") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val fresh = "completely new arrival text that the corpus has never seen before today"
+    // corpus = ids 1,2; batch = ids 3 (dup of corpus), 6 and 9 (dups of
+    // each other), 12 (genuinely new)
+    val all = Seq(
+      (1L, base), (2L, "some other standing corpus document with plenty of words"),
+      (3L, base), (6L, fresh), (9L, fresh), (12L, "another unseen document entirely")
+    ).map { case (id, txt) => (id, txt, "en", "src0", txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = all.filter(col("doc_id") % 3 =!= 0)
+    val batch = all.filter(col("doc_id") % 3 === 0)
+    val surv = Dedup.incremental(corpus, batch).collect().map(_.getLong(0))
+    assert(surv.toSet === Set(6L, 12L)) // 3 seen in corpus; 9 loses to 6
+  }
+
   test("lang id: stopword profiles separate en from es on real words") {
     val r = TextOps.langId(planted).collect()
       .map(r => r.getLong(0) -> r.getString(5)).toMap

@@ -240,6 +240,33 @@ class WarehouseSpec extends AnyFunSuite {
     fixed.unpersist()
   }
 
+  test("snapshot diff: planted insert/delete/update classified; unchanged dropped") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "A", 10L), (2L, "B", 20L), (3L, "C", 30L)
+    ).toDF("k", "status", "amount")
+    val newSnap = Seq(
+      (1L, "A", 10L),   // unchanged → dropped
+      (2L, "X", 20L),   // updated
+      (4L, "D", 40L)    // inserted; 3 deleted
+    ).toDF("k", "status", "amount")
+    val d = Validation.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("status", "amount"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(2L -> "U", 3L -> "D", 4L -> "I"))
+  }
+
+  test("snapshot diff: null and concatenation-ambiguous values do not collide") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, Option("ab"), Option("c")), (2L, None: Option[String], Option(" ")))
+      .toDF("k", "x", "y")
+    val newSnap = Seq((1L, Option("a"), Option("bc")), (2L, Option(" "), Option(" ")))
+      .toDF("k", "x", "y")
+    val d = Validation.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ("ab","c") vs ("a","bc") and (null," ") vs (" "," ") are real changes
+    assert(d === Map(1L -> "U", 2L -> "U"))
+  }
+
   test("validation: clean synthetic data yields zero violations/orphans") {
     val ri = Validation.riChecks(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
       Tables.customer(spark, sf), Tables.part(spark, sf), Tables.supplier(spark, sf),
