@@ -32,6 +32,12 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
+      // the checkpointing operators (clusters/decontaminate) leave
+      // their blocks pinned until a GC lets the ContextCleaner reap
+      // the unreachable RDDs; without this, blocks accumulate across
+      // the suite and late queries GC-thrash (measured: fact_pnl
+      // 1.5 s alone vs 86 s at position ~60 of the full suite)
+      System.gc()
       name -> times.min
     }
     // Full per-query map goes to a file: with 117 queries the one-line

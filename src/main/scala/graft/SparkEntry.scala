@@ -207,6 +207,7 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(t(s, d, "embeddings"))),
     "multimodal_frames" -> ((s, d) => Multimodal.frameSample(t(s, d, "documents"))),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(t(s, d, "embeddings"))),
+    "embedding_quantize" -> ((s, d) => Similarity.quantize(t(s, d, "embeddings"))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
     "embedding_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d, "embeddings"))),
     "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(t(s, d, "embeddings"))),
@@ -1597,6 +1598,24 @@ object SparkEntry {
         |  CAST(SUM(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS avg_norm,
         |  min(nrm) AS min_norm, max(nrm) AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    // floor(x + 0.5) rounding and identical operator association keep
+    // every double bit-identical to Similarity.quantize.
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |  list_min(v) AS vmin, list_max(v) AS vmax FROM e),
+        |q AS (SELECT vec_id, label, v, vmin, vmax,
+        |  list_transform(v, x -> CASE WHEN vmax = vmin THEN 0
+        |    ELSE CAST(floor((x - vmin) / (vmax - vmin) * 255 + 0.5) AS BIGINT) END) AS qv
+        |FROM m)
+        |SELECT vec_id, label, vmin AS v_min, vmax AS v_max,
+        |  md5(array_to_string(qv, ',')) AS q_md5,
+        |  list_sum(list_transform(range(1, len(v)+1),
+        |    i -> abs(v[i] - (vmin + CAST(qv[i] AS DOUBLE) * (vmax - vmin) / 255))))
+        |    / len(v) AS mae
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "customer_order_gaps" ->
       """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date, o_orderkey FROM orders),

@@ -136,9 +136,15 @@ object Dedup {
           least(col("prev"), coalesce(col("neigh_min"), col("prev"))).as("cluster_id"))
         .localCheckpoint(true)
       converged = next.filter(col("cluster_id") < col("prev")).isEmpty
+      // `next` is materialized, so the previous round's checkpoint
+      // blocks are dead weight — release them instead of letting every
+      // round pin more of the executor storage pool until a GC
+      labels.unpersist(false)
       labels = next.select("doc_id", "cluster_id")
       rounds += 1
     }
+    // the returned plan depends only on the final labels checkpoint
+    edges.unpersist(false)
     val w = Window.partitionBy("cluster_id")
     labels.withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))

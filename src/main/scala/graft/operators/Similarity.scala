@@ -223,6 +223,35 @@ object Similarity {
           1e9 / count(lit(1))).as("mean_val"))
       .orderBy("label", "dim_idx")
 
+  /** Per-vector int8 (0..255) min-max quantization — the 4× storage/
+    * bandwidth compression an ANN serving layer applies before the
+    * index build. Pure per-row HOF pipeline (no shuffle, no UDF, stays
+    * in codegen); at 100 TB this is a map-only rewrite of the
+    * embedding column. Every step is engine-exact: floor(x + 0.5)
+    * rounding instead of round() (whose tie rule differs across
+    * engines), float→double casts are value-preserving, and the md5
+    * digests the canonical comma-joined code string. Emits the
+    * quantization range, code digest, and the exact reconstruction
+    * MAE (left-to-right fold, same accumulation order both engines).
+    */
+  def quantize(embeddings: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val vmin = array_min(v)
+    val vmax = array_max(v)
+    val q = transform(v, x =>
+      when(vmax === vmin, lit(0L)).otherwise(
+        floor((x - vmin) / (vmax - vmin) * 255.0 + 0.5).cast(LongType)))
+    val dequant = (qi: Column) => vmin + qi.cast("double") * (vmax - vmin) / 255.0
+    val mae = aggregate(zip_with(v, q, (x, qi) => abs(x - dequant(qi))),
+      lit(0.0), (acc, e) => acc + e) / size(col("embedding"))
+    embeddings.select(col("vec_id"), col("label"),
+        vmin.as("v_min"), vmax.as("v_max"),
+        md5(array_join(transform(q, _.cast("string")), ",").cast("binary"))
+          .as("q_md5"),
+        mae.as("mae"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label corpus stats: count + exact-summed mean norm (norms cast
     * to DECIMAL before the group sum so results don't drift with task
     * order), min/max norm.

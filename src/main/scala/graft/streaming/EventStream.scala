@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
@@ -157,6 +157,32 @@ object EventStream {
         ()
       }
       .start()
+
+  /** Streaming twin of Dedup.incremental — corpus admission as a
+    * continuous process: arriving documents (selected by
+    * `batchPredicate`) are anti-joined against the STATIC standing-
+    * corpus fingerprint set (a stream-static left-anti join — at scale
+    * the static side is the bucketed fingerprint index, so the join
+    * co-locates without reshuffling the corpus per micro-batch), then
+    * within-stream re-arrivals are dropped by the same watermark-
+    * evicted signature state as [[dedupBySignatureStream]]. Admitted
+    * fingerprints are exactly the batch operator's surviving set;
+    * which arrival carries one is arrival-order (the batch twin's
+    * min-id pick is the deterministic replay of the same contract).
+    */
+  def incrementalAdmissionStream(spark: SparkSession, dir: String,
+                                 corpus: DataFrame,
+                                 batchPredicate: Column): DataFrame = {
+    val fp = md5(lower(trim(col("text"))).cast("binary"))
+    val seen = corpus.select(fp.as("fp_md5")).distinct()
+    documentsStream(spark, dir)
+      .filter(batchPredicate)
+      .withColumn("fp_md5", fp)
+      .join(seen, Seq("fp_md5"), "left_anti")
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp_md5")
+      .select(col("doc_id"), col("fp_md5"))
+  }
 
   /** Streaming twin of Corpus.sample: the weighted mixing filter is a
     * stateless per-row predicate on a deterministic hash key, so it

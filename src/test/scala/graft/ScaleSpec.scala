@@ -219,6 +219,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(streamed.count() === batchKeys)
   }
 
+  test("streaming incremental admission matches batch dedup_incremental fingerprints") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val q = EventStream.incrementalAdmissionStream(spark, sf, corpus,
+        col("doc_id") % 3 === 0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("incr_admit_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("incr_admit_out").select("fp_md5")
+    val batch = graft.operators.Dedup
+      .incremental(corpus, docs.filter(col("doc_id") % 3 === 0))
+      .select("fp_md5")
+    // admitted fingerprint sets agree exactly (which arrival carries a
+    // fingerprint is arrival-order in the stream, min-id in batch)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(batch.count() > 0)
+  }
+
   test("streaming dedup-by-signature matches the batch canonical set") {
     val q = EventStream.dedupBySignatureStream(spark, sf)
       .writeStream.outputMode("append").format("memory")

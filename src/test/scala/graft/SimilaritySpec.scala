@@ -105,6 +105,22 @@ class SimilaritySpec extends AnyFunSuite {
       s"assignment must not use a per-vector window:\n$plan")
   }
 
+  test("quantize: reconstruction error bounded by half a quantization step") {
+    val q = Similarity.quantize(Tables.embeddings(spark, sf)).cache()
+    val rows = q.collect()
+    assert(rows.length === Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val (vmin, vmax, mae) = (r.getDouble(2), r.getDouble(3), r.getDouble(5))
+      assert(vmax >= vmin)
+      val step = (vmax - vmin) / 255.0
+      // mid-rise rounding: per-element error ≤ step/2 (+ float-noise slack)
+      assert(mae <= step / 2 + 1e-12, s"vec ${r.getLong(0)}: mae $mae > step/2 $step")
+    }
+    // deterministic digests across runs
+    val again = Similarity.quantize(Tables.embeddings(spark, sf)).collect()
+    assert(rows.map(_.getString(4)).sameElements(again.map(_.getString(4))))
+  }
+
   test("near-dup: LSH-sig blocking finds planted near-identical pairs across labels") {
     val base = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
     val tweaked = base.clone(); tweaked(0) = base(0) + 1e-4f
@@ -120,6 +136,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.getAs[Double]("cos_sim") > 0.999999)
     // determinism: every returned pair ordered and unique
     assert(r.map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).distinct.length === r.length)
+  }
+
+  test("quantize plan: map-only pipeline — no hash exchange, only the output sort") {
+    val plan = Similarity.quantize(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"quantize must not shuffle on a key:\n$plan")
+    assert(!plan.contains("BroadcastExchange"), "nothing to broadcast")
   }
 
   test("plan shape: filter pushdown reaches the parquet scan") {
