@@ -235,20 +235,29 @@ object Similarity {
     * MAE (left-to-right fold, same accumulation order both engines).
     */
   def quantize(embeddings: DataFrame): DataFrame = {
-    val v = transform(col("embedding"), x => x.cast("double"))
-    val vmin = array_min(v)
-    val vmax = array_max(v)
-    val q = transform(v, x =>
-      when(vmax === vmin, lit(0L)).otherwise(
-        floor((x - vmin) / (vmax - vmin) * 255.0 + 0.5).cast(LongType)))
-    val dequant = (qi: Column) => vmin + qi.cast("double") * (vmax - vmin) / 255.0
-    val mae = aggregate(zip_with(v, q, (x, qi) => abs(x - dequant(qi))),
-      lit(0.0), (acc, e) => acc + e) / size(col("embedding"))
-    embeddings.select(col("vec_id"), col("label"),
-        vmin.as("v_min"), vmax.as("v_max"),
-        md5(array_join(transform(q, _.cast("string")), ",").cast("binary"))
+    // Each stage lands in its own projection so vmin/vmax/qv are
+    // computed ONCE per row and lambdas only read attributes — an
+    // outer array_min embedded in a transform lambda would re-evaluate
+    // per ELEMENT (O(d²) per row; measured 10 s → sub-second at sf0.1).
+    // Multiple downstream references keep CollapseProject from
+    // re-inlining them.
+    embeddings
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("v_min", array_min(col("v")))
+      .withColumn("v_max", array_max(col("v")))
+      .withColumn("qv", transform(col("v"), x =>
+        when(col("v_max") === col("v_min"), lit(0L)).otherwise(
+          floor((x - col("v_min")) / (col("v_max") - col("v_min")) * 255.0 + 0.5)
+            .cast(LongType))))
+      .select(col("vec_id"), col("label"), col("v_min"), col("v_max"),
+        md5(array_join(transform(col("qv"), _.cast("string")), ",").cast("binary"))
           .as("q_md5"),
-        mae.as("mae"))
+        (aggregate(
+          zip_with(col("v"), col("qv"), (x, qi) =>
+            abs(x - (col("v_min") + qi.cast("double") *
+              (col("v_max") - col("v_min")) / 255.0))),
+          lit(0.0), (acc, e) => acc + e) / size(col("v"))).as("mae"))
       .orderBy("vec_id")
   }
 
