@@ -62,6 +62,16 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.piiScrub(docs).count() === 0)
     assert(Corpus.tfidfTopTerms(docs).count() === 0)
     assert(Corpus.report(docs).count() === 0)
+    assert(Corpus.packManifest(docs).count() === 0)
+    assert(Corpus.packSequences(docs).count() === 0)
+    assert(Corpus.temperatureSample(docs).count() === 0, "min over no langs must not throw")
+    assert(Corpus.temperatureSummary(docs).count() === 0)
+    assert(Dedup.incremental(docs, docs).count() === 0)
+    // empty corpus, non-empty batch: everything is admitted
+    import spark.implicits._
+    val batch = Seq((1L, "some arriving text", "en", "src0", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.incremental(docs, batch).count() === 1)
   }
 
   test("event operators survive an empty stream") {
@@ -90,5 +100,22 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.embeddingNearDup(emb).count() === 0)
     assert(Similarity.labelCentroids(emb).count() === 0)
     assert(Similarity.knnIvf(emb).count() === 0, "empty codebook must not throw")
+    assert(Similarity.quantize(emb).count() === 0)
+  }
+
+  test("snapshot diff survives empty snapshots on either side") {
+    val orders = empty(orderSchema)
+    val keys = Seq("o_orderkey")
+    val cmp = Seq("o_orderstatus", "o_orderpriority")
+    assert(Validation.snapshotDiff(orders, orders, keys, cmp).count() === 0)
+    import spark.implicits._
+    val one = Seq((1L, 1L, "O", 10.0, new java.sql.Timestamp(0L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    // empty old → pure insert stream; empty new → pure delete stream
+    assert(Validation.snapshotDiff(orders, one, keys, cmp)
+      .collect().map(_.getString(1)).toSeq === Seq("I"))
+    assert(Validation.snapshotDiff(one, orders, keys, cmp)
+      .collect().map(_.getString(1)).toSeq === Seq("D"))
   }
 }
