@@ -54,6 +54,20 @@ object Tables {
       .option("sep", delimiter)
       .csv(path)
 
+  /** JSONL (newline-delimited JSON) — the interchange format corpora
+    * actually ship in. Explicit schema + FAILFAST, like [[readCsv]]:
+    * a malformed line kills the job loudly instead of silently nulling
+    * a 100 TB ingest, and no schema-inference pre-pass scans the data
+    * twice. Each output file is one JSONL shard, splittable and
+    * parallel on both ends.
+    */
+  def readJsonl(s: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** JDBC extraction (the reference's primary source:
     * extractors/database_extractor.py:71 `extract_table` pulls each
     * table through one cursor with optional WHERE/column lists, and the

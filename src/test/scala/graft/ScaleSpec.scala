@@ -183,6 +183,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() === Tables.lineitem(spark, sf).count())
   }
 
+  test("jsonl round-trip preserves the document corpus exactly") {
+    val docs = Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("graft_jsonl").toString + "/docs_jsonl"
+    Tables.writeJsonl(docs, dir)
+    val back = Tables.readJsonl(spark, dir, docs.schema)
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs).count() === 0)
+    assert(docs.exceptAll(back).count() === 0)
+  }
+
   test("csv round-trip with explicit schema and delimiter") {
     val dir = Files.createTempDirectory("graft_csv").toString + "/nation_csv"
     val src = Tables.nation(spark, sf)
