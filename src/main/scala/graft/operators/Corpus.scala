@@ -221,9 +221,15 @@ object Corpus {
     * stage, composed). Each side is doc_id-keyed, so the joins shuffle
     * on the uniform id and the rollup groups on the tiny lang key.
     */
-  def report(documents: DataFrame): DataFrame = {
+  def report(documents: DataFrame): DataFrame =
+    report(documents, Dedup.clusters(documents))
+
+  /** [[report]] against a pre-computed cluster assignment (the
+    * materialize-once production shape, like Dedup.prune's overload).
+    */
+  def report(documents: DataFrame, clustered: DataFrame): DataFrame = {
     val q = TextOps.textQuality(documents).select(col("doc_id"), col("keep"))
-    val c = Dedup.clusters(documents).select(col("doc_id"), col("is_canonical"))
+    val c = clustered.select(col("doc_id"), col("is_canonical"))
     val s = sample(documents).select(col("doc_id"), lit(true).as("sampled"))
     val fin = col("keep") && col("is_canonical") && col("sampled")
     documents.select(col("doc_id"), col("lang"), wsTokens.as("n_tokens"))

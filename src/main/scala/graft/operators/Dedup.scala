@@ -161,7 +161,15 @@ object Dedup {
     * collects).
     */
   def prune(documents: DataFrame): DataFrame =
-    clusters(documents).filter(col("is_canonical"))
+    prune(documents, clusters(documents))
+
+  /** [[prune]] against a PRE-COMPUTED cluster assignment — the shape a
+    * production pipeline uses: materialize [[clusters]] once, feed it
+    * to prune/report/downstream instead of re-running the propagation
+    * per consumer.
+    */
+  def prune(documents: DataFrame, clustered: DataFrame): DataFrame =
+    clustered.filter(col("is_canonical"))
       .select(col("doc_id"), col("cluster_size"),
         (col("cluster_size") - 1).as("n_dups_removed"))
       .join(documents.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),

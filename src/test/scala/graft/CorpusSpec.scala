@@ -221,6 +221,14 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("prune/report overloads with a materialized cluster table match the defaults") {
+    val clustered = Dedup.clusters(docs).cache()
+    try {
+      assert(Dedup.prune(docs, clustered).exceptAll(Dedup.prune(docs)).count() === 0)
+      assert(Corpus.report(docs, clustered).exceptAll(Corpus.report(docs)).count() === 0)
+    } finally clustered.unpersist()
+  }
+
   test("corpus report: per-language stage counts compose the stage operators") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     val planted = Seq(
