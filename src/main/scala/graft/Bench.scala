@@ -64,7 +64,9 @@ object Bench {
       "knn_ivf", "knn_lsh", "embedding_centroids", "doc_chunks",
       "token_counts", "reconcile_orders", "order_value_percentiles",
       "dedup_jaccard", "dedup_clusters", "dedup_prune",
-      "corpus_sample", "seq_pack", "tfidf_top_terms")
+      "corpus_sample", "seq_pack", "tfidf_top_terms",
+      "seq_pack_sequences", "embedding_quantize", "snapshot_diff",
+      "zorder_layout")
     val resultMap = results.toMap
     val qs = headline.flatMap(k => resultMap.get(k).map(v =>
         s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0)))
