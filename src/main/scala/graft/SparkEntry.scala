@@ -1510,18 +1510,20 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
 
-    // chr(1) is the u0001 column separator of Validation.snapshotDiff's
-    // compare signature (no nullable compare columns in this slice, so
-    // the coalesce branch is inert on both sides).
+    // 'v<charlen>:<value>' per field is Validation.snapshotDiff's
+    // injective self-delimiting encoding (null → 'n'; no nulls in this
+    // slice). Length = characters in both engines.
     "snapshot_diff" ->
       """WITH o_s AS (SELECT o_orderkey,
-        |  md5(CAST(o_custkey AS VARCHAR) || chr(1) || o_orderstatus || chr(1)
-        |      || o_orderpriority) AS old_sig
+        |  md5('v' || length(CAST(o_custkey AS VARCHAR)) || ':' || CAST(o_custkey AS VARCHAR)
+        |   || 'v' || length(o_orderstatus) || ':' || o_orderstatus
+        |   || 'v' || length(o_orderpriority) || ':' || o_orderpriority) AS old_sig
         |  FROM orders WHERE o_orderkey % 7 <> 0),
         |n_s AS (SELECT o_orderkey,
-        |  md5(CAST(o_custkey AS VARCHAR) || chr(1)
-        |      || CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
-        |      || chr(1) || o_orderpriority) AS new_sig
+        |  md5('v' || length(CAST(o_custkey AS VARCHAR)) || ':' || CAST(o_custkey AS VARCHAR)
+        |   || 'v' || length(CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END)
+        |   || ':' || CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+        |   || 'v' || length(o_orderpriority) || ':' || o_orderpriority) AS new_sig
         |  FROM orders WHERE o_orderkey % 13 <> 0)
         |SELECT o_orderkey,
         |  CASE WHEN old_sig IS NULL THEN 'I' WHEN new_sig IS NULL THEN 'D'

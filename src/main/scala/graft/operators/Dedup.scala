@@ -19,6 +19,20 @@ object Dedup {
 
   private def norm: Column = lower(trim(col("text")))
 
+  /** Canonical content fingerprint shared by every exact-dedup surface
+    * (batch [[exact]]/[[incremental]] and both streaming twins in
+    * graft.streaming.EventStream): md5 of the normalized text. ONE
+    * definition, so the advertised batch↔stream equivalences cannot
+    * drift if the normalization ever changes.
+    */
+  def fingerprint: Column = md5(norm.cast("binary"))
+
+  /** Distinct fingerprint set of a standing corpus — the index an
+    * admission pass anti-joins against (bucketed on fp_md5 at scale).
+    */
+  def fingerprintSet(corpus: DataFrame): DataFrame =
+    corpus.select(fingerprint.as("fp_md5")).distinct()
+
   /** 5-char shingle array of the normalized text. */
   private def shingles(n: Column, len: Int = 5): Column =
     transform(sequence(lit(1), length(n) - lit(len - 1)),
@@ -42,7 +56,7 @@ object Dedup {
     * hash group (ref data_validator.py:299 keep-first semantics).
     */
   def exact(documents: DataFrame): DataFrame = {
-    val fp = md5(norm.cast("binary"))
+    val fp = fingerprint
     val w = Window.partitionBy(col("fp_md5"))
     documents.select(col("doc_id"), fp.as("fp_md5"))
       .withColumn("canonical_id", min(col("doc_id")).over(w))
@@ -138,13 +152,15 @@ object Dedup {
       converged = next.filter(col("cluster_id") < col("prev")).isEmpty
       // `next` is materialized, so the previous round's checkpoint
       // blocks are dead weight — release them instead of letting every
-      // round pin more of the executor storage pool until a GC
-      labels.unpersist(false)
+      // round pin more of the executor storage pool until a GC.
+      // (Dataset.unpersist is a no-op for checkpoint blocks — it only
+      // consults the CacheManager — so go through the RDD handle.)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(labels)
       labels = next.select("doc_id", "cluster_id")
       rounds += 1
     }
     // the returned plan depends only on the final labels checkpoint
-    edges.unpersist(false)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(edges)
     val w = Window.partitionBy("cluster_id")
     labels.withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
@@ -238,9 +254,8 @@ object Dedup {
     * hash key.
     */
   def incremental(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    val fp = md5(norm.cast("binary"))
-    val seen = corpus.select(fp.as("fp_md5")).distinct()
-    val fresh = batch.select(col("doc_id"), fp.as("fp_md5"))
+    val seen = fingerprintSet(corpus)
+    val fresh = batch.select(col("doc_id"), fingerprint.as("fp_md5"))
       .join(seen, Seq("fp_md5"), "left_anti")
     val w = Window.partitionBy(col("fp_md5"))
     fresh.withColumn("first_id", min(col("doc_id")).over(w))

@@ -230,27 +230,37 @@ object Validation {
     * full-outer join on the natural key classifies every key as
     * inserted (new only), deleted (old only) or updated (both sides
     * present, compare-signature differs); unchanged keys are dropped.
-    * Signatures use the collision-proof \\u0001-separator / \\u0000-null row encoding
-    * (same scheme as [[conformRows]]), computed map-side, so the only
-    * shuffle is the key join and the change stream — not the
-    * snapshots — is what flows downstream. This is the diff a 100 TB
-    * warehouse feeds into incremental fact maintenance instead of
-    * rebuilding; with both snapshots bucketed on the key it runs
-    * exchange-free.
+    * Signatures use an INJECTIVE self-delimiting field encoding —
+    * null → `n`, value v → `v<charlen>:<v>` — so no value content
+    * (separators, control characters, null look-alikes) can make two
+    * distinct rows collide; the encoding is computed map-side, so the
+    * only shuffle is the key join and the change stream — not the
+    * snapshots — is what flows downstream. Key matching is null-SAFE:
+    * a null-keyed row present in both snapshots compares as one row
+    * (a null-unsafe join would emit a spurious D+I pair for it). This
+    * is the diff a 100 TB warehouse feeds into incremental fact
+    * maintenance instead of rebuilding; with both snapshots bucketed
+    * on the key it runs exchange-free.
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keys: Seq[String], compareCols: Seq[String]): DataFrame = {
-    def sig(c: String) = md5(concat_ws("\u0001",
-      compareCols.map(x => coalesce(col(x).cast(StringType), lit("\u0000"))): _*)).as(c)
-    val o = oldSnap.select(keys.map(col) :+ sig("old_sig"): _*)
-    val n = newSnap.select(keys.map(col) :+ sig("new_sig"): _*)
-    o.join(n, keys, "full_outer")
+    def enc(x: Column) = {
+      val s = x.cast(StringType)
+      coalesce(concat(lit("v"), length(s), lit(":"), s), lit("n"))
+    }
+    def sig(c: String) = md5(concat_ws("",
+      compareCols.map(x => enc(col(x))): _*)).as(c)
+    val o = oldSnap.select(keys.map(k => col(k).as(s"__o_$k")) :+ sig("old_sig"): _*)
+    val n = newSnap.select(keys.map(k => col(k).as(s"__n_$k")) :+ sig("new_sig"): _*)
+    val joinCond = keys.map(k => o(s"__o_$k") <=> n(s"__n_$k")).reduce(_ && _)
+    o.join(n, joinCond, "full_outer")
       .withColumn("change_op",
         when(col("old_sig").isNull, "I")
           .when(col("new_sig").isNull, "D")
           .when(col("old_sig") =!= col("new_sig"), "U"))
       .filter(col("change_op").isNotNull)
-      .select((keys.map(col) :+ col("change_op") :+ col("old_sig") :+ col("new_sig")): _*)
+      .select(keys.map(k => coalesce(col(s"__o_$k"), col(s"__n_$k")).as(k)) ++
+        Seq(col("change_op"), col("old_sig"), col("new_sig")): _*)
       .orderBy(keys.head, keys.tail: _*)
   }
 

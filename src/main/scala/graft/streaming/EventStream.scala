@@ -104,7 +104,7 @@ object EventStream {
     */
   def dedupBySignatureStream(spark: SparkSession, dir: String): DataFrame =
     documentsStream(spark, dir)
-      .withColumn("fp_md5", md5(lower(trim(col("text"))).cast("binary")))
+      .withColumn("fp_md5", graft.operators.Dedup.fingerprint)
       .withWatermark("ingest_ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp_md5")
       .select(col("doc_id"), col("fp_md5"), col("n_chars"))
@@ -173,11 +173,12 @@ object EventStream {
   def incrementalAdmissionStream(spark: SparkSession, dir: String,
                                  corpus: DataFrame,
                                  batchPredicate: Column): DataFrame = {
-    val fp = md5(lower(trim(col("text"))).cast("binary"))
-    val seen = corpus.select(fp.as("fp_md5")).distinct()
+    // the SAME fingerprint definition as the batch operators — the
+    // batch↔stream equivalence is structural, not copy-pasted
+    val seen = graft.operators.Dedup.fingerprintSet(corpus)
     documentsStream(spark, dir)
       .filter(batchPredicate)
-      .withColumn("fp_md5", fp)
+      .withColumn("fp_md5", graft.operators.Dedup.fingerprint)
       .join(seen, Seq("fp_md5"), "left_anti")
       .withWatermark("ingest_ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp_md5")

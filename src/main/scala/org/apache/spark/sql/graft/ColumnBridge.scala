@@ -27,4 +27,17 @@ object ColumnBridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
+  /** Release the storage blocks behind a localCheckpointed Dataset.
+    * `Dataset.unpersist` only consults the CacheManager (df.cache
+    * entries); `localCheckpoint` persists the underlying RDD directly,
+    * which otherwise lives until a driver GC lets the ContextCleaner
+    * reap it. Walks the plan for the LogicalRDD the checkpoint left
+    * behind (the checkpointed frame itself, or projections over it)
+    * and unpersists that RDD.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    logicalPlan(df).collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

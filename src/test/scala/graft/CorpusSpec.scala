@@ -224,9 +224,25 @@ class CorpusSpec extends AnyFunSuite {
   test("prune/report overloads with a materialized cluster table match the defaults") {
     val clustered = Dedup.clusters(docs).cache()
     try {
-      assert(Dedup.prune(docs, clustered).exceptAll(Dedup.prune(docs)).count() === 0)
-      assert(Corpus.report(docs, clustered).exceptAll(Corpus.report(docs)).count() === 0)
+      val (p1, p0) = (Dedup.prune(docs, clustered), Dedup.prune(docs))
+      assert(p1.exceptAll(p0).count() === 0)
+      assert(p0.exceptAll(p1).count() === 0)
+      assert(p0.count() > 0)
+      val (r1, r0) = (Corpus.report(docs, clustered), Corpus.report(docs))
+      assert(r1.exceptAll(r0).count() === 0)
+      assert(r0.exceptAll(r1).count() === 0)
     } finally clustered.unpersist()
+  }
+
+  test("clusters releases superseded checkpoint blocks (only the final round survives)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    Dedup.clusters(docs).write.format("noop").mode("overwrite").save()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // the returned plan needs the LAST label checkpoint; every
+    // superseded round and the edge table must have been released
+    // through the RDD handle (Dataset.unpersist alone is a no-op here)
+    assert(leaked.size <= 1, s"checkpoint blocks leaked: $leaked")
   }
 
   test("corpus report: per-language stage counts compose the stage operators") {

@@ -257,14 +257,31 @@ class WarehouseSpec extends AnyFunSuite {
 
   test("snapshot diff: null and concatenation-ambiguous values do not collide") {
     import spark.implicits._
-    val oldSnap = Seq((1L, Option("ab"), Option("c")), (2L, None: Option[String], Option(" ")))
-      .toDF("k", "x", "y")
-    val newSnap = Seq((1L, Option("a"), Option("bc")), (2L, Option(" "), Option(" ")))
-      .toDF("k", "x", "y")
+    val oldSnap = Seq(
+      (1L, Option("ab"), Option("c")),
+      (2L, None: Option[String], Option(" ")),
+      (3L, Option("a\u0001b"), Option("c")), // value CONTAINING a the old separator byte
+      (4L, None: Option[String], Option("x"))
+    ).toDF("k", "x", "y")
+    val newSnap = Seq(
+      (1L, Option("a"), Option("bc")),
+      (2L, Option(" "), Option(" ")),
+      (3L, Option("a"), Option("b\u0001c")),
+      (4L, Option("n"), Option("x")) // null vs the literal letter n
+    ).toDF("k", "x", "y")
     val d = Validation.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("x", "y"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    // ("ab","c") vs ("a","bc") and (null," ") vs (" "," ") are real changes
-    assert(d === Map(1L -> "U", 2L -> "U"))
+    // every pair differs for real — the injective encoding must see all four
+    assert(d === Map(1L -> "U", 2L -> "U", 3L -> "U", 4L -> "U"))
+  }
+
+  test("snapshot diff: null keys match null-safely (one U, not a spurious D+I pair)") {
+    import spark.implicits._
+    val oldSnap = Seq((Option(1L), "A"), (None: Option[Long], "B")).toDF("k", "x")
+    val newSnap = Seq((Option(1L), "A"), (None: Option[Long], "C")).toDF("k", "x")
+    val d = Validation.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("x")).collect()
+    assert(d.length === 1)
+    assert(d.head.isNullAt(0) && d.head.getString(1) === "U")
   }
 
   test("validation: clean synthetic data yields zero violations/orphans") {
