@@ -185,6 +185,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 =!= 0),  // the standing corpus
         docs.filter(col("doc_id") % 3 === 0))  // the arriving batch
     }),
+    "dedup_incremental_minhash" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0))
+    }),
     "snapshot_diff" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, lit, when}
       val orders = t(s, d, "orders")
@@ -1509,6 +1516,23 @@ object SparkEntry {
         |SELECT doc_id, fp_md5 FROM fresh
         |QUALIFY row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // Band signatures are per-row, so bands computed over the whole
+    // table then split by doc_id ≡ bands computed per split — the CTE
+    // reuses the shared minhash ladder.
+    "dedup_incremental_minhash" ->
+      s"""WITH $minhashCtes,
+         |e AS (
+         |  SELECT doc_id, 0 AS band_idx, band_0 AS band_key FROM bands
+         |  UNION ALL SELECT doc_id, 1, band_1 FROM bands
+         |  UNION ALL SELECT doc_id, 2, band_2 FROM bands
+         |  UNION ALL SELECT doc_id, 3, band_3 FROM bands),
+         |ci AS (SELECT DISTINCT band_idx, band_key FROM e WHERE doc_id % 3 <> 0),
+         |coll AS (SELECT DISTINCT e.doc_id FROM e JOIN ci USING (band_idx, band_key)
+         |  WHERE e.doc_id % 3 = 0)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM coll)
+         |ORDER BY doc_id""".stripMargin,
 
     // 'v<charlen>:<value>' per field is Validation.snapshotDiff's
     // injective self-delimiting encoding (null → 'n'; no nulls in this

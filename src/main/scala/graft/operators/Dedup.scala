@@ -264,6 +264,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Near-dup incremental admission — the minhash twin of
+    * [[incremental]]: an arriving doc is REJECTED if any of its four
+    * LSH band keys already exists in the standing corpus's band-bucket
+    * index, which catches the mutated near-duplicates an exact
+    * fingerprint admission waves through. Admission is an anti-join of
+    * short uniform hash keys against a distinct band index (bucketed
+    * and incrementally maintained in production — admitting a batch
+    * appends its bands); signatures are per-row expressions, so the
+    * batch side never shuffles before the key join. Within-batch
+    * near-dups are left to the batch's own [[clusters]] pass — this
+    * operator answers only "is it new vs the corpus".
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    def bandsLong(df: DataFrame) = minhashBands(df)
+      .select(col("doc_id"), posexplode(array(
+        col("band_0"), col("band_1"), col("band_2"), col("band_3"))))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val corpusIndex = bandsLong(corpus).select("band_idx", "band_key").distinct()
+    val colliding = bandsLong(batch)
+      .join(corpusIndex, Seq("band_idx", "band_key"), "left_semi")
+      .select("doc_id").distinct()
+    batch.select("doc_id")
+      .join(colliding, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** 32-bit SimHash: bit j is the sign of Σ_tokens (±1 by whether hex
     * nibble j of md5(token) has its top bit set). Near-dup docs differ
     * in few bits. Emitted as a 32-char bitstring (portable, groupable).

@@ -69,6 +69,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(surv.toSet === Set(6L, 12L)) // 3 seen in corpus; 9 loses to 6
   }
 
+  test("near-dup incremental admission rejects mutated replicas exact admission misses") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val mutated = base.replace("lazy", "hazy") // near-dup, different fingerprint
+    val fresh = "totally unrelated content about distributed query engines and shuffles"
+    val all = Seq(
+      (1L, base), (2L, "standing corpus second document with plenty of other words here"),
+      (3L, mutated), (6L, fresh)
+    ).map { case (id, txt) => (id, txt, "en", "src0", txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = all.filter(col("doc_id") % 3 =!= 0)
+    val batch = all.filter(col("doc_id") % 3 === 0)
+    // exact admission admits the mutation (fingerprints differ)...
+    assert(Dedup.incremental(corpus, batch).collect().map(_.getLong(0)).toSet
+      === Set(3L, 6L))
+    // ...the minhash admission rejects it and keeps only the new doc
+    assert(Dedup.incrementalNearDup(corpus, batch).collect().map(_.getLong(0)).toSet
+      === Set(6L))
+  }
+
   test("lang id: stopword profiles separate en from es on real words") {
     val r = TextOps.langId(planted).collect()
       .map(r => r.getLong(0) -> r.getString(5)).toMap
