@@ -68,7 +68,15 @@ object Dedup {
   /** MinHash signatures (k=12) folded into 4 LSH bands of 3. Per-row
     * expression-only; emits (doc_id, band_0..band_3).
     */
-  def minhashBands(documents: DataFrame): DataFrame = {
+  def minhashBands(documents: DataFrame): DataFrame =
+    bandColumns(documents).orderBy("doc_id")
+
+  /** The band computation itself, without the deterministic output
+    * sort — ONE definition shared by the batch surface and the
+    * streaming admission twin (a sort is illegal on a stream, and a
+    * copy would let batch↔stream band semantics drift).
+    */
+  def bandColumns(documents: DataFrame): DataFrame = {
     val withMh = documents.select(col("doc_id"), norm.as("nt"))
       // native expression: rolling polynomial window hashes + all 12
       // Carter-Wegman mins in ONE pass — no digests, no arrays
@@ -76,11 +84,10 @@ object Dedup {
         graft.functions.TextExpressions.shingleMinhash(col("nt")).as("sig"))
       .select(col("doc_id") +: (0 until 12).map(k =>
         element_at(col("sig"), k + 1).as(s"mh_$k")): _*)
-    val withBands = withMh.select(
+    withMh.select(
       col("doc_id") +: (0 until 4).map(b =>
         md5(concat_ws("|", col(s"mh_${3 * b}"), col(s"mh_${3 * b + 1}"),
           col(s"mh_${3 * b + 2}")).cast("binary")).as(s"band_$b")): _*)
-    withBands.orderBy("doc_id")
   }
 
   /** Degenerate-bucket guard: a corpus of millions of identical docs

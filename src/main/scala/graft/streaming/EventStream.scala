@@ -185,6 +185,33 @@ object EventStream {
       .select(col("doc_id"), col("fp_md5"))
   }
 
+  /** Streaming near-dup admission — twin of Dedup.incrementalNearDup:
+    * each arriving doc's four LSH band keys are computed by the SAME
+    * shared Dedup.bandColumns definition (per-row expressions — the
+    * stream never shuffles to compute them), then each band column is
+    * anti-joined against the static corpus band-bucket index. A doc is
+    * rejected iff ANY band collides, expressed stateless-ly as four
+    * chained stream-static left-anti joins (the per-band index slices
+    * broadcast), so the stream carries no watermark state at all for
+    * the corpus-side decision.
+    */
+  def nearDupAdmissionStream(spark: SparkSession, dir: String,
+                             corpus: DataFrame,
+                             batchPredicate: Column): DataFrame = {
+    val index = graft.operators.Dedup.bandColumns(corpus)
+      .select(posexplode(array(
+        col("band_0"), col("band_1"), col("band_2"), col("band_3"))))
+      .select(col("pos").as("band_idx"), col("col").as("band_key"))
+      .distinct()
+    val withBands = graft.operators.Dedup
+      .bandColumns(documentsStream(spark, dir).filter(batchPredicate))
+    (0 until 4).foldLeft(withBands) { (df, b) =>
+      df.join(broadcast(index.filter(col("band_idx") === b)
+          .select(col("band_key").as(s"band_$b"))),
+        Seq(s"band_$b"), "left_anti")
+    }.select("doc_id")
+  }
+
   /** Streaming twin of Corpus.sample: the weighted mixing filter is a
     * stateless per-row predicate on a deterministic hash key, so it
     * applies to a document stream unchanged — no state, no watermark,

@@ -248,6 +248,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("streaming near-dup admission matches batch dedup_incremental_minhash") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val q = EventStream.nearDupAdmissionStream(spark, sf, corpus,
+        col("doc_id") % 3 === 0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_admit_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("neardup_admit_out")
+    val batch = graft.operators.Dedup
+      .incrementalNearDup(corpus, docs.filter(col("doc_id") % 3 === 0))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(batch.count() > 0)
+  }
+
   test("streaming dedup-by-signature matches the batch canonical set") {
     val q = EventStream.dedupBySignatureStream(spark, sf)
       .writeStream.outputMode("append").format("memory")
