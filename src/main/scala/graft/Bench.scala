@@ -22,6 +22,10 @@ object Bench {
     // optional comma-separated subset for local iteration; the driver
     // leaves this unset and benches everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // queries whose operators localCheckpoint (directly or via
+    // Dedup.clusters) — the ones that pin storage blocks
+    val checkpointing = Set("dedup_clusters", "dedup_prune",
+      "corpus_report", "decontaminate")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
@@ -32,12 +36,13 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      // the checkpointing operators (clusters/decontaminate) leave
-      // their blocks pinned until a GC lets the ContextCleaner reap
-      // the unreachable RDDs; without this, blocks accumulate across
-      // the suite and late queries GC-thrash (measured: fact_pnl
-      // 1.5 s alone vs 86 s at position ~60 of the full suite)
-      System.gc()
+      // the checkpointing operators leave blocks pinned until a GC
+      // lets the ContextCleaner reap the unreachable RDDs; without
+      // this, blocks accumulate across the suite and late queries
+      // GC-thrash (measured: fact_pnl 1.5 s alone vs 86 s at position
+      // ~60 of the full suite). Targeted — a full GC per query would
+      // add minutes to a 137-query run for no extra hygiene.
+      if (checkpointing(name)) System.gc()
       name -> times.min
     }
     // Full per-query map goes to a file: with 117 queries the one-line

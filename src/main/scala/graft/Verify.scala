@@ -31,6 +31,12 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // queries whose operators localCheckpoint — after these, a GC lets
+    // the ContextCleaner reap the pinned blocks (same accumulation
+    // Bench guards against; targeted so the other ~130 queries don't
+    // each pay a full-heap collection)
+    val checkpointing = Set("dedup_clusters", "dedup_prune",
+      "corpus_report", "decontaminate")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -38,9 +44,7 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        // let the ContextCleaner reap checkpoint blocks between
-        // queries (same accumulation Bench guards against)
-        System.gc()
+        if (checkpointing(name)) System.gc()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

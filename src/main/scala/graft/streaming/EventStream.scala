@@ -191,9 +191,11 @@ object EventStream {
     * stream never shuffles to compute them), then each band column is
     * anti-joined against the static corpus band-bucket index. A doc is
     * rejected iff ANY band collides, expressed stateless-ly as four
-    * chained stream-static left-anti joins (the per-band index slices
-    * broadcast), so the stream carries no watermark state at all for
-    * the corpus-side decision.
+    * chained stream-static left-anti joins against the per-band index
+    * slices (no broadcast hint — the planner broadcasts a small index
+    * and falls back to a shuffled join once the corpus index outgrows
+    * the threshold), so the stream carries no watermark state at all
+    * for the corpus-side decision.
     */
   def nearDupAdmissionStream(spark: SparkSession, dir: String,
                              corpus: DataFrame,
@@ -206,8 +208,8 @@ object EventStream {
     val withBands = graft.operators.Dedup
       .bandColumns(documentsStream(spark, dir).filter(batchPredicate))
     (0 until 4).foldLeft(withBands) { (df, b) =>
-      df.join(broadcast(index.filter(col("band_idx") === b)
-          .select(col("band_key").as(s"band_$b"))),
+      df.join(index.filter(col("band_idx") === b)
+          .select(col("band_key").as(s"band_$b")),
         Seq(s"band_$b"), "left_anti")
     }.select("doc_id")
   }
