@@ -174,6 +174,7 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
     "corpus_funnel" -> ((s, d) => TextOps.corpusFunnel(t(s, d, "documents"))),
     "corpus_vocabulary" -> ((s, d) => TextOps.vocabulary(t(s, d, "documents"))),
+    "doc_commonness" -> ((s, d) => TextOps.commonness(t(s, d, "documents"))),
     "doc_length_hist" -> ((s, d) => TextOps.lengthHistogram(t(s, d, "documents"))),
     "doc_split_summary" -> ((s, d) => TextOps.splitSummary(t(s, d, "documents"))),
     "doc_rolling_fp" -> ((s, d) => TextOps.rollingHash(t(s, d, "documents"))),
@@ -1718,6 +1719,20 @@ object SparkEntry {
         |  count(DISTINCT doc_id) AS doc_freq
         |FROM t GROUP BY 1
         |ORDER BY corpus_freq DESC, token LIMIT 100""".stripMargin,
+
+    // Rational mean: integer df sums divided once at the end, in the
+    // same (sum / n_tokens) / n_docs association as the Spark side.
+    "doc_commonness" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS term_df FROM t GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  min(term_df) AS df_min, max(term_df) AS df_max,
+        |  CAST(sum(term_df) AS BIGINT) AS df_sum,
+        |  CAST(sum(term_df) AS DOUBLE) / count(*) / any_value(n_docs) AS mean_df_share
+        |FROM t JOIN df USING (term), n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "corpus_funnel" ->
       """WITH s AS (SELECT doc_id, text, lower(trim(text)) AS nt, length(text) AS nc,

@@ -290,6 +290,33 @@ object TextOps {
       .orderBy(col("corpus_freq").desc, col("token"))
       .limit(topN)
 
+  /** Per-document vocabulary-rarity signal: the mean share of the
+    * corpus containing each of the doc's tokens (df/N averaged over
+    * tokens). High = boilerplate-heavy vocabulary, low = rare/unusual
+    * vocabulary — a standard corpus quality-filter feature next to
+    * [[textQuality]]'s surface ratios. Rational arithmetic only
+    * (integer df sums divided once at the end), so the double is
+    * engine-exact. Shuffle shape = the tf-idf family: token-keyed df
+    * aggregate with map-side partials, token-keyed join back, doc-keyed
+    * rollup; the 1-row corpus count broadcasts.
+    */
+  def commonness(documents: DataFrame): DataFrame = {
+    val terms = documents.select(col("doc_id"), explode(toks).as("term"))
+    val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("term_df"))
+    val nDocs = documents.select(countDistinct(col("doc_id")).as("n_docs"))
+    terms.join(df, Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("term_df")).as("df_min"),
+        max(col("term_df")).as("df_max"),
+        sum(col("term_df")).as("df_sum"))
+      .crossJoin(broadcast(nDocs)) // 1-row scalar
+      .withColumn("mean_df_share",
+        col("df_sum").cast("double") / col("n_tokens") / col("n_docs"))
+      .select("doc_id", "n_tokens", "df_min", "df_max", "df_sum", "mean_df_share")
+      .orderBy("doc_id")
+  }
+
   /** Corpus-cleaning funnel: how many documents survive each filter
     * stage — quality gate, then exact dedup, then repetition — the
     * pipeline summary a training-data run reports (each stage is the

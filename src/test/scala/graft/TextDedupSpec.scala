@@ -95,6 +95,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(r(5L) === "es")
   }
 
+  test("commonness: shared-vocabulary doc scores above rare-vocabulary doc") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val planted = Seq(
+      (1L, shared), (2L, shared), (3L, shared),          // common vocabulary
+      (4L, "xylophone quixotic zephyr jackdaw vex nymph") // rare vocabulary
+    ).map { case (id, txt) => (id, txt, "en", "src0", txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.commonness(planted).collect()
+      .map(x => x.getLong(0) -> x.getDouble(5)).toMap
+    assert(r(1L) === 0.75)  // every token in 3 of 4 docs
+    assert(r(4L) === 0.25)  // every token in 1 of 4 docs
+  }
+
   test("text stats: ratios bounded, token counts positive on corpus") {
     val s = TextOps.textStats(docs).cache()
     assert(s.filter(col("n_tokens") <= 0).count() === 0)
