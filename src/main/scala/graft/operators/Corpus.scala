@@ -87,25 +87,93 @@ object Corpus {
   private def wsTokens: Column =
     size(split(trim(col("text")), "\\s+")).cast(LongType)
 
+  /** Distributed prefix scan: `tokens_before` = Σ n_tokens over all
+    * docs of the same language with a smaller doc_id — WITHOUT ever
+    * putting a whole language into one window partition.
+    *
+    * A plain `Window.partitionBy("lang").orderBy("doc_id")` hashes
+    * every doc of a language to ONE task; at corpus scale the head
+    * language is most of the data, so that task does a sequential
+    * running sum over billions of rows and the job never finishes
+    * regardless of cluster size. Instead, the classic two-phase scan:
+    *   1. bucket doc_ids into ranges (`floor(doc_id·B / span)` — order-
+    *      preserving within a language, B ≈ 8× the shuffle parallelism
+    *      so every core gets work);
+    *   2. per-(lang, bucket) token totals — a tiny map-side-combined
+    *      aggregate of B·#langs rows;
+    *   3. cumulative bucket offsets via a window over THAT aggregate
+    *      (per-lang partitions of ≤ B rows — metadata-scale, the point);
+    *   4. the per-doc running sum runs per (lang, bucket) — each task
+    *      scans only its range — plus the bucket's offset.
+    * Long addition is associative, so the result is bit-identical to
+    * the single-partition formulation (the pack oracles don't change).
+    * The (lang, bucket) join and window share one hash partitioning,
+    * so docs shuffle once, same as the naive form.
+    *
+    * Input must carry (doc_id, lang, n_tokens); extra columns ride
+    * through untouched.
+    */
+  private def scanTokensBefore(docs: DataFrame): DataFrame = {
+    val buckets =
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt * 8
+    val span = docs.select(col("doc_id"))
+      .agg((coalesce(max(col("doc_id")), lit(0L)) + 1L).as("id_span"))
+    val bucketed = docs.crossJoin(broadcast(span)) // 1-row scalar
+      .withColumn("bucket",
+        (col("doc_id") * buckets / col("id_span")).cast(LongType))
+      .drop("id_span")
+    val wb = Window.partitionBy("lang").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("lang", "bucket")
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_tokens")).over(wb), lit(0L)))
+      .select("lang", "bucket", "bucket_offset")
+    val ww = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(offsets, Seq("lang", "bucket"))
+      .withColumn("tokens_before",
+        col("bucket_offset") + coalesce(sum(col("n_tokens")).over(ww), lit(0L)))
+      .drop("bucket", "bucket_offset")
+  }
+
+  private def packProject(scanned: DataFrame, capacity: Int): DataFrame =
+    scanned.select(col("doc_id"), col("lang"), col("n_tokens"),
+      (col("tokens_before") / capacity).cast(LongType).as("pack_id"),
+      (col("tokens_before") % capacity).as("pack_offset"))
+      .orderBy("doc_id")
+
   /** Context-window pack plan: docs stream in doc_id order within each
     * language and fill `capacity`-token packs greedily; a doc belongs
     * to the pack where it STARTS (docs may straddle pack boundaries —
     * the standard concat-then-chunk pretraining layout, where pack
     * boundaries cut sequences, not documents into bins).
-    * `pack_id = floor(tokens_before / capacity)` — one prefix-sum
-    * window per language partition, integer-exact, embarrassingly
-    * parallel across languages.
+    * `pack_id = floor(tokens_before / capacity)`, with the prefix sum
+    * computed by the two-phase [[scanTokensBefore]] — integer-exact and
+    * parallel both across AND within languages.
     */
-  def packPlan(documents: DataFrame, capacity: Int = 2048): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    documents.select(col("doc_id"), col("lang"), wsTokens.as("n_tokens"))
-      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        (col("tokens_before") / capacity).cast(LongType).as("pack_id"),
-        (col("tokens_before") % capacity).as("pack_offset"))
-      .orderBy("doc_id")
-  }
+  def packPlan(documents: DataFrame, capacity: Int = 2048): DataFrame =
+    packProject(scanTokensBefore(
+      documents.select(col("doc_id"), col("lang"), wsTokens.as("n_tokens"))), capacity)
+
+  /** [[packPlan]] continued from per-language running totals — the
+    * steady-state shape: `langOffsets` rows (lang, base_tokens) carry
+    * the token mass already packed by earlier batches, and this batch's
+    * docs are planned starting there. Batch-internal geometry is the
+    * same distributed scan; the carried state is one counter per
+    * language (broadcast). `packPlan(docs) ≡ packPlanIncremental` over
+    * any doc_id-ordered split of the corpus (spec-asserted).
+    */
+  def packPlanIncremental(documents: DataFrame, langOffsets: DataFrame,
+                          capacity: Int = 2048): DataFrame =
+    packProject(
+      scanTokensBefore(
+        documents.select(col("doc_id"), col("lang"), wsTokens.as("n_tokens")))
+        .join(broadcast(langOffsets.select(col("lang"), col("base_tokens"))),
+          Seq("lang"), "left")
+        .withColumn("tokens_before",
+          col("tokens_before") + coalesce(col("base_tokens"), lit(0L))),
+      capacity)
 
   /** The executable packing manifest: for every document, the exact
     * (pack_id, span) pieces its token stream contributes — straddling
@@ -115,13 +183,13 @@ object Corpus {
     * to its token count). This is what a writer job consumes to emit
     * fixed-length training sequences. One narrow explode over the
     * per-doc pack range (a doc spans ≤ n_tokens/capacity + 1 packs);
-    * geometry is the same per-language prefix sum as [[packPlan]].
+    * geometry is the same two-phase [[scanTokensBefore]] scan as
+    * [[packPlan]].
     */
   def packManifest(documents: DataFrame, capacity: Int = 2048): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    documents.select(col("doc_id"), col("lang"), wsTokens.as("n_tokens"))
-      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    scanTokensBefore(
+      documents.select(col("doc_id"), col("lang"), wsTokens.as("n_tokens")))
+      .withColumnRenamed("tokens_before", "start_tok")
       .withColumn("end_tok", col("start_tok") + col("n_tokens")) // exclusive
       .withColumn("pack_id", explode(sequence(
         (col("start_tok") / capacity).cast(LongType),
@@ -148,13 +216,11 @@ object Corpus {
     * any corpus size.
     */
   def packSequences(documents: DataFrame, capacity: Int = 2048): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val spans = documents
-      .select(col("doc_id"), col("lang"),
-        split(trim(col("text")), "\\s+").as("tokens"))
-      .withColumn("n_tokens", size(col("tokens")).cast(LongType))
-      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val spans = scanTokensBefore(documents
+        .select(col("doc_id"), col("lang"),
+          split(trim(col("text")), "\\s+").as("tokens"))
+        .withColumn("n_tokens", size(col("tokens")).cast(LongType)))
+      .withColumnRenamed("tokens_before", "start_tok")
       .withColumn("end_tok", col("start_tok") + col("n_tokens"))
       .withColumn("pack_id", explode(sequence(
         (col("start_tok") / capacity).cast(LongType),

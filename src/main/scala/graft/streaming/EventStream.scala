@@ -165,10 +165,14 @@ object EventStream {
     * the static side is the bucketed fingerprint index, so the join
     * co-locates without reshuffling the corpus per micro-batch), then
     * within-stream re-arrivals are dropped by the same watermark-
-    * evicted signature state as [[dedupBySignatureStream]]. Admitted
-    * fingerprints are exactly the batch operator's surviving set;
-    * which arrival carries one is arrival-order (the batch twin's
-    * min-id pick is the deterministic replay of the same contract).
+    * evicted signature state as [[dedupBySignatureStream]]. For
+    * arrivals within the watermark window, admitted fingerprints are
+    * exactly the batch operator's surviving set; which arrival carries
+    * one is arrival-order (the batch twin's min-id pick is the
+    * deterministic replay of the same contract). A duplicate
+    * fingerprint RE-ARRIVING after the 1-hour watermark has evicted
+    * its state is re-admitted — late re-arrivals are the batch layer's
+    * job, same lambda split as [[dedupBySignatureStream]].
     */
   def incrementalAdmissionStream(spark: SparkSession, dir: String,
                                  corpus: DataFrame,
@@ -227,43 +231,46 @@ object EventStream {
         graft.operators.Corpus.sampleKey("sample:", col("doc_id")).as("sample_key"))
       .filter(col("sample_key") < col("weight"))
 
-  case class DocTok(doc_id: Long, lang: String, n_tokens: Long)
-  case class PackOut(doc_id: Long, lang: String, n_tokens: Long,
-                     pack_id: Long, pack_offset: Long)
-  case class PackState(tokensBefore: Long)
-
   /** Streaming context-window pack planner — twin of Corpus.packPlan.
-    * State per language is ONE counter (the running token total), so a
-    * stream can assign pack slots to an unbounded corpus with O(#langs)
-    * state: each arriving doc takes `pack_id = tokens_before/capacity`
-    * and advances the counter. Within a micro-batch docs sort by doc_id
-    * (the batch operator's order); across batches assignment follows
-    * arrival order, which IS the contract for an append-only corpus
-    * feed (the batch twin re-derives the same plan as long as doc_id
-    * order matches arrival order).
+    * Carried state per language is ONE counter (the running token
+    * total, a tiny parquet table next to the sink), so a stream can
+    * assign pack slots to an unbounded corpus with O(#langs) state.
+    * Each micro-batch runs the SAME two-phase distributed scan as the
+    * batch operator (Corpus.packPlanIncremental continued from the
+    * stored totals) — a head language inside a batch is still spread
+    * over every core, where a flatMapGroupsWithState formulation would
+    * funnel the whole language through one task per trigger. Within a
+    * micro-batch docs are planned in doc_id order (the batch
+    * operator's order); across batches assignment follows arrival
+    * order, which IS the contract for an append-only corpus feed (the
+    * batch twin re-derives the same plan as long as doc_id order
+    * matches arrival order — spec-asserted).
     */
-  def packPlanStream(spark: SparkSession, dir: String,
-                     capacity: Int = 2048): DataFrame = {
-    import spark.implicits._
-    val src = documentsStream(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-      .as[DocTok]
-    src.groupByKey(_.lang)
-      .flatMapGroupsWithState[PackState, PackOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (lang: String, docs: Iterator[DocTok], state: GroupState[PackState]) =>
-          val sorted = docs.toSeq.sortBy(_.doc_id)
-          var before = state.getOption.map(_.tokensBefore).getOrElse(0L)
-          val out = sorted.map { d =>
-            val o = PackOut(d.doc_id, lang, d.n_tokens,
-              before / capacity, before % capacity)
-            before += d.n_tokens
-            o
-          }
-          state.update(PackState(before))
-          out.iterator
-      }.toDF()
+  def packPlanStream(spark: SparkSession, dir: String, sinkPath: String,
+                     capacity: Int = 2048): org.apache.spark.sql.streaming.StreamingQuery = {
+    val statePath = sinkPath + ".langtotals"
+    documentsStream(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val batchTotals = batch.select(col("lang"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("base_tokens"))
+          .groupBy("lang").agg(sum(col("base_tokens")).as("base_tokens"))
+        val offsets =
+          if (new java.io.File(statePath).exists()) spark.read.parquet(statePath)
+          else batchTotals.limit(0)
+        val planned = graft.operators.Corpus
+          .packPlanIncremental(batch, offsets, capacity)
+        graft.sources.Loader.append(planned, sinkPath)
+        // advance the per-lang totals; materialize before overwriting
+        // the path being read
+        val newTotals = offsets.unionByName(batchTotals)
+          .groupBy("lang").agg(sum(col("base_tokens")).as("base_tokens"))
+          .localCheckpoint(eager = true)
+        graft.sources.Loader.truncateAndLoad(newTotals, statePath)
+        ()
+      }
+      .start()
   }
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)

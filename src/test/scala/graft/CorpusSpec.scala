@@ -198,6 +198,44 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("pack scan is two-phase: no per-doc window partitioned on lang alone") {
+    // the 100 TB guarantee: the window that runs over the DOCS must
+    // partition by (lang, bucket) — a lang-only partition spec would
+    // funnel a whole head language through one task
+    for (df <- Seq(Corpus.packPlan(docs), Corpus.packManifest(docs),
+        Corpus.packSequences(docs))) {
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      val perDoc = wins.filter(
+        _.orderSpec.exists(_.child.references.exists(_.name == "doc_id")))
+      assert(perDoc.nonEmpty, "expected a per-doc running-sum window")
+      perDoc.foreach(w => assert(w.partitionSpec.size >= 2,
+        s"per-doc scan window must partition by (lang, bucket): $w"))
+      // the lang-only window runs over the bucket AGGREGATE (one row
+      // per bucket), never over the docs
+      wins.filterNot(perDoc.contains).foreach(w =>
+        assert(w.orderSpec.exists(_.child.references.exists(_.name == "bucket")),
+          s"unexpected per-doc lang-only window: $w"))
+    }
+  }
+
+  test("incremental pack planning across batches equals the one-shot plan") {
+    // doc_id-ordered split: batch 1 = lower half, batch 2 = upper half;
+    // batch 2 continues from batch 1's per-lang token totals
+    val cut = 250L
+    val b1 = docs.filter($"doc_id" < cut)
+    val b2 = docs.filter($"doc_id" >= cut)
+    val t1 = Corpus.packPlan(b1)
+    val totals = t1.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("base_tokens"))
+    val t2 = Corpus.packPlanIncremental(b2, totals)
+    val stitched = t1.unionByName(t2)
+    val oneShot = Corpus.packPlan(docs)
+    assert(stitched.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(stitched).count() === 0)
+  }
+
   test("temperature rebalance: rarest language keeps everything, head languages shrink") {
     val rates = Corpus.temperatureRates(docs).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap

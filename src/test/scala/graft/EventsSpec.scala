@@ -119,10 +119,11 @@ class EventsSpec extends AnyFunSuite {
   }
 
   test("streaming pack planner matches the batch pack plan") {
-    val q = EventStream.packPlanStream(spark, sf)
-      .writeStream.outputMode("append").format("memory").queryName("pack_out").start()
+    val sink = java.nio.file.Files.createTempDirectory("graft_packstream")
+      .toString + "/pack_plan"
+    val q = EventStream.packPlanStream(spark, sf, sink)
     q.processAllAvailable(); q.stop()
-    val streamed = spark.table("pack_out")
+    val streamed = spark.read.parquet(sink)
       .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
     val batch = graft.operators.Corpus.packPlan(Tables.documents(spark, sf))
       .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
