@@ -16,6 +16,16 @@ object SparkEntry {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** Queries whose operators localCheckpoint (directly or via
+    * Dedup.clusters) and so pin storage blocks until a GC lets the
+    * ContextCleaner reap them. Bench and Verify both trigger a
+    * targeted GC after running one of these — single-sourced here so
+    * the two runners can't drift when a future query starts
+    * checkpointing.
+    */
+  val checkpointingQueries: Set[String] =
+    Set("dedup_clusters", "dedup_prune", "corpus_report", "decontaminate")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
     "dim_date" -> ((s, d) => Dims.dimDate(t(s, d, "orders"))),
@@ -236,7 +246,25 @@ object SparkEntry {
     "seq_pack_sequences" -> ((s, d) => Corpus.packSequences(t(s, d, "documents"))),
     "pii_scrub" -> ((s, d) => Corpus.piiScrub(t(s, d, "documents"))),
     "corpus_report" -> ((s, d) => Corpus.report(t(s, d, "documents"))),
-    "tfidf_top_terms" -> ((s, d) => Corpus.tfidfTopTerms(t(s, d, "documents")))
+    "tfidf_top_terms" -> ((s, d) => Corpus.tfidfTopTerms(t(s, d, "documents"))),
+    // ---- D (r6). steady-state admission + CDC maintenance ----
+    "dedup_admit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      Dedup.admitNearDup(
+        docs.filter(col("doc_id") % 3 =!= 0),  // the standing corpus
+        docs.filter(col("doc_id") % 3 === 0))  // the arriving batch
+    }),
+    "fact_transactions_cdc" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      // prior load saw 4/5 of events; the current snapshot swaps in a
+      // different 6/7 — so the diff carries real I, U AND D grains
+      val oldEv = ev.filter(col("event_id") % 5 =!= 0)
+      val newEv = ev.filter(col("event_id") % 7 =!= 0)
+      Etl.maintainFactTransactions(
+        Facts.factTransactions(oldEv), oldEv, newEv)
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -481,6 +509,16 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, event_date""".stripMargin,
+
+    // The CDC-maintenance proof: the Spark side applies snapshotDiff's
+    // I/U/D stream to the stale fact; the oracle IS the full rebuild
+    // from the new snapshot. Hash equality = incremental ≡ rebuild.
+    "fact_transactions_cdc" ->
+      """SELECT user_id, event_type, CAST(ts AS DATE) AS event_date,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id % 7 <> 0 GROUP BY 1, 2, 3
         |ORDER BY user_id, event_type, event_date""".stripMargin,
 
     "fact_pnl" ->
@@ -1557,6 +1595,42 @@ object SparkEntry {
         |FROM o_s FULL OUTER JOIN n_s USING (o_orderkey)
         |WHERE old_sig IS NULL OR new_sig IS NULL OR old_sig <> new_sig
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Complete admission: corpus-collision anti-join (same CTEs as
+    // dedup_incremental_minhash), then the recursive min-label flood
+    // CONFINED to the fresh batch docs — band buckets and the bucket
+    // cap count fresh members only, mirroring Dedup.clusters run on
+    // the surviving batch.
+    "dedup_admit" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |e AS (
+         |  SELECT doc_id, 0 AS band_idx, band_0 AS band_key FROM bands
+         |  UNION ALL SELECT doc_id, 1, band_1 FROM bands
+         |  UNION ALL SELECT doc_id, 2, band_2 FROM bands
+         |  UNION ALL SELECT doc_id, 3, band_3 FROM bands),
+         |ci AS (SELECT DISTINCT band_idx, band_key FROM e WHERE doc_id % 3 <> 0),
+         |coll AS (SELECT DISTINCT e.doc_id FROM e JOIN ci USING (band_idx, band_key)
+         |  WHERE e.doc_id % 3 = 0),
+         |fresh AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM coll)),
+         |ef AS (SELECT e.doc_id, e.band_idx, e.band_key FROM e JOIN fresh USING (doc_id)),
+         |fbc AS (SELECT band_idx, band_key FROM ef GROUP BY 1, 2
+         |  HAVING count(*) BETWEEN 2 AND ${Dedup.BandBucketCap}),
+         |fcand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM ef a JOIN fbc USING (band_idx, band_key)
+         |  JOIN ef c ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+         |    AND a.doc_id < c.doc_id),
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM fcand
+         |  UNION ALL SELECT doc_b, doc_a FROM fcand),
+         |reach(doc_id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM fresh
+         |  UNION
+         |  SELECT ed.src, r.lbl FROM ed JOIN reach r ON ed.dst = r.doc_id),
+         |lab AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+         |sz AS (SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM lab)
+         |SELECT doc_id, cluster_size, cluster_size - 1 AS n_batch_dups
+         |FROM sz WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $minhashCtes

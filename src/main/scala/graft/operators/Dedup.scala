@@ -283,8 +283,19 @@ object Dedup {
     * near-dups are left to the batch's own [[clusters]] pass — this
     * operator answers only "is it new vs the corpus".
     */
-  def incrementalNearDup(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    def bandsLong(df: DataFrame) = minhashBands(df)
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame): DataFrame =
+    corpusFreshIds(corpus, batch).orderBy("doc_id")
+
+  /** [[incrementalNearDup]]'s core without the deterministic output
+    * sort — shared with [[admitNearDup]], whose downstream clustering
+    * re-shuffles immediately (a sort there would be dead work).
+    */
+  private def corpusFreshIds(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    // bandColumns, not minhashBands: the output re-shuffles on the band
+    // key anyway, so minhashBands' deterministic doc_id sort would be a
+    // dead sort/range-exchange on both sides (and the streaming twin
+    // already uses the sort-free definition)
+    def bandsLong(df: DataFrame) = bandColumns(df)
       .select(col("doc_id"), posexplode(array(
         col("band_0"), col("band_1"), col("band_2"), col("band_3"))))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
@@ -294,6 +305,28 @@ object Dedup {
       .select("doc_id").distinct()
     batch.select("doc_id")
       .join(colliding, Seq("doc_id"), "left_anti")
+  }
+
+  /** Complete near-dup admission of a batch in one operator: the
+    * corpus-index anti-join of [[incrementalNearDup]] rejects docs the
+    * standing corpus already covers, then a batch-internal [[clusters]]
+    * pass over the SURVIVORS collapses within-batch near-dup groups to
+    * their min-id canonical — closing the gap where two mutated copies
+    * arriving in the same batch would both be admitted (each is new vs
+    * the corpus, but not vs each other). Output is the admitted
+    * (shippable) set with how many batch-internal twins each survivor
+    * absorbed. Scale shape inherits from the parts: short uniform hash
+    * keys for the corpus index, LSH-bucketed pair generation and
+    * min-label propagation confined to the single batch (corpus size
+    * never enters the clustering).
+    */
+  def admitNearDup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val freshDocs = batch.join(corpusFreshIds(corpus, batch),
+      Seq("doc_id"), "left_semi")
+    clusters(freshDocs)
+      .filter(col("is_canonical"))
+      .select(col("doc_id"), col("cluster_size"),
+        (col("cluster_size") - 1).as("n_batch_dups"))
       .orderBy("doc_id")
   }
 

@@ -34,6 +34,31 @@ object Loader {
       .filter(col("__rn") === 1).drop("__rn", "__src")
   }
 
+  /** Apply a CDC change stream (graft.operators.Validation.snapshotDiff's
+    * I/U/D classification) to the current contents of a keyed sink:
+    * deleted keys drop, inserted/updated keys take the new snapshot's
+    * rows, untouched keys pass through untouched. The incremental-
+    * maintenance shape: only the change stream and its matching
+    * new-snapshot rows move, never a full rebuild. Key matching is
+    * null-safe (`<=>`), mirroring snapshotDiff's own join, so a
+    * null-keyed row diffs and applies as one row.
+    *
+    * Correctness contract: `changes` must compare EVERY non-key column
+    * of the sink (a column outside snapshotDiff's compareCols could
+    * change without producing a U, leaving a stale row behind) — then
+    * apply(current, diff(old,new)) ≡ new, which is what the spec and
+    * the fact_transactions_cdc oracle assert end-to-end.
+    */
+  def applyChanges(current: DataFrame, changes: DataFrame,
+                   newSnap: DataFrame, keys: Seq[String]): DataFrame = {
+    def keyed(df: DataFrame) = df.select(keys.map(k => col(k).as(s"__k_$k")): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    val kept = current.join(keyed(changes), cond, "left_anti")
+    val replacements = newSnap.join(
+      keyed(changes.filter(col("change_op") =!= "D")), cond, "left_semi")
+    kept.unionByName(replacements)
+  }
+
   /** SCD2 merge: close current versions whose tracked attributes
     * changed and open new ones effective `asOf`. History rows carry
     * (valid_from, valid_to, is_current); updates are a key+attrs

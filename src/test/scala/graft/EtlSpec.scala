@@ -95,4 +95,30 @@ class EtlSpec extends AnyFunSuite {
       .csv(s"$exp/dim_customer").count()
     assert(csvCount === 1500L)
   }
+
+  test("CDC-maintained fact_transactions is row-identical to a full rebuild") {
+    val ev = graft.sources.Tables.events(spark, sf001)
+    val oldEv = ev.filter(col("event_id") % 5 =!= 0)
+    val newEv = ev.filter(col("event_id") % 7 =!= 0)
+    val keys = Seq("user_id", "event_type", "event_date")
+    val oldFact = graft.operators.Facts.factTransactions(oldEv)
+    val newFact = graft.operators.Facts.factTransactions(newEv)
+    // the change stream the maintenance runs on carries all three ops
+    val changes = graft.operators.Validation.snapshotDiff(
+      oldFact, newFact, keys, Seq("n_events", "total_value"))
+    val ops = changes.groupBy("change_op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("I", "U", "D").subsetOf(ops.keySet),
+      s"fixture must produce inserts, updates AND deletes: $ops")
+    // incremental apply ≡ full rebuild, exactly
+    val maintained = Etl.maintainFactTransactions(oldFact, oldEv, newEv)
+    assert(maintained.exceptAll(newFact).count() === 0)
+    assert(newFact.exceptAll(maintained).count() === 0)
+    // and the maintenance touched only changed grains: untouched rows
+    // come from the standing fact, counted via the kept-side anti-join
+    val touched = changes.count()
+    assert(maintained.count() === oldFact.count()
+      - ops.getOrElse("D", 0L) + ops.getOrElse("I", 0L))
+    assert(touched === ops.values.sum)
+  }
 }

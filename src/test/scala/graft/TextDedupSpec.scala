@@ -88,6 +88,31 @@ class TextDedupSpec extends AnyFunSuite {
       === Set(6L))
   }
 
+  test("complete admission also collapses near-dup twins INSIDE the batch") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val fresh = "totally unrelated content about distributed query engines and shuffles"
+    // batch: 3 near-dups the corpus has (rejected), 6 and 9 near-dup
+    // twins of EACH OTHER (new vs corpus — only within-batch clustering
+    // catches them), 12 a genuine singleton
+    val all = Seq(
+      (1L, base), (2L, "standing corpus second document with plenty of other words here"),
+      (3L, base.replace("lazy", "hazy")),
+      (6L, fresh), (9L, fresh.replace("totally", "wholly")),
+      (12L, "one more properly new arrival speaking of different matters entirely")
+    ).map { case (id, txt) => (id, txt, "en", "src0", txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = all.filter(col("doc_id") % 3 =!= 0)
+    val batch = all.filter(col("doc_id") % 3 === 0)
+    // the r5 operator admits BOTH twins — the gap admitNearDup closes
+    assert(Dedup.incrementalNearDup(corpus, batch).collect().map(_.getLong(0)).toSet
+      === Set(6L, 9L, 12L))
+    val admitted = Dedup.admitNearDup(corpus, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(admitted.keySet === Set(6L, 12L), "min-id twin wins, 9 absorbed")
+    assert(admitted(6L) === ((2L, 1L)), "6 absorbed its within-batch twin")
+    assert(admitted(12L) === ((1L, 0L)))
+  }
+
   test("lang id: stopword profiles separate en from es on real words") {
     val r = TextOps.langId(planted).collect()
       .map(r => r.getLong(0) -> r.getString(5)).toMap
