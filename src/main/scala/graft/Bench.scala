@@ -22,12 +22,8 @@ object Bench {
     // optional comma-separated subset for local iteration; the driver
     // leaves this unset and benches everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    // queries whose operators localCheckpoint (directly or via
-    // Dedup.clusters) — the ones that pin storage blocks
-    val checkpointing = Set("dedup_clusters", "dedup_prune",
-      "corpus_report", "decontaminate")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column
@@ -41,24 +37,48 @@ object Bench {
       // this, blocks accumulate across the suite and late queries
       // GC-thrash (measured: fact_pnl 1.5 s alone vs 86 s at position
       // ~60 of the full suite). Targeted — a full GC per query would
-      // add minutes to a 137-query run for no extra hygiene.
-      if (checkpointing(name)) System.gc()
-      name -> times.min
+      // add minutes to a 138-query run for no extra hygiene.
+      if (SparkEntry.checkpointingQueries(name)) System.gc()
+      times.min
     }
-    // Full per-query map goes to a file: with 117 queries the one-line
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .map { case (name, fn) => name -> timeQuery(name, fn) }
+    // Box-noise self-defense: in-suite numbers on a shared box swing up
+    // to ~48x from co-tenant load/GC pressure (r5: dim_movement_type
+    // 22.8 s in-suite vs 0.47 s alone). Re-measure the 5 slowest after
+    // the suite, post-GC, so an outlier explains itself in the artifact
+    // instead of needing a manual SPARK_GRAFT_BENCH_ONLY re-run.
+    val resultMap0 = results.toMap
+    System.gc()
+    val isolated = results.sortBy(-_._2).take(5).map { case (name, _) =>
+      name -> timeQuery(name, SparkEntry.queries(name)) }
+    // Full per-query map goes to files: with 138 queries the one-line
     // JSON outgrew the driver's 2,000-char stdout tail capture
     // (BENCH_r04 parsed:null), so stdout carries a compact headline
-    // subset that always lands intact in the tail.
+    // subset that always lands intact in the tail. target/ is wiped by
+    // later sbt runs, so the same map is also written round-stamped at
+    // the repo root (committed — the durable per-round record).
     val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val iso = isolated.map { case (k, v) =>
+      s"\"" + k + "\":{\"in_suite\":" + resultMap0(k) + ",\"isolated\":" + v + "}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    try {
-      val p = java.nio.file.Paths.get("target/bench_full.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p,
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}"""
-          .getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"isolated_slowest":$iso,"sf":"$sfDir"}"""
+    // round = 1 + newest driver-committed BENCH_r<N>.json at the root
+    val roundN = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toInt))
+      .foldLeft(0)(math.max) + 1
+    for (path <- Seq("target/bench_full.json", f"BENCH_FULL_r$roundN%02d.json")) {
+      try {
+        val p = java.nio.file.Paths.get(path)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
     val headline = Vector(
       "fact_sales", "fact_inventory", "fact_inventory_wh", "fact_pnl",
       "fact_transactions", "scd2_customer", "q1_pricing_summary",
@@ -71,9 +91,8 @@ object Bench {
       "dedup_jaccard", "dedup_clusters", "dedup_prune",
       "corpus_sample", "seq_pack", "tfidf_top_terms",
       "seq_pack_sequences", "embedding_quantize", "snapshot_diff",
-      "zorder_layout")
-    val resultMap = results.toMap
-    val qs = headline.flatMap(k => resultMap.get(k).map(v =>
+      "zorder_layout", "dedup_admit", "fact_transactions_cdc")
+    val qs = headline.flatMap(k => resultMap0.get(k).map(v =>
         s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0)))
       .mkString("{", ",", "}")
     // `value` stays the TOTAL across all queries; `n_queries` records how

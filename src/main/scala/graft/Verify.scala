@@ -31,12 +31,11 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // queries whose operators localCheckpoint — after these, a GC lets
-    // the ContextCleaner reap the pinned blocks (same accumulation
-    // Bench guards against; targeted so the other ~130 queries don't
-    // each pay a full-heap collection)
-    val checkpointing = Set("dedup_clusters", "dedup_prune",
-      "corpus_report", "decontaminate")
+    // after a checkpointing query, a GC lets the ContextCleaner reap
+    // the pinned blocks (same accumulation Bench guards against;
+    // targeted so the other ~130 queries don't each pay a full-heap
+    // collection)
+    val checkpointing = SparkEntry.checkpointingQueries
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -241,6 +241,16 @@ object Validation {
     * is the diff a 100 TB warehouse feeds into incremental fact
     * maintenance instead of rebuilding; with both snapshots bucketed
     * on the key it runs exchange-free.
+    *
+    * compareCols parity constraint: signatures encode each field via
+    * CAST(x AS STRING), whose text differs across engines for some
+    * types (Spark renders a large double `1.0E7` where DuckDB writes
+    * `10000000.0`; decimal/timestamp formatting varies similarly).
+    * Integral and string columns are cast-stable — the registered
+    * snapshot_diff query uses only those. Canonicalize
+    * double/decimal/timestamp compare columns (e.g. to a fixed-scale
+    * DECIMAL string or epoch long) before passing them here if
+    * cross-engine signature parity matters.
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keys: Seq[String], compareCols: Seq[String]): DataFrame = {

@@ -35,6 +35,14 @@ object ColumnBridge {
     * reap it. Walks the plan for the LogicalRDD the checkpoint left
     * behind (the checkpointed frame itself, or projections over it)
     * and unpersists that RDD.
+    *
+    * WARNING — the blocks are UNRECOVERABLE: localCheckpoint truncates
+    * lineage, so any OTHER live Dataset still referencing the same
+    * checkpoint becomes permanently unrecomputable once the blocks are
+    * dropped. Only call this when the checkpointed frame has no other
+    * referents (the Dedup.clusters round loop is the model: each
+    * round's checkpoint is released only after the next round's is
+    * materialized and nothing else holds the old one).
     */
   def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     logicalPlan(df).collect {
