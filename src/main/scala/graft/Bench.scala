@@ -2,14 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    // file > env > defaults — see GraftConfig (config-file parity with
+    // the reference's etl_config.yaml; the driver sets env only)
+    val cfg = GraftConfig.load()
+    val sfDir = cfg.sfDir
+    val cpus = cfg.cpus.toString
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    cfg.broadcastThreshold
+      .foreach(t => builder.config("spark.sql.autoBroadcastJoinThreshold", t))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen once so per-query numbers measure the
     // operator, not first-query classloading
@@ -18,7 +22,7 @@ object Bench {
     catch { case _: Throwable => () }
     // min of N reps per query: single-run numbers on a shared box swing
     // 2-3x from GC/scheduling noise; the min is the stable estimate
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = cfg.benchReps
     // optional comma-separated subset for local iteration; the driver
     // leaves this unset and benches everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

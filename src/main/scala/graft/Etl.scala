@@ -31,6 +31,14 @@ object Etl {
     * Tables land as parquet under `outDir/<table>`; the report itself
     * is also written to `outDir/etl_run_report`.
     */
+  /** [[buildAll]] driven by a [[GraftConfig]] — the config-file
+    * orchestration shape of the reference's main.py (etl_config.yaml
+    * through config_manager): source and landing locations come from
+    * the loaded config instead of call-site literals.
+    */
+  def buildAll(spark: SparkSession, config: GraftConfig): DataFrame =
+    buildAll(spark, config.sfDir, config.outDir)
+
   def buildAll(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
     val report = scala.collection.mutable.ArrayBuffer[StageRow]()
 

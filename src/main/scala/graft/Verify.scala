@@ -15,8 +15,10 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length == 3) Some(args(2).split(",").toSet) else None
     def keep(name: String): Boolean = only.forall(_.contains(name))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
+    // file > env > defaults — see GraftConfig (config-file parity with
+    // the reference's etl_config.yaml; the driver sets env only)
+    val cfg = GraftConfig.load()
+    val cpus = cfg.cpus.toString
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,7 +28,7 @@ object Verify {
     // onto the shuffle path (the plan family a 100 TB run would use
     // once dims outgrow the broadcast threshold) — results must stay
     // hash-identical to the broadcast plans and to DuckDB
-    sys.env.get("SPARK_GRAFT_BROADCAST_THRESHOLD")
+    cfg.broadcastThreshold
       .foreach(t => builder.config("spark.sql.autoBroadcastJoinThreshold", t))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

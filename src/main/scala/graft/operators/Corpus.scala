@@ -356,8 +356,11 @@ object Corpus {
     * integer-valued numerators keep the double exactly reproducible
     * across engines, where ln() is only correct to a ulp and can flip
     * ranks at ties. Shuffle shape: one (doc,term) count with map-side
-    * partials, one term-keyed df aggregate, then a term-keyed join —
-    * all uniform short keys; the top-k window partitions per doc.
+    * partials, one term-keyed df aggregate, then the df join SALTED on
+    * (term, hash(doc_id)) — a raw term key would put every (doc, "the")
+    * row of a Zipf head term in one reducer
+    * ([[Partitioning.saltedEquiJoin]]; result-identical, plan-spec'd).
+    * The top-k window partitions per doc.
     */
   def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
     val terms = documents
@@ -366,7 +369,7 @@ object Corpus {
     val df = terms.groupBy("term")
       .agg(countDistinct(col("doc_id")).as("df"))
     val nDocs = documents.select(countDistinct(col("doc_id")).as("n_docs"))
-    val scored = tf.join(df, Seq("term"))
+    val scored = Partitioning.saltedEquiJoin(tf, df, "term", col("doc_id"))
       .crossJoin(broadcast(nDocs)) // 1-row scalar
       .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
     val w = Window.partitionBy("doc_id")

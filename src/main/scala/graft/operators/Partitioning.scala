@@ -29,6 +29,25 @@ object Partitioning {
         sum(col("__pn")).as("n_rows"))
   }
 
+  /** Salted equi-join for Zipf-skewed keys: a term-keyed join of a
+    * (doc, term) fan-out against a per-term aggregate lands every row
+    * of a head term ("the" ≈ several % of all token occurrences) in ONE
+    * reducer. Salting splits it: the fat side keys on
+    * (key, hash(saltSrc) % factor), the slim per-key side replicates
+    * `factor` ways. The join RESULT is identical — salting only splits
+    * partitions — so consumers (and their oracles) are untouched;
+    * deterministic belt-and-braces next to AQE's runtime skew split
+    * (which only rescues sort-merge joins it can measure). Inner joins
+    * only: replicated-right semantics would differ for outer sides.
+    */
+  def saltedEquiJoin(fat: DataFrame, slim: DataFrame, key: String,
+                     saltSrc: Column, factor: Int = 8): DataFrame =
+    fat.withColumn("__salt", pmod(hash(saltSrc), lit(factor)))
+      .join(slim.withColumn("__salt",
+        explode(sequence(lit(0), lit(factor - 1)))),
+        Seq(key, "__salt"))
+      .drop("__salt")
+
   /** Hive-style partitioned parquet layout (partition pruning at scan). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)

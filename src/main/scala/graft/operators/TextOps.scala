@@ -297,14 +297,16 @@ object TextOps {
     * [[textQuality]]'s surface ratios. Rational arithmetic only
     * (integer df sums divided once at the end), so the double is
     * engine-exact. Shuffle shape = the tf-idf family: token-keyed df
-    * aggregate with map-side partials, token-keyed join back, doc-keyed
-    * rollup; the 1-row corpus count broadcasts.
+    * aggregate with map-side partials, the join back SALTED on
+    * (token, hash(doc_id)) so a Zipf head token's fan-out spreads
+    * across reducers (Partitioning.saltedEquiJoin — result-identical),
+    * doc-keyed rollup; the 1-row corpus count broadcasts.
     */
   def commonness(documents: DataFrame): DataFrame = {
     val terms = documents.select(col("doc_id"), explode(toks).as("term"))
     val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("term_df"))
     val nDocs = documents.select(countDistinct(col("doc_id")).as("n_docs"))
-    terms.join(df, Seq("term"))
+    Partitioning.saltedEquiJoin(terms, df, "term", col("doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         min(col("term_df")).as("df_min"),

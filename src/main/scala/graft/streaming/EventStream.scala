@@ -218,6 +218,30 @@ object EventStream {
     }.select("doc_id")
   }
 
+  /** Streaming twin of Dedup.admitNearDup — the COMPLETE admission
+    * pipeline as a continuous process: each micro-batch is rejected
+    * against the standing corpus band index AND clustered internally so
+    * same-batch near-dup twins collapse to one canonical, by running
+    * the batch operator per trigger through foreachBatch (the iterative
+    * min-label flood has no single-pass streaming form; foreachBatch
+    * IS the streaming shape for per-batch graph work, and it reuses
+    * the one shared band/cluster definition instead of a twin copy).
+    * Admitted survivors append to the sink.
+    */
+  def admissionPipelineStream(spark: SparkSession, dir: String,
+                              corpus: DataFrame, batchPredicate: Column,
+                              sinkPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    documentsStream(spark, dir)
+      .filter(batchPredicate)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val admitted = graft.operators.Dedup
+          .admitNearDup(corpus, batch.drop("ingest_ts"))
+        graft.sources.Loader.append(admitted, sinkPath)
+        ()
+      }
+      .start()
+
   /** Streaming twin of Corpus.sample: the weighted mixing filter is a
     * stateless per-row predicate on a deterministic hash key, so it
     * applies to a document stream unchanged — no state, no watermark,

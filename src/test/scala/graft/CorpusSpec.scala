@@ -389,6 +389,34 @@ class CorpusSpec extends AnyFunSuite {
       s"the 1-row n_docs scalar must broadcast, not shuffle:\n$plan")
   }
 
+  test("tfidf/commonness df join is salted: hot-term key carries the salt") {
+    // Zipf head terms would land every occurrence on one reducer if the
+    // df join keyed on term alone; assert the equi-join condition
+    // includes the salt column, and the salted result is still exact
+    for (df <- Seq(Corpus.tfidfTopTerms(docs),
+        graft.operators.TextOps.commonness(docs))) {
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "term")) => j
+      }
+      assert(joins.nonEmpty, "expected a term-keyed join")
+      joins.foreach(j => assert(
+        j.condition.exists(_.references.exists(_.name == "__salt")),
+        s"term join must be salted: $j"))
+    }
+    // exactness on a skewed planted corpus: "the" (df = every doc,
+    // score 4·40/40 = 4) must lose to the doc-unique terms (score 40)
+    // in every doc — salting must not lose or duplicate any pair
+    val planted = (1L to 40L).map(i =>
+      doc(i, s"the the the the unique$i word$i")).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.tfidfTopTerms(planted, k = 2).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).toSeq).toMap
+    assert(r.keySet === (1L to 40L).toSet)
+    (1L to 40L).foreach(i => assert(r(i) === Seq(s"unique$i", s"word$i")))
+  }
+
   // ---- tf-idf ---------------------------------------------------------
 
   test("tfidf: doc-specific term outranks corpus-wide term") {

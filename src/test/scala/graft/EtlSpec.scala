@@ -15,7 +15,16 @@ class EtlSpec extends AnyFunSuite {
 
   test("buildAll lands the full star schema and the report reconciles") {
     val out = Files.createTempDirectory("graft_etl").toString
-    val report = Etl.buildAll(spark, sf001, out).collect()
+    // drive the build through a config FILE (reference etl_config.yaml
+    // parity): file keys beat env and defaults
+    val confFile = Files.createTempDirectory("graft_conf").resolve("graft.properties")
+    Files.writeString(confFile, s"sf.dir=$sf001\nout.dir=$out\nbench.reps=3\n")
+    val cfg = GraftConfig.load(Some(confFile.toString))
+    assert(cfg.sfDir === sf001 && cfg.outDir === out && cfg.benchReps === 3)
+    // absent file → env/defaults (the driver's contract is unchanged)
+    val dflt = GraftConfig.load(Some(confFile.toString + ".missing"))
+    assert(dflt.outDir === "target/warehouse" && dflt.benchReps === 2)
+    val report = Etl.buildAll(spark, cfg).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(4)))
 
     // no stage errored; extract/dim/fact all clean. Validation stages

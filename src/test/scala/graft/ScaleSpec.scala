@@ -264,6 +264,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("streaming complete admission matches batch dedup_admit survivors") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val sink = Files.createTempDirectory("graft_admitstream")
+      .toString + "/admitted"
+    val q = EventStream.admissionPipelineStream(spark, sf, corpus,
+      col("doc_id") % 3 === 0, sink)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(sink)
+    val batch = graft.operators.Dedup
+      .admitNearDup(corpus, docs.filter(col("doc_id") % 3 === 0))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(batch.count() > 0)
+  }
+
   test("streaming dedup-by-signature matches the batch canonical set") {
     val q = EventStream.dedupBySignatureStream(spark, sf)
       .writeStream.outputMode("append").format("memory")
