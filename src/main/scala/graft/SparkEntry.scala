@@ -264,6 +264,20 @@ object SparkEntry {
       val newEv = ev.filter(col("event_id") % 7 =!= 0)
       Etl.maintainFactTransactions(
         Facts.factTransactions(oldEv), oldEv, newEv)
+    }),
+    "seq_pack_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, sum}
+      // two doc_id-ordered corpus increments planned separately, the
+      // second continued from the first's per-language token totals;
+      // the oracle is the ONE-SHOT plan over everything — hash
+      // equality proves the steady-state continuation contract
+      val docs = t(s, d, "documents")
+      val first = Corpus.packPlan(docs.filter(col("doc_id") < 250))
+      val totals = first.groupBy("lang")
+        .agg(sum(col("n_tokens")).as("base_tokens"))
+      first.unionByName(
+          Corpus.packPlanIncremental(docs.filter(col("doc_id") >= 250), totals))
+        .orderBy("doc_id")
     })
   )
 
@@ -2084,6 +2098,21 @@ object SparkEntry {
         |GROUP BY lang, n_lang, rate ORDER BY lang""".stripMargin,
 
     "seq_pack" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+         |FROM tk)
+         |SELECT doc_id, lang, n_tokens, tokens_before // 2048 AS pack_id,
+         |  tokens_before % 2048 AS pack_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Identical to seq_pack on purpose: the Spark side stitches two
+    // separately-planned increments (the second continued from carried
+    // per-lang totals); matching the one-shot SQL proves the
+    // continuation is exact.
+    "seq_pack_incremental" ->
       s"""WITH tk AS (SELECT doc_id, lang,
          |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents),
          |c AS (SELECT doc_id, lang, n_tokens,
