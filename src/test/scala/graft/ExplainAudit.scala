@@ -15,7 +15,8 @@ object ExplainAudit {
     val d = "/root/testdata/sf0.01"
     val qs = if (args.nonEmpty) args.toSeq
       else Seq("fact_sales", "q5_region_volume", "asof_join_events_orders",
-        "dedup_jaccard", "decontaminate", "q9_profit_nation", "events_sliding")
+        "dedup_jaccard", "decontaminate", "q9_profit_nation", "events_sliding",
+        "seq_pack", "tfidf_top_terms", "dedup_admit", "fact_transactions_cdc")
     for (q <- qs) {
       println(s"\n================ $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
