@@ -76,7 +76,11 @@ object Bench {
       .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
         .map(_.group(1).toInt))
       .foldLeft(0)(math.max) + 1
-    for (path <- Seq("target/bench_full.json", f"BENCH_FULL_r$roundN%02d.json")) {
+    // subset runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the
+    // committed round artifact with a partial map
+    val paths = Seq("target/bench_full.json") ++
+      (if (only.isEmpty) Seq(f"BENCH_FULL_r$roundN%02d.json") else Nil)
+    for (path <- paths) {
       try {
         val p = java.nio.file.Paths.get(path)
         Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

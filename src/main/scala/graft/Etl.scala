@@ -202,9 +202,19 @@ object Etl {
                                newEvents: DataFrame): DataFrame = {
     val keys = Seq("user_id", "event_type", "event_date")
     val newFact = Facts.factTransactions(newEvents)
+    // materialize the change stream once: applyChanges consumes it from
+    // BOTH its anti-join (kept rows) and semi-join (replacements), and
+    // a lazy plan would re-run the full diff — two aggregate shuffles +
+    // the outer key join — per consumer (plan-audited). The stream is
+    // the small side by construction (CDC's point); eager checkpoint
+    // also hands AQE real size stats so the apply joins can go
+    // broadcast. In production this is the landed CDC artifact anyway.
+    // (fact_transactions_cdc is in SparkEntry.checkpointingQueries so
+    // the harnesses GC the pinned blocks afterwards.)
     val changes = Validation.snapshotDiff(
       Facts.factTransactions(oldEvents), newFact,
       keys, Seq("n_events", "total_value"))
+      .localCheckpoint(true)
     Loader.applyChanges(currentFact, changes, newFact, keys)
       .orderBy("user_id", "event_type", "event_date")
   }

@@ -24,7 +24,8 @@ object SparkEntry {
     * checkpointing.
     */
   val checkpointingQueries: Set[String] =
-    Set("dedup_clusters", "dedup_prune", "corpus_report", "decontaminate")
+    Set("dedup_clusters", "dedup_prune", "corpus_report", "decontaminate",
+      "dedup_admit", "fact_transactions_cdc")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----

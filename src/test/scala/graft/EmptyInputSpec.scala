@@ -67,11 +67,20 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.temperatureSample(docs).count() === 0, "min over no langs must not throw")
     assert(Corpus.temperatureSummary(docs).count() === 0)
     assert(Dedup.incremental(docs, docs).count() === 0)
+    assert(Dedup.incrementalNearDup(docs, docs).count() === 0)
+    assert(Dedup.admitNearDup(docs, docs).count() === 0)
     // empty corpus, non-empty batch: everything is admitted
     import spark.implicits._
     val batch = Seq((1L, "some arriving text", "en", "src0", 18L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(Dedup.incremental(docs, batch).count() === 1)
+    assert(Dedup.admitNearDup(docs, batch).count() === 1)
+    // empty batch against a standing corpus: nothing admitted, no throw
+    assert(Dedup.admitNearDup(batch, docs).count() === 0)
+    // incremental pack planning: empty offsets table and empty batch
+    val noOffsets = Seq.empty[(String, Long)].toDF("lang", "base_tokens")
+    assert(Corpus.packPlanIncremental(docs, noOffsets).count() === 0)
+    assert(Corpus.packPlanIncremental(batch, noOffsets).count() === 1)
   }
 
   test("event operators survive an empty stream") {
@@ -117,5 +126,20 @@ class EmptyInputSpec extends AnyFunSuite {
       .collect().map(_.getString(1)).toSeq === Seq("I"))
     assert(Validation.snapshotDiff(one, orders, keys, cmp)
       .collect().map(_.getString(1)).toSeq === Seq("D"))
+  }
+
+  test("CDC apply survives empty change streams and empty sinks") {
+    val ev = empty(eventSchema)
+    // no changes: the standing fact passes through identically
+    val fact = graft.operators.Facts.factTransactions(
+      graft.sources.Tables.events(spark, sf))
+    val noChange = Etl.maintainFactTransactions(fact,
+      graft.sources.Tables.events(spark, sf),
+      graft.sources.Tables.events(spark, sf))
+    assert(noChange.exceptAll(fact).count() === 0)
+    assert(fact.exceptAll(noChange).count() === 0)
+    // empty sink + empty source snapshots: nothing, no throw
+    val emptyFact = graft.operators.Facts.factTransactions(ev)
+    assert(Etl.maintainFactTransactions(emptyFact, ev, ev).count() === 0)
   }
 }
