@@ -7,13 +7,15 @@ object Bench {
     val cfg = GraftConfig.load()
     val sfDir = cfg.sfDir
     val cpus = cfg.cpus.toString
-    val builder = SparkSession.builder()
+    // broadcastThreshold is deliberately NOT applied here: the env knob
+    // exists for Verify's plan-diversity crosscheck, and a shell that
+    // exported it for verify would silently bench the shuffle-join
+    // plan family, making round artifacts incomparable
+    val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-    cfg.broadcastThreshold
-      .foreach(t => builder.config("spark.sql.autoBroadcastJoinThreshold", t))
-    val spark = builder.getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen once so per-query numbers measure the
     // operator, not first-query classloading

@@ -178,33 +178,35 @@ object Etl {
     reportDf
   }
 
-  /** CDC-driven incremental fact maintenance end-to-end: re-aggregate
-    * the fact grain from the previous and current source snapshots,
-    * capture the grain-level changes with Validation.snapshotDiff
-    * (real I/U/D change capture, not a rebuild), and apply them to the
-    * standing fact with Loader.applyChanges. The maintained fact is
-    * row-identical to a full rebuild from the new snapshot — asserted
-    * by EtlSpec AND by the fact_transactions_cdc oracle, whose DuckDB
-    * side IS the full rebuild (the reference's incremental-load
-    * semantics, ref core/batch_processor.py checkpoint/resume, now
-    * driven by change capture).
+  /** CDC-driven incremental fact maintenance end-to-end: diff the
+    * STANDING fact against the re-aggregated current snapshot at the
+    * fact grain (Validation.snapshotDiff — real I/U/D change capture,
+    * not a rebuild), and apply the change stream back to the standing
+    * fact with Loader.applyChanges. Diffing the sink itself (rather
+    * than a rebuild of what the sink is believed to contain) makes the
+    * maintenance self-healing: any drift in the standing fact —
+    * partial prior maintenance, manual patches — surfaces as a U and
+    * is repaired. The maintained fact is row-identical to a full
+    * rebuild from the new snapshot — asserted by EtlSpec AND by the
+    * fact_transactions_cdc oracle, whose DuckDB side IS the full
+    * rebuild (the reference's incremental-load semantics, ref
+    * core/batch_processor.py checkpoint/resume, now driven by change
+    * capture).
     *
-    * Scale shape: the two fact-grain aggregates are already reduced
-    * (map-side partials over events, grain ≪ raw rows), the diff
-    * shuffles those aggregates once on the grain key, and the apply
-    * moves only changed grains plus their replacement rows — the
-    * standing fact streams through the anti-join without ever being
-    * rebuilt. Signature comparison stays in one engine, so the double
-    * measure is cast-stable (see snapshotDiff's parity note for the
-    * cross-engine caveat).
+    * Scale shape: one fact-grain aggregate of the new snapshot
+    * (map-side partials over events, grain ≪ raw rows), one key join
+    * against the standing fact for the diff, and the apply moves only
+    * changed grains plus their replacement rows. Signature comparison
+    * stays in one engine, so the double measure is cast-stable (see
+    * snapshotDiff's parity note for the cross-engine caveat).
     */
-  def maintainFactTransactions(currentFact: DataFrame, oldEvents: DataFrame,
+  def maintainFactTransactions(currentFact: DataFrame,
                                newEvents: DataFrame): DataFrame = {
     val keys = Seq("user_id", "event_type", "event_date")
     val newFact = Facts.factTransactions(newEvents)
     // materialize the change stream once: applyChanges consumes it from
     // BOTH its anti-join (kept rows) and semi-join (replacements), and
-    // a lazy plan would re-run the full diff — two aggregate shuffles +
+    // a lazy plan would re-run the full diff — the aggregate shuffle +
     // the outer key join — per consumer (plan-audited). The stream is
     // the small side by construction (CDC's point); eager checkpoint
     // also hands AQE real size stats so the apply joins can go
@@ -212,8 +214,7 @@ object Etl {
     // (fact_transactions_cdc is in SparkEntry.checkpointingQueries so
     // the harnesses GC the pinned blocks afterwards.)
     val changes = Validation.snapshotDiff(
-      Facts.factTransactions(oldEvents), newFact,
-      keys, Seq("n_events", "total_value"))
+      currentFact, newFact, keys, Seq("n_events", "total_value"))
       .localCheckpoint(true)
     Loader.applyChanges(currentFact, changes, newFact, keys)
       .orderBy("user_id", "event_type", "event_date")

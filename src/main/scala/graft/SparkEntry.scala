@@ -263,8 +263,7 @@ object SparkEntry {
       // different 6/7 — so the diff carries real I, U AND D grains
       val oldEv = ev.filter(col("event_id") % 5 =!= 0)
       val newEv = ev.filter(col("event_id") % 7 =!= 0)
-      Etl.maintainFactTransactions(
-        Facts.factTransactions(oldEv), oldEv, newEv)
+      Etl.maintainFactTransactions(Facts.factTransactions(oldEv), newEv)
     }),
     "seq_pack_incremental" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, sum}

@@ -116,12 +116,24 @@ object Corpus {
   private def scanTokensBefore(docs: DataFrame): DataFrame = {
     val buckets =
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt * 8
+    // bucket on the OBSERVED id range (min subtracted), not [0, max]: a
+    // later corpus increment whose ids live in [1e9, 1e9+1e4] would
+    // otherwise collapse into the top bucket and re-create the single-
+    // task scan this operator exists to avoid. The ratio is computed in
+    // double — (id-min) can be ~1e18 for sparse id schemes and id×B
+    // would overflow Long — which is safe because any deterministic
+    // NONDECREASING id→bucket map yields identical results (rounding
+    // preserves monotonicity; the floor/least guard pins the range).
     val span = docs.select(col("doc_id"))
-      .agg((coalesce(max(col("doc_id")), lit(0L)) + 1L).as("id_span"))
+      .agg(coalesce(min(col("doc_id")), lit(0L)).as("id_min"),
+        (coalesce(max(col("doc_id")), lit(0L)) -
+          coalesce(min(col("doc_id")), lit(0L)) + 1L).as("id_span"))
     val bucketed = docs.crossJoin(broadcast(span)) // 1-row scalar
-      .withColumn("bucket",
-        (col("doc_id") * buckets / col("id_span")).cast(LongType))
-      .drop("id_span")
+      .withColumn("bucket", least(
+        floor((col("doc_id") - col("id_min")).cast("double") * buckets /
+          col("id_span").cast("double")).cast(LongType),
+        lit(buckets - 1L)))
+      .drop("id_min", "id_span")
     val ww = Window.partitionBy("lang", "bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val withWin = bucketed.withColumn("tokens_within",

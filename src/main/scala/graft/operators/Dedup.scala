@@ -284,24 +284,32 @@ object Dedup {
     * operator answers only "is it new vs the corpus".
     */
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame): DataFrame =
-    corpusFreshIds(corpus, batch).orderBy("doc_id")
+    freshAgainstIndex(bandIndex(corpus), batch).orderBy("doc_id")
 
-  /** [[incrementalNearDup]]'s core without the deterministic output
-    * sort — shared with [[admitNearDup]], whose downstream clustering
-    * re-shuffles immediately (a sort there would be dead work).
-    */
-  private def corpusFreshIds(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    // bandColumns, not minhashBands: the output re-shuffles on the band
-    // key anyway, so minhashBands' deterministic doc_id sort would be a
-    // dead sort/range-exchange on both sides (and the streaming twin
-    // already uses the sort-free definition)
-    def bandsLong(df: DataFrame) = bandColumns(df)
-      .select(col("doc_id"), posexplode(array(
+  // bandColumns, not minhashBands, throughout this family: every
+  // consumer re-shuffles on the band key, so minhashBands'
+  // deterministic doc_id sort would be a dead sort/range-exchange
+  // (and the streaming twins already use the sort-free definition)
+  private def explodeBands(bands: DataFrame): DataFrame =
+    bands.select(col("doc_id"), posexplode(array(
         col("band_0"), col("band_1"), col("band_2"), col("band_3"))))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
-    val corpusIndex = bandsLong(corpus).select("band_idx", "band_key").distinct()
-    val colliding = bandsLong(batch)
-      .join(corpusIndex, Seq("band_idx", "band_key"), "left_semi")
+
+  /** Distinct (band_idx, band_key) index over a doc set — the
+    * structure near-dup admission anti-joins against, and the STATE an
+    * incremental admission pipeline maintains: admitting a batch
+    * appends the index of its corpus-fresh docs instead of recomputing
+    * the whole corpus's bands per batch (bucketed on the key at scale).
+    */
+  def bandIndex(docs: DataFrame): DataFrame =
+    explodeBands(bandColumns(docs)).select("band_idx", "band_key").distinct()
+
+  /** Batch doc_ids with NO band collision against a standing index —
+    * the admission test, unsorted (consumers re-shuffle).
+    */
+  def freshAgainstIndex(index: DataFrame, batch: DataFrame): DataFrame = {
+    val colliding = explodeBands(bandColumns(batch))
+      .join(index, Seq("band_idx", "band_key"), "left_semi")
       .select("doc_id").distinct()
     batch.select("doc_id")
       .join(colliding, Seq("doc_id"), "left_anti")
@@ -320,8 +328,16 @@ object Dedup {
     * min-label propagation confined to the single batch (corpus size
     * never enters the clustering).
     */
-  def admitNearDup(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    val freshDocs = batch.join(corpusFreshIds(corpus, batch),
+  def admitNearDup(corpus: DataFrame, batch: DataFrame): DataFrame =
+    admitNearDupWithIndex(bandIndex(corpus), batch)
+
+  /** [[admitNearDup]] against a PRE-BUILT band index — the
+    * materialized production shape: the index is maintained
+    * incrementally across batches (see the streaming admission
+    * pipeline), never recomputed from the corpus.
+    */
+  def admitNearDupWithIndex(index: DataFrame, batch: DataFrame): DataFrame = {
+    val freshDocs = batch.join(freshAgainstIndex(index, batch),
       Seq("doc_id"), "left_semi")
     clusters(freshDocs)
       .filter(col("is_canonical"))

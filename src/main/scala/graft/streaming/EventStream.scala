@@ -79,17 +79,68 @@ object EventStream {
     * [[eventsStream]]. The corpus carries no arrival time, so a
     * deterministic ingest timestamp derives from doc_id (in production
     * this is the landing time of the file the row arrived in).
+    *
+    * `splitAt`: when set, the corpus is staged as TWO files (doc_id
+    * below/above the cut, the low file strictly older) and the source
+    * reads one file per trigger — the fixture the multi-trigger specs
+    * use to prove cross-batch state really carries (a single staged
+    * file would fold everything into one micro-batch and vacuously
+    * pass).
     */
-  private def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+  private def documentsStream(spark: SparkSession, dir: String,
+                              splitAt: Option[Long] = None): DataFrame = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val staged = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_docs_stream",
-      Integer.toHexString(dir.hashCode))
+      Integer.toHexString(dir.hashCode ^ splitAt.##))
     java.nio.file.Files.createDirectories(staged)
-    val target = staged.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(target))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "documents.parquet"), target)
-    spark.readStream.schema(schema).parquet(staged.toString)
+    splitAt match {
+      case None =>
+        val target = staged.resolve("documents.parquet")
+        if (!java.nio.file.Files.exists(target))
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(dir, "documents.parquet"), target)
+      case Some(cut) =>
+        val marker = staged.resolve("_staged_flat")
+        if (!java.nio.file.Files.exists(marker)) {
+          // wipe any stale earlier staging of this fixture dir
+          Option(new java.io.File(staged.toString).listFiles()).foreach(
+            _.foreach { f =>
+              def rmAll(x: java.io.File): Unit = {
+                Option(x.listFiles()).foreach(_.foreach(rmAll)); x.delete(); ()
+              }
+              rmAll(f)
+            })
+          val src = spark.read.parquet(s"$dir/documents.parquet")
+          // the file source does not traverse nested non-partition
+          // dirs: write each half via Spark, then lift the single part
+          // file up as a flat file; distinct mtimes pin trigger order
+          val t0 = java.nio.file.Files.getLastModifiedTime(
+            java.nio.file.Paths.get(dir, "documents.parquet")).toMillis
+          Seq(("a_low.parquet", col("doc_id") < cut, t0 - 120000L),
+              ("b_high.parquet", col("doc_id") >= cut, t0 - 60000L))
+            .foreach { case (name, pred, t) =>
+              val tmp = staged.resolve(name + ".tmp")
+              src.filter(pred).coalesce(1)
+                .write.mode("overwrite").parquet(tmp.toString)
+              val part = new java.io.File(tmp.toString).listFiles()
+                .filter(_.getName.endsWith(".parquet")).head
+              val target = staged.resolve(name)
+              java.nio.file.Files.move(part.toPath, target,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              new java.io.File(target.toString).setLastModified(t)
+              def rm(f: java.io.File): Unit = {
+                Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+              }
+              rm(new java.io.File(tmp.toString))
+            }
+          java.nio.file.Files.createFile(marker)
+          ()
+        }
+    }
+    val reader = spark.readStream.schema(schema)
+    splitAt.foreach(_ => reader.option("maxFilesPerTrigger", 1))
+    reader.parquet(staged.toString)
       .withColumn("ingest_ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
   }
 
@@ -218,29 +269,84 @@ object EventStream {
     }.select("doc_id")
   }
 
+  /** Latest committed per-batch state version strictly BEFORE
+    * `batchId`, from a directory of immutable `upto_<id>` parquet dirs
+    * — the versioned-state pattern the foreachBatch twins share: every
+    * per-batch output is a deterministic function of the (immutable)
+    * previous version plus the batch content and is written by
+    * OVERWRITE to a batch-suffixed path, so a micro-batch replay after
+    * a crash or restart rewrites identical content instead of
+    * double-applying. Resolved through the Hadoop FileSystem API
+    * (java.io.File would silently report "missing" on HDFS/S3A paths
+    * and reset the state every trigger).
+    */
+  private def latestStateBefore(spark: SparkSession, stateDir: String,
+                                batchId: Long): Option[String] =
+    graft.sources.Fs.childDirs(spark, stateDir)
+      .filter(_.startsWith("upto_"))
+      .map(_.stripPrefix("upto_").toLong)
+      .filter(_ < batchId)
+      .reduceOption(_ max _)
+      .map(k => s"$stateDir/upto_$k")
+
   /** Streaming twin of Dedup.admitNearDup — the COMPLETE admission
-    * pipeline as a continuous process: each micro-batch is rejected
-    * against the standing corpus band index AND clustered internally so
-    * same-batch near-dup twins collapse to one canonical, by running
-    * the batch operator per trigger through foreachBatch (the iterative
-    * min-label flood has no single-pass streaming form; foreachBatch
-    * IS the streaming shape for per-batch graph work, and it reuses
-    * the one shared band/cluster definition instead of a twin copy).
-    * Admitted survivors append to the sink.
+    * pipeline as a continuous process: each micro-batch is tested
+    * against the standing corpus band index PLUS the index of every
+    * corpus-fresh doc seen in earlier batches (carried as versioned
+    * parquet state, so a near-dup of a doc admitted — or absorbed — in
+    * an earlier trigger is rejected), then clustered internally so
+    * same-batch twins collapse to one canonical, by running the shared
+    * batch operator per trigger through foreachBatch (the iterative
+    * min-label flood has no single-pass streaming form; foreachBatch IS
+    * the streaming shape for per-batch graph work). Admitted survivors
+    * land in per-batch sink dirs (read with `sinkPath/batch_*`).
+    *
+    * Contract vs the one-shot batch operator: under doc_id-ordered
+    * arrival the admitted doc SET matches; per-trigger cluster sizes
+    * count only same-trigger twins, and a component whose connecting
+    * doc arrives later than two non-colliding members admits both
+    * (online clustering cannot see edges that haven't arrived — the
+    * batch layer's retro-dedup owns that tail, same lambda split as
+    * [[incrementalAdmissionStream]]).
     */
   def admissionPipelineStream(spark: SparkSession, dir: String,
                               corpus: DataFrame, batchPredicate: Column,
-                              sinkPath: String): org.apache.spark.sql.streaming.StreamingQuery =
-    documentsStream(spark, dir)
+                              sinkPath: String,
+                              splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    // the static corpus side of the index, computed once per query
+    val corpusIndex = graft.operators.Dedup.bandIndex(corpus)
+      .localCheckpoint(eager = true)
+    documentsStream(spark, dir, splitAt)
       .filter(batchPredicate)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val admitted = graft.operators.Dedup
-          .admitNearDup(corpus, batch.drop("ingest_ts"))
-        graft.sources.Loader.append(admitted, sinkPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch.drop("ingest_ts")
+        val seenBands = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(Int, String)].toDF("band_idx", "band_key"))
+        val index = corpusIndex.unionByName(seenBands)
+        // fresh = no collision with corpus OR previously-seen fresh docs
+        val freshDocs = docs.join(
+            graft.operators.Dedup.freshAgainstIndex(index, docs),
+            Seq("doc_id"), "left_semi")
+          .localCheckpoint(eager = true)
+        val admitted = graft.operators.Dedup.clusters(freshDocs)
+          .filter(col("is_canonical"))
+          .select(col("doc_id"), col("cluster_size"),
+            (col("cluster_size") - 1).as("n_batch_dups"))
+        graft.sources.Loader.truncateAndLoad(admitted, s"$sinkPath/batch_$batchId")
+        // carry ALL fresh docs' bands (admitted + absorbed twins): a
+        // later near-dup of an absorbed twin must also be rejected
+        val newBands = seenBands
+          .unionByName(graft.operators.Dedup.bandIndex(freshDocs))
+          .distinct().localCheckpoint(eager = true)
+        graft.sources.Loader.truncateAndLoad(newBands, s"$stateDir/upto_$batchId")
         ()
       }
       .start()
+  }
 
   /** Streaming twin of Corpus.sample: the weighted mixing filter is a
     * stateless per-row predicate on a deterministic hash key, so it
@@ -257,7 +363,7 @@ object EventStream {
 
   /** Streaming context-window pack planner — twin of Corpus.packPlan.
     * Carried state per language is ONE counter (the running token
-    * total, a tiny parquet table next to the sink), so a stream can
+    * total, versioned tiny parquet next to the sink), so a stream can
     * assign pack slots to an unbounded corpus with O(#langs) state.
     * Each micro-batch runs the SAME two-phase distributed scan as the
     * batch operator (Corpus.packPlanIncremental continued from the
@@ -268,30 +374,39 @@ object EventStream {
     * operator's order); across batches assignment follows arrival
     * order, which IS the contract for an append-only corpus feed (the
     * batch twin re-derives the same plan as long as doc_id order
-    * matches arrival order — spec-asserted).
+    * matches arrival order — spec-asserted across real multi-trigger
+    * runs). Plans land in per-batch sink dirs (`sinkPath/batch_*`);
+    * state and sink writes follow the replay-idempotent versioned
+    * pattern of [[latestStateBefore]].
     */
   def packPlanStream(spark: SparkSession, dir: String, sinkPath: String,
-                     capacity: Int = 2048): org.apache.spark.sql.streaming.StreamingQuery = {
-    val statePath = sinkPath + ".langtotals"
-    documentsStream(spark, dir)
+                     capacity: Int = 2048,
+                     splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    documentsStream(spark, dir, splitAt)
       .select(col("doc_id"), col("lang"), col("text"))
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val batchTotals = batch.select(col("lang"),
-            size(split(trim(col("text")), "\\s+")).cast("long").as("base_tokens"))
-          .groupBy("lang").agg(sum(col("base_tokens")).as("base_tokens"))
-        val offsets =
-          if (new java.io.File(statePath).exists()) spark.read.parquet(statePath)
-          else batchTotals.limit(0)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // versioned state (see latestStateBefore): the plan and the new
+        // totals are deterministic functions of the immutable previous
+        // totals + the batch, written by overwrite to batch-suffixed
+        // paths — a replayed trigger rewrites identical content
+        val offsets = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(String, Long)].toDF("lang", "base_tokens"))
+        // checkpoint: consumed by BOTH the sink write and the totals
+        // rollup (which reuses the plan's n_tokens instead of paying a
+        // second tokenization scan of the batch)
         val planned = graft.operators.Corpus
           .packPlanIncremental(batch, offsets, capacity)
-        graft.sources.Loader.append(planned, sinkPath)
-        // advance the per-lang totals; materialize before overwriting
-        // the path being read
-        val newTotals = offsets.unionByName(batchTotals)
+          .localCheckpoint(eager = true)
+        graft.sources.Loader.truncateAndLoad(planned, s"$sinkPath/batch_$batchId")
+        val newTotals = offsets.unionByName(
+            planned.groupBy("lang").agg(sum(col("n_tokens")).as("base_tokens")))
           .groupBy("lang").agg(sum(col("base_tokens")).as("base_tokens"))
           .localCheckpoint(eager = true)
-        graft.sources.Loader.truncateAndLoad(newTotals, statePath)
+        graft.sources.Loader.truncateAndLoad(newTotals, s"$stateDir/upto_$batchId")
         ()
       }
       .start()

@@ -134,12 +134,19 @@ class EmptyInputSpec extends AnyFunSuite {
     val fact = graft.operators.Facts.factTransactions(
       graft.sources.Tables.events(spark, sf))
     val noChange = Etl.maintainFactTransactions(fact,
-      graft.sources.Tables.events(spark, sf),
       graft.sources.Tables.events(spark, sf))
     assert(noChange.exceptAll(fact).count() === 0)
     assert(fact.exceptAll(noChange).count() === 0)
-    // empty sink + empty source snapshots: nothing, no throw
+    // empty sink + empty source snapshot: nothing, no throw
     val emptyFact = graft.operators.Facts.factTransactions(ev)
-    assert(Etl.maintainFactTransactions(emptyFact, ev, ev).count() === 0)
+    assert(Etl.maintainFactTransactions(emptyFact, ev).count() === 0)
+    // self-healing: a drifted sink row surfaces as a U and is repaired
+    val drifted = fact.withColumn("n_events",
+      when(col("user_id") === fact.first().getLong(0), lit(999999L))
+        .otherwise(col("n_events")))
+    val healed = Etl.maintainFactTransactions(drifted,
+      graft.sources.Tables.events(spark, sf))
+    assert(healed.exceptAll(fact).count() === 0)
+    assert(fact.exceptAll(healed).count() === 0)
   }
 }

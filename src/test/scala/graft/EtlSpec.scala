@@ -21,9 +21,12 @@ class EtlSpec extends AnyFunSuite {
     Files.writeString(confFile, s"sf.dir=$sf001\nout.dir=$out\nbench.reps=3\n")
     val cfg = GraftConfig.load(Some(confFile.toString))
     assert(cfg.sfDir === sf001 && cfg.outDir === out && cfg.benchReps === 3)
-    // absent file → env/defaults (the driver's contract is unchanged)
+    // absent file → env/defaults, without throwing; only assert values
+    // the ambient environment can't override (env keys the driver may
+    // legitimately export must not fail this suite)
     val dflt = GraftConfig.load(Some(confFile.toString + ".missing"))
-    assert(dflt.outDir === "target/warehouse" && dflt.benchReps === 2)
+    assert(dflt.outDir === sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "target/warehouse"))
+    assert(dflt.benchReps === sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val report = Etl.buildAll(spark, cfg).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(4)))
 
@@ -120,7 +123,7 @@ class EtlSpec extends AnyFunSuite {
     assert(Set("I", "U", "D").subsetOf(ops.keySet),
       s"fixture must produce inserts, updates AND deletes: $ops")
     // incremental apply ≡ full rebuild, exactly
-    val maintained = Etl.maintainFactTransactions(oldFact, oldEv, newEv)
+    val maintained = Etl.maintainFactTransactions(oldFact, newEv)
     assert(maintained.exceptAll(newFact).count() === 0)
     assert(newFact.exceptAll(maintained).count() === 0)
     // and the maintenance touched only changed grains: untouched rows

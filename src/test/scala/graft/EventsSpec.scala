@@ -123,7 +123,25 @@ class EventsSpec extends AnyFunSuite {
       .toString + "/pack_plan"
     val q = EventStream.packPlanStream(spark, sf, sink)
     q.processAllAvailable(); q.stop()
-    val streamed = spark.read.parquet(sink)
+    val streamed = spark.read.parquet(s"$sink/batch_*")
+      .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+    val batch = graft.operators.Corpus.packPlan(Tables.documents(spark, sf))
+      .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("streaming pack planner carries per-lang totals across REAL micro-batches") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_packstream2")
+      .toString + "/pack_plan"
+    // two staged files, one per trigger (doc_id-ordered arrival)
+    val q = EventStream.packPlanStream(spark, sf, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    // both triggers landed, and the second continued the running totals
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val streamed = spark.read.parquet(s"$sink/batch_*")
       .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
     val batch = graft.operators.Corpus.packPlan(Tables.documents(spark, sf))
       .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
