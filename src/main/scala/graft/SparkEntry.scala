@@ -265,6 +265,8 @@ object SparkEntry {
       val newEv = ev.filter(col("event_id") % 7 =!= 0)
       Etl.maintainFactTransactions(Facts.factTransactions(oldEv), newEv)
     }),
+    "embedding_normalize" -> ((s, d) => Similarity.normalize(t(s, d, "embeddings"))),
+    "dedup_minhash_estimate" -> ((s, d) => Dedup.minhashEstimate(t(s, d, "documents"))),
     "seq_pack_incremental" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, sum}
       // two doc_id-ordered corpus increments planned separately, the
@@ -1650,6 +1652,22 @@ object SparkEntry {
       s"""WITH $minhashCtes
          |SELECT doc_id, band_0, band_1, band_2, band_3 FROM bands ORDER BY doc_id""".stripMargin,
 
+    // Signature-agreement Jaccard estimate per LSH candidate pair —
+    // the m CTE carries the 12 component columns the bands fold.
+    "dedup_minhash_estimate" ->
+      s"""WITH $minhashCtes,
+         |$bandPairCtes
+         |SELECT doc_a, doc_b,
+         |  CAST(${(0 until 12).map(k =>
+              s"(CASE WHEN a.mh_$k = b.mh_$k THEN 1 ELSE 0 END)").mkString(" + ")}
+         |    AS BIGINT) AS n_equal,
+         |  CAST(${(0 until 12).map(k =>
+              s"(CASE WHEN a.mh_$k = b.mh_$k THEN 1 ELSE 0 END)").mkString(" + ")}
+         |    AS DOUBLE) / 12.0 AS est_jaccard
+         |FROM cand JOIN m a ON cand.doc_a = a.doc_id
+         |JOIN m b ON cand.doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_minhash_pairs" ->
       s"""WITH $minhashCtes,
          |$bandPairCtes
@@ -1703,6 +1721,23 @@ object SparkEntry {
         |  count(*) AS n_vectors,
         |  CAST(SUM(CAST(round(e.v * 1e9) AS BIGINT)) AS DOUBLE)/1e9/count(*) AS mean_val
         |FROM u GROUP BY 1, 2 ORDER BY label, dim_idx""".stripMargin,
+
+    // Unit-vector digest over 1e-9-quantized INTEGER components (raw
+    // double→string formatting differs across engines; integer-valued
+    // doubles don't); the norm and unit-norm folds pair list_sum with
+    // Spark's aggregate (the embedding_stats-proven combination).
+    "embedding_normalize" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS norm FROM e),
+        |u AS (SELECT vec_id, label, norm,
+        |  CASE WHEN norm = 0 THEN v ELSE list_transform(v, x -> x / norm) END AS uv FROM n)
+        |SELECT vec_id, label, norm,
+        |  md5(array_to_string(list_transform(uv,
+        |    x -> CAST(CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS VARCHAR)), ',')) AS unit_md5,
+        |  list_sum(list_transform(range(1, len(uv)+1), i -> uv[i]*uv[i])) AS unit_sq_sum
+        |FROM u ORDER BY vec_id""".stripMargin,
 
     "embedding_stats" ->
       """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

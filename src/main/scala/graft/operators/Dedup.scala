@@ -346,6 +346,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** MinHash Jaccard ESTIMATE for the LSH candidate pairs — the
+    * calibration diagnostic next to [[jaccardTop]]'s exact values:
+    * the fraction of agreeing signature components (of k=12) is the
+    * standard estimate of J(a,b) over the char-5-shingle sets. Two
+    * honesty notes a consumer needs: candidates exist BECAUSE a band
+    * (3 components) collided, so n_equal ≥ 3 structurally and low-J
+    * false positives read inflated — the diagnostic's point is exactly
+    * to surface that false-positive profile; and the 12 components mix
+    * one shared 28-bit base hash (Carter-Wegman), so the estimator is
+    * approximate, not exactly binomial. A corpus build reads this
+    * against exact values at sample scale to validate the banding
+    * before trusting it on the full corpus. One signature pass (the
+    * shared codegen'd shingleMinhash), candidate pairs from the band
+    * buckets, per-pair equality count via zip_with — no gram arrays,
+    * no second text scan, the two sig-side joins key on uniform doc
+    * ids.
+    */
+  def minhashEstimate(documents: DataFrame): DataFrame = {
+    val sigs = documents.select(col("doc_id"), norm.as("nt"))
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.shingleMinhash(col("nt")).as("sig"))
+    minhashPairs(documents)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (a, b) => when(a === b, 1L).otherwise(0L)),
+          lit(0L), (acc, e) => acc + e).as("n_equal"))
+      .withColumn("est_jaccard", col("n_equal").cast("double") / 12.0)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** 32-bit SimHash: bit j is the sign of Σ_tokens (±1 by whether hex
     * nibble j of md5(token) has its top bit set). Near-dup docs differ
     * in few bits. Emitted as a 32-char bitstring (portable, groupable).

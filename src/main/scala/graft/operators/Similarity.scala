@@ -276,4 +276,32 @@ object Similarity {
         max(col("norm")).as("max_norm"))
       .orderBy("label")
   }
+
+  /** L2-normalized embeddings — the preprocessing that turns dot
+    * product into cosine, so downstream ANN (IVF/LSH/brute) can use
+    * the cheaper product on a pre-normalized corpus. Pure map stage:
+    * norm via the ordered fold (engine-exact, same pairing
+    * embedding_stats proves), zero vectors pass through unchanged.
+    * The unit vector is emitted as an md5 over 1e-9-quantized integer
+    * components (raw double→string FORMATTING differs across engines;
+    * integer-valued doubles don't), plus the recomputed unit-norm fold
+    * the oracle reproduces bit-for-bit. Each stage is a named
+    * projection so lambdas read attributes — an outer fold embedded in
+    * a transform lambda re-evaluates per ELEMENT (the quantize lesson).
+    */
+  def normalize(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("u", when(col("norm") === 0.0, col("v"))
+        .otherwise(transform(col("v"), x => x / col("norm"))))
+      .select(col("vec_id"), col("label"), col("norm"),
+        md5(array_join(transform(col("u"),
+            x => floor(x * 1e9 + 0.5).cast("string")), ",")
+          .cast("binary")).as("unit_md5"),
+        aggregate(col("u"), lit(0.0), (acc, x) => acc + x * x)
+          .as("unit_sq_sum"))
+      .orderBy("vec_id")
 }

@@ -169,6 +169,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "dim joins should broadcast")
   }
 
+  test("normalize: unit norms, zero-vector passthrough, map-only plan") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, Array(3.0f, 4.0f), 0),
+      (2L, Array(0.0f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = graft.operators.Similarity.normalize(planted).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(2), x.getDouble(4)))).toMap
+    assert(r(1L)._1 === 5.0)
+    assert(math.abs(r(1L)._2 - 1.0) < 1e-12, "unit vector has norm 1")
+    assert(r(2L) === ((0.0, 0.0)), "zero vector passes through")
+    assert(math.abs(r(3L)._2 - 1.0) < 1e-12)
+    // corpus-wide: every nonzero vector normalizes to unit length
+    val corpus = graft.operators.Similarity.normalize(Tables.embeddings(spark, sf))
+      .filter(org.apache.spark.sql.functions.col("norm") > 0)
+    assert(corpus.filter(
+      org.apache.spark.sql.functions.abs(
+        org.apache.spark.sql.functions.col("unit_sq_sum") - 1.0) > 1e-9)
+      .count() === 0)
+    // map-only: no hash exchange, just the output sort's range split
+    val plan = graft.operators.Similarity.normalize(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), s"normalize must not shuffle:\n$plan")
+  }
+
   test("q1 aggregates stay in whole-stage codegen") {
     val df = Analytics.pricingSummary(Tables.lineitem(spark, sf))
     df.collect()   // run this exact queryExecution so AQE finalizes it

@@ -44,6 +44,40 @@ class TextDedupSpec extends AnyFunSuite {
     assert(top.getDouble(4) === 1.0)
   }
 
+  test("minhash estimate: exact dups estimate 1.0; estimates track exact jaccard") {
+    val est = Dedup.minhashEstimate(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // identical docs agree on every component
+    assert(est((1L, 2L)) === ((12L, 1.0)))
+    // the one-word near-dup agrees on most but not necessarily all
+    val nd = est.collectFirst { case (p, v) if p._2 == 3L || p._1 == 3L => v }
+    assert(nd.exists(v => v._1 >= 6L && v._1 <= 12L))
+    // corpus-wide calibration against the TRUE char-5-shingle jaccard
+    // (what minhash actually estimates — jaccardTop's token 3-grams
+    // are a different measure). Candidates exist BECAUSE a band
+    // collided, so n_equal ≥ 3 structurally and low-J false positives
+    // read inflated (the diagnostic's point) — assert the structural
+    // floor, that high-similarity pairs estimate high, and a loose
+    // mean-error bound over the candidate population
+    val texts = docs.select(lower(trim(col("text"))).as("nt"), col("doc_id"))
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    def shingles(s: String) = s.sliding(5).toSet
+    val ests = Dedup.minhashEstimate(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getDouble(3)))
+    assert(ests.nonEmpty)
+    ests.foreach { case (p, nEq, _) =>
+      assert(nEq >= 3L, s"pair $p: band collision implies ≥3 equal components")
+    }
+    val errs = ests.map { case ((a, b), _, e) =>
+      val (sa, sb) = (shingles(texts(a)), shingles(texts(b)))
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if (j >= 0.8) assert(e >= 0.5, s"pair ($a,$b): true J $j but est $e")
+      math.abs(j - e)
+    }
+    assert(errs.sum / errs.length <= 0.3,
+      s"mean |err| ${errs.sum / errs.length} too high — estimator broken")
+  }
+
   test("simhash: 32-bit signatures; near-dups within small hamming distance") {
     val sigs = Dedup.simhash(planted).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(sigs.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
