@@ -10,9 +10,13 @@ package graft
   * key/value mapping, which Properties covers without adding a
   * parser dependency).
   *
-  * Consumed by Bench and Verify for their session knobs and by
-  * Etl.buildAll's config overload; the env names are the ones the
-  * round driver already sets, so an absent file changes nothing.
+  * Consumed by Bench (sfDir/cpus/reps) and Verify (those plus
+  * broadcastThreshold — the plan-diversity knob) and by Etl.buildAll's
+  * config overload. Bench deliberately ignores broadcastThreshold so
+  * its round artifacts always measure the same (broadcast) plan
+  * family; use Verify for shuffle-plan crosschecks. The env names are
+  * the ones the round driver already sets, so an absent file changes
+  * nothing.
   */
 final case class GraftConfig(
     sfDir: String,

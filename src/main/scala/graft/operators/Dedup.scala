@@ -357,25 +357,36 @@ object Dedup {
     * one shared 28-bit base hash (Carter-Wegman), so the estimator is
     * approximate, not exactly binomial. A corpus build reads this
     * against exact values at sample scale to validate the banding
-    * before trusting it on the full corpus. One signature pass (the
-    * shared codegen'd shingleMinhash), candidate pairs from the band
-    * buckets, per-pair equality count via zip_with — no gram arrays,
-    * no second text scan, the two sig-side joins key on uniform doc
-    * ids.
+    * before trusting it on the full corpus. ONE text/signature pass,
+    * honestly: the signatures ride through the band-bucket groupBy
+    * inside the collected structs, so pair enumeration AND the
+    * component-equality count happen bucket-locally with no sig-side
+    * joins (a join formulation would re-evaluate the shingle pipeline
+    * once per join side — Spark does not dedupe shared subtrees).
+    * Bucket sizes are [[BandBucketCap]]-bounded, band keys identical
+    * to [[bandColumns]] (same concat|md5 over the same components).
     */
   def minhashEstimate(documents: DataFrame): DataFrame = {
     val sigs = documents.select(col("doc_id"), norm.as("nt"))
       .select(col("doc_id"),
         graft.functions.TextExpressions.shingleMinhash(col("nt")).as("sig"))
-    minhashPairs(documents)
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
-        Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
-        Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (a, b) => when(a === b, 1L).otherwise(0L)),
-          lit(0L), (acc, e) => acc + e).as("n_equal"))
+    val withBands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b => md5(concat_ws("|",
+        (0 until 3).map(j => element_at(col("sig"), 3 * b + j + 1)): _*)
+        .cast("binary"))): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    withBands
+      .groupBy("band_idx", "band_key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("xs"))
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= BandBucketCap)
+      .select(explode(flatten(transform(col("xs"), (a, i) =>
+        transform(slice(col("xs"), i + 2, size(col("xs"))), b =>
+          struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            aggregate(zip_with(a.getField("sig"), b.getField("sig"),
+                (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L), (acc, e) => acc + e).as("n_equal")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.n_equal")).distinct()
       .withColumn("est_jaccard", col("n_equal").cast("double") / 12.0)
       .orderBy("doc_a", "doc_b")
   }

@@ -102,19 +102,18 @@ object EventStream {
             java.nio.file.Paths.get(dir, "documents.parquet"), target)
       case Some(cut) =>
         val marker = staged.resolve("_staged_flat")
+        def rmAll(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rmAll)); x.delete(); ()
+        }
         if (!java.nio.file.Files.exists(marker)) {
           // wipe any stale earlier staging of this fixture dir
-          Option(new java.io.File(staged.toString).listFiles()).foreach(
-            _.foreach { f =>
-              def rmAll(x: java.io.File): Unit = {
-                Option(x.listFiles()).foreach(_.foreach(rmAll)); x.delete(); ()
-              }
-              rmAll(f)
-            })
+          Option(new java.io.File(staged.toString).listFiles())
+            .foreach(_.foreach(rmAll))
           val src = spark.read.parquet(s"$dir/documents.parquet")
           // the file source does not traverse nested non-partition
           // dirs: write each half via Spark, then lift the single part
           // file up as a flat file; distinct mtimes pin trigger order
+          // (the fixture's premise — fail loudly if the FS refuses)
           val t0 = java.nio.file.Files.getLastModifiedTime(
             java.nio.file.Paths.get(dir, "documents.parquet")).toMillis
           Seq(("a_low.parquet", col("doc_id") < cut, t0 - 120000L),
@@ -128,11 +127,9 @@ object EventStream {
               val target = staged.resolve(name)
               java.nio.file.Files.move(part.toPath, target,
                 java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              new java.io.File(target.toString).setLastModified(t)
-              def rm(f: java.io.File): Unit = {
-                Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-              }
-              rm(new java.io.File(tmp.toString))
+              require(new java.io.File(target.toString).setLastModified(t),
+                s"staging fixture: cannot set mtime on $target — trigger order unpinned")
+              rmAll(new java.io.File(tmp.toString))
             }
           java.nio.file.Files.createFile(marker)
           ()
@@ -289,6 +286,32 @@ object EventStream {
       .reduceOption(_ max _)
       .map(k => s"$stateDir/upto_$k")
 
+  /** Drop state versions a replay can no longer need: after `upto_N`
+    * commits, only N (current) and the latest version below N (an
+    * uncommitted N+1 replay reads it) are reachable — without pruning,
+    * a long-running stream accumulates one full state copy per trigger.
+    */
+  private def pruneStateBefore(spark: SparkSession, stateDir: String,
+                               keepFloor: Long): Unit =
+    graft.sources.Fs.childDirs(spark, stateDir)
+      .filter(_.startsWith("upto_"))
+      .map(_.stripPrefix("upto_").toLong)
+      .filter(_ < keepFloor)
+      .foreach { k =>
+        val (fs, p) = graft.sources.Fs.fileSystem(spark, s"$stateDir/upto_$k")
+        fs.delete(p, true)
+        ()
+      }
+
+  /** Release the storage blocks of per-trigger localCheckpoints once
+    * the trigger's writes are durable — a long-running stream would
+    * otherwise pin blocks until a full GC (the accumulation
+    * Dedup.clusters releases explicitly for the same reason). Safe
+    * here: nothing references the frames after the batch returns.
+    */
+  private def releaseCheckpoints(frames: org.apache.spark.sql.DataFrame*): Unit =
+    frames.foreach(org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
+
   /** Streaming twin of Dedup.admitNearDup — the COMPLETE admission
     * pipeline as a continuous process: each micro-batch is tested
     * against the standing corpus band index PLUS the index of every
@@ -301,13 +324,17 @@ object EventStream {
     * the streaming shape for per-batch graph work). Admitted survivors
     * land in per-batch sink dirs (read with `sinkPath/batch_*`).
     *
-    * Contract vs the one-shot batch operator: under doc_id-ordered
-    * arrival the admitted doc SET matches; per-trigger cluster sizes
-    * count only same-trigger twins, and a component whose connecting
-    * doc arrives later than two non-colliding members admits both
-    * (online clustering cannot see edges that haven't arrived — the
-    * batch layer's retro-dedup owns that tail, same lambda split as
-    * [[incrementalAdmissionStream]]).
+    * Contract vs the one-shot batch operator, under doc_id-ordered
+    * arrival: every batch-canonical survivor is admitted (its
+    * component's min id collides with no earlier fresh doc, by
+    * minimality — so batch ⊆ streamed ALWAYS), and a doc colliding
+    * with any earlier fresh doc is rejected. The stream can admit MORE
+    * than the batch operator in one case: a component whose connecting
+    * doc arrives after two mutually non-colliding members admits both
+    * (online clustering cannot see edges that haven't arrived). That
+    * tail — like late re-arrivals — is the batch layer's retro-dedup
+    * job, the same lambda split as [[incrementalAdmissionStream]].
+    * Per-trigger cluster sizes count only same-trigger twins.
     */
   def admissionPipelineStream(spark: SparkSession, dir: String,
                               corpus: DataFrame, batchPredicate: Column,
@@ -343,6 +370,8 @@ object EventStream {
           .unionByName(graft.operators.Dedup.bandIndex(freshDocs))
           .distinct().localCheckpoint(eager = true)
         graft.sources.Loader.truncateAndLoad(newBands, s"$stateDir/upto_$batchId")
+        releaseCheckpoints(freshDocs, newBands)
+        pruneStateBefore(spark, stateDir, batchId - 1)
         ()
       }
       .start()
@@ -407,6 +436,8 @@ object EventStream {
           .groupBy("lang").agg(sum(col("base_tokens")).as("base_tokens"))
           .localCheckpoint(eager = true)
         graft.sources.Loader.truncateAndLoad(newTotals, s"$stateDir/upto_$batchId")
+        releaseCheckpoints(planned, newTotals)
+        pruneStateBefore(spark, stateDir, batchId - 1)
         ()
       }
       .start()

@@ -291,15 +291,18 @@ class ScaleSpec extends AnyFunSuite {
     val batches = new java.io.File(sink).listFiles()
       .map(_.getName).filter(_.startsWith("batch_")).sorted
     assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
-    // under doc_id-ordered arrival the admitted doc SET matches the
-    // one-shot batch operator (per-trigger cluster sizes may differ —
-    // a later twin is rejected by the carried index, not absorbed)
     val streamedIds = spark.read.parquet(s"$sink/batch_*").select("doc_id")
     val batchIds = graft.operators.Dedup
       .admitNearDup(corpus, docs.filter(col("doc_id") % 3 === 0))
       .select("doc_id")
-    assert(streamedIds.exceptAll(batchIds).count() === 0)
+    // guaranteed direction: every batch-canonical survivor is admitted
+    // (component minima collide with no earlier fresh doc)
     assert(batchIds.exceptAll(streamedIds).count() === 0)
+    // observed on this (deterministic, never-regenerated) corpus the
+    // sets coincide; in general the stream may admit MORE when a
+    // component's connecting doc arrives after two non-colliding
+    // members — see the operator contract
+    assert(streamedIds.exceptAll(batchIds).count() === 0)
   }
 
   test("streaming dedup-by-signature matches the batch canonical set") {
