@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -54,12 +53,18 @@ object Dedup {
 
   /** Exact dedup on normalized-text hash; canonical = min doc_id in the
     * hash group (ref data_validator.py:299 keep-first semantics).
+    *
+    * Shape note (r6): the canonical id comes from a groupBy + join
+    * back, NOT a fingerprint-partitioned window — web corpora carry
+    * mega-dup groups (boilerplate duplicated millions of times), and a
+    * window puts the whole group in ONE task while the aggregate
+    * partial-combines map-side and AQE can skew-split the join (it
+    * cannot split a window partition). Result-identical.
     */
   def exact(documents: DataFrame): DataFrame = {
-    val fp = fingerprint
-    val w = Window.partitionBy(col("fp_md5"))
-    documents.select(col("doc_id"), fp.as("fp_md5"))
-      .withColumn("canonical_id", min(col("doc_id")).over(w))
+    val fps = documents.select(col("doc_id"), fingerprint.as("fp_md5"))
+    val canon = fps.groupBy("fp_md5").agg(min(col("doc_id")).as("canonical_id"))
+    fps.join(canon, Seq("fp_md5"))
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
       .select("doc_id", "fp_md5", "canonical_id", "is_dup")
       .orderBy("doc_id")
@@ -168,8 +173,14 @@ object Dedup {
     }
     // the returned plan depends only on the final labels checkpoint
     org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(edges)
-    val w = Window.partitionBy("cluster_id")
-    labels.withColumn("cluster_size", count(lit(1)).over(w))
+    // sizes via groupBy + join, not a cluster-partitioned window: a
+    // mega-dup cluster (millions of members) would occupy one window
+    // task, while the aggregate partial-combines and AQE can
+    // skew-split the join back (labels is a checkpointed LogicalRDD,
+    // so the double consumption reads materialized blocks, not a
+    // recomputed lineage)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
       .orderBy("doc_id")
@@ -264,9 +275,10 @@ object Dedup {
     val seen = fingerprintSet(corpus)
     val fresh = batch.select(col("doc_id"), fingerprint.as("fp_md5"))
       .join(seen, Seq("fp_md5"), "left_anti")
-    val w = Window.partitionBy(col("fp_md5"))
-    fresh.withColumn("first_id", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("first_id"))
+    // keep-first IS the group minimum — one map-side-combined aggregate
+    // instead of a fingerprint-partitioned window (a batch full of one
+    // boilerplate page would funnel through a single window task)
+    fresh.groupBy("fp_md5").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "fp_md5")
       .orderBy("doc_id")
   }
