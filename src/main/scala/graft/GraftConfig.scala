@@ -1,14 +1,17 @@
 package graft
 
 /** Typed run configuration — parity with the reference's config-file
-  * orchestration (config/etl_config.yaml read through
-  * core/config_manager.py before main.py:94 run_full_etl; connection,
-  * chunk and flag settings come from the file with env fallback). The
-  * Spark re-expression keeps the same precedence chain — config file >
-  * environment > defaults — over a dependency-free
+  * orchestration (main.py loads config/etl_config.yaml directly before
+  * run_full_etl; connection, chunk and flag settings come from the
+  * file). The Spark re-expression keeps a file > environment >
+  * defaults precedence chain over a dependency-free
   * java.util.Properties file (the YAML the reference uses is a flat
   * key/value mapping, which Properties covers without adding a
-  * parser dependency).
+  * parser dependency). Because the file outranks env, every file-key
+  * override of a set env var is logged at load — a stale file mounted
+  * via SPARK_GRAFT_CONFIG silently shadowing a driver-exported knob
+  * (e.g. SPARK_GRAFT_CPUS) was exactly the failure mode worth a line
+  * of stderr.
   *
   * Consumed by Bench (sfDir/cpus/reps) and Verify (those plus
   * broadcastThreshold — the plan-diversity knob) and by Etl.buildAll's
@@ -38,18 +41,35 @@ object GraftConfig {
       val in = new java.io.FileInputStream(f)
       try props.load(in) finally in.close()
     }
-    def get(key: String, env: String): Option[String] =
-      Option(props.getProperty(key)).orElse(sys.env.get(env))
+    def get(key: String, env: String): Option[String] = {
+      val fromFile = Option(props.getProperty(key))
+      // file wins, but shadowing a SET env var is worth announcing —
+      // the usual accident is a stale mounted file overriding the
+      // driver's exported knob
+      for (f <- fromFile; e <- sys.env.get(env) if f != e)
+        System.err.println(s"[graft-config] $key=$f from ${path.getOrElse("?")} overrides $env=$e")
+      fromFile.orElse(sys.env.get(env))
+    }
+    // name the offending key: a bare NumberFormatException from a
+    // malformed file value gives no hint WHICH of the numeric knobs
+    // (or which of file/env) carried the garbage
+    def getInt(key: String, env: String, default: Int): Int =
+      get(key, env).map { v =>
+        try v.trim.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"config value for '$key' (env $env) is not an integer: '$v'")
+        }
+      }.getOrElse(default)
     GraftConfig(
       sfDir = get("sf.dir", "SPARK_GRAFT_SF_DIR")
         .getOrElse("/root/testdata/sf0.1"),
       outDir = get("out.dir", "SPARK_GRAFT_OUT_DIR")
         .getOrElse("target/warehouse"),
-      cpus = get("cpus", "SPARK_GRAFT_CPUS")
-        .getOrElse(Runtime.getRuntime.availableProcessors().toString).toInt,
+      cpus = getInt("cpus", "SPARK_GRAFT_CPUS",
+        Runtime.getRuntime.availableProcessors()),
       broadcastThreshold =
         get("broadcast.threshold", "SPARK_GRAFT_BROADCAST_THRESHOLD"),
-      benchReps = get("bench.reps", "SPARK_GRAFT_BENCH_REPS")
-        .getOrElse("2").toInt)
+      benchReps = getInt("bench.reps", "SPARK_GRAFT_BENCH_REPS", 2))
   }
 }

@@ -25,7 +25,7 @@ object SparkEntry {
     */
   val checkpointingQueries: Set[String] =
     Set("dedup_clusters", "dedup_prune", "corpus_report", "decontaminate",
-      "dedup_admit", "fact_transactions_cdc")
+      "dedup_admit", "dedup_reconcile", "fact_transactions_cdc")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -280,6 +280,24 @@ object SparkEntry {
       first.unionByName(
           Corpus.packPlanIncremental(docs.filter(col("doc_id") >= 250), totals))
         .orderBy("doc_id")
+    }),
+    "dedup_reconcile" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      // the streaming admission pipeline's retro-dedup half: arrivals
+      // in two doc_id-ordered increments accumulate the doc-level
+      // band-graph STATE (corpus-fresh docs only — exactly what the
+      // stream carries), then full component closure over that state
+      // settles the admitted set. The oracle is the ONE-SHOT
+      // dedup_admit SQL over everything — hash equality proves
+      // streamed-state ∘ reconcile ≡ one-shot admission.
+      val docs = t(s, d, "documents")
+      val corpusIndex = Dedup.bandIndex(docs.filter(col("doc_id") % 3 =!= 0))
+      val arriving = docs.filter(col("doc_id") % 3 === 0)
+      val state = Seq(col("doc_id") < 250, col("doc_id") >= 250)
+        .map(p => Dedup.bandGraph(Dedup.freshBandsAgainstIndex(
+          corpusIndex, Dedup.bandColumns(arriving.filter(p)))))
+        .reduce(_ unionByName _)
+      Dedup.reconcileAdmission(state)
     })
   )
 
@@ -366,6 +384,43 @@ object SparkEntry {
        |  FROM e a JOIN bc USING (band_idx, band_key)
        |  JOIN e c ON a.band_idx = c.band_idx AND a.band_key = c.band_key
        |    AND a.doc_id < c.doc_id)""".stripMargin
+
+  // One-shot complete admission over everything that arrived —
+  // corpus-collision anti-join, then the recursive min-label flood
+  // confined to the fresh batch docs. ONE text bound to TWO keys:
+  // dedup_admit (the batch operator) and dedup_reconcile (incremental
+  // band-graph state + retro closure), so hash equality proves the
+  // streamed-then-reconciled path reproduces the one-shot admission.
+  private val admitOneShotSql =
+    s"""WITH RECURSIVE $minhashCtes,
+       |e AS (
+       |  SELECT doc_id, 0 AS band_idx, band_0 AS band_key FROM bands
+       |  UNION ALL SELECT doc_id, 1, band_1 FROM bands
+       |  UNION ALL SELECT doc_id, 2, band_2 FROM bands
+       |  UNION ALL SELECT doc_id, 3, band_3 FROM bands),
+       |ci AS (SELECT DISTINCT band_idx, band_key FROM e WHERE doc_id % 3 <> 0),
+       |coll AS (SELECT DISTINCT e.doc_id FROM e JOIN ci USING (band_idx, band_key)
+       |  WHERE e.doc_id % 3 = 0),
+       |fresh AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM coll)),
+       |ef AS (SELECT e.doc_id, e.band_idx, e.band_key FROM e JOIN fresh USING (doc_id)),
+       |fbc AS (SELECT band_idx, band_key FROM ef GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND ${Dedup.BandBucketCap}),
+       |fcand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM ef a JOIN fbc USING (band_idx, band_key)
+       |  JOIN ef c ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+       |    AND a.doc_id < c.doc_id),
+       |ed AS (SELECT doc_a AS src, doc_b AS dst FROM fcand
+       |  UNION ALL SELECT doc_b, doc_a FROM fcand),
+       |reach(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM fresh
+       |  UNION
+       |  SELECT ed.src, r.lbl FROM ed JOIN reach r ON ed.dst = r.doc_id),
+       |lab AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+       |sz AS (SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM lab)
+       |SELECT doc_id, cluster_size, cluster_size - 1 AS n_batch_dups
+       |FROM sz WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dim_date" ->
@@ -1616,37 +1671,10 @@ object SparkEntry {
     // dedup_incremental_minhash), then the recursive min-label flood
     // CONFINED to the fresh batch docs — band buckets and the bucket
     // cap count fresh members only, mirroring Dedup.clusters run on
-    // the surviving batch.
-    "dedup_admit" ->
-      s"""WITH RECURSIVE $minhashCtes,
-         |e AS (
-         |  SELECT doc_id, 0 AS band_idx, band_0 AS band_key FROM bands
-         |  UNION ALL SELECT doc_id, 1, band_1 FROM bands
-         |  UNION ALL SELECT doc_id, 2, band_2 FROM bands
-         |  UNION ALL SELECT doc_id, 3, band_3 FROM bands),
-         |ci AS (SELECT DISTINCT band_idx, band_key FROM e WHERE doc_id % 3 <> 0),
-         |coll AS (SELECT DISTINCT e.doc_id FROM e JOIN ci USING (band_idx, band_key)
-         |  WHERE e.doc_id % 3 = 0),
-         |fresh AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0
-         |  AND doc_id NOT IN (SELECT doc_id FROM coll)),
-         |ef AS (SELECT e.doc_id, e.band_idx, e.band_key FROM e JOIN fresh USING (doc_id)),
-         |fbc AS (SELECT band_idx, band_key FROM ef GROUP BY 1, 2
-         |  HAVING count(*) BETWEEN 2 AND ${Dedup.BandBucketCap}),
-         |fcand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-         |  FROM ef a JOIN fbc USING (band_idx, band_key)
-         |  JOIN ef c ON a.band_idx = c.band_idx AND a.band_key = c.band_key
-         |    AND a.doc_id < c.doc_id),
-         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM fcand
-         |  UNION ALL SELECT doc_b, doc_a FROM fcand),
-         |reach(doc_id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM fresh
-         |  UNION
-         |  SELECT ed.src, r.lbl FROM ed JOIN reach r ON ed.dst = r.doc_id),
-         |lab AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
-         |sz AS (SELECT doc_id, cluster_id,
-         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM lab)
-         |SELECT doc_id, cluster_size, cluster_size - 1 AS n_batch_dups
-         |FROM sz WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin,
+    // the surviving batch. The SAME text also oracles dedup_reconcile:
+    // incremental state + retro closure must hash-equal the one-shot.
+    "dedup_admit" -> admitOneShotSql,
+    "dedup_reconcile" -> admitOneShotSql,
 
     "dedup_minhash" ->
       s"""WITH $minhashCtes

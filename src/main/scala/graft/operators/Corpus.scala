@@ -388,6 +388,17 @@ object Corpus {
     * The top-k window partitions per doc.
     */
   def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    // The exploded (doc, term) stream feeds BOTH the tf and the df
+    // aggregates with different grouping keys, so ReuseExchange cannot
+    // share them and the tokenize+explode runs twice. Deliberately NOT
+    // checkpointed: measured at sf0.1 (r7, reps=2 and 3), an eager
+    // localCheckpoint made tfidf_top_terms ~15% SLOWER (0.60→0.71 s
+    // isolated) and doc_commonness flat — a whitespace split is cheap
+    // enough that writing the fan-out to block storage costs more than
+    // recomputing it (the same verdict as dedup_jaccard's gram table;
+    // decontaminate's md5-per-gram stream is the case where it wins).
+    // A 100 TB run whose source scan dominates should materialize
+    // `terms` itself and feed both aggregates from it.
     val terms = documents
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -59,7 +59,16 @@ object Dedup {
     * mega-dup groups (boilerplate duplicated millions of times), and a
     * window puts the whole group in ONE task while the aggregate
     * partial-combines map-side and AQE can skew-split the join (it
-    * cannot split a window partition). Result-identical.
+    * cannot split a window partition). Result-identical. The price is
+    * a deliberate 2× scan: `fps` feeds both join sides and Spark does
+    * not dedupe shared subtrees, so the normalize+md5 pipeline runs
+    * twice where the old window form scanned once. That trade is taken
+    * knowingly — the fingerprint map is cheap per row while the
+    * skew-resilience applies to the expensive shuffle, and the
+    * library's lazy-plan contract rules out a persistent checkpoint it
+    * could never release (a production pipeline that wants one scan
+    * materializes `fps` itself — the same note as [[jaccardTop]]'s
+    * gram table).
     */
   def exact(documents: DataFrame): DataFrame = {
     val fps = documents.select(col("doc_id"), fingerprint.as("fp_md5"))
@@ -111,12 +120,18 @@ object Dedup {
     * on non-degenerate corpora; [[BandBucketCap]] bounds the worst
     * case), which is the property that holds at corpus scale.
     */
-  def minhashPairs(documents: DataFrame): DataFrame = {
-    val bands = minhashBands(documents)
-      .select(col("doc_id"), posexplode(array(
-        col("band_0"), col("band_1"), col("band_2"), col("band_3"))))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
-    bands
+  def minhashPairs(documents: DataFrame): DataFrame =
+    pairsFromGraph(explodeBands(bandColumns(documents)))
+      .orderBy("doc_a", "doc_b")
+
+  /** Pair enumeration from an exploded (doc_id, band_idx, band_key)
+    * band graph — the shared core of [[minhashPairs]], [[clusters]]
+    * and the admission/reconcile family. Unsorted: every consumer
+    * either re-shuffles (clustering) or sorts itself (the public
+    * pairs surface), so a sort here would be a dead range exchange.
+    */
+  private def pairsFromGraph(exploded: DataFrame): DataFrame =
+    exploded
       .groupBy("band_idx", "band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= BandBucketCap)
@@ -125,8 +140,6 @@ object Dedup {
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
-      .orderBy("doc_a", "doc_b")
-  }
 
   /** Connected-component cluster assignment over the MinHash/LSH
     * candidate-pair graph: every doc gets the minimum doc_id reachable
@@ -143,12 +156,39 @@ object Dedup {
     * eager `localCheckpoint` so lineage stays flat instead of growing
     * a join per round.
     */
-  def clusters(documents: DataFrame): DataFrame = {
-    val edges = minhashPairs(documents).select(col("doc_a"), col("doc_b"))
+  def clusters(documents: DataFrame): DataFrame =
+    clustersFromBands(bandColumns(documents))
+
+  /** [[clusters]] over PRE-COMPUTED band columns (doc_id,
+    * band_0..band_3) — the shape the admission family uses so ONE
+    * shingle-minhash pass per batch feeds both the index collision
+    * test and the survivor clustering (Spark does not dedupe shared
+    * subtrees, so without this the expensive band pipeline ran once
+    * per consumer). Callers passing a multiply-consumed `bands` should
+    * hand in a materialized (checkpointed) frame; the propagation
+    * itself checkpoints everything it iterates on, so the returned
+    * plan does NOT retain `bands`.
+    */
+  def clustersFromBands(bands: DataFrame): DataFrame =
+    clustersCore(bands.select(col("doc_id")),
+      pairsFromGraph(explodeBands(bands)))
+
+  /** [[clusters]] over an exploded (doc_id, band_idx, band_key) band
+    * GRAPH — the retro-reconcile entry point: the streaming admission
+    * pipeline carries exactly this table as state, and component
+    * closure over it reproduces the one-shot clustering without the
+    * original texts.
+    */
+  def clustersFromBandGraph(exploded: DataFrame): DataFrame =
+    clustersCore(exploded.select(col("doc_id")).distinct(),
+      pairsFromGraph(exploded))
+
+  private def clustersCore(docIds: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     val sym = edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var labels = docIds.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
@@ -316,16 +356,39 @@ object Dedup {
   def bandIndex(docs: DataFrame): DataFrame =
     explodeBands(bandColumns(docs)).select("band_idx", "band_key").distinct()
 
+  /** Exploded (doc_id, band_idx, band_key) rows from pre-computed band
+    * columns — the doc-level band GRAPH. This is what the streaming
+    * admission pipeline carries as state (doc ids retained, unlike
+    * [[bandIndex]], so retro-reconcile can rebuild components), and
+    * what [[clustersFromBandGraph]] consumes.
+    */
+  def bandGraph(bands: DataFrame): DataFrame = explodeBands(bands)
+
+  /** Doc_ids (of `exploded`'s docs) colliding with the index on any
+    * band.
+    */
+  private def collidingIds(index: DataFrame, exploded: DataFrame): DataFrame =
+    exploded.join(index, Seq("band_idx", "band_key"), "left_semi")
+      .select("doc_id").distinct()
+
   /** Batch doc_ids with NO band collision against a standing index —
     * the admission test, unsorted (consumers re-shuffle).
     */
-  def freshAgainstIndex(index: DataFrame, batch: DataFrame): DataFrame = {
-    val colliding = explodeBands(bandColumns(batch))
-      .join(index, Seq("band_idx", "band_key"), "left_semi")
-      .select("doc_id").distinct()
+  def freshAgainstIndex(index: DataFrame, batch: DataFrame): DataFrame =
     batch.select("doc_id")
-      .join(colliding, Seq("doc_id"), "left_anti")
-  }
+      .join(collidingIds(index, explodeBands(bandColumns(batch))),
+        Seq("doc_id"), "left_anti")
+
+  /** [[freshAgainstIndex]] over PRE-COMPUTED band columns, keeping the
+    * band columns on the survivors (so the caller's next stage —
+    * clustering, state append — reuses them instead of recomputing the
+    * shingle-minhash pipeline). `bands` is referenced on BOTH sides of
+    * the anti-join; pass a materialized (checkpointed) frame or the
+    * band pipeline evaluates twice.
+    */
+  def freshBandsAgainstIndex(index: DataFrame, bands: DataFrame): DataFrame =
+    bands.join(collidingIds(index, explodeBands(bands)),
+      Seq("doc_id"), "left_anti")
 
   /** Complete near-dup admission of a batch in one operator: the
     * corpus-index anti-join of [[incrementalNearDup]] rejects docs the
@@ -349,14 +412,46 @@ object Dedup {
     * pipeline), never recomputed from the corpus.
     */
   def admitNearDupWithIndex(index: DataFrame, batch: DataFrame): DataFrame = {
-    val freshDocs = batch.join(freshAgainstIndex(index, batch),
-      Seq("doc_id"), "left_semi")
-    clusters(freshDocs)
+    // ONE shingle-minhash pass per admission (r7): the band columns are
+    // computed once, materialized, and shared by the index collision
+    // test and the survivor clustering — previously the pipeline ran
+    // once inside freshAgainstIndex and again inside clusters(), and
+    // the shingle-minhash map is the expensive stage of the whole
+    // operator. Eager checkpoint, released below.
+    val bands = bandColumns(batch).localCheckpoint(true)
+    val clustered = clustersFromBands(freshBandsAgainstIndex(index, bands))
+    // clustersFromBands checkpointed its edges and labels eagerly, so
+    // the returned plan reads the final labels checkpoint — nothing
+    // retains `bands`; release its blocks instead of waiting for a GC
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(bands)
+    clustered
       .filter(col("is_canonical"))
       .select(col("doc_id"), col("cluster_size"),
         (col("cluster_size") - 1).as("n_batch_dups"))
       .orderBy("doc_id")
   }
+
+  /** Retro-dedup reconcile — the batch half of the lambda split the
+    * streaming admission pipeline defers to: given the carried
+    * band-graph state (doc_id, band_idx, band_key for every
+    * corpus-fresh doc the stream has seen, across ALL triggers), rerun
+    * full component closure and return the settled admitted set. An
+    * online admission can admit two mutually non-colliding members of
+    * one true component when the connecting doc arrives after them;
+    * closure over the complete graph sees that edge and demotes the
+    * late-connected twin, so streamed ∘ reconcile ≡ the one-shot
+    * [[admitNearDup]] over everything that arrived (the
+    * `dedup_reconcile` oracle hash-proves exactly this against the
+    * recursive one-shot SQL). Runs entirely from the compact state —
+    * no original texts, no re-hashing: at 100 TB the reconcile input
+    * is 4 short rows per fresh doc, not the corpus.
+    */
+  def reconcileAdmission(stateBands: DataFrame): DataFrame =
+    clustersFromBandGraph(stateBands)
+      .filter(col("is_canonical"))
+      .select(col("doc_id"), col("cluster_size"),
+        (col("cluster_size") - 1).as("n_batch_dups"))
+      .orderBy("doc_id")
 
   /** MinHash Jaccard ESTIMATE for the LSH candidate pairs — the
     * calibration diagnostic next to [[jaccardTop]]'s exact values:

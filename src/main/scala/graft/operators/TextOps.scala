@@ -303,6 +303,11 @@ object TextOps {
     * doc-keyed rollup; the 1-row corpus count broadcasts.
     */
   def commonness(documents: DataFrame): DataFrame = {
+    // same double-scan shape as Corpus.tfidfTopTerms: `terms` feeds the
+    // df aggregate AND the salted join's probe side with different
+    // keys, so the tokenize+explode runs twice. Deliberately NOT
+    // checkpointed — measured at sf0.1 (r7): flat to slower, same as
+    // the dedup_jaccard precedent; see the tfidfTopTerms note.
     val terms = documents.select(col("doc_id"), explode(toks).as("term"))
     val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("term_df"))
     val nDocs = documents.select(countDistinct(col("doc_id")).as("n_docs"))

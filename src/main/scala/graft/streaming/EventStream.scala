@@ -13,7 +13,11 @@ import org.apache.spark.sql.types.DecimalType
 object EventStream {
 
   /** Streaming tumbling 1-hour aggregate with a 2-hour watermark —
-    * twin of EventOps.hourly.
+    * twin of EventOps.hourly. Equivalence caveat (applies to every
+    * watermark-evicted state in this file): an event arriving more
+    * than 2 hours behind the stream's max event time lands after its
+    * window's state was finalized and is dropped — the batch twin
+    * over the settled data is the reconciliation path.
     */
   /** readStream over the raw parquet: nanos-as-long + div-1000 convert,
     * mirroring graft.sources.Tables.events.
@@ -64,15 +68,26 @@ object EventStream {
       expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"))
   }
 
-  /** Streaming exact dedup: watermarked dropDuplicates keeps the first
-    * arrival per (user, event_type); state for keys older than the
-    * watermark is evicted — the streaming twin of the keep-first dedup
+  /** Streaming exact dedup: keeps the first arrival per
+    * (user, event_type) — the streaming twin of the keep-first dedup
     * in the validator (data_validator.py:299).
+    *
+    * State honesty: dropDuplicatesWithinWatermark, NOT plain
+    * dropDuplicates — with the event-time column absent from the key
+    * list, plain dropDuplicates never evicts (one state row per
+    * distinct key forever); the within-watermark form expires a key
+    * once the watermark passes its last sighting + delay. The flip
+    * side is the contract caveat that applies EVERYWHERE state is
+    * evicted: batch↔stream equivalence holds only within the 2-hour
+    * watermark retention — a duplicate key re-arriving after its
+    * state expired is re-emitted, and reconciling those late
+    * re-arrivals is the batch layer's job (same lambda split as
+    * [[dedupBySignatureStream]]).
     */
   def dedupStream(spark: SparkSession, dir: String): DataFrame =
     eventsStream(spark, dir)
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
 
   /** readStream over the documents corpus, staged the same way as
@@ -147,8 +162,11 @@ object EventStream {
     * first arrival per fingerprint and EVICTS state once the watermark
     * passes — bounded memory however long the stream runs, where a
     * plain dropDuplicates would accumulate one state row per distinct
-    * document forever. Duplicates arriving farther apart than the
-    * watermark delay are the batch layer's job (lambda split).
+    * document forever. Contract caveat: batch↔stream equivalence
+    * therefore holds only WITHIN the 1-hour watermark retention — a
+    * fingerprint re-arriving after its state was evicted is re-emitted,
+    * and demoting those late re-arrivals is the batch layer's job
+    * (lambda split).
     */
   def dedupBySignatureStream(spark: SparkSession, dir: String): DataFrame =
     documentsStream(spark, dir)
@@ -162,7 +180,9 @@ object EventStream {
     * is the point of preferring the first-class operator over a
     * hand-rolled lag+cumsum: one definition, two execution modes.
     * Watermark bounds the session state; sessions emit once the
-    * watermark passes their close.
+    * watermark passes their close — so an event arriving >2 h late
+    * cannot reopen its session (see the equivalence caveat on
+    * [[hourlyStream]]).
     */
   def sessionWindowStream(spark: SparkSession, dir: String): DataFrame =
     eventsStream(spark, dir)
@@ -189,6 +209,10 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
       .writeStream.outputMode("update")
+      // same restart contract as the other foreachBatch sinks: resume
+      // batch ids instead of a fresh temporary checkpoint (the
+      // keep-latest merge is replay-idempotent given a stable id)
+      .option("checkpointLocation", sinkPath + ".ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val incoming = batch.withColumn("__batch", lit(batchId))
         val existing =
@@ -326,15 +350,26 @@ object EventStream {
     *
     * Contract vs the one-shot batch operator, under doc_id-ordered
     * arrival: every batch-canonical survivor is admitted (its
-    * component's min id collides with no earlier fresh doc, by
+    * component's min id collides with no earlier corpus-fresh doc, by
     * minimality — so batch ⊆ streamed ALWAYS), and a doc colliding
-    * with any earlier fresh doc is rejected. The stream can admit MORE
-    * than the batch operator in one case: a component whose connecting
-    * doc arrives after two mutually non-colliding members admits both
-    * (online clustering cannot see edges that haven't arrived). That
-    * tail — like late re-arrivals — is the batch layer's retro-dedup
-    * job, the same lambda split as [[incrementalAdmissionStream]].
-    * Per-trigger cluster sizes count only same-trigger twins.
+    * with any earlier corpus-fresh doc is rejected. The stream can
+    * admit MORE than the batch operator in one case: a component whose
+    * connecting doc arrives after two mutually non-colliding members
+    * admits both (online clustering cannot see edges that haven't
+    * arrived). That tail — like late re-arrivals — is
+    * [[reconcileAdmission]]'s job: the carried state is the doc-level
+    * band GRAPH of every corpus-fresh doc seen (4 short rows per doc —
+    * doc ids retained precisely so full component closure can be
+    * re-run later without the texts), and the retro pass demotes the
+    * late-connected twins, making streamed ∘ reconcile ≡ the one-shot
+    * operator. Per-trigger cluster sizes count only same-trigger twins.
+    *
+    * Each trigger computes the shingle-minhash band pipeline ONCE
+    * (checkpointed), shared by the collision test, the survivor
+    * clustering and the state append. Restart-safety: the streaming
+    * checkpoint is pinned next to the sink, so a restarted query
+    * resumes batch ids and replays hit the versioned-state
+    * overwrite-idempotent path instead of resetting state.
     */
   def admissionPipelineStream(spark: SparkSession, dir: String,
                               corpus: DataFrame, batchPredicate: Column,
@@ -348,33 +383,69 @@ object EventStream {
     documentsStream(spark, dir, splitAt)
       .filter(batchPredicate)
       .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val docs = batch.drop("ingest_ts")
-        val seenBands = latestStateBefore(spark, stateDir, batchId)
+        val seenGraph = latestStateBefore(spark, stateDir, batchId)
           .map(spark.read.parquet(_))
-          .getOrElse(Seq.empty[(Int, String)].toDF("band_idx", "band_key"))
-        val index = corpusIndex.unionByName(seenBands)
-        // fresh = no collision with corpus OR previously-seen fresh docs
-        val freshDocs = docs.join(
-            graft.operators.Dedup.freshAgainstIndex(index, docs),
-            Seq("doc_id"), "left_semi")
+          .getOrElse(Seq.empty[(Long, Int, String)]
+            .toDF("doc_id", "band_idx", "band_key"))
+        // ONE band pass per trigger, shared by every consumer below
+        val bands = graft.operators.Dedup.bandColumns(docs)
           .localCheckpoint(eager = true)
-        val admitted = graft.operators.Dedup.clusters(freshDocs)
+        // corpus-fresh = no collision with the STANDING corpus only —
+        // the one-shot operator's fresh universe, which is what the
+        // carried graph must cover for reconcile to rebuild components
+        // (a doc rejected here is a dup of the settled corpus in BOTH
+        // views and never needs revisiting)
+        val corpusFresh = graft.operators.Dedup
+          .freshBandsAgainstIndex(corpusIndex, bands)
+        val newGraph = seenGraph
+          .unionByName(graft.operators.Dedup.bandGraph(corpusFresh))
+          .localCheckpoint(eager = true)
+        // admitted universe = fresh vs corpus AND vs every earlier
+        // corpus-fresh doc (admitted or absorbed or even rejected —
+        // colliding with a known near-dup group means joining it)
+        val carriedIndex = seenGraph.select("band_idx", "band_key").distinct()
+        val admitted = graft.operators.Dedup.clustersFromBands(
+            graft.operators.Dedup.freshBandsAgainstIndex(
+              corpusIndex.unionByName(carriedIndex), bands))
           .filter(col("is_canonical"))
           .select(col("doc_id"), col("cluster_size"),
             (col("cluster_size") - 1).as("n_batch_dups"))
         graft.sources.Loader.truncateAndLoad(admitted, s"$sinkPath/batch_$batchId")
-        // carry ALL fresh docs' bands (admitted + absorbed twins): a
-        // later near-dup of an absorbed twin must also be rejected
-        val newBands = seenBands
-          .unionByName(graft.operators.Dedup.bandIndex(freshDocs))
-          .distinct().localCheckpoint(eager = true)
-        graft.sources.Loader.truncateAndLoad(newBands, s"$stateDir/upto_$batchId")
-        releaseCheckpoints(freshDocs, newBands)
+        graft.sources.Loader.truncateAndLoad(newGraph, s"$stateDir/upto_$batchId")
+        // `admitted` rides the labels checkpoint clustersFromBands left
+        // behind — releasing it here (after the sink write landed) is
+        // what keeps a long-running stream from pinning one labels
+        // checkpoint per trigger until a full GC
+        releaseCheckpoints(bands, newGraph, admitted)
         pruneStateBefore(spark, stateDir, batchId - 1)
         ()
       }
       .start()
+  }
+
+  /** The batch half of [[admissionPipelineStream]]'s lambda split:
+    * read the stream's latest carried band-graph state and re-run full
+    * component closure over every corpus-fresh doc it has seen
+    * (Dedup.reconcileAdmission), returning the SETTLED admitted set —
+    * late-connected twins the online pass could not see are demoted,
+    * so this output equals the one-shot Dedup.admitNearDup over
+    * everything that arrived. Run it at corpus-maintenance cadence
+    * (e.g. nightly) over the compact state — 4 short rows per fresh
+    * doc, no texts.
+    */
+  def reconcileAdmission(spark: SparkSession, sinkPath: String): DataFrame = {
+    val stateDir = sinkPath + ".state"
+    val latest = graft.sources.Fs.childDirs(spark, stateDir)
+      .filter(_.startsWith("upto_"))
+      .map(_.stripPrefix("upto_").toLong)
+      .reduceOption(_ max _)
+      .getOrElse(throw new IllegalStateException(
+        s"no admission state under $stateDir — has the stream committed a trigger?"))
+    graft.operators.Dedup.reconcileAdmission(
+      spark.read.parquet(s"$stateDir/upto_$latest"))
   }
 
   /** Streaming twin of Corpus.sample: the weighted mixing filter is a
@@ -416,6 +487,10 @@ object EventStream {
     documentsStream(spark, dir, splitAt)
       .select(col("doc_id"), col("lang"), col("text"))
       .writeStream.outputMode("append")
+      // stable checkpoint next to the sink: a restarted query RESUMES
+      // batch ids, so replays land on the versioned-state idempotent
+      // path instead of restarting at 0 with fresh temporary state
+      .option("checkpointLocation", sinkPath + ".ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // versioned state (see latestStateBefore): the plan and the new
         // totals are deterministic functions of the immutable previous

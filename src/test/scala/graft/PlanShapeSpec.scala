@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-fingerprint regression guard (VERDICT r6 #6): for the audited
+  * flagship queries, the physical-operator census of the UNEXECUTED
+  * plan — shuffle Exchanges, BroadcastHashJoins, SortMergeJoins,
+  * Windows — is pinned against the shapes the per-round plan audits
+  * signed off on. A future change that silently flips a broadcast to a
+  * sort-merge join, adds a shuffle, or drops a window into the hot
+  * path fails HERE instead of surfacing as a 100× scale-up surprise.
+  *
+  * The counts are the initial (pre-AQE) plan over the static sf0.001
+  * fixture, so they are deterministic. When a plan change is
+  * INTENTIONAL (new operator composition, a deliberately added
+  * shuffle), update the pinned row in the same commit and say why in
+  * the commit message — that is this spec's contract, the same as any
+  * golden file.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private case class Shape(shuffle: Int, bcastJoin: Int, smj: Int, window: Int)
+
+  // query -> audited shape. Notes capture WHY the shape is the wanted
+  // one, so a diff reviewer doesn't have to re-derive it.
+  private val pinned: Seq[(String, Shape, String)] = Seq(
+    ("fact_sales", Shape(3, 9, 0, 1),
+      "all dims broadcast onto one lineitem scan; no SMJ anywhere"),
+    ("fact_inventory_wh", Shape(2, 4, 0, 0),
+      "dims broadcast; one hash shuffle + the output range split"),
+    ("q1_pricing_summary", Shape(2, 0, 0, 0),
+      "single agg: partial+final exchange pair, joins absent"),
+    ("q5_region_volume", Shape(2, 5, 0, 0),
+      "5-way dim chain fully broadcast; one agg shuffle + output sort"),
+    ("q9_profit_nation", Shape(2, 4, 0, 0),
+      "part/supp/nation broadcast onto lineitem; single agg shuffle"),
+    ("q18_big_orders", Shape(1, 2, 0, 0),
+      "semi-join on big orders broadcast; one agg shuffle"),
+    ("q21_waiting_suppliers", Shape(5, 3, 1, 0),
+      "the one audited SMJ (self-join on l_orderkey at fixture stats)"),
+    ("top_customers", Shape(1, 2, 0, 1),
+      "rank window AFTER the limit-sized aggregate, never on raw rows"),
+    ("seq_pack", Shape(6, 1, 0, 3),
+      "two-phase scan: per-(lang,bucket) windows + tiny offset rollup"),
+    ("tfidf_top_terms", Shape(7, 1, 0, 3),
+      "salted df join (extra exchange by design) + per-doc top-k window"),
+    ("dedup_exact", Shape(2, 1, 0, 0),
+      "groupBy+join canonical form — NO fingerprint-partitioned window"),
+    ("decontaminate", Shape(4, 3, 0, 0),
+      "df-capped gram semi-join; checkpointed stream keeps plan flat"))
+
+  test("flagship physical plans match their audited fingerprints") {
+    val diffs = pinned.flatMap { case (name, want, why) =>
+      val s = SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      def c(re: String) = re.r.findAllIn(s).size
+      val got = Shape(
+        c("""\(\d+\) Exchange"""),
+        c("""\(\d+\) BroadcastHashJoin"""),
+        c("""\(\d+\) SortMergeJoin"""),
+        c("""\(\d+\) Window"""))
+      if (got == want) Nil
+      else List(s"$name: got $got, pinned $want ($why)")
+    }
+    assert(diffs.isEmpty,
+      "plan fingerprint drift — if intentional, update the pin in the " +
+        "same commit:\n" + diffs.mkString("\n"))
+  }
+
+  test("no flagship plan hides a cartesian product or single-partition exchange") {
+    for ((name, _, _) <- pinned) {
+      val s = SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!s.contains("CartesianProduct"), s"$name plans a cartesian product")
+      // the audited global sorts are the deterministic output orderBys
+      // (rangepartitioning); SinglePartition exchanges inside the body
+      // are the scale smell this guards against
+      val single = """Exchange SinglePartition""".r.findAllIn(s).size
+      assert(single == 0, s"$name plans $single SinglePartition exchange(s)")
+    }
+  }
+}

@@ -305,6 +305,44 @@ class ScaleSpec extends AnyFunSuite {
     assert(streamedIds.exceptAll(batchIds).count() === 0)
   }
 
+  test("retro-reconcile demotes the late-connected twin (adversarial arrival order)") {
+    // Stage EXACTLY the case online admission cannot solve: docs 7 and
+    // 32 share no band (no edge), doc 40 — the component's connecting
+    // doc — shares a band with EACH, and arrives in a LATER trigger
+    // (splitAt = 40 puts {7,32} in the first file, {40} in the second).
+    // Discovered from the fixture's minhash pair graph and pinned; the
+    // preconditions are asserted below so a regenerated corpus fails
+    // loudly instead of vacuously passing.
+    val docs = Tables.documents(spark, sf)
+    val Seq(x, y, z) = Seq(7L, 32L, 40L)
+    val three = docs.filter(col("doc_id").isin(x, y, z))
+    val pairs = graft.operators.Dedup.minhashPairs(three)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((x, z), (y, z)),
+      s"fixture drifted: expected path edges ($x,$z),($y,$z) only, got $pairs")
+    val emptyCorpus = docs.filter(lit(false))
+    val sink = Files.createTempDirectory("graft_reconcile").toString + "/admitted"
+    val q = EventStream.admissionPipelineStream(spark, sf, emptyCorpus,
+      col("doc_id").isin(x, y, z), sink, splitAt = Some(z))
+    q.processAllAvailable(); q.stop()
+    // the online stream admits BOTH members — it cannot see the edge
+    // that hasn't arrived (this is the gap, exercised for real)
+    val streamedIds = spark.read.parquet(s"$sink/batch_*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamedIds === Set(x, y),
+      s"stream should admit both non-colliding members, got $streamedIds")
+    // the retro pass closes the component over the carried band-graph
+    // state and settles on the one-shot answer: min-id canonical,
+    // full component size
+    val retro = EventStream.reconcileAdmission(spark, sink)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val oneShot = graft.operators.Dedup.admitNearDup(emptyCorpus, three)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(retro.toSeq === Seq((x, 3L, 2L)))
+    assert(retro.toSeq === oneShot.toSeq,
+      "streamed state + reconcile must equal the one-shot admission")
+  }
+
   test("streaming dedup-by-signature matches the batch canonical set") {
     val q = EventStream.dedupBySignatureStream(spark, sf)
       .writeStream.outputMode("append").format("memory")

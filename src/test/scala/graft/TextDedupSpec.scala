@@ -247,4 +247,48 @@ class TextDedupSpec extends AnyFunSuite {
     assert(meta.exceptAll(decoded).count() === 0)
     assert(decoded.exceptAll(meta).count() === 0)
   }
+
+  test("multimodal: REAL PNG/JPEG payloads decode to actual dimensions and intensity") {
+    import java.awt.image.BufferedImage
+    def imageBytes(format: String, w: Int, h: Int, rgb: (Int, Int, Int)): Array[Byte] = {
+      val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = bi.createGraphics()
+      g.setColor(new java.awt.Color(rgb._1, rgb._2, rgb._3))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, format, baos), s"no $format writer")
+      baos.toByteArray
+    }
+    // uniform rgb(30,60,90) → mean per-pixel luminance (30+60+90)/3 = 60
+    val png = imageBytes("png", 20, 10, (30, 60, 90))
+    val jpg = imageBytes("jpg", 8, 6, (30, 60, 90))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.BinaryType)))
+    val payloads = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, png),
+        org.apache.spark.sql.Row(2L, jpg)),
+      schema)
+
+    // decodeBatch: the javax.imageio path reports the true pixel grid
+    val dec = Multimodal.decodeBatch(spark, payloads).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4))))
+      .toMap
+    assert(dec(1L)._1 === 20 && dec(1L)._2 === 10 && dec(1L)._3 === 3)
+    assert(dec(1L)._4 === 60.0) // PNG is lossless: exact mean luminance
+    assert(dec(2L)._1 === 8 && dec(2L)._2 === 6)
+    assert(math.abs(dec(2L)._4 - 60.0) < 3.0) // JPEG quantization tolerance
+
+    // mediaMeta: magic sniff names the container, PNG IHDR parse gives
+    // the true dimensions without touching a pixel
+    val meta = Multimodal.mediaMeta(payloads).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(meta(1L) === (("png", 20L, 10L)))
+    assert(meta(2L)._1 === "jpeg") // dimensions stay stub (no IHDR in JFIF)
+  }
 }
