@@ -27,6 +27,14 @@ class EtlSpec extends AnyFunSuite {
     val dflt = GraftConfig.load(Some(confFile.toString + ".missing"))
     assert(dflt.outDir === sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "target/warehouse"))
     assert(dflt.benchReps === sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    // a malformed numeric value must name the offending key — a bare
+    // NumberFormatException gives no hint which knob carried the garbage
+    val badFile = confFile.resolveSibling("bad.properties")
+    Files.writeString(badFile, "bench.reps=three\n")
+    val err = intercept[IllegalArgumentException] {
+      GraftConfig.load(Some(badFile.toString))
+    }
+    assert(err.getMessage.contains("bench.reps") && err.getMessage.contains("three"))
     val report = Etl.buildAll(spark, cfg).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(4)))
 
