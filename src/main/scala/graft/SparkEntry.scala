@@ -298,7 +298,9 @@ object SparkEntry {
           corpusIndex, Dedup.bandColumns(arriving.filter(p)))))
         .reduce(_ unionByName _)
       Dedup.reconcileAdmission(state)
-    })
+    }),
+    "doc_char_entropy" -> ((s, d) => TextOps.charEntropy(t(s, d, "documents"))),
+    "quality_gopher" -> ((s, d) => TextOps.gopherQuality(t(s, d, "documents")))
   )
 
   // ---------------------------------------------------------------------
@@ -1586,6 +1588,58 @@ object SparkEntry {
         |  CAST(s1 + s2 + s3 + s4 AS DOUBLE)/4.0 AS quality_score,
         |  (s1 + s2 + s3 + s4) >= 3 AS keep
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // Character-histogram entropy: log2 is only ulp-correct per engine,
+    // so the published value is integer microbits — floor(x*1e6+0.5) —
+    // where the accumulated cross-engine drift (~1e-14 bits) is a 1e-8
+    // fraction of the step. Charization is position-indexed substr in
+    // BOTH engines (split-on-empty edge rules differ); DuckDB range()
+    // is end-exclusive so range(1, n+1) ≡ Spark sequence(1, n); fold
+    // order is the proven list_sum(list_transform(...)) ↔ aggregate()
+    // left-to-right pairing.
+    "doc_char_entropy" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents),
+        |c AS (SELECT doc_id, list_transform(range(1, length(nt)+1),
+        |  i -> substr(nt, i, 1)) AS cs FROM t),
+        |d AS (SELECT doc_id, cs, list_sort(list_distinct(cs)) AS dc FROM c),
+        |k AS (SELECT doc_id, len(cs) AS n_chars,
+        |  list_transform(dc, ch -> CAST(len(list_filter(cs, x -> x = ch)) AS BIGINT)) AS counts
+        |FROM d)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(len(counts) AS BIGINT) AS n_distinct_chars,
+        |  CAST(list_max(counts) AS BIGINT) AS top_char_count,
+        |  CAST(list_max(counts) AS DOUBLE) / n_chars AS top_char_ratio,
+        |  CAST(floor((log2(CAST(n_chars AS DOUBLE)) -
+        |    list_sum(list_transform(counts, c -> c * log2(CAST(c AS DOUBLE)))) / n_chars)
+        |    * 1000000 + 0.5) AS BIGINT) AS entropy_microbits
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // Gopher rules (Rae et al. 2021 table A1): integer counts and exact
+    // rational ratios only — no transcendentals, regex restricted to
+    // the Java↔RE2 common subset. '...' count via replace-delta works
+    // identically in both engines (non-overlapping, left-to-right).
+    "quality_gopher" ->
+      """WITH t AS (SELECT doc_id, text, lower(trim(text)) AS nt,
+        |  string_split(lower(trim(text)), ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_words,
+        |  CAST(length(replace(nt, ' ', '')) AS DOUBLE) / len(tk) AS mean_word_len,
+        |  ((length(text) - length(replace(text, '#', ''))) +
+        |   (length(text) - length(replace(text, '...', ''))) / 3) / len(tk) AS symbol_word_ratio,
+        |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(tk) AS alpha_word_ratio,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stopword_hits
+        |FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+        |  alpha_word_ratio, n_stopword_hits,
+        |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS r_word_len,
+        |  symbol_word_ratio <= 0.1 AS r_symbols,
+        |  alpha_word_ratio >= 0.8 AS r_alpha,
+        |  n_stopword_hits >= 2 AS r_stopwords,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_word_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+        |    AND n_stopword_hits >= 2 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
       """WITH s AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS tk FROM documents),

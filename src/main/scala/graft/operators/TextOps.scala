@@ -58,6 +58,101 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Character-distribution entropy per document — the standard
+    * gibberish/degeneracy filter a corpus clean runs next to the
+    * surface ratios: near-zero entropy flags repeated-character spam,
+    * implausibly high entropy flags random/encoded noise. Shannon
+    * entropy over the normalized text's character histogram, computed
+    * as log2(n) − (Σ c·log2(c))/n so every log argument is a small
+    * INTEGER count.
+    *
+    * Engine parity: the entropy itself involves log2 (correct only to
+    * a ulp, engine-dependent), so the published column is
+    * `entropy_microbits` = floor(entropy·1e6 + 0.5) — the accumulated
+    * cross-engine drift is ~1e-14 bits, a 1e-8 fraction of the
+    * quantization step, so the BIGINT is deterministic where a raw
+    * double would hash-flake. Companion columns are exact integers /
+    * one exact rational division. Per-row char counting is
+    * position-indexed substr (identical charization in both engines —
+    * split-on-empty edge rules differ) with a filter per distinct
+    * char: O(distinct·len) per row, a pure map stage.
+    */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    // stage arrays as NAMED columns: HOF lambdas re-evaluate captured
+    // outer expressions per element (memory: the array_min-in-transform
+    // trap), and the multi-reference keeps CollapseProject from
+    // re-inlining the charization into every lambda
+    documents.select(col("doc_id"), norm.as("nt"))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), length(col("nt"))),
+          i => col("nt").substr(i, lit(1))).as("cs"))
+      .select(col("doc_id"), col("cs"),
+        sort_array(array_distinct(col("cs"))).as("dc"))
+      .select(col("doc_id"),
+        size(col("cs")).cast(LongType).as("n_chars"),
+        transform(col("dc"),
+          ch => size(filter(col("cs"), x => x === ch)).cast(LongType)).as("counts"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("counts")).cast(LongType).as("n_distinct_chars"),
+        array_max(col("counts")).as("top_char_count"),
+        // ordered left-to-right fold — same association as the
+        // oracle's list_sum(list_transform(...)) (proven pattern)
+        aggregate(col("counts"), lit(0.0d),
+          (acc, c) => acc + c.cast("double") * log2(c.cast("double")))
+          .as("sum_clogc"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        col("top_char_count"),
+        (col("top_char_count").cast("double") / col("n_chars"))
+          .as("top_char_ratio"),
+        floor((log2(col("n_chars").cast("double")) -
+          col("sum_clogc") / col("n_chars")) * 1e6 + 0.5).cast(LongType)
+          .as("entropy_microbits"))
+      .orderBy("doc_id")
+  }
+
+  /** The published Gopher document-quality rules (Rae et al. 2021,
+    * "Scaling Language Models", table A1 — the de-facto standard
+    * corpus filter set) over the normalized text: word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio (# and ellipsis),
+    * alphabetic-word fraction, minimum stopword hits. Every signal is
+    * an integer count or an exact rational ratio — no transcendentals,
+    * so cross-engine parity is exact; the regex used inside the
+    * alphabetic-word filter is restricted to the Java↔RE2 common
+    * subset (the pii_scrub rule). Pure map stage.
+    */
+  def gopherQuality(documents: DataFrame): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nToks = size(toks)
+    // occurrence counts via length deltas — replace() parity is exact
+    val hashCount = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val ellipsisCount = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    documents.select(col("doc_id"), col("text"), toks.as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast(LongType).as("n_words"),
+        (length(regexp_replace(lower(trim(col("text"))), " ", ""))
+          .cast("double") / size(col("tk"))).as("mean_word_len"),
+        ((hashCount + ellipsisCount).cast("double") / size(col("tk")))
+          .as("symbol_word_ratio"),
+        (size(filter(col("tk"), t => t.rlike("[a-z]"))).cast("double") /
+          size(col("tk"))).as("alpha_word_ratio"),
+        element_at(graft.functions.TextExpressions
+          .profileHitCounts(col("tk"), Seq(stop)), 1).as("n_stopword_hits"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_word_ratio"), col("alpha_word_ratio"),
+        col("n_stopword_hits"),
+        col("n_words").between(50, 100000).as("r_word_count"),
+        col("mean_word_len").between(3.0, 10.0).as("r_word_len"),
+        (col("symbol_word_ratio") <= 0.1).as("r_symbols"),
+        (col("alpha_word_ratio") >= 0.8).as("r_alpha"),
+        (col("n_stopword_hits") >= 2).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_word_len") && col("r_symbols") &&
+          col("r_alpha") && col("r_stopwords"))
+      .orderBy("doc_id")
+  }
+
   /** Stopword-profile language scorer: per-language function-word hit
     * counts, argmax with fixed alphabetical tie-break. (An n-gram model
     * would be the production path; the profile approach is the standard

@@ -291,4 +291,51 @@ class TextDedupSpec extends AnyFunSuite {
     assert(meta(1L) === (("png", 20L, 10L)))
     assert(meta(2L)._1 === "jpeg") // dimensions stay stub (no IHDR in JFIF)
   }
+
+  test("char entropy: known distributions give exact closed-form microbits") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "a" * 64),                       // one symbol → 0 bits
+      (2L, "ab" * 32),                      // two equiprobable → exactly 1 bit
+      (3L, "abcd" * 16))                    // four equiprobable → exactly 2 bits
+      .toDF("doc_id", "text")
+    val out = TextOps.charEntropy(planted).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    assert(out(1L) === ((64L, 1L, 64L, 0L)))
+    assert(out(2L) === ((64L, 2L, 32L, 1000000L)))
+    assert(out(3L) === ((64L, 4L, 16L, 2000000L)))
+    // monotone on the fixture: every doc has positive entropy below
+    // log2(alphabet) and the ratio columns are consistent
+    val corpus = TextOps.charEntropy(docs).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val (n, k, top, mb) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(mb > 0 && mb <= math.ceil(math.log(k.toDouble) / math.log(2) * 1e6),
+        s"entropy outside [0, log2(distinct)] for doc ${r.getLong(0)}")
+      assert(top <= n && k <= n)
+      assert(math.abs(r.getDouble(4) - top.toDouble / n) < 1e-15)
+    }
+  }
+
+  test("gopher rules: each rule trips on its planted violation") {
+    import spark.implicits._
+    val good = (Seq("the", "sun", "and", "hills") ++
+      Seq.fill(23)(Seq("wind", "river", "stone", "light")).flatten).mkString(" ")
+    val planted = Seq(
+      (1L, good),                                  // passes all five
+      (2L, "the and " + Seq.fill(48)("xy").mkString(" ")), // 50 words, mean len 2.16 → r_word_len fails
+      (3L, good + " " + Seq.fill(30)("...").mkString(" ")), // ellipsis spam → r_symbols fails
+      (4L, "the and " + (1 to 48).map(_.toString).mkString(" ")), // digits → r_alpha fails
+      (5L, Seq.fill(60)("wind river stone").mkString(" "))) // no stopwords → r_stopwords fails
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherQuality(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(11), "good doc must keep")
+    assert(!out(2L).getBoolean(7) && !out(2L).getBoolean(11), "short words")
+    assert(!out(3L).getBoolean(8) && !out(3L).getBoolean(11), "symbol spam")
+    assert(!out(4L).getBoolean(9) && !out(4L).getBoolean(11), "non-alpha words")
+    assert(!out(5L).getBoolean(10) && !out(5L).getBoolean(11), "no stopwords")
+  }
 }
