@@ -300,7 +300,8 @@ object SparkEntry {
       Dedup.reconcileAdmission(state)
     }),
     "doc_char_entropy" -> ((s, d) => TextOps.charEntropy(t(s, d, "documents"))),
-    "quality_gopher" -> ((s, d) => TextOps.gopherQuality(t(s, d, "documents")))
+    "quality_gopher" -> ((s, d) => TextOps.gopherQuality(t(s, d, "documents"))),
+    "passage_dedup" -> ((s, d) => TextOps.passageDedup(t(s, d, "documents")))
   )
 
   // ---------------------------------------------------------------------
@@ -1640,6 +1641,27 @@ object SparkEntry {
         |    AND symbol_word_ratio <= 0.1 AND alpha_word_ratio >= 0.8
         |    AND n_stopword_hits >= 2 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Cross-doc passage dedup: non-overlapping 16-token windows,
+    // md5 keys, distinct-doc df, shared-fraction rollup. DuckDB //
+    // integer division and end-exclusive range() give the same empty
+    // window list for short docs as the Spark-side guard; list_slice
+    // is 1-based INCLUSIVE so the window is [a, a+15]. Integer counts
+    // + one exact rational division.
+    "passage_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+        |x AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) // 16 + 1),
+        |  i -> array_to_string(list_slice(tk, (i-1)*16 + 1, (i-1)*16 + 16), ' '))) AS passage
+        |FROM t),
+        |s AS (SELECT doc_id, md5(passage) AS passage_md5 FROM x),
+        |d AS (SELECT passage_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS passage_df
+        |  FROM s GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+        |  CAST(sum(CASE WHEN passage_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_passages,
+        |  max(passage_df) AS max_passage_df,
+        |  CAST(sum(CASE WHEN passage_df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS shared_passage_ratio
+        |FROM s JOIN d USING (passage_md5)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
       """WITH s AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS tk FROM documents),

@@ -419,6 +419,56 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Cross-document duplicated-passage signal — the CCNet/RefinedWeb
+    * line-level dedup filter at the passage grain, sitting between
+    * whole-document dedup (Dedup.exact) and within-document n-gram
+    * repetition ([[repetition]]): boilerplate passages (headers,
+    * disclaimers, navigation) recur across MANY documents while each
+    * host document stays unique, so per-doc "fraction of passages
+    * shared with other docs" is the standard strip-or-keep feature —
+    * and it localizes WHICH parts of a near-dup pair overlap, which
+    * document-level minhash cannot. Passages are non-overlapping
+    * `windowTokens`-token windows of the normalized text (the passage
+    * form when line structure is absent; a doc shorter than one
+    * window has no passage grain and is absent from the output),
+    * hashed to md5 keys; cross-doc df per passage via one uniform-key
+    * aggregate (map-side partials), joined back SALTED on
+    * (passage_md5, hash(doc_id)) — a boilerplate passage is exactly a
+    * Zipf head key, the same skew the tf-idf family salts
+    * ([[graft.operators.Partitioning.saltedEquiJoin]]) — then a
+    * doc-keyed rollup. Integer counts + one exact rational division;
+    * engine-exact.
+    */
+  def passageDedup(documents: DataFrame, windowTokens: Int = 16): DataFrame = {
+    val w = windowTokens
+    // stage arrays/counts as named columns (HOF outer-capture rule);
+    // the window count guard must produce an EMPTY array for short
+    // docs — Spark's sequence(1, 0) steps DOWN to [1, 0], which would
+    // emit a partial window plus a from-the-end slice(tk, -15, …)
+    val passages = documents.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), col("tk"),
+        (size(col("tk")) / lit(w)).cast("int").as("nw"))
+      .select(col("doc_id"),
+        explode(transform(
+          when(col("nw") >= 1, sequence(lit(1), col("nw")))
+            .otherwise(array().cast("array<int>")),
+          i => array_join(slice(col("tk"), (i - 1) * w + 1, lit(w)), " ")))
+          .as("passage"))
+      .select(col("doc_id"), md5(col("passage").cast("binary")).as("passage_md5"))
+    val df = passages.groupBy("passage_md5")
+      .agg(countDistinct(col("doc_id")).as("passage_df"))
+    Partitioning.saltedEquiJoin(passages, df, "passage_md5", col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("passage_df") > 1, 1L).otherwise(0L)).as("n_shared_passages"),
+        max(col("passage_df")).as("max_passage_df"))
+      .withColumn("shared_passage_ratio",
+        col("n_shared_passages").cast("double") / col("n_passages"))
+      .select("doc_id", "n_passages", "n_shared_passages", "max_passage_df",
+        "shared_passage_ratio")
+      .orderBy("doc_id")
+  }
+
   /** Corpus-cleaning funnel: how many documents survive each filter
     * stage — quality gate, then exact dedup, then repetition — the
     * pipeline summary a training-data run reports (each stage is the

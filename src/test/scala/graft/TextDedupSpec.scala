@@ -319,6 +319,28 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("passage dedup: planted shared window localizes; short docs have no passage grain") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val boiler = words("shared", 16) // the boilerplate passage
+    val planted = Seq(
+      (1L, boiler + " " + words("aa", 16)),  // boiler first
+      (2L, words("bb", 16) + " " + boiler),  // boiler second
+      (3L, words("cc", 32)),                 // fully unique
+      (4L, words("dd", 15)))                 // < one window → no grain
+      .toDF("doc_id", "text")
+    val out = TextOps.passageDedup(planted).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) === ((2L, 1L, 2L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 2L, 0.5)))
+    assert(out(3L) === ((2L, 0L, 1L, 0.0)))
+    assert(!out.contains(4L), "doc shorter than one window has no passage grain")
+    // fixture: the planted duplicate docs must surface as shared passages
+    val corpus = TextOps.passageDedup(docs)
+    assert(corpus.filter(col("n_shared_passages") > 0).count() > 0)
+  }
+
   test("gopher rules: each rule trips on its planted violation") {
     import spark.implicits._
     val good = (Seq("the", "sun", "and", "hills") ++
