@@ -301,7 +301,8 @@ object SparkEntry {
     }),
     "doc_char_entropy" -> ((s, d) => TextOps.charEntropy(t(s, d, "documents"))),
     "quality_gopher" -> ((s, d) => TextOps.gopherQuality(t(s, d, "documents"))),
-    "passage_dedup" -> ((s, d) => TextOps.passageDedup(t(s, d, "documents")))
+    "passage_dedup" -> ((s, d) => TextOps.passageDedup(t(s, d, "documents"))),
+    "doc_unigram_logloss" -> ((s, d) => TextOps.unigramLogloss(t(s, d, "documents")))
   )
 
   // ---------------------------------------------------------------------
@@ -1662,6 +1663,26 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN passage_df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS shared_passage_ratio
         |FROM s JOIN d USING (passage_md5)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // CCNet-style unigram cross-entropy: per-token log2(corpus freq)
+    // quantized to integer micro-units BEFORE the per-doc sum (long
+    // sums are order-independent; a double sum over an unordered
+    // shuffle is not), final mean = one correctly-rounded division of
+    // the same two exact integers in both engines.
+    "doc_unigram_logloss" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+        |  FROM documents),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) AS term_freq FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM t),
+        |j AS (SELECT doc_id,
+        |  CAST(floor(log2(CAST(term_freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lf
+        |FROM t JOIN f USING (term))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(lf) AS BIGINT) AS sum_logf_micro,
+        |  CAST(floor(log2(CAST(total_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |    - CAST(floor(CAST(sum(lf) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS logloss_microbits
+        |FROM j CROSS JOIN tot
+        |GROUP BY doc_id, total_tokens ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
       """WITH s AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS tk FROM documents),

@@ -467,6 +467,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Unigram cross-entropy of each document under the corpus's own
+    * unigram distribution — the oracle-able form of the CCNet
+    * language-model perplexity filter (CCNet buckets a corpus by LM
+    * perplexity and keeps the middle: very low = boilerplate of
+    * ubiquitous tokens, very high = rare-token noise). With
+    * p(t) = freq(t)/total, per-doc mean −log2 p factors into
+    * log2(total) − mean(log2 freq(t)), so every log argument is an
+    * integer corpus count.
+    *
+    * Determinism is engineered in two layers: each per-token
+    * log2(freq) is quantized to integer MICRO-units BEFORE the
+    * per-doc sum, so the distributed aggregation sums LONGS —
+    * order-independent where a double sum over an unordered shuffle
+    * is not (the decimal-money trick applied to logs) — and the final
+    * division is one correctly-rounded IEEE op on the same two exact
+    * integers in both engines. Shuffle shape = the tf-idf family:
+    * uniform-key freq aggregate (map-side partials), join back SALTED
+    * on (term, hash(doc_id)) — Zipf head terms are the hot keys —
+    * doc-keyed rollup, 1-row total broadcast.
+    */
+  def unigramLogloss(documents: DataFrame): DataFrame = {
+    // `terms` feeds the freq aggregate, the total count and the join
+    // probe — the tfidf/commonness double-scan trade-off, measured
+    // there and deliberately kept (see tfidfTopTerms note)
+    val terms = documents.select(col("doc_id"), explode(toks).as("term"))
+    val freq = terms.groupBy("term").agg(count(lit(1)).as("term_freq"))
+    val total = terms.agg(count(lit(1)).as("total_tokens"))
+    val lf = floor(log2(col("term_freq").cast("double")) * 1e6 + 0.5)
+      .cast(LongType)
+    Partitioning.saltedEquiJoin(terms, freq, "term", col("doc_id"))
+      .select(col("doc_id"), lf.as("lf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lf")).as("sum_logf_micro"))
+      .crossJoin(broadcast(total)) // 1-row scalar
+      .select(col("doc_id"), col("n_tokens"), col("sum_logf_micro"),
+        (floor(log2(col("total_tokens").cast("double")) * 1e6 + 0.5).cast(LongType) -
+          floor(col("sum_logf_micro").cast("double") / col("n_tokens") + 0.5)
+            .cast(LongType)).as("logloss_microbits"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-cleaning funnel: how many documents survive each filter
     * stage — quality gate, then exact dedup, then repetition — the
     * pipeline summary a training-data run reports (each stage is the

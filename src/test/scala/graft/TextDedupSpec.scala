@@ -342,6 +342,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(corpus.filter(col("n_shared_passages") > 0).count() > 0)
   }
 
+  test("unigram logloss: closed-form on a planted vocabulary; rare tokens score higher") {
+    import spark.implicits._
+    // corpus freqs: a=5, b=5, c=1, d=1; total=12
+    // round(log2(5)*1e6)=2321928, round(log2(12)*1e6)=3584963
+    val planted = Seq(
+      (1L, "a a a a"),   // all common  → 3584963 − 2321928
+      (2L, "b b b b"),
+      (3L, "a b c d"))   // half rare   → 3584963 − (2·2321928)/4
+      .toDF("doc_id", "text")
+    val out = TextOps.unigramLogloss(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((4L, 4L * 2321928L, 3584963L - 2321928L)))
+    assert(out(2L) === ((4L, 4L * 2321928L, 3584963L - 2321928L)))
+    assert(out(3L) === ((4L, 2L * 2321928L, 3584963L - 1160964L)))
+    // the CCNet reading: the rare-vocabulary doc carries more surprisal
+    assert(out(3L)._3 > out(1L)._3)
+  }
+
   test("gopher rules: each rule trips on its planted violation") {
     import spark.implicits._
     val good = (Seq("the", "sun", "and", "hills") ++
