@@ -42,7 +42,11 @@ object Bench {
     // descheduled, and the artifact now says so machine-readably.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    val cores = Runtime.getRuntime.availableProcessors().toDouble
+    // the SESSION's parallelism, not the machine's core count: with
+    // SPARK_GRAFT_CPUS=8 on a 32-core box, process CPU tops out near 8
+    // cores, and a /32 denominator would read ~0.25 — the "contended"
+    // signature — on a perfectly healthy run
+    val cores = cfg.cpus.toDouble
     // (wallSec, cpuSec) for the MIN-wall rep — cpu must come from the
     // same rep as the reported wall or util is meaningless
     def timeQuery(name: String,

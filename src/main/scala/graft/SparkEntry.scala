@@ -25,7 +25,8 @@ object SparkEntry {
     */
   val checkpointingQueries: Set[String] =
     Set("dedup_clusters", "dedup_prune", "corpus_report", "decontaminate",
-      "dedup_admit", "dedup_reconcile", "fact_transactions_cdc")
+      "dedup_admit", "dedup_reconcile", "fact_transactions_cdc",
+      "doc_unigram_logloss")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -291,13 +292,25 @@ object SparkEntry {
       // dedup_admit SQL over everything — hash equality proves
       // streamed-state ∘ reconcile ≡ one-shot admission.
       val docs = t(s, d, "documents")
+      // materialized exactly like the streaming path (the state there
+      // is parquet): freshBandsAgainstIndex references its band frame
+      // on BOTH anti-join sides and the closure walks the state twice,
+      // so unmaterialized frames would re-run the shingle-minhash
+      // pipeline ~4x per increment. Checkpoints released after the
+      // eager closure; the final plan reads only the labels checkpoint.
+      val bridge = org.apache.spark.sql.graft.ColumnBridge
       val corpusIndex = Dedup.bandIndex(docs.filter(col("doc_id") % 3 =!= 0))
+        .localCheckpoint(true)
       val arriving = docs.filter(col("doc_id") % 3 === 0)
-      val state = Seq(col("doc_id") < 250, col("doc_id") >= 250)
-        .map(p => Dedup.bandGraph(Dedup.freshBandsAgainstIndex(
-          corpusIndex, Dedup.bandColumns(arriving.filter(p)))))
+      val increments = Seq(col("doc_id") < 250, col("doc_id") >= 250)
+        .map(p => Dedup.bandColumns(arriving.filter(p)).localCheckpoint(true))
+      val state = increments
+        .map(b => Dedup.bandGraph(Dedup.freshBandsAgainstIndex(corpusIndex, b)))
         .reduce(_ unionByName _)
-      Dedup.reconcileAdmission(state)
+        .localCheckpoint(true)
+      val out = Dedup.reconcileAdmission(state)
+      (corpusIndex +: state +: increments).foreach(bridge.unpersistCheckpoint)
+      out
     }),
     "doc_char_entropy" -> ((s, d) => TextOps.charEntropy(t(s, d, "documents"))),
     "quality_gopher" -> ((s, d) => TextOps.gopherQuality(t(s, d, "documents"))),

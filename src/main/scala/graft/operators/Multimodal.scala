@@ -55,9 +55,14 @@ object Multimodal {
           .when(nBytes % 3 === 0, "png")
           .when(nBytes % 3 === 1, "jpeg")
           .otherwise("webp").as("format"),
-        when(isPng, conv(hex(substring(bin, 17, 4)), 16, 10).cast(LongType))
+        // IHDR dims need bytes 17..24 — a signature-only truncated PNG
+        // still sniffs as "png" (honest) but falls to the stub dims
+        // instead of parsing NULL/garbage from a short slice
+        when(isPng && nBytes >= 24,
+            conv(hex(substring(bin, 17, 4)), 16, 10).cast(LongType))
           .otherwise((nBytes * 7) % 640 + 16).as("width"),
-        when(isPng, conv(hex(substring(bin, 21, 4)), 16, 10).cast(LongType))
+        when(isPng && nBytes >= 24,
+            conv(hex(substring(bin, 21, 4)), 16, 10).cast(LongType))
           .otherwise((nBytes * 13) % 480 + 16).as("height"))
       .withColumn("aspect_ratio",
         col("width").cast("double") / col("height"))
@@ -154,7 +159,12 @@ object Multimodal {
           if (!hasImageMagic(payload)) None
           else try Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(payload)))
-          catch { case _: java.io.IOException => None }
+          // NonFatal, not just IOException: corrupt containers with a
+          // valid magic make imageio readers throw unchecked exceptions
+          // (IllegalArgument/NegativeArraySize/IndexOutOfBounds all
+          // observed in the wild) — one bad row must fall to the stub,
+          // not abort the query ("total on any corpus")
+          catch { case scala.util.control.NonFatal(_) => None }
         img match {
           case Some(bi) =>
             // real decode path

@@ -72,10 +72,12 @@ object TextOps {
     * cross-engine drift is ~1e-14 bits, a 1e-8 fraction of the
     * quantization step, so the BIGINT is deterministic where a raw
     * double would hash-flake. Companion columns are exact integers /
-    * one exact rational division. Per-row char counting is
-    * position-indexed substr (identical charization in both engines —
-    * split-on-empty edge rules differ) with a filter per distinct
-    * char: O(distinct·len) per row, a pure map stage.
+    * one exact rational division. Per-row char counting is the native
+    * [[graft.functions.CharCounts]] expression — one O(len·log
+    * alphabet) pass, output ordered by code point, which equals the
+    * oracle's sorted-distinct-char order (the oracle charizes with
+    * position-indexed substr; split-on-empty edge rules differ across
+    * engines). A pure map stage.
     */
   def charEntropy(documents: DataFrame): DataFrame = {
     // counts come from the native CharCounts expression — one
@@ -488,12 +490,18 @@ object TextOps {
     * doc-keyed rollup, 1-row total broadcast.
     */
   def unigramLogloss(documents: DataFrame): DataFrame = {
-    // `terms` feeds the freq aggregate, the total count and the join
-    // probe — the tfidf/commonness double-scan trade-off, measured
-    // there and deliberately kept (see tfidfTopTerms note)
+    // `terms` feeds the freq aggregate and the join probe (the
+    // tfidf/commonness double-scan trade-off, measured there). The
+    // freq AGGREGATE, however, is vocabulary-sized — checkpointing it
+    // once lets both the salted join and the total rollup
+    // (Σ freq ≡ token count) read materialized rows instead of each
+    // re-running the full corpus aggregation (Spark does not dedupe
+    // shared subtrees; blocks released by the runners' targeted GC —
+    // checkpointingQueries, the decontaminate pattern).
     val terms = documents.select(col("doc_id"), explode(toks).as("term"))
     val freq = terms.groupBy("term").agg(count(lit(1)).as("term_freq"))
-    val total = terms.agg(count(lit(1)).as("total_tokens"))
+      .localCheckpoint(true)
+    val total = freq.agg(sum(col("term_freq")).as("total_tokens"))
     val lf = floor(log2(col("term_freq").cast("double")) * 1e6 + 0.5)
       .cast(LongType)
     Partitioning.saltedEquiJoin(terms, freq, "term", col("doc_id"))

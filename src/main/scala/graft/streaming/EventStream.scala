@@ -226,6 +226,10 @@ object EventStream {
           // materialize before overwriting the path being read
           .localCheckpoint(eager = true)
         graft.sources.Loader.truncateAndLoad(merged, sinkPath)
+        // release the per-trigger checkpoint once the sink write landed
+        // — same hygiene as the admission/pack sinks (one pinned
+        // checkpoint per trigger otherwise accumulates until a full GC)
+        releaseCheckpoints(merged)
         ()
       }
       .start()

@@ -16,7 +16,8 @@ object ExplainAudit {
     val qs = if (args.nonEmpty) args.toSeq
       else Seq("fact_sales", "q5_region_volume", "asof_join_events_orders",
         "dedup_jaccard", "decontaminate", "q9_profit_nation", "events_sliding",
-        "seq_pack", "tfidf_top_terms", "dedup_admit", "fact_transactions_cdc")
+        "seq_pack", "tfidf_top_terms", "dedup_admit", "fact_transactions_cdc",
+        "dedup_reconcile", "passage_dedup", "doc_unigram_logloss")
     for (q <- qs) {
       println(s"\n================ $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

@@ -48,7 +48,18 @@ class PlanShapeSpec extends AnyFunSuite {
     ("dedup_exact", Shape(2, 1, 0, 0),
       "groupBy+join canonical form — NO fingerprint-partitioned window"),
     ("decontaminate", Shape(4, 3, 0, 0),
-      "df-capped gram semi-join; checkpointed stream keeps plan flat"))
+      "df-capped gram semi-join; checkpointed stream keeps plan flat"),
+    ("passage_dedup", Shape(4, 1, 0, 0),
+      "salted df join (tf-idf family) — no raw Zipf-head key join"),
+    ("doc_unigram_logloss", Shape(3, 1, 0, 0),
+      "salted join probes the CHECKPOINTED freq (its agg exchange ran " +
+        "at materialization, not here) + broadcast 1-row total"),
+    ("doc_char_entropy", Shape(1, 0, 0, 0),
+      "pure native-expression map; only the output sort exchanges"),
+    ("quality_gopher", Shape(1, 0, 0, 0),
+      "pure expression map; only the output sort exchanges"),
+    ("dedup_reconcile", Shape(3, 0, 1, 0),
+      "closure over checkpointed state; sizes join SMJ at fixture stats"))
 
   test("flagship physical plans match their audited fingerprints") {
     val diffs = pinned.flatMap { case (name, want, why) =>
