@@ -25,8 +25,8 @@ object SparkEntry {
     */
   val checkpointingQueries: Set[String] =
     Set("dedup_clusters", "dedup_prune", "corpus_report", "decontaminate",
-      "dedup_admit", "dedup_reconcile", "fact_transactions_cdc",
-      "doc_unigram_logloss")
+      "decontaminate_bloom", "dedup_admit", "dedup_reconcile",
+      "fact_transactions_cdc", "doc_unigram_logloss")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -183,6 +183,7 @@ object SparkEntry {
     "doc_chunks" -> ((s, d) => TextOps.chunk(t(s, d, "documents"))),
     "doc_split" -> ((s, d) => TextOps.split_assign(t(s, d, "documents"))),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(t(s, d, "documents"))),
+    "decontaminate_bloom" -> ((s, d) => TextOps.decontaminateBloom(t(s, d, "documents"))),
     "doc_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
     "corpus_funnel" -> ((s, d) => TextOps.corpusFunnel(t(s, d, "documents"))),
     "corpus_vocabulary" -> ((s, d) => TextOps.vocabulary(t(s, d, "documents"))),
@@ -231,6 +232,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
     "embedding_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d, "embeddings"))),
     "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(t(s, d, "embeddings"))),
+    "kmeans_centroids" -> ((s, d) => Similarity.kmeansCentroids(t(s, d, "embeddings"))),
+    "kmeans_assign" -> ((s, d) => Similarity.kmeansAssign(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents"))),
     // ---- D (r5). corpus construction ----
@@ -438,6 +441,53 @@ object SparkEntry {
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM lab)
        |SELECT doc_id, cluster_size, cluster_size - 1 AS n_batch_dups
        |FROM sz WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE chain for the k-means oracles: exact double vectors
+    * (e), nano-unit quantized elements for order-free integer sums
+    * (eq), seed codebook c0 = first k vectors, then three unrolled
+    * Lloyd iterations (assign a_t from c_{t-1}; means m_t from exact
+    * long sums; codebook c_t with COALESCE carry for emptied
+    * clusters) — the SQL twin of Similarity.kmeansCodebook.
+    */
+  private val kmeansCteSql: String = {
+    val iterBlocks = (1 to 3).map { t =>
+      s"""a$t AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_sum(list_transform(range(1, len(e.v)+1),
+         |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+         |  FROM e CROSS JOIN c${t - 1} c) WHERE rn = 1),
+         |m$t AS (SELECT a.cid, q.dim,
+         |    CAST(SUM(q.q) AS DOUBLE)/1e9/count(*) AS mv
+         |  FROM a$t a JOIN eq q USING (vec_id) GROUP BY a.cid, q.dim),
+         |c$t AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+         |  FROM c${t - 1} p LEFT JOIN (SELECT cid, list(mv ORDER BY dim) AS cv
+         |    FROM m$t GROUP BY cid) n USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |eq AS (SELECT vec_id, u.i - 1 AS dim, CAST(round(u.x*1e9) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, unnest(list_transform(range(1, len(v)+1),
+       |      i -> {'i': CAST(i AS BIGINT), 'x': v[i]})) AS u
+       |    FROM e)),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |$iterBlocks""".stripMargin
+  }
+
+  private val decontaminateSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 AS b,
+      |  string_split(lower(trim(text)), ' ') AS tk FROM documents),
+      |g AS (SELECT doc_id, b,
+      |  unnest(list_distinct(list_transform(range(1, greatest(len(tk)-6, 1)),
+      |    i -> ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT))) AS g8
+      |FROM t),
+      |r AS (SELECT g8 FROM g GROUP BY g8 HAVING count(*) <= 1000)
+      |SELECT a.doc_id AS train_doc, c.doc_id AS eval_doc, count(*) AS n_shared_grams
+      |FROM g a JOIN g c ON a.g8 = c.g8 AND a.b < 8 AND c.b >= 8
+      |WHERE a.g8 IN (SELECT g8 FROM r)
+      |GROUP BY 1, 2 ORDER BY train_doc, eval_doc""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dim_date" ->
@@ -1938,19 +1988,11 @@ object SparkEntry {
         |  ck[1] AS first_token
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
-    "decontaminate" ->
-      """WITH t AS (SELECT doc_id,
-        |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 AS b,
-        |  string_split(lower(trim(text)), ' ') AS tk FROM documents),
-        |g AS (SELECT doc_id, b,
-        |  unnest(list_distinct(list_transform(range(1, greatest(len(tk)-6, 1)),
-        |    i -> ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT))) AS g8
-        |FROM t),
-        |r AS (SELECT g8 FROM g GROUP BY g8 HAVING count(*) <= 1000)
-        |SELECT a.doc_id AS train_doc, c.doc_id AS eval_doc, count(*) AS n_shared_grams
-        |FROM g a JOIN g c ON a.g8 = c.g8 AND a.b < 8 AND c.b >= 8
-        |WHERE a.g8 IN (SELECT g8 FROM r)
-        |GROUP BY 1, 2 ORDER BY train_doc, eval_doc""".stripMargin,
+    "decontaminate" -> decontaminateSql,
+    // the Bloom prefilter has no false negatives and the exact pair
+    // join removes its false positives, so the bloom variant's result
+    // set IS decontaminate's — one oracle, two physical strategies
+    "decontaminate_bloom" -> decontaminateSql,
 
     "doc_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
@@ -2142,6 +2184,32 @@ object SparkEntry {
         |r AS (SELECT qid, nid, cos_sim,
         |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM g)
         |SELECT qid, rank, nid, cos_sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // Lloyd's k-means, unrolled: each iteration block is assignment
+    // (ordered-fold distances, argmin ties on cid) + exact nano-unit
+    // integer means + COALESCE carry for emptied clusters — mirrors
+    // Similarity.kmeansCodebook step for step, so the final codebook
+    // is bit-identical across engines.
+    "kmeans_centroids" ->
+      s"""$kmeansCteSql
+        |SELECT c.cid AS cluster_id, u.i - 1 AS dim_idx, u.x AS centroid_val
+        |FROM (SELECT cid, unnest(list_transform(range(1, len(cv)+1),
+        |    i -> {'i': CAST(i AS BIGINT), 'x': cv[i]})) AS u
+        |  FROM c3) c
+        |ORDER BY cluster_id, dim_idx""".stripMargin,
+
+    "kmeans_assign" ->
+      s"""$kmeansCteSql,
+        |a4 AS (SELECT vec_id, cid, d FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, len(e.v)+1),
+        |      i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) AS d,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.v)+1),
+        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+        |  FROM e CROSS JOIN c3 c) WHERE rn = 1)
+        |SELECT vec_id, cid AS cluster_id, d AS sq_dist
+        |FROM a4 ORDER BY vec_id""".stripMargin,
 
     "multimodal_meta" ->
       """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),

@@ -223,6 +223,121 @@ object Similarity {
           1e9 / count(lit(1))).as("mean_val"))
       .orderBy("label", "dim_idx")
 
+  /** Squared L2 distance as an ordered left-to-right double fold —
+    * the same accumulation order as the oracle's
+    * `list_sum(list_transform(...))`, so distances (and therefore
+    * argmin assignments) are bit-identical across engines.
+    */
+  private def sqDistTo(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (x, y) =>
+      (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Stages `__sq_dist` and `__cluster_id` columns: per-row argmin
+    * over a LITERAL codebook (k×d doubles ship with the plan; no
+    * corpus×centroid join, no shuffle). The distance array
+    * materializes in its own projection so the k folds run once per
+    * row; argmin = array_position of the min — FIRST match, i.e. ties
+    * break on the lower list index = lower centroid id (codebook is
+    * sorted by cid), exactly the oracle's `ORDER BY dist ASC, cid ASC`
+    * row_number.
+    */
+  private def withNearestCentroid(df: DataFrame, v: Column,
+                                  code: Seq[(Long, Seq[Double])]): DataFrame = {
+    val cids = typedLit(code.map(_._1))
+    val cents = typedLit(code.map(_._2))
+    df.withColumn("__dists", transform(cents, c => sqDistTo(v, c)))
+      .withColumn("__sq_dist", array_min(col("__dists")))
+      .withColumn("__cluster_id", element_at(cids,
+        array_position(col("__dists"), col("__sq_dist")).cast("int")))
+      .drop("__dists")
+  }
+
+  /** Distributed Lloyd's k-means over the embedding column — the real
+    * training step behind an IVF codebook (ref: the clustering the
+    * reference's analytics layer delegates to its Python stack; here
+    * expression-level and engine-exact). Classic broadcast-codebook
+    * shape: each iteration is ONE corpus scan (per-row literal-codebook
+    * argmin, stays in codegen) feeding a (k·d)-group aggregate whose
+    * map-side partials absorb virtually all input rows, then a bounded
+    * k×d driver collect rebuilds the codebook for the next round — at
+    * 100 TB each iteration moves k·d·parallelism longs through the
+    * shuffle, nothing corpus-sized.
+    *
+    * Every step is deterministic across engines so the unrolled-CTE
+    * DuckDB oracle reproduces the codebook BIT-IDENTICALLY:
+    *  - init = the first k vectors by vec_id (no RNG);
+    *  - assignment distances are ordered left-to-right double folds
+    *    (same association both engines), ties on centroid id;
+    *  - centroid means go through exact integer nano-unit sums
+    *    (round(x·1e9) longs — order-independent), one double division
+    *    chain at the end (the [[labelCentroids]] recipe);
+    *  - a cluster that loses all members keeps its previous centroid
+    *    (COALESCE in the oracle — deterministic, no re-seeding RNG).
+    */
+  def kmeansCodebook(embeddings: DataFrame, k: Int = 8,
+                     iters: Int = 3): Seq[(Long, Seq[Double])] = {
+    var code: Seq[(Long, Seq[Double])] = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq.sortBy(_._1)
+    for (_ <- 1 to iters) {
+      val means = withNearestCentroid(embeddings, col("embedding"), code)
+        .select(col("__cluster_id").as("cid"), posexplode(col("embedding")))
+        .groupBy("cid", "pos")
+        .agg((sum(round(col("col").cast("double") * 1e9).cast(LongType))
+          .cast("double") / 1e9 / count(lit(1))).as("mv"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2))))
+        .groupBy(_._1)
+        .map { case (c, rows) => (c, rows.map(_._2).sortBy(_._1).map(_._2).toSeq) }
+      code = code.map { case (c, prev) => (c, means.getOrElse(c, prev)) }
+    }
+    code
+  }
+
+  /** Trained codebook in exploded long format (cluster × dimension ×
+    * coordinate) — the persisted artifact an ANN index build reads.
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8,
+                      iters: Int = 3): DataFrame = {
+    val sess = embeddings.sparkSession
+    import sess.implicits._
+    kmeansCodebook(embeddings, k, iters)
+      .flatMap { case (cid, vs) =>
+        vs.zipWithIndex.map { case (x, i) => (cid, i.toLong, x) }
+      }
+      .toDF("cluster_id", "dim_idx", "centroid_val")
+      .orderBy("cluster_id", "dim_idx")
+  }
+
+  /** Final cluster assignment under the trained codebook: one map-only
+    * corpus pass (literal codebook, per-row argmin, zero shuffle
+    * before the output sort) — the IVF list-building scan.
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8,
+                   iters: Int = 3): DataFrame =
+    withNearestCentroid(embeddings, col("embedding"),
+      kmeansCodebook(embeddings, k, iters))
+      .select(col("vec_id"), col("__cluster_id").as("cluster_id"),
+        col("__sq_dist").as("sq_dist"))
+      .orderBy("vec_id")
+
+  /** IVF search over k-means-trained coarse centroids — [[knnIvf]]'s
+    * literal-codebook search with [[kmeansCodebook]] supplying the
+    * lists (the unsupervised replacement for [[knnIvfTrained]]'s
+    * per-label means). Codebook doubles are rounded to float for the
+    * shared float search path; recall vs brute force is asserted in
+    * spec (rows-only correctness entry would apply — see spec).
+    */
+  def knnIvfKmeans(embeddings: DataFrame, nProbes: Int = 20, k: Int = 5,
+                   kClusters: Int = 8, iters: Int = 3,
+                   probeLists: Int = 2): DataFrame = {
+    val code = kmeansCodebook(embeddings, kClusters, iters)
+    ivfSearch(embeddings, code.map(_._1),
+      code.map(_._2.map(_.toFloat)), nProbes, k, probeLists)
+  }
+
   /** Per-vector int8 (0..255) min-max quantization — the 4× storage/
     * bandwidth compression an ANN serving layer applies before the
     * index build. Pure per-row HOF pipeline (no shuffle, no UDF, stays

@@ -320,6 +320,86 @@ object TextOps {
       .orderBy("train_doc", "eval_doc")
   }
 
+  /** Bloom-prefiltered decontamination — result-IDENTICAL to
+    * [[decontaminate]] (same grams, same df cap, same pair counts) but
+    * the train side is filtered through a Bloom filter of the held-out
+    * gram set BEFORE the pair join, so at 100 TB only the tiny
+    * might-match fraction of train grams crosses the shuffle (train
+    * corpus ≫ eval set is the production shape; the exact join then
+    * removes Bloom false positives, which is why the result — and the
+    * oracle — are exactly [[decontaminate]]'s).
+    *
+    * The filter itself is expression-level: a bitset of `2^log2Bits`
+    * bits as a LITERAL array<long> (2^20 bits = 16 K longs = 128 KB in
+    * the plan — fine to ~2^24; past that, materialize it as a
+    * broadcast table instead). k=3 probe positions come from disjoint
+    * 20-bit slices of the already-md5-derived 60-bit gram key —
+    * independent by construction, no extra hashing, no UDF, fully
+    * codegen'd. FP rate at n eval grams: (1−e^(−3n/m))^3 ≈ 1.4% at
+    * n=m/8; size log2Bits to the eval-gram count, not the corpus.
+    */
+  def decontaminateBloom(documents: DataFrame, n: Int = 8,
+      maxGramDf: Int = GramDfCap, log2Bits: Int = 20): DataFrame = {
+    val tk = toks
+    val grams = array_distinct(transform(
+      sequence(lit(1), greatest(size(tk) - lit(n - 1), lit(0))),
+      i => conv(substring(md5(array_join(slice(tk, i, lit(n)), " ").cast("binary")),
+        1, 15), 16, 10).cast(LongType)))
+    // same checkpointed single tokenize+md5 pass as decontaminate: the
+    // exploded stream feeds the df aggregate, the bloom build, and
+    // both join sides
+    val exploded = documents
+      .select(col("doc_id"), splitBucket.as("b"), grams.as("gs"))
+      .select(col("doc_id"), col("b"), explode(col("gs")).as("g8"))
+      .localCheckpoint(true)
+    val rare = exploded.groupBy("g8")
+      .agg(count(lit(1)).as("gram_df"))
+      .filter(col("gram_df") <= maxGramDf)
+      .select("g8")
+    val capped = exploded.join(rare, Seq("g8"), "left_semi")
+    val heldOut = capped.filter(col("b") >= 8)
+      .select(col("doc_id").as("eval_doc"), col("g8"))
+    // ---- build: OR the three probe bits of every held-out gram into
+    // 64-bit words; the aggregate output is bounded by m/64 rows
+    // (16 K at the default), independent of corpus size
+    val mask = (1L << log2Bits) - 1
+    def probes(g: Column): Seq[Column] = Seq(
+      g.bitwiseAND(lit(mask)),
+      shiftright(g, 20).bitwiseAND(lit(mask)),
+      shiftright(g, 40).bitwiseAND(lit(mask)))
+    val words = heldOut
+      .select(explode(array(probes(col("g8")): _*)).as("pos"))
+      .select(shiftright(col("pos"), 6).cast("int").as("w"),
+        // SQL shiftleft takes a column shift; the Scala API only a constant
+        expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy("w").agg(bit_or(col("bit")).as("bits"))
+      .collect()
+    val wordArr = new Array[Long](1 << (log2Bits - 6))
+    words.foreach(r => wordArr(r.getInt(0)) = r.getLong(1))
+    val wordsLit = typedLit(wordArr.toSeq)
+    // ---- probe: stage word + bit-offset columns, then one variable-
+    // shift test per probe (SQL shiftright takes a column shift; the
+    // Scala functions API only takes a constant, hence the expr)
+    val pre = capped.filter(col("b") < 8)
+      .select(col("doc_id").as("train_doc"), col("g8"))
+      .withColumn("__ps", array(probes(col("g8")): _*))
+      .withColumn("__w0", element_at(wordsLit,
+        shiftright(element_at(col("__ps"), 1), 6).cast("int") + 1))
+      .withColumn("__w1", element_at(wordsLit,
+        shiftright(element_at(col("__ps"), 2), 6).cast("int") + 1))
+      .withColumn("__w2", element_at(wordsLit,
+        shiftright(element_at(col("__ps"), 3), 6).cast("int") + 1))
+      .filter(expr(
+        "(shiftright(__w0, CAST(__ps[0] % 64 AS INT)) & 1) = 1 AND " +
+        "(shiftright(__w1, CAST(__ps[1] % 64 AS INT)) & 1) = 1 AND " +
+        "(shiftright(__w2, CAST(__ps[2] % 64 AS INT)) & 1) = 1"))
+      .select("train_doc", "g8")
+    pre.join(heldOut, "g8")
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("train_doc", "eval_doc")
+  }
+
   /** Hot-LIST variant of the df cap: aggregate only the grams ABOVE the
     * cap (a tiny set — bounded by total_grams/cap) and anti-join it,
     * instead of semi-joining the full rare set. The anti-join side is

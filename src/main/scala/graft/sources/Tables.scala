@@ -19,16 +19,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf) and floor-divide to
-    * microseconds with integer `div` (a double division would lose
-    * precision at 1e18). Sub-µs data loss is nil here (generator emits
-    * whole µs) and truncation is the documented cross-engine contract.
+  /** The generator's `ts` physical type has drifted across rounds, so
+    * normalize by the OBSERVED schema to session-zone TimestampType:
+    *  - TIMESTAMP(NANOS) parquet (Spark's vectorized reader rejects
+    *    it): read nanos as long (legacy conf) and floor-divide to
+    *    microseconds with integer `div` (a double division would lose
+    *    precision at 1e18; sub-µs truncation is the documented
+    *    cross-engine contract);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): lands as
+    *    TIMESTAMP_NTZ under Spark 4's NTZ inference — cast to
+    *    TimestampType; sessions run UTC (Verify/Bench/specs), so the
+    *    instant is identical to what DuckDB reads natively.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -19,8 +19,11 @@ object EventStream {
     * window's state was finalized and is dropped — the batch twin
     * over the settled data is the reconciliation path.
     */
-  /** readStream over the raw parquet: nanos-as-long + div-1000 convert,
-    * mirroring graft.sources.Tables.events.
+  /** readStream over the raw parquet, normalizing `ts` by the OBSERVED
+    * physical type exactly like graft.sources.Tables.events (the
+    * generator's layout has drifted across rounds): long nanos →
+    * div-1000 + timestamp_micros; TIMESTAMP_NTZ → cast to session-zone
+    * timestamp (sessions run UTC, so the instant is unchanged).
     */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -32,11 +35,20 @@ object EventStream {
       sys.props("java.io.tmpdir"), "graft_events_stream",
       Integer.toHexString(dir.hashCode))
     java.nio.file.Files.createDirectories(staged)
-    val target = staged.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(target))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"), target)
-    spark.readStream.schema(schema).parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // always refresh: a staged copy from a PRIOR testdata generation
+    // (same path, different contents/schema) must not shadow the
+    // current fixture
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"),
+      staged.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val raw = spark.readStream.schema(schema).parquet(staged.toString)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   def hourlyStream(spark: SparkSession, dir: String): DataFrame = {

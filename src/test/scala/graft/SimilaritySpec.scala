@@ -195,6 +195,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning"), s"normalize must not shuffle:\n$plan")
   }
 
+  test("kmeans recovers planted clusters and assignment is the true argmin") {
+    // three tight planted clusters far apart; seeds 0..2 land one per
+    // cluster so Lloyd must separate them perfectly
+    def v(center: Double) = Array.tabulate(64)(i => (center + 0.01 * math.sin(i)).toFloat)
+    val rows = (0 until 9).map { i =>
+      (i.toLong, v(Seq(0.0, 10.0, -10.0)(i % 3)), i % 3)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val assign = Similarity.kmeansAssign(df, k = 3, iters = 3).collect()
+    val byCluster = assign.groupBy(_.getAs[Long]("cluster_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id") % 3).toSet).toMap
+    assert(byCluster.size === 3)
+    assert(byCluster.values.forall(_.size === 1),
+      s"each planted cluster maps to exactly one k-means cluster: $byCluster")
+    // assignment dist really is the minimum over the trained codebook
+    val code = Similarity.kmeansCodebook(df, k = 3, iters = 3)
+    val vecs = rows.map(r => (r._1, r._2.map(_.toDouble))).toMap
+    assign.foreach { r =>
+      val x = vecs(r.getAs[Long]("vec_id"))
+      val dists = code.map { case (cid, c) =>
+        (cid, x.zip(c).foldLeft(0.0) { case (a, (xi, ci)) => a + (xi - ci) * (xi - ci) }) }
+      assert(dists.minBy(d => (d._2, d._1))._1 === r.getAs[Long]("cluster_id"))
+    }
+  }
+
+  test("kmeans iterations do not increase inertia on the corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    def inertia(iters: Int): Double =
+      Similarity.kmeansAssign(emb, k = 8, iters = iters)
+        .agg(org.apache.spark.sql.functions.sum("sq_dist")).head.getDouble(0)
+    val i1 = inertia(1)
+    val i3 = inertia(3)
+    assert(i3 <= i1 + 1e-6, s"Lloyd must not diverge: iter1=$i1 iter3=$i3")
+  }
+
+  test("kmeans-trained IVF: structural guarantees hold; recall reported") {
+    val ivf = Similarity.knnIvfKmeans(Tables.embeddings(spark, sf)).cache()
+    assert(ivf.filter(col("qid") === col("nid")).count() === 0)
+    val counts = ivf.groupBy("qid").count()
+    assert(counts.filter(col("count") > 5).count() === 0)
+    val brute = Similarity.knnBrute(Tables.embeddings(spark, sf))
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(f"kmeans-IVF recall vs brute: ${got.intersect(brute).size.toDouble / brute.size}%.2f")
+    ivf.unpersist()
+  }
+
   test("q1 aggregates stay in whole-stage codegen") {
     val df = Analytics.pricingSummary(Tables.lineitem(spark, sf))
     df.collect()   // run this exact queryExecution so AQE finalizes it

@@ -241,6 +241,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(capped.head.getLong(2) === 8L) // 16 tokens → 9 grams, minus the capped one
   }
 
+  test("decontaminate_bloom equals decontaminate, even with a tiny saturated filter") {
+    val docs = Tables.documents(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val exact = TextOps.decontaminate(docs).collect().map(key).toSet
+    // default filter: the production shape
+    val bloom = TextOps.decontaminateBloom(docs).collect().map(key).toSet
+    assert(bloom === exact)
+    // 2^10-bit filter is hopelessly saturated (FP rate ≈ 1) — every
+    // train gram passes the prefilter, and the result must STILL be
+    // exact because the confirm join removes false positives. This is
+    // the correctness-independent-of-filter-size contract.
+    val saturated = TextOps.decontaminateBloom(docs, log2Bits = 10).collect().map(key).toSet
+    assert(saturated === exact)
+  }
+
   test("multimodal: expression path and mapPartitions decode stub agree") {
     val meta = Multimodal.mediaMeta(docs).select("doc_id", "width", "height")
     val decoded = Multimodal.decodeBatch(spark, docs)
