@@ -26,7 +26,8 @@ object SparkEntry {
   val checkpointingQueries: Set[String] =
     Set("dedup_clusters", "dedup_prune", "corpus_report", "decontaminate",
       "decontaminate_bloom", "dedup_admit", "dedup_reconcile",
-      "fact_transactions_cdc", "doc_unigram_logloss")
+      "fact_transactions_cdc", "doc_unigram_logloss", "dedup_exact",
+      "corpus_funnel")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -317,6 +318,8 @@ object SparkEntry {
     }),
     "doc_char_entropy" -> ((s, d) => TextOps.charEntropy(t(s, d, "documents"))),
     "quality_gopher" -> ((s, d) => TextOps.gopherQuality(t(s, d, "documents"))),
+    "quality_gate_relative" -> ((s, d) => TextOps.qualityGate(t(s, d, "documents"))),
+    "table_profile_orders" -> ((s, d) => Validation.tableProfile(t(s, d, "orders"))),
     "passage_dedup" -> ((s, d) => TextOps.passageDedup(t(s, d, "documents"))),
     "doc_unigram_logloss" -> ((s, d) => TextOps.unigramLogloss(t(s, d, "documents")))
   )
@@ -1683,6 +1686,51 @@ object SparkEntry {
     // rational ratios only — no transcendentals, regex restricted to
     // the Java↔RE2 common subset. '...' count via replace-delta works
     // identically in both engines (non-overlapping, left-to-right).
+    // integer micro-unit scores + histogram-cumulative threshold: the
+    // keep rule is pure integer logic, so the gate reproduces exactly
+    // (no interpolated-percentile boundary flake)
+    "quality_gate_relative" ->
+      """WITH s AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS tk
+        |  FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(floor(1e6 * len(list_distinct(tk)) / len(tk) + 0.5) AS BIGINT) AS score_micro
+        |FROM s),
+        |h AS (SELECT lang, score_micro, count(*) AS n FROM sc GROUP BY 1, 2),
+        |c AS (SELECT lang, score_micro,
+        |  sum(n) OVER (PARTITION BY lang ORDER BY score_micro) AS cum,
+        |  sum(n) OVER (PARTITION BY lang) AS total FROM h),
+        |t AS (SELECT lang, min(score_micro) AS threshold_micro FROM c
+        |  WHERE cum > floor(0.25 * total) GROUP BY lang)
+        |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.n_distinct_tokens,
+        |  sc.score_micro, t.threshold_micro,
+        |  sc.score_micro >= t.threshold_micro AS kept
+        |FROM sc JOIN t USING (lang) ORDER BY sc.doc_id""".stripMargin,
+
+    // exact counts only cross the oracle (min/max restricted to numeric
+    // columns as doubles — string/timestamp rendering differs across
+    // engines and is deliberately out of the verified surface)
+    "table_profile_orders" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |    count(*) - count(o_orderkey) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+        |    CAST(max(o_orderkey) AS DOUBLE) AS max_num FROM orders
+        |  UNION ALL SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey), CAST(min(o_custkey) AS DOUBLE),
+        |    CAST(max(o_custkey) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |    count(DISTINCT o_totalprice), min(o_totalprice), max(o_totalprice) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |    count(DISTINCT o_orderdate), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders)
+        |SELECT * FROM p ORDER BY column_name""".stripMargin,
+
     "quality_gopher" ->
       """WITH t AS (SELECT doc_id, text, lower(trim(text)) AS nt,
         |  string_split(lower(trim(text)), ' ') AS tk FROM documents),

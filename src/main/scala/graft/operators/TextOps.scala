@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -666,6 +667,49 @@ object TextOps {
         (lit(1.0) - col("n_distinct_trigrams").cast("double") / col("n_trigrams"))
           .as("dup_trigram_ratio"))
       .withColumn("is_repetitive", col("dup_trigram_ratio") > 0.2)
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-RELATIVE quality gate: drop the worst `dropFraction` of
+    * each language's documents by type-token ratio (distinct tokens /
+    * tokens — low = repetitive boilerplate). CCNet-style percentile
+    * bucketing, engineered for 100 TB the same way the pack family's
+    * two-phase scan is: NO per-document window. Scores quantize to
+    * integer micro-units, the threshold comes from a per-(lang, score)
+    * HISTOGRAM — at most 1e6+1 distinct scores per language, so the
+    * per-lang cumulative window runs over a bounded metadata-scale
+    * aggregate, not the corpus — and the tiny threshold table
+    * broadcasts back for a map-side keep test. All integer logic, so
+    * the oracle reproduces the gate exactly (no interpolated-
+    * percentile-vs-raw-double boundary flake).
+    *
+    * Keep rule (mirrored verbatim in SQL): kept iff score_micro ≥ t,
+    * where t is the smallest score whose inclusive cumulative count
+    * exceeds floor(dropFraction · n_lang) — ties at the threshold are
+    * kept, so at most the target fraction is dropped.
+    */
+  def qualityGate(documents: DataFrame, dropFraction: Double = 0.25): DataFrame = {
+    val scored = documents
+      .select(col("doc_id"), col("lang"), toks.as("tk"))
+      .select(col("doc_id"), col("lang"),
+        size(col("tk")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("tk"))).cast(LongType).as("n_distinct_tokens"))
+      .withColumn("score_micro",
+        floor(lit(1e6) * col("n_distinct_tokens") / col("n_tokens") + 0.5)
+          .cast(LongType))
+    val hist = scored.groupBy("lang", "score_micro")
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("lang").orderBy("score_micro")
+    val wTot = Window.partitionBy("lang")
+    val thresholds = hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wTot))
+      .filter(col("cum") > floor(lit(dropFraction) * col("total")))
+      .groupBy("lang").agg(min(col("score_micro")).as("threshold_micro"))
+    scored.join(broadcast(thresholds), Seq("lang"))
+      .withColumn("kept", col("score_micro") >= col("threshold_micro"))
+      .select("doc_id", "lang", "n_tokens", "n_distinct_tokens",
+        "score_micro", "threshold_micro", "kept")
       .orderBy("doc_id")
   }
 

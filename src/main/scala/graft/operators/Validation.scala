@@ -188,6 +188,51 @@ object Validation {
     * `merge_and_reconcile`): Σ line net+tax vs order header total, per
     * status; mismatch = |diff| > 1.00.
     */
+  /** One-pass per-column table profile — the ANALYZE-style statistics
+    * surface a warehouse load publishes (row count, null count, exact
+    * distinct count, numeric min/max). ONE aggregate over the table:
+    * the multi-column exact count-distinct compiles to a single
+    * Expand + partial-aggregate shuffle (input fans out ×columns
+    * map-side but crosses the exchange pre-aggregated); at extreme
+    * scale flip `approx = true` to trade the Expand for one
+    * HyperLogLog pass (approx_count_distinct, not oracle-checkable —
+    * the exact form is the verified surface). min/max are reported
+    * for numeric columns only (cast to double, exact — no string
+    * rendering, whose formatting differs across engines).
+    */
+  def tableProfile(df: DataFrame, approx: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, FloatType}
+    val numeric: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    val cols = df.schema.fields
+    val aggs = cols.flatMap { f =>
+      val c = col(f.name)
+      val nd = if (approx) approx_count_distinct(c) else countDistinct(c)
+      Seq(
+        count(c).as(s"__nn_${f.name}"),
+        nd.as(s"__nd_${f.name}")) ++
+        (if (numeric.contains(f.dataType))
+          Seq(min(c).cast(DoubleType).as(s"__mn_${f.name}"),
+            max(c).cast(DoubleType).as(s"__mx_${f.name}"))
+        else
+          Seq(lit(null).cast(DoubleType).as(s"__mn_${f.name}"),
+            lit(null).cast(DoubleType).as(s"__mx_${f.name}")))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // unpivot the single wide row into one row per column
+    val stacked = cols.map { f =>
+      struct(lit(f.name).as("column_name"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_${f.name}")).as("n_nulls"),
+        col(s"__nd_${f.name}").as("n_distinct"),
+        col(s"__mn_${f.name}").as("min_num"),
+        col(s"__mx_${f.name}").as("max_num"))
+    }
+    wide.select(explode(array(stacked: _*)).as("p"))
+      .select("p.column_name", "p.n_rows", "p.n_nulls", "p.n_distinct",
+        "p.min_num", "p.max_num")
+      .orderBy("column_name")
+  }
+
   def reconcileOrders(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val lineTotals = lineitem.groupBy(col("l_orderkey")).agg(
       sum((money(col("l_extendedprice")) * oneMinus(col("l_discount")))

@@ -10,6 +10,7 @@ import graft.sources.Tables
   */
 class WarehouseSpec extends AnyFunSuite {
   import TestSpark._
+  import spark.implicits._
 
   test("dim_date: unique keys, valid calendar attributes") {
     val d = Dims.dimDate(Tables.orders(spark, sf)).cache()
@@ -291,5 +292,44 @@ class WarehouseSpec extends AnyFunSuite {
     assert(ri.agg(sum("n_orphans")).head.getLong(0) === 0)
     val rc = Validation.rangeChecks(Tables.lineitem(spark, sf), Tables.events(spark, sf))
     assert(rc.agg(sum("n_violations")).head.getLong(0) === 0)
+  }
+
+  test("table profile: planted nulls/dups counted; approx mode keeps the shape") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "a"), (null, "b"), (4L, null))
+      .toDF("k", "v")
+    val p = Validation.tableProfile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("k").getLong(1) === 4 && p("k").getLong(2) === 1) // rows, nulls
+    assert(p("k").getLong(3) === 3)                            // distinct non-null
+    assert(p("k").getDouble(4) === 1.0 && p("k").getDouble(5) === 4.0)
+    assert(p("v").getLong(2) === 1 && p("v").getLong(3) === 2)
+    assert(p("v").isNullAt(4) && p("v").isNullAt(5))           // non-numeric: no min/max
+    // approx mode: same schema/rows, HLL counts within its rsd on tiny input
+    val a = Validation.tableProfile(df, approx = true).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a("k") === 3 && a("v") === 2)
+  }
+
+  test("quality gate: bottom quartile per language dropped, threshold ties kept") {
+    // 8 docs, one language: distinct-token ratios 2/8, 3/8, ..., 8/8, 8/8.
+    // floor(0.25*8)=2 → the two lowest-score docs are dropped.
+    def doc(id: Long, distinct: Int): (Long, String, String, String, Long) = {
+      val words = (0 until 8).map(i => s"w${math.min(i, distinct - 1)}")
+      (id, words.mkString(" "), "en", "src", 1L)
+    }
+    val docs = (Seq(doc(1, 2), doc(2, 3), doc(3, 4), doc(4, 5),
+      doc(5, 6), doc(6, 7), doc(7, 8), doc(8, 8)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val g = TextOps.qualityGate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(g === Map(1L -> false, 2L -> false, 3L -> true, 4L -> true,
+      5L -> true, 6L -> true, 7L -> true, 8L -> true))
+    // tie at the threshold: two docs share the threshold score — both
+    // kept (the rule drops AT MOST the target fraction)
+    val tied = Seq(doc(1, 2), doc(2, 4), doc(3, 4), doc(4, 8))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = TextOps.qualityGate(tied).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(t === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
   }
 }
