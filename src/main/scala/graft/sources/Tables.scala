@@ -80,6 +80,19 @@ object Tables {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC — the other columnar warehouse format Spark ships natively
+    * (predicate pushdown, column pruning, and vectorized reads work
+    * exactly as for parquet; the scan's PushedFilters is asserted in
+    * spec). Schema travels in the file, so no explicit StructType.
+    * (Avro is NOT offered: the spark-avro connector jar is not part of
+    * this Spark distribution, and the zero-egress environment cannot
+    * resolve it.)
+    */
+  def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** JDBC extraction (the reference's primary source:
     * extractors/database_extractor.py:71 `extract_table` pulls each
     * table through one cursor with optional WHERE/column lists, and the

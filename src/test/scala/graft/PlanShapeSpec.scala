@@ -59,7 +59,17 @@ class PlanShapeSpec extends AnyFunSuite {
     ("quality_gopher", Shape(1, 0, 0, 0),
       "pure expression map; only the output sort exchanges"),
     ("dedup_reconcile", Shape(3, 0, 1, 0),
-      "closure over checkpointed state; sizes join SMJ at fixture stats"))
+      "closure over checkpointed state; sizes join SMJ at fixture stats"),
+    ("kmeans_assign", Shape(1, 0, 0, 0),
+      "map-only literal-codebook argmin; only the output sort exchanges"),
+    ("decontaminate_bloom", Shape(4, 3, 0, 0),
+      "same census as decontaminate: the bloom prefilter is a pure " +
+        "map-side filter, no added exchange"),
+    ("quality_gate_relative", Shape(3, 1, 0, 2),
+      "both windows run over the bounded (lang,score) histogram, " +
+        "never per-doc; thresholds broadcast back"),
+    ("table_profile_orders", Shape(2, 0, 0, 0),
+      "one Expand aggregate: partial+final exchange pair, no joins"))
 
   test("flagship physical plans match their audited fingerprints") {
     val diffs = pinned.flatMap { case (name, want, why) =>

@@ -193,6 +193,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(docs.exceptAll(back).count() === 0)
   }
 
+  test("orc round-trip preserves orders exactly; filters push into the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/orders_orc"
+    val src = Tables.orders(spark, sf)
+    Tables.writeOrc(src, dir)
+    val back = Tables.readOrc(spark, dir)
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = back.filter(col("o_orderkey") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderkey"),
+      s"ORC scan must carry PushedFilters:\n$plan")
+  }
+
   test("csv round-trip with explicit schema and delimiter") {
     val dir = Files.createTempDirectory("graft_csv").toString + "/nation_csv"
     val src = Tables.nation(spark, sf)
