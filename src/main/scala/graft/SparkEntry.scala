@@ -188,6 +188,10 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
     "corpus_funnel" -> ((s, d) => TextOps.corpusFunnel(t(s, d, "documents"))),
     "corpus_vocabulary" -> ((s, d) => TextOps.vocabulary(t(s, d, "documents"))),
+    // sketch-based heavy hitters: no oracle (DataSketches internals are
+    // engine-specific) — rows-only check; exactness on the fixture is
+    // spec'd against the exact top-N instead
+    "corpus_vocabulary_approx" -> ((s, d) => TextOps.vocabularyApprox(t(s, d, "documents"))),
     "doc_commonness" -> ((s, d) => TextOps.commonness(t(s, d, "documents"))),
     "doc_length_hist" -> ((s, d) => TextOps.lengthHistogram(t(s, d, "documents"))),
     "doc_split_summary" -> ((s, d) => TextOps.splitSummary(t(s, d, "documents"))),
@@ -231,6 +235,7 @@ object SparkEntry {
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(t(s, d, "embeddings"))),
     "embedding_quantize" -> ((s, d) => Similarity.quantize(t(s, d, "embeddings"))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
+    "dedup_embedding_ivf" -> ((s, d) => Similarity.embeddingNearDupIvf(t(s, d, "embeddings"))),
     "embedding_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d, "embeddings"))),
     "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(t(s, d, "embeddings"))),
     "kmeans_centroids" -> ((s, d) => Similarity.kmeansCentroids(t(s, d, "embeddings"))),
@@ -2258,6 +2263,27 @@ object SparkEntry {
         |  FROM e CROSS JOIN c3 c) WHERE rn = 1)
         |SELECT vec_id, cid AS cluster_id, d AS sq_dist
         |FROM a4 ORDER BY vec_id""".stripMargin,
+
+    // kmeans codebook CTE + final assignment + in-cell pair cosines —
+    // blocking on the trained IVF cell, all folds ordered so the pair
+    // list and its limit-50 boundary agree bit-exactly
+    "dedup_embedding_ivf" ->
+      s"""$kmeansCteSql,
+        |a4 AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.v)+1),
+        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+        |  FROM e CROSS JOIN c3 c) WHERE rn = 1),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM e),
+        |p AS (SELECT x.cid AS cluster_id, x.vec_id AS id_a, y.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, len(na.v)+1),
+        |    i -> na.v[i]*nb.v[i])) / (na.nrm * nb.nrm) AS cos_sim
+        |FROM a4 x JOIN a4 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |JOIN n na ON na.vec_id = x.vec_id JOIN n nb ON nb.vec_id = y.vec_id)
+        |SELECT cluster_id, id_a, id_b, cos_sim FROM p
+        |ORDER BY cos_sim DESC, id_a, id_b LIMIT 50""".stripMargin,
 
     "multimodal_meta" ->
       """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),

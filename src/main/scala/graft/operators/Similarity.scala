@@ -204,6 +204,37 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Embedding-cosine near-duplicate pairs blocked on the K-MEANS IVF
+    * cell instead of [[embeddingNearDup]]'s random-hyperplane
+    * signature: candidates share a trained cluster, so the blocking
+    * follows the corpus's own density structure AND reuses the codebook
+    * the ANN serving layer already maintains (one trained artifact,
+    * two consumers). Near-identical vectors land in the same cell by
+    * construction (same argmin). Cell populations are ~n/k: at 100 TB
+    * raise k so per-cell joins stay bounded — k is a free scale knob,
+    * exactly like nPlanes for the LSH block. Caveat (documented, same
+    * as any single-probe IVF): a pair straddling a Voronoi boundary is
+    * missed; the LSH variant has the mirror-image failure on plane
+    * boundaries — run either at higher resolution when recall matters.
+    * Full oracle: the unrolled-Lloyd CTE reproduces the codebook, the
+    * assignment, and the in-cell pair cosines bit-identically.
+    */
+  def embeddingNearDupIvf(embeddings: DataFrame, topN: Int = 50,
+                          k: Int = 8, iters: Int = 3): DataFrame = {
+    val assigned = withNearestCentroid(embeddings, col("embedding"),
+      kmeansCodebook(embeddings, k, iters))
+      .select(col("vec_id"), col("embedding"), col("__cluster_id").as("cluster_id"))
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("cluster_id").as("cid_b"),
+      col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("cluster_id") === col("cid_b") && col("id_a") < col("id_b"))
+      .select(col("cluster_id"), col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
+
   /** Per-label centroid vectors in exploded long format (label ×
     * dimension × mean): posexplode keys the shuffle on (label, dim) —
     * uniform, 64×|labels| groups — and element sums go through

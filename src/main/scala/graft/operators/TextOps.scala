@@ -466,6 +466,23 @@ object TextOps {
       .orderBy(col("corpus_freq").desc, col("token"))
       .limit(topN)
 
+  /** Sketch-based heavy-hitter vocabulary — the 100 TB form of
+    * [[vocabulary]]: one `approx_top_k` (Apache DataSketches frequent-
+    * items under the hood) pass instead of a full token groupBy, so
+    * the only thing crossing the shuffle is one bounded sketch per
+    * partition (mergeable, size independent of corpus length) — the
+    * exact form shuffles every distinct token. Not oracle-checkable
+    * (sketch internals are engine-specific); the spec pins it against
+    * the exact top-N on the fixture, where the sketch is error-free
+    * because maxItemsTracked far exceeds the fixture vocabulary.
+    */
+  def vocabularyApprox(documents: DataFrame, topN: Int = 100): DataFrame =
+    documents.select(explode(toks).as("token"))
+      .agg(expr(s"approx_top_k(token, $topN)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("approx_freq"))
+      .orderBy(col("approx_freq").desc, col("token"))
+
   /** Per-document vocabulary-rarity signal: the mean share of the
     * corpus containing each of the doc's tokens (df/N averaged over
     * tokens). High = boilerplate-heavy vocabulary, low = rare/unusual

@@ -243,6 +243,21 @@ class SimilaritySpec extends AnyFunSuite {
     ivf.unpersist()
   }
 
+  test("ivf-blocked embedding near-dup finds a planted in-cell twin") {
+    // a planted near-identical pair must share a k-means cell (same
+    // argmin) and surface at cos≈1 at the top of the pair list
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val twin = base.clone(); twin(0) = base(0) + 1e-4f
+    val far = (0 until 6).map(j =>
+      (10L + j, Array.tabulate(64)(i => (math.cos(i * (j + 2)) * 2.0).toFloat), j))
+    val df = (Seq((0L, base, 0), (1L, twin, 0)) ++ far)
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.embeddingNearDupIvf(df, topN = 5, k = 3, iters = 2).collect()
+    val top = pairs.head
+    assert((top.getAs[Long]("id_a"), top.getAs[Long]("id_b")) === (0L, 1L))
+    assert(math.abs(top.getAs[Double]("cos_sim") - 1.0) < 1e-6)
+  }
+
   test("q1 aggregates stay in whole-stage codegen") {
     val df = Analytics.pricingSummary(Tables.lineitem(spark, sf))
     df.collect()   // run this exact queryExecution so AQE finalizes it

@@ -257,6 +257,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(saturated === exact)
   }
 
+  test("approx vocabulary matches the exact top-N on the fixture") {
+    val docs = Tables.documents(spark, sf)
+    // fixture vocabulary is far below maxItemsTracked, so the sketch
+    // is exact here: same tokens, same counts
+    val exact = TextOps.vocabulary(docs, 50).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val approx = TextOps.vocabularyApprox(docs, 50).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (tok, n) => assert(n === exact(tok), s"count for '$tok'") }
+  }
+
   test("multimodal: expression path and mapPartitions decode stub agree") {
     val meta = Multimodal.mediaMeta(docs).select("doc_id", "width", "height")
     val decoded = Multimodal.decodeBatch(spark, docs)
