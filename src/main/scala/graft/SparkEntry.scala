@@ -324,6 +324,20 @@ object SparkEntry {
     "doc_char_entropy" -> ((s, d) => TextOps.charEntropy(t(s, d, "documents"))),
     "quality_gopher" -> ((s, d) => TextOps.gopherQuality(t(s, d, "documents"))),
     "quality_gate_relative" -> ((s, d) => TextOps.qualityGate(t(s, d, "documents"))),
+    // the streaming twin's continuation contract, batch-staged: carry
+    // the associative histogram across two doc_id-split increments,
+    // then retro-gate everything against the merged state — must equal
+    // the one-shot gate (same oracle)
+    "quality_gate_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      val a = TextOps.qualityScores(docs.filter(col("doc_id") % 2 === 0))
+      val b = TextOps.qualityScores(docs.filter(col("doc_id") % 2 =!= 0))
+      val hist = TextOps.mergeHistograms(
+        TextOps.qualityHistogram(a), TextOps.qualityHistogram(b))
+      TextOps.gateAgainstThresholds(a.unionByName(b), TextOps.gateThresholds(hist))
+        .orderBy("doc_id")
+    }),
     "table_profile_orders" -> ((s, d) => Validation.tableProfile(t(s, d, "orders"))),
     "passage_dedup" -> ((s, d) => TextOps.passageDedup(t(s, d, "documents"))),
     "doc_unigram_logloss" -> ((s, d) => TextOps.unigramLogloss(t(s, d, "documents")))
@@ -496,6 +510,25 @@ object SparkEntry {
       |FROM g a JOIN g c ON a.g8 = c.g8 AND a.b < 8 AND c.b >= 8
       |WHERE a.g8 IN (SELECT g8 FROM r)
       |GROUP BY 1, 2 ORDER BY train_doc, eval_doc""".stripMargin
+
+  private val qualityGateSql: String =
+    """WITH s AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS tk
+      |  FROM documents),
+      |sc AS (SELECT doc_id, lang,
+      |  CAST(len(tk) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+      |  CAST(floor(1e6 * len(list_distinct(tk)) / len(tk) + 0.5) AS BIGINT) AS score_micro
+      |FROM s),
+      |h AS (SELECT lang, score_micro, count(*) AS n FROM sc GROUP BY 1, 2),
+      |c AS (SELECT lang, score_micro,
+      |  sum(n) OVER (PARTITION BY lang ORDER BY score_micro) AS cum,
+      |  sum(n) OVER (PARTITION BY lang) AS total FROM h),
+      |t AS (SELECT lang, min(score_micro) AS threshold_micro FROM c
+      |  WHERE cum > floor(0.25 * total) GROUP BY lang)
+      |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.n_distinct_tokens,
+      |  sc.score_micro, t.threshold_micro,
+      |  sc.score_micro >= t.threshold_micro AS kept
+      |FROM sc JOIN t USING (lang) ORDER BY sc.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dim_date" ->
@@ -1694,24 +1727,10 @@ object SparkEntry {
     // integer micro-unit scores + histogram-cumulative threshold: the
     // keep rule is pure integer logic, so the gate reproduces exactly
     // (no interpolated-percentile boundary flake)
-    "quality_gate_relative" ->
-      """WITH s AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS tk
-        |  FROM documents),
-        |sc AS (SELECT doc_id, lang,
-        |  CAST(len(tk) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
-        |  CAST(floor(1e6 * len(list_distinct(tk)) / len(tk) + 0.5) AS BIGINT) AS score_micro
-        |FROM s),
-        |h AS (SELECT lang, score_micro, count(*) AS n FROM sc GROUP BY 1, 2),
-        |c AS (SELECT lang, score_micro,
-        |  sum(n) OVER (PARTITION BY lang ORDER BY score_micro) AS cum,
-        |  sum(n) OVER (PARTITION BY lang) AS total FROM h),
-        |t AS (SELECT lang, min(score_micro) AS threshold_micro FROM c
-        |  WHERE cum > floor(0.25 * total) GROUP BY lang)
-        |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.n_distinct_tokens,
-        |  sc.score_micro, t.threshold_micro,
-        |  sc.score_micro >= t.threshold_micro AS kept
-        |FROM sc JOIN t USING (lang) ORDER BY sc.doc_id""".stripMargin,
+    "quality_gate_relative" -> qualityGateSql,
+    // the two-increment histogram carry is associative, so the settled
+    // result IS the one-shot gate — one oracle, two execution stagings
+    "quality_gate_incremental" -> qualityGateSql,
 
     // exact counts only cross the oracle (min/max restricted to numeric
     // columns as doubles — string/timestamp rendering differs across

@@ -706,7 +706,24 @@ object TextOps {
     * kept, so at most the target fraction is dropped.
     */
   def qualityGate(documents: DataFrame, dropFraction: Double = 0.25): DataFrame = {
-    val scored = documents
+    // `scored` feeds the histogram AND the gate join, so the tokenize
+    // pipeline runs twice — deliberately NOT checkpointed: same shape
+    // and weight as tfidf/commonness, where the checkpoint measured
+    // SLOWER at sf0.1 (whitespace split is cheaper than the
+    // block-storage round trip). The streaming twin checkpoints its
+    // batch scores anyway, because there the frame feeds the sink too.
+    val scored = qualityScores(documents)
+    gateAgainstThresholds(scored,
+      gateThresholds(qualityHistogram(scored), dropFraction))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc quality scores (the gate's map stage) — ONE definition
+    * shared by the batch gate and the streaming twin, so gate semantics
+    * cannot drift between them.
+    */
+  def qualityScores(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), col("lang"), toks.as("tk"))
       .select(col("doc_id"), col("lang"),
         size(col("tk")).cast(LongType).as("n_tokens"),
@@ -714,21 +731,36 @@ object TextOps {
       .withColumn("score_micro",
         floor(lit(1e6) * col("n_distinct_tokens") / col("n_tokens") + 0.5)
           .cast(LongType))
-    val hist = scored.groupBy("lang", "score_micro")
-      .agg(count(lit(1)).as("n"))
+
+  /** (lang, score_micro) → count histogram. ASSOCIATIVE state: two
+    * histograms merge by summing counts ([[mergeHistograms]]) — which
+    * is exactly why the streaming twin can carry it across triggers
+    * and reconcile to the one-shot answer.
+    */
+  def qualityHistogram(scored: DataFrame): DataFrame =
+    scored.groupBy("lang", "score_micro").agg(count(lit(1)).as("n"))
+
+  def mergeHistograms(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("lang", "score_micro").agg(sum(col("n")).as("n"))
+
+  /** Per-language keep threshold from a histogram (the metadata-scale
+    * cumulative window — never per-doc).
+    */
+  def gateThresholds(hist: DataFrame, dropFraction: Double = 0.25): DataFrame = {
     val wCum = Window.partitionBy("lang").orderBy("score_micro")
     val wTot = Window.partitionBy("lang")
-    val thresholds = hist
+    hist
       .withColumn("cum", sum(col("n")).over(wCum))
       .withColumn("total", sum(col("n")).over(wTot))
       .filter(col("cum") > floor(lit(dropFraction) * col("total")))
       .groupBy("lang").agg(min(col("score_micro")).as("threshold_micro"))
+  }
+
+  def gateAgainstThresholds(scored: DataFrame, thresholds: DataFrame): DataFrame =
     scored.join(broadcast(thresholds), Seq("lang"))
       .withColumn("kept", col("score_micro") >= col("threshold_micro"))
       .select("doc_id", "lang", "n_tokens", "n_distinct_tokens",
         "score_micro", "threshold_micro", "kept")
-      .orderBy("doc_id")
-  }
 
   /** Split × lang distribution summary (the balance check run after
     * assignment).

@@ -121,18 +121,30 @@ object EventStream {
       sys.props("java.io.tmpdir"), "graft_docs_stream",
       Integer.toHexString(dir.hashCode ^ splitAt.##))
     java.nio.file.Files.createDirectories(staged)
+    // fingerprint of the CURRENT source fixture — a staged copy from a
+    // PRIOR driver testdata generation (same path, different contents)
+    // must not shadow it, so staleness is detected by size+mtime
+    val srcPath = java.nio.file.Paths.get(dir, "documents.parquet")
+    val srcFp = java.nio.file.Files.size(srcPath).toString + ":" +
+      java.nio.file.Files.getLastModifiedTime(srcPath).toMillis
     splitAt match {
       case None =>
         val target = staged.resolve("documents.parquet")
-        if (!java.nio.file.Files.exists(target))
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(dir, "documents.parquet"), target)
+        val marker = staged.resolve("_staged_src")
+        if (!java.nio.file.Files.exists(marker) ||
+            new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != srcFp) {
+          java.nio.file.Files.copy(srcPath, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.write(marker, srcFp.getBytes("UTF-8"))
+          ()
+        }
       case Some(cut) =>
         val marker = staged.resolve("_staged_flat")
         def rmAll(x: java.io.File): Unit = {
           Option(x.listFiles()).foreach(_.foreach(rmAll)); x.delete(); ()
         }
-        if (!java.nio.file.Files.exists(marker)) {
+        if (!java.nio.file.Files.exists(marker) ||
+            new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != srcFp) {
           // wipe any stale earlier staging of this fixture dir
           Option(new java.io.File(staged.toString).listFiles())
             .foreach(_.foreach(rmAll))
@@ -158,7 +170,7 @@ object EventStream {
                 s"staging fixture: cannot set mtime on $target — trigger order unpinned")
               rmAll(new java.io.File(tmp.toString))
             }
-          java.nio.file.Files.createFile(marker)
+          java.nio.file.Files.write(marker, srcFp.getBytes("UTF-8"))
           ()
         }
     }
@@ -462,6 +474,79 @@ object EventStream {
         s"no admission state under $stateDir — has the stream committed a trigger?"))
     graft.operators.Dedup.reconcileAdmission(
       spark.read.parquet(s"$stateDir/upto_$latest"))
+  }
+
+  /** Streaming twin of TextOps.qualityGate — corpus-RELATIVE filtering
+    * as a continuous process. A relative threshold depends on global
+    * corpus statistics, so the carried state is the (lang, score_micro)
+    * count HISTOGRAM — bounded at ≤1e6+1 rows per language regardless
+    * of corpus size, and ASSOCIATIVE (histograms merge by summing
+    * counts), which is what makes the cross-trigger carry and the
+    * retro reconcile exact. Each trigger: merge the batch histogram
+    * into the carried one, gate the batch against the thresholds of
+    * the corpus SO FAR (batch included), land the gated rows (scores
+    * retained) in a per-batch sink dir. Online decisions drift from
+    * the one-shot gate exactly where ANY online relative filter must —
+    * early batches see a younger histogram; that tail is
+    * [[reconcileQualityGate]]'s job (scores live in the sink, the
+    * final histogram in the state — no text re-scan). Same versioned
+    * replay-idempotent state, stable checkpoint, pruning and
+    * block-release discipline as [[admissionPipelineStream]].
+    */
+  def qualityGateStream(spark: SparkSession, dir: String, sinkPath: String,
+                        dropFraction: Double = 0.25,
+                        splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    documentsStream(spark, dir, splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch.drop("ingest_ts")
+        // checkpointed: feeds the batch histogram AND the gate join
+        // AND the sink write
+        val scored = graft.operators.TextOps.qualityScores(docs)
+          .localCheckpoint(eager = true)
+        val prevHist = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(String, Long, Long)]
+            .toDF("lang", "score_micro", "n"))
+        val newHist = graft.operators.TextOps.mergeHistograms(prevHist,
+            graft.operators.TextOps.qualityHistogram(scored))
+          .localCheckpoint(eager = true)
+        val gated = graft.operators.TextOps.gateAgainstThresholds(scored,
+          graft.operators.TextOps.gateThresholds(newHist, dropFraction))
+        graft.sources.Loader.truncateAndLoad(gated, s"$sinkPath/batch_$batchId")
+        graft.sources.Loader.truncateAndLoad(newHist, s"$stateDir/upto_$batchId")
+        releaseCheckpoints(scored, newHist)
+        pruneStateBefore(spark, stateDir, batchId - 1)
+        ()
+      }
+      .start()
+  }
+
+  /** The batch half of [[qualityGateStream]]'s lambda split: re-gate
+    * every doc the stream has seen against the FINAL histogram. Reads
+    * only the compact sink scores and the histogram state — no text
+    * re-scan — and equals the one-shot TextOps.qualityGate over
+    * everything that arrived (same scores, same histogram, same
+    * integer keep rule).
+    */
+  def reconcileQualityGate(spark: SparkSession, sinkPath: String,
+                           dropFraction: Double = 0.25): DataFrame = {
+    val stateDir = sinkPath + ".state"
+    val latest = graft.sources.Fs.childDirs(spark, stateDir)
+      .filter(_.startsWith("upto_"))
+      .map(_.stripPrefix("upto_").toLong)
+      .reduceOption(_ max _)
+      .getOrElse(throw new IllegalStateException(
+        s"no gate state under $stateDir — has the stream committed a trigger?"))
+    val hist = spark.read.parquet(s"$stateDir/upto_$latest")
+    val scored = spark.read.parquet(s"$sinkPath/batch_*")
+      .select("doc_id", "lang", "n_tokens", "n_distinct_tokens", "score_micro")
+    graft.operators.TextOps.gateAgainstThresholds(scored,
+        graft.operators.TextOps.gateThresholds(hist, dropFraction))
+      .orderBy("doc_id")
   }
 
   /** Streaming twin of Corpus.sample: the weighted mixing filter is a

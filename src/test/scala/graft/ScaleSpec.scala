@@ -319,6 +319,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(streamedIds.exceptAll(batchIds).count() === 0)
   }
 
+  test("streaming quality gate: single trigger equals the one-shot gate") {
+    val sink = Files.createTempDirectory("graft_gatestream")
+      .toString + "/gated"
+    val q = EventStream.qualityGateStream(spark, sf, sink)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(s"$sink/batch_*")
+    val batch = graft.operators.TextOps.qualityGate(Tables.documents(spark, sf))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(batch.count() > 0)
+  }
+
+  test("streaming quality gate: histogram carried across REAL triggers; reconcile settles to one-shot") {
+    val sink = Files.createTempDirectory("graft_gatestream2")
+      .toString + "/gated"
+    val q = EventStream.qualityGateStream(spark, sf, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val oneShot = graft.operators.TextOps.qualityGate(Tables.documents(spark, sf))
+    // online decisions of the FIRST trigger used a younger histogram —
+    // report the drift the lambda split exists for (not asserted: its
+    // size is a property of the fixture)
+    val online = spark.read.parquet(s"$sink/batch_*")
+    val drift = online.select("doc_id", "kept")
+      .exceptAll(oneShot.select("doc_id", "kept")).count()
+    info(s"online-vs-settled gate drift: $drift docs")
+    // the settled answer must be EXACTLY the one-shot gate
+    val settled = EventStream.reconcileQualityGate(spark, sink)
+    assert(settled.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(settled).count() === 0)
+  }
+
   test("retro-reconcile demotes the late-connected twin (adversarial arrival order)") {
     // Stage EXACTLY the case online admission cannot solve: docs 7 and
     // 32 share no band (no edge), doc 40 — the component's connecting
