@@ -357,18 +357,22 @@ object TextOps {
       .agg(count(lit(1)).as("gram_df"))
       .filter(col("gram_df") <= maxGramDf)
       .select("g8")
-    val capped = exploded.join(rare, Seq("g8"), "left_semi")
-    val heldOut = capped.filter(col("b") >= 8)
+    val heldOut = exploded.join(rare, Seq("g8"), "left_semi")
+      .filter(col("b") >= 8)
       .select(col("doc_id").as("eval_doc"), col("g8"))
     // ---- build: OR the three probe bits of every held-out gram into
     // 64-bit words; the aggregate output is bounded by m/64 rows
-    // (16 K at the default), independent of corpus size
+    // (16 K at the default), independent of corpus size. Built over the
+    // UNCAPPED eval grams straight off the checkpoint: a superset of
+    // the capped set can't introduce false negatives, the confirm join
+    // stays exact, and routing it through the cap semi-join would
+    // re-execute that exchange a third time (measured +1.4 s at sf0.1)
     val mask = (1L << log2Bits) - 1
     def probes(g: Column): Seq[Column] = Seq(
       g.bitwiseAND(lit(mask)),
       shiftright(g, 20).bitwiseAND(lit(mask)),
       shiftright(g, 40).bitwiseAND(lit(mask)))
-    val words = heldOut
+    val words = exploded.filter(col("b") >= 8)
       .select(explode(array(probes(col("g8")): _*)).as("pos"))
       .select(shiftright(col("pos"), 6).cast("int").as("w"),
         // SQL shiftleft takes a column shift; the Scala API only a constant
@@ -378,10 +382,15 @@ object TextOps {
     val wordArr = new Array[Long](1 << (log2Bits - 6))
     words.foreach(r => wordArr(r.getInt(0)) = r.getLong(1))
     val wordsLit = typedLit(wordArr.toSeq)
-    // ---- probe: stage word + bit-offset columns, then one variable-
-    // shift test per probe (SQL shiftright takes a column shift; the
-    // Scala functions API only takes a constant, hence the expr)
-    val pre = capped.filter(col("b") < 8)
+    // ---- probe: the bloom test runs on the RAW train gram stream,
+    // BEFORE the cap semi-join — non-matching train grams (the
+    // overwhelming majority when train ≫ eval) are dropped map-side
+    // off the checkpoint and never cross ANY exchange; the cap
+    // semi-join and the pair join then both see only might-match rows.
+    // Stage word + bit-offset columns, then one variable-shift test
+    // per probe (SQL shiftright takes a column shift; the Scala
+    // functions API only takes a constant, hence the expr)
+    val pre = exploded.filter(col("b") < 8)
       .select(col("doc_id").as("train_doc"), col("g8"))
       .withColumn("__ps", array(probes(col("g8")): _*))
       .withColumn("__w0", element_at(wordsLit,
@@ -395,6 +404,9 @@ object TextOps {
         "(shiftright(__w1, CAST(__ps[1] % 64 AS INT)) & 1) = 1 AND " +
         "(shiftright(__w2, CAST(__ps[2] % 64 AS INT)) & 1) = 1"))
       .select("train_doc", "g8")
+    // no cap semi-join on the train side: a df-capped-out gram is
+    // absent from `heldOut`, so the inner join excludes it anyway —
+    // result-identical to capping both sides, one exchange cheaper
     pre.join(heldOut, "g8")
       .groupBy("train_doc", "eval_doc")
       .agg(count(lit(1)).as("n_shared_grams"))

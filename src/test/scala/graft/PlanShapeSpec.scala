@@ -62,9 +62,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "closure over checkpointed state; sizes join SMJ at fixture stats"),
     ("kmeans_assign", Shape(1, 0, 0, 0),
       "map-only literal-codebook argmin; only the output sort exchanges"),
-    ("decontaminate_bloom", Shape(4, 3, 0, 0),
-      "same census as decontaminate: the bloom prefilter is a pure " +
-        "map-side filter, no added exchange"),
+    ("decontaminate_bloom", Shape(3, 2, 0, 0),
+      "one exchange LIGHTER than decontaminate: the bloom prefilter is " +
+        "map-side, and the train-side cap semi-join is dropped (capped " +
+        "grams are absent from heldOut, so the pair join excludes them)"),
     ("quality_gate_relative", Shape(3, 1, 0, 2),
       "both windows run over the bounded (lang,score) histogram, " +
         "never per-doc; thresholds broadcast back"),
