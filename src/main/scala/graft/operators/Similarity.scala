@@ -220,9 +220,16 @@ object Similarity {
     * assignment, and the in-cell pair cosines bit-identically.
     */
   def embeddingNearDupIvf(embeddings: DataFrame, topN: Int = 50,
-                          k: Int = 8, iters: Int = 3): DataFrame = {
-    val assigned = withNearestCentroid(embeddings, col("embedding"),
-      kmeansCodebook(embeddings, k, iters))
+                          k: Int = 8, iters: Int = 3): DataFrame =
+    embeddingNearDupIvfWith(embeddings, kmeansCodebook(embeddings, k, iters), topN)
+
+  /** [[embeddingNearDupIvf]] under a PRE-TRAINED codebook (see
+    * [[kmeansAssignWith]] for the overload rationale).
+    */
+  def embeddingNearDupIvfWith(embeddings: DataFrame,
+                              code: Seq[(Long, Seq[Double])],
+                              topN: Int = 50): DataFrame = {
+    val assigned = withNearestCentroid(embeddings, col("embedding"), code)
       .select(col("vec_id"), col("embedding"), col("__cluster_id").as("cluster_id"))
     val a = assigned.select(col("cluster_id"), col("vec_id").as("id_a"),
       col("embedding").as("va"))
@@ -312,6 +319,13 @@ object Similarity {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
       .toSeq.sortBy(_._1)
+    // fail loudly: an id-filtered NON-EMPTY corpus without vec_ids
+    // [0, k) would otherwise train a silent empty codebook whose
+    // argmin emits NULL cluster ids downstream. An empty corpus keeps
+    // the empty-input contract (zero rows out, no throw) — the
+    // short-circuit means the healthy path pays no extra action.
+    require(code.nonEmpty || embeddings.isEmpty,
+      s"k-means seeding found no vectors with vec_id < $k — seed ids must exist in the corpus")
     for (_ <- 1 to iters) {
       val means = withNearestCentroid(embeddings, col("embedding"), code)
         .select(col("__cluster_id").as("cid"), posexplode(col("embedding")))
@@ -348,8 +362,18 @@ object Similarity {
     */
   def kmeansAssign(embeddings: DataFrame, k: Int = 8,
                    iters: Int = 3): DataFrame =
-    withNearestCentroid(embeddings, col("embedding"),
-      kmeansCodebook(embeddings, k, iters))
+    kmeansAssignWith(embeddings, kmeansCodebook(embeddings, k, iters))
+
+  /** Assignment under a PRE-TRAINED codebook — the production call
+    * shape: train once ([[kmeansCodebook]]), persist, and reuse across
+    * the assignment scan, [[embeddingNearDupIvf]] and the IVF search
+    * without re-running the Lloyd iterations per consumer (the same
+    * share-the-expensive-artifact overload pattern as
+    * Dedup.clustersFromBands).
+    */
+  def kmeansAssignWith(embeddings: DataFrame,
+                       code: Seq[(Long, Seq[Double])]): DataFrame =
+    withNearestCentroid(embeddings, col("embedding"), code)
       .select(col("vec_id"), col("__cluster_id").as("cluster_id"),
         col("__sq_dist").as("sq_dist"))
       .orderBy("vec_id")

@@ -43,7 +43,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextOps.langId(docs).count() === 0)
     assert(TextOps.repetition(docs).count() === 0)
     assert(TextOps.decontaminate(docs).count() === 0)
+    assert(TextOps.decontaminateBloom(docs).count() === 0,
+      "empty eval set → all-zero bloom, zero rows, no throw")
     assert(TextOps.vocabulary(docs).count() === 0)
+    assert(TextOps.qualityGate(docs).count() === 0)
     // the funnel still reports its four stages, all zero
     val funnel = TextOps.corpusFunnel(docs).collect()
     assert(funnel.length === 4 && funnel.forall(_.getLong(2) === 0L))
@@ -110,6 +113,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.labelCentroids(emb).count() === 0)
     assert(Similarity.knnIvf(emb).count() === 0, "empty codebook must not throw")
     assert(Similarity.quantize(emb).count() === 0)
+    assert(Similarity.kmeansAssign(emb).count() === 0,
+      "empty corpus → empty codebook, zero rows, no throw")
+    assert(Similarity.kmeansCentroids(emb).count() === 0)
+    assert(Similarity.embeddingNearDupIvf(emb).count() === 0)
   }
 
   test("snapshot diff survives empty snapshots on either side") {
