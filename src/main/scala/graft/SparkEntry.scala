@@ -339,6 +339,8 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "table_profile_orders" -> ((s, d) => Validation.tableProfile(t(s, d, "orders"))),
+    "column_histogram_totalprice" -> ((s, d) =>
+      Validation.columnHistogram(t(s, d, "orders"), "o_totalprice")),
     "passage_dedup" -> ((s, d) => TextOps.passageDedup(t(s, d, "documents"))),
     "doc_unigram_logloss" -> ((s, d) => TextOps.unigramLogloss(t(s, d, "documents")))
   )
@@ -1754,6 +1756,22 @@ object SparkEntry {
         |  UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
         |    count(DISTINCT o_orderpriority), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders)
         |SELECT * FROM p ORDER BY column_name""".stripMargin,
+
+    // one operation order for the bucket math — width once, then
+    // (x-lo)/width — so the floor boundaries are IEEE-identical
+    "column_histogram_totalprice" ->
+      """WITH b AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS hi FROM orders),
+        |x AS (SELECT CAST(o_totalprice AS DOUBLE) AS x, lo, hi
+        |  FROM orders, b WHERE o_totalprice IS NOT NULL),
+        |a AS (SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE CAST(least(floor((x - lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT)
+        |  END AS bucket, x, lo, hi FROM x)
+        |SELECT bucket,
+        |  lo + bucket * ((hi - lo) / 20.0) AS bucket_lo,
+        |  lo + (bucket + 1) * ((hi - lo) / 20.0) AS bucket_hi,
+        |  count(*) AS n_rows, min(x) AS min_val, max(x) AS max_val
+        |FROM a GROUP BY bucket, lo, hi ORDER BY bucket""".stripMargin,
 
     "quality_gopher" ->
       """WITH t AS (SELECT doc_id, text, lower(trim(text)) AS nt,

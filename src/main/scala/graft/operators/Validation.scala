@@ -233,6 +233,44 @@ object Validation {
       .orderBy("column_name")
   }
 
+  /** Equi-width histogram of a numeric column — the distribution half
+    * of the ANALYZE surface next to [[tableProfile]] (optimizer
+    * statistics, skew diagnosis, partition sizing). Two metadata-scale
+    * passes: a 1-row min/max aggregate broadcast onto the scan (the
+    * repo's scalar crossJoin pattern), then one groupBy over at most
+    * `nBuckets` keys with map-side partials. Bucket math sticks to one
+    * operation order — width = (hi−lo)/N once, then (x−lo)/width —
+    * so every double is IEEE-identical across engines and the floor
+    * boundaries cannot flake; the top edge folds into the last bucket
+    * (least(·, N−1)), and a constant column (hi = lo) degenerates to
+    * one bucket instead of dividing by zero.
+    */
+  def columnHistogram(df: DataFrame, column: String,
+                      nBuckets: Int = 20): DataFrame = {
+    val bounds = df.agg(min(col(column)).cast(DoubleType).as("lo"),
+      max(col(column)).cast(DoubleType).as("hi"))
+    val width = (col("hi") - col("lo")) / lit(nBuckets.toDouble)
+    df.select(col(column).cast(DoubleType).as("x"))
+      .filter(col("x").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(col("x"), col("lo"), col("hi"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("x") - col("lo")) / width),
+            lit((nBuckets - 1).toDouble)).cast(LongType))
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_val"), max(col("x")).as("max_val"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+      .select(col("bucket"),
+        (col("lo") + col("bucket") * ((col("hi") - col("lo")) / lit(nBuckets.toDouble)))
+          .as("bucket_lo"),
+        (col("lo") + (col("bucket") + lit(1L)) * ((col("hi") - col("lo")) / lit(nBuckets.toDouble)))
+          .as("bucket_hi"),
+        col("n_rows"), col("min_val"), col("max_val"))
+      .orderBy("bucket")
+  }
+
   def reconcileOrders(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val lineTotals = lineitem.groupBy(col("l_orderkey")).agg(
       sum((money(col("l_extendedprice")) * oneMinus(col("l_discount")))

@@ -310,6 +310,18 @@ class WarehouseSpec extends AnyFunSuite {
     assert(a("k") === 3 && a("v") === 2)
   }
 
+  test("column histogram: planted uniform values bucket evenly; constant column degenerates") {
+    val df = (0 until 100).map(i => Tuple1(i.toDouble)).toDF("v")
+    val h = Validation.columnHistogram(df, "v", nBuckets = 20).collect()
+    assert(h.length === 20)
+    assert(h.forall(_.getLong(3) === 5), "uniform 0..99 → 5 per bucket")
+    // max value folds into the last bucket, not a 21st
+    assert(h.map(_.getLong(0)).toSeq === (0L until 20L))
+    val const = Seq(Tuple1(7.0), Tuple1(7.0)).toDF("v")
+    val hc = Validation.columnHistogram(const, "v").collect()
+    assert(hc.length === 1 && hc.head.getLong(0) === 0 && hc.head.getLong(3) === 2)
+  }
+
   test("quality gate: bottom quartile per language dropped, threshold ties kept") {
     // 8 docs, one language: distinct-token ratios 2/8, 3/8, ..., 8/8, 8/8.
     // floor(0.25*8)=2 → the two lowest-score docs are dropped.
