@@ -119,6 +119,13 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.embeddingNearDupIvf(emb).count() === 0)
   }
 
+  test("profiling operators survive empty tables") {
+    val orders = empty(orderSchema)
+    assert(Validation.tableProfile(orders).collect()
+      .forall(r => r.getLong(1) === 0), "zero rows per column")
+    assert(Validation.columnHistogram(orders, "o_totalprice").count() === 0)
+  }
+
   test("snapshot diff survives empty snapshots on either side") {
     val orders = empty(orderSchema)
     val keys = Seq("o_orderkey")

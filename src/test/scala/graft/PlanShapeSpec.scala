@@ -70,7 +70,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "both windows run over the bounded (lang,score) histogram, " +
         "never per-doc; thresholds broadcast back"),
     ("table_profile_orders", Shape(2, 0, 0, 0),
-      "one Expand aggregate: partial+final exchange pair, no joins"))
+      "one Expand aggregate: partial+final exchange pair, no joins"),
+    ("column_histogram_totalprice", Shape(3, 0, 0, 0),
+      "bounds agg + bounded-key groupBy + output sort; the 1-row " +
+        "bounds attach via broadcast nested-loop (scalar crossJoin " +
+        "pattern), so zero BroadcastHashJoins"))
 
   test("flagship physical plans match their audited fingerprints") {
     val diffs = pinned.flatMap { case (name, want, why) =>
