@@ -74,7 +74,12 @@ class PlanShapeSpec extends AnyFunSuite {
     ("column_histogram_totalprice", Shape(3, 0, 0, 0),
       "bounds agg + bounded-key groupBy + output sort; the 1-row " +
         "bounds attach via broadcast nested-loop (scalar crossJoin " +
-        "pattern), so zero BroadcastHashJoins"))
+        "pattern), so zero BroadcastHashJoins"),
+    ("dedup_embedding_ivf", Shape(0, 1, 0, 0),
+      "in-cell self-join keyed on cluster_id (broadcast at fixture " +
+        "stats; flips to a keyed, AQE-splittable shuffle join at " +
+        "corpus scale — never a cross product), top-50 via " +
+        "TakeOrdered so no sort exchange"))
 
   test("flagship physical plans match their audited fingerprints") {
     val diffs = pinned.flatMap { case (name, want, why) =>
