@@ -32,8 +32,9 @@ object GraftConfig {
 
   /** Load configuration. `path` defaults to $SPARK_GRAFT_CONFIG, so a
     * deployment can mount one file and leave the code untouched; a
-    * missing file silently degrades to env/defaults (same contract as
-    * the reference's config_manager defaults).
+    * missing file silently degrades to env/defaults (mirroring
+    * main.py:46-48, which falls back to the bundled
+    * config/etl_config.yaml when no path is passed).
     */
   def load(path: Option[String] = sys.env.get("SPARK_GRAFT_CONFIG")): GraftConfig = {
     val props = new java.util.Properties()

@@ -251,6 +251,7 @@ object SparkEntry {
     "corpus_temperature" -> ((s, d) => Corpus.temperatureSample(t(s, d, "documents"))),
     "corpus_temperature_summary" ->
       ((s, d) => Corpus.temperatureSummary(t(s, d, "documents"))),
+    "corpus_select_budget" -> ((s, d) => Corpus.selectBudget(t(s, d, "documents"))),
     "seq_pack" -> ((s, d) => Corpus.packPlan(t(s, d, "documents"))),
     "seq_pack_summary" -> ((s, d) => Corpus.packSummary(t(s, d, "documents"))),
     "seq_pack_manifest" -> ((s, d) => Corpus.packManifest(t(s, d, "documents"))),
@@ -323,6 +324,7 @@ object SparkEntry {
     }),
     "doc_char_entropy" -> ((s, d) => TextOps.charEntropy(t(s, d, "documents"))),
     "quality_gopher" -> ((s, d) => TextOps.gopherQuality(t(s, d, "documents"))),
+    "doc_quality_verdict" -> ((s, d) => TextOps.qualityVerdict(t(s, d, "documents"))),
     "quality_gate_relative" -> ((s, d) => TextOps.qualityGate(t(s, d, "documents"))),
     // the streaming twin's continuation contract, batch-staged: carry
     // the associative histogram across two doc_id-split increments,
@@ -342,6 +344,7 @@ object SparkEntry {
     "column_histogram_totalprice" -> ((s, d) =>
       Validation.columnHistogram(t(s, d, "orders"), "o_totalprice")),
     "passage_dedup" -> ((s, d) => TextOps.passageDedup(t(s, d, "documents"))),
+    "passage_scrub" -> ((s, d) => TextOps.passageScrub(t(s, d, "documents"))),
     "doc_unigram_logloss" -> ((s, d) => TextOps.unigramLogloss(t(s, d, "documents")))
   )
 
@@ -1726,6 +1729,56 @@ object SparkEntry {
     // rational ratios only — no transcendentals, regex restricted to
     // the Java↔RE2 common subset. '...' count via replace-delta works
     // identically in both engines (non-overlapping, left-to-right).
+    // composite of the four verified signals — each CTE block restates
+    // its source oracle verbatim (gopher / repetition-g3 / entropy /
+    // gate), joined on doc_id exactly like the Spark composition
+    "doc_quality_verdict" ->
+      """WITH t AS (SELECT doc_id, lang, text, lower(trim(text)) AS nt,
+        |  string_split(lower(trim(text)), ' ') AS tk FROM documents),
+        |gq AS (SELECT doc_id,
+        |  (CAST(len(tk) AS BIGINT) BETWEEN 50 AND 100000)
+        |  AND (CAST(length(replace(nt, ' ', '')) AS DOUBLE) / len(tk) BETWEEN 3.0 AND 10.0)
+        |  AND ((length(text) - length(replace(text, '#', ''))) +
+        |    (length(text) - length(replace(text, '...', ''))) / 3) / len(tk) <= 0.1
+        |  AND CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(tk) >= 0.8
+        |  AND CAST(len(list_filter(tk, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) >= 2
+        |  AS gopher_keep FROM t),
+        |rp0 AS (SELECT doc_id,
+        |  list_transform(tk, tok -> ('0x' || substr(md5(tok), 1, 7))::BIGINT) AS tm FROM t),
+        |rp1 AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(len(tm)-1, 1)),
+        |    i -> ((tm[i]*268435456 + tm[i+1]) % 2147483647) * 268435456 + tm[i+2]) AS g3
+        |FROM rp0),
+        |rp AS (SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) > 0.2 AS is_repetitive FROM rp1),
+        |e0 AS (SELECT doc_id, list_transform(range(1, length(nt)+1),
+        |  i -> substr(nt, i, 1)) AS cs FROM t),
+        |e1 AS (SELECT doc_id, cs, list_sort(list_distinct(cs)) AS dc FROM e0),
+        |e2 AS (SELECT doc_id, len(cs) AS n_chars,
+        |  list_transform(dc, ch -> CAST(len(list_filter(cs, x -> x = ch)) AS BIGINT)) AS counts
+        |FROM e1),
+        |en AS (SELECT doc_id, CAST(floor((log2(CAST(n_chars AS DOUBLE)) -
+        |    list_sum(list_transform(counts, c -> c * log2(CAST(c AS DOUBLE)))) / n_chars)
+        |    * 1000000 + 0.5) AS BIGINT) AS em FROM e2),
+        |sc AS (SELECT doc_id, lang,
+        |  CAST(floor(1e6 * len(list_distinct(tk)) / len(tk) + 0.5) AS BIGINT) AS score_micro
+        |FROM t),
+        |h AS (SELECT lang, score_micro, count(*) AS n FROM sc GROUP BY 1, 2),
+        |c AS (SELECT lang, score_micro,
+        |  sum(n) OVER (PARTITION BY lang ORDER BY score_micro) AS cum,
+        |  sum(n) OVER (PARTITION BY lang) AS total FROM h),
+        |th AS (SELECT lang, min(score_micro) AS threshold_micro FROM c
+        |  WHERE cum > floor(0.25 * total) GROUP BY lang)
+        |SELECT g.doc_id, g.gopher_keep, r.is_repetitive,
+        |  e.em BETWEEN 1000000 AND 6000000 AS entropy_ok,
+        |  sc.score_micro >= th.threshold_micro AS gate_keep,
+        |  g.gopher_keep AND NOT r.is_repetitive
+        |    AND (e.em BETWEEN 1000000 AND 6000000)
+        |    AND sc.score_micro >= th.threshold_micro AS keep
+        |FROM gq g JOIN rp r USING (doc_id) JOIN en e USING (doc_id)
+        |JOIN sc USING (doc_id) JOIN th ON sc.lang = th.lang
+        |ORDER BY g.doc_id""".stripMargin,
+
     // integer micro-unit scores + histogram-cumulative threshold: the
     // keep rule is pure integer logic, so the gate reproduces exactly
     // (no interpolated-percentile boundary flake)
@@ -1816,6 +1869,65 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN passage_df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS shared_passage_ratio
         |FROM s JOIN d USING (passage_md5)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Passage SCRUB: remove every cross-doc duplicated 16-token
+    // window except in its canonical (min doc_id) host, rebuild the
+    // text from kept windows in order + the sub-window tail. Grouping
+    // on the passage STRING (vs Spark's md5 key) is value-identical;
+    // string_agg ignores the NULLed-out removed passages; the
+    // CASE avoids a stray separator when either side is empty.
+    "passage_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+        |base AS (SELECT doc_id, tk, len(tk) // 16 AS nw,
+        |  -- array_to_string over an EMPTY slice is NULL in DuckDB
+        |  -- (Spark's array_join gives ''): coalesce to keep the CASE
+        |  -- arms total
+        |  coalesce(array_to_string(
+        |    list_slice(tk, (len(tk) // 16) * 16 + 1, len(tk)), ' '), '') AS tail
+        |FROM t),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, nw + 1),
+        |    i -> array_to_string(list_slice(tk, (i-1)*16 + 1, (i-1)*16 + 16), ' '))) AS passage,
+        |  unnest(range(0, nw)) AS idx
+        |FROM base),
+        |o AS (SELECT passage, count(DISTINCT doc_id) AS passage_df,
+        |  min(doc_id) AS owner_doc FROM p GROUP BY 1),
+        |k AS (SELECT p.doc_id, p.idx, p.passage,
+        |  (o.passage_df = 1 OR p.doc_id = o.owner_doc) AS keep_passage
+        |FROM p JOIN o USING (passage)),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+        |  CAST(sum(CASE WHEN NOT keep_passage THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN keep_passage THEN passage END, ' ' ORDER BY idx), '') AS kept_text
+        |FROM k GROUP BY doc_id)
+        |SELECT base.doc_id,
+        |  coalesce(r.n_passages, 0) AS n_passages,
+        |  coalesce(r.n_removed, 0) AS n_removed,
+        |  CASE WHEN coalesce(r.kept_text, '') = '' THEN base.tail
+        |       WHEN base.tail = '' THEN r.kept_text
+        |       ELSE r.kept_text || ' ' || base.tail END AS scrubbed_text
+        |FROM base LEFT JOIN r USING (doc_id) ORDER BY base.doc_id""".stripMargin,
+
+    // Budget selection: greedy per-language from the top score bucket
+    // down, bucket-grain (kept iff score >= smallest score whose
+    // descending-cumulative token sum fits the budget) — pure integer
+    // logic over the same micro-unit scores as quality_gate_relative,
+    // so the gate reproduces exactly. A lang whose top bucket alone
+    // overshoots has no threshold row -> kept = false.
+    "corpus_select_budget" ->
+      """WITH sc AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(floor(1e6 * len(list_distinct(string_split(lower(trim(text)), ' ')))
+        |    / len(string_split(lower(trim(text)), ' ')) + 0.5) AS BIGINT) AS score_micro
+        |FROM documents),
+        |h AS (SELECT lang, score_micro, sum(n_tokens) AS bucket_tokens
+        |  FROM sc GROUP BY 1, 2),
+        |c AS (SELECT lang, score_micro,
+        |  sum(bucket_tokens) OVER (PARTITION BY lang ORDER BY score_micro DESC) AS cum_tokens
+        |FROM h),
+        |th AS (SELECT lang, min(score_micro) AS threshold_micro FROM c
+        |  WHERE cum_tokens <= 2000 GROUP BY lang)
+        |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.score_micro, th.threshold_micro,
+        |  th.threshold_micro IS NOT NULL AND sc.score_micro >= th.threshold_micro AS kept
+        |FROM sc LEFT JOIN th USING (lang) ORDER BY sc.doc_id""".stripMargin,
 
     // CCNet-style unigram cross-entropy: per-token log2(corpus freq)
     // quantized to integer micro-units BEFORE the per-doc sum (long

@@ -376,6 +376,44 @@ object Corpus {
       .select("lang", "n_lang", "rate", "n_kept", "achieved_rate")
       .orderBy("lang")
 
+  /** Token-budget-constrained data selection — the "fill a training
+    * budget with the best data" step that follows scoring: per
+    * language, keep documents from the highest quality score downward
+    * until adding the next score BUCKET would overshoot
+    * `budgetTokens`. The decision grain is the (lang, score) bucket,
+    * not the document, which is what makes the operator 100 TB-shaped:
+    * like [[graft.operators.TextOps.qualityGate]] it runs NO per-doc
+    * window — scores quantize to integer micro-units, per-bucket token
+    * sums aggregate with map-side partials into a histogram of at most
+    * 1e6+1 rows per language, the descending cumulative runs over THAT
+    * metadata-scale table, and the resulting per-lang threshold
+    * broadcasts back for a map-side keep test. Bucket-grain greedy
+    * also keeps the rule pure integer logic (kept iff score_micro ≥
+    * smallest score whose cumulative-from-top token sum fits the
+    * budget), so the oracle reproduces it exactly — a doc-grain greedy
+    * would need a per-doc tiebreak window over the boundary bucket.
+    * A language whose TOP bucket alone overshoots keeps nothing
+    * (threshold null → kept = false).
+    */
+  def selectBudget(documents: DataFrame, budgetTokens: Long = 2000L): DataFrame = {
+    val scored = graft.operators.TextOps.qualityScores(documents)
+    val hist = scored.groupBy("lang", "score_micro")
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val wDesc = Window.partitionBy("lang")
+      .orderBy(col("score_micro").desc)
+    val thresholds = hist
+      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(wDesc))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .groupBy("lang").agg(min(col("score_micro")).as("threshold_micro"))
+    scored.join(broadcast(thresholds), Seq("lang"), "left")
+      .withColumn("kept",
+        col("threshold_micro").isNotNull &&
+          col("score_micro") >= col("threshold_micro"))
+      .select("doc_id", "lang", "n_tokens", "score_micro",
+        "threshold_micro", "kept")
+      .orderBy("doc_id")
+  }
+
   /** Top-k terms per document by tf-idf. The score is the rational
     * form tf·N/df (monotone in the usual tf·ln(N/df) for fixed tf):
     * integer-valued numerators keep the double exactly reproducible

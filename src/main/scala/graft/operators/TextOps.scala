@@ -579,6 +579,76 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The transform [[passageDedup]] is the signal for: REMOVE
+    * cross-document duplicated passages and reassemble the cleaned
+    * text (the RefinedWeb/CCNet line-dedup step applied at the
+    * passage grain). Every occurrence of a passage seen in more than
+    * one document is stripped EXCEPT in its canonical (min doc_id)
+    * document — one copy of each boilerplate block survives corpus-
+    * wide, so no content is lost, while every other host sheds it.
+    * Passages are the same non-overlapping `windowTokens`-token
+    * windows of the normalized text as [[passageDedup]]; the
+    * sub-window tail is never boilerplate-keyed and is always kept,
+    * so a doc shorter than one window passes through unchanged
+    * (normalized). Output text is rebuilt from kept windows in
+    * original order + tail — scrub operates on the normalized token
+    * stream like the rest of the family.
+    *
+    * Scale shape: passage keys are md5'd; the df/min-owner aggregate
+    * is ONE uniform-key groupBy with map-side partials; the join back
+    * is SALTED on (passage_md5, hash(doc_id)) because a boilerplate
+    * passage IS a Zipf head key ([[graft.operators.Partitioning.saltedEquiJoin]]);
+    * the rebuild is a doc-keyed collect of that doc's OWN windows —
+    * bounded by document length, the same per-doc grain every map
+    * stage here already holds. No per-corpus window, no all-pairs.
+    */
+  def passageScrub(documents: DataFrame, windowTokens: Int = 16): DataFrame = {
+    val w = windowTokens
+    val base = documents.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), col("tk"),
+        (size(col("tk")) / lit(w)).cast("int").as("nw"))
+      .select(col("doc_id"), col("tk"), col("nw"),
+        // tail = tokens after the last full window (possibly empty)
+        array_join(slice(col("tk"), col("nw") * w + 1,
+          size(col("tk")) - col("nw") * w), " ").as("tail"))
+    val passages = base
+      .select(col("doc_id"),
+        posexplode(transform(
+          when(col("nw") >= 1, sequence(lit(1), col("nw")))
+            .otherwise(array().cast("array<int>")),
+          i => array_join(slice(col("tk"), (i - 1) * w + 1, lit(w)), " "))))
+      .select(col("doc_id"), col("pos").as("idx"), col("col").as("passage"),
+        md5(col("col").cast("binary")).as("passage_md5"))
+    val owners = passages.groupBy("passage_md5")
+      .agg(countDistinct(col("doc_id")).as("passage_df"),
+        min(col("doc_id")).as("owner_doc"))
+    val kept = Partitioning
+      .saltedEquiJoin(passages, owners, "passage_md5", col("doc_id"))
+      .withColumn("keep_passage",
+        col("passage_df") === 1 || col("doc_id") === col("owner_doc"))
+    // per-doc rebuild: windows are doc-local, so the collect is
+    // bounded by one document's own window count
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(!col("keep_passage"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep_passage"),
+            struct(col("idx"), col("passage"))))),
+          s => s.getField("passage")), " ").as("kept_text"))
+    base.select(col("doc_id"), col("tail"), col("nw"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        // kept windows ++ tail, skipping the separator when either is
+        // empty (concat_ws drops NULLs but not empty strings)
+        when(coalesce(col("kept_text"), lit("")) === "", col("tail"))
+          .when(col("tail") === "", col("kept_text"))
+          .otherwise(concat_ws(" ", col("kept_text"), col("tail")))
+          .as("scrubbed_text"))
+      .orderBy("doc_id")
+  }
+
   /** Unigram cross-entropy of each document under the corpus's own
     * unigram distribution — the oracle-able form of the CCNet
     * language-model perplexity filter (CCNet buckets a corpus by LM
@@ -773,6 +843,34 @@ object TextOps {
       .withColumn("kept", col("score_micro") >= col("threshold_micro"))
       .select("doc_id", "lang", "n_tokens", "n_distinct_tokens",
         "score_micro", "threshold_micro", "kept")
+
+  /** The composite keep/drop verdict a production corpus filter
+    * actually applies — Gopher rules AND not-repetitive AND character
+    * entropy in the plausible-text band AND above the per-language
+    * relative quality threshold — as ONE call, composed from the four
+    * independently oracle-verified signals on uniform doc_id joins
+    * (the corpus_report composition pattern). The three per-row
+    * signals could fuse into a single scan at the cost of duplicating
+    * their logic outside the verified operators; the composed form
+    * keeps one definition per signal, and the scans it re-runs are
+    * the map-only kind that scale linearly.
+    */
+  def qualityVerdict(documents: DataFrame,
+                     entropyLoMicro: Long = 1000000L,
+                     entropyHiMicro: Long = 6000000L): DataFrame = {
+    val g = gopherQuality(documents).select(col("doc_id"), col("keep").as("gopher_keep"))
+    val r = repetition(documents).select(col("doc_id"), col("is_repetitive"))
+    val e = charEntropy(documents).select(col("doc_id"), col("entropy_microbits"))
+    val q = qualityGate(documents).select(col("doc_id"), col("kept").as("gate_keep"))
+    g.join(r, "doc_id").join(e, "doc_id").join(q, "doc_id")
+      .withColumn("entropy_ok",
+        col("entropy_microbits").between(entropyLoMicro, entropyHiMicro))
+      .select(col("doc_id"), col("gopher_keep"), col("is_repetitive"),
+        col("entropy_ok"), col("gate_keep"),
+        (col("gopher_keep") && !col("is_repetitive") &&
+          col("entropy_ok") && col("gate_keep")).as("keep"))
+      .orderBy("doc_id")
+  }
 
   /** Split × lang distribution summary (the balance check run after
     * assignment).

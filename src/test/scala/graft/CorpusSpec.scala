@@ -259,6 +259,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("budget selection: kept tokens fit the budget, maximal at bucket grain") {
+    val budget = 2000L
+    val out = Corpus.selectBudget(docs, budget).collect()
+    assert(out.nonEmpty)
+    val byLang = out.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rows) =>
+      val kept = rows.filter(_.getBoolean(5))
+      val keptTokens = kept.map(_.getLong(2)).sum
+      assert(keptTokens <= budget, s"$lang overshoots: $keptTokens")
+      // kept ≡ score >= threshold (threshold present whenever anything kept)
+      if (kept.nonEmpty) {
+        val th = kept.head.getLong(4)
+        rows.foreach(r => assert(r.getBoolean(5) === (r.getLong(3) >= th)))
+        // bucket-grain maximality: admitting the next-lower score
+        // bucket would overshoot (or nothing remains below)
+        val below = rows.filter(_.getLong(3) < th)
+        if (below.nonEmpty) {
+          val nextScore = below.map(_.getLong(3)).max
+          val nextBucket = below.filter(_.getLong(3) == nextScore).map(_.getLong(2)).sum
+          assert(keptTokens + nextBucket > budget,
+            s"$lang not maximal: could admit bucket $nextScore")
+        }
+      }
+      // fixture non-degeneracy: every language both keeps and drops
+      assert(kept.nonEmpty && kept.length < rows.length, s"$lang degenerate")
+    }
+  }
+
   test("prune/report overloads with a materialized cluster table match the defaults") {
     val clustered = Dedup.clusters(docs).cache()
     try {

@@ -257,6 +257,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(saturated === exact)
   }
 
+  test("quality verdict equals the AND of its four source signals") {
+    val docs = Tables.documents(spark, sf)
+    val v = TextOps.qualityVerdict(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("gopher_keep"), r.getAs[Boolean]("is_repetitive"),
+          r.getAs[Boolean]("entropy_ok"), r.getAs[Boolean]("gate_keep"),
+          r.getAs[Boolean]("keep")))).toMap
+    val g = TextOps.gopherQuality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val rep = TextOps.repetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_repetitive")).toMap
+    val q = TextOps.qualityGate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(v.nonEmpty)
+    v.foreach { case (id, (gk, rp, eo, qk, keep)) =>
+      assert(gk === g(id) && rp === rep(id) && qk === q(id), s"signal drift for doc $id")
+      assert(keep === (gk && !rp && eo && qk), s"composite rule broken for doc $id")
+    }
+  }
+
   test("approx vocabulary matches the exact top-N on the fixture") {
     val docs = Tables.documents(spark, sf)
     // fixture vocabulary is far below maxItemsTracked, so the sketch
@@ -368,6 +388,35 @@ class TextDedupSpec extends AnyFunSuite {
     // fixture: the planted duplicate docs must surface as shared passages
     val corpus = TextOps.passageDedup(docs)
     assert(corpus.filter(col("n_shared_passages") > 0).count() > 0)
+  }
+
+  test("passage scrub: dup window survives only in its canonical host; tokens conserve") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val boiler = words("shared", 16)
+    val planted = Seq(
+      (1L, boiler + " " + words("aa", 16)), // canonical host keeps boiler
+      (2L, words("bb", 16) + " " + boiler), // sheds it (second window)
+      (3L, boiler + " tail words here"),    // sheds it, tail survives
+      (4L, words("dd", 15)))                // < one window → unchanged
+      .toDF("doc_id", "text")
+    val out = TextOps.passageScrub(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 0L, boiler + " " + words("aa", 16))))
+    assert(out(2L) === ((2L, 1L, words("bb", 16))))
+    assert(out(3L) === ((1L, 1L, "tail words here")))
+    assert(out(4L) === ((0L, 0L, words("dd", 15))))
+    // corpus invariants: scrubbed token count = original − 16·n_removed,
+    // and the fixture's planted dups make removal non-degenerate
+    val checked = TextOps.passageScrub(docs)
+      .join(docs.select(col("doc_id"),
+        size(split(lower(trim(col("text"))), " ")).cast("long").as("n_orig")), "doc_id")
+      .withColumn("n_scrubbed",
+        when(col("scrubbed_text") === "", 0L)
+          .otherwise(size(split(col("scrubbed_text"), " ")).cast("long")))
+    assert(checked.filter(col("n_scrubbed") =!=
+      col("n_orig") - lit(16L) * col("n_removed")).count() === 0)
+    assert(checked.filter(col("n_removed") > 0).count() > 0)
   }
 
   test("unigram logloss: closed-form on a planted vocabulary; rare tokens score higher") {
