@@ -240,6 +240,8 @@ object SparkEntry {
     "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(t(s, d, "embeddings"))),
     "kmeans_centroids" -> ((s, d) => Similarity.kmeansCentroids(t(s, d, "embeddings"))),
     "kmeans_assign" -> ((s, d) => Similarity.kmeansAssign(t(s, d, "embeddings"))),
+    "pq_codes" -> ((s, d) => Similarity.pqCodes(t(s, d, "embeddings"))),
+    "knn_pq_adc" -> ((s, d) => Similarity.knnPq(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents"))),
     // ---- D (r5). corpus construction ----
@@ -252,6 +254,22 @@ object SparkEntry {
     "corpus_temperature_summary" ->
       ((s, d) => Corpus.temperatureSummary(t(s, d, "documents"))),
     "corpus_select_budget" -> ((s, d) => Corpus.selectBudget(t(s, d, "documents"))),
+    // the budget selection's continuation contract, batch-staged (the
+    // quality_gate_incremental pattern): token histograms from two
+    // doc_id-split increments merge associatively, re-selection of
+    // everything against the merged state must equal the one-shot
+    // selection — same oracle
+    "corpus_select_budget_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      val a = TextOps.qualityScores(docs.filter(col("doc_id") % 2 === 0))
+      val b = TextOps.qualityScores(docs.filter(col("doc_id") % 2 =!= 0))
+      val hist = Corpus.mergeBudgetHistograms(
+        Corpus.budgetHistogram(a), Corpus.budgetHistogram(b))
+      Corpus.selectAgainstThresholds(a.unionByName(b),
+        Corpus.budgetThresholds(hist, 2000L))
+        .orderBy("doc_id")
+    }),
     "seq_pack" -> ((s, d) => Corpus.packPlan(t(s, d, "documents"))),
     "seq_pack_summary" -> ((s, d) => Corpus.packSummary(t(s, d, "documents"))),
     "seq_pack_manifest" -> ((s, d) => Corpus.packManifest(t(s, d, "documents"))),
@@ -502,6 +520,56 @@ object SparkEntry {
        |$iterBlocks""".stripMargin
   }
 
+  /** Shared CTE chain for the product-quantization oracles: per
+    * subspace i (8 subspaces × 8 dims over the 64-dim fixture), the
+    * SAME unrolled-Lloyd recipe as [[kmeansCteSql]] on the sliced
+    * subvector (k = 8 first-id seeds, 2 iterations, nano-unit means,
+    * ordered distance folds, ties on centroid id), then the final
+    * assignment f_i under codebook c{i}_2 carrying both the code and
+    * the winning centroid (for ADC reconstruction) — the SQL twin of
+    * Similarity.pqCodebooks/withPqCodes, generated per subspace the
+    * same way the Scala side folds over them.
+    */
+  private val pqCteSql: String = {
+    val sub = 8; val kCodes = 8; val iters = 2
+    def sq(src: String, cb: String) =
+      s"""list_sum(list_transform(range(1, len($src.v)+1),
+         |      j -> ($src.v[j]-$cb.cv[j])*($src.v[j]-$cb.cv[j])))""".stripMargin
+    val blocks = (0 until 8).map { i =>
+      val iterBlocks = (1 to iters).map { t =>
+        s"""a${i}_$t AS (SELECT vec_id, cid FROM (
+           |  SELECT s.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+           |      ${sq("s", "c")} ASC, c.cid ASC) AS rn
+           |  FROM e$i s CROSS JOIN c${i}_${t - 1} c) WHERE rn = 1),
+           |m${i}_$t AS (SELECT a.cid, q.dim,
+           |    CAST(SUM(q.q) AS DOUBLE)/1e9/count(*) AS mv
+           |  FROM a${i}_$t a JOIN eq$i q USING (vec_id) GROUP BY a.cid, q.dim),
+           |c${i}_$t AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+           |  FROM c${i}_${t - 1} p LEFT JOIN (SELECT cid, list(mv ORDER BY dim) AS cv
+           |    FROM m${i}_$t GROUP BY cid) n USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""e$i AS (SELECT vec_id, v[${i * sub + 1}:${(i + 1) * sub}] AS v FROM e),
+         |eq$i AS (SELECT vec_id, u.i - 1 AS dim, CAST(round(u.x*1e9) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(list_transform(range(1, len(v)+1),
+         |      j -> {'i': CAST(j AS BIGINT), 'x': v[j]})) AS u
+         |    FROM e$i)),
+         |c${i}_0 AS (SELECT vec_id AS cid, v AS cv FROM e$i WHERE vec_id < $kCodes),
+         |$iterBlocks,
+         |f$i AS (SELECT vec_id, code, cv,
+         |    CAST(floor(d * 1e9 + 0.5) AS BIGINT) AS sq_err_nano FROM (
+         |  SELECT s.vec_id, c.cid AS code, c.cv,
+         |    ${sq("s", "c")} AS d,
+         |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |      ${sq("s", "c")} ASC, c.cid ASC) AS rn
+         |  FROM e$i s CROSS JOIN c${i}_$iters c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |$blocks""".stripMargin
+  }
+
   private val decontaminateSql: String =
     """WITH t AS (SELECT doc_id,
       |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 AS b,
@@ -534,6 +602,29 @@ object SparkEntry {
       |  sc.score_micro, t.threshold_micro,
       |  sc.score_micro >= t.threshold_micro AS kept
       |FROM sc JOIN t USING (lang) ORDER BY sc.doc_id""".stripMargin
+
+  // Budget selection (shared by the one-shot and the batch-staged
+  // incremental entry — histogram merge associativity means both must
+  // produce byte-identical output): greedy per-language from the top
+  // score bucket down, bucket-grain, pure integer logic over the same
+  // micro-unit scores as quality_gate_relative. A lang whose top
+  // bucket alone overshoots has no threshold row -> kept = false.
+  private val selectBudgetSql: String =
+    """WITH sc AS (SELECT doc_id, lang,
+      |  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(floor(1e6 * len(list_distinct(string_split(lower(trim(text)), ' ')))
+      |    / len(string_split(lower(trim(text)), ' ')) + 0.5) AS BIGINT) AS score_micro
+      |FROM documents),
+      |h AS (SELECT lang, score_micro, sum(n_tokens) AS bucket_tokens
+      |  FROM sc GROUP BY 1, 2),
+      |c AS (SELECT lang, score_micro,
+      |  sum(bucket_tokens) OVER (PARTITION BY lang ORDER BY score_micro DESC) AS cum_tokens
+      |FROM h),
+      |th AS (SELECT lang, min(score_micro) AS threshold_micro FROM c
+      |  WHERE cum_tokens <= 2000 GROUP BY lang)
+      |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.score_micro, th.threshold_micro,
+      |  th.threshold_micro IS NOT NULL AND sc.score_micro >= th.threshold_micro AS kept
+      |FROM sc LEFT JOIN th USING (lang) ORDER BY sc.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dim_date" ->
@@ -1906,28 +1997,8 @@ object SparkEntry {
         |       ELSE r.kept_text || ' ' || base.tail END AS scrubbed_text
         |FROM base LEFT JOIN r USING (doc_id) ORDER BY base.doc_id""".stripMargin,
 
-    // Budget selection: greedy per-language from the top score bucket
-    // down, bucket-grain (kept iff score >= smallest score whose
-    // descending-cumulative token sum fits the budget) — pure integer
-    // logic over the same micro-unit scores as quality_gate_relative,
-    // so the gate reproduces exactly. A lang whose top bucket alone
-    // overshoots has no threshold row -> kept = false.
-    "corpus_select_budget" ->
-      """WITH sc AS (SELECT doc_id, lang,
-        |  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(floor(1e6 * len(list_distinct(string_split(lower(trim(text)), ' ')))
-        |    / len(string_split(lower(trim(text)), ' ')) + 0.5) AS BIGINT) AS score_micro
-        |FROM documents),
-        |h AS (SELECT lang, score_micro, sum(n_tokens) AS bucket_tokens
-        |  FROM sc GROUP BY 1, 2),
-        |c AS (SELECT lang, score_micro,
-        |  sum(bucket_tokens) OVER (PARTITION BY lang ORDER BY score_micro DESC) AS cum_tokens
-        |FROM h),
-        |th AS (SELECT lang, min(score_micro) AS threshold_micro FROM c
-        |  WHERE cum_tokens <= 2000 GROUP BY lang)
-        |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.score_micro, th.threshold_micro,
-        |  th.threshold_micro IS NOT NULL AND sc.score_micro >= th.threshold_micro AS kept
-        |FROM sc LEFT JOIN th USING (lang) ORDER BY sc.doc_id""".stripMargin,
+    "corpus_select_budget" -> selectBudgetSql,
+    "corpus_select_budget_incremental" -> selectBudgetSql,
 
     // CCNet-style unigram cross-entropy: per-token log2(corpus freq)
     // quantized to integer micro-units BEFORE the per-doc sum (long
@@ -2433,6 +2504,38 @@ object SparkEntry {
         |JOIN n na ON na.vec_id = x.vec_id JOIN n nb ON nb.vec_id = y.vec_id)
         |SELECT cluster_id, id_a, id_b, cos_sim FROM p
         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    // PQ code assignment: per-subspace unrolled-Lloyd codebooks (the
+    // shared CTE), final argmin per subspace with the nano-quantized
+    // subspace error; subspaces stack via UNION ALL
+    "pq_codes" ->
+      s"""$pqCteSql
+        |${(0 until 8).map(i =>
+            s"SELECT vec_id, CAST($i AS BIGINT) AS subspace, code, sq_err_nano FROM f$i")
+            .mkString("", "\nUNION ALL ", "")}
+        |ORDER BY vec_id, subspace""".stripMargin,
+
+    // PQ asymmetric-distance search: quantized reconstruction = the
+    // winning centroid per subspace concatenated back to 64 dims, ADC
+    // distance = one ordered 64-term fold probe-vs-reconstruction,
+    // nano-quantized BEFORE ranking so the rank ties (on the BIGINT,
+    // then nid) agree bit-exactly with Spark
+    "knn_pq_adc" ->
+      s"""$pqCteSql,
+        |rec AS (SELECT f0.vec_id,
+        |  ${(0 until 8).map(i => s"f$i.cv").mkString(" || ")} AS rv
+        |FROM f0 ${(1 until 8).map(i => s"JOIN f$i USING (vec_id)").mkString(" ")}),
+        |pr AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+        |sc AS (SELECT pr.qid, rec.vec_id AS nid,
+        |  CAST(floor(list_sum(list_transform(range(1, len(pr.qv)+1),
+        |    j -> (pr.qv[j]-rec.rv[j])*(pr.qv[j]-rec.rv[j]))) * 1e9 + 0.5) AS BIGINT)
+        |    AS adc_dist_nano
+        |FROM rec CROSS JOIN pr WHERE pr.qid <> rec.vec_id),
+        |rk AS (SELECT qid, nid, adc_dist_nano,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY adc_dist_nano ASC, nid ASC) AS BIGINT) AS rank FROM sc)
+        |SELECT qid, rank, nid, adc_dist_nano FROM rk
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "multimodal_meta" ->
       """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),

@@ -397,22 +397,44 @@ object Corpus {
     */
   def selectBudget(documents: DataFrame, budgetTokens: Long = 2000L): DataFrame = {
     val scored = graft.operators.TextOps.qualityScores(documents)
-    val hist = scored.groupBy("lang", "score_micro")
+    selectAgainstThresholds(scored,
+      budgetThresholds(budgetHistogram(scored), budgetTokens))
+      .orderBy("doc_id")
+  }
+
+  /** (lang, score_micro) → token-sum histogram — ASSOCIATIVE state
+    * like the gate's count histogram: two increments' histograms merge
+    * by summing, which is what lets a steady-state run carry it across
+    * batches and re-select against the merged state.
+    */
+  def budgetHistogram(scored: DataFrame): DataFrame =
+    scored.groupBy("lang", "score_micro")
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
+
+  def mergeBudgetHistograms(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("lang", "score_micro")
+      .agg(sum(col("bucket_tokens")).as("bucket_tokens"))
+
+  /** Per-language admission threshold from a token histogram (the
+    * metadata-scale descending cumulative — never per-doc). A language
+    * whose top bucket alone overshoots has no row here.
+    */
+  def budgetThresholds(hist: DataFrame, budgetTokens: Long): DataFrame = {
     val wDesc = Window.partitionBy("lang")
       .orderBy(col("score_micro").desc)
-    val thresholds = hist
+    hist
       .withColumn("cum_tokens", sum(col("bucket_tokens")).over(wDesc))
       .filter(col("cum_tokens") <= budgetTokens)
       .groupBy("lang").agg(min(col("score_micro")).as("threshold_micro"))
+  }
+
+  def selectAgainstThresholds(scored: DataFrame, thresholds: DataFrame): DataFrame =
     scored.join(broadcast(thresholds), Seq("lang"), "left")
       .withColumn("kept",
         col("threshold_micro").isNotNull &&
           col("score_micro") >= col("threshold_micro"))
       .select("doc_id", "lang", "n_tokens", "score_micro",
         "threshold_micro", "kept")
-      .orderBy("doc_id")
-  }
 
   /** Top-k terms per document by tf-idf. The score is the rational
     * form tf·N/df (monotone in the usual tf·ln(N/df) for fixed tf):

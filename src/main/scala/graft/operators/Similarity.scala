@@ -266,6 +266,11 @@ object Similarity {
     * `list_sum(list_transform(...))`, so distances (and therefore
     * argmin assignments) are bit-identical across engines.
     */
+  /** Public alias: the exact-L2 reference distance specs compare
+    * approximate searches against.
+    */
+  def sqDist(a: Column, b: Column): Column = sqDistTo(a, b)
+
   private def sqDistTo(v: Column, c: Column): Column =
     aggregate(zip_with(v, c, (x, y) =>
       (x.cast("double") - y) * (x.cast("double") - y)),
@@ -391,6 +396,116 @@ object Similarity {
     val code = kmeansCodebook(embeddings, kClusters, iters)
     ivfSearch(embeddings, code.map(_._1),
       code.map(_._2.map(_.toFloat)), nProbes, k, probeLists)
+  }
+
+  /** Product-quantization codebooks: an independent [[kmeansCodebook]]
+    * per contiguous (dim / subspaces)-dimensional subspace — the PQ
+    * training step of an IVF-PQ index (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"). Each subspace trains
+    * on the SAME deterministic recipe as the coarse k-means (first-k
+    * seeds, ordered folds, nano-unit means), so the DuckDB oracle can
+    * reproduce every codebook bit-identically. Training cost: per
+    * subspace, `iters` corpus scans of the sliced column with bounded
+    * k×sub collects — at 100 TB the training runs on a sample; the
+    * codebooks here are literal plan constants either way.
+    */
+  def pqCodebooks(embeddings: DataFrame, subspaces: Int = 8, k: Int = 8,
+                  iters: Int = 2, dim: Int = 64): Seq[Seq[(Long, Seq[Double])]] = {
+    val sub = dim / subspaces
+    (0 until subspaces).map { i =>
+      kmeansCodebook(embeddings.select(col("vec_id"),
+        slice(col("embedding"), i * sub + 1, sub).as("embedding")), k, iters)
+    }
+  }
+
+  /** Stages `__s_i` (subvector), `__d_i` (per-centroid distances),
+    * `__min_i` (quantization error), `__c_i` (code) columns for every
+    * subspace — each expensive array referenced once per layer (the
+    * [[withNearestCentroid]] discipline), all map-only.
+    */
+  private def withPqCodes(df: DataFrame,
+                          books: Seq[Seq[(Long, Seq[Double])]],
+                          dim: Int): DataFrame = {
+    val sub = dim / books.length
+    books.zipWithIndex.foldLeft(df) { case (d, (code, i)) =>
+      val cents = typedLit(code.map(_._2))
+      val cids = typedLit(code.map(_._1))
+      d.withColumn(s"__s_$i", slice(col("embedding"), i * sub + 1, sub))
+        .withColumn(s"__d_$i", transform(cents, c => sqDistTo(col(s"__s_$i"), c)))
+        .withColumn(s"__min_$i", array_min(col(s"__d_$i")))
+        .withColumn(s"__c_$i", element_at(cids,
+          array_position(col(s"__d_$i"), col(s"__min_$i")).cast("int")))
+    }
+  }
+
+  /** PQ code assignment — the index-build scan: per vector and
+    * subspace, the id of the nearest subspace centroid plus the
+    * subspace quantization error (nano-quantized: the fold is
+    * order-identical in both engines, so the BIGINT is deterministic
+    * where a raw double could hash-flake). One map-only corpus pass
+    * under literal codebooks — zero shuffle before the output sort;
+    * a 64-dim float vector compresses to `subspaces` small codes.
+    */
+  def pqCodes(embeddings: DataFrame, subspaces: Int = 8, k: Int = 8,
+              iters: Int = 2, dim: Int = 64): DataFrame =
+    pqCodesWith(embeddings,
+      pqCodebooks(embeddings, subspaces, k, iters, dim), dim)
+
+  def pqCodesWith(embeddings: DataFrame,
+                  books: Seq[Seq[(Long, Seq[Double])]],
+                  dim: Int = 64): DataFrame = {
+    val staged = withPqCodes(embeddings, books, dim)
+    staged.select(col("vec_id"),
+        posexplode(array((books.indices).map(i =>
+          struct(col(s"__c_$i").as("code"),
+            floor(col(s"__min_$i") * lit(1e9) + 0.5).cast(LongType)
+              .as("sq_err_nano"))): _*)))
+      .select(col("vec_id"), col("pos").cast(LongType).as("subspace"),
+        col("col.code").as("code"), col("col.sq_err_nano").as("sq_err_nano"))
+      .orderBy("vec_id", "subspace")
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search: the corpus is replaced
+    * by its QUANTIZED reconstruction (per subspace, the centroid its
+    * code names — a map-only rewrite under literal codebooks), probes
+    * stay exact, distance = squared L2 between probe and
+    * reconstruction. This is exactly ADC — d(q, quantize(x)) — so the
+    * whole search inherits [[knnBrute]]'s scan shape: probe side
+    * broadcast, corpus streamed once, per-probe top-k window over
+    * nProbes·|corpus| scored pairs; at index scale the same scan runs
+    * over the codes table instead of the raw vectors (8 bytes of codes
+    * vs 256 bytes of floats per row — the bandwidth win IS the
+    * operator). Distances are nano-quantized BIGINTs (single 64-term
+    * ordered fold, mirrored in the oracle); rank ties break on
+    * neighbor id. Recall vs the exact search is asserted in spec.
+    */
+  def knnPq(embeddings: DataFrame, nProbes: Int = 20, k: Int = 5,
+            subspaces: Int = 8, kCodes: Int = 8, iters: Int = 2,
+            dim: Int = 64): DataFrame =
+    knnPqWith(embeddings,
+      pqCodebooks(embeddings, subspaces, kCodes, iters, dim), nProbes, k, dim)
+
+  def knnPqWith(embeddings: DataFrame,
+                books: Seq[Seq[(Long, Seq[Double])]],
+                nProbes: Int = 20, k: Int = 5, dim: Int = 64): DataFrame = {
+    val recon = withPqCodes(embeddings, books, dim)
+      .withColumn("__recon", flatten(array(books.zipWithIndex.map {
+        case (code, i) =>
+          element_at(typedLit(code.map(_._2)),
+            array_position(col(s"__d_$i"), col(s"__min_$i")).cast("int"))
+      }: _*)))
+    val corpus = recon.select(col("vec_id").as("nid"), col("__recon").as("nv"))
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = corpus.join(broadcast(probes), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        floor(sqDistTo(col("qv"), col("nv")) * lit(1e9) + 0.5).cast(LongType)
+          .as("adc_dist_nano"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_dist_nano"), col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "adc_dist_nano")
+      .orderBy("qid", "rank")
   }
 
   /** Per-vector int8 (0..255) min-max quantization — the 4× storage/

@@ -549,6 +549,72 @@ object EventStream {
       .orderBy("doc_id")
   }
 
+  /** Streaming twin of Corpus.selectBudget — token-budget data
+    * selection as a continuous process. Same state discipline as
+    * [[qualityGateStream]], with the carried state the (lang,
+    * score_micro) token-SUM histogram (bounded ≤1e6+1 rows/language,
+    * associative under summation — Corpus.mergeBudgetHistograms), so
+    * each trigger admits against the budget position of the corpus SO
+    * FAR. Online admissions drift from the one-shot selection exactly
+    * where any online budget-filler must — an early batch admits docs
+    * a later, better batch would have crowded out; the settled answer
+    * is [[reconcileSelectBudget]] over the final histogram (compact
+    * sink scores only — no text re-scan).
+    */
+  def selectBudgetStream(spark: SparkSession, dir: String, sinkPath: String,
+                         budgetTokens: Long = 2000L,
+                         splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    documentsStream(spark, dir, splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch.drop("ingest_ts")
+        // checkpointed: feeds the batch histogram AND the selection
+        // join AND the sink write
+        val scored = graft.operators.TextOps.qualityScores(docs)
+          .localCheckpoint(eager = true)
+        val prevHist = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(String, Long, Long)]
+            .toDF("lang", "score_micro", "bucket_tokens"))
+        val newHist = graft.operators.Corpus.mergeBudgetHistograms(prevHist,
+            graft.operators.Corpus.budgetHistogram(scored))
+          .localCheckpoint(eager = true)
+        val selected = graft.operators.Corpus.selectAgainstThresholds(scored,
+          graft.operators.Corpus.budgetThresholds(newHist, budgetTokens))
+        graft.sources.Loader.truncateAndLoad(selected, s"$sinkPath/batch_$batchId")
+        graft.sources.Loader.truncateAndLoad(newHist, s"$stateDir/upto_$batchId")
+        releaseCheckpoints(scored, newHist)
+        pruneStateBefore(spark, stateDir, batchId - 1)
+        ()
+      }
+      .start()
+  }
+
+  /** The batch half of [[selectBudgetStream]]'s lambda split: re-select
+    * every doc the stream has seen against the FINAL token histogram —
+    * equals the one-shot Corpus.selectBudget over everything that
+    * arrived (same scores, same histogram, same integer keep rule).
+    */
+  def reconcileSelectBudget(spark: SparkSession, sinkPath: String,
+                            budgetTokens: Long = 2000L): DataFrame = {
+    val stateDir = sinkPath + ".state"
+    val latest = graft.sources.Fs.childDirs(spark, stateDir)
+      .filter(_.startsWith("upto_"))
+      .map(_.stripPrefix("upto_").toLong)
+      .reduceOption(_ max _)
+      .getOrElse(throw new IllegalStateException(
+        s"no selection state under $stateDir — has the stream committed a trigger?"))
+    val hist = spark.read.parquet(s"$stateDir/upto_$latest")
+    val scored = spark.read.parquet(s"$sinkPath/batch_*")
+      .select("doc_id", "lang", "n_tokens", "score_micro")
+    graft.operators.Corpus.selectAgainstThresholds(scored,
+        graft.operators.Corpus.budgetThresholds(hist, budgetTokens))
+      .orderBy("doc_id")
+  }
+
   /** Streaming twin of Corpus.sample: the weighted mixing filter is a
     * stateless per-row predicate on a deterministic hash key, so it
     * applies to a document stream unchanged — no state, no watermark,

@@ -75,6 +75,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "bounds agg + bounded-key groupBy + output sort; the 1-row " +
         "bounds attach via broadcast nested-loop (scalar crossJoin " +
         "pattern), so zero BroadcastHashJoins"),
+    ("corpus_select_budget", Shape(3, 1, 0, 1),
+      "the one window runs over the bounded (lang,score) token " +
+        "histogram, never per-doc; threshold broadcasts back (left " +
+        "outer — langs whose top bucket overshoots keep nothing)"),
+    ("passage_scrub", Shape(5, 1, 1, 0),
+      "salted owner join (tf-idf family, broadcast at fixture stats); " +
+        "doc-keyed rebuild; the one SMJ is the uniform doc_id tail " +
+        "join (equal-sized sides, AQE-splittable) — no per-corpus " +
+        "window, no cross product"),
     ("dedup_embedding_ivf", Shape(0, 1, 0, 0),
       "in-cell self-join keyed on cluster_id (broadcast at fixture " +
         "stats; flips to a keyed, AQE-splittable shuffle join at " +

@@ -353,6 +353,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(oneShot.exceptAll(settled).count() === 0)
   }
 
+  test("streaming budget selection: single trigger equals one-shot; two-trigger reconcile settles") {
+    val sink1 = Files.createTempDirectory("graft_budgetstream")
+      .toString + "/selected"
+    val q1 = EventStream.selectBudgetStream(spark, sf, sink1)
+    q1.processAllAvailable(); q1.stop()
+    val streamed = spark.read.parquet(s"$sink1/batch_*")
+    val oneShot = graft.operators.Corpus.selectBudget(Tables.documents(spark, sf))
+    assert(streamed.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(streamed).count() === 0)
+    assert(oneShot.filter(col("kept")).count() > 0)
+    // two REAL triggers: the carried token histogram continues, and the
+    // retro re-selection against the final state equals the one-shot
+    val sink2 = Files.createTempDirectory("graft_budgetstream2")
+      .toString + "/selected"
+    val q2 = EventStream.selectBudgetStream(spark, sf, sink2, splitAt = Some(250L))
+    q2.processAllAvailable(); q2.stop()
+    val batches = new java.io.File(sink2).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val online = spark.read.parquet(s"$sink2/batch_*")
+    val drift = online.select("doc_id", "kept")
+      .exceptAll(oneShot.select("doc_id", "kept")).count()
+    info(s"online-vs-settled selection drift: $drift docs")
+    val settled = EventStream.reconcileSelectBudget(spark, sink2)
+    assert(settled.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(settled).count() === 0)
+  }
+
   test("retro-reconcile demotes the late-connected twin (adversarial arrival order)") {
     // Stage EXACTLY the case online admission cannot solve: docs 7 and
     // 32 share no band (no edge), doc 40 — the component's connecting

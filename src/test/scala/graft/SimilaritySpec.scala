@@ -105,6 +105,54 @@ class SimilaritySpec extends AnyFunSuite {
       s"assignment must not use a per-vector window:\n$plan")
   }
 
+  test("pq: planted exact duplicates share codes and top ADC ranks; structure holds") {
+    import spark.implicits._
+    // three tight groups of 8-dim-patterned 64-dim vectors; ids 0-3
+    // provide the per-subspace seeds, 10/11 and 20/21 are exact twins
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(j => (seed * 10 + (j % 8)).toFloat)
+    val planted = (Seq((0L, vec(0)), (1L, vec(1)), (2L, vec(2)), (3L, vec(3)),
+      (10L, vec(1)), (11L, vec(1)), (20L, vec(2)), (21L, vec(2))))
+      .toDF("vec_id", "embedding")
+    // identical vectors must get identical codes in every subspace
+    val codes = Similarity.pqCodes(planted).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    assert(codes(10L) === codes(1L) && codes(11L) === codes(1L))
+    assert(codes(20L) === codes(2L) && codes(21L) === codes(2L))
+    assert(codes.values.forall(_.length === 8))
+    // a probe's exact twins tie at the minimal ADC distance (equal to
+    // the probe's own quantization error) and take the top ranks
+    val knn = Similarity.knnPq(planted, nProbes = 2, k = 3).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    assert(knn(1L).take(2) === Seq(10L, 11L), s"got ${knn(1L)}")
+    // real-fixture structure + recall against the EXACT L2 top-5
+    val emb = Tables.embeddings(spark, sf)
+    val pq = Similarity.knnPq(emb).cache()
+    assert(pq.filter(col("qid") === col("nid")).count() === 0)
+    assert(pq.groupBy("qid").count().filter(col("count") =!= 5).count() === 0)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .join(broadcast(probes), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Similarity.sqDist(col("qv"), col("nv")).as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("d"), col("nid"))))
+      .filter(col("rank") <= 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pq.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(f"PQ(8x8) ADC recall@5 vs exact L2 = $recall%.2f")
+    // 3 bits/subspace is still coarse; the floor guards against a
+    // broken reconstruction, not a tuned index
+    assert(recall > 0.05, f"ADC recall collapsed: $recall%.2f")
+    pq.unpersist()
+  }
+
   test("quantize: reconstruction error bounded by half a quantization step") {
     val q = Similarity.quantize(Tables.embeddings(spark, sf)).cache()
     val rows = q.collect()
