@@ -404,18 +404,52 @@ object Similarity {
     * quantization for nearest neighbor search"). Each subspace trains
     * on the SAME deterministic recipe as the coarse k-means (first-k
     * seeds, ordered folds, nano-unit means), so the DuckDB oracle can
-    * reproduce every codebook bit-identically. Training cost: per
-    * subspace, `iters` corpus scans of the sliced column with bounded
-    * k×sub collects — at 100 TB the training runs on a sample; the
-    * codebooks here are literal plan constants either way.
+    * reproduce every codebook bit-identically. Training cost: `iters`
+    * corpus scans TOTAL (all subspaces assign and aggregate in the
+    * same pass), each with one bounded subspaces·k·sub driver collect
+    * — at 100 TB the training runs on a sample; the codebooks here
+    * are literal plan constants either way.
     */
   def pqCodebooks(embeddings: DataFrame, subspaces: Int = 8, k: Int = 8,
                   iters: Int = 2, dim: Int = 64): Seq[Seq[(Long, Seq[Double])]] = {
     val sub = dim / subspaces
-    (0 until subspaces).map { i =>
-      kmeansCodebook(embeddings.select(col("vec_id"),
-        slice(col("embedding"), i * sub + 1, sub).as("embedding")), k, iters)
+    // one bounded k-row collect supplies every subspace's seeds
+    val seedRows = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq.sortBy(_._1)
+    require(seedRows.nonEmpty || embeddings.isEmpty,
+      s"PQ seeding found no vectors with vec_id < $k — seed ids must exist in the corpus")
+    if (seedRows.isEmpty) return Seq.fill(subspaces)(Seq.empty)
+    var books: Seq[Seq[(Long, Seq[Double])]] = (0 until subspaces).map(i =>
+      seedRows.map { case (id, v) => (id, v.slice(i * sub, (i + 1) * sub)) })
+    // ALL subspaces train in the same pass: each Lloyd iteration is ONE
+    // corpus scan (per-row literal-codebook argmin per subspace, stays
+    // in codegen) feeding a (subspaces·k·sub)-group nano-unit mean
+    // aggregate with one bounded driver collect — per-subspace
+    // sequential training would scan the corpus subspaces× per
+    // iteration for the identical result (subspace k-means are
+    // independent; same folds, same quantization, so the per-subspace
+    // oracle CTEs reproduce these codebooks unchanged)
+    for (_ <- 1 to iters) {
+      val staged = withPqCodes(embeddings, books, dim)
+      val means = staged
+        .select(posexplode(array(books.indices.map(i =>
+          struct(lit(i).as("sp"), col(s"__c_$i").as("cid"),
+            col(s"__s_$i").as("sv"))): _*)))
+        .select(col("col.sp").as("sp"), col("col.cid").as("cid"),
+          posexplode(col("col.sv")))
+        .groupBy("sp", "cid", "pos")
+        .agg((sum(round(col("col").cast("double") * 1e9).cast(LongType))
+          .cast("double") / 1e9 / count(lit(1))).as("mv"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), (r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1)
+        .map { case (key, rs) => (key, rs.map(_._2).sortBy(_._1).map(_._2).toSeq) }
+      books = books.zipWithIndex.map { case (code, i) =>
+        code.map { case (c, prev) => (c, means.getOrElse((i, c), prev)) } }
     }
+    books
   }
 
   /** Stages `__s_i` (subvector), `__d_i` (per-centroid distances),
