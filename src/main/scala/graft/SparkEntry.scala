@@ -242,6 +242,7 @@ object SparkEntry {
     "kmeans_assign" -> ((s, d) => Similarity.kmeansAssign(t(s, d, "embeddings"))),
     "pq_codes" -> ((s, d) => Similarity.pqCodes(t(s, d, "embeddings"))),
     "knn_pq_adc" -> ((s, d) => Similarity.knnPq(t(s, d, "embeddings"))),
+    "knn_ivf_pq" -> ((s, d) => Similarity.knnIvfPq(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents"))),
     // ---- D (r5). corpus construction ----
@@ -494,31 +495,41 @@ object SparkEntry {
     * long sums; codebook c_t with COALESCE carry for emptied
     * clusters) — the SQL twin of Similarity.kmeansCodebook.
     */
-  private val kmeansCteSql: String = {
-    val iterBlocks = (1 to 3).map { t =>
-      s"""a$t AS (SELECT vec_id, cid FROM (
+  /** The Lloyd-iteration CTE blocks with a NAME PREFIX, so the same
+    * generator serves the bare coarse-kmeans oracles (prefix "" —
+    * names eq/c0/a1/…) and composed oracles that need a second,
+    * non-colliding coarse quantizer next to other CTEs (knn_ivf_pq
+    * uses prefix "g"). Assumes a CTE `e` (vec_id, exact double v) is
+    * already in scope.
+    */
+  private def kmeansBlocksSql(p: String, k: Int, iters: Int): String = {
+    val iterBlocks = (1 to iters).map { t =>
+      s"""${p}a$t AS (SELECT vec_id, cid FROM (
          |  SELECT e.vec_id, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |      list_sum(list_transform(range(1, len(e.v)+1),
          |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
-         |  FROM e CROSS JOIN c${t - 1} c) WHERE rn = 1),
-         |m$t AS (SELECT a.cid, q.dim,
+         |  FROM e CROSS JOIN ${p}c${t - 1} c) WHERE rn = 1),
+         |${p}m$t AS (SELECT a.cid, q.dim,
          |    CAST(SUM(q.q) AS DOUBLE)/1e9/count(*) AS mv
-         |  FROM a$t a JOIN eq q USING (vec_id) GROUP BY a.cid, q.dim),
-         |c$t AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
-         |  FROM c${t - 1} p LEFT JOIN (SELECT cid, list(mv ORDER BY dim) AS cv
-         |    FROM m$t GROUP BY cid) n USING (cid))""".stripMargin
+         |  FROM ${p}a$t a JOIN ${p}eq q USING (vec_id) GROUP BY a.cid, q.dim),
+         |${p}c$t AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+         |  FROM ${p}c${t - 1} p LEFT JOIN (SELECT cid, list(mv ORDER BY dim) AS cv
+         |    FROM ${p}m$t GROUP BY cid) n USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |eq AS (SELECT vec_id, u.i - 1 AS dim, CAST(round(u.x*1e9) AS BIGINT) AS q
+    s"""${p}eq AS (SELECT vec_id, u.i - 1 AS dim, CAST(round(u.x*1e9) AS BIGINT) AS q
        |  FROM (SELECT vec_id, unnest(list_transform(range(1, len(v)+1),
        |      i -> {'i': CAST(i AS BIGINT), 'x': v[i]})) AS u
        |    FROM e)),
-       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |${p}c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k),
        |$iterBlocks""".stripMargin
   }
+
+  private val kmeansCteSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${kmeansBlocksSql("", 8, 3)}""".stripMargin
 
   /** Shared CTE chain for the product-quantization oracles: per
     * subspace i (8 subspaces × 8 dims over the 64-dim fixture), the
@@ -2531,6 +2542,43 @@ object SparkEntry {
         |    j -> (pr.qv[j]-rec.rv[j])*(pr.qv[j]-rec.rv[j]))) * 1e9 + 0.5) AS BIGINT)
         |    AS adc_dist_nano
         |FROM rec CROSS JOIN pr WHERE pr.qid <> rec.vec_id),
+        |rk AS (SELECT qid, nid, adc_dist_nano,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY adc_dist_nano ASC, nid ASC) AS BIGINT) AS rank FROM sc)
+        |SELECT qid, rank, nid, adc_dist_nano FROM rk
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // IVF-PQ: the PQ CTE chain + a "g"-prefixed coarse-kmeans chain
+    // (same generator as the bare kmeans oracles), corpus cell = L2
+    // argmin under gc3, probes take their 2 nearest cells, ADC ranks
+    // the quantized reconstructions within probed cells only
+    "knn_ivf_pq" ->
+      s"""$pqCteSql,
+        |${kmeansBlocksSql("g", 8, 3)},
+        |cell AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.v)+1),
+        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+        |  FROM e CROSS JOIN gc3 c) WHERE rn = 1),
+        |pl AS (SELECT vec_id AS qid, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.v)+1),
+        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+        |  FROM e CROSS JOIN gc3 c WHERE e.vec_id < 20) WHERE rn <= 2),
+        |rec AS (SELECT f0.vec_id,
+        |  ${(0 until 8).map(i => s"f$i.cv").mkString(" || ")} AS rv
+        |FROM f0 ${(1 until 8).map(i => s"JOIN f$i USING (vec_id)").mkString(" ")}),
+        |pr AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+        |sc AS (SELECT pl.qid, cell.vec_id AS nid,
+        |  CAST(floor(list_sum(list_transform(range(1, len(pr.qv)+1),
+        |    j -> (pr.qv[j]-rec.rv[j])*(pr.qv[j]-rec.rv[j]))) * 1e9 + 0.5) AS BIGINT)
+        |    AS adc_dist_nano
+        |FROM pl JOIN cell ON cell.cid = pl.cid
+        |JOIN rec ON rec.vec_id = cell.vec_id
+        |JOIN pr ON pr.qid = pl.qid
+        |WHERE pl.qid <> cell.vec_id),
         |rk AS (SELECT qid, nid, adc_dist_nano,
         |  CAST(row_number() OVER (PARTITION BY qid
         |    ORDER BY adc_dist_nano ASC, nid ASC) AS BIGINT) AS rank FROM sc)

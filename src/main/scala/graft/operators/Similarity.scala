@@ -519,19 +519,76 @@ object Similarity {
     knnPqWith(embeddings,
       pqCodebooks(embeddings, subspaces, kCodes, iters, dim), nProbes, k, dim)
 
-  def knnPqWith(embeddings: DataFrame,
-                books: Seq[Seq[(Long, Seq[Double])]],
-                nProbes: Int = 20, k: Int = 5, dim: Int = 64): DataFrame = {
-    val recon = withPqCodes(embeddings, books, dim)
+  /** `__recon` = the quantized reconstruction (winning subspace
+    * centroids concatenated back to `dim` doubles) on top of
+    * [[withPqCodes]]'s staging.
+    */
+  private def withPqRecon(df: DataFrame,
+                          books: Seq[Seq[(Long, Seq[Double])]],
+                          dim: Int): DataFrame =
+    withPqCodes(df, books, dim)
       .withColumn("__recon", flatten(array(books.zipWithIndex.map {
         case (code, i) =>
           element_at(typedLit(code.map(_._2)),
             array_position(col(s"__d_$i"), col(s"__min_$i")).cast("int"))
       }: _*)))
+
+  def knnPqWith(embeddings: DataFrame,
+                books: Seq[Seq[(Long, Seq[Double])]],
+                nProbes: Int = 20, k: Int = 5, dim: Int = 64): DataFrame = {
+    val recon = withPqRecon(embeddings, books, dim)
     val corpus = recon.select(col("vec_id").as("nid"), col("__recon").as("nv"))
     val probes = embeddings.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val scored = corpus.join(broadcast(probes), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        floor(sqDistTo(col("qv"), col("nv")) * lit(1e9) + 0.5).cast(LongType)
+          .as("adc_dist_nano"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_dist_nano"), col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "adc_dist_nano")
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF-PQ — the composed production ANN index (the FAISS IVFPQ
+    * shape): a coarse k-means quantizer ([[kmeansCodebook]]) prunes
+    * the corpus to the probe's `probeLists` nearest cells, PQ
+    * asymmetric distance ([[knnPqWith]]'s quantized reconstruction)
+    * ranks within them. Candidate generation drops to a bucket join
+    * on cell id — O(|corpus|·probeLists/kClusters) pairs per probe
+    * instead of [[knnPq]]'s full scan — and each candidate is ranked
+    * from its 8 codes, not its 256 float bytes: the two compressions
+    * multiply. Cell ranking ties break (distance, then cell id) via a
+    * sorted struct list on BOTH sides — the [[ivfSearch]] Generate
+    * discipline, and the same order as the oracle's row_number. All
+    * distances are ordered folds, ADC nano-quantized before ranking —
+    * full oracle; recall vs exact reported in spec.
+    */
+  def knnIvfPq(embeddings: DataFrame, nProbes: Int = 20, k: Int = 5,
+               kClusters: Int = 8, coarseIters: Int = 3,
+               subspaces: Int = 8, kCodes: Int = 8, pqIters: Int = 2,
+               probeLists: Int = 2, dim: Int = 64): DataFrame = {
+    val coarse = kmeansCodebook(embeddings, kClusters, coarseIters)
+    val books = pqCodebooks(embeddings, subspaces, kCodes, pqIters, dim)
+    val cidsLit = typedLit(coarse.map(_._1))
+    val centsLit = typedLit(coarse.map(_._2))
+    def rankedCells(v: Column) = array_sort(zip_with(
+      transform(centsLit, c => sqDistTo(v, c)),
+      cidsLit, (d, c) => struct(d.as("d"), c.as("cid"))))
+    def cells(v: Column, n: Int) =
+      explode(transform(slice(rankedCells(v), 1, n), r => r.getField("cid")))
+    val corpus = withPqRecon(embeddings, books, dim)
+      .select(col("vec_id").as("nid"), col("__recon").as("nv"),
+        col("embedding").as("ne"))
+      .select(col("nid"), col("nv"), cells(col("ne"), 1).as("list_id"))
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("qid"), col("qv"), cells(col("qv"), probeLists).as("list_id"))
+    // a corpus row sits in exactly ONE cell, so a (qid, nid) pair joins
+    // at most once — no dedup aggregate needed
+    val scored = corpus.join(broadcast(probes), Seq("list_id"))
+      .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         floor(sqDistTo(col("qv"), col("nv")) * lit(1e9) + 0.5).cast(LongType)
           .as("adc_dist_nano"))

@@ -153,6 +153,30 @@ class SimilaritySpec extends AnyFunSuite {
     pq.unpersist()
   }
 
+  test("ivf-pq: results are the cell-restricted subset of full ADC; recall reported") {
+    val emb = Tables.embeddings(spark, sf)
+    val ivfpq = Similarity.knnIvfPq(emb).cache()
+    assert(ivfpq.filter(col("qid") === col("nid")).count() === 0)
+    assert(ivfpq.groupBy("qid").count().filter(col("count") > 5).count() === 0)
+    // cell pruning only removes candidates: per probe, every IVF-PQ
+    // distance is >= the full-scan ADC top-1, and any (qid,nid) both
+    // searches return carries the IDENTICAL nano distance (same
+    // codebooks, same reconstruction, same fold)
+    val full = Similarity.knnPq(emb)
+      .select(col("qid"), col("nid"), col("adc_dist_nano").as("full_d"))
+    val joined = ivfpq.join(full, Seq("qid", "nid"))
+    assert(joined.filter(col("adc_dist_nano") =!= col("full_d")).count() === 0)
+    val fullTop = full.groupBy("qid").agg(min(col("full_d")).as("best"))
+    assert(ivfpq.join(fullTop, "qid")
+      .filter(col("adc_dist_nano") < col("best")).count() === 0)
+    val exact = Similarity.knnBrute(emb)  // cosine exact, reported only
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivfpq.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(f"IVF-PQ recall@5 vs exact cosine = ${got.intersect(exact).size.toDouble / exact.size}%.2f")
+    ivfpq.unpersist()
+  }
+
   test("quantize: reconstruction error bounded by half a quantization step") {
     val q = Similarity.quantize(Tables.embeddings(spark, sf)).cache()
     val rows = q.collect()
