@@ -134,7 +134,8 @@ object Bench {
       "corpus_sample", "seq_pack", "tfidf_top_terms",
       "seq_pack_sequences", "embedding_quantize", "snapshot_diff",
       "zorder_layout", "dedup_admit", "fact_transactions_cdc",
-      "dedup_reconcile")
+      "dedup_reconcile", "knn_ivf_pq", "passage_scrub",
+      "corpus_select_budget", "doc_quality_verdict")
     val qs = headline.flatMap(k => resultMap0.get(k).map { case (w, _) =>
         s"\"" + k + "\":" + (math.round(w * 1000) / 1000.0) })
       .mkString("{", ",", "}")

@@ -396,6 +396,11 @@ object Corpus {
     * (threshold null → kept = false).
     */
   def selectBudget(documents: DataFrame, budgetTokens: Long = 2000L): DataFrame = {
+    // `scored` feeds the histogram AND the selection join — the same
+    // deliberate double-scan as TextOps.qualityGate (measured there:
+    // the whitespace split is cheaper than a checkpoint round trip);
+    // the streaming twin checkpoints its batch scores because they
+    // feed the sink too
     val scored = graft.operators.TextOps.qualityScores(documents)
     selectAgainstThresholds(scored,
       budgetThresholds(budgetHistogram(scored), budgetTokens))

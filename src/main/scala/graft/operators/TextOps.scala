@@ -604,6 +604,10 @@ object TextOps {
     */
   def passageScrub(documents: DataFrame, windowTokens: Int = 16): DataFrame = {
     val w = windowTokens
+    // `base` feeds the passage explode AND the final tail join, so the
+    // tokenize+slice scan runs twice — the tfidf/commonness double-scan
+    // trade-off (measured there: an eager checkpoint of the whitespace
+    // split was flat-to-slower than re-scanning; see tfidfTopTerms)
     val base = documents.select(col("doc_id"), toks.as("tk"))
       .select(col("doc_id"), col("tk"),
         (size(col("tk")) / lit(w)).cast("int").as("nw"))

@@ -47,6 +47,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "empty eval set → all-zero bloom, zero rows, no throw")
     assert(TextOps.vocabulary(docs).count() === 0)
     assert(TextOps.qualityGate(docs).count() === 0)
+    assert(TextOps.qualityVerdict(docs).count() === 0)
+    assert(TextOps.passageScrub(docs).count() === 0)
     // the funnel still reports its four stages, all zero
     val funnel = TextOps.corpusFunnel(docs).collect()
     assert(funnel.length === 4 && funnel.forall(_.getLong(2) === 0L))
@@ -67,6 +69,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.report(docs).count() === 0)
     assert(Corpus.packManifest(docs).count() === 0)
     assert(Corpus.packSequences(docs).count() === 0)
+    assert(Corpus.selectBudget(docs).count() === 0,
+      "no histogram → no thresholds → zero rows, no throw")
     assert(Corpus.temperatureSample(docs).count() === 0, "min over no langs must not throw")
     assert(Corpus.temperatureSummary(docs).count() === 0)
     assert(Dedup.incremental(docs, docs).count() === 0)
@@ -117,6 +121,10 @@ class EmptyInputSpec extends AnyFunSuite {
       "empty corpus → empty codebook, zero rows, no throw")
     assert(Similarity.kmeansCentroids(emb).count() === 0)
     assert(Similarity.embeddingNearDupIvf(emb).count() === 0)
+    assert(Similarity.pqCodes(emb).count() === 0,
+      "empty corpus → empty subspace codebooks, zero rows, no throw")
+    assert(Similarity.knnPq(emb).count() === 0)
+    assert(Similarity.knnIvfPq(emb).count() === 0)
   }
 
   test("profiling operators survive empty tables") {

@@ -84,6 +84,15 @@ class PlanShapeSpec extends AnyFunSuite {
         "doc-keyed rebuild; the one SMJ is the uniform doc_id tail " +
         "join (equal-sized sides, AQE-splittable) — no per-corpus " +
         "window, no cross product"),
+    ("knn_pq_adc", Shape(2, 0, 0, 3),
+      "map-only literal-codebook reconstruction; the probe join is a " +
+        "broadcast NESTED-LOOP (non-equi qid<>nid — bcastJoin 0 is " +
+        "correct); 'window' 3 = 1 rank Window + 2 WindowGroupLimit " +
+        "(the top-k pushdown pre-filtering both exchange sides)"),
+    ("knn_ivf_pq", Shape(2, 1, 0, 3),
+      "knn_pq_adc's shape with a real EQUI bucket join on cell id " +
+        "(the one BroadcastHashJoin) — candidate pruning changes row " +
+        "counts, not plan structure"),
     ("dedup_embedding_ivf", Shape(0, 1, 0, 0),
       "in-cell self-join keyed on cluster_id (broadcast at fixture " +
         "stats; flips to a keyed, AQE-splittable shuffle join at " +
