@@ -241,6 +241,7 @@ object SparkEntry {
     "kmeans_centroids" -> ((s, d) => Similarity.kmeansCentroids(t(s, d, "embeddings"))),
     "kmeans_assign" -> ((s, d) => Similarity.kmeansAssign(t(s, d, "embeddings"))),
     "pq_codes" -> ((s, d) => Similarity.pqCodes(t(s, d, "embeddings"))),
+    "pq_centroids" -> ((s, d) => Similarity.pqCentroids(t(s, d, "embeddings"))),
     "knn_pq_adc" -> ((s, d) => Similarity.knnPq(t(s, d, "embeddings"))),
     "knn_ivf_pq" -> ((s, d) => Similarity.knnIvfPq(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
@@ -2525,6 +2526,18 @@ object SparkEntry {
             s"SELECT vec_id, CAST($i AS BIGINT) AS subspace, code, sq_err_nano FROM f$i")
             .mkString("", "\nUNION ALL ", "")}
         |ORDER BY vec_id, subspace""".stripMargin,
+
+    // Exploded per-subspace final codebooks — each c{i}_2 is exactly
+    // the Scala-side trained book (bit-identical by the shared recipe)
+    "pq_centroids" ->
+      s"""$pqCteSql
+        |${(0 until 8).map(i =>
+            s"SELECT CAST($i AS BIGINT) AS subspace, cid AS cluster_id, " +
+              s"CAST(u.i - 1 AS BIGINT) AS dim_idx, u.x AS centroid_val " +
+              s"FROM (SELECT cid, unnest(list_transform(range(1, len(cv)+1), " +
+              s"j -> {'i': CAST(j AS BIGINT), 'x': cv[j]})) AS u FROM c${i}_2)")
+            .mkString("", "\nUNION ALL ", "")}
+        |ORDER BY subspace, cluster_id, dim_idx""".stripMargin,
 
     // PQ asymmetric-distance search: quantized reconstruction = the
     // winning centroid per subspace concatenated back to 64 dims, ADC

@@ -472,6 +472,24 @@ object Similarity {
     }
   }
 
+  /** Trained PQ codebooks in exploded long format (subspace × cluster
+    * × dimension × coordinate) — the persisted artifact an IVF-PQ
+    * index build reads, the PQ twin of [[kmeansCentroids]].
+    */
+  def pqCentroids(embeddings: DataFrame, subspaces: Int = 8, k: Int = 8,
+                  iters: Int = 2, dim: Int = 64): DataFrame = {
+    val sess = embeddings.sparkSession
+    import sess.implicits._
+    pqCodebooks(embeddings, subspaces, k, iters, dim).zipWithIndex
+      .flatMap { case (code, sp) =>
+        code.flatMap { case (cid, vs) =>
+          vs.zipWithIndex.map { case (x, i) => (sp.toLong, cid, i.toLong, x) }
+        }
+      }
+      .toDF("subspace", "cluster_id", "dim_idx", "centroid_val")
+      .orderBy("subspace", "cluster_id", "dim_idx")
+  }
+
   /** PQ code assignment — the index-build scan: per vector and
     * subspace, the id of the nearest subspace centroid plus the
     * subspace quantization error (nano-quantized: the fold is
