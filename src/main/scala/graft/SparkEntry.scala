@@ -242,6 +242,8 @@ object SparkEntry {
     "kmeans_assign" -> ((s, d) => Similarity.kmeansAssign(t(s, d, "embeddings"))),
     "pq_codes" -> ((s, d) => Similarity.pqCodes(t(s, d, "embeddings"))),
     "pq_centroids" -> ((s, d) => Similarity.pqCentroids(t(s, d, "embeddings"))),
+    "decontaminate_embedding" ->
+      ((s, d) => Similarity.decontaminateEmbedding(t(s, d, "embeddings"))),
     "knn_pq_adc" -> ((s, d) => Similarity.knnPq(t(s, d, "embeddings"))),
     "knn_ivf_pq" -> ((s, d) => Similarity.knnIvfPq(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
@@ -2389,6 +2391,24 @@ object SparkEntry {
          |FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id < b.vec_id)
          |SELECT label, id_a, id_b, cos_sim
          |FROM p ORDER BY cos_sim DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    // Embedding decontamination audit: doc_split's bucket rule on
+    // vec_id, LSH-sig blocking, ranked cross-split cosines (ordered
+    // folds; the LIMIT boundary is deterministic because the doubles
+    // are bit-identical in both engines)
+    "decontaminate_embedding" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sg AS (SELECT vec_id, v, $lshSigSql AS sig,
+         |  ('0x' || substr(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT % 10 AS bucket
+         |FROM e),
+         |n AS (SELECT vec_id, v, sig, bucket,
+         |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM sg),
+         |p AS (SELECT t.vec_id AS train_vec, h.vec_id AS eval_vec,
+         |  list_sum(list_transform(range(1, len(t.v)+1), i -> t.v[i]*h.v[i])) / (t.nrm * h.nrm) AS cos_sim
+         |FROM n t JOIN n h ON t.sig = h.sig AND t.bucket < 8 AND h.bucket >= 8)
+         |SELECT train_vec, eval_vec, cos_sim FROM p
+         |ORDER BY cos_sim DESC, train_vec, eval_vec LIMIT 20""".stripMargin,
 
     "knn_lsh" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

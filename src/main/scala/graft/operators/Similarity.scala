@@ -398,6 +398,40 @@ object Similarity {
       code.map(_._2.map(_.toFloat)), nProbes, k, probeLists)
   }
 
+  /** Embedding-space decontamination audit — the semantic twin of
+    * TextOps.decontaminate: gram overlap catches VERBATIM benchmark
+    * leakage, embedding cosine catches the PARAPHRASED leakage the
+    * grams structurally miss. Vectors split train/held-out by the
+    * SAME deterministic md5 bucket rule as doc_split ("split:"+id,
+    * bucket < 8 = train), candidate pairs block on the shared LSH
+    * hyperplane signature (the ANN layer's planes — at 100 TB raise
+    * nPlanes so buckets stay bounded, exactly the knnLsh knob), exact
+    * ordered-fold cosine within blocks, global top-N closest
+    * cross-split pairs. Deliberately a RANKED AUDIT rather than a
+    * threshold filter: the release-gate reading is "inspect the N
+    * closest train-eval matches", and it stays non-degenerate on a
+    * leak-free corpus (where any fixed threshold returns zero rows
+    * and verifies nothing).
+    */
+  def decontaminateEmbedding(embeddings: DataFrame, topN: Int = 20,
+                             nPlanes: Int = 8): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("split:"),
+      col("vec_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast(LongType) % 10
+    val withSig = embeddings.select(col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), nPlanes).as("sig"), bucket.as("bucket"))
+    val train = withSig.filter(col("bucket") < 8)
+      .select(col("vec_id").as("train_vec"), col("embedding").as("tv"), col("sig"))
+    val heldOut = withSig.filter(col("bucket") >= 8)
+      .select(col("vec_id").as("eval_vec"), col("embedding").as("ev"),
+        col("sig").as("esig"))
+    train.join(heldOut, col("sig") === col("esig"))
+      .select(col("train_vec"), col("eval_vec"),
+        cosine(col("tv"), col("ev")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("train_vec"), col("eval_vec"))
+      .limit(topN)
+  }
+
   /** Product-quantization codebooks: an independent [[kmeansCodebook]]
     * per contiguous (dim / subspaces)-dimensional subspace — the PQ
     * training step of an IVF-PQ index (Jégou et al. 2011, "Product

@@ -125,6 +125,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "empty corpus → empty subspace codebooks, zero rows, no throw")
     assert(Similarity.knnPq(emb).count() === 0)
     assert(Similarity.knnIvfPq(emb).count() === 0)
+    assert(Similarity.decontaminateEmbedding(emb).count() === 0)
   }
 
   test("profiling operators survive empty tables") {

@@ -177,6 +177,35 @@ class SimilaritySpec extends AnyFunSuite {
     ivfpq.unpersist()
   }
 
+  test("embedding decontamination: planted cross-split twin ranks first at cos 1") {
+    import spark.implicits._
+    // md5 split buckets: ids 1,2,4 are train; 3 and 16 are held out
+    def vec(seed: Int): Seq[Float] = (0 until 64).map(j =>
+      math.sin(seed * 64 + j).toFloat)
+    val planted = Seq(
+      (1L, vec(7), 0), (3L, vec(7), 0),   // train 1 ≡ eval 3: the leak
+      (2L, vec(11), 0), (4L, vec(13), 0), // unrelated train
+      (16L, vec(29), 0))                  // unrelated eval
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.decontaminateEmbedding(planted).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert((top.getLong(0), top.getLong(1)) === ((1L, 3L)))
+    assert(math.abs(top.getDouble(2) - 1.0) < 1e-12)
+    // every reported pair crosses the split in the right direction
+    out.foreach { r =>
+      assert(Seq(1L, 2L, 4L).contains(r.getLong(0)))
+      assert(Seq(3L, 16L).contains(r.getLong(1)))
+    }
+    // real fixture: report is full (top-20 of the blocked candidates)
+    // and self-pairs are impossible by construction
+    val corpus = Similarity.decontaminateEmbedding(Tables.embeddings(spark, sf))
+      .collect()
+    assert(corpus.length === 20)
+    assert(corpus.forall(r => r.getLong(0) != r.getLong(1)))
+    info(f"closest cross-split cosine on the fixture: ${corpus.head.getDouble(2)}%.3f")
+  }
+
   test("quantize: reconstruction error bounded by half a quantization step") {
     val q = Similarity.quantize(Tables.embeddings(spark, sf)).cache()
     val rows = q.collect()
