@@ -25,9 +25,9 @@ object SparkEntry {
     */
   val checkpointingQueries: Set[String] =
     Set("dedup_clusters", "dedup_prune", "corpus_report", "decontaminate",
-      "decontaminate_bloom", "dedup_admit", "dedup_reconcile",
-      "fact_transactions_cdc", "doc_unigram_logloss", "dedup_exact",
-      "corpus_funnel")
+      "decontaminate_bloom", "decontaminate_incremental", "dedup_admit",
+      "dedup_reconcile", "fact_transactions_cdc", "doc_unigram_logloss",
+      "dedup_exact", "corpus_funnel")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -185,6 +185,18 @@ object SparkEntry {
     "doc_split" -> ((s, d) => TextOps.split_assign(t(s, d, "documents"))),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(t(s, d, "documents"))),
     "decontaminate_bloom" -> ((s, d) => TextOps.decontaminateBloom(t(s, d, "documents"))),
+    // incremental admission: even-id docs arrive against the standing
+    // rest (the %2 split keeps BOTH sides non-degenerate on the
+    // fixture — 4 of the 6 one-shot leak pairs have even train docs);
+    // df cap + eval set span the union, so output ≡ the one-shot
+    // restricted to batch train docs (the oracle states it literally)
+    "decontaminate_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      TextOps.decontaminateIncremental(
+        docs.filter(col("doc_id") % 2 =!= 0),
+        docs.filter(col("doc_id") % 2 === 0))
+    }),
     "doc_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
     "corpus_funnel" -> ((s, d) => TextOps.corpusFunnel(t(s, d, "documents"))),
     "corpus_vocabulary" -> ((s, d) => TextOps.vocabulary(t(s, d, "documents"))),
@@ -584,8 +596,13 @@ object SparkEntry {
        |$blocks""".stripMargin
   }
 
-  private val decontaminateSql: String =
-    """WITH t AS (SELECT doc_id,
+  /** `trainRestrict` narrows the pair join's TRAIN side (the
+    * incremental entry passes the batch predicate); df cap and eval
+    * side always span every document — exactly the Scala core's
+    * contract.
+    */
+  private def decontaminateSqlFor(trainRestrict: String): String =
+    s"""WITH t AS (SELECT doc_id,
       |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 AS b,
       |  string_split(lower(trim(text)), ' ') AS tk FROM documents),
       |g AS (SELECT doc_id, b,
@@ -595,8 +612,10 @@ object SparkEntry {
       |r AS (SELECT g8 FROM g GROUP BY g8 HAVING count(*) <= 1000)
       |SELECT a.doc_id AS train_doc, c.doc_id AS eval_doc, count(*) AS n_shared_grams
       |FROM g a JOIN g c ON a.g8 = c.g8 AND a.b < 8 AND c.b >= 8
-      |WHERE a.g8 IN (SELECT g8 FROM r)
+      |WHERE $trainRestrict a.g8 IN (SELECT g8 FROM r)
       |GROUP BY 1, 2 ORDER BY train_doc, eval_doc""".stripMargin
+
+  private val decontaminateSql: String = decontaminateSqlFor("")
 
   private val qualityGateSql: String =
     """WITH s AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS tk
@@ -2280,6 +2299,10 @@ object SparkEntry {
     // join removes its false positives, so the bloom variant's result
     // set IS decontaminate's — one oracle, two physical strategies
     "decontaminate_bloom" -> decontaminateSql,
+    // incremental admission ≡ the one-shot restricted to batch train
+    // docs (df cap + eval side still span everything)
+    "decontaminate_incremental" ->
+      decontaminateSqlFor("a.doc_id % 2 = 0 AND"),
 
     "doc_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),

@@ -45,6 +45,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextOps.decontaminate(docs).count() === 0)
     assert(TextOps.decontaminateBloom(docs).count() === 0,
       "empty eval set → all-zero bloom, zero rows, no throw")
+    assert(TextOps.decontaminateIncremental(docs, docs).count() === 0)
     assert(TextOps.vocabulary(docs).count() === 0)
     assert(TextOps.qualityGate(docs).count() === 0)
     assert(TextOps.qualityVerdict(docs).count() === 0)

@@ -390,6 +390,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(corpus.filter(col("n_shared_passages") > 0).count() > 0)
   }
 
+  test("incremental decontamination equals the one-shot restricted to batch train docs") {
+    val all = TextOps.decontaminate(docs)
+    val inc = TextOps.decontaminateIncremental(
+      docs.filter(col("doc_id") % 2 =!= 0),
+      docs.filter(col("doc_id") % 2 === 0))
+    val expected = all.filter(col("train_doc") % 2 === 0)
+    assert(inc.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(inc).count() === 0)
+    // fixture non-degeneracy: the batch flags some pairs AND the
+    // standing corpus holds pairs the batch run must NOT re-emit
+    assert(inc.count() > 0)
+    assert(all.filter(col("train_doc") % 2 =!= 0).count() > 0)
+  }
+
   test("passage scrub: dup window survives only in its canonical host; tokens conserve") {
     import spark.implicits._
     def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
