@@ -270,6 +270,7 @@ object SparkEntry {
     "corpus_temperature_summary" ->
       ((s, d) => Corpus.temperatureSummary(t(s, d, "documents"))),
     "corpus_select_budget" -> ((s, d) => Corpus.selectBudget(t(s, d, "documents"))),
+    "corpus_curate" -> ((s, d) => Corpus.curate(t(s, d, "documents"))),
     // the budget selection's continuation contract, batch-staged (the
     // quality_gate_incremental pattern): token histograms from two
     // doc_id-split increments merge associatively, re-selection of
@@ -635,6 +636,51 @@ object SparkEntry {
       |  sc.score_micro, t.threshold_micro,
       |  sc.score_micro >= t.threshold_micro AS kept
       |FROM sc JOIN t USING (lang) ORDER BY sc.doc_id""".stripMargin
+
+  /** The four quality-signal CTE chains (tokens/normalized text,
+    * Gopher rules, trigram repetition, char entropy, TTR scores +
+    * relative-gate threshold) — shared by the verdict oracle and the
+    * curation pipeline's oracle, each restating its source oracle
+    * verbatim. `sc` carries n_tokens for the curate oracle's budget
+    * stage; the verdict's final select simply doesn't read it.
+    */
+  private val verdictCtes: String =
+    """t AS (SELECT doc_id, lang, text, lower(trim(text)) AS nt,
+      |  string_split(lower(trim(text)), ' ') AS tk FROM documents),
+      |gq AS (SELECT doc_id,
+      |  (CAST(len(tk) AS BIGINT) BETWEEN 50 AND 100000)
+      |  AND (CAST(length(replace(nt, ' ', '')) AS DOUBLE) / len(tk) BETWEEN 3.0 AND 10.0)
+      |  AND ((length(text) - length(replace(text, '#', ''))) +
+      |    (length(text) - length(replace(text, '...', ''))) / 3) / len(tk) <= 0.1
+      |  AND CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(tk) >= 0.8
+      |  AND CAST(len(list_filter(tk, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) >= 2
+      |  AS gopher_keep FROM t),
+      |rp0 AS (SELECT doc_id,
+      |  list_transform(tk, tok -> ('0x' || substr(md5(tok), 1, 7))::BIGINT) AS tm FROM t),
+      |rp1 AS (SELECT doc_id,
+      |  list_transform(range(1, greatest(len(tm)-1, 1)),
+      |    i -> ((tm[i]*268435456 + tm[i+1]) % 2147483647) * 268435456 + tm[i+2]) AS g3
+      |FROM rp0),
+      |rp AS (SELECT doc_id,
+      |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) > 0.2 AS is_repetitive FROM rp1),
+      |e0 AS (SELECT doc_id, list_transform(range(1, length(nt)+1),
+      |  i -> substr(nt, i, 1)) AS cs FROM t),
+      |e1 AS (SELECT doc_id, cs, list_sort(list_distinct(cs)) AS dc FROM e0),
+      |e2 AS (SELECT doc_id, len(cs) AS n_chars,
+      |  list_transform(dc, ch -> CAST(len(list_filter(cs, x -> x = ch)) AS BIGINT)) AS counts
+      |FROM e1),
+      |en AS (SELECT doc_id, CAST(floor((log2(CAST(n_chars AS DOUBLE)) -
+      |    list_sum(list_transform(counts, c -> c * log2(CAST(c AS DOUBLE)))) / n_chars)
+      |    * 1000000 + 0.5) AS BIGINT) AS em FROM e2),
+      |sc AS (SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_tokens,
+      |  CAST(floor(1e6 * len(list_distinct(tk)) / len(tk) + 0.5) AS BIGINT) AS score_micro
+      |FROM t),
+      |h AS (SELECT lang, score_micro, count(*) AS n FROM sc GROUP BY 1, 2),
+      |c AS (SELECT lang, score_micro,
+      |  sum(n) OVER (PARTITION BY lang ORDER BY score_micro) AS cum,
+      |  sum(n) OVER (PARTITION BY lang) AS total FROM h),
+      |th AS (SELECT lang, min(score_micro) AS threshold_micro FROM c
+      |  WHERE cum > floor(0.25 * total) GROUP BY lang)""".stripMargin
 
   // Budget selection (shared by the one-shot and the batch-staged
   // incremental entry — histogram merge associativity means both must
@@ -1857,42 +1903,7 @@ object SparkEntry {
     // its source oracle verbatim (gopher / repetition-g3 / entropy /
     // gate), joined on doc_id exactly like the Spark composition
     "doc_quality_verdict" ->
-      """WITH t AS (SELECT doc_id, lang, text, lower(trim(text)) AS nt,
-        |  string_split(lower(trim(text)), ' ') AS tk FROM documents),
-        |gq AS (SELECT doc_id,
-        |  (CAST(len(tk) AS BIGINT) BETWEEN 50 AND 100000)
-        |  AND (CAST(length(replace(nt, ' ', '')) AS DOUBLE) / len(tk) BETWEEN 3.0 AND 10.0)
-        |  AND ((length(text) - length(replace(text, '#', ''))) +
-        |    (length(text) - length(replace(text, '...', ''))) / 3) / len(tk) <= 0.1
-        |  AND CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(tk) >= 0.8
-        |  AND CAST(len(list_filter(tk, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) >= 2
-        |  AS gopher_keep FROM t),
-        |rp0 AS (SELECT doc_id,
-        |  list_transform(tk, tok -> ('0x' || substr(md5(tok), 1, 7))::BIGINT) AS tm FROM t),
-        |rp1 AS (SELECT doc_id,
-        |  list_transform(range(1, greatest(len(tm)-1, 1)),
-        |    i -> ((tm[i]*268435456 + tm[i+1]) % 2147483647) * 268435456 + tm[i+2]) AS g3
-        |FROM rp0),
-        |rp AS (SELECT doc_id,
-        |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) > 0.2 AS is_repetitive FROM rp1),
-        |e0 AS (SELECT doc_id, list_transform(range(1, length(nt)+1),
-        |  i -> substr(nt, i, 1)) AS cs FROM t),
-        |e1 AS (SELECT doc_id, cs, list_sort(list_distinct(cs)) AS dc FROM e0),
-        |e2 AS (SELECT doc_id, len(cs) AS n_chars,
-        |  list_transform(dc, ch -> CAST(len(list_filter(cs, x -> x = ch)) AS BIGINT)) AS counts
-        |FROM e1),
-        |en AS (SELECT doc_id, CAST(floor((log2(CAST(n_chars AS DOUBLE)) -
-        |    list_sum(list_transform(counts, c -> c * log2(CAST(c AS DOUBLE)))) / n_chars)
-        |    * 1000000 + 0.5) AS BIGINT) AS em FROM e2),
-        |sc AS (SELECT doc_id, lang,
-        |  CAST(floor(1e6 * len(list_distinct(tk)) / len(tk) + 0.5) AS BIGINT) AS score_micro
-        |FROM t),
-        |h AS (SELECT lang, score_micro, count(*) AS n FROM sc GROUP BY 1, 2),
-        |c AS (SELECT lang, score_micro,
-        |  sum(n) OVER (PARTITION BY lang ORDER BY score_micro) AS cum,
-        |  sum(n) OVER (PARTITION BY lang) AS total FROM h),
-        |th AS (SELECT lang, min(score_micro) AS threshold_micro FROM c
-        |  WHERE cum > floor(0.25 * total) GROUP BY lang)
+      s"""WITH $verdictCtes
         |SELECT g.doc_id, g.gopher_keep, r.is_repetitive,
         |  e.em BETWEEN 1000000 AND 6000000 AS entropy_ok,
         |  sc.score_micro >= th.threshold_micro AS gate_keep,
@@ -1902,6 +1913,35 @@ object SparkEntry {
         |FROM gq g JOIN rp r USING (doc_id) JOIN en e USING (doc_id)
         |JOIN sc USING (doc_id) JOIN th ON sc.lang = th.lang
         |ORDER BY g.doc_id""".stripMargin,
+
+    // the full curation pipeline: verdict ∧ not-exact-dup filter the
+    // corpus (dedup canonical = corpus-wide min doc_id — the
+    // dedup_exact window restated), then the budget selection meters
+    // the SURVIVING docs (selectBudget's CTEs over sv)
+    "corpus_curate" ->
+      s"""WITH $verdictCtes,
+        |vd AS (SELECT g.doc_id,
+        |  g.gopher_keep AND NOT r.is_repetitive
+        |    AND (e.em BETWEEN 1000000 AND 6000000)
+        |    AND sc.score_micro >= th.threshold_micro AS keep
+        |FROM gq g JOIN rp r USING (doc_id) JOIN en e USING (doc_id)
+        |JOIN sc USING (doc_id) JOIN th ON sc.lang = th.lang),
+        |dd AS (SELECT doc_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS is_dup
+        |FROM documents),
+        |sv AS (SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.score_micro
+        |FROM sc JOIN vd USING (doc_id) JOIN dd USING (doc_id)
+        |WHERE vd.keep AND NOT dd.is_dup),
+        |bh AS (SELECT lang, score_micro, sum(n_tokens) AS bucket_tokens
+        |  FROM sv GROUP BY 1, 2),
+        |bc AS (SELECT lang, score_micro,
+        |  sum(bucket_tokens) OVER (PARTITION BY lang ORDER BY score_micro DESC) AS cum_tokens
+        |FROM bh),
+        |bt AS (SELECT lang, min(score_micro) AS threshold_micro FROM bc
+        |  WHERE cum_tokens <= 500 GROUP BY lang)
+        |SELECT sv.doc_id, sv.lang, sv.n_tokens, sv.score_micro, bt.threshold_micro,
+        |  bt.threshold_micro IS NOT NULL AND sv.score_micro >= bt.threshold_micro AS kept
+        |FROM sv LEFT JOIN bt USING (lang) ORDER BY sv.doc_id""".stripMargin,
 
     // integer micro-unit scores + histogram-cumulative threshold: the
     // keep rule is pure integer logic, so the gate reproduces exactly

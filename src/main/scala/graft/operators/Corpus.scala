@@ -441,6 +441,31 @@ object Corpus {
       .select("doc_id", "lang", "n_tokens", "score_micro",
         "threshold_micro", "kept")
 
+  /** The end-to-end curation pipeline as ONE call — what a user of
+    * the engine actually runs over raw documents: composite quality
+    * verdict ([[graft.operators.TextOps.qualityVerdict]]) AND
+    * not-an-exact-duplicate ([[Dedup.exact]], canonical = corpus-wide
+    * min doc_id) filter the corpus, then the token-budget selection
+    * ([[selectBudget]]) fills each language's budget from the
+    * surviving docs' top quality scores down. Stage order is
+    * filter → dedup-flag → budget, each stage the independently
+    * oracle-verified operator applied verbatim (the corpus_report
+    * composition discipline); the budget default is smaller than the
+    * standalone operator's because it meters the FILTERED corpus.
+    * Output = the selection frame over survivors: every surviving doc
+    * with its budget verdict.
+    */
+  def curate(documents: DataFrame, budgetTokens: Long = 500L): DataFrame = {
+    val v = graft.operators.TextOps.qualityVerdict(documents)
+      .select(col("doc_id"), col("keep"))
+    val d = Dedup.exact(documents).select(col("doc_id"), col("is_dup"))
+    val surviving = documents
+      .join(v, "doc_id").join(d, "doc_id")
+      .filter(col("keep") && !col("is_dup"))
+      .select(documents.columns.map(col): _*)
+    selectBudget(surviving, budgetTokens)
+  }
+
   /** Top-k terms per document by tf-idf. The score is the rational
     * form tf·N/df (monotone in the usual tf·ln(N/df) for fixed tf):
     * integer-valued numerators keep the double exactly reproducible

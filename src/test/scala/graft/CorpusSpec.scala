@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Corpus, Dedup}
 import graft.sources.Tables
@@ -285,6 +286,28 @@ class CorpusSpec extends AnyFunSuite {
       // fixture non-degeneracy: every language both keeps and drops
       assert(kept.nonEmpty && kept.length < rows.length, s"$lang degenerate")
     }
+  }
+
+  test("curate composes verdict, dedup, and budget exactly") {
+    val out = Corpus.curate(docs).cache()
+    val verdict = graft.operators.TextOps.qualityVerdict(docs)
+      .filter(col("keep")).select("doc_id")
+    val notDup = Dedup.exact(docs).filter(!col("is_dup")).select("doc_id")
+    val survivors = verdict.intersect(notDup)
+    // the curated frame covers exactly the surviving docs
+    assert(out.select("doc_id").exceptAll(survivors).count() === 0)
+    assert(survivors.exceptAll(out.select("doc_id")).count() === 0)
+    // and its selection column equals selectBudget over the survivors
+    val expected = Corpus.selectBudget(
+      docs.join(survivors, "doc_id").select(docs.columns.map(col): _*), 500L)
+    assert(out.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(out).count() === 0)
+    // fixture non-degeneracy: filtering, dedup survival and budget
+    // metering all bite
+    assert(out.count() > 0 && out.count() < docs.count())
+    val kept = out.filter(col("kept")).count()
+    assert(kept > 0 && kept < out.count())
+    out.unpersist()
   }
 
   test("prune/report overloads with a materialized cluster table match the defaults") {

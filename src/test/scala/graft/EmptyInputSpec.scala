@@ -72,6 +72,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.packSequences(docs).count() === 0)
     assert(Corpus.selectBudget(docs).count() === 0,
       "no histogram → no thresholds → zero rows, no throw")
+    assert(Corpus.curate(docs).count() === 0)
     assert(Corpus.temperatureSample(docs).count() === 0, "min over no langs must not throw")
     assert(Corpus.temperatureSummary(docs).count() === 0)
     assert(Dedup.incremental(docs, docs).count() === 0)
