@@ -287,6 +287,8 @@ object SparkEntry {
         Corpus.budgetThresholds(hist, 2000L))
         .orderBy("doc_id")
     }),
+    "corpus_shuffle" -> ((s, d) => Corpus.shufflePlan(t(s, d, "documents"))),
+    "corpus_curriculum" -> ((s, d) => Corpus.curriculum(t(s, d, "documents"))),
     "seq_pack" -> ((s, d) => Corpus.packPlan(t(s, d, "documents"))),
     "seq_pack_summary" -> ((s, d) => Corpus.packSummary(t(s, d, "documents"))),
     "seq_pack_manifest" -> ((s, d) => Corpus.packManifest(t(s, d, "documents"))),
@@ -2739,6 +2741,26 @@ object SparkEntry {
          |  s.cluster_size, s.cluster_size - 1 AS n_dups_removed
          |FROM sz s JOIN documents d ON s.doc_id = d.doc_id
          |WHERE s.doc_id = s.cluster_id ORDER BY d.doc_id""".stripMargin,
+
+    // The oracle states the semantics as the GLOBAL window the
+    // distributed two-phase ordinal replaces; lowercase fixed-width
+    // hex md5 keys compare identically as strings in both engines.
+    "corpus_shuffle" ->
+      """SELECT doc_id, lang,
+        |  row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    - 1 AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_curriculum" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  md5('42:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |r AS (SELECT doc_id, lang, n_tokens,
+        |  row_number() OVER (ORDER BY n_tokens, k, doc_id) - 1 AS curriculum_pos
+        |FROM t)
+        |SELECT doc_id, lang, n_tokens, curriculum_pos,
+        |  (curriculum_pos * 4) // (SELECT count(*) FROM t) AS stage
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "corpus_sample" ->
       s"""WITH s AS (SELECT doc_id, source, lang,

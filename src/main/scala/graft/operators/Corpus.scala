@@ -87,6 +87,129 @@ object Corpus {
   private def wsTokens: Column =
     size(split(trim(col("text")), "\\s+")).cast(LongType)
 
+  /** Deterministic per-doc shuffle key: md5(seed ":" doc_id) as the
+    * 32-hex-char digest string. Lowercase fixed-length hex compares
+    * identically as a string in any engine, so ORDER BY on it is
+    * reproducible everywhere (and `rand()`-free — the corpus-audit
+    * property every sampler here already has).
+    */
+  private def shuffleKey(seed: String): Column =
+    md5(concat(lit(seed + ":"), col("doc_id").cast("string")).cast("binary"))
+
+  /** Top-28-bits integer of a shuffle key — monotone in the key's
+    * string order (hex prefix = numeric high bits), which is what lets
+    * a bucket derived from it split a global ORDER BY key into
+    * parallel, order-preserving ranges.
+    */
+  private def keyHi28(key: Column): Column =
+    conv(substring(key, 1, 7), 16, 10).cast(LongType)
+
+  private def parallelBuckets(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt * 8L
+
+  /** Deterministic global training-order shuffle: every doc gets a
+    * dense ordinal `shuffle_pos` in 0..N-1, ordered by its md5 shuffle
+    * key — the "global shuffle" step a pretraining data loader needs
+    * (epoch order must be random-looking but REPRODUCIBLE, so a
+    * restarted job or a re-run audit sees the same order; re-keying by
+    * seed gives a fresh epoch permutation).
+    *
+    * Never a global window: the ordinal is assigned by the same
+    * two-phase scan as [[scanTokensBefore]], except the bucket ranges
+    * come from the KEY's top bits instead of doc_id ranges — md5 keys
+    * are uniform, so each of the B ≈ 8×parallelism buckets holds
+    * ~N/B docs regardless of corpus skew (better-behaved than the
+    * pack scan, which inherits doc_id clustering). Within a bucket a
+    * row_number window runs per range-task; bucket offsets are a
+    * B-row metadata aggregate (its single-partition cumulative window
+    * is over B rows, not docs) that broadcasts back.
+    */
+  def shufflePlan(documents: DataFrame, seed: String = "42"): DataFrame = {
+    val buckets = parallelBuckets(documents)
+    val keyed = documents
+      .select(col("doc_id"), col("lang"), shuffleKey(seed).as("skey"))
+      // exact: hi28 * B < 2^28 * B ≪ 2^53, so the double product is
+      // integer-exact and floor is the integer division
+      .withColumn("bucket",
+        floor(keyHi28(col("skey")).cast("double") * buckets / 268435456.0)
+          .cast(LongType))
+    val wIn = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    val within = keyed.withColumn("rn", row_number().over(wIn).cast(LongType))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = within.groupBy("bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_n")).over(wOff), lit(0L)))
+      .select("bucket", "bucket_offset")
+    within.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("shuffle_pos", col("bucket_offset") + col("rn") - 1L)
+      .select("doc_id", "lang", "shuffle_pos")
+      .orderBy("doc_id")
+  }
+
+  /** Short-to-long curriculum order: docs ranked globally by
+    * (n_tokens asc, shuffle key, doc_id) — ascending difficulty with a
+    * deterministic shuffle among equal lengths — then cut into
+    * `stages` equal-count stages (`stage = pos·S div N`). Length-
+    * sorted curricula (and their cousin, length-BUCKETED batching for
+    * padding efficiency) are standard pretraining schedules; the
+    * output is the (doc → stage, position) plan a loader consumes.
+    *
+    * The global ordinal never builds a global window. It decomposes
+    * exactly, two levels:
+    *   - `base_offset(v)` = #docs with n_tokens < v — a cumulative over
+    *     the n_tokens HISTOGRAM (distinct lengths = metadata scale);
+    *   - within a length group, the md5 key splits the group into B
+    *     uniform sub-ranges (`sub` from the key's top bits — monotone
+    *     in key order): `sub_offset` cumulates the (v, sub) counts per
+    *     v (≤B rows per partition), and a row_number window runs per
+    *     (v, sub) — so even a degenerate corpus where every doc has
+    *     the SAME length splits into B parallel tasks instead of one.
+    * All three adds are exact Long arithmetic — bit-identical to the
+    * single-window formulation.
+    */
+  def curriculum(documents: DataFrame, stages: Int = 4,
+                 seed: String = "42"): DataFrame = {
+    val buckets = parallelBuckets(documents)
+    val keyed = documents
+      .select(col("doc_id"), col("lang"), wsTokens.as("n_tokens"),
+        shuffleKey(seed).as("skey"))
+      .withColumn("sub",
+        floor(keyHi28(col("skey")).cast("double") * buckets / 268435456.0)
+          .cast(LongType))
+    val wIn = Window.partitionBy("n_tokens", "sub").orderBy("skey", "doc_id")
+    val within = keyed.withColumn("rn", row_number().over(wIn).cast(LongType))
+    val subCounts = within.groupBy("n_tokens", "sub")
+      .agg(count(lit(1)).as("sub_n"))
+    val wSub = Window.partitionBy("n_tokens").orderBy("sub")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val subOff = subCounts
+      .withColumn("sub_offset", coalesce(sum(col("sub_n")).over(wSub), lit(0L)))
+      .select("n_tokens", "sub", "sub_offset")
+    val wGrp = Window.orderBy("n_tokens")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grpOff = subCounts.groupBy("n_tokens")
+      .agg(sum(col("sub_n")).as("grp_n"))
+      .withColumn("base_offset", coalesce(sum(col("grp_n")).over(wGrp), lit(0L)))
+      .select("n_tokens", "base_offset")
+    val nDocs = documents.select(count(lit(1)).as("n_docs"))
+    // subOff is (distinct-lengths × B) rows — small, but unbounded by
+    // parallelism, so no broadcast hint: its (n_tokens, sub) keys match
+    // the window/groupBy partitioning, so the planner either broadcasts
+    // it (AQE, when it IS small) or reuses the exchange; grpOff is
+    // distinct-lengths rows — genuinely metadata-scale — and broadcasts.
+    within
+      .join(subOff, Seq("n_tokens", "sub"))
+      .join(broadcast(grpOff), Seq("n_tokens"))
+      .crossJoin(broadcast(nDocs)) // 1-row scalar
+      .withColumn("curriculum_pos",
+        col("base_offset") + col("sub_offset") + col("rn") - 1L)
+      .withColumn("stage", expr(s"(curriculum_pos * $stages) div n_docs"))
+      .select("doc_id", "lang", "n_tokens", "curriculum_pos", "stage")
+      .orderBy("doc_id")
+  }
+
   /** Distributed prefix scan: `tokens_before` = Σ n_tokens over all
     * docs of the same language with a smaller doc_id — WITHOUT ever
     * putting a whole language into one window partition.

@@ -489,4 +489,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(row1.getLong(4) === 1L)      // df(alpha)
     assert(row1.getDouble(5) === 9.0)   // 3 * 3 / 1
   }
+
+  // ---- corpus_shuffle / corpus_curriculum -----------------------------
+
+  test("shufflePlan: dense 0..N-1 permutation, bit-equal to the global-window order") {
+    val r = Corpus.shufflePlan(docs).collect()
+    val n = r.length
+    assert(n === docs.count())
+    assert(r.map(_.getLong(2)).sorted.toSeq === (0L until n.toLong))
+    // driver-side replication of the ORDER BY (md5 key, doc_id) the
+    // two-phase bucketed ordinal claims to equal
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = ids.sortBy(id => (md5hex("42:" + id), id)).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    r.foreach(row => assert(row.getLong(2) === expected(row.getLong(0)),
+      s"doc ${row.getLong(0)} out of place"))
+  }
+
+  test("shufflePlan: re-seeding permutes; same seed reproduces") {
+    val a = Corpus.shufflePlan(docs, "42").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = Corpus.shufflePlan(docs, "epoch1").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val a2 = Corpus.shufflePlan(docs, "42").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a.keySet === b.keySet)
+    assert(a !== b, "different seed must give a different epoch order")
+    assert(a === a2, "same seed must reproduce the same order")
+  }
+
+  test("curriculum: difficulty-monotone positions, exact stage rule, dense") {
+    val r = Corpus.curriculum(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4)))
+    val n = r.length.toLong
+    assert(r.map(_._3).sorted.toSeq === (0L until n))
+    val byPos = r.sortBy(_._3)
+    // curriculum order never decreases in difficulty
+    byPos.sliding(2).foreach { case Array(p, q) =>
+      assert(p._2 <= q._2, s"difficulty inversion at pos ${q._3}")
+    }
+    // stage is exactly pos*S div N (equal-count cut, S=4)
+    byPos.foreach { case (_, _, pos, st) => assert(st === pos * 4 / n) }
+  }
 }

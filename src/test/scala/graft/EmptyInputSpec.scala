@@ -75,6 +75,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.curate(docs).count() === 0)
     assert(Corpus.temperatureSample(docs).count() === 0, "min over no langs must not throw")
     assert(Corpus.temperatureSummary(docs).count() === 0)
+    assert(Corpus.shufflePlan(docs).count() === 0)
+    assert(Corpus.curriculum(docs).count() === 0,
+      "stage div by n_docs=0 must not throw on zero rows")
     assert(Dedup.incremental(docs, docs).count() === 0)
     assert(Dedup.incrementalNearDup(docs, docs).count() === 0)
     assert(Dedup.admitNearDup(docs, docs).count() === 0)

@@ -97,7 +97,43 @@ class PlanShapeSpec extends AnyFunSuite {
       "in-cell self-join keyed on cluster_id (broadcast at fixture " +
         "stats; flips to a keyed, AQE-splittable shuffle join at " +
         "corpus scale — never a cross product), top-50 via " +
-        "TakeOrdered so no sort exchange"))
+        "TakeOrdered so no sort exchange"),
+    ("corpus_shuffle", Shape(4, 1, 0, 2),
+      "two-phase global ordinal: per-bucket rank window + B-row " +
+        "offset cumulative; offsets broadcast back; output range sort"),
+    ("corpus_curriculum", Shape(8, 2, 0, 3),
+      "two-level ordinal: per-(len,sub) rank window, per-len sub " +
+        "offsets (broadcast at fixture stats; unhinted, so a keyed " +
+        "shuffle join at scale), histogram base offsets broadcast, " +
+        "1-row count via broadcast nested-loop"))
+
+  // Explicitly-audited exceptions to the no-SinglePartition sweep:
+  // cumulative-offset windows that run over METADATA-scale aggregates
+  // (≤ B ≈ 8×parallelism rows, never per-doc data) — same bargain as
+  // seq_pack's per-lang offset windows, but with no natural partition
+  // column. Each entry is (allowed count, why).
+  // A global-aggregate FINAL stage (min/max/count/sum scalars) also
+  // plans a SinglePartition exchange, but it carries one partial row
+  // per upstream partition — parallelism-scale, not data-scale — so
+  // those are audited allowances too, named per query below.
+  private val allowedSingle: Map[String, (Int, String)] = Map(
+    "fact_sales" -> ((1,
+      "dim_order_status surrogate-key window over the bounded " +
+        "status×priority distinct — the documented tiny global window")),
+    "seq_pack" -> ((2,
+      "the observed-id-span min/max scalar (two plan references; " +
+        "ReuseExchange collapses them at runtime)")),
+    "tfidf_top_terms" -> ((1, "1-row n_docs count-distinct scalar")),
+    "doc_unigram_logloss" -> ((1, "1-row Σfreq vocabulary-total scalar")),
+    "table_profile_orders" -> ((1,
+      "the profile IS a one-row global aggregate — its final stage")),
+    "column_histogram_totalprice" -> ((1, "1-row min/max bounds scalar")),
+    "corpus_shuffle" -> ((1,
+      "bucket-offset cumulative over exactly B bucket-count rows")),
+    "corpus_curriculum" -> ((2,
+      "base-offset cumulative over the n_tokens histogram " +
+        "(distinct-lengths rows; the per-length sub-offset window IS " +
+        "partitioned) + the 1-row n_docs scalar aggregate")))
 
   test("flagship physical plans match their audited fingerprints") {
     val diffs = pinned.flatMap { case (name, want, why) =>
@@ -118,15 +154,24 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("no flagship plan hides a cartesian product or single-partition exchange") {
-    for ((name, _, _) <- pinned) {
+    val diffs = pinned.flatMap { case (name, _, _) =>
       val s = SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(!s.contains("CartesianProduct"), s"$name plans a cartesian product")
       // the audited global sorts are the deterministic output orderBys
       // (rangepartitioning); SinglePartition exchanges inside the body
-      // are the scale smell this guards against
-      val single = """Exchange SinglePartition""".r.findAllIn(s).size
-      assert(single == 0, s"$name plans $single SinglePartition exchange(s)")
+      // are the scale smell this guards against. Formatted explain
+      // puts the partitioning on its own `Arguments:` line (the old
+      // `Exchange SinglePartition` literal never matched — the sweep
+      // was dark until r7.4), so match the Arguments form; 1-row
+      // scalar aggregates and audited metadata-scale cumulatives are
+      // declared in `allowedSingle` with their justification.
+      val single = """Arguments: SinglePartition""".r.findAllIn(s).size
+      val cap = allowedSingle.get(name).map(_._1).getOrElse(0)
+      if (single <= cap) Nil
+      else List(s"$name plans $single SinglePartition exchange(s), allowed $cap" +
+        allowedSingle.get(name).map(a => s" (${a._2})").getOrElse(""))
     }
+    assert(diffs.isEmpty, "SinglePartition audit:\n" + diffs.mkString("\n"))
   }
 }
