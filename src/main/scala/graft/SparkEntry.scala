@@ -258,6 +258,7 @@ object SparkEntry {
       ((s, d) => Similarity.decontaminateEmbedding(t(s, d, "embeddings"))),
     "knn_pq_adc" -> ((s, d) => Similarity.knnPq(t(s, d, "embeddings"))),
     "knn_ivf_pq" -> ((s, d) => Similarity.knnIvfPq(t(s, d, "embeddings"))),
+    "knn_sq_int8" -> ((s, d) => Similarity.knnSqInt8(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents"))),
     // ---- D (r5). corpus construction ----
@@ -2247,6 +2248,30 @@ object SparkEntry {
         |r AS (SELECT qid, nid, cos_sim,
         |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM s)
         |SELECT qid, rank, nid, cos_sim FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // SQ8 asymmetric search: the corpus side is embedding_quantize's
+    // exact representation (same CTE steps), reconstructed with the
+    // same association as its MAE fold; probe stays full-precision.
+    "knn_sq_int8" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e),
+        |q AS (SELECT vec_id, v, vmin, vmax,
+        |  list_transform(v, x -> CASE WHEN vmax = vmin THEN 0
+        |    ELSE CAST(floor((x - vmin) / (vmax - vmin) * 255 + 0.5) AS BIGINT) END) AS qv
+        |FROM m),
+        |r AS (SELECT vec_id, v,
+        |  list_transform(qv, c -> vmin + CAST(c AS DOUBLE) * (vmax - vmin) / 255) AS recon
+        |FROM q),
+        |s AS (SELECT p.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i] * c.recon[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i]*p.v[i])))
+        |       * sqrt(list_sum(list_transform(range(1, len(c.recon)+1), i -> c.recon[i]*c.recon[i]))))
+        |    AS cos_sim_adc
+        |FROM r p JOIN r c ON p.vec_id < 20 AND p.vec_id <> c.vec_id),
+        |t AS (SELECT qid, nid, cos_sim_adc,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim_adc DESC, nid) AS rank FROM s)
+        |SELECT qid, rank, nid, cos_sim_adc FROM t WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "embedding_centroids" ->
       """WITH u AS (SELECT label,

@@ -689,6 +689,53 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Int8 scalar-quantized ANN — the SQ8 index shape (FAISS
+    * ScalarQuantizer): the CORPUS side is stored as per-vector uint8
+    * codes + (min, max) range — [[quantize]]'s exact representation,
+    * 4× smaller than float32 — and search is asymmetric: the
+    * full-precision probe scores against the RECONSTRUCTED candidate
+    * (vmin + code·(vmax−vmin)/255, the same association as quantize's
+    * MAE fold, so the oracle reproduces every double bit-for-bit).
+    *
+    * At 100 TB the win is bandwidth, not FLOPs: the candidate scan —
+    * the term that dominates brute-force ANN — reads a 4×-compressed
+    * column off storage and through the broadcast-probe join, while
+    * ranking quality degrades only by the quantization error the MAE
+    * column of [[quantize]] measures (recall vs [[knnBrute]] is
+    * spec-asserted). Compute shape is [[knnBrute]]'s: one corpus
+    * scan, probes broadcast, per-probe top-k window.
+    */
+  def knnSqInt8(embeddings: DataFrame, nProbes: Int = 20, k: Int = 5): DataFrame = {
+    val coded = embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("v_min", array_min(col("v")))
+      .withColumn("v_max", array_max(col("v")))
+      .withColumn("qv", transform(col("v"), x =>
+        when(col("v_max") === col("v_min"), lit(0L)).otherwise(
+          floor((x - col("v_min")) / (col("v_max") - col("v_min")) * 255.0 + 0.5)
+            .cast(LongType))))
+    // reconstruction in its own projection (the quantize lesson: keep
+    // HOF stages as attribute-only lambdas so codegen runs them once
+    // per row, and multiple references block CollapseProject)
+    val corpus = coded
+      .withColumn("recon", transform(col("qv"), c =>
+        col("v_min") + c.cast("double") * (col("v_max") - col("v_min")) / 255.0))
+      .select(col("vec_id").as("nid"), col("recon"))
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x.cast("double")).as("qv_full"))
+    val scored = corpus.join(broadcast(probes), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (vdot(col("qv_full"), col("recon")) /
+          (vnorm(col("qv_full")) * vnorm(col("recon")))).as("cos_sim_adc"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim_adc").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cos_sim_adc")
+      .orderBy("qid", "rank")
+  }
+
   /** Per-label corpus stats: count + exact-summed mean norm (norms cast
     * to DECIMAL before the group sum so results don't drift with task
     * order), min/max norm.

@@ -129,6 +129,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.pqCodes(emb).count() === 0,
       "empty corpus → empty subspace codebooks, zero rows, no throw")
     assert(Similarity.knnPq(emb).count() === 0)
+    assert(Similarity.knnSqInt8(emb).count() === 0)
     assert(Similarity.knnIvfPq(emb).count() === 0)
     assert(Similarity.decontaminateEmbedding(emb).count() === 0)
   }

@@ -222,6 +222,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getString(4)).sameElements(again.map(_.getString(4))))
   }
 
+  test("sq-int8: structure holds; 8-bit quantization barely dents recall") {
+    val sq = Similarity.knnSqInt8(Tables.embeddings(spark, sf)).cache()
+    assert(sq.filter(col("qid") === col("nid")).count() === 0)
+    assert(sq.groupBy("qid").count().filter(col("count") > 5).count() === 0)
+    val brute = Similarity.knnBrute(Tables.embeddings(spark, sf))
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = sq.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    info(f"SQ8 recall@5 = $recall%.2f")
+    // 255 levels per vector range: unlike the coarse LSH/IVF prunes,
+    // SQ searches the FULL corpus with slightly-perturbed scores, so
+    // top-5 agreement with exact search stays high
+    assert(recall >= 0.8, f"SQ8 recall collapsed: $recall%.2f")
+    sq.unpersist()
+  }
+
   test("near-dup: LSH-sig blocking finds planted near-identical pairs across labels") {
     val base = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
     val tweaked = base.clone(); tweaked(0) = base(0) + 1e-4f
