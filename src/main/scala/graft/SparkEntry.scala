@@ -27,7 +27,7 @@ object SparkEntry {
     Set("dedup_clusters", "dedup_prune", "corpus_report", "decontaminate",
       "decontaminate_bloom", "decontaminate_incremental", "dedup_admit",
       "dedup_reconcile", "fact_transactions_cdc", "doc_unigram_logloss",
-      "dedup_exact", "corpus_funnel")
+      "dedup_exact", "corpus_funnel", "bpe_merges", "bpe_token_counts")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -297,6 +297,11 @@ object SparkEntry {
     "pii_scrub" -> ((s, d) => Corpus.piiScrub(t(s, d, "documents"))),
     "corpus_report" -> ((s, d) => Corpus.report(t(s, d, "documents"))),
     "tfidf_top_terms" -> ((s, d) => Corpus.tfidfTopTerms(t(s, d, "documents"))),
+    // rows-only (no SQL oracle — the greedy merge fold is not DuckDB-
+    // expressible); BpeSpec proves bit-equality against an independent
+    // in-memory reference instead
+    "bpe_merges" -> ((s, d) => Bpe.merges(t(s, d, "documents"), nMerges = 8)),
+    "bpe_token_counts" -> ((s, d) => Bpe.tokenCounts(t(s, d, "documents"), nMerges = 8)),
     // ---- D (r6). steady-state admission + CDC maintenance ----
     "dedup_admit" -> ((s, d) => {
       import org.apache.spark.sql.functions.col

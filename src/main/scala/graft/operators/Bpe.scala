@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+
+/** Distributed byte-pair-encoding tokenizer training — the tokenizer
+  * half of the pretraining pipeline (the corpus side is token_counts'
+  * BPE-ish regex; this learns the ACTUAL merge table). Algorithm is
+  * Sennrich-style word-level BPE (arXiv:1508.07909): symbols start as
+  * characters + a terminal `</w>`, and each round merges the globally
+  * most frequent adjacent symbol pair, greedy left-to-right within a
+  * word.
+  *
+  * The 100 TB shape: the corpus is scanned ONCE, collapsing into the
+  * (word, count) dictionary — Zipf-bounded vocabulary scale (~1e8
+  * distinct words for web-scale text, vs ~1e13 corpus tokens). Every
+  * merge round then runs over the dictionary only: one map-side-
+  * combined pair-count aggregate + a 1-row argmax collect (the bounded
+  * driver state, same bargain as the k-means codebook) + a per-word
+  * merge map. Rounds localCheckpoint the dictionary so plan depth and
+  * lineage stay flat, releasing the previous round's blocks (the
+  * Dedup.clusters loop discipline). A production run with 30k+ merges
+  * would batch non-overlapping merges per pass; the per-round
+  * structure here is the honest unbatched algorithm.
+  *
+  * Not oracle-expressible: the greedy merge fold is inherently
+  * sequential per word (DuckDB `replace` cannot reproduce greedy
+  * adjacent-pair semantics on consecutive occurrences), so these are
+  * rows-only queries — the spec instead proves bit-exact equality of
+  * the full merge table against an independent in-memory reference
+  * implementation.
+  */
+object Bpe {
+
+  /** Lowercased whitespace word stream — the same normalization as the
+    * tf-idf/vocabulary family, so dictionaries line up across operators.
+    */
+  private def docWords(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+
+  /** The corpus collapsed to its word dictionary — the ONLY data-scale
+    * stage of training.
+    */
+  def wordCounts(documents: DataFrame): DataFrame =
+    docWords(documents).groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** word → initial symbol sequence: characters, then the end-of-word
+    * marker as its own symbol (so merges can learn word-final units).
+    */
+  private def initialSymbols(word: Column): Column =
+    concat(filter(split(word, ""), s => s =!= ""), array(lit("</w>")))
+
+  /** Adjacent symbol pairs of a word (every occurrence counts, the
+    * standard BPE statistic — "aaa" contributes (a,a) twice).
+    */
+  private def adjacentPairs(syms: Column): Column =
+    zip_with(slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+
+  /** Greedy left-to-right application of one merge (l, r) → l+r as a
+    * declarative fold: the accumulator carries (emitted symbols,
+    * pending symbol); a pending `l` meeting an `r` emits the merged
+    * symbol and clears, anything else flushes the pending and takes
+    * over. Stays a codegen'd HOF pipeline — per-word sequential logic
+    * WITHOUT a UDF. ("aaa" + (a,a) → [aa, a], the Sennrich scan.)
+    */
+  private def applyMerge(syms: Column, l: String, r: String): Column = {
+    val init = struct(
+      array().cast(ArrayType(StringType)).as("out"),
+      lit(null).cast(StringType).as("pend"))
+    aggregate(syms, init,
+      (acc, s) => {
+        val out = acc.getField("out")
+        val pend = acc.getField("pend")
+        when(pend.isNull, struct(out.as("out"), s.as("pend")))
+          .when(pend === lit(l) && s === lit(r),
+            struct(concat(out, array(lit(l + r))).as("out"),
+              lit(null).cast(StringType).as("pend")))
+          .otherwise(struct(concat(out, array(pend)).as("out"), s.as("pend")))
+      },
+      acc => when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+  }
+
+  /** One learned merge: rank order, the pair, its count at merge time. */
+  final case class Merge(rank: Long, lhs: String, rhs: String,
+                         merged: String, pair_count: Long)
+
+  /** The training loop. Returns the merge list (driver-bounded:
+    * nMerges rows) and the final checkpointed dictionary with its
+    * trained symbol sequences — the caller owns releasing the
+    * checkpoint (ColumnBridge.unpersistCheckpoint) once done.
+    * Ties in the argmax break on (count desc, lhs, rhs) — binary
+    * UTF-8 string order, deterministic across runs and cluster sizes.
+    * Training stops early when no pair occurs twice (merging a
+    * count-1 pair can never help a tokenizer).
+    */
+  def train(documents: DataFrame, nMerges: Int = 16): (Seq[Merge], DataFrame) = {
+    var words = wordCounts(documents)
+      .select(col("word"), col("n"), initialSymbols(col("word")).as("syms"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var continue = true
+    while (continue && learned.size < nMerges) {
+      val top = words
+        .select(explode(adjacentPairs(col("syms"))).as("p"), col("n"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2L) continue = false
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += Merge(learned.size + 1L, l, r, l + r, c)
+        val next = words.withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint(true)
+        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(words)
+        words = next
+      }
+    }
+    (learned.toSeq, words)
+  }
+
+  /** The learned merge table as a DataFrame — the artifact a tokenizer
+    * ships (rank-ordered; applying merges in rank order re-derives the
+    * trained dictionary).
+    */
+  def merges(documents: DataFrame, nMerges: Int = 16): DataFrame = {
+    val (learned, words) = train(documents, nMerges)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(words)
+    val spark = documents.sparkSession
+    import spark.implicits._
+    learned.toDF().orderBy("rank")
+  }
+
+  /** Per-doc BPE token counts under the trained merges — the
+    * "what does this tokenizer cost per document" statistic (feeds
+    * pack planning / budget selection with real token counts instead
+    * of the whitespace proxy). The trained dictionary maps word →
+    * symbol count; docs re-explode to words and join that map — salted
+    * on the word key (the tf-idf discipline: a raw join key would put
+    * every "the" row in one reducer).
+    */
+  def tokenCounts(documents: DataFrame, nMerges: Int = 16): DataFrame = {
+    val (_, words) = train(documents, nMerges)
+    val sizes = words.select(col("word"), size(col("syms")).cast(LongType).as("n_syms"))
+    val counts = Partitioning
+      .saltedEquiJoin(docWords(documents), sizes, "word", col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+    counts
+  }
+}

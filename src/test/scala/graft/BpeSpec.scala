@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+import graft.sources.Tables
+
+/** The BPE trainer has no DuckDB oracle (the greedy merge fold is not
+  * SQL-expressible — see Bpe scaladoc), so this spec carries the full
+  * correctness burden: an INDEPENDENT in-memory reference
+  * implementation (plain Scala collections, index-walk greedy apply —
+  * deliberately a different formulation than the distributed
+  * fold) must agree bit-for-bit on the entire merge table and on
+  * every per-doc token count, on both a planted corpus and the real
+  * fixture corpus.
+  */
+class BpeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---- reference implementation ------------------------------------
+
+  private def refWordCounts(docs: Seq[String]): Map[String, Long] =
+    docs.flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private def refApply(s: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.size) {
+      if (i + 1 < s.size && s(i) == l && s(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** (merge table, final word → symbols). */
+  private def refTrain(docs: Seq[String], nMerges: Int)
+      : (Seq[(Long, String, String, String, Long)], Map[String, Vector[String]]) = {
+    val wc = refWordCounts(docs)
+    var syms: Map[String, Vector[String]] =
+      wc.keys.map(w => w -> (w.map(_.toString).toVector :+ "</w>")).toMap
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (!done && rank <= nMerges) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, s) <- syms; p <- s.sliding(2) if p.size == 2)
+        pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + wc(w)
+      val best = pc.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= 2L =>
+          merges += ((rank, l, r, l + r, c))
+          syms = syms.map { case (w, s) => w -> refApply(s, l, r) }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    (merges.result(), syms)
+  }
+
+  private def collectMerges(df: org.apache.spark.sql.DataFrame) =
+    df.select("rank", "lhs", "rhs", "merged", "pair_count").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+
+  // ---- planted corpus ----------------------------------------------
+
+  test("planted corpus: full merge table is bit-equal to the reference") {
+    // engineered so several merges tie and cascade: "low low low",
+    // repeated bigrams, a word that exercises the consecutive-pair
+    // greedy case (aaa)
+    val texts = Seq(
+      "low low low lower lowest",
+      "new newer newest new new",
+      "aaa aaa aaab",
+      "low new lower newer")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = collectMerges(Bpe.merges(docs, nMerges = 12))
+    val (want, _) = refTrain(texts, nMerges = 12)
+    assert(got === want)
+  }
+
+  test("planted corpus: per-doc BPE token counts match the reference dictionary") {
+    val texts = Seq("low low lower", "new newest aaa", "low new")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (_, refSyms) = refTrain(texts, nMerges = 8)
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      i.toLong -> ((ws.length.toLong, ws.map(w => refSyms(w).size.toLong).sum))
+    }.toMap
+    val got = Bpe.tokenCounts(docs, nMerges = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+  }
+
+  // ---- real corpus --------------------------------------------------
+
+  test("fixture corpus: merge table matches the reference; counts bounded") {
+    val docs = Tables.documents(spark, sf)
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    val got = collectMerges(Bpe.merges(docs, nMerges = 8))
+    val (want, refSyms) = refTrain(texts, nMerges = 8)
+    assert(got === want)
+    // token counts: each word is at least 1 symbol, at most chars+1
+    val tc = Bpe.tokenCounts(docs, nMerges = 8).collect()
+    assert(tc.nonEmpty)
+    tc.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"doc ${r.getLong(0)}: fewer BPE tokens than words")
+    }
+    // spot-check one doc end-to-end against the reference dictionary
+    val doc0 = docs.select("doc_id", "text").orderBy("doc_id").first()
+    val ws = doc0.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val wantTokens = ws.map(w => refSyms(w).size.toLong).sum
+    val gotTokens = tc.find(_.getLong(0) == doc0.getLong(0)).get.getLong(2)
+    assert(gotTokens === wantTokens)
+  }
+}

@@ -76,6 +76,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.temperatureSample(docs).count() === 0, "min over no langs must not throw")
     assert(Corpus.temperatureSummary(docs).count() === 0)
     assert(Corpus.shufflePlan(docs).count() === 0)
+    assert(Bpe.merges(docs).count() === 0, "no pairs → zero merges, no throw")
+    assert(Bpe.tokenCounts(docs).count() === 0)
     assert(Corpus.curriculum(docs).count() === 0,
       "stage div by n_docs=0 must not throw on zero rows")
     assert(Dedup.incremental(docs, docs).count() === 0)
