@@ -27,7 +27,8 @@ object SparkEntry {
     Set("dedup_clusters", "dedup_prune", "corpus_report", "decontaminate",
       "decontaminate_bloom", "decontaminate_incremental", "dedup_admit",
       "dedup_reconcile", "fact_transactions_cdc", "doc_unigram_logloss",
-      "dedup_exact", "corpus_funnel", "bpe_merges", "bpe_token_counts")
+      "dedup_exact", "corpus_funnel", "bpe_merges", "bpe_token_counts",
+      "quality_classifier", "quality_classifier_score")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -368,6 +369,8 @@ object SparkEntry {
     "doc_char_entropy" -> ((s, d) => TextOps.charEntropy(t(s, d, "documents"))),
     "quality_gopher" -> ((s, d) => TextOps.gopherQuality(t(s, d, "documents"))),
     "doc_quality_verdict" -> ((s, d) => TextOps.qualityVerdict(t(s, d, "documents"))),
+    "quality_classifier" -> ((s, d) => Classifier.train(t(s, d, "documents"))),
+    "quality_classifier_score" -> ((s, d) => Classifier.score(t(s, d, "documents"))),
     "quality_gate_relative" -> ((s, d) => TextOps.qualityGate(t(s, d, "documents"))),
     // the streaming twin's continuation contract, batch-staged: carry
     // the associative histogram across two doc_id-split increments,
@@ -689,6 +692,52 @@ object SparkEntry {
       |  sum(n) OVER (PARTITION BY lang) AS total FROM h),
       |th AS (SELECT lang, min(score_micro) AS threshold_micro FROM c
       |  WHERE cum > floor(0.25 * total) GROUP BY lang)""".stripMargin
+
+  // Quality classifier (Classifier.scala): base CTEs = the verdict
+  // label (verdictCtes restated — the corpus_curate composition) +
+  // engine-exact features; then `clfIters` unrolls the SAME gradient-
+  // descent iterations the engine runs (the kmeans Lloyd-unroll
+  // pattern). Every arithmetic step mirrors the Scala association:
+  // left-assoc +-chain margin, fast-sigmoid 0.5*(1+z/(1+abs(z))),
+  // ((err*xj)*1e9) nano-rounding, w - 0.01*(g/1e9) updates.
+  private val clfBase: String =
+    s"""$verdictCtes,
+      |vd AS (SELECT g.doc_id,
+      |  g.gopher_keep AND NOT r.is_repetitive
+      |    AND (e.em BETWEEN 1000000 AND 6000000)
+      |    AND sc.score_micro >= th.threshold_micro AS keep
+      |FROM gq g JOIN rp r USING (doc_id) JOIN en e USING (doc_id)
+      |JOIN sc USING (doc_id) JOIN th ON sc.lang = th.lang),
+      |cf AS (SELECT doc_id,
+      |  1.0 AS x0,
+      |  CAST(length(text) AS DOUBLE) / 100 AS x1,
+      |  CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 10 AS x2,
+      |  CAST(length(text) AS DOUBLE) /
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS x3,
+      |  CASE WHEN length(text) > 0
+      |    THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+      |         / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS x4
+      |FROM documents),
+      |ft AS (SELECT cf.*, CASE WHEN vd.keep THEN 1.0 ELSE 0.0 END AS y
+      |  FROM cf JOIN vd USING (doc_id))""".stripMargin
+
+  private def clfIters(n: Int): String = {
+    val sb = new StringBuilder
+    for (i <- 1 to n) {
+      def wref(j: Int): String = if (i == 1) "0.0" else s"w.w$j"
+      val z = (0 to 4).map(j => s"${wref(j)} * x$j").mkString(" + ")
+      val zFrom = if (i == 1) "ft f" else s"ft f CROSS JOIN w${i - 1} w"
+      sb.append(s",\nz$i AS (SELECT f.*, ($z) AS z FROM $zFrom)")
+      sb.append(s",\ng$i AS (SELECT " + (0 to 4).map(j =>
+        s"sum(CAST(round((0.5*(1 + z/(1+abs(z))) - y) * x$j * 1e9) AS BIGINT)) AS g$j")
+        .mkString(", ") + s" FROM z$i)")
+      val gFrom = if (i == 1) s"g$i" else s"g$i CROSS JOIN w${i - 1} w"
+      sb.append(s",\nw$i AS (SELECT " + (0 to 4).map(j =>
+        s"${wref(j)} - 0.01 * (CAST(g$j AS DOUBLE)/1e9) AS w$j").mkString(", ") +
+        s" FROM $gFrom)")
+    }
+    sb.toString
+  }
 
   // Budget selection (shared by the one-shot and the batch-staged
   // incremental entry — histogram merge associativity means both must
@@ -1921,6 +1970,25 @@ object SparkEntry {
         |FROM gq g JOIN rp r USING (doc_id) JOIN en e USING (doc_id)
         |JOIN sc USING (doc_id) JOIN th ON sc.lang = th.lang
         |ORDER BY g.doc_id""".stripMargin,
+
+    "quality_classifier" ->
+      s"""WITH $clfBase${clfIters(3)}
+        |SELECT 'x0' AS feature, w0 AS weight FROM w3
+        |UNION ALL SELECT 'x1', w1 FROM w3
+        |UNION ALL SELECT 'x2', w2 FROM w3
+        |UNION ALL SELECT 'x3', w3 FROM w3
+        |UNION ALL SELECT 'x4', w4 FROM w3
+        |ORDER BY feature""".stripMargin,
+
+    "quality_classifier_score" ->
+      s"""WITH $clfBase${clfIters(3)},
+        |zs AS (SELECT f.*,
+        |  (w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 + w.w4 * x4) AS z
+        |FROM ft f CROSS JOIN w3 w),
+        |ps AS (SELECT doc_id, 0.5*(1 + z/(1+abs(z))) AS score, y FROM zs)
+        |SELECT doc_id, score, score >= 0.5 AS predicted_keep,
+        |  y = 1.0 AS keep
+        |FROM ps ORDER BY doc_id""".stripMargin,
 
     // the full curation pipeline: verdict ∧ not-exact-dup filter the
     // corpus (dedup canonical = corpus-wide min doc_id — the

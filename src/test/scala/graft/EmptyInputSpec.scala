@@ -78,6 +78,11 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.shufflePlan(docs).count() === 0)
     assert(Bpe.merges(docs).count() === 0, "no pairs → zero merges, no throw")
     assert(Bpe.tokenCounts(docs).count() === 0)
+    // an empty corpus trains the zero model (null gradients → no update)
+    val model = Classifier.train(docs).collect()
+    assert(model.length === Classifier.featureNames.size)
+    assert(model.forall(_.getDouble(1) === 0.0))
+    assert(Classifier.score(docs).count() === 0)
     assert(Corpus.curriculum(docs).count() === 0,
       "stage div by n_docs=0 must not throw on zero rows")
     assert(Dedup.incremental(docs, docs).count() === 0)
