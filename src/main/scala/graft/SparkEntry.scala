@@ -291,6 +291,7 @@ object SparkEntry {
     }),
     "corpus_shuffle" -> ((s, d) => Corpus.shufflePlan(t(s, d, "documents"))),
     "corpus_curriculum" -> ((s, d) => Corpus.curriculum(t(s, d, "documents"))),
+    "corpus_interleave" -> ((s, d) => Corpus.interleave(t(s, d, "documents"))),
     "seq_pack" -> ((s, d) => Corpus.packPlan(t(s, d, "documents"))),
     "seq_pack_summary" -> ((s, d) => Corpus.packSummary(t(s, d, "documents"))),
     "seq_pack_manifest" -> ((s, d) => Corpus.packManifest(t(s, d, "documents"))),
@@ -2859,6 +2860,27 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, curriculum_pos,
         |  (curriculum_pos * 4) // (SELECT count(*) FROM t) AS stage
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // stride-scheduled mixing order: per-source md5-shuffled rank,
+    // virtual time = rank/weight, global row_number over (vt, source,
+    // doc_id) — the oracle states both windows the chained two-phase
+    // ordinals replace
+    "corpus_interleave" ->
+      """WITH s AS (SELECT doc_id, source,
+        |  CAST(CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 0.9
+        |    WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.5
+        |    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 0.25
+        |    ELSE 0.1 END AS DOUBLE) AS weight,
+        |  md5('interleave:' || CAST(doc_id AS VARCHAR)) AS k
+        |FROM documents),
+        |r AS (SELECT doc_id, source, weight,
+        |  row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS src_rank
+        |FROM s),
+        |v AS (SELECT doc_id, source, src_rank,
+        |  CAST(src_rank AS DOUBLE) / weight AS vt FROM r)
+        |SELECT doc_id, source, src_rank, vt,
+        |  row_number() OVER (ORDER BY vt, source, doc_id) - 1 AS interleave_pos
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "corpus_sample" ->
       s"""WITH s AS (SELECT doc_id, source, lang,

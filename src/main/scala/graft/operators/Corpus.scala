@@ -148,6 +148,73 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stride-scheduled interleave — the ORDER a training
+    * dataloader actually emits when mixing sources at configured
+    * rates ([[sourceWeight]]): within each source docs shuffle by md5
+    * key, and source s's k-th doc is emitted at virtual time
+    * `vt = k / weight(s)` (stride scheduling — a weight-0.9 source
+    * emits 9× as often as a weight-0.1 one, evenly spread rather than
+    * block-concatenated). Output is the dense global emit ordinal.
+    *
+    * Two chained two-phase ordinals, no global window anywhere:
+    * per-source ranks split on the key's top bits (per-(source,bucket)
+    * windows + per-source B-row offset cumulatives), then the global
+    * (vt, source, doc_id) order splits on the OBSERVED vt span (the
+    * scanTokensBefore bucketing — any monotone map works, so the
+    * double ratio is safe); each source's vt sequence is a linear
+    * ramp, so their union spreads ~uniformly over the span and the
+    * range buckets stay balanced. vt itself is one exact double
+    * division of exact integers — bit-identical across engines.
+    */
+  def interleave(documents: DataFrame, seed: String = "interleave"): DataFrame = {
+    val buckets = parallelBuckets(documents)
+    val keyed = documents.select(col("doc_id"), col("source"),
+        sourceWeight(col("source")).as("weight"),
+        shuffleKey(seed).as("skey"))
+      .withColumn("bucket",
+        floor(keyHi28(col("skey")).cast("double") * buckets / 268435456.0)
+          .cast(LongType))
+    val wIn = Window.partitionBy("source", "bucket").orderBy("skey", "doc_id")
+    val within = keyed.withColumn("rn", row_number().over(wIn).cast(LongType))
+    val wOff = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = within.groupBy("source", "bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select("source", "bucket", "off")
+    // (source, bucket) keys match the window partitioning — planner
+    // broadcasts when small, reuses the exchange otherwise
+    val ranked = within.join(offs, Seq("source", "bucket"))
+      .withColumn("src_rank", col("off") + col("rn"))
+      .withColumn("vt", col("src_rank").cast("double") / col("weight"))
+    // the vt span NEVER needs the ranked pipeline: per source the vt
+    // values are 1/w .. n_s/w, so min/max derive from the per-source
+    // COUNTS with the identical divisions (bit-equal bounds; Spark
+    // would otherwise re-plan the whole first ordinal under this
+    // scalar — shared subtrees are not deduped)
+    val span = keyed.groupBy("source", "weight").agg(count(lit(1)).as("n_src"))
+      .agg(coalesce(min(lit(1.0) / col("weight")), lit(0.0)).as("vt_min"),
+        coalesce(max(col("n_src").cast("double") / col("weight")), lit(0.0))
+          .as("vt_max"))
+    val b2 = ranked.crossJoin(broadcast(span)) // 1-row scalar
+      .withColumn("gbucket", when(col("vt_max") === col("vt_min"), lit(0L))
+        .otherwise(least(
+          floor((col("vt") - col("vt_min")) * buckets /
+            (col("vt_max") - col("vt_min"))).cast(LongType),
+          lit(buckets - 1))))
+      .drop("vt_min", "vt_max")
+    val wIn2 = Window.partitionBy("gbucket").orderBy("vt", "source", "doc_id")
+    val within2 = b2.withColumn("rn2", row_number().over(wIn2).cast(LongType))
+    val wOff2 = Window.orderBy("gbucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs2 = within2.groupBy("gbucket").agg(count(lit(1)).as("bn2"))
+      .withColumn("off2", coalesce(sum(col("bn2")).over(wOff2), lit(0L)))
+      .select("gbucket", "off2")
+    within2.join(broadcast(offs2), Seq("gbucket"))
+      .withColumn("interleave_pos", col("off2") + col("rn2") - 1L)
+      .select("doc_id", "source", "src_rank", "vt", "interleave_pos")
+      .orderBy("doc_id")
+  }
+
   /** Short-to-long curriculum order: docs ranked globally by
     * (n_tokens asc, shuffle key, doc_id) — ascending difficulty with a
     * deterministic shuffle among equal lengths — then cut into

@@ -518,6 +518,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(a === a2, "same seed must reproduce the same order")
   }
 
+  test("interleave: dense stride-scheduled order, bit-equal to the driver replication") {
+    val rows = Corpus.interleave(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val n = rows.length
+    assert(rows.map(_._5).sorted.toSeq === (0L until n.toLong))
+    // driver-side replication of the whole schedule
+    val base = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def weight(src: String): Double = {
+      val num = src.drop(3).toInt
+      if (num < 5) 0.9 else if (num < 10) 0.5 else if (num < 15) 0.25 else 0.1
+    }
+    val ranked = base.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy { case (id, _) => (md5hex("interleave:" + id), id) }
+        .zipWithIndex.map { case ((id, _), i) =>
+          (id, src, i + 1L, (i + 1L).toDouble / weight(src)) }
+        .toSeq
+    }
+    val expected = ranked.sortBy { case (id, src, _, vt) => (vt, src, id) }
+      .zipWithIndex.map { case ((id, src, k, vt), pos) => id -> ((src, k, vt, pos.toLong)) }
+      .toMap
+    rows.foreach { case (id, src, k, vt, pos) =>
+      assert(expected(id) === ((src, k, vt, pos)), s"doc $id off schedule")
+    }
+    // the stride property the schedule exists for: in any decent prefix
+    // a rate-0.9 source has emitted ~9x a rate-0.1 source's share
+    val prefix = rows.sortBy(_._5).take(n / 2)
+    val bySrc = prefix.groupBy(r => weight(r._2)).view.mapValues(_.size).toMap
+    assert(bySrc.getOrElse(0.9, 0) > bySrc.getOrElse(0.1, 0),
+      "high-rate sources must dominate early emissions")
+  }
+
   test("curriculum: difficulty-monotone positions, exact stage rule, dense") {
     val r = Corpus.curriculum(docs).collect()
       .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4)))

@@ -76,6 +76,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.temperatureSample(docs).count() === 0, "min over no langs must not throw")
     assert(Corpus.temperatureSummary(docs).count() === 0)
     assert(Corpus.shufflePlan(docs).count() === 0)
+    assert(Corpus.interleave(docs).count() === 0,
+      "empty vt span (min=max=0) must not throw")
     assert(Bpe.merges(docs).count() === 0, "no pairs → zero merges, no throw")
     assert(Bpe.tokenCounts(docs).count() === 0)
     // an empty corpus trains the zero model (null gradients → no update)

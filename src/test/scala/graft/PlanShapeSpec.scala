@@ -101,6 +101,11 @@ class PlanShapeSpec extends AnyFunSuite {
     ("corpus_shuffle", Shape(4, 1, 0, 2),
       "two-phase global ordinal: per-bucket rank window + B-row " +
         "offset cumulative; offsets broadcast back; output range sort"),
+    ("corpus_interleave", Shape(14, 3, 0, 6),
+      "two chained two-phase ordinals; the global-offset branch " +
+        "re-plans the first ordinal with its rank window pruned (the " +
+        "documented double-scan family) — 6 windows = 4 live + 2 " +
+        "re-planned, span derived from per-source counts only"),
     ("corpus_curriculum", Shape(8, 2, 0, 3),
       "two-level ordinal: per-(len,sub) rank window, per-len sub " +
         "offsets (broadcast at fixture stats; unhinted, so a keyed " +
@@ -130,6 +135,11 @@ class PlanShapeSpec extends AnyFunSuite {
     "column_histogram_totalprice" -> ((1, "1-row min/max bounds scalar")),
     "corpus_shuffle" -> ((1,
       "bucket-offset cumulative over exactly B bucket-count rows")),
+    "corpus_interleave" -> ((3,
+      "global-offset cumulative over B bucket rows + the 1-row vt-span " +
+        "scalar final (planned twice — once under the re-planned " +
+        "offset branch; ReuseExchange collapses them at runtime); " +
+        "per-source offset windows ARE partitioned")),
     "corpus_curriculum" -> ((2,
       "base-offset cumulative over the n_tokens histogram " +
         "(distinct-lengths rows; the per-length sub-offset window IS " +
