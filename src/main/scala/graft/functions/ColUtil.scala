@@ -38,6 +38,20 @@ object ColUtil {
   def surrogate(tag: String, natural: Column): Column =
     md5(concat(lit(tag + ":"), natural.cast(StringType)).cast(BinaryType))
 
+  /** [1..stop] as an int array, EMPTY when stop < 1. Spark's
+    * `sequence(1, stop)` generates a DESCENDING [1, 0, …] when
+    * stop < 1 (step defaults to -1), which feeds gram/shingle lambdas
+    * a 0 index — `slice`/`element_at` then kill the task on any
+    * document shorter than the gram width (probed r7.4; the fixture
+    * corpora never trip it, a 100 TB corpus with short docs would on
+    * the first partition). DuckDB's `range(1, stop+1)` is already
+    * empty for stop < 1, so the guarded form is what every gram
+    * oracle has been stating all along.
+    */
+  def posRange(stop: Column): Column =
+    when(stop >= 1, sequence(lit(1), stop))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+
   /** ISO day-of-week 1=Mon..7=Sun (Spark dayofweek is 1=Sun..7=Sat). */
   def isoDow(d: Column): Column =
     ((dayofweek(d) + 5) % 7 + 1).cast(LongType)

@@ -32,9 +32,14 @@ object Dedup {
   def fingerprintSet(corpus: DataFrame): DataFrame =
     corpus.select(fingerprint.as("fp_md5")).distinct()
 
-  /** 5-char shingle array of the normalized text. */
+  /** 5-char shingle array of the normalized text (empty when the text
+    * is shorter than one shingle — a short doc has no shingles, no
+    * bands, and can never be an LSH candidate, which is what every
+    * shingle oracle already states; the unguarded sequence() produced
+    * phantom negative-offset shingles instead, see ColUtil.posRange).
+    */
   private def shingles(n: Column, len: Int = 5): Column =
-    transform(sequence(lit(1), length(n) - lit(len - 1)),
+    transform(graft.functions.ColUtil.posRange(length(n) - lit(len - 1)),
       i => n.substr(i, lit(len)))
 
   /** Carter-Wegman mix constants for the 12 minhash functions: one md5
@@ -281,7 +286,7 @@ object Dedup {
     // exact, and both engines hash identically so parity is exact.
     // Sorted so the native merge-walk intersect can stream both sides.
     val grams = sort_array(array_distinct(transform(
-      transform(sequence(lit(1), size(toks) - lit(2)),
+      transform(graft.functions.ColUtil.posRange(size(toks) - lit(2)),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
           element_at(toks, i + 2))),
       g => conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast(LongType))))
@@ -304,7 +309,12 @@ object Dedup {
         (size(col("gs_a")) + size(col("gs_b"))).cast(LongType).as("n_total"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_total") - col("n_common")).as("n_union"))
-      .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
+      // try_divide: two sub-3-token docs CAN band-collide on their
+      // 5-char shingles while both 3-gram sets are empty — union 0
+      // must yield NULL jaccard (DuckDB's /0), not an ANSI task kill
+      // (r7.4 short-doc audit); NULLS sort last under the desc order
+      .withColumn("jaccard",
+        try_divide(col("n_common").cast("double"), col("n_union")))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(100)
   }

@@ -64,8 +64,10 @@ object Multimodal {
         when(isPng && nBytes >= 24,
             conv(hex(substring(bin, 21, 4)), 16, 10).cast(LongType))
           .otherwise((nBytes * 13) % 480 + 16).as("height"))
+      // try_divide: a corrupt-but-sniffable PNG header can carry
+      // height 0 — NULL aspect (DuckDB's /0), not an ANSI task kill
       .withColumn("aspect_ratio",
-        col("width").cast("double") / col("height"))
+        try_divide(col("width").cast("double"), col("height")))
       // resize stage: scale to width 256 preserving aspect via integer
       // math (deterministic, engine-portable)
       .withColumn("resized_w", lit(256L))

@@ -27,7 +27,10 @@ object TextOps {
           size(toks)).as("avg_word_len"),
         ((length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")))
           .cast(LongType)).as("n_alnum_space"),
-        ((length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))).cast("double") /
+        // try_divide: empty text → NULL punct ratio (DuckDB's /0),
+        // not an ANSI task kill (r7.4 degenerate-text audit)
+        try_divide(
+          length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("double"),
           length(col("text"))).as("punct_ratio"),
         (element_at(graft.functions.TextExpressions.profileHitCounts(toks, Seq(stop)), 1)
           .cast("double") / size(toks)).as("stopword_ratio"))
@@ -44,8 +47,11 @@ object TextOps {
     val nToks = size(toks)
     val stopRatio = element_at(graft.functions.TextExpressions
       .profileHitCounts(toks, Seq(stop)), 1).cast("double") / nToks
-    val punctRatio = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
-      .cast("double") / nChars
+    // try_divide: empty text → NULL ratio → s4 falls to otherwise(0),
+    // same verdict DuckDB's /0→NULL gives (r7.4 degenerate-text audit)
+    val punctRatio = try_divide(
+      length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("double"),
+      nChars)
     val s1 = when(nChars.between(100, 2000), 1).otherwise(0)
     val s2 = when(nToks >= 20, 1).otherwise(0)
     val s3 = when(stopRatio.between(0.02, 0.6), 1).otherwise(0)
@@ -103,11 +109,14 @@ object TextOps {
           .as("sum_clogc"))
       .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
         col("top_char_count"),
-        (col("top_char_count").cast("double") / col("n_chars"))
+        // try_divide: an EMPTY text (n_chars 0) yields NULL ratio and
+        // NULL entropy instead of an ANSI DIVIDE_BY_ZERO task kill
+        // (r7.4 short-doc audit; log2(0) is already NULL-safe)
+        try_divide(col("top_char_count").cast("double"), col("n_chars"))
           .as("top_char_ratio"),
         floor((log2(col("n_chars").cast("double")) -
-          col("sum_clogc") / col("n_chars")) * 1e6 + 0.5).cast(LongType)
-          .as("entropy_microbits"))
+          try_divide(col("sum_clogc"), col("n_chars"))) * 1e6 + 0.5)
+          .cast(LongType).as("entropy_microbits"))
       .orderBy("doc_id")
   }
 
@@ -215,7 +224,9 @@ object TextOps {
         size(split(trim(col("text")), "\\s+")).cast(LongType).as("ws_tokens"),
         size(regexp_extract_all(norm, lit(BpeIshPattern), lit(0))).cast(LongType).as("bpe_tokens"))
       .withColumn("chars_per_bpe_token",
-        col("n_chars").cast("double") / col("bpe_tokens"))
+        // a symbol-only/empty text has zero BPE-ish tokens: NULL ratio
+        // (DuckDB's /0), not an ANSI task kill (r7.4 short-doc audit)
+        try_divide(col("n_chars").cast("double"), col("bpe_tokens")))
       .orderBy("doc_id")
 
   /** Fixed-size token chunking with overlap (size 40, stride 30) — the
@@ -277,6 +288,40 @@ object TextOps {
     */
   val GramDfCap: Int = 1000
 
+  /** Per-doc n-gram NOVELTY: the fraction of a doc's distinct 8-grams
+    * first introduced by it, attributing each gram to its minimum
+    * doc_id — the corpus-level "how much of this doc is new text"
+    * signal (the cross-doc complement of [[repetition]]'s within-doc
+    * ratio; low novelty = boilerplate/syndicated content, a standard
+    * corpus-curation filter axis). Shuffle shape: one uniform-60-bit
+    * gram aggregate with map-side partials for the first-introducer
+    * map, then the gram join back SALTED on (g8, hash(doc_id)) — a
+    * boilerplate gram shared by M docs would land its M rows in one
+    * reducer on a raw key ([[graft.operators.Partitioning.saltedEquiJoin]]).
+    * The exploded gram stream feeds both the aggregate and the join
+    * probe, so it is checkpointed once (the decontaminate measurement:
+    * for md5-per-gram streams the checkpoint beats the double scan).
+    */
+  def ngramNovelty(documents: DataFrame, n: Int = 8): DataFrame = {
+    val tk = toks
+    val grams = array_distinct(transform(
+      graft.functions.ColUtil.posRange(size(tk) - lit(n - 1)),
+      i => conv(substring(md5(array_join(slice(tk, i, lit(n)), " ").cast("binary")),
+        1, 15), 16, 10).cast(LongType)))
+    val pairs = documents.select(col("doc_id"), explode(grams).as("g8"))
+      .localCheckpoint(true)
+    val firstSeen = pairs.groupBy("g8").agg(min(col("doc_id")).as("first_doc"))
+    Partitioning.saltedEquiJoin(pairs, firstSeen, "g8", col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      // n_grams ≥ 1 by construction (a doc with no grams has no rows)
+      .withColumn("novelty_ratio",
+        col("n_novel").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
+
   def decontaminate(documents: DataFrame, n: Int = 8,
       maxGramDf: Int = GramDfCap): DataFrame =
     decontaminateCore(documents.withColumn("__fresh", lit(true)), n, maxGramDf)
@@ -314,7 +359,7 @@ object TextOps {
     // wins.
     val tk = toks
     val grams = array_distinct(transform(
-      sequence(lit(1), greatest(size(tk) - lit(n - 1), lit(0))),
+      graft.functions.ColUtil.posRange(size(tk) - lit(n - 1)),
       i => conv(substring(md5(array_join(slice(tk, i, lit(n)), " ").cast("binary")),
         1, 15), 16, 10).cast(LongType)))
     val base = documents
@@ -371,7 +416,7 @@ object TextOps {
       maxGramDf: Int = GramDfCap, log2Bits: Int = 20): DataFrame = {
     val tk = toks
     val grams = array_distinct(transform(
-      sequence(lit(1), greatest(size(tk) - lit(n - 1), lit(0))),
+      graft.functions.ColUtil.posRange(size(tk) - lit(n - 1)),
       i => conv(substring(md5(array_join(slice(tk, i, lit(n)), " ").cast("binary")),
         1, 15), 16, 10).cast(LongType)))
     // same checkpointed single tokenize+md5 pass as decontaminate: the
@@ -454,7 +499,7 @@ object TextOps {
       maxGramDf: Int = GramDfCap): DataFrame = {
     val tk = toks
     val grams = array_distinct(transform(
-      sequence(lit(1), greatest(size(tk) - lit(n - 1), lit(0))),
+      graft.functions.ColUtil.posRange(size(tk) - lit(n - 1)),
       i => conv(substring(md5(array_join(slice(tk, i, lit(n)), " ").cast("binary")),
         1, 15), 16, 10).cast(LongType)))
     val base = documents
@@ -774,10 +819,10 @@ object TextOps {
     val tm = transform(toks,
       t => conv(substring(md5(t.cast("binary")), 1, 7), 16, 10).cast(LongType))
     val g2 = transform(
-      sequence(lit(1), greatest(size(col("__tm")) - 1, lit(0))),
+      graft.functions.ColUtil.posRange(size(col("__tm")) - 1),
       i => element_at(col("__tm"), i) * B + element_at(col("__tm"), i + 1))
     val g3 = transform(
-      sequence(lit(1), greatest(size(col("__tm")) - 2, lit(0))),
+      graft.functions.ColUtil.posRange(size(col("__tm")) - 2),
       i => ((element_at(col("__tm"), i) * B + element_at(col("__tm"), i + 1)) % P) * B +
         element_at(col("__tm"), i + 2))
     documents
@@ -792,11 +837,15 @@ object TextOps {
         size(array_distinct(col("__g3"))).cast(LongType).as("n_distinct_trigrams"))
       .select(col("doc_id"),
         col("n_bigrams"), col("n_distinct_bigrams"),
-        (lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
-          .as("dup_bigram_ratio"),
+        // try_divide: a gram-less doc (1-2 tokens) has NULL ratios —
+        // exactly what DuckDB's /0→NULL gives the oracle; the plain
+        // `/` throws DIVIDE_BY_ZERO under ANSI and killed the task
+        // (same r7.4 probe as the sequence-descend fix)
+        (lit(1.0) - try_divide(col("n_distinct_bigrams").cast("double"),
+          col("n_bigrams"))).as("dup_bigram_ratio"),
         col("n_trigrams"), col("n_distinct_trigrams"),
-        (lit(1.0) - col("n_distinct_trigrams").cast("double") / col("n_trigrams"))
-          .as("dup_trigram_ratio"))
+        (lit(1.0) - try_divide(col("n_distinct_trigrams").cast("double"),
+          col("n_trigrams"))).as("dup_trigram_ratio"))
       .withColumn("is_repetitive", col("dup_trigram_ratio") > 0.2)
       .orderBy("doc_id")
   }

@@ -47,6 +47,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "empty eval set → all-zero bloom, zero rows, no throw")
     assert(TextOps.decontaminateIncremental(docs, docs).count() === 0)
     assert(TextOps.vocabulary(docs).count() === 0)
+    assert(TextOps.ngramNovelty(docs).count() === 0)
     assert(TextOps.qualityGate(docs).count() === 0)
     assert(TextOps.qualityVerdict(docs).count() === 0)
     assert(TextOps.passageScrub(docs).count() === 0)

@@ -470,4 +470,79 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!out(4L).getBoolean(9) && !out(4L).getBoolean(11), "non-alpha words")
     assert(!out(5L).getBoolean(10) && !out(5L).getBoolean(11), "no stopwords")
   }
+
+  test("short docs survive every gram/shingle operator (sequence-descend regression)") {
+    // Docs shorter than the gram/shingle width used to feed slice/
+    // element_at a 0 index (Spark sequence(1, 0) descends) and KILL
+    // the task; 2-4 char docs also produced phantom negative-offset
+    // shingles. A 100 TB corpus always contains these.
+    val long1 = "one two three four five six seven eight nine ten eleven twelve"
+    val shorts = Seq(
+      (1L, "hi", "en", "src0", 2L),                   // < one shingle
+      (2L, "two words", "en", "src0", 9L),            // < one 3-gram
+      (3L, "three whole words here", "en", "src0", 22L), // < one 8-gram
+      (4L, long1, "en", "src0", long1.length.toLong),
+      (5L, long1, "en", "src1", long1.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // none of these may throw; short docs contribute no grams
+    assert(TextOps.decontaminate(shorts).collect() !== null)
+    assert(TextOps.decontaminateBloom(shorts).collect() !== null)
+    assert(TextOps.decontaminateIncremental(
+      shorts.filter($"doc_id" > 2), shorts.filter($"doc_id" <= 2)).collect() !== null)
+    val rep = TextOps.repetition(shorts).collect().map(r => r.getLong(0) -> r).toMap
+    assert(rep.size === 5)
+    assert(rep(1L).getLong(1) === 0L, "no bigrams from a 1-token doc")
+    val pairs = Dedup.minhashPairs(shorts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((4L, 5L)), "real dups still collide")
+    assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L),
+      "a 2-char doc has no shingles, so it can never be an LSH candidate")
+    assert(Dedup.jaccardTop(shorts).collect() !== null)
+    assert(Dedup.clusters(shorts).count() === 5)
+  }
+
+  test("ngram novelty: originals score 1, verbatim copies 0, partial reuse in between") {
+    val orig = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val fresh = "one two three four five six seven eight nine ten eleven twelve"
+    val half = orig.split(" ").take(8).mkString(" ") + " nu xi omicron pi rho sigma tau upsilon"
+    val planted = Seq(
+      (1L, orig, "en", "src0", orig.length.toLong),
+      (2L, orig, "en", "src1", orig.length.toLong),       // verbatim copy, later id
+      (3L, half, "en", "src0", half.length.toLong),       // shares a prefix with 1
+      (4L, fresh, "en", "src0", fresh.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.ngramNovelty(planted).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L)._3 === 1.0, "first introducer owns every gram")
+    assert(r(2L)._3 === 0.0, "a verbatim later copy introduces nothing")
+    assert(r(3L)._3 > 0.0 && r(3L)._3 < 1.0, "partial reuse lands between")
+    assert(r(4L)._3 === 1.0)
+    assert(r(1L)._1 === r(2L)._1, "copies carry identical gram counts")
+  }
+
+  test("degenerate texts survive the stats/quality family (ANSI divide regression)") {
+    // empty text, whitespace-only, symbol-only (zero BPE-ish tokens),
+    // and the jaccard 0-union case: two identical 2-token docs that
+    // band-collide on shingles while both 3-gram sets are empty
+    val degen = Seq(
+      (1L, "", "en", "src0", 0L),
+      (2L, "   ", "en", "src0", 3L),
+      (3L, "!!! ??? ***", "en", "src0", 11L),
+      (4L, "hello world", "en", "src0", 11L),
+      (5L, "hello world", "en", "src1", 11L),
+      (6L, "a normal sentence with enough words to be a document", "en", "src0", 52L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ent = TextOps.charEntropy(degen).collect().map(r => r.getLong(0) -> r).toMap
+    assert(ent.size === 6)
+    assert(ent(1L).isNullAt(4), "empty text → NULL ratio, not a crash")
+    val tc = TextOps.tokenCounts(degen).collect().map(r => r.getLong(0) -> r).toMap
+    assert(tc(1L).getLong(3) === 0L, "empty text → zero bpe tokens")
+    assert(tc(1L).isNullAt(4), "… and a NULL chars-per-token")
+    assert(tc(3L).getLong(3) > 0L, "the BPE-ish regex does tokenize punctuation")
+    assert(TextOps.textStats(degen).count() === 6)
+    assert(TextOps.gopherQuality(degen).count() === 6)
+    assert(TextOps.qualityVerdict(degen).count() === 6)
+    val jac = Dedup.jaccardTop(degen).collect()
+    assert(jac !== null, "0-union band collision must not throw")
+  }
 }
