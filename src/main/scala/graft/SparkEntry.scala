@@ -28,7 +28,8 @@ object SparkEntry {
       "decontaminate_bloom", "decontaminate_incremental", "dedup_admit",
       "dedup_reconcile", "fact_transactions_cdc", "doc_unigram_logloss",
       "dedup_exact", "corpus_funnel", "bpe_merges", "bpe_token_counts",
-      "quality_classifier", "quality_classifier_score", "doc_ngram_novelty")
+      "quality_classifier", "quality_classifier_score", "doc_ngram_novelty",
+      "doc_ngram_novelty_incremental")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -200,6 +201,14 @@ object SparkEntry {
     }),
     "doc_repetition" -> ((s, d) => TextOps.repetition(t(s, d, "documents"))),
     "doc_ngram_novelty" -> ((s, d) => TextOps.ngramNovelty(t(s, d, "documents"))),
+    // incremental staging: even ids stand, odd ids arrive — output ≡
+    // the one-shot novelty restricted to the arriving half
+    "doc_ngram_novelty_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      TextOps.ngramNoveltyIncremental(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0))
+    }),
     "corpus_funnel" -> ((s, d) => TextOps.corpusFunnel(t(s, d, "documents"))),
     "corpus_vocabulary" -> ((s, d) => TextOps.vocabulary(t(s, d, "documents"))),
     // sketch-based heavy hitters: no oracle (DataSketches internals are
@@ -2459,6 +2468,23 @@ object SparkEntry {
         |a AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
         |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
         |FROM g JOIN f USING (g8) GROUP BY 1)
+        |SELECT doc_id, n_grams, n_novel,
+        |  CAST(n_novel AS DOUBLE) / n_grams AS novelty_ratio
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // incremental ≡ the one-shot restricted to the arriving (odd-id)
+    // half — attribution still spans the UNION (the decontaminate_
+    // incremental restriction pattern)
+    "doc_ngram_novelty_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest(list_distinct(list_transform(range(1, greatest(len(tk)-6, 1)),
+        |    i -> ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT))) AS g8
+        |FROM t),
+        |f AS (SELECT g8, min(doc_id) AS first_doc FROM g GROUP BY g8),
+        |a AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |FROM g JOIN f USING (g8) WHERE g.doc_id % 2 = 1 GROUP BY 1)
         |SELECT doc_id, n_grams, n_novel,
         |  CAST(n_novel AS DOUBLE) / n_grams AS novelty_ratio
         |FROM a ORDER BY doc_id""".stripMargin,

@@ -322,6 +322,68 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The standing first-introducer index behind [[ngramNovelty]] —
+    * (g8, first_doc) rows. ASSOCIATIVE state: indexes of two corpus
+    * increments merge by per-gram min, which is what lets a steady-
+    * state ingestion carry it across batches ([[mergeGramFirstIndex]];
+    * the budget-histogram / band-index discipline).
+    */
+  def gramFirstIndex(documents: DataFrame, n: Int = 8): DataFrame = {
+    val tk = toks
+    val grams = array_distinct(transform(
+      graft.functions.ColUtil.posRange(size(tk) - lit(n - 1)),
+      i => conv(substring(md5(array_join(slice(tk, i, lit(n)), " ").cast("binary")),
+        1, 15), 16, 10).cast(LongType)))
+    documents.select(col("doc_id"), explode(grams).as("g8"))
+      .groupBy("g8").agg(min(col("doc_id")).as("first_doc"))
+  }
+
+  def mergeGramFirstIndex(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("g8").agg(min(col("first_doc")).as("first_doc"))
+
+  /** Incremental-admission novelty — the [[graft.operators.Dedup.incremental]]
+    * shape for first-introducer attribution: a standing corpus (as its
+    * [[gramFirstIndex]]) plus an ARRIVING batch, scoring ONLY the
+    * batch docs. Attribution runs against the merged index (standing
+    * min ∧ batch min), so the output is EXACTLY the one-shot
+    * [[ngramNovelty]] over (corpus ∪ batch) restricted to batch docs —
+    * the oracle states that restriction literally and the spec asserts
+    * frame equality. Standing docs' stored novelty rows are not
+    * recomputed; under monotonically-increasing doc_id ingestion (the
+    * production norm) they can never go stale, because a later batch
+    * can never steal a gram's first-introducer slot. Steady-state cost
+    * per tick = the batch's gram scan + a batch-gram-keyed probe of
+    * the index (bucketed on g8 at scale), never a corpus rescan.
+    */
+  def ngramNoveltyIncremental(corpus: DataFrame, batch: DataFrame,
+      n: Int = 8): DataFrame = {
+    val tk = toks
+    val grams = array_distinct(transform(
+      graft.functions.ColUtil.posRange(size(tk) - lit(n - 1)),
+      i => conv(substring(md5(array_join(slice(tk, i, lit(n)), " ").cast("binary")),
+        1, 15), 16, 10).cast(LongType)))
+    val pairs = batch.select(col("doc_id"), explode(grams).as("g8"))
+      .localCheckpoint(true)
+    val batchMin = pairs.groupBy("g8").agg(min(col("doc_id")).as("batch_first"))
+    // merged attribution: only grams the BATCH carries matter, so the
+    // standing index joins on the batch's gram set (left) — index
+    // grams absent from the batch never move
+    val merged = batchMin
+      .join(gramFirstIndex(corpus, n), Seq("g8"), "left")
+      .select(col("g8"),
+        when(col("first_doc").isNull, col("batch_first"))
+          .otherwise(least(col("first_doc"), col("batch_first")))
+          .as("merged_first"))
+    Partitioning.saltedEquiJoin(pairs, merged, "g8", col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("merged_first") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ratio",
+        col("n_novel").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
+
   def decontaminate(documents: DataFrame, n: Int = 8,
       maxGramDf: Int = GramDfCap): DataFrame =
     decontaminateCore(documents.withColumn("__fresh", lit(true)), n, maxGramDf)

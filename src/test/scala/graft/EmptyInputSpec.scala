@@ -48,6 +48,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextOps.decontaminateIncremental(docs, docs).count() === 0)
     assert(TextOps.vocabulary(docs).count() === 0)
     assert(TextOps.ngramNovelty(docs).count() === 0)
+    assert(TextOps.ngramNoveltyIncremental(docs, docs).count() === 0)
     assert(TextOps.qualityGate(docs).count() === 0)
     assert(TextOps.qualityVerdict(docs).count() === 0)
     assert(TextOps.passageScrub(docs).count() === 0)

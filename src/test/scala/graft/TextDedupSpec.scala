@@ -520,6 +520,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(r(1L)._1 === r(2L)._1, "copies carry identical gram counts")
   }
 
+  test("incremental novelty ≡ one-shot restricted to the batch; index merges by min") {
+    val split = docs.count() // real corpus, id-split staging
+    val standing = docs.filter($"doc_id" % 2 === 0)
+    val arriving = docs.filter($"doc_id" % 2 =!= 0)
+    val inc = TextOps.ngramNoveltyIncremental(standing, arriving).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val oneShot = TextOps.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      .filter(_._1 % 2 == 1)
+    assert(inc === oneShot, "continuation contract: union attribution, batch restriction")
+    // associativity: index(a ∪ b) ≡ merge(index(a), index(b))
+    val whole = TextOps.gramFirstIndex(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mergedIdx = TextOps.mergeGramFirstIndex(
+      TextOps.gramFirstIndex(standing), TextOps.gramFirstIndex(arriving)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(whole === mergedIdx)
+    assert(split > 0)
+  }
+
   test("degenerate texts survive the stats/quality family (ANSI divide regression)") {
     // empty text, whitespace-only, symbol-only (zero BPE-ish tokens),
     // and the jaccard 0-union case: two identical 2-token docs that
