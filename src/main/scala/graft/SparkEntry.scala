@@ -29,7 +29,7 @@ object SparkEntry {
       "dedup_reconcile", "fact_transactions_cdc", "doc_unigram_logloss",
       "dedup_exact", "corpus_funnel", "bpe_merges", "bpe_token_counts",
       "quality_classifier", "quality_classifier_score", "doc_ngram_novelty",
-      "doc_ngram_novelty_incremental")
+      "doc_ngram_novelty_incremental", "corpus_curate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----

@@ -646,13 +646,26 @@ object Corpus {
     * with its budget verdict.
     */
   def curate(documents: DataFrame, budgetTokens: Long = 500L): DataFrame = {
+    // BOTH stage outputs are checkpointed before composing. The
+    // verdict one is not about re-execution: combining the LAZY
+    // verdict subtree (4 signal pipelines) with the dedup subtree in
+    // one plan sent the DRIVER's optimizer pathological — the merged
+    // tree planned+ran in ~40 s at sf0.1 (cpu_util 0.04 = one busy
+    // driver thread) where each join separately costs <1 s; against
+    // the two checkpoints the whole composition is ~0.3 s. The
+    // survivor checkpoint then keeps selectBudget's three consumer
+    // branches reading one materialized frame. Verify GCs after this
+    // query (checkpointingQueries).
     val v = graft.operators.TextOps.qualityVerdict(documents)
       .select(col("doc_id"), col("keep"))
+      .localCheckpoint(true)
     val d = Dedup.exact(documents).select(col("doc_id"), col("is_dup"))
     val surviving = documents
       .join(v, "doc_id").join(d, "doc_id")
       .filter(col("keep") && !col("is_dup"))
       .select(documents.columns.map(col): _*)
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(v)
     selectBudget(surviving, budgetTokens)
   }
 

@@ -302,16 +302,26 @@ object TextOps {
     * probe, so it is checkpointed once (the decontaminate measurement:
     * for md5-per-gram streams the checkpoint beats the double scan).
     */
-  def ngramNovelty(documents: DataFrame, n: Int = 8): DataFrame = {
+  /** The (doc_id, g8) distinct-gram stream behind the novelty family
+    * — also the compact retro input the streaming twin sinks (8-byte
+    * hashes, no text).
+    */
+  def gramPairs(documents: DataFrame, n: Int = 8): DataFrame = {
     val tk = toks
     val grams = array_distinct(transform(
       graft.functions.ColUtil.posRange(size(tk) - lit(n - 1)),
       i => conv(substring(md5(array_join(slice(tk, i, lit(n)), " ").cast("binary")),
         1, 15), 16, 10).cast(LongType)))
-    val pairs = documents.select(col("doc_id"), explode(grams).as("g8"))
-      .localCheckpoint(true)
-    val firstSeen = pairs.groupBy("g8").agg(min(col("doc_id")).as("first_doc"))
-    Partitioning.saltedEquiJoin(pairs, firstSeen, "g8", col("doc_id"))
+    documents.select(col("doc_id"), explode(grams).as("g8"))
+  }
+
+  /** Score every doc present in `pairs` against a first-introducer
+    * index (g8, first_doc): novel = the index attributes the gram to
+    * this doc. The probe is salted on (g8, hash(doc_id)) — a
+    * boilerplate gram's fan-out never lands one reducer.
+    */
+  def noveltyAgainstIndex(pairs: DataFrame, index: DataFrame): DataFrame =
+    Partitioning.saltedEquiJoin(pairs, index, "g8", col("doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -320,6 +330,11 @@ object TextOps {
       .withColumn("novelty_ratio",
         col("n_novel").cast("double") / col("n_grams"))
       .orderBy("doc_id")
+
+  def ngramNovelty(documents: DataFrame, n: Int = 8): DataFrame = {
+    val pairs = gramPairs(documents, n).localCheckpoint(true)
+    noveltyAgainstIndex(pairs,
+      pairs.groupBy("g8").agg(min(col("doc_id")).as("first_doc")))
   }
 
   /** The standing first-introducer index behind [[ngramNovelty]] —
@@ -357,13 +372,7 @@ object TextOps {
     */
   def ngramNoveltyIncremental(corpus: DataFrame, batch: DataFrame,
       n: Int = 8): DataFrame = {
-    val tk = toks
-    val grams = array_distinct(transform(
-      graft.functions.ColUtil.posRange(size(tk) - lit(n - 1)),
-      i => conv(substring(md5(array_join(slice(tk, i, lit(n)), " ").cast("binary")),
-        1, 15), 16, 10).cast(LongType)))
-    val pairs = batch.select(col("doc_id"), explode(grams).as("g8"))
-      .localCheckpoint(true)
+    val pairs = gramPairs(batch, n).localCheckpoint(true)
     val batchMin = pairs.groupBy("g8").agg(min(col("doc_id")).as("batch_first"))
     // merged attribution: only grams the BATCH carries matter, so the
     // standing index joins on the batch's gram set (left) — index
@@ -373,15 +382,8 @@ object TextOps {
       .select(col("g8"),
         when(col("first_doc").isNull, col("batch_first"))
           .otherwise(least(col("first_doc"), col("batch_first")))
-          .as("merged_first"))
-    Partitioning.saltedEquiJoin(pairs, merged, "g8", col("doc_id"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("merged_first") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .withColumn("novelty_ratio",
-        col("n_novel").cast("double") / col("n_grams"))
-      .orderBy("doc_id")
+          .as("first_doc"))
+    noveltyAgainstIndex(pairs, merged)
   }
 
   def decontaminate(documents: DataFrame, n: Int = 8,

@@ -549,6 +549,79 @@ object EventStream {
       .orderBy("doc_id")
   }
 
+  /** Streaming twin of TextOps.ngramNoveltyIncremental — per-doc
+    * corpus-novelty scoring as a continuous process. Carried state =
+    * the (g8 → first_doc) first-introducer index; ASSOCIATIVE under
+    * per-gram min (TextOps.mergeGramFirstIndex), so the cross-trigger
+    * carry is exact. Each trigger: batch gram pairs (checkpointed
+    * once), merge the batch's minima into the carried index, score the
+    * batch against the merged view, land scores in batch_<id> and the
+    * COMPACT pair stream (8-byte hashes, no text) in pairs_<id> as the
+    * retro input. Unlike the gate/budget twins, monotone doc_id
+    * ingestion (the production norm) makes the online scores FINAL —
+    * a later batch can never steal a first-introducer slot, so there
+    * is NO drift to reconcile (spec-asserted); [[reconcileNovelty]]
+    * covers out-of-order arrival by re-scoring the sunk pairs against
+    * the final index — no text re-scan. State size grows with the
+    * corpus gram count (like the admission band graph, unlike the
+    * bounded histograms); at 100 TB the per-trigger state rewrite
+    * becomes a merge into a g8-bucketed store. Same versioned
+    * replay-idempotent state, stable checkpoint, pruning and
+    * block-release discipline as [[admissionPipelineStream]].
+    */
+  def noveltyStream(spark: SparkSession, dir: String, sinkPath: String,
+                    splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    documentsStream(spark, dir, splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch.drop("ingest_ts")
+        // checkpointed: feeds the batch index, the score join, AND the
+        // pairs sink
+        val pairs = graft.operators.TextOps.gramPairs(docs)
+          .localCheckpoint(eager = true)
+        val batchIdx = pairs.groupBy("g8")
+          .agg(org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.col("doc_id")).as("first_doc"))
+        val prevIdx = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(Long, Long)].toDF("g8", "first_doc"))
+        val newIdx = graft.operators.TextOps
+          .mergeGramFirstIndex(prevIdx, batchIdx)
+          .localCheckpoint(eager = true)
+        val scored = graft.operators.TextOps.noveltyAgainstIndex(pairs, newIdx)
+        graft.sources.Loader.truncateAndLoad(scored, s"$sinkPath/batch_$batchId")
+        graft.sources.Loader.truncateAndLoad(pairs, s"$sinkPath/pairs_$batchId")
+        graft.sources.Loader.truncateAndLoad(newIdx, s"$stateDir/upto_$batchId")
+        releaseCheckpoints(pairs, newIdx)
+        pruneStateBefore(spark, stateDir, batchId - 1)
+        ()
+      }
+      .start()
+  }
+
+  /** The batch half of [[noveltyStream]]'s lambda split: re-score
+    * every sunk gram pair against the FINAL index — settles the
+    * out-of-order-arrival tail (under monotone ingestion it is
+    * bit-identical to the online output) and equals the one-shot
+    * TextOps.ngramNovelty over everything that arrived. Compact
+    * inputs only: 8-byte gram pairs + the index, never the texts.
+    */
+  def reconcileNovelty(spark: SparkSession, sinkPath: String): DataFrame = {
+    val stateDir = sinkPath + ".state"
+    val latest = graft.sources.Fs.childDirs(spark, stateDir)
+      .filter(_.startsWith("upto_"))
+      .map(_.stripPrefix("upto_").toLong)
+      .reduceOption(_ max _)
+      .getOrElse(throw new IllegalStateException(
+        s"no novelty state under $stateDir — has the stream committed a trigger?"))
+    val idx = spark.read.parquet(s"$stateDir/upto_$latest")
+    val pairs = spark.read.parquet(s"$sinkPath/pairs_*")
+    graft.operators.TextOps.noveltyAgainstIndex(pairs, idx)
+  }
+
   /** Streaming twin of Corpus.selectBudget — token-budget data
     * selection as a continuous process. Same state discipline as
     * [[qualityGateStream]], with the carried state the (lang,

@@ -353,6 +353,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(oneShot.exceptAll(settled).count() === 0)
   }
 
+  test("streaming novelty: online scores FINAL under monotone arrival; reconcile bit-identical") {
+    val sink = Files.createTempDirectory("graft_novstream").toString + "/novelty"
+    val q = EventStream.noveltyStream(spark, sf, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val online = spark.read.parquet(s"$sink/batch_*")
+    val oneShot = graft.operators.TextOps.ngramNovelty(Tables.documents(spark, sf))
+    // the novelty twin's distinguishing property: per-gram-min state is
+    // monotone, so unlike the gate/budget twins there is NO online
+    // drift when ids arrive in order — trigger-1 scores already equal
+    // the one-shot attribution (a later batch cannot lower any min)
+    assert(online.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(online).count() === 0)
+    // and the retro pass (compact pairs + final index, no text) agrees
+    val settled = EventStream.reconcileNovelty(spark, sink)
+    assert(settled.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(settled).count() === 0)
+  }
+
   test("streaming budget selection: single trigger equals one-shot; two-trigger reconcile settles") {
     val sink1 = Files.createTempDirectory("graft_budgetstream")
       .toString + "/selected"
