@@ -343,15 +343,9 @@ object TextOps {
     * state ingestion carry it across batches ([[mergeGramFirstIndex]];
     * the budget-histogram / band-index discipline).
     */
-  def gramFirstIndex(documents: DataFrame, n: Int = 8): DataFrame = {
-    val tk = toks
-    val grams = array_distinct(transform(
-      graft.functions.ColUtil.posRange(size(tk) - lit(n - 1)),
-      i => conv(substring(md5(array_join(slice(tk, i, lit(n)), " ").cast("binary")),
-        1, 15), 16, 10).cast(LongType)))
-    documents.select(col("doc_id"), explode(grams).as("g8"))
+  def gramFirstIndex(documents: DataFrame, n: Int = 8): DataFrame =
+    gramPairs(documents, n)
       .groupBy("g8").agg(min(col("doc_id")).as("first_doc"))
-  }
 
   def mergeGramFirstIndex(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("g8").agg(min(col("first_doc")).as("first_doc"))
