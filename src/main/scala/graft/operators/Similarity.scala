@@ -681,11 +681,14 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("v_min"), col("v_max"),
         md5(array_join(transform(col("qv"), _.cast("string")), ",").cast("binary"))
           .as("q_md5"),
-        (aggregate(
+        // try_divide: an EMPTY embedding array (corrupt row) → NULL
+        // mae (DuckDB's /0), not an ANSI task kill (r7.4 degenerate-
+        // vector audit)
+        try_divide(aggregate(
           zip_with(col("v"), col("qv"), (x, qi) =>
             abs(x - (col("v_min") + qi.cast("double") *
               (col("v_max") - col("v_min")) / 255.0))),
-          lit(0.0), (acc, e) => acc + e) / size(col("v"))).as("mae"))
+          lit(0.0), (acc, e) => acc + e), size(col("v"))).as("mae"))
       .orderBy("vec_id")
   }
 
@@ -727,8 +730,11 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("qv_full"))
     val scored = corpus.join(broadcast(probes), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (vdot(col("qv_full"), col("recon")) /
-          (vnorm(col("qv_full")) * vnorm(col("recon")))).as("cos_sim_adc"))
+        // try_divide: a zero-norm side (corrupt all-zero vector) →
+        // NULL similarity (DuckDB's /0), not an ANSI task kill; NULLs
+        // sort last under the desc rank, so they never enter top-k
+        try_divide(vdot(col("qv_full"), col("recon")),
+          vnorm(col("qv_full")) * vnorm(col("recon"))).as("cos_sim_adc"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim_adc").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)

@@ -101,6 +101,18 @@ class PlanShapeSpec extends AnyFunSuite {
     ("corpus_shuffle", Shape(4, 1, 0, 2),
       "two-phase global ordinal: per-bucket rank window + B-row " +
         "offset cumulative; offsets broadcast back; output range sort"),
+    ("knn_sq_int8", Shape(2, 0, 0, 3),
+      "map-only SQ8 reconstruction; broadcast nested-loop probe join " +
+        "(non-equi — bhj 0 correct, the knn_pq_adc shape); 'window' 3 " +
+        "= 1 rank Window + 2 WindowGroupLimit top-k pushdowns"),
+    ("doc_ngram_novelty", Shape(3, 1, 0, 0),
+      "first-introducer agg over the CHECKPOINTED gram stream + the " +
+        "salted probe join (tf-idf family; one extra exchange by " +
+        "design) — no window, no cartesian"),
+    ("quality_classifier_score", Shape(3, 5, 0, 2),
+      "verdict-label join tree fully broadcast; both windows run over " +
+        "the bounded (lang,score) histogram (the gate pattern); the " +
+        "trained weights are plan literals — no model join"),
     ("corpus_interleave", Shape(14, 3, 0, 6),
       "two chained two-phase ordinals; the global-offset branch " +
         "re-plans the first ordinal with its rank window pruned (the " +

@@ -238,6 +238,28 @@ class SimilaritySpec extends AnyFunSuite {
     sq.unpersist()
   }
 
+  test("degenerate vectors survive the embedding family (zero-vector / empty-array audit)") {
+    // a 100 TB embedding column always contains a few corrupt rows:
+    // all-zero vectors (failed encoder) and empty arrays (bad join) —
+    // none may kill the task
+    val d = 64
+    val zero = Array.fill(d)(0.0f)
+    val ones = Array.tabulate(d)(i => (i % 7).toFloat / 7f)
+    val degen = Seq(
+      (1L, zero, 0),                       // zero vector: norm 0
+      (2L, Array.empty[Float], 0),         // empty array
+      (3L, ones, 1),
+      (4L, ones.map(x => x + 0.01f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.quantize(degen).count() === 4)
+    assert(Similarity.normalize(degen).count() === 4)
+    assert(Similarity.embeddingStats(degen).count() === 2)
+    val brute = Similarity.knnBrute(degen, nProbes = 5, k = 3).collect()
+    assert(brute !== null, "cosine with a zero-norm side must not throw")
+    assert(Similarity.knnSqInt8(degen, nProbes = 5, k = 3).collect() !== null)
+    assert(Similarity.knnLsh(degen, nProbes = 5, k = 3).collect() !== null)
+  }
+
   test("near-dup: LSH-sig blocking finds planted near-identical pairs across labels") {
     val base = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
     val tweaked = base.clone(); tweaked(0) = base(0) + 1e-4f
