@@ -303,6 +303,7 @@ object SparkEntry {
     "corpus_curriculum" -> ((s, d) => Corpus.curriculum(t(s, d, "documents"))),
     "corpus_interleave" -> ((s, d) => Corpus.interleave(t(s, d, "documents"))),
     "seq_pack" -> ((s, d) => Corpus.packPlan(t(s, d, "documents"))),
+    "seq_pack_shuffled" -> ((s, d) => Corpus.packPlanShuffled(t(s, d, "documents"))),
     "seq_pack_summary" -> ((s, d) => Corpus.packSummary(t(s, d, "documents"))),
     "seq_pack_manifest" -> ((s, d) => Corpus.packManifest(t(s, d, "documents"))),
     "seq_pack_sequences" -> ((s, d) => Corpus.packSequences(t(s, d, "documents"))),
@@ -3004,6 +3005,24 @@ object SparkEntry {
          |SELECT doc_id, lang, n_tokens, tokens_before // 2048 AS pack_id,
          |  tokens_before % 2048 AS pack_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // shuffle-then-pack: the prefix sum runs over the epoch order
+    // (corpus_shuffle's global window restated), not raw doc_id order
+    "seq_pack_shuffled" ->
+      """WITH s AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    - 1 AS shuffle_pos
+        |FROM documents),
+        |tk AS (SELECT d.doc_id, d.lang, s.shuffle_pos,
+        |  len(string_split_regex(trim(d.text), '\s+')) AS n_tokens
+        |FROM documents d JOIN s USING (doc_id)),
+        |c AS (SELECT doc_id, lang, n_tokens, shuffle_pos,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY shuffle_pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tb
+        |FROM tk)
+        |SELECT doc_id, lang, n_tokens, shuffle_pos,
+        |  tb // 2048 AS pack_id, tb % 2048 AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Identical to seq_pack on purpose: the Spark side stitches two
     // separately-planned increments (the second continued from carried

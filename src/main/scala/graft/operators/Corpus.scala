@@ -371,6 +371,32 @@ object Corpus {
     packProject(scanTokensBefore(
       documents.select(col("doc_id"), col("lang"), wsTokens.as("n_tokens"))), capacity)
 
+  /** Shuffle-then-pack — the composition a production pretraining run
+    * actually executes: docs take their [[shufflePlan]] epoch order
+    * first, THEN fill context windows greedily in that order (packing
+    * in raw doc_id order would bake ingestion order into every epoch).
+    * The shuffle ordinal simply becomes the ordering id of the same
+    * two-phase [[scanTokensBefore]] — dense uniform 0..N-1 ordinals
+    * are the best-case input for its observed-range bucketing — and
+    * the original doc_id rides through the scan untouched. One linear
+    * pipeline: ordinal join → token scan → pack projection; no
+    * diamond, so nothing needs a checkpoint.
+    */
+  def packPlanShuffled(documents: DataFrame, capacity: Int = 2048,
+                       seed: String = "42"): DataFrame = {
+    val order = shufflePlan(documents, seed)
+      .select(col("doc_id"), col("shuffle_pos"))
+    val base = documents.join(order, "doc_id")
+      .select(col("doc_id").as("orig_doc"), col("shuffle_pos").as("doc_id"),
+        col("lang"), wsTokens.as("n_tokens"))
+    scanTokensBefore(base)
+      .select(col("orig_doc").as("doc_id"), col("lang"), col("n_tokens"),
+        col("doc_id").as("shuffle_pos"),
+        (col("tokens_before") / capacity).cast(LongType).as("pack_id"),
+        (col("tokens_before") % capacity).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
   /** [[packPlan]] continued from per-language running totals — the
     * steady-state shape: `langOffsets` rows (lang, base_tokens) carry
     * the token mass already packed by earlier batches, and this batch's

@@ -550,6 +550,30 @@ class CorpusSpec extends AnyFunSuite {
       "high-rate sources must dominate early emissions")
   }
 
+  test("shuffled pack: prefix sums follow the epoch order, bit-equal to driver replication") {
+    val r = Corpus.packPlanShuffled(docs).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    val base = docs.select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(x => (x.getLong(0), x.getString(1),
+        x.getString(2).trim.split("\\s+").length.toLong))
+    val pos = base.map(_._1).sortBy(id => (md5hex("42:" + id), id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    val expected = base.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      var run = 0L
+      ds.sortBy(d => pos(d._1)).map { case (id, lg, nt) =>
+        val tb = run; run += nt
+        (id, lg, nt, pos(id), tb / 2048, tb % 2048)
+      }.toSeq
+    }
+    assert(r.toSet === expected.toSet)
+    // the epoch order genuinely changes the packing vs ingestion order
+    val plain = Corpus.packPlan(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(3), x.getLong(4)))).toMap
+    assert(r.exists { case (id, _, _, _, pid, poff) => plain(id) != ((pid, poff)) },
+      "shuffled packing coincided with doc_id-order packing — vacuous fixture")
+  }
+
   test("curriculum: difficulty-monotone positions, exact stage rule, dense") {
     val r = Corpus.curriculum(docs).collect()
       .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4)))

@@ -66,6 +66,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.mixSummary(docs).count() === 0)
     assert(Corpus.stratifiedSample(docs).count() === 0)
     assert(Corpus.packPlan(docs).count() === 0)
+    assert(Corpus.packPlanShuffled(docs).count() === 0)
     assert(Corpus.packSummary(docs).count() === 0)
     assert(Corpus.piiScrub(docs).count() === 0)
     assert(Corpus.tfidfTopTerms(docs).count() === 0)
