@@ -29,7 +29,8 @@ object SparkEntry {
       "dedup_reconcile", "fact_transactions_cdc", "doc_unigram_logloss",
       "dedup_exact", "corpus_funnel", "bpe_merges", "bpe_token_counts",
       "quality_classifier", "quality_classifier_score", "doc_ngram_novelty",
-      "doc_ngram_novelty_incremental", "corpus_curate")
+      "doc_ngram_novelty_incremental", "corpus_curate",
+      "embedding_covariance")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -265,6 +266,9 @@ object SparkEntry {
     "kmeans_assign" -> ((s, d) => Similarity.kmeansAssign(t(s, d, "embeddings"))),
     "pq_codes" -> ((s, d) => Similarity.pqCodes(t(s, d, "embeddings"))),
     "pq_centroids" -> ((s, d) => Similarity.pqCentroids(t(s, d, "embeddings"))),
+    "embedding_covariance" -> ((s, d) => Similarity.covariance(t(s, d, "embeddings"))),
+    "embedding_pca" -> ((s, d) => Similarity.pcaComponent(t(s, d, "embeddings"))),
+    "embedding_pca_project" -> ((s, d) => Similarity.pcaProject(t(s, d, "embeddings"))),
     "decontaminate_embedding" ->
       ((s, d) => Similarity.decontaminateEmbedding(t(s, d, "embeddings"))),
     "knn_pq_adc" -> ((s, d) => Similarity.knnPq(t(s, d, "embeddings"))),
@@ -618,6 +622,53 @@ object SparkEntry {
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |$blocks""".stripMargin
+  }
+
+  /** Covariance CTE chain shared by the PCA-family oracles: per-row
+    * linear/product terms nano-quantized to BIGINTs before the group
+    * sums (order-independent — the centroid-mean discipline applied
+    * to second moments), cov assembled with the same division and
+    * subtraction association as Similarity.covariance.
+    */
+  private val pcaCovCteSql: String =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |g AS (SELECT vec_id, u.i AS i, u.x AS x
+      |  FROM (SELECT vec_id, unnest(list_transform(range(1, len(v)+1),
+      |      i -> {'i': i - 1, 'x': v[i]})) AS u FROM e)),
+      |mm AS (SELECT i,
+      |    CAST(SUM(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE)/1e9/count(*) AS mean_v
+      |  FROM g GROUP BY i),
+      |p AS (SELECT a.i AS di, b.i AS dj,
+      |    SUM(CAST(round(a.x * b.x * 1e9) AS BIGINT)) AS s, count(*) AS n
+      |  FROM g a JOIN g b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |  GROUP BY 1, 2),
+      |cvt AS (SELECT p.di, p.dj, p.n, ma.mean_v AS mean_i, mb.mean_v AS mean_j,
+      |    CAST(p.s AS DOUBLE)/1e9/p.n - ma.mean_v * mb.mean_v AS cov
+      |  FROM p JOIN mm ma ON ma.i = p.di JOIN mm mb ON mb.i = p.dj)""".stripMargin
+
+  /** Adds `iters` unrolled power-iteration steps over the full
+    * (mirrored) covariance matrix — each matvec row and each norm an
+    * ordered list_sum fold, sqrt the one IEEE-correctly-rounded
+    * transcendental — the SQL twin of Similarity.powerIteration from
+    * the all-ones start vector, ending in CTE v`iters`.
+    */
+  private def pcaCteSql(iters: Int): String = {
+    val iterBlocks = (1 to iters).map { t =>
+      s"""w$t AS (SELECT cr.i, list_sum(list_transform(range(1, len(cr.r)+1),
+         |    j -> cr.r[j] * v${t - 1}.v[j])) AS w FROM cr, v${t - 1}),
+         |wl$t AS (SELECT list(w ORDER BY i) AS w FROM w$t),
+         |n$t AS (SELECT w, sqrt(list_sum(list_transform(w, x -> x*x))) AS nrm FROM wl$t),
+         |v$t AS (SELECT CASE WHEN nrm = 0 THEN (SELECT v FROM v${t - 1})
+         |    ELSE list_transform(w, x -> x/nrm) END AS v FROM n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""$pcaCovCteSql,
+       |fc AS (SELECT di AS i, dj AS j, cov FROM cvt
+       |  UNION ALL SELECT dj, di, cov FROM cvt WHERE di <> dj),
+       |cr AS (SELECT i, list(cov ORDER BY j) AS r FROM fc GROUP BY i),
+       |v0 AS (SELECT list_transform(range(1, (SELECT count(*) FROM cr) + 1),
+       |  x -> 1.0) AS v),
+       |$iterBlocks""".stripMargin
   }
 
   /** `trainRestrict` narrows the pair join's TRAIN side (the
@@ -2384,6 +2435,34 @@ object SparkEntry {
         |    x -> CAST(CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS VARCHAR)), ',')) AS unit_md5,
         |  list_sum(list_transform(range(1, len(uv)+1), i -> uv[i]*uv[i])) AS unit_sq_sum
         |FROM u ORDER BY vec_id""".stripMargin,
+
+    "embedding_covariance" ->
+      s"""$pcaCovCteSql
+        |SELECT di AS dim_i, dj AS dim_j, n AS n_vectors,
+        |  mean_i, mean_j, cov
+        |FROM cvt ORDER BY dim_i, dim_j""".stripMargin,
+
+    "embedding_pca" ->
+      s"""${pcaCteSql(3)},
+        |cvf AS (SELECT cr.i, list_sum(list_transform(range(1, len(cr.r)+1),
+        |    j -> cr.r[j] * v3.v[j])) AS w FROM cr, v3),
+        |cvl AS (SELECT list(w ORDER BY i) AS w FROM cvf),
+        |lam AS (SELECT list_sum(list_transform(range(1, len(v.v)+1),
+        |    i -> v.v[i] * c.w[i])) AS l FROM v3 v, cvl c)
+        |SELECT CAST(u.c.i AS BIGINT) AS dim_idx, u.c.x AS pc_val,
+        |  u.l AS eigenvalue
+        |FROM (SELECT unnest(list_transform(range(1, len(v.v)+1),
+        |    i -> {'i': i - 1, 'x': v.v[i]})) AS c, l.l AS l
+        |  FROM v3 v, lam l) u
+        |ORDER BY dim_idx""".stripMargin,
+
+    "embedding_pca_project" ->
+      s"""${pcaCteSql(3)},
+        |ml AS (SELECT list(mean_v ORDER BY i) AS m FROM mm)
+        |SELECT e.vec_id, e.label,
+        |  coalesce(list_sum(list_transform(range(1, len(e.v)+1),
+        |    i -> (e.v[i] - ml.m[i]) * v3.v[i])), 0.0) AS pc1_score
+        |FROM e, ml, v3 ORDER BY vec_id""".stripMargin,
 
     "embedding_stats" ->
       """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

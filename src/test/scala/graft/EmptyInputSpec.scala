@@ -144,6 +144,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.knnSqInt8(emb).count() === 0)
     assert(Similarity.knnIvfPq(emb).count() === 0)
     assert(Similarity.decontaminateEmbedding(emb).count() === 0)
+    assert(Similarity.covariance(emb).count() === 0)
+    assert(Similarity.pcaComponent(emb).count() === 0,
+      "empty corpus → no covariance cells, empty component, no throw")
+    assert(Similarity.pcaProject(emb).count() === 0)
   }
 
   test("profiling operators survive empty tables") {

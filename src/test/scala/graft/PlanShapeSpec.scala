@@ -118,6 +118,14 @@ class PlanShapeSpec extends AnyFunSuite {
         "re-plans the first ordinal with its rank window pruned (the " +
         "documented double-scan family) — 6 windows = 4 live + 2 " +
         "re-planned, span derived from per-source counts only"),
+    ("embedding_covariance", Shape(1, 2, 0, 0),
+      "both branches read the CHECKPOINTED 2,144-row term aggregate " +
+        "(its generate+agg exchange ran at materialization — the " +
+        "doc_unigram_logloss pattern); means broadcast twice; only " +
+        "the output sort exchanges"),
+    ("embedding_pca_project", Shape(1, 0, 0, 0),
+      "map-only fold with the component and means as plan literals " +
+        "(the kmeans_assign shape); only the output sort exchanges"),
     ("corpus_curriculum", Shape(8, 2, 0, 3),
       "two-level ordinal: per-(len,sub) rank window, per-len sub " +
         "offsets (broadcast at fixture stats; unhinted, so a keyed " +

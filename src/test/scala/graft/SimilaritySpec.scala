@@ -397,6 +397,95 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(top.getAs[Double]("cos_sim") - 1.0) < 1e-6)
   }
 
+  test("covariance: full upper triangle, per-cell n, driver-replicated bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf)
+    val cov = Similarity.covariance(emb).collect()
+    val n = emb.count()
+    assert(cov.length === 64 * 65 / 2)
+    assert(cov.forall(r => r.getLong(0) <= r.getLong(1)))
+    assert(cov.forall(_.getLong(2) === n))
+    // diagonal = variance: nonnegative up to the nano-quantization step
+    assert(cov.filter(r => r.getLong(0) == r.getLong(1))
+      .forall(_.getDouble(5) >= -1e-6))
+    // driver replication with the identical quantization recipe
+    // (BigDecimal HALF_UP = Spark round = DuckDB round, ties away
+    // from zero — math.round's floor(x+0.5) would drift on negatives)
+    def nano(x: Double): Long =
+      BigDecimal.valueOf(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = 64
+    val lin = new Array[Long](d)
+    val ps = Array.ofDim[Long](d, d)
+    vs.foreach { v =>
+      var i = 0
+      while (i < d) {
+        lin(i) += nano(v(i) * 1e9)
+        var j = i
+        while (j < d) { ps(i)(j) += nano(v(i) * v(j) * 1e9); j += 1 }
+        i += 1
+      }
+    }
+    cov.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val mi = lin(i).toDouble / 1e9 / n
+      val mj = lin(j).toDouble / 1e9 / n
+      val c = ps(i)(j).toDouble / 1e9 / n - mi * mj
+      assert(r.getDouble(3) === mi && r.getDouble(4) === mj)
+      assert(r.getDouble(5) === c, s"cov($i,$j)")
+    }
+  }
+
+  test("pca: planted dominant axis recovered, unit component, Rayleigh eigenvalue") {
+    // variance concentrated on axis 7 (spread ±6), a whisper on axis 2
+    val df = (0 until 40).map { k =>
+      val v = new Array[Float](64)
+      v(7) = ((k % 5) - 2) * 3.0f
+      v(2) = (k % 3) * 0.01f
+      (k.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val pc = Similarity.pcaComponent(df).collect().sortBy(_.getLong(0))
+    assert(pc.length === 64)
+    val comp = pc.map(_.getDouble(1))
+    assert(math.abs(comp(7)) > 0.999, s"axis 7 should dominate, got ${comp(7)}")
+    val norm2 = comp.map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-9)
+    val lam = pc.head.getDouble(2)
+    // planted variance on axis 7: values 3*(-2..2) uniform over 40 rows
+    val axis = (0 until 40).map(k => (((k % 5) - 2) * 3.0))
+    val mean = axis.sum / 40
+    val planted = axis.map(x => (x - mean) * (x - mean)).sum / 40
+    assert(math.abs(lam - planted) < 1e-3, s"eigenvalue $lam vs planted $planted")
+  }
+
+  test("pca project: scores replicate the literal fold; score variance = eigenvalue") {
+    val emb = Tables.embeddings(spark, sf)
+    val proj = Similarity.pcaProject(emb).collect()
+    assert(proj.length === emb.count())
+    val pcRows = Similarity.pcaComponent(emb).collect().sortBy(_.getLong(0))
+    val pc = pcRows.map(_.getDouble(1))
+    val lam = pcRows.head.getDouble(2)
+    val covRows = Similarity.covariance(emb)
+      .filter(col("dim_i") === col("dim_j")).collect()
+    val means = new Array[Double](64)
+    covRows.foreach(r => means(r.getLong(0).toInt) = r.getDouble(3))
+    val byId = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    proj.foreach { r =>
+      val v = byId(r.getLong(0))
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += (v(i) - means(i)) * pc(i); i += 1 }
+      assert(r.getDouble(2) === acc, s"score ${r.getLong(0)}")
+    }
+    // var(scores) = pcᵀ C pc = the published Rayleigh eigenvalue (up to
+    // the cov nano-quantization the driver-side raw-double var skips)
+    val scores = proj.map(_.getDouble(2))
+    val sMean = scores.sum / scores.length
+    val sVar = scores.map(x => (x - sMean) * (x - sMean)).sum / scores.length
+    assert(math.abs(sVar - lam) / math.max(lam, 1e-12) < 1e-3,
+      s"score variance $sVar vs eigenvalue $lam")
+  }
+
   test("q1 aggregates stay in whole-stage codegen") {
     val df = Analytics.pricingSummary(Tables.lineitem(spark, sf))
     df.collect()   // run this exact queryExecution so AQE finalizes it
