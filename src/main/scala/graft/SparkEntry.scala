@@ -30,7 +30,8 @@ object SparkEntry {
       "dedup_exact", "corpus_funnel", "bpe_merges", "bpe_token_counts",
       "quality_classifier", "quality_classifier_score", "doc_ngram_novelty",
       "doc_ngram_novelty_incremental", "corpus_curate",
-      "embedding_covariance")
+      "embedding_covariance", "contamination_matrix",
+      "embedding_covariance_incremental")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -187,6 +188,8 @@ object SparkEntry {
     "doc_chunks" -> ((s, d) => TextOps.chunk(t(s, d, "documents"))),
     "doc_split" -> ((s, d) => TextOps.split_assign(t(s, d, "documents"))),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(t(s, d, "documents"))),
+    "contamination_matrix" ->
+      ((s, d) => TextOps.contaminationMatrix(t(s, d, "documents"))),
     "decontaminate_bloom" -> ((s, d) => TextOps.decontaminateBloom(t(s, d, "documents"))),
     // incremental admission: even-id docs arrive against the standing
     // rest (the %2 split keeps BOTH sides non-degenerate on the
@@ -267,6 +270,18 @@ object SparkEntry {
     "pq_codes" -> ((s, d) => Similarity.pqCodes(t(s, d, "embeddings"))),
     "pq_centroids" -> ((s, d) => Similarity.pqCentroids(t(s, d, "embeddings"))),
     "embedding_covariance" -> ((s, d) => Similarity.covariance(t(s, d, "embeddings"))),
+    "embedding_covariance_incremental" -> ((s, d) => {
+      // standing corpus vs arriving batch by the doc_split md5 rule on
+      // vec_id (the decontaminate_embedding split); exact associativity
+      // makes the oracle the ONE-SHOT covariance over everything
+      import org.apache.spark.sql.functions.{col, concat, conv, lit, md5, substring}
+      val emb = t(s, d, "embeddings")
+      val bucket = conv(substring(md5(concat(lit("split:"),
+        col("vec_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 10
+      Similarity.covarianceIncremental(
+        emb.filter(bucket < 8), emb.filter(bucket >= 8))
+    }),
     "embedding_pca" -> ((s, d) => Similarity.pcaComponent(t(s, d, "embeddings"))),
     "embedding_pca_project" -> ((s, d) => Similarity.pcaProject(t(s, d, "embeddings"))),
     "decontaminate_embedding" ->
@@ -2442,6 +2457,14 @@ object SparkEntry {
         |  mean_i, mean_j, cov
         |FROM cvt ORDER BY dim_i, dim_j""".stripMargin,
 
+    // the incremental path merges exactly-associative Long term state,
+    // so its oracle IS the one-shot covariance over the whole corpus
+    "embedding_covariance_incremental" ->
+      s"""$pcaCovCteSql
+        |SELECT di AS dim_i, dj AS dim_j, n AS n_vectors,
+        |  mean_i, mean_j, cov
+        |FROM cvt ORDER BY dim_i, dim_j""".stripMargin,
+
     "embedding_pca" ->
       s"""${pcaCteSql(3)},
         |cvf AS (SELECT cr.i, list_sum(list_transform(range(1, len(cr.r)+1),
@@ -2526,6 +2549,18 @@ object SparkEntry {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "decontaminate" -> decontaminateSql,
+    "contamination_matrix" ->
+      s"""WITH pairs AS ($decontaminateSql)
+        |SELECT ts.source AS train_source, es.source AS eval_source,
+        |  count(*) AS n_pairs,
+        |  count(DISTINCT p.train_doc) AS n_train_docs,
+        |  count(DISTINCT p.eval_doc) AS n_eval_docs,
+        |  CAST(SUM(p.n_shared_grams) AS BIGINT) AS total_shared_grams,
+        |  MAX(p.n_shared_grams) AS max_shared_grams
+        |FROM pairs p
+        |JOIN documents ts ON ts.doc_id = p.train_doc
+        |JOIN documents es ON es.doc_id = p.eval_doc
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the Bloom prefilter has no false negatives and the exact pair
     // join removes its false positives, so the bloom variant's result
     // set IS decontaminate's — one oracle, two physical strategies

@@ -807,7 +807,20 @@ object Similarity {
     * ingest) simply contribute no terms for the missing dims — n is
     * per-cell, mirrored by the oracle's per-row len(v).
     */
-  def covariance(embeddings: DataFrame): DataFrame = {
+  def covariance(embeddings: DataFrame): DataFrame =
+    covarianceFromTerms(covarianceTerms(embeddings))
+
+  /** The (di, dj, s, n) term-aggregate STATE behind [[covariance]]
+    * (dj = −1 rows carry the linear sums). ASSOCIATIVE: states of two
+    * corpus increments merge by cell-wise Long addition
+    * ([[mergeCovarianceTerms]]) — exactly, not approximately, because
+    * every term is nano-quantized BEFORE summation — which is what
+    * lets a steady-state ingestion carry ≤ d(d+3)/2 rows of state
+    * across batches instead of rescanning the corpus (the
+    * budget-histogram / band-index discipline, here for second
+    * moments).
+    */
+  def covarianceTerms(embeddings: DataFrame): DataFrame = {
     val base = embeddings.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val idx = graft.functions.ColUtil.posRange(size(col("v")))
@@ -819,6 +832,29 @@ object Similarity {
         struct((i - 1).cast(LongType).as("di"), (j - 1).cast(LongType).as("dj"),
           round(element_at(col("v"), i) * element_at(col("v"), j) * 1e9)
             .cast(LongType).as("t")))))
+    base
+      .select(explode(concat(lin, pairs)).as("c"))
+      .select(col("c.di").as("di"), col("c.dj").as("dj"), col("c.t").as("t"))
+      .groupBy("di", "dj")
+      .agg(sum(col("t")).as("s"), count(lit(1)).as("n"))
+  }
+
+  def mergeCovarianceTerms(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("di", "dj")
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+
+  /** Incremental-admission covariance: a standing corpus (as its
+    * [[covarianceTerms]] state) plus an ARRIVING batch. Because the
+    * state is exactly associative, the output is BIT-IDENTICAL to the
+    * one-shot [[covariance]] over (corpus ∪ batch) — the oracle states
+    * the one-shot literally. Steady-state cost per ingestion tick =
+    * the batch's term scan + a metadata-scale state merge.
+    */
+  def covarianceIncremental(corpus: DataFrame, batch: DataFrame): DataFrame =
+    covarianceFromTerms(
+      mergeCovarianceTerms(covarianceTerms(corpus), covarianceTerms(batch)))
+
+  private def covarianceFromTerms(termsIn: DataFrame): DataFrame = {
     // The term aggregate feeds BOTH the means branch and the moments
     // branch, and Spark does not dedupe shared subtrees (the
     // dedup_exact lesson) — without materialization the corpus-wide
@@ -826,12 +862,7 @@ object Similarity {
     // pays the scan once and leaves ≤ d(d+3)/2 rows (2,144 at d=64)
     // in block storage; Verify/Bench release it via the
     // checkpointingQueries GC, covArrays releases it explicitly.
-    val terms = base
-      .select(explode(concat(lin, pairs)).as("c"))
-      .select(col("c.di").as("di"), col("c.dj").as("dj"), col("c.t").as("t"))
-      .groupBy("di", "dj")
-      .agg(sum(col("t")).as("s"), count(lit(1)).as("n"))
-      .localCheckpoint(true)
+    val terms = termsIn.localCheckpoint(true)
     val means = terms.filter(col("dj") === -1L)
       .select(col("di").as("mi"),
         (col("s").cast("double") / 1e9 / col("n")).as("mean_v"))

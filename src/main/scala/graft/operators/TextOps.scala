@@ -402,6 +402,33 @@ object TextOps {
         .unionByName(batch.withColumn("__fresh", lit(true))),
       n, maxGramDf)
 
+  /** Cross-SOURCE contamination rollup — the report a data owner
+    * actually reads: which ingestion sources leak into which held-out
+    * sources, how many doc pairs, how concentrated. Rides
+    * [[decontaminate]]'s pair output (leakage-sized, orders of
+    * magnitude below corpus scale), then resolves each side's source
+    * by a uniform doc_id join — at 100 TB the pair side is the small
+    * side and AQE broadcasts it against the corpus scan; nothing here
+    * adds a corpus-scale shuffle beyond decontaminate's own.
+    */
+  def contaminationMatrix(documents: DataFrame, n: Int = 8,
+      maxGramDf: Int = GramDfCap): DataFrame = {
+    val pairs = decontaminate(documents, n, maxGramDf)
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("train_doc"),
+        col("source").as("train_source")), "train_doc")
+      .join(src.select(col("doc_id").as("eval_doc"),
+        col("source").as("eval_source")), "eval_doc")
+      .groupBy("train_source", "eval_source")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("train_doc")).as("n_train_docs"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"),
+        sum(col("n_shared_grams")).as("total_shared_grams"),
+        max(col("n_shared_grams")).as("max_shared_grams"))
+      .orderBy("train_source", "eval_source")
+  }
+
   /** Shared gram pipeline: `documents` must carry a `__fresh` boolean;
     * the pair join's TRAIN side is restricted to fresh docs, while the
     * df cap and the held-out side see every row.

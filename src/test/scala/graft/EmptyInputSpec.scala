@@ -46,6 +46,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextOps.decontaminateBloom(docs).count() === 0,
       "empty eval set → all-zero bloom, zero rows, no throw")
     assert(TextOps.decontaminateIncremental(docs, docs).count() === 0)
+    assert(TextOps.contaminationMatrix(docs).count() === 0)
     assert(TextOps.vocabulary(docs).count() === 0)
     assert(TextOps.ngramNovelty(docs).count() === 0)
     assert(TextOps.ngramNoveltyIncremental(docs, docs).count() === 0)
@@ -148,6 +149,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.pcaComponent(emb).count() === 0,
       "empty corpus → no covariance cells, empty component, no throw")
     assert(Similarity.pcaProject(emb).count() === 0)
+    assert(Similarity.covarianceIncremental(emb, emb).count() === 0)
   }
 
   test("profiling operators survive empty tables") {

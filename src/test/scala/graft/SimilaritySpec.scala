@@ -458,6 +458,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(lam - planted) < 1e-3, s"eigenvalue $lam vs planted $planted")
   }
 
+  test("covariance incremental: merged term state is BIT-identical to one-shot") {
+    val emb = Tables.embeddings(spark, sf)
+    // any split works — associativity is exact; use odd/even vec_id
+    val oneShot = Similarity.covariance(emb).collect()
+    val merged = Similarity.covarianceIncremental(
+      emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1))
+      .collect()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val a = oneShot.map(r => key(r) -> (r.getLong(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5))).toMap
+    val b = merged.map(r => key(r) -> (r.getLong(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5))).toMap
+    assert(a === b, "Long term sums are exactly associative")
+    // and a second, unbalanced split settles identically too
+    val merged2 = Similarity.covarianceIncremental(
+      emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10))
+      .collect().map(r => key(r) -> (r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(a === merged2)
+  }
+
   test("pca project: scores replicate the literal fold; score variance = eigenvalue") {
     val emb = Tables.embeddings(spark, sf)
     val proj = Similarity.pcaProject(emb).collect()

@@ -241,6 +241,39 @@ class TextDedupSpec extends AnyFunSuite {
     assert(capped.head.getLong(2) === 8L) // 16 tokens → 9 grams, minus the capped one
   }
 
+  test("contamination matrix: planted cross-source leak lands in the right cell") {
+    val buckets = TextOps.split_assign(
+        (1L to 60L).map(i => (i, "x", "en", "s", 1L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val trainIds = (1L to 60L).filter(buckets(_) < 8)
+    val evalIds = (1L to 60L).filter(buckets(_) >= 8)
+    val secret = "corge grault garply waldo fred plugh xyzzy thud"
+    val (x, y, y2) = (trainIds.head, evalIds.head, evalIds(1))
+    // one web-crawl train doc leaks into TWO benchmark eval docs;
+    // unrelated docs in both sources stay clean
+    val corpus = (
+      Seq((x, s"prefix tokens $secret", "web"),
+        (y, s"other start $secret", "bench"),
+        (y2, s"third enter $secret", "bench")) ++
+        trainIds.tail.take(5).map(id => (id, s"clean train only$id", "web")) ++
+        evalIds.drop(2).take(3).map(id => (id, s"clean eval only$id", "bench")))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextOps.contaminationMatrix(corpus).collect()
+    assert(m.length === 1)
+    val r = m.head
+    assert(r.getString(0) === "web" && r.getString(1) === "bench")
+    assert(r.getLong(2) === 2L, "two leaked pairs")       // n_pairs
+    assert(r.getLong(3) === 1L && r.getLong(4) === 2L)    // distinct docs
+    // each pair shares exactly the secret's 8-gram (1 gram)
+    assert(r.getLong(5) === 2L && r.getLong(6) === 1L)
+    // rollup totals agree with the pair-level output it rides
+    val pairTotal = TextOps.decontaminate(corpus).agg(sum("n_shared_grams"))
+      .collect().head.getLong(0)
+    assert(pairTotal === r.getLong(5))
+  }
+
   test("decontaminate_bloom equals decontaminate, even with a tiny saturated filter") {
     val docs = Tables.documents(spark, sf)
     def key(r: org.apache.spark.sql.Row) =
