@@ -31,7 +31,7 @@ object SparkEntry {
       "quality_classifier", "quality_classifier_score", "doc_ngram_novelty",
       "doc_ngram_novelty_incremental", "corpus_curate",
       "embedding_covariance", "contamination_matrix",
-      "embedding_covariance_incremental")
+      "embedding_covariance_incremental", "bpe_encode")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -334,6 +334,7 @@ object SparkEntry {
     // in-memory reference instead
     "bpe_merges" -> ((s, d) => Bpe.merges(t(s, d, "documents"), nMerges = 8)),
     "bpe_token_counts" -> ((s, d) => Bpe.tokenCounts(t(s, d, "documents"), nMerges = 8)),
+    "bpe_encode" -> ((s, d) => Bpe.encode(t(s, d, "documents"), nMerges = 8)),
     // ---- D (r6). steady-state admission + CDC maintenance ----
     "dedup_admit" -> ((s, d) => {
       import org.apache.spark.sql.functions.col

@@ -145,6 +145,40 @@ object Bpe {
     * on the word key (the tf-idf discipline: a raw join key would put
     * every "the" row in one reducer).
     */
+  /** Per-doc ENCODED token stream under the trained merges — the apply
+    * step a dataloader runs after training (merges/tokenCounts publish
+    * the artifact and its cost; this materializes the tokens). Words
+    * re-explode WITH position, join the trained word → symbols
+    * dictionary salted on the word key (the tokenCounts discipline),
+    * and each doc reassembles its stream by sorting the collected
+    * (pos, syms) structs — order restored deterministically, no window.
+    * Published as token count + an md5 digest over the
+    * space-joined stream (the engine-exact digest convention; a raw
+    * token array column would dominate output bytes at corpus scale).
+    * Per-group memory is one document's symbol list — bounded by doc
+    * length, the same envelope the pack writer already assumes.
+    * Rows-only like the rest of the BPE family; the spec proves every
+    * digest equal to the independent in-memory reference encoder.
+    */
+  def encode(documents: DataFrame, nMerges: Int = 16): DataFrame = {
+    val (_, words) = train(documents, nMerges)
+    val docWordsPos = documents
+      .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")))
+      .toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+    Partitioning
+      .saltedEquiJoin(docWordsPos, words.select(col("word"), col("syms")),
+        "word", col("doc_id"))
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("syms")))),
+          s => s.getField("syms"))).as("tokens"))
+      .select(col("doc_id"),
+        size(col("tokens")).cast(LongType).as("n_tokens"),
+        md5(concat_ws(" ", col("tokens")).cast("binary")).as("token_md5"))
+      .orderBy("doc_id")
+  }
+
   def tokenCounts(documents: DataFrame, nMerges: Int = 16): DataFrame = {
     val (_, words) = train(documents, nMerges)
     val sizes = words.select(col("word"), size(col("syms")).cast(LongType).as("n_syms"))

@@ -98,6 +98,28 @@ class BpeSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  private def refEncodeDigest(text: String,
+      refSyms: Map[String, Vector[String]]): (Long, String) = {
+    val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .flatMap(refSyms(_))
+    val bytes = java.security.MessageDigest.getInstance("MD5")
+      .digest(toks.mkString(" ").getBytes("UTF-8"))
+    (toks.length.toLong, bytes.map("%02x".format(_)).mkString)
+  }
+
+  test("encode: per-doc token stream digest matches the reference encoder") {
+    val texts = Seq("low low lower", "new newest aaa", "low new", "aaa aaab low")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (_, refSyms) = refTrain(texts, nMerges = 8)
+    val want = texts.zipWithIndex
+      .map { case (t, i) => i.toLong -> refEncodeDigest(t, refSyms) }.toMap
+    val got = Bpe.encode(docs, nMerges = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got === want)
+  }
+
   // ---- real corpus --------------------------------------------------
 
   test("fixture corpus: merge table matches the reference; counts bounded") {
@@ -119,5 +141,11 @@ class BpeSpec extends AnyFunSuite {
     val wantTokens = ws.map(w => refSyms(w).size.toLong).sum
     val gotTokens = tc.find(_.getLong(0) == doc0.getLong(0)).get.getLong(2)
     assert(gotTokens === wantTokens)
+    // encode agrees with tokenCounts on every doc's token count, and
+    // with the reference encoder's digest on the spot-checked doc
+    val enc = Bpe.encode(docs, nMerges = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    tc.foreach(r => assert(enc(r.getLong(0))._1 === r.getLong(2)))
+    assert(enc(doc0.getLong(0)) === refEncodeDigest(doc0.getString(1), refSyms))
   }
 }

@@ -84,6 +84,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "empty vt span (min=max=0) must not throw")
     assert(Bpe.merges(docs).count() === 0, "no pairs → zero merges, no throw")
     assert(Bpe.tokenCounts(docs).count() === 0)
+    assert(Bpe.encode(docs).count() === 0)
     // an empty corpus trains the zero model (null gradients → no update)
     val model = Classifier.train(docs).collect()
     assert(model.length === Classifier.featureNames.size)
