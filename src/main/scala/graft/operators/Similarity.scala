@@ -854,7 +854,11 @@ object Similarity {
     covarianceFromTerms(
       mergeCovarianceTerms(covarianceTerms(corpus), covarianceTerms(batch)))
 
-  private def covarianceFromTerms(termsIn: DataFrame): DataFrame = {
+  /** Finish a [[covarianceTerms]] state into the published covariance
+    * view — the step the incremental/streaming paths run after their
+    * metadata-scale state merge.
+    */
+  def covarianceFromTerms(termsIn: DataFrame): DataFrame = {
     // The term aggregate feeds BOTH the means branch and the moments
     // branch, and Spark does not dedupe shared subtrees (the
     // dedup_exact lesson) — without materialization the corpus-wide

@@ -115,21 +115,34 @@ object EventStream {
     * pass).
     */
   private def documentsStream(spark: SparkSession, dir: String,
-                              splitAt: Option[Long] = None): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+                              splitAt: Option[Long] = None): DataFrame =
+    tableStream(spark, dir, "documents", "doc_id", splitAt)
+
+  /** The embeddings table as a file stream — the encoder-fleet output
+    * feeding the covariance twin (same staging/fingerprint/split
+    * machinery as the document stream).
+    */
+  private def embeddingsStream(spark: SparkSession, dir: String,
+                               splitAt: Option[Long] = None): DataFrame =
+    tableStream(spark, dir, "embeddings", "vec_id", splitAt)
+
+  private def tableStream(spark: SparkSession, dir: String, table: String,
+                          idCol: String,
+                          splitAt: Option[Long] = None): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
     val staged = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_docs_stream",
+      sys.props("java.io.tmpdir"), s"graft_${table}_stream",
       Integer.toHexString(dir.hashCode ^ splitAt.##))
     java.nio.file.Files.createDirectories(staged)
     // fingerprint of the CURRENT source fixture — a staged copy from a
     // PRIOR driver testdata generation (same path, different contents)
     // must not shadow it, so staleness is detected by size+mtime
-    val srcPath = java.nio.file.Paths.get(dir, "documents.parquet")
+    val srcPath = java.nio.file.Paths.get(dir, s"$table.parquet")
     val srcFp = java.nio.file.Files.size(srcPath).toString + ":" +
       java.nio.file.Files.getLastModifiedTime(srcPath).toMillis
     splitAt match {
       case None =>
-        val target = staged.resolve("documents.parquet")
+        val target = staged.resolve(s"$table.parquet")
         val marker = staged.resolve("_staged_src")
         if (!java.nio.file.Files.exists(marker) ||
             new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != srcFp) {
@@ -148,15 +161,15 @@ object EventStream {
           // wipe any stale earlier staging of this fixture dir
           Option(new java.io.File(staged.toString).listFiles())
             .foreach(_.foreach(rmAll))
-          val src = spark.read.parquet(s"$dir/documents.parquet")
+          val src = spark.read.parquet(s"$dir/$table.parquet")
           // the file source does not traverse nested non-partition
           // dirs: write each half via Spark, then lift the single part
           // file up as a flat file; distinct mtimes pin trigger order
           // (the fixture's premise — fail loudly if the FS refuses)
           val t0 = java.nio.file.Files.getLastModifiedTime(
-            java.nio.file.Paths.get(dir, "documents.parquet")).toMillis
-          Seq(("a_low.parquet", col("doc_id") < cut, t0 - 120000L),
-              ("b_high.parquet", col("doc_id") >= cut, t0 - 60000L))
+            java.nio.file.Paths.get(dir, s"$table.parquet")).toMillis
+          Seq(("a_low.parquet", col(idCol) < cut, t0 - 120000L),
+              ("b_high.parquet", col(idCol) >= cut, t0 - 60000L))
             .foreach { case (name, pred, t) =>
               val tmp = staged.resolve(name + ".tmp")
               src.filter(pred).coalesce(1)
@@ -177,7 +190,7 @@ object EventStream {
     val reader = spark.readStream.schema(schema)
     splitAt.foreach(_ => reader.option("maxFilesPerTrigger", 1))
     reader.parquet(staged.toString)
-      .withColumn("ingest_ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      .withColumn("ingest_ts", timestamp_seconds(lit(1700000000L) + col(idCol)))
   }
 
   /** Streaming dedup-by-signature: the streaming twin of Dedup.exact.
@@ -620,6 +633,53 @@ object EventStream {
     val idx = spark.read.parquet(s"$stateDir/upto_$latest")
     val pairs = spark.read.parquet(s"$sinkPath/pairs_*")
     graft.operators.TextOps.noveltyAgainstIndex(pairs, idx)
+  }
+
+  /** Streaming twin of Similarity.covariance — corpus second-moment
+    * tracking as a continuous process (the drift monitor an encoder
+    * fleet runs). Carried state = the (di, dj, s, n) term table
+    * (≤ d(d+3)/2 = 2,144 rows at d=64), and because every term is
+    * nano-quantized BEFORE summation the merge is EXACTLY associative
+    * (Similarity.mergeCovarianceTerms) — this twin sits in the
+    * strongest equivalence class of the family: the covariance
+    * published at trigger T is BIT-identical to the one-shot operator
+    * over everything arrived by T, so there is no online drift and no
+    * reconcile pass at all (the spec asserts both the mid-stream and
+    * the final view against their one-shot twins). Each trigger: batch
+    * term scan, metadata-scale merge, land the finished view in
+    * batch_<id> (a full snapshot — covariance is a statistic, not an
+    * append stream) and the term state in upto_<id>. Same versioned
+    * replay-idempotent state, stable checkpoint, pruning and
+    * block-release discipline as [[admissionPipelineStream]].
+    */
+  def covarianceStream(spark: SparkSession, dir: String, sinkPath: String,
+                       splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    embeddingsStream(spark, dir, splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val vecs = batch.drop("ingest_ts")
+        val prev = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(Long, Long, Long, Long)]
+            .toDF("di", "dj", "s", "n"))
+        val newTerms = graft.operators.Similarity
+          .mergeCovarianceTerms(prev,
+            graft.operators.Similarity.covarianceTerms(vecs))
+          .localCheckpoint(eager = true)
+        val view = graft.operators.Similarity.covarianceFromTerms(newTerms)
+        graft.sources.Loader.truncateAndLoad(view, s"$sinkPath/batch_$batchId")
+        graft.sources.Loader.truncateAndLoad(newTerms, s"$stateDir/upto_$batchId")
+        // view carries its own finish-step checkpoint — release it too
+        // (the admission-stream lesson: a per-trigger checkpoint left
+        // to a full GC pins blocks for the stream's lifetime)
+        releaseCheckpoints(newTerms, view)
+        pruneStateBefore(spark, stateDir, batchId - 1)
+        ()
+      }
+      .start()
   }
 
   /** Streaming twin of Corpus.selectBudget — token-budget data

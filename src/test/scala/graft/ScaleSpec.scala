@@ -374,6 +374,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(oneShot.exceptAll(settled).count() === 0)
   }
 
+  test("streaming covariance: every trigger's view is BIT-identical to its one-shot prefix") {
+    val sink = Files.createTempDirectory("graft_covstream").toString + "/cov"
+    val q = EventStream.covarianceStream(spark, sf, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val emb = Tables.embeddings(spark, sf)
+    // exact associativity = the STRONGEST twin contract: the trigger-1
+    // snapshot equals the one-shot over the prefix, the final snapshot
+    // equals the one-shot over everything — bit-for-bit, no reconcile
+    val mid = spark.read.parquet(s"$sink/${batches.head}")
+    val midShot = graft.operators.Similarity
+      .covariance(emb.filter(col("vec_id") < 250))
+    assert(mid.exceptAll(midShot).count() === 0)
+    assert(midShot.exceptAll(mid).count() === 0)
+    val fin = spark.read.parquet(s"$sink/${batches.last}")
+    val oneShot = graft.operators.Similarity.covariance(emb)
+    assert(fin.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(fin).count() === 0)
+    assert(fin.count() === 64L * 65 / 2)
+  }
+
   test("streaming budget selection: single trigger equals one-shot; two-trigger reconcile settles") {
     val sink1 = Files.createTempDirectory("graft_budgetstream")
       .toString + "/selected"
