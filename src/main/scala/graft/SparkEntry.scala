@@ -283,6 +283,7 @@ object SparkEntry {
         emb.filter(bucket < 8), emb.filter(bucket >= 8))
     }),
     "embedding_pca" -> ((s, d) => Similarity.pcaComponent(t(s, d, "embeddings"))),
+    "embedding_pca_top2" -> ((s, d) => Similarity.pcaComponents(t(s, d, "embeddings"))),
     "embedding_pca_project" -> ((s, d) => Similarity.pcaProject(t(s, d, "embeddings"))),
     "decontaminate_embedding" ->
       ((s, d) => Similarity.decontaminateEmbedding(t(s, d, "embeddings"))),
@@ -649,17 +650,17 @@ object SparkEntry {
   private val pcaCovCteSql: String =
     """WITH e AS (SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |g AS (SELECT vec_id, u.i AS i, u.x AS x
+      |g AS MATERIALIZED (SELECT vec_id, u.i AS i, u.x AS x
       |  FROM (SELECT vec_id, unnest(list_transform(range(1, len(v)+1),
       |      i -> {'i': i - 1, 'x': v[i]})) AS u FROM e)),
-      |mm AS (SELECT i,
+      |mm AS MATERIALIZED (SELECT i,
       |    CAST(SUM(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE)/1e9/count(*) AS mean_v
       |  FROM g GROUP BY i),
       |p AS (SELECT a.i AS di, b.i AS dj,
       |    SUM(CAST(round(a.x * b.x * 1e9) AS BIGINT)) AS s, count(*) AS n
       |  FROM g a JOIN g b ON a.vec_id = b.vec_id AND b.i >= a.i
       |  GROUP BY 1, 2),
-      |cvt AS (SELECT p.di, p.dj, p.n, ma.mean_v AS mean_i, mb.mean_v AS mean_j,
+      |cvt AS MATERIALIZED (SELECT p.di, p.dj, p.n, ma.mean_v AS mean_i, mb.mean_v AS mean_j,
       |    CAST(p.s AS DOUBLE)/1e9/p.n - ma.mean_v * mb.mean_v AS cov
       |  FROM p JOIN mm ma ON ma.i = p.di JOIN mm mb ON mb.i = p.dj)""".stripMargin
 
@@ -669,23 +670,38 @@ object SparkEntry {
     * transcendental — the SQL twin of Similarity.powerIteration from
     * the all-ones start vector, ending in CTE v`iters`.
     */
-  private def pcaCteSql(iters: Int): String = {
-    val iterBlocks = (1 to iters).map { t =>
-      s"""w$t AS (SELECT cr.i, list_sum(list_transform(range(1, len(cr.r)+1),
-         |    j -> cr.r[j] * v${t - 1}.v[j])) AS w FROM cr, v${t - 1}),
-         |wl$t AS (SELECT list(w ORDER BY i) AS w FROM w$t),
-         |n$t AS (SELECT w, sqrt(list_sum(list_transform(w, x -> x*x))) AS nrm FROM wl$t),
-         |v$t AS (SELECT CASE WHEN nrm = 0 THEN (SELECT v FROM v${t - 1})
-         |    ELSE list_transform(w, x -> x/nrm) END AS v FROM n$t)""".stripMargin
+  /** `iters` power-iteration steps reading matrix rows `${p}cr` and
+    * start vector `${p}v0`, ending in `${p}v<iters>` — prefix `p`
+    * lets the deflated second-component chain reuse the generator.
+    */
+  private def powerIterSql(p: String, iters: Int): String =
+    (1 to iters).map { t =>
+      s"""${p}w$t AS MATERIALIZED (SELECT cr.i, list_sum(list_transform(range(1, len(cr.r)+1),
+         |    j -> cr.r[j] * ${p}v${t - 1}.v[j])) AS w FROM ${p}cr cr, ${p}v${t - 1}),
+         |${p}wl$t AS MATERIALIZED (SELECT list(w ORDER BY i) AS w FROM ${p}w$t),
+         |${p}n$t AS MATERIALIZED (SELECT w, sqrt(list_sum(list_transform(w, x -> x*x))) AS nrm FROM ${p}wl$t),
+         |${p}v$t AS MATERIALIZED (SELECT CASE WHEN nrm = 0 THEN (SELECT v FROM ${p}v${t - 1})
+         |    ELSE list_transform(w, x -> x/nrm) END AS v FROM ${p}n$t)""".stripMargin
     }.mkString(",\n")
+
+  /** Rayleigh eigenvalue of the `${p}` chain's final vector:
+    * `${p}lam` = v·Cv over the same ordered folds.
+    */
+  private def rayleighSql(p: String, iters: Int): String =
+    s"""${p}cvf AS MATERIALIZED (SELECT cr.i, list_sum(list_transform(range(1, len(cr.r)+1),
+       |    j -> cr.r[j] * ${p}v$iters.v[j])) AS w FROM ${p}cr cr, ${p}v$iters),
+       |${p}cvl AS MATERIALIZED (SELECT list(w ORDER BY i) AS w FROM ${p}cvf),
+       |${p}lam AS MATERIALIZED (SELECT list_sum(list_transform(range(1, len(v.v)+1),
+       |    i -> v.v[i] * c.w[i])) AS l FROM ${p}v$iters v, ${p}cvl c)""".stripMargin
+
+  private def pcaCteSql(iters: Int): String =
     s"""$pcaCovCteSql,
-       |fc AS (SELECT di AS i, dj AS j, cov FROM cvt
+       |fc AS MATERIALIZED (SELECT di AS i, dj AS j, cov FROM cvt
        |  UNION ALL SELECT dj, di, cov FROM cvt WHERE di <> dj),
-       |cr AS (SELECT i, list(cov ORDER BY j) AS r FROM fc GROUP BY i),
-       |v0 AS (SELECT list_transform(range(1, (SELECT count(*) FROM cr) + 1),
+       |cr AS MATERIALIZED (SELECT i, list(cov ORDER BY j) AS r FROM fc GROUP BY i),
+       |v0 AS MATERIALIZED (SELECT list_transform(range(1, (SELECT count(*) FROM cr) + 1),
        |  x -> 1.0) AS v),
-       |$iterBlocks""".stripMargin
-  }
+       |${powerIterSql("", iters)}""".stripMargin
 
   /** `trainRestrict` narrows the pair join's TRAIN side (the
     * incremental entry passes the batch predicate); df cap and eval
@@ -2479,6 +2495,33 @@ object SparkEntry {
         |    i -> {'i': i - 1, 'x': v.v[i]})) AS c, l.l AS l
         |  FROM v3 v, lam l) u
         |ORDER BY dim_idx""".stripMargin,
+
+    // chain 1 = the embedding_pca chain (generator-emitted); the
+    // deflated matrix bfc = C − λ·v·vᵀ with the SAME association as
+    // the driver's Array.tabulate, then an identically-generated
+    // second power-iteration chain under the "b" prefix
+    "embedding_pca_top2" ->
+      s"""${pcaCteSql(3)},
+        |${rayleighSql("", 3)},
+        |bfc AS MATERIALIZED (SELECT f.i, f.j,
+        |    f.cov - l.l * v.v[f.i + 1] * v.v[f.j + 1] AS cov
+        |  FROM fc f, v3 v, lam l),
+        |bcr AS MATERIALIZED (SELECT i, list(cov ORDER BY j) AS r FROM bfc GROUP BY i),
+        |bv0 AS MATERIALIZED (SELECT list_transform(range(1, (SELECT count(*) FROM bcr) + 1),
+        |  x -> 1.0) AS v),
+        |${powerIterSql("b", 3)},
+        |${rayleighSql("b", 3)}
+        |SELECT CAST(1 AS BIGINT) AS component, CAST(u.c.i AS BIGINT) AS dim_idx,
+        |  u.c.x AS pc_val, u.l AS eigenvalue
+        |FROM (SELECT unnest(list_transform(range(1, len(v.v)+1),
+        |    i -> {'i': i - 1, 'x': v.v[i]})) AS c, l.l AS l
+        |  FROM v3 v, lam l) u
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(u.c.i AS BIGINT), u.c.x, u.l
+        |FROM (SELECT unnest(list_transform(range(1, len(v.v)+1),
+        |    i -> {'i': i - 1, 'x': v.v[i]})) AS c, l.l AS l
+        |  FROM bv3 v, blam l) u
+        |ORDER BY component, dim_idx""".stripMargin,
 
     "embedding_pca_project" ->
       s"""${pcaCteSql(3)},

@@ -956,6 +956,35 @@ object Similarity {
       .toSeq.toDF("dim_idx", "pc_val", "eigenvalue")
   }
 
+  /** Top-k principal components by sequential DEFLATION — after each
+    * component, C ← C − λ·v·vᵀ removes the found direction and the
+    * next power iteration converges on the residual's dominant axis
+    * (Hotelling deflation, the classic top-k eigensolver shape). The
+    * deflation arithmetic is ordered exactly like the oracle's
+    * (cov − (λ·vᵢ)·vⱼ), so every component stays bit-identical.
+    * Published as (component, dim_idx, pc_val, eigenvalue) — the
+    * k-row-group projection-matrix artifact a whitening stage reads.
+    */
+  def pcaComponents(embeddings: DataFrame, k: Int = 2,
+                    iters: Int = 3): DataFrame = {
+    val sess = embeddings.sparkSession
+    import sess.implicits._
+    val (c0, _) = covArrays(embeddings)
+    if (c0.isEmpty) return Seq.empty[(Long, Long, Double, Double)]
+      .toDF("component", "dim_idx", "pc_val", "eigenvalue")
+    var c = c0
+    val out = Seq.newBuilder[(Long, Long, Double, Double)]
+    for (comp <- 1 to k) {
+      val (v, lam) = powerIteration(c, iters)
+      v.zipWithIndex.foreach { case (x, i) =>
+        out += ((comp.toLong, i.toLong, x, lam))
+      }
+      c = Array.tabulate(c.length, c.length)((i, j) => c(i)(j) - lam * v(i) * v(j))
+    }
+    out.result().toDF("component", "dim_idx", "pc_val", "eigenvalue")
+      .orderBy("component", "dim_idx")
+  }
+
   /** Per-vector score on the trained top principal component:
     * score = Σ_i (v_i − mean_i)·pc_i as an ordered fold with the
     * component and means as PLAN LITERALS (the literal-codebook

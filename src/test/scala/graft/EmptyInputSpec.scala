@@ -151,6 +151,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "empty corpus → no covariance cells, empty component, no throw")
     assert(Similarity.pcaProject(emb).count() === 0)
     assert(Similarity.covarianceIncremental(emb, emb).count() === 0)
+    assert(Similarity.pcaComponents(emb).count() === 0)
   }
 
   test("profiling operators survive empty tables") {

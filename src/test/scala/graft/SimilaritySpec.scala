@@ -479,6 +479,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a === merged2)
   }
 
+  test("pca top-2: deflation recovers both planted axes in spectral order") {
+    // strong variance on axis 7, weaker independent variance on axis 2
+    // (k%5 and k%7 patterns are uncorrelated over 0..69, so the true
+    // eigenvectors are axis-aligned)
+    val df = (0 until 70).map { k =>
+      val v = new Array[Float](64)
+      v(7) = ((k % 5) - 2) * 3.0f
+      v(2) = ((k % 7) - 3) * 1.0f
+      (k.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val rows = Similarity.pcaComponents(df).collect()
+    assert(rows.length === 128)
+    val c1 = rows.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    val c2 = rows.filter(_.getLong(0) == 2L).sortBy(_.getLong(1))
+    assert(math.abs(c1(7).getDouble(2)) > 0.999, "pc1 = strong axis 7")
+    // 3 rounds converge pc2 a touch slower (the deflated matrix keeps
+    // an O(convergence-error) axis-7 residue): observed 0.9988
+    assert(math.abs(c2(2).getDouble(2)) > 0.99, "pc2 = deflated axis 2")
+    val (l1, l2) = (c1.head.getDouble(3), c2.head.getDouble(3))
+    assert(l1 > l2 && l2 > 0, s"spectral order: $l1 > $l2 > 0")
+    // each component unit-norm; near-orthogonal (exact orthogonality
+    // only in the power-iteration limit — 3 rounds on an axis-aligned
+    // spectrum converge far past this bound)
+    def comp(c: Array[org.apache.spark.sql.Row]) = c.map(_.getDouble(2))
+    assert(math.abs(comp(c1).map(x => x * x).sum - 1.0) < 1e-9)
+    assert(math.abs(comp(c2).map(x => x * x).sum - 1.0) < 1e-9)
+    val dot = comp(c1).zip(comp(c2)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 0.05, s"components near-orthogonal, got $dot")
+    // component 1 is the same chain embedding_pca publishes
+    val pc1 = Similarity.pcaComponent(df).collect().sortBy(_.getLong(0))
+    c1.zip(pc1).foreach { case (a, b) =>
+      assert(a.getDouble(2) === b.getDouble(1) && a.getDouble(3) === b.getDouble(2))
+    }
+  }
+
   test("pca project: scores replicate the literal fold; score variance = eigenvalue") {
     val emb = Tables.embeddings(spark, sf)
     val proj = Similarity.pcaProject(emb).collect()
