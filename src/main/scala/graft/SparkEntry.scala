@@ -177,6 +177,8 @@ object SparkEntry {
     "dedup_events_latest" -> ((s, d) => EventOps.dedupLatest(Tables.events(s, d))),
     "events_json_kv" -> ((s, d) => EventOps.jsonKv(Tables.events(s, d))),
     "events_hourly" -> ((s, d) => EventOps.hourly(Tables.events(s, d))),
+    "events_heavy_hitters" ->
+      ((s, d) => EventOps.heavyHittersCms(Tables.events(s, d))),
     "events_anomaly" -> ((s, d) => EventOps.valueAnomalies(Tables.events(s, d))),
     "events_retention" -> ((s, d) => EventOps.cohortRetention(Tables.events(s, d))),
     // ---- D. LLM-data-pipeline ----
@@ -1992,6 +1994,25 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // the identical md5 hash family on both sides (the LSH-plane
+    // single-source-of-truth convention)
+    "events_heavy_hitters" ->
+      """WITH seeds AS (SELECT unnest(range(3)) AS i),
+        |cells AS (SELECT s.i AS i,
+        |    ('0x' || substr(md5('cms' || CAST(s.i AS VARCHAR) || ':' ||
+        |      CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 1024 AS b,
+        |    count(*) AS cnt
+        |  FROM events e CROSS JOIN seeds s GROUP BY 1, 2),
+        |users AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+        |probes AS (SELECT u.user_id, u.n_events, s.i AS i,
+        |    ('0x' || substr(md5('cms' || CAST(s.i AS VARCHAR) || ':' ||
+        |      CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT % 1024 AS b
+        |  FROM users u CROSS JOIN seeds s)
+        |SELECT p.user_id, p.n_events, min(c.cnt) AS cms_est
+        |FROM probes p JOIN cells c ON c.i = p.i AND c.b = p.b
+        |GROUP BY 1, 2
+        |ORDER BY cms_est DESC, user_id LIMIT 50""".stripMargin,
 
     "text_stats" ->
       """WITH s AS (SELECT doc_id, text, lower(trim(text)) AS nt,

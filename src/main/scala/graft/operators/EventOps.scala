@@ -329,4 +329,49 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"),
         dbl(sum(col("value").cast(DecimalType(18, 6)))).as("total_value"))
       .orderBy("hour", "event_type")
+
+  /** depth md5-derived count-min hash buckets of `k` — engine-free
+    * randomness (the LSH-plane convention), so the oracle embeds the
+    * identical hash family.
+    */
+  private def cmsBuckets(k: org.apache.spark.sql.Column, depth: Int, width: Int) =
+    (0 until depth).map { i =>
+      struct(lit(i.toLong).as("i"),
+        (conv(substring(md5(concat(lit(s"cms$i:"), k.cast("string"))
+          .cast("binary")), 1, 15), 16, 10).cast("long") % width).as("b"))
+    }
+
+  /** Count-min-sketch heavy hitters over the event stream (Cormode &
+    * Muthukrishnan 2005) — the frequency summary a stream warehouse
+    * keeps when exact per-key counts don't fit: a depth×width cell
+    * grid (3×1024 here — 3 KB regardless of stream size) where every
+    * event increments one md5-derived bucket per row, and a key's
+    * estimate is the MIN over its cells, an overestimate-only bound
+    * (collisions inflate, never deflate — spec-asserted against the
+    * exact counts). The sketch is a map-side-combined aggregate
+    * (partials absorb the corpus; the shuffle carries ≤ 3·width rows
+    * per partition) and cell counts are ASSOCIATIVE Long sums — the
+    * covariance-term state class, mergeable across partitions, days,
+    * or streaming triggers. Probing broadcasts the 3,072-cell sketch
+    * against the distinct-key table. The output publishes est next to
+    * exact (feasible at fixture scale) so the error profile is
+    * measurable; top-N by (estimate, key) keeps the limit
+    * deterministic.
+    */
+  def heavyHittersCms(events: DataFrame, depth: Int = 3, width: Int = 1024,
+                      topN: Int = 50): DataFrame = {
+    val cells = events
+      .select(explode(array(cmsBuckets(col("user_id"), depth, width): _*)).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val users = events.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    users
+      .select(col("user_id"), col("n_events"),
+        explode(array(cmsBuckets(col("user_id"), depth, width): _*)).as("p"))
+      .join(broadcast(cells), col("p.i") === col("i") && col("p.b") === col("b"))
+      .groupBy("user_id", "n_events")
+      .agg(min(col("cnt")).as("cms_est"))
+      .orderBy(col("cms_est").desc, col("user_id"))
+      .limit(topN)
+  }
 }

@@ -821,7 +821,19 @@ object Similarity {
     * moments).
     */
   def covarianceTerms(embeddings: DataFrame): DataFrame = {
-    val base = embeddings.select(col("vec_id"),
+    // The generate stage does d(d+3)/2 ≈ 536× the work of reading a
+    // row, so parallelism is set by the INPUT split count — a corpus
+    // that arrives in fewer partitions than cores (the fixture's
+    // single row-group parquet; a small incremental batch in
+    // production) would run the whole fan-out single-threaded
+    // (measured: 3.5 s → 1 core busy, 31 idle at sf0.1). Spreading the
+    // raw 256 B/vector rows costs a fraction of the fan-out they feed;
+    // when the source is already split ≥ parallelism (any real corpus
+    // scan), this is a no-op and no shuffle is added.
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val src = if (embeddings.rdd.getNumPartitions < par)
+      embeddings.repartition(par) else embeddings
+    val base = src.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val idx = graft.functions.ColUtil.posRange(size(col("v")))
     val lin = transform(idx, i =>

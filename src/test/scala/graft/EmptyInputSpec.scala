@@ -114,6 +114,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(EventOps.sessionize(ev).count() === 0)
     assert(EventOps.sessionWindows(ev).count() === 0)
     assert(EventOps.dedupLatest(ev).count() === 0)
+    assert(EventOps.heavyHittersCms(ev).count() === 0)
     assert(EventOps.newVsReturning(ev).count() === 0)
     assert(EventOps.slidingActivity(ev).count() === 0)
   }

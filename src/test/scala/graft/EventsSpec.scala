@@ -161,6 +161,26 @@ class EventsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("count-min heavy hitters: estimate never under-counts; planted heavy key ranks first") {
+    // the CMS contract — collisions only inflate — over EVERY key
+    val all = EventOps.heavyHittersCms(Tables.events(spark, sf), topN = 1000000)
+      .collect()
+    assert(all.nonEmpty)
+    all.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"user ${r.getLong(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}"))
+    // planted skew: user 999 with 100 events among 100 singleton users
+    import spark.implicits._
+    val users = (1 to 100).map(_.toLong) ++ Seq.fill(100)(999L)
+    val planted = users.zipWithIndex.map { case (u, i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), u,
+          "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val top = EventOps.heavyHittersCms(planted, topN = 5).collect()
+    assert(top.head.getLong(0) === 999L)
+    assert(top.head.getLong(1) === 100L)
+    assert(top.head.getLong(2) >= 100L)
+  }
+
   test("streaming sessionization matches batch closed sessions") {
     val q = EventStream.sessionizeStream(spark, sf)
       .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
