@@ -179,6 +179,18 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => EventOps.hourly(Tables.events(s, d))),
     "events_heavy_hitters" ->
       ((s, d) => EventOps.heavyHittersCms(Tables.events(s, d))),
+    "events_heavy_hitters_incremental" -> ((s, d) => {
+      // standing corpus vs arriving batch by the md5 split rule on
+      // event_id; sketch merges are exactly associative, so the oracle
+      // probes batch keys against the FULL corpus's cells
+      import org.apache.spark.sql.functions.{col, concat, conv, lit, md5, substring}
+      val ev = Tables.events(s, d)
+      val bucket = conv(substring(md5(concat(lit("split:"),
+        col("event_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 10
+      EventOps.heavyHittersCmsIncremental(
+        ev.filter(bucket < 8), ev.filter(bucket >= 8))
+    }),
     "events_anomaly" -> ((s, d) => EventOps.valueAnomalies(Tables.events(s, d))),
     "events_retention" -> ((s, d) => EventOps.cohortRetention(Tables.events(s, d))),
     // ---- D. LLM-data-pipeline ----
@@ -2014,6 +2026,26 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY cms_est DESC, user_id LIMIT 50""".stripMargin,
 
+    // full-corpus cells (the merged sketch ≡ one-shot by associativity),
+    // probes restricted to the arriving batch's keys
+    "events_heavy_hitters_incremental" ->
+      """WITH seeds AS (SELECT unnest(range(3)) AS i),
+        |cells AS (SELECT s.i AS i,
+        |    ('0x' || substr(md5('cms' || CAST(s.i AS VARCHAR) || ':' ||
+        |      CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 1024 AS b,
+        |    count(*) AS cnt
+        |  FROM events e CROSS JOIN seeds s GROUP BY 1, 2),
+        |bu AS (SELECT DISTINCT user_id FROM events
+        |  WHERE ('0x' || substr(md5('split:' || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 10 >= 8),
+        |probes AS (SELECT u.user_id, s.i AS i,
+        |    ('0x' || substr(md5('cms' || CAST(s.i AS VARCHAR) || ':' ||
+        |      CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT % 1024 AS b
+        |  FROM bu u CROSS JOIN seeds s)
+        |SELECT p.user_id, min(c.cnt) AS cms_est
+        |FROM probes p JOIN cells c ON c.i = p.i AND c.b = p.b
+        |GROUP BY 1
+        |ORDER BY cms_est DESC, user_id LIMIT 50""".stripMargin,
+
     "text_stats" ->
       """WITH s AS (SELECT doc_id, text, lower(trim(text)) AS nt,
         |  string_split(lower(trim(text)), ' ') AS tk FROM documents)
@@ -2548,7 +2580,7 @@ object SparkEntry {
       s"""${pcaCteSql(3)},
         |ml AS (SELECT list(mean_v ORDER BY i) AS m FROM mm)
         |SELECT e.vec_id, e.label,
-        |  coalesce(list_sum(list_transform(range(1, len(e.v)+1),
+        |  coalesce(list_sum(list_transform(range(1, least(len(e.v), len(ml.m))+1),
         |    i -> (e.v[i] - ml.m[i]) * v3.v[i])), 0.0) AS pc1_score
         |FROM e, ml, v3 ORDER BY vec_id""".stripMargin,
 

@@ -360,16 +360,50 @@ object EventOps {
     */
   def heavyHittersCms(events: DataFrame, depth: Int = 3, width: Int = 1024,
                       topN: Int = 50): DataFrame = {
-    val cells = events
-      .select(explode(array(cmsBuckets(col("user_id"), depth, width): _*)).as("c"))
-      .groupBy(col("c.i").as("i"), col("c.b").as("b"))
-      .agg(count(lit(1)).as("cnt"))
     val users = events.groupBy("user_id").agg(count(lit(1)).as("n_events"))
     users
       .select(col("user_id"), col("n_events"),
         explode(array(cmsBuckets(col("user_id"), depth, width): _*)).as("p"))
-      .join(broadcast(cells), col("p.i") === col("i") && col("p.b") === col("b"))
+      .join(broadcast(cmsCells(events, depth, width)),
+        col("p.i") === col("i") && col("p.b") === col("b"))
       .groupBy("user_id", "n_events")
+      .agg(min(col("cnt")).as("cms_est"))
+      .orderBy(col("cms_est").desc, col("user_id"))
+      .limit(topN)
+  }
+
+  /** The (i, b, cnt) sketch-cell STATE behind [[heavyHittersCms]] —
+    * associative Long sums ([[mergeCmsCells]]): the whole sketch is
+    * ≤ depth·width rows however large the stream, the canonical
+    * bounded-state summary.
+    */
+  def cmsCells(events: DataFrame, depth: Int = 3, width: Int = 1024): DataFrame =
+    events
+      .select(explode(array(cmsBuckets(col("user_id"), depth, width): _*)).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def mergeCmsCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("i", "b").agg(sum(col("cnt")).as("cnt"))
+
+  /** Incremental heavy-hitter probe: a standing corpus (as its
+    * [[cmsCells]] sketch) plus an ARRIVING batch — merge the batch's
+    * sketch into the state (exactly associative) and rank only the
+    * BATCH's keys against the full history. Deliberately keeps NO
+    * per-key exact counts: carrying them would defeat the sketch's
+    * reason to exist — the bounded 3·width-cell state IS the steady-
+    * state memory, and the batch-key restriction is what the one-shot
+    * oracle states literally (full-corpus cells, batch-key probes).
+    */
+  def heavyHittersCmsIncremental(corpus: DataFrame, batch: DataFrame,
+      depth: Int = 3, width: Int = 1024, topN: Int = 50): DataFrame = {
+    val cells = mergeCmsCells(cmsCells(corpus, depth, width),
+      cmsCells(batch, depth, width))
+    batch.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(array(cmsBuckets(col("user_id"), depth, width): _*)).as("p"))
+      .join(broadcast(cells), col("p.i") === col("i") && col("p.b") === col("b"))
+      .groupBy("user_id")
       .agg(min(col("cnt")).as("cms_est"))
       .orderBy(col("cms_est").desc, col("user_id"))
       .limit(topN)

@@ -1015,8 +1015,20 @@ object Similarity {
     val mu = typedLit(m.toSeq)
     val base = embeddings.select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
+    // fold bounded by the TRAINED dimensionality as well as the row's.
+    // Trained on the same corpus the literals always cover the longest
+    // observed row, but a pre-trained-component overload (the
+    // kmeansAssignWith pattern) would project arrivals the training
+    // never saw — an over-length one would index the literals past
+    // their end, an ANSI task kill (the r7.4 degenerate-input class).
+    // Truncation is the honest semantic (excess dims carry no trained
+    // component); the oracle states the same least(len(v), len(m))
+    // bound, and the degenerate-vector spec pins an 80-dim row.
     base.select(col("vec_id"), col("label"),
-        aggregate(graft.functions.ColUtil.posRange(size(col("v"))), lit(0.0),
+        aggregate(
+          graft.functions.ColUtil.posRange(
+            least(size(col("v")), lit(pcArr.length))),
+          lit(0.0),
           (acc, i) => acc +
             (element_at(col("v"), i) - element_at(mu, i)) * element_at(pc, i))
           .as("pc1_score"))

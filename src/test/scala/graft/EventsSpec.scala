@@ -181,6 +181,29 @@ class EventsSpec extends AnyFunSuite {
     assert(top.head.getLong(2) >= 100L)
   }
 
+  test("CMS incremental: merged sketch bit-equal to one-shot; batch keys ranked against full history") {
+    val ev = Tables.events(spark, sf)
+    val (corpus, batch) =
+      (ev.filter(col("event_id") % 3 =!= 0), ev.filter(col("event_id") % 3 === 0))
+    // sketch-cell state is exactly associative
+    val merged = EventOps.mergeCmsCells(
+        EventOps.cmsCells(corpus), EventOps.cmsCells(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oneShot = EventOps.cmsCells(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === oneShot)
+    // every batch key's estimate ≥ its FULL-corpus exact count (the
+    // overestimate bound holds against history, not just the batch)
+    val est = EventOps.heavyHittersCmsIncremental(corpus, batch, topN = 1000000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchKeys = batch.select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(est.keySet === batchKeys, "only arriving keys are ranked")
+    est.foreach { case (u, e) => assert(e >= exact(u), s"user $u") }
+  }
+
   test("streaming sessionization matches batch closed sessions") {
     val q = EventStream.sessionizeStream(spark, sf)
       .writeStream.outputMode("append").format("memory").queryName("sess_out").start()

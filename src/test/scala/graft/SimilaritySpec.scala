@@ -258,6 +258,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute !== null, "cosine with a zero-norm side must not throw")
     assert(Similarity.knnSqInt8(degen, nProbes = 5, k = 3).collect() !== null)
     assert(Similarity.knnLsh(degen, nProbes = 5, k = 3).collect() !== null)
+    // PCA family: zero/empty rows contribute nothing fatal, and an
+    // OVER-length vector (bad ingest) must not index the trained
+    // component/mean literals past their end — its excess dims carry
+    // no trained component and are truncated (the oracle's
+    // least(len(v), len(m)) bound)
+    val long = (5L, Array.fill(80)(0.5f), 1)
+    val withLong = degen.unionByName(Seq(long)
+      .toDF("vec_id", "embedding", "label"))
+    assert(Similarity.covariance(withLong).count() > 0)
+    val proj = Similarity.pcaProject(withLong).collect()
+    assert(proj.length === 5, "over-length row projects, not crashes")
+    assert(proj.forall(r => !r.isNullAt(2)))
   }
 
   test("near-dup: LSH-sig blocking finds planted near-identical pairs across labels") {
