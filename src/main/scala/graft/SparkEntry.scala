@@ -298,6 +298,7 @@ object SparkEntry {
     }),
     "embedding_pca" -> ((s, d) => Similarity.pcaComponent(t(s, d, "embeddings"))),
     "embedding_pca_top2" -> ((s, d) => Similarity.pcaComponents(t(s, d, "embeddings"))),
+    "embedding_rp16" -> ((s, d) => Similarity.randomProject(t(s, d, "embeddings"))),
     "embedding_pca_project" -> ((s, d) => Similarity.pcaProject(t(s, d, "embeddings"))),
     "decontaminate_embedding" ->
       ((s, d) => Similarity.decontaminateEmbedding(t(s, d, "embeddings"))),
@@ -2583,6 +2584,24 @@ object SparkEntry {
         |  coalesce(list_sum(list_transform(range(1, least(len(e.v), len(ml.m))+1),
         |    i -> (e.v[i] - ml.m[i]) * v3.v[i])), 0.0) AS pc1_score
         |FROM e, ml, v3 ORDER BY vec_id""".stripMargin,
+
+    // the ±0.25 JL matrix regenerated from the identical md5 strings
+    // (r 0-based, i 1-based — the Similarity.rpCoefs convention)
+    "embedding_rp16" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |proj AS (SELECT vec_id, label,
+        |  list_transform(range(0, 16), r ->
+        |    coalesce(list_sum(list_transform(range(1, least(len(v), 64) + 1),
+        |      i -> v[i] * (CASE WHEN ('0x' || substr(md5('rp' ||
+        |          CAST(r AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+        |          % 2 = 0 THEN 0.25 ELSE -0.25 END))), 0.0)) AS y
+        |  FROM e)
+        |SELECT vec_id, label,
+        |  md5(array_to_string(list_transform(y,
+        |    x -> CAST(CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS VARCHAR)), ',')) AS rp_md5,
+        |  list_sum(list_transform(y, x -> x * x)) AS rp_sq_sum
+        |FROM proj ORDER BY vec_id""".stripMargin,
 
     "embedding_stats" ->
       """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -968,6 +968,57 @@ object Similarity {
       .toSeq.toDF("dim_idx", "pc_val", "eigenvalue")
   }
 
+  /** ±1/√k coefficients of projection row `r`: md5-derived like
+    * [[lshPlaneCoefs]] (engine-free randomness — the oracle regenerates
+    * the identical matrix from the same strings). k = 16 keeps the
+    * 1/√k scale EXACTLY representable (0.25), so there is no
+    * irrational constant to drift.
+    */
+  def rpCoefs(r: Int, dim: Int = 64, k: Int = 16): IndexedSeq[Double] = {
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    (1 to dim).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp$r:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) scale else -scale
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection d → k (k = 16): the
+    * OBLIVIOUS dimensionality reduction beside PCA's data-dependent
+    * one — no training pass, no driver state, the ±1/√k matrix
+    * derives from md5 so every executor (and the oracle) regenerates
+    * it identically; distances are preserved in expectation (the JL
+    * lemma; the spec measures the norm-ratio concentration). Pure
+    * codegen'd map stage — k×d multiply-adds per row as ordered
+    * folds over literal coefficient rows; at 100 TB this is a single
+    * corpus scan at memory bandwidth producing a 4× narrower column
+    * for downstream candidate generation. Published as the quantized
+    * digest + the projected square-norm fold (the
+    * embedding_normalize output convention); folds bounded by
+    * least(row length, d) — the pcaProject over-length discipline.
+    */
+  def randomProject(embeddings: DataFrame, k: Int = 16,
+                    dim: Int = 64): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val yCols = (0 until k).map { r =>
+      val coef = typedLit(rpCoefs(r, dim, k).toSeq)
+      aggregate(
+        graft.functions.ColUtil.posRange(least(size(col("v")), lit(dim))),
+        lit(0.0),
+        (acc, i) => acc + element_at(col("v"), i) * element_at(coef, i))
+    }
+    base.select(col("vec_id"), col("label"), array(yCols: _*).as("y"))
+      .select(col("vec_id"), col("label"),
+        md5(array_join(transform(col("y"),
+            x => floor(x * 1e9 + 0.5).cast("string")), ",")
+          .cast("binary")).as("rp_md5"),
+        aggregate(col("y"), lit(0.0), (acc, x) => acc + x * x)
+          .as("rp_sq_sum"))
+      .orderBy("vec_id")
+  }
+
   /** Top-k principal components by sequential DEFLATION — after each
     * component, C ← C − λ·v·vᵀ removes the found direction and the
     * next power iteration converges on the residual's dominant axis

@@ -153,6 +153,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.pcaProject(emb).count() === 0)
     assert(Similarity.covarianceIncremental(emb, emb).count() === 0)
     assert(Similarity.pcaComponents(emb).count() === 0)
+    assert(Similarity.randomProject(emb).count() === 0)
   }
 
   test("profiling operators survive empty tables") {

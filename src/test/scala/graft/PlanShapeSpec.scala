@@ -123,6 +123,11 @@ class PlanShapeSpec extends AnyFunSuite {
         "(its generate+agg exchange ran at materialization — the " +
         "doc_unigram_logloss pattern); means broadcast twice; only " +
         "the output sort exchanges"),
+    ("events_heavy_hitters", Shape(2, 1, 0, 0),
+      "two map-side-combined aggregates (3,072-cell sketch + per-key " +
+        "exact); sketch broadcast onto the probe side; the post-join " +
+        "min-agg reuses the user_id partitioning and top-N is " +
+        "TakeOrdered — no further exchange"),
     ("embedding_pca_project", Shape(1, 0, 0, 0),
       "map-only fold with the component and means as plan literals " +
         "(the kmeans_assign shape); only the output sort exchanges"),

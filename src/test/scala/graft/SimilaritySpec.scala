@@ -491,6 +491,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a === merged2)
   }
 
+  test("random projection: JL norm concentration on the corpus; deterministic digest") {
+    val emb = Tables.embeddings(spark, sf)
+    val rp = Similarity.randomProject(emb).collect()
+    assert(rp.length === emb.count())
+    // E[‖Rv‖²] = ‖v‖² per the JL lemma; per-vector variance is 2/k
+    // but the corpus-mean ratio concentrates hard
+    val orig = Similarity.normalize(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ratios = rp.filter(r => orig(r.getLong(0)) > 0).map { r =>
+      val n = orig(r.getLong(0))
+      r.getDouble(3) / (n * n)
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"corpus-mean norm ratio $mean")
+    // oblivious = rerun is bit-identical (no RNG, no training state)
+    val again = Similarity.randomProject(emb).collect()
+    assert(rp.map(_.getString(2)).toSeq === again.map(_.getString(2)).toSeq)
+    // matrix rows differ (distinct md5 streams) and are ±0.25 only
+    val c0 = Similarity.rpCoefs(0)
+    val c1 = Similarity.rpCoefs(1)
+    assert(c0 !== c1)
+    assert((c0 ++ c1).forall(x => x == 0.25 || x == -0.25))
+  }
+
   test("pca top-2: deflation recovers both planted axes in spectral order") {
     // strong variance on axis 7, weaker independent variance on axis 2
     // (k%5 and k%7 patterns are uncorrelated over 0..69, so the true
