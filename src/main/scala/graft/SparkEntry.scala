@@ -31,7 +31,7 @@ object SparkEntry {
       "quality_classifier", "quality_classifier_score", "doc_ngram_novelty",
       "doc_ngram_novelty_incremental", "corpus_curate",
       "embedding_covariance", "contamination_matrix",
-      "embedding_covariance_incremental", "bpe_encode")
+      "embedding_covariance_incremental", "bpe_encode", "source_overlap")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -345,6 +345,10 @@ object SparkEntry {
     "pii_scrub" -> ((s, d) => Corpus.piiScrub(t(s, d, "documents"))),
     "corpus_report" -> ((s, d) => Corpus.report(t(s, d, "documents"))),
     "tfidf_top_terms" -> ((s, d) => Corpus.tfidfTopTerms(t(s, d, "documents"))),
+    "bm25_top_docs" -> ((s, d) => Corpus.bm25TopDocs(t(s, d, "documents"))),
+    "corpus_zipf_slope" -> ((s, d) => Corpus.zipfSlope(t(s, d, "documents"))),
+    "source_overlap" -> ((s, d) => Corpus.sourceOverlap(t(s, d, "documents"))),
+    "cap_per_source" -> ((s, d) => Corpus.capPerSource(t(s, d, "documents"))),
     // rows-only (no SQL oracle — the greedy merge fold is not DuckDB-
     // expressible); BpeSpec proves bit-equality against an independent
     // in-memory reference instead
@@ -3407,6 +3411,79 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
          |FROM s)
          |SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= 3
-         |ORDER BY doc_id, rank""".stripMargin
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    // BM25 determinism: exact-integer inputs, one-division idf
+    // argument, per-(doc,term) micro-quantization BEFORE the per-doc
+    // sum (LONG aggregation is order-independent); expression order
+    // mirrors Corpus.bm25TopDocs parenthesis-for-parenthesis.
+    "bm25_top_docs" ->
+      s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(string_split(nt, ' ')) AS BIGINT) AS dl FROM t),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |e AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM t),
+         |m AS (SELECT doc_id, term FROM e WHERE term IN ('hash', 'join', 'merge')),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM m GROUP BY 1),
+         |c AS (SELECT tf.doc_id,
+         |  CAST(floor(
+         |    log2((2.0 * n_docs - 2.0 * df + 1.0) / (2.0 * df + 1.0) + 1.0)
+         |    * ((CAST(tf AS DOUBLE) * 2.2)
+         |       / (CAST(tf AS DOUBLE) + 0.3 + 0.9 * (CAST(dl * n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS contrib_micro
+         |FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+         |  CAST(sum(contrib_micro) AS BIGINT) AS score_micro
+         |FROM c GROUP BY 1 ORDER BY score_micro DESC, doc_id LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, n_terms_matched, score_micro
+         |FROM s ORDER BY rank""".stripMargin,
+
+    // Zipf fit: integer micro-log x/y, exact LONG regression sums,
+    // slope/intercept each one deterministic division — see
+    // Corpus.zipfSlope.
+    "corpus_zipf_slope" ->
+      s"""WITH e AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS term
+         |  FROM documents),
+         |v AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS freq FROM e GROUP BY 1, 2),
+         |r AS (SELECT lang, freq,
+         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS BIGINT) AS rnk
+         |FROM v),
+         |xy AS (SELECT lang,
+         |  CAST(floor(log2(CAST(rnk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+         |  CAST(floor(log2(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+         |FROM r WHERE rnk <= 30),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |FROM xy GROUP BY 1)
+         |SELECT lang, n_terms,
+         |  CAST(n_terms * sxy - sx * sy AS DOUBLE) / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS slope,
+         |  (sy - sx * (CAST(n_terms * sxy - sx * sy AS DOUBLE) / CAST(n_terms * sxx - sx * sx AS DOUBLE)))
+         |    / CAST(n_terms AS DOUBLE) AS intercept_micro
+         |FROM a ORDER BY lang""".stripMargin,
+
+    "source_overlap" ->
+      s"""WITH e AS (SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS term
+         |  FROM documents),
+         |v AS (SELECT DISTINCT source, term FROM e),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_common
+         |FROM v a JOIN v b USING (term) WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_common, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+         |FROM p JOIN sz sa ON p.source_a = sa.source JOIN sz sb ON p.source_b = sb.source
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    // Single-window statement of the cap; the Spark side's two-phase
+    // salted form is provably identical (Corpus.capPerSource scaladoc).
+    "cap_per_source" ->
+      s"""WITH r AS (SELECT source, doc_id, n_chars,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+         |FROM documents)
+         |SELECT source, rank, doc_id, n_chars FROM r WHERE rank <= 15
+         |ORDER BY source, rank""".stripMargin
   )
 }

@@ -734,4 +734,214 @@ object Corpus {
       .select("doc_id", "rank", "term", "tf", "df", "score")
       .orderBy("doc_id", "rank")
   }
+
+  /** BM25 retrieval over the corpus: rank documents against a fixed
+    * query term set (Okapi BM25, k1=1.2, b=0.75) and return the top-k
+    * with per-doc scores — the lexical-retrieval primitive a
+    * decontamination or eval-set-mining pass runs at corpus scale
+    * (tf-idf's [[tfidfTopTerms]] is the per-doc keyword view; this is
+    * the per-query ranking view).
+    *
+    * Determinism (the [[graft.operators.TextOps.unigramLogloss]]
+    * two-layer scheme): every input to the floating-point score is an
+    * exact integer (tf, df, dl, N, Σdl), the idf log argument is formed
+    * as the single division (2N−2df+1)/(2df+1) ≡ (N−df+0.5)/(df+0.5)
+    * of exact integers, and the per-(doc,term) contribution is
+    * quantized to integer micro-units BEFORE the per-doc sum — the
+    * distributed aggregation sums LONGS, order-independent where a
+    * double sum over an unordered shuffle is not. The oracle SQL spells
+    * the same expressions with the same parenthesization, so each IEEE
+    * op is correctly rounded to the same bits in both engines.
+    *
+    * Shuffle shape at 100 TB: the explode is FILTERED to query terms
+    * before any shuffle (a per-row map stage — for a q-term query only
+    * matching (doc,term) rows survive, a ~q/|V| fraction of the token
+    * stream), doc length rides the SAME scan as a grouping column
+    * (functionally dependent on doc_id — no separate length join), df
+    * falls out of the tf aggregate (≤ q rows, broadcast back), the
+    * N/Σdl scalars are the one extra map-only scan, and the final
+    * top-k is TakeOrdered (distributed partial top-k per partition,
+    * no global window over scored docs); the rank column is a window
+    * over the k collected rows only. No Zipf-head salting needed: the
+    * only shuffled key is (doc_id, dl, term) — uniform by doc. The tf
+    * subtree is re-planned for the df branch (see the inline note) —
+    * at this tier that is two cheap filtered scans, not a shuffle.
+    */
+  def bm25TopDocs(documents: DataFrame,
+                  query: Seq[String] = Seq("hash", "join", "merge"),
+                  k: Int = 20): DataFrame = {
+    val toks = split(lower(trim(col("text"))), " ")
+    // dl rides the SAME scan as the filtered explode (grouping on the
+    // functionally-dependent (doc_id, dl) pair), so no separate
+    // doc-length join; df then falls out of tf (one row per (doc,term)
+    // present), dropping the countDistinct expand. Spark still
+    // re-plans the shared tf subtree for the df branch (no common-
+    // subtree dedup), so the filtered explode scan runs twice —
+    // deliberately NOT checkpointed, the tfidfTopTerms trade-off: a
+    // whitespace split plus a q-term filter is cheaper than writing
+    // the fan-out to block storage at this size; a 100 TB run whose
+    // text scan dominates should materialize `tf` and feed both.
+    val matched = documents
+      .select(col("doc_id"), size(toks).cast(LongType).as("dl"),
+        explode(toks).as("term"))
+      .filter(col("term").isin(query: _*))
+    val tf = matched.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // df over the per-doc tf rows (≤ q rows out), broadcast back
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus scalars: N and Σdl (1 row, broadcast) — over ALL docs,
+    // matched or not, so this is the one additional (map-only) scan
+    val totals = documents
+      .select(size(toks).cast(LongType).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val idf = log2(
+      (lit(2.0) * col("n_docs").cast("double") - lit(2.0) * col("df").cast("double") + lit(1.0)) /
+        (lit(2.0) * col("df").cast("double") + lit(1.0)) + lit(1.0))
+    val ratio = (col("dl") * col("n_docs")).cast("double") / col("sum_dl").cast("double")
+    val tfp = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(0.3) + lit(0.9) * ratio)
+    val contrib = floor(idf * tfp * lit(1e6) + lit(0.5)).cast(LongType)
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(totals)) // 1-row scalar
+      .select(col("doc_id"), contrib.as("contrib_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("contrib_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+    // rank-after-limit: the window input is k rows (documented tiny
+    // global window; see Bench's WindowExec note)
+    val w = Window.orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .select("rank", "doc_id", "n_terms_matched", "score_micro")
+      .orderBy("rank")
+  }
+
+  /** Zipf rank–frequency fit per language: rank the vocabulary by
+    * frequency, then least-squares-fit log2(freq) against log2(rank)
+    * over the top `vTop` terms. The slope (≈ −1 for natural text,
+    * ≈ 0 for the synthetic near-uniform corpus) is the
+    * distribution-shape diagnostic a corpus intake pass reports —
+    * machine-generated or boilerplate-heavy sources show up as
+    * slope anomalies before any model ever trains on them.
+    *
+    * Determinism: x = ⌊log2(rank)·1e6⌉ and y = ⌊log2(freq)·1e6⌉ are
+    * integer micro-units from integer inputs, all five regression
+    * sums (n, Σx, Σy, Σxy, Σx²) are exact LONG aggregates
+    * (order-independent), and slope/intercept are formed from those
+    * exact integers with one division each — identical bits in both
+    * engines. Magnitudes stay well inside Long: x ≤ log2(vTop)·1e6,
+    * y ≤ 2^63-safe for any realistic corpus (freq < 2^40 ⇒
+    * Σxy < vTop·(4e7)² ≈ 1e17).
+    *
+    * Shuffle shape at 100 TB: one (lang,term) count with map-side
+    * partials — the ONLY corpus-sized shuffle; the ranking window and
+    * the regression run over the post-aggregate VOCABULARY (metadata-
+    * scale: |V|·|langs| rows, ~log-growth in corpus size), so the
+    * per-lang window is bounded regardless of data volume.
+    */
+  def zipfSlope(documents: DataFrame, vTop: Int = 30): DataFrame = {
+    val vocab = documents
+      .select(col("lang"), explode(split(lower(trim(col("text"))), " ")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("lang").orderBy(col("freq").desc, col("term"))
+    val ranked = vocab.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= vTop)
+      .select(col("lang"),
+        floor(log2(col("rnk").cast("double")) * 1e6 + 0.5).cast(LongType).as("x"),
+        floor(log2(col("freq").cast("double")) * 1e6 + 0.5).cast(LongType).as("y"))
+    ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n_terms"),
+        ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"),
+        ((col("sy") - col("sx") *
+          ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double")))
+          .cast("double") / col("n_terms").cast("double")).as("intercept_micro"))
+      .orderBy("lang")
+  }
+
+  /** Pairwise vocabulary overlap between sources: exact Jaccard of
+    * the distinct-term sets of every source pair — the
+    * source-similarity matrix a mixing config is tuned against (two
+    * sources with near-identical vocabularies are candidates for a
+    * shared cap; an outlier source is either a new domain or garbage).
+    *
+    * All set sizes are exact integers; jaccard = |∩| / (|A|+|B|−|∩|)
+    * is one division of exact longs — deterministic bits either side.
+    *
+    * Shuffle shape at 100 TB: distinct (source,term) is a map-side-
+    * combined aggregate collapsing the token stream to |V|×|sources|
+    * rows (metadata-scale); the term-keyed self-join fans out to at
+    * most |sources|²/2 rows PER TERM — bounded by config, not data,
+    * so there is no Zipf-head hot key (each term appears once per
+    * source post-distinct, unlike the raw token stream tf-idf salts).
+    * Per-source sizes (|sources| rows) join back via broadcast.
+    */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    // the distinct (source,term) aggregate feeds THREE consumers (both
+    // self-join sides and the size rollup) and Spark does not dedupe
+    // shared subtrees — checkpoint the vocabulary-sized result once so
+    // the corpus token scan runs once, not three times (the
+    // unigramLogloss freq pattern; blocks released by the runners'
+    // targeted GC — checkpointingQueries)
+    val vocab = documents
+      .select(col("source"), explode(split(lower(trim(col("text"))), " ")).as("term"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n_terms"))
+    val a = vocab.toDF("source_a", "term")
+    val b = vocab.toDF("source_b", "term")
+    a.join(b, Seq("term"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.toDF("source_a", "n_a")), Seq("source_a"))
+      .join(broadcast(sizes.toDF("source_b", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Per-source document cap: keep at most `cap` documents per source,
+    * by (n_chars desc, doc_id) priority — the domain-cap stage every
+    * web-scale corpus build runs (one crawl dump must not dominate the
+    * mix no matter how large it is).
+    *
+    * SCALE SHAPE — the two-phase trick, not a naive per-source window:
+    * source cardinality is config-bounded but source SIZE is wildly
+    * skewed (one crawl can be half the corpus), so a window partitioned
+    * by raw source puts the biggest source's every row in ONE task —
+    * the exact mega-group shape the dedup family eliminated in r6.
+    * Phase 1 windows over (source, doc_id mod `salts`) subgroups —
+    * each ≤ 1/salts of the source, any row in the source's global
+    * top-cap is necessarily in its subgroup's top-cap — keeping
+    * ≤ cap·salts candidates per source; phase 2 re-ranks the
+    * candidate set (≤ cap·salts·|sources| rows, metadata-scale) per
+    * source to the final cap. Result provably identical to the
+    * single-window form the oracle states, independent of the salt
+    * assignment ([[graft.operators.Corpus.scanTokensBefore]] and
+    * seq-pack use the same observed-range bucketing argument).
+    */
+  def capPerSource(documents: DataFrame, cap: Int = 15,
+                   salts: Int = 32): DataFrame = {
+    val salted = documents.withColumn("salt", pmod(col("doc_id"), lit(salts.toLong)))
+    val w1 = Window.partitionBy("source", "salt")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val candidates = salted
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= cap)
+    val w2 = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    candidates
+      .withColumn("rank", row_number().over(w2).cast(LongType))
+      .filter(col("rank") <= cap)
+      .select("source", "rank", "doc_id", "n_chars")
+      .orderBy("source", "rank")
+  }
 }

@@ -587,4 +587,84 @@ class CorpusSpec extends AnyFunSuite {
     // stage is exactly pos*S div N (equal-count cut, S=4)
     byPos.foreach { case (_, _, pos, st) => assert(st === pos * 4 / n) }
   }
+
+  // ---- bm25 / zipf / source_overlap / cap_per_source ------------------
+
+  test("bm25: high-tf short doc tops the ranking; non-matching doc absent") {
+    val planted = Seq(
+      doc(1L, "hash hash hash hash hash join merge"),
+      doc(2L, "join merge filter scan table window order sort group agg"),
+      doc(3L, "the quick brown fox jumps over the lazy dog tonight again"),
+      doc(4L, "merge join hash filter scan table window order sort group")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.bm25TopDocs(planted, Seq("hash", "join", "merge"), 10).collect()
+    assert(r.map(_.getLong(0)).toSeq === (1L to r.length.toLong)) // dense ranks
+    assert(r.head.getLong(1) === 1L) // 5x "hash" in the shortest doc wins
+    assert(!r.map(_.getLong(1)).contains(3L)) // zero query terms -> unscored
+    val scores = r.map(_.getLong(3))
+    scores.sliding(2).foreach {
+      case Array(hi, lo) => assert(hi >= lo, "scores not non-increasing")
+      case _             => ()
+    }
+  }
+
+  test("bm25: determinism — two runs produce identical micro scores") {
+    val a = Corpus.bm25TopDocs(docs).collect().toSeq
+    val b = Corpus.bm25TopDocs(docs).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("zipf slope: freq = C/rank corpus recovers slope -1") {
+    // term_i appears 60/i times => log2(freq) = log2(60) - log2(rank):
+    // an exactly linear rank-frequency law with slope -1, so the
+    // least-squares fit must return -1 up to the 1e-6 micro-rounding
+    // of each x/y sample.
+    val words = (1 to 6).flatMap(i => Seq.fill(60 / i)(s"w$i"))
+    val planted = Seq(doc(1L, words.mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.zipfSlope(planted, vTop = 6).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 6L)
+    val slope = r.head.getDouble(2)
+    assert(math.abs(slope - (-1.0)) < 1e-4, s"slope $slope != -1")
+    // intercept is log2(60) in micro-bits
+    val intercept = r.head.getDouble(3)
+    assert(math.abs(intercept - math.log(60.0) / math.log(2.0) * 1e6) < 10.0,
+      s"intercept $intercept")
+  }
+
+  test("source_overlap: identical, partial, and disjoint source pairs") {
+    val planted = Seq(
+      doc(1L, "alpha beta gamma delta", source = "s1"),
+      doc(2L, "alpha beta gamma delta", source = "s2"),
+      doc(3L, "epsilon zeta", source = "s3"),
+      doc(4L, "gamma delta epsilon", source = "s4")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Corpus.sourceOverlap(planted).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5)))).toMap
+    assert(rows(("s1", "s2")) === ((4L, 4L, 4L, 1.0))) // identical vocab
+    assert(!rows.contains(("s1", "s3"))) // disjoint -> no candidate pair
+    val (common, na, nb, j) = rows(("s1", "s4"))
+    assert((common, na, nb) === ((2L, 4L, 3L)))
+    assert(j === 2.0 / 5.0) // exact: |{gamma,delta}| / |{alpha..epsilon}|
+  }
+
+  test("cap_per_source: two-phase salted form == single-window form; cap held") {
+    import org.apache.spark.sql.expressions.Window
+    val r = Corpus.capPerSource(docs, cap = 7, salts = 8).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val expected = docs
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w)
+        .cast("long"))
+      .filter(col("rank") <= 7)
+      .select("source", "rank", "doc_id", "n_chars")
+      .orderBy("source", "rank").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r === expected)
+    assert(r.groupBy(_._1).values.forall(_.size <= 7))
+  }
 }

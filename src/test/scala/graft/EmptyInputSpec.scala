@@ -71,6 +71,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.packSummary(docs).count() === 0)
     assert(Corpus.piiScrub(docs).count() === 0)
     assert(Corpus.tfidfTopTerms(docs).count() === 0)
+    assert(Corpus.bm25TopDocs(docs).count() === 0)
+    assert(Corpus.zipfSlope(docs).count() === 0)
+    assert(Corpus.sourceOverlap(docs).count() === 0)
+    assert(Corpus.capPerSource(docs).count() === 0)
     assert(Corpus.report(docs).count() === 0)
     assert(Corpus.packManifest(docs).count() === 0)
     assert(Corpus.packSequences(docs).count() === 0)

@@ -131,6 +131,24 @@ class PlanShapeSpec extends AnyFunSuite {
     ("embedding_pca_project", Shape(1, 0, 0, 0),
       "map-only fold with the component and means as plan literals " +
         "(the kmeans_assign shape); only the output sort exchanges"),
+    ("bm25_top_docs", Shape(5, 1, 0, 1),
+      "query-filtered explode before any shuffle; 5 exchanges = tf " +
+        "agg, its re-planned df branch + tiny term df agg, the " +
+        "doc-score rollup, and the 1-row N/Σdl scalar; the one " +
+        "window ranks AFTER TakeOrdered (k rows)"),
+    ("corpus_zipf_slope", Shape(3, 0, 0, 3),
+      "one corpus-sized (lang,term) agg; rank window + 2 " +
+        "WindowGroupLimit pushdowns run over the VOCABULARY, and the " +
+        "per-lang regression rollup reuses the lang partitioning"),
+    ("source_overlap", Shape(4, 3, 0, 0),
+      "checkpointed distinct vocab read by all three consumers; " +
+        "term self-join + both size joins broadcast at fixture stats " +
+        "(the pair join flips to a keyed, bounded-fanout shuffle join " +
+        "at scale — ≤ |sources| rows per term key, never Zipf-head)"),
+    ("cap_per_source", Shape(3, 0, 0, 6),
+      "two-phase cap: per-(source,salt) window then candidate-only " +
+        "per-source window — no mega-group window over a skewed raw " +
+        "source; 6 = 2 rank windows + 4 WindowGroupLimit pushdowns"),
     ("corpus_curriculum", Shape(8, 2, 0, 3),
       "two-level ordinal: per-(len,sub) rank window, per-len sub " +
         "offsets (broadcast at fixture stats; unhinted, so a keyed " +
@@ -154,6 +172,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "the observed-id-span min/max scalar (two plan references; " +
         "ReuseExchange collapses them at runtime)")),
     "tfidf_top_terms" -> ((1, "1-row n_docs count-distinct scalar")),
+    "bm25_top_docs" -> ((1, "1-row N/Σdl corpus-scalar final stage")),
     "doc_unigram_logloss" -> ((1, "1-row Σfreq vocabulary-total scalar")),
     "table_profile_orders" -> ((1,
       "the profile IS a one-row global aggregate — its final stage")),
