@@ -271,6 +271,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "knn_cosine_bruteforce" -> ((s, d) => Similarity.knnBrute(t(s, d, "embeddings"))),
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(t(s, d, "embeddings"))),
+    "ann_recall" -> ((s, d) => Similarity.annRecall(t(s, d, "embeddings"))),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(t(s, d, "embeddings"))),
     "multimodal_frames" -> ((s, d) => Multimodal.frameSample(t(s, d, "documents"))),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(t(s, d, "embeddings"))),
@@ -311,6 +312,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.clusters(t(s, d, "documents"))),
     "dedup_prune" -> ((s, d) => Dedup.prune(t(s, d, "documents"))),
     "corpus_sample" -> ((s, d) => Corpus.sample(t(s, d, "documents"))),
+    "corpus_priority_sample" -> ((s, d) => Corpus.prioritySample(t(s, d, "documents"))),
     "corpus_mix_summary" -> ((s, d) => Corpus.mixSummary(t(s, d, "documents"))),
     "stratified_sample" -> ((s, d) => Corpus.stratifiedSample(t(s, d, "documents"))),
     "corpus_temperature" -> ((s, d) => Corpus.temperatureSample(t(s, d, "documents"))),
@@ -3476,6 +3478,54 @@ object SparkEntry {
          |  CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
          |FROM p JOIN sz sa ON p.source_a = sa.source JOIN sz sb ON p.source_b = sb.source
          |ORDER BY source_a, source_b""".stripMargin,
+
+    // Recall@5 of the LSH index vs brute-force ground truth: both
+    // component CTE chains verbatim (knn_cosine_bruteforce / knn_lsh),
+    // then exact-integer hit counting; recall = n_hit/5.0 one division.
+    "ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM e),
+         |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+         |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |br AS (SELECT qid, nid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM bs),
+         |b AS (SELECT qid, nid FROM br WHERE rank <= 5),
+         |sgt AS (SELECT vec_id, v, nrm, $lshSigSql AS sig FROM n),
+         |ls AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+         |FROM sgt q JOIN sgt c ON q.vec_id < 20 AND q.vec_id <> c.vec_id AND q.sig = c.sig),
+         |lr AS (SELECT qid, nid,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM ls),
+         |l AS (SELECT qid, nid FROM lr WHERE rank <= 5),
+         |h AS (SELECT b.qid, CAST(count(*) AS BIGINT) AS n_brute,
+         |  CAST(sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |FROM b LEFT JOIN l ON b.qid = l.qid AND b.nid = l.nid GROUP BY 1),
+         |nl AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_lsh FROM l GROUP BY 1)
+         |SELECT h.qid, n_brute, coalesce(n_lsh, CAST(0 AS BIGINT)) AS n_lsh, n_hit,
+         |  CAST(n_hit AS DOUBLE) / 5.0 AS recall
+         |FROM h LEFT JOIN nl ON h.qid = nl.qid ORDER BY h.qid""".stripMargin,
+
+    // A-Res weighted priority sample: u strictly inside (0,1) via
+    // (2·hi28+1)/2^29 (log2 stays finite), priority = log2(u)/weight —
+    // expression order mirrors Corpus.prioritySample exactly.
+    "corpus_priority_sample" ->
+      s"""WITH s0 AS (SELECT doc_id, source, lang,
+         |  CAST(CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 0.9
+         |    WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.5
+         |    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 0.25
+         |    ELSE 0.1 END AS DOUBLE) AS weight,
+         |  (('0x' || substr(md5('ares:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT * 2 + 1)
+         |    / CAST(536870912 AS DOUBLE) AS u
+         |FROM documents),
+         |s AS (SELECT doc_id, source, lang, weight,
+         |  CAST(floor(log2(u) / weight * 1000000 + 0.5) AS BIGINT) AS priority_micro FROM s0),
+         |t AS (SELECT * FROM s ORDER BY priority_micro DESC, doc_id LIMIT 25)
+         |SELECT CAST(row_number() OVER (ORDER BY priority_micro DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, source, lang, weight, priority_micro
+         |FROM t ORDER BY rank""".stripMargin,
 
     // Single-window statement of the cap; the Spark side's two-phase
     // salted form is provably identical (Corpus.capPerSource scaladoc).

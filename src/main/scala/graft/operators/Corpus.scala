@@ -908,6 +908,48 @@ object Corpus {
       .orderBy("source_a", "source_b")
   }
 
+  /** Weighted priority sample WITHOUT replacement, fixed size n
+    * (Efraimidis & Spirakis 2006 A-Res): each doc draws priority
+    * log2(u)/w from its hash key u and source weight w, and the n
+    * LARGEST priorities win — the exact-size counterpart of [[sample]]
+    * (whose Bernoulli keep-rate only hits the target size in
+    * expectation). A doc's inclusion probability is proportional to
+    * its weight in the without-replacement sense, and re-running — on
+    * any cluster size, any partitioning — selects the SAME rows.
+    *
+    * Determinism: u = (2·hi28+1)/2^29 is an exact dyadic rational
+    * strictly inside (0,1) (the +1 keeps log2 finite on the
+    * 2^-28-probability all-zero digest), and the priority is
+    * published micro-QUANTIZED — Spark's log2 and DuckDB's differ by
+    * a ULP on non-integer input (measured: 2.8e-17 at sf0.01), so the
+    * raw double cannot cross engines; after ⌊·1e6⌉ the residual flips
+    * a floor only when a value sits within ~1e-11 of a boundary (the
+    * unigramLogloss bargain), and micro-ties break on doc_id — still
+    * fully deterministic. Scale: priority is a per-row map
+    * expression; the top-n is TakeOrdered (distributed partial
+    * top-n, no global window over the corpus); rank = window over
+    * the n collected rows.
+    */
+  def prioritySample(documents: DataFrame, n: Int = 25): DataFrame = {
+    val hi = conv(substring(md5(concat(lit("ares:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 7), 16, 10)
+      .cast(LongType)
+    val u = (hi * 2 + 1).cast("double") / lit(536870912.0)
+    val priority = floor(log2(u) / sourceWeight(col("source")) * 1e6 + 0.5)
+      .cast(LongType)
+    val top = documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        sourceWeight(col("source")).as("weight"), priority.as("priority_micro"))
+      .orderBy(col("priority_micro").desc, col("doc_id"))
+      .limit(n)
+    // rank-after-limit: window input is n rows (documented tiny
+    // global window)
+    val w = Window.orderBy(col("priority_micro").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast(LongType))
+      .select("rank", "doc_id", "source", "lang", "weight", "priority_micro")
+      .orderBy("rank")
+  }
+
   /** Per-source document cap: keep at most `cap` documents per source,
     * by (n_chars desc, doc_id) priority — the domain-cap stage every
     * web-scale corpus build runs (one crawl dump must not dominate the

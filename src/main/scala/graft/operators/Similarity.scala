@@ -1085,4 +1085,35 @@ object Similarity {
           .as("pc1_score"))
       .orderBy("vec_id")
   }
+
+  /** Recall@k of the LSH index against the brute-force ground truth —
+    * the evaluation every ANN deployment publishes before anyone
+    * trusts its candidates. Per probe: how many of the exact top-k
+    * neighbors the bucketed search returned (n_hit), how many
+    * candidates the bucket produced at all (n_lsh — 0 when the probe's
+    * bucket is a singleton), and recall = n_hit/k as one division of
+    * exact integers.
+    *
+    * Composes [[knnBrute]] and [[knnLsh]] by (qid, nid) joins; both
+    * sides are probe-bounded (nProbes·k rows), so everything after the
+    * two searches is metadata-scale — the scans and shuffles are the
+    * component operators' own, audited there. At 100 TB one runs this
+    * on a SAMPLED probe set (nProbes parameterizes exactly that) —
+    * recall estimation never needs every query.
+    */
+  def annRecall(embeddings: DataFrame, nProbes: Int = 20, k: Int = 5): DataFrame = {
+    val brute = knnBrute(embeddings, nProbes, k).select(col("qid"), col("nid"))
+    val lsh = knnLsh(embeddings, nProbes, k)
+      .select(col("qid"), col("nid"), lit(1L).as("hit"))
+    val hits = brute.join(lsh, Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    val nLsh = lsh.groupBy("qid").agg(count(lit(1)).as("n_lsh"))
+    hits.join(nLsh, Seq("qid"), "left")
+      .select(col("qid"), col("n_brute"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(k.toDouble)).as("recall"))
+      .orderBy("qid")
+  }
 }

@@ -651,6 +651,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(j === 2.0 / 5.0) // exact: |{gamma,delta}| / |{alpha..epsilon}|
   }
 
+  test("priority sample: exact size, dense ranks, rerun-identical, weight-skewed") {
+    val r = Corpus.prioritySample(docs, n = 25).collect()
+    assert(r.length === 25)
+    assert(r.map(_.getLong(0)).toSeq === (1L to 25L))
+    // deterministic: a second run selects the SAME rows in the SAME order
+    val again = Corpus.prioritySample(docs, n = 25).collect()
+    assert(r.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // weighted-without-replacement behavior: the selected mean weight
+    // must exceed the corpus mean (high-trust sources oversampled)
+    val selMean = r.map(_.getDouble(4)).sum / r.length
+    val corpusMean = docs
+      .select(Corpus.sourceWeight(col("source")).as("w"))
+      .agg(org.apache.spark.sql.functions.avg("w")).head.getDouble(0)
+    assert(selMean > corpusMean,
+      s"selected mean weight $selMean <= corpus mean $corpusMean")
+  }
+
+  test("priority sample: n >= corpus returns every doc exactly once") {
+    val total = docs.count().toInt
+    val all = Corpus.prioritySample(docs, n = total + 10).collect()
+    assert(all.length === total)
+    assert(all.map(_.getLong(1)).distinct.length === total)
+  }
+
   test("cap_per_source: two-phase salted form == single-window form; cap held") {
     import org.apache.spark.sql.expressions.Window
     val r = Corpus.capPerSource(docs, cap = 7, salts = 8).collect()

@@ -72,6 +72,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.piiScrub(docs).count() === 0)
     assert(Corpus.tfidfTopTerms(docs).count() === 0)
     assert(Corpus.bm25TopDocs(docs).count() === 0)
+    assert(Corpus.prioritySample(docs).count() === 0)
     assert(Corpus.zipfSlope(docs).count() === 0)
     assert(Corpus.sourceOverlap(docs).count() === 0)
     assert(Corpus.capPerSource(docs).count() === 0)
@@ -137,6 +138,7 @@ class EmptyInputSpec extends AnyFunSuite {
     val emb = empty(embSchema)
     assert(Similarity.knnBrute(emb).count() === 0)
     assert(Similarity.knnLsh(emb).count() === 0)
+    assert(Similarity.annRecall(emb).count() === 0)
     assert(Similarity.embeddingNearDup(emb).count() === 0)
     assert(Similarity.labelCentroids(emb).count() === 0)
     assert(Similarity.knnIvf(emb).count() === 0, "empty codebook must not throw")

@@ -149,6 +149,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "two-phase cap: per-(source,salt) window then candidate-only " +
         "per-source window — no mega-group window over a skewed raw " +
         "source; 6 = 2 rank windows + 4 WindowGroupLimit pushdowns"),
+    ("corpus_priority_sample", Shape(0, 0, 0, 1),
+      "A-Res weighted top-n: per-row priority map + TakeOrdered — " +
+        "ZERO exchanges end to end; the one window ranks the n " +
+        "collected rows after the limit"),
     ("corpus_curriculum", Shape(8, 2, 0, 3),
       "two-level ordinal: per-(len,sub) rank window, per-len sub " +
         "offsets (broadcast at fixture stats; unhinted, so a keyed " +

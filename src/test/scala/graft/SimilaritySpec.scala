@@ -585,4 +585,37 @@ class SimilaritySpec extends AnyFunSuite {
     // WholeStageCodegenExec renders as "*(n) " stage markers
     assert(plan.contains("*("), s"q1 should be codegen'd:\n$plan")
   }
+
+  test("ann_recall: per-probe counts replicate the set arithmetic exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.knnBrute(emb).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = Similarity.knnLsh(emb).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bruteBy = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lshBy = lsh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val r = Similarity.annRecall(emb).collect()
+    assert(r.map(_.getLong(0)).toSet === bruteBy.keySet)
+    r.foreach { row =>
+      val (qid, nBrute, nLsh, nHit, recall) = (row.getLong(0), row.getLong(1),
+        row.getLong(2), row.getLong(3), row.getDouble(4))
+      val l = lshBy.getOrElse(qid, Set.empty)
+      assert(nBrute === bruteBy(qid).size.toLong)
+      assert(nLsh === l.size.toLong)
+      assert(nHit === bruteBy(qid).intersect(l).size.toLong)
+      assert(recall === nHit.toDouble / 5.0)
+    }
+  }
+
+  test("ann_recall: a single shared bucket gives perfect recall") {
+    // every vector identical direction => identical signature => the
+    // LSH candidates are exactly the brute-force candidates
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val df = (0L until 6L).map(i =>
+      (i, base.map(x => x * (1.0f + 0.01f * i)), 0)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.annRecall(df, nProbes = 3, k = 3).collect()
+    assert(r.length === 3)
+    r.foreach(row => assert(row.getDouble(4) === 1.0,
+      s"probe ${row.getLong(0)} recall ${row.getDouble(4)} != 1"))
+  }
 }
