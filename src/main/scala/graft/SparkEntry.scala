@@ -313,6 +313,15 @@ object SparkEntry {
     "dedup_prune" -> ((s, d) => Dedup.prune(t(s, d, "documents"))),
     "corpus_sample" -> ((s, d) => Corpus.sample(t(s, d, "documents"))),
     "corpus_priority_sample" -> ((s, d) => Corpus.prioritySample(t(s, d, "documents"))),
+    // the reservoir continuation contract, batch-staged: the even-id
+    // half's reservoir absorbs the odd-id batch; merged top-n must
+    // BIT-equal the one-shot over everything — same oracle
+    "corpus_priority_sample_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      val st = Corpus.prioritySample(docs.filter(col("doc_id") % 2 === 0))
+      Corpus.prioritySampleIncremental(docs.filter(col("doc_id") % 2 =!= 0), st)
+    }),
     "corpus_mix_summary" -> ((s, d) => Corpus.mixSummary(t(s, d, "documents"))),
     "stratified_sample" -> ((s, d) => Corpus.stratifiedSample(t(s, d, "documents"))),
     "corpus_temperature" -> ((s, d) => Corpus.temperatureSample(t(s, d, "documents"))),
@@ -861,6 +870,25 @@ object SparkEntry {
   // score bucket down, bucket-grain, pure integer logic over the same
   // micro-unit scores as quality_gate_relative. A lang whose top
   // bucket alone overshoots has no threshold row -> kept = false.
+  // One-shot A-Res priority sample — shared by corpus_priority_sample
+  // and its incremental entry (reservoir merge associativity means the
+  // continuation must produce byte-identical output).
+  private val prioritySampleSql: String =
+    """WITH s0 AS (SELECT doc_id, source, lang,
+      |  CAST(CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 0.9
+      |    WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.5
+      |    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 0.25
+      |    ELSE 0.1 END AS DOUBLE) AS weight,
+      |  (('0x' || substr(md5('ares:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT * 2 + 1)
+      |    / CAST(536870912 AS DOUBLE) AS u
+      |FROM documents),
+      |s AS (SELECT doc_id, source, lang, weight,
+      |  CAST(floor(log2(u) / weight * 1000000 + 0.5) AS BIGINT) AS priority_micro FROM s0),
+      |t AS (SELECT * FROM s ORDER BY priority_micro DESC, doc_id LIMIT 25)
+      |SELECT CAST(row_number() OVER (ORDER BY priority_micro DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, source, lang, weight, priority_micro
+      |FROM t ORDER BY rank""".stripMargin
+
   private val selectBudgetSql: String =
     """WITH sc AS (SELECT doc_id, lang,
       |  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
@@ -3511,21 +3539,9 @@ object SparkEntry {
     // A-Res weighted priority sample: u strictly inside (0,1) via
     // (2·hi28+1)/2^29 (log2 stays finite), priority = log2(u)/weight —
     // expression order mirrors Corpus.prioritySample exactly.
-    "corpus_priority_sample" ->
-      s"""WITH s0 AS (SELECT doc_id, source, lang,
-         |  CAST(CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 0.9
-         |    WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.5
-         |    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 0.25
-         |    ELSE 0.1 END AS DOUBLE) AS weight,
-         |  (('0x' || substr(md5('ares:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT * 2 + 1)
-         |    / CAST(536870912 AS DOUBLE) AS u
-         |FROM documents),
-         |s AS (SELECT doc_id, source, lang, weight,
-         |  CAST(floor(log2(u) / weight * 1000000 + 0.5) AS BIGINT) AS priority_micro FROM s0),
-         |t AS (SELECT * FROM s ORDER BY priority_micro DESC, doc_id LIMIT 25)
-         |SELECT CAST(row_number() OVER (ORDER BY priority_micro DESC, doc_id) AS BIGINT) AS rank,
-         |  doc_id, source, lang, weight, priority_micro
-         |FROM t ORDER BY rank""".stripMargin,
+    "corpus_priority_sample" -> prioritySampleSql,
+    // reservoir continuation: merged top-n ≡ one-shot, stated literally
+    "corpus_priority_sample_incremental" -> prioritySampleSql,
 
     // Single-window statement of the cap; the Spark side's two-phase
     // salted form is provably identical (Corpus.capPerSource scaladoc).

@@ -950,6 +950,31 @@ object Corpus {
       .orderBy("rank")
   }
 
+  /** Incremental A-Res continuation: the reservoir property that makes
+    * priority sampling streamable — because each doc's priority is a
+    * pure per-doc function, top-n(A ∪ B) = top-n(top-n(A) ∪ top-n(B)),
+    * so the carried state is just the CURRENT n winners (n short rows,
+    * bounded regardless of corpus size) and absorbing a batch is the
+    * batch's own top-n followed by an n+n-row merge. Result is
+    * provably BIT-identical to the one-shot [[prioritySample]] over
+    * everything ever arrived — the oracle states the one-shot
+    * literally. Steady-state cost per ingestion tick = one map scan of
+    * the batch + a 2n-row sort; never a corpus rescan.
+    */
+  def prioritySampleIncremental(batch: DataFrame, state: DataFrame,
+                                n: Int = 25): DataFrame = {
+    val cols = Seq("doc_id", "source", "lang", "weight", "priority_micro")
+    val batchTop = prioritySample(batch, n).select(cols.map(col): _*)
+    val merged = state.select(cols.map(col): _*)
+      .unionByName(batchTop)
+      .orderBy(col("priority_micro").desc, col("doc_id"))
+      .limit(n)
+    val w = Window.orderBy(col("priority_micro").desc, col("doc_id"))
+    merged.withColumn("rank", row_number().over(w).cast(LongType))
+      .select("rank", "doc_id", "source", "lang", "weight", "priority_micro")
+      .orderBy("rank")
+  }
+
   /** Per-source document cap: keep at most `cap` documents per source,
     * by (n_chars desc, doc_id) priority — the domain-cap stage every
     * web-scale corpus build runs (one crawl dump must not dominate the

@@ -668,6 +668,22 @@ class CorpusSpec extends AnyFunSuite {
       s"selected mean weight $selMean <= corpus mean $corpusMean")
   }
 
+  test("priority sample continuation: any split, any chaining, bit-equal to one-shot") {
+    val oneShot = Corpus.prioritySample(docs, n = 25).collect().map(_.toSeq).toSeq
+    // odd/even split
+    val a = Corpus.prioritySample(docs.filter(col("doc_id") % 2 === 0), 25)
+    val r1 = Corpus.prioritySampleIncremental(
+      docs.filter(col("doc_id") % 2 =!= 0), a, 25).collect().map(_.toSeq).toSeq
+    assert(r1 === oneShot)
+    // unbalanced head/tail split chained over THREE increments
+    val s1 = Corpus.prioritySample(docs.filter(col("doc_id") < 50), 25)
+    val s2 = Corpus.prioritySampleIncremental(
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 90), s1, 25)
+    val r2 = Corpus.prioritySampleIncremental(
+      docs.filter(col("doc_id") >= 90), s2, 25).collect().map(_.toSeq).toSeq
+    assert(r2 === oneShot)
+  }
+
   test("priority sample: n >= corpus returns every doc exactly once") {
     val total = docs.count().toInt
     val all = Corpus.prioritySample(docs, n = total + 10).collect()
