@@ -761,6 +761,46 @@ object EventStream {
         graft.operators.Corpus.sampleKey("sample:", col("doc_id")).as("sample_key"))
       .filter(col("sample_key") < col("weight"))
 
+  /** Streaming twin of Corpus.prioritySample — with [[covarianceStream]]
+    * in the STRONGEST twin equivalence class: A-Res priorities are pure
+    * per-doc functions, so top-n(A∪B) = top-n(top-n(A) ∪ top-n(B)) and
+    * the n-row reservoir IS the complete carried state (n short rows,
+    * bounded regardless of how much ever arrives). Every trigger's
+    * published snapshot is BIT-identical to the one-shot sample over
+    * everything arrived so far — no online drift, no reconcile pass
+    * exists because none is needed. Per-trigger cost = one map scan of
+    * the batch + a 2n-row merge (Corpus.prioritySampleIncremental).
+    * Same versioned replay-idempotent state, stable checkpoint,
+    * pruning and block-release discipline as the rest of the family.
+    */
+  def reservoirStream(spark: SparkSession, dir: String, sinkPath: String,
+                      n: Int = 25,
+                      splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    documentsStream(spark, dir, splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch.drop("ingest_ts")
+        val prev = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(Long, String, String, Double, Long)]
+            .toDF("doc_id", "source", "lang", "weight", "priority_micro"))
+        val merged = graft.operators.Corpus
+          .prioritySampleIncremental(docs, prev, n)
+          .localCheckpoint(eager = true)
+        // the reservoir is simultaneously the published snapshot and
+        // the carried state — one frame, two versioned landings
+        graft.sources.Loader.truncateAndLoad(merged, s"$sinkPath/batch_$batchId")
+        graft.sources.Loader.truncateAndLoad(merged, s"$stateDir/upto_$batchId")
+        releaseCheckpoints(merged)
+        pruneStateBefore(spark, stateDir, batchId - 1)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming context-window pack planner — twin of Corpus.packPlan.
     * Carried state per language is ONE counter (the running token
     * total, versioned tiny parquet next to the sink), so a stream can

@@ -397,6 +397,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(fin.count() === 64L * 65 / 2)
   }
 
+  test("streaming reservoir: every trigger's snapshot is BIT-identical to its one-shot prefix") {
+    val sink = Files.createTempDirectory("graft_resstream").toString + "/reservoir"
+    val q = EventStream.reservoirStream(spark, sf, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val docs = Tables.documents(spark, sf)
+    // strongest twin contract (the covariance class): the trigger-1
+    // snapshot equals the one-shot sample over the prefix, the final
+    // snapshot the one-shot over everything — bit-for-bit
+    val mid = spark.read.parquet(s"$sink/${batches.head}")
+    val midShot = graft.operators.Corpus
+      .prioritySample(docs.filter(col("doc_id") < 250))
+    assert(mid.exceptAll(midShot).count() === 0)
+    assert(midShot.exceptAll(mid).count() === 0)
+    val fin = spark.read.parquet(s"$sink/${batches.last}")
+    val oneShot = graft.operators.Corpus.prioritySample(docs)
+    assert(fin.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(fin).count() === 0)
+    assert(fin.count() === 25L)
+  }
+
   test("streaming budget selection: single trigger equals one-shot; two-trigger reconcile settles") {
     val sink1 = Files.createTempDirectory("graft_budgetstream")
       .toString + "/selected"
