@@ -357,6 +357,7 @@ object SparkEntry {
     "corpus_report" -> ((s, d) => Corpus.report(t(s, d, "documents"))),
     "tfidf_top_terms" -> ((s, d) => Corpus.tfidfTopTerms(t(s, d, "documents"))),
     "bm25_top_docs" -> ((s, d) => Corpus.bm25TopDocs(t(s, d, "documents"))),
+    "bm25_batch" -> ((s, d) => Corpus.bm25Batch(t(s, d, "documents"))),
     "corpus_zipf_slope" -> ((s, d) => Corpus.zipfSlope(t(s, d, "documents"))),
     "source_overlap" -> ((s, d) => Corpus.sourceOverlap(t(s, d, "documents"))),
     "cap_per_source" -> ((s, d) => Corpus.capPerSource(t(s, d, "documents"))),
@@ -3469,6 +3470,36 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
          |  doc_id, n_terms_matched, score_micro
          |FROM s ORDER BY rank""".stripMargin,
+
+    // Multi-query BM25 sharing one tf/df pass; identical arithmetic to
+    // bm25_top_docs, query-term table inlined as VALUES.
+    "bm25_batch" ->
+      s"""WITH q(query_id, term) AS (VALUES (CAST(0 AS BIGINT), 'hash'), (0, 'join'),
+         |  (1, 'merge'), (1, 'sort'), (2, 'vector'), (2, 'scan'), (2, 'filter')),
+         |t AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(string_split(nt, ' ')) AS BIGINT) AS dl FROM t),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |e AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM t),
+         |m AS (SELECT doc_id, term FROM e WHERE term IN (SELECT DISTINCT term FROM q)),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM m GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |c AS (SELECT q.query_id, tf.doc_id,
+         |  CAST(floor(
+         |    log2((2.0 * n_docs - 2.0 * df + 1.0) / (2.0 * df + 1.0) + 1.0)
+         |    * ((CAST(tf AS DOUBLE) * 2.2)
+         |       / (CAST(tf AS DOUBLE) + 0.3 + 0.9 * (CAST(dl.dl * n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS contrib_micro
+         |FROM tf JOIN df USING (term) JOIN q USING (term)
+         |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot),
+         |s AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+         |  CAST(sum(contrib_micro) AS BIGINT) AS score_micro
+         |FROM c GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, n_terms_matched, score_micro,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+         |FROM s)
+         |SELECT query_id, rank, doc_id, n_terms_matched, score_micro FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // Zipf fit: integer micro-log x/y, exact LONG regression sums,
     // slope/intercept each one deterministic division — see

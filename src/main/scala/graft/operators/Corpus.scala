@@ -817,6 +817,67 @@ object Corpus {
       .orderBy("rank")
   }
 
+  /** Multi-query BM25 in ONE corpus pass — the production retrieval
+    * shape: a whole eval-query set ranked at once, sharing a single
+    * tf/df computation instead of one scan per query (what
+    * [[bm25TopDocs]] would cost run q times). The token stream is
+    * filtered once to the UNION of all query terms, the per-(doc,term)
+    * tf and per-term df aggregates are computed once, and the
+    * query-term table (broadcast — query sets are config-sized) fans
+    * each scored term out to the queries that contain it.
+    *
+    * Determinism: identical arithmetic to [[bm25TopDocs]] (exact
+    * integer inputs, micro-quantization before the Long sum). The
+    * per-query top-k runs as a window partitioned by query_id — safe
+    * at 100 TB because Spark's WindowGroupLimit pushdown prefilters
+    * every partition to its local top-k BEFORE the exchange, so the
+    * shuffle carries ≤ k rows per (input partition × query), never
+    * the full scored set (the knn-family top-k discipline).
+    */
+  def bm25Batch(documents: DataFrame,
+                queries: Seq[(Long, Seq[String])] = Seq(
+                  0L -> Seq("hash", "join"),
+                  1L -> Seq("merge", "sort"),
+                  2L -> Seq("vector", "scan", "filter")),
+                k: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val qdf = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val toks = split(lower(trim(col("text"))), " ")
+    val matched = documents
+      .select(col("doc_id"), size(toks).cast(LongType).as("dl"),
+        explode(toks).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+    val tf = matched.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = documents
+      .select(size(toks).cast(LongType).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val idf = log2(
+      (lit(2.0) * col("n_docs").cast("double") - lit(2.0) * col("df").cast("double") + lit(1.0)) /
+        (lit(2.0) * col("df").cast("double") + lit(1.0)) + lit(1.0))
+    val ratio = (col("dl") * col("n_docs")).cast("double") / col("sum_dl").cast("double")
+    val tfp = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(0.3) + lit(0.9) * ratio)
+    val contrib = floor(idf * tfp * lit(1e6) + lit(0.5)).cast(LongType)
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(qdf), Seq("term")) // fan out to owning queries
+      .crossJoin(broadcast(totals)) // 1-row scalar
+      .select(col("query_id"), col("doc_id"), contrib.as("contrib_micro"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(col("contrib_micro")).as("score_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "n_terms_matched", "score_micro")
+      .orderBy("query_id", "rank")
+  }
+
   /** Zipf rank–frequency fit per language: rank the vocabulary by
     * frequency, then least-squares-fit log2(freq) against log2(rank)
     * over the top `vTop` terms. The slope (≈ −1 for natural text,

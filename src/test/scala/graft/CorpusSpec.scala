@@ -608,6 +608,36 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 batch: singleton query set ≡ the single-query operator bit-for-bit") {
+    val single = Corpus.bm25TopDocs(docs, Seq("hash", "join", "merge"), 20)
+      .collect().map(_.toSeq).toSeq
+    val batch = Corpus.bm25Batch(docs,
+        Seq(7L -> Seq("hash", "join", "merge")), k = 20).collect()
+    assert(batch.forall(_.getLong(0) === 7L))
+    // same (rank, doc_id, n_terms_matched, score_micro) in the same order
+    assert(batch.map(r => Seq(r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSeq === single)
+  }
+
+  test("bm25 batch: per-query ranks dense; scored docs contain that query's terms") {
+    val r = Corpus.bm25Batch(docs).collect()
+    val byQ = r.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to rows.length.toLong))
+    }
+    // spot-check containment for query 1 = {merge, sort}
+    val q1docs = r.filter(_.getLong(0) === 1L).map(_.getLong(2)).toSet
+    val texts = docs.filter(col("doc_id").isin(q1docs.toSeq: _*))
+      .select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    q1docs.foreach { id =>
+      val toks = texts(id).toLowerCase.trim.split(" ").toSet
+      assert(toks.contains("merge") || toks.contains("sort"),
+        s"doc $id scored for query 1 without its terms")
+    }
+  }
+
   test("bm25: determinism — two runs produce identical micro scores") {
     val a = Corpus.bm25TopDocs(docs).collect().toSeq
     val b = Corpus.bm25TopDocs(docs).collect().toSeq

@@ -72,6 +72,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.piiScrub(docs).count() === 0)
     assert(Corpus.tfidfTopTerms(docs).count() === 0)
     assert(Corpus.bm25TopDocs(docs).count() === 0)
+    assert(Corpus.bm25Batch(docs).count() === 0)
     assert(Corpus.prioritySample(docs).count() === 0)
     assert(Corpus.zipfSlope(docs).count() === 0)
     assert(Corpus.sourceOverlap(docs).count() === 0)

@@ -136,6 +136,12 @@ class PlanShapeSpec extends AnyFunSuite {
         "agg, its re-planned df branch + tiny term df agg, the " +
         "doc-score rollup, and the 1-row N/Σdl scalar; the one " +
         "window ranks AFTER TakeOrdered (k rows)"),
+    ("bm25_batch", Shape(7, 2, 0, 3),
+      "one shared tf/df pass for the whole query set (tf re-planned " +
+        "for the df branch — the bm25_top_docs trade-off); df and the " +
+        "query-term table broadcast; 'window' 3 = 1 per-query rank " +
+        "Window + 2 WindowGroupLimit pushdowns bounding the exchange " +
+        "to local top-k"),
     ("corpus_zipf_slope", Shape(3, 0, 0, 3),
       "one corpus-sized (lang,term) agg; rank window + 2 " +
         "WindowGroupLimit pushdowns run over the VOCABULARY, and the " +
@@ -177,6 +183,7 @@ class PlanShapeSpec extends AnyFunSuite {
         "ReuseExchange collapses them at runtime)")),
     "tfidf_top_terms" -> ((1, "1-row n_docs count-distinct scalar")),
     "bm25_top_docs" -> ((1, "1-row N/Σdl corpus-scalar final stage")),
+    "bm25_batch" -> ((1, "1-row N/Σdl corpus-scalar final stage")),
     "doc_unigram_logloss" -> ((1, "1-row Σfreq vocabulary-total scalar")),
     "table_profile_orders" -> ((1,
       "the profile IS a one-row global aggregate — its final stage")),
