@@ -229,6 +229,19 @@ object SparkEntry {
     }),
     "corpus_funnel" -> ((s, d) => TextOps.corpusFunnel(t(s, d, "documents"))),
     "corpus_vocabulary" -> ((s, d) => TextOps.vocabulary(t(s, d, "documents"))),
+    "corpus_vocab_hll" -> ((s, d) => TextOps.vocabHll(t(s, d, "documents"))),
+    // register-merge continuation (exactly associative MAX state): the
+    // even-id corpus's registers absorb the odd-id batch's; the merged
+    // summary must BIT-equal the one-shot estimate — oracle restates
+    // the one-shot minus the n_exact column (the sketch's reason to
+    // exist is NOT carrying the exact count in steady state)
+    "corpus_vocab_hll_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      TextOps.vocabHllFromRegisters(TextOps.mergeHllRegisters(
+        TextOps.vocabHllRegisters(docs.filter(col("doc_id") % 2 === 0)),
+        TextOps.vocabHllRegisters(docs.filter(col("doc_id") % 2 =!= 0))))
+    }),
     // sketch-based heavy hitters: no oracle (DataSketches internals are
     // engine-specific) — rows-only check; exactness on the fixture is
     // spec'd against the exact top-N instead
@@ -871,6 +884,38 @@ object SparkEntry {
   // score bucket down, bucket-grain, pure integer logic over the same
   // micro-unit scores as quality_gate_relative. A lang whose top
   // bucket alone overshoots has no threshold row -> kept = false.
+  // HLL summary over the md5-derived register table; the incremental
+  // entry reuses the same chain without the exact-count column (its
+  // state deliberately never carries exact counts). Bit-length via
+  // length(bin(x)) — pure integer/string, no float rounding anywhere
+  // in the registers; the published estimate micro-quantizes the one
+  // log the linear-counting branch takes.
+  private def vocabHllSql(withExact: Boolean): String = {
+    val exactCol = if (withExact)
+      ",\n  (SELECT CAST(count(DISTINCT token) AS BIGINT) FROM tk) AS n_exact"
+    else ""
+    s"""WITH tk AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+       |  FROM documents),
+       |h AS (SELECT (('0x' || substr(md5(token), 1, 15))::BIGINT) AS h FROM tk),
+       |br AS (SELECT h >> 52 AS bucket, h & 4503599627370495 AS rem FROM h),
+       |rk AS (SELECT bucket,
+       |  CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END AS rank FROM br),
+       |reg AS (SELECT bucket, CAST(max(rank) AS BIGINT) AS max_rank FROM rk GROUP BY 1),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nonzero,
+       |  CAST(sum(9007199254740992 >> CAST(max_rank AS INT)) AS BIGINT) AS d_obs FROM reg),
+       |d AS (SELECT CAST(256 AS BIGINT) AS m, n_nonzero,
+       |  coalesce(d_obs, 0) + (256 - n_nonzero) * 9007199254740992 AS denom_scaled FROM agg),
+       |e AS (SELECT m, n_nonzero, denom_scaled,
+       |  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+       |    / CAST(denom_scaled AS DOUBLE) AS raw
+       |FROM d)
+       |SELECT m, n_nonzero, denom_scaled,
+       |  CAST(floor((CASE WHEN (256 - n_nonzero) > 0 AND raw <= 640.0
+       |    THEN 256.0 * log2(256.0 / CAST(256 - n_nonzero AS DOUBLE)) * 0.6931471805599453
+       |    ELSE raw END) * 1000000.0 + 0.5) AS BIGINT) AS est_micro$exactCol
+       |FROM e""".stripMargin
+  }
+
   // One-shot A-Res priority sample — shared by corpus_priority_sample
   // and its incremental entry (reservoir merge associativity means the
   // continuation must produce byte-identical output).
@@ -3570,6 +3615,9 @@ object SparkEntry {
     // A-Res weighted priority sample: u strictly inside (0,1) via
     // (2·hi28+1)/2^29 (log2 stays finite), priority = log2(u)/weight —
     // expression order mirrors Corpus.prioritySample exactly.
+    "corpus_vocab_hll" -> vocabHllSql(withExact = true),
+    "corpus_vocab_hll_incremental" -> vocabHllSql(withExact = false),
+
     "corpus_priority_sample" -> prioritySampleSql,
     // reservoir continuation: merged top-n ≡ one-shot, stated literally
     "corpus_priority_sample_incremental" -> prioritySampleSql,

@@ -653,6 +653,88 @@ object TextOps {
       .select(col("e.item").as("token"), col("e.count").as("approx_freq"))
       .orderBy(col("approx_freq").desc, col("token"))
 
+  /** HyperLogLog register table over the token stream (Flajolet et
+    * al. 2007) — the ENGINE-REPRODUCIBLE cardinality sketch beside
+    * [[vocabularyApprox]]'s opaque DataSketches one: hashes are
+    * md5-derived (the count-min/LSH engine-free-randomness
+    * convention, so the oracle embeds the identical hash family),
+    * bucket = top 8 of the 60-bit hash, and the leading-zero rank is
+    * computed EXACTLY as 53 − length(bin(low52)) — a pure
+    * integer/string path with no floating-point anywhere, where a
+    * log2-based bit-length could misround a boundary differently per
+    * engine. Registers are MAX-mergeable (exactly associative — the
+    * covariance-term state class: across partitions, batches, days,
+    * streaming triggers); only NON-EMPTY buckets are materialized
+    * (≤256 rows regardless of corpus size — absent rows merge as the
+    * implicit 0 and the summary reconstructs them in closed form).
+    * Shuffle shape: one map-side-combined ≤256-rows-per-partition
+    * aggregate — nothing corpus-sized ever crosses the wire.
+    */
+  def vocabHllRegisters(documents: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10)
+      .cast(LongType)
+    documents.select(explode(toks).as("token"))
+      .select(shiftright(h, 52).as("bucket"),
+        h.bitwiseAND(lit(4503599627370495L)).as("rem"))
+      .select(col("bucket"),
+        when(col("rem") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("rem")))).cast(LongType).as("rank"))
+      .groupBy("bucket").agg(max(col("rank")).as("max_rank"))
+      .orderBy("bucket")
+  }
+
+  /** Merge two HLL register tables — cell-wise MAX, exactly
+    * associative, the incremental/streaming continuation primitive
+    * (absent buckets are implicit 0s, so a plain union+max is the
+    * complete merge).
+    */
+  def mergeHllRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(max(col("max_rank")).as("max_rank"))
+
+  /** HLL estimate from a register table: denominator Σ 2^(53−M_j) is
+    * kept as an EXACT integer (2^(53−M) = 9007199254740992 >> M, Long
+    * sum — order-independent where the textbook float sum of 2^−M is
+    * not; empty buckets contribute the closed-form (m−observed)·2^53),
+    * and the published estimate is micro-quantized because the
+    * small-range linear-counting branch takes a log of a non-integer
+    * ratio (the prioritySample ULP bargain). alpha = 0.7213/(1+1.079/m)
+    * for m=256, raw = α·m²·2^53/denom, linear counting when zero
+    * registers exist and raw ≤ 2.5m — the standard HLL estimator with
+    * every engine-crossing value anchored to exact integers.
+    */
+  def vocabHllFromRegisters(registers: DataFrame): DataFrame = {
+    val denom = (coalesce(col("d_obs"), lit(0L)) +
+      (lit(256L) - col("n_nonzero")) * lit(9007199254740992L))
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(9007199254740992.0) / col("denom_scaled").cast("double")
+    val v = lit(256L) - col("n_nonzero")
+    val est = when(v > 0 && raw <= lit(640.0),
+      lit(256.0) * log2(lit(256.0) / v.cast("double")) * lit(0.6931471805599453))
+      .otherwise(raw)
+    registers
+      .agg(count(lit(1)).as("n_nonzero"),
+        sum(expr("shiftright(CAST(9007199254740992 AS BIGINT), CAST(max_rank AS INT))"))
+          .as("d_obs"))
+      .select(lit(256L).as("m"), col("n_nonzero"), denom.as("denom_scaled"))
+      .select(col("m"), col("n_nonzero"), col("denom_scaled"),
+        floor(est * lit(1e6) + lit(0.5)).cast(LongType).as("est_micro"))
+  }
+
+  /** One-shot HLL vocabulary estimate, published BESIDE the exact
+    * distinct count so the sketch's error profile is measurable on
+    * every run (the events_heavy_hitters convention). The exact count
+    * is the expensive side at 100 TB — the point of the sketch is
+    * that [[vocabHllFromRegisters]] over carried registers replaces
+    * it in steady state (the incremental entry drops n_exact for
+    * exactly that reason).
+    */
+  def vocabHll(documents: DataFrame): DataFrame = {
+    val exact = documents.select(explode(toks).as("token"))
+      .agg(countDistinct(col("token")).as("n_exact"))
+    vocabHllFromRegisters(vocabHllRegisters(documents))
+      .crossJoin(broadcast(exact)) // 1-row scalar
+  }
+
   /** Per-document vocabulary-rarity signal: the mean share of the
     * corpus containing each of the doc's tokens (df/N averaged over
     * tokens). High = boilerplate-heavy vocabulary, low = rare/unusual

@@ -73,6 +73,11 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.tfidfTopTerms(docs).count() === 0)
     assert(Corpus.bm25TopDocs(docs).count() === 0)
     assert(Corpus.bm25Batch(docs).count() === 0)
+    assert(TextOps.vocabHllRegisters(docs).count() === 0)
+    // empty corpus: one summary row, estimate 0 (all-zero registers →
+    // linear counting of V=m → 256·log2(1)·ln2 = 0), exact 0
+    val hll = TextOps.vocabHll(docs).collect()
+    assert(hll.length === 1 && hll(0).getLong(3) === 0L && hll(0).getLong(4) === 0L)
     assert(Corpus.prioritySample(docs).count() === 0)
     assert(Corpus.zipfSlope(docs).count() === 0)
     assert(Corpus.sourceOverlap(docs).count() === 0)

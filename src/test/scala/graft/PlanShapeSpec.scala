@@ -155,6 +155,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "two-phase cap: per-(source,salt) window then candidate-only " +
         "per-source window — no mega-group window over a skewed raw " +
         "source; 6 = 2 rank windows + 4 WindowGroupLimit pushdowns"),
+    ("corpus_vocab_hll", Shape(4, 0, 0, 0),
+      "register aggregate map-side-combines to ≤256 rows/partition; " +
+        "the two scalar finals (register summary + exact distinct) " +
+        "are the audited SinglePartitions; exact joins via broadcast " +
+        "nested-loop 1-row crossJoin (bhj 0 correct)"),
     ("corpus_priority_sample", Shape(0, 0, 0, 1),
       "A-Res weighted top-n: per-row priority map + TakeOrdered — " +
         "ZERO exchanges end to end; the one window ranks the n " +
@@ -184,6 +189,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "tfidf_top_terms" -> ((1, "1-row n_docs count-distinct scalar")),
     "bm25_top_docs" -> ((1, "1-row N/Σdl corpus-scalar final stage")),
     "bm25_batch" -> ((1, "1-row N/Σdl corpus-scalar final stage")),
+    "corpus_vocab_hll" -> ((2,
+      "two 1-row scalar finals: the ≤256-row register summary and " +
+        "the measurability-only exact distinct count (absent from " +
+        "the incremental/steady-state form)")),
     "doc_unigram_logloss" -> ((1, "1-row Σfreq vocabulary-total scalar")),
     "table_profile_orders" -> ((1,
       "the profile IS a one-row global aggregate — its final stage")),

@@ -598,4 +598,48 @@ class TextDedupSpec extends AnyFunSuite {
     val jac = Dedup.jaccardTop(degen).collect()
     assert(jac !== null, "0-union band collision must not throw")
   }
+
+  // ---- HLL vocabulary sketch ------------------------------------------
+
+  private def hllReference(tokens: Seq[String]): Map[Long, Long] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    tokens.map { t =>
+      val h = java.lang.Long.parseLong(md5hex(t).take(15), 16)
+      val bucket = h >>> 52
+      val rem = h & 4503599627370495L
+      val rank = if (rem == 0) 53L
+        else 53L - java.lang.Long.toBinaryString(rem).length
+      bucket -> rank
+    }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+  }
+
+  test("hll registers: bit-exact against an independent driver-side reference") {
+    val tokens = docs.select(explode(split(lower(trim(col("text"))), " ")))
+      .collect().map(_.getString(0)).toSeq
+    val expected = hllReference(tokens)
+    val got = TextOps.vocabHllRegisters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.size <= 256)
+    assert(got.values.forall(r => r >= 1 && r <= 53))
+  }
+
+  test("hll merge: any split's merged registers ≡ one-shot; estimate sane vs exact") {
+    val oneShot = TextOps.vocabHllRegisters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val merged = TextOps.mergeHllRegisters(
+        TextOps.vocabHllRegisters(docs.filter(col("doc_id") % 3 === 0)),
+        TextOps.vocabHllRegisters(docs.filter(col("doc_id") % 3 =!= 0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(merged === oneShot)
+    val s = TextOps.vocabHll(docs).collect()
+    assert(s.length === 1)
+    val (est, exact) = (s(0).getLong(3) / 1e6, s(0).getLong(4).toDouble)
+    assert(exact > 0)
+    // fixture vocab sits in the linear-counting regime: tight accuracy
+    assert(math.abs(est - exact) / exact < 0.25,
+      s"hll estimate $est vs exact $exact out of tolerance")
+  }
 }
