@@ -761,6 +761,44 @@ object EventStream {
         graft.operators.Corpus.sampleKey("sample:", col("doc_id")).as("sample_key"))
       .filter(col("sample_key") < col("weight"))
 
+  /** Streaming vocabulary-cardinality monitor — twin of
+    * TextOps.vocabHll, in the covariance/reservoir STRONGEST
+    * equivalence class: the carried state is the ≤256-row HLL register
+    * table, whose cell-wise MAX merges are exactly associative, so the
+    * estimate snapshot published at every trigger is BIT-identical to
+    * the one-shot sketch over everything arrived (steady state
+    * deliberately carries no exact count — replacing that corpus-wide
+    * countDistinct is the sketch's reason to exist; the one-shot
+    * operator's n_exact column is where the error profile gets
+    * measured). Per-trigger cost = the batch's token map scan + a
+    * ≤512-row merge. Same versioned replay-idempotent state, stable
+    * checkpoint, pruning and block-release discipline as the family.
+    */
+  def vocabHllStream(spark: SparkSession, dir: String, sinkPath: String,
+                     splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    documentsStream(spark, dir, splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch.drop("ingest_ts")
+        val prev = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(Long, Long)].toDF("bucket", "max_rank"))
+        val newRegs = graft.operators.TextOps.mergeHllRegisters(prev,
+            graft.operators.TextOps.vocabHllRegisters(docs))
+          .localCheckpoint(eager = true)
+        val view = graft.operators.TextOps.vocabHllFromRegisters(newRegs)
+        graft.sources.Loader.truncateAndLoad(view, s"$sinkPath/batch_$batchId")
+        graft.sources.Loader.truncateAndLoad(newRegs, s"$stateDir/upto_$batchId")
+        releaseCheckpoints(newRegs, view)
+        pruneStateBefore(spark, stateDir, batchId - 1)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming twin of Corpus.prioritySample — with [[covarianceStream]]
     * in the STRONGEST twin equivalence class: A-Res priorities are pure
     * per-doc functions, so top-n(A∪B) = top-n(top-n(A) ∪ top-n(B)) and

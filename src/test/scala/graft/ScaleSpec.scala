@@ -397,6 +397,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(fin.count() === 64L * 65 / 2)
   }
 
+  test("streaming hll: every trigger's estimate is BIT-identical to its one-shot prefix") {
+    val sink = Files.createTempDirectory("graft_hllstream").toString + "/vocab"
+    val q = EventStream.vocabHllStream(spark, sf, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val docs = Tables.documents(spark, sf)
+    def oneShotNoExact(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.vocabHllFromRegisters(
+        graft.operators.TextOps.vocabHllRegisters(d))
+    val mid = spark.read.parquet(s"$sink/${batches.head}")
+    val midShot = oneShotNoExact(docs.filter(col("doc_id") < 250))
+    assert(mid.exceptAll(midShot).count() === 0)
+    assert(midShot.exceptAll(mid).count() === 0)
+    val fin = spark.read.parquet(s"$sink/${batches.last}")
+    val oneShot = oneShotNoExact(docs)
+    assert(fin.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(fin).count() === 0)
+    assert(fin.count() === 1L)
+  }
+
   test("streaming reservoir: every trigger's snapshot is BIT-identical to its one-shot prefix") {
     val sink = Files.createTempDirectory("graft_resstream").toString + "/reservoir"
     val q = EventStream.reservoirStream(spark, sf, sink, splitAt = Some(250L))
