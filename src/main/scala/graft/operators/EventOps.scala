@@ -396,10 +396,18 @@ object EventOps {
     * oracle states literally (full-corpus cells, batch-key probes).
     */
   def heavyHittersCmsIncremental(corpus: DataFrame, batch: DataFrame,
-      depth: Int = 3, width: Int = 1024, topN: Int = 50): DataFrame = {
-    val cells = mergeCmsCells(cmsCells(corpus, depth, width),
-      cmsCells(batch, depth, width))
-    batch.select(col("user_id")).distinct()
+      depth: Int = 3, width: Int = 1024, topN: Int = 50): DataFrame =
+    probeCmsCells(mergeCmsCells(cmsCells(corpus, depth, width),
+      cmsCells(batch, depth, width)), batch, depth, width, topN)
+
+  /** Probe a materialized cell table with a key set — the shared tail
+    * of the incremental op and the streaming twin (which carries the
+    * cells as state and must not recompute them): estimate = MIN over
+    * the key's depth cells, top-N by (est desc, key).
+    */
+  def probeCmsCells(cells: DataFrame, keys: DataFrame,
+      depth: Int = 3, width: Int = 1024, topN: Int = 50): DataFrame =
+    keys.select(col("user_id")).distinct()
       .select(col("user_id"),
         explode(array(cmsBuckets(col("user_id"), depth, width): _*)).as("p"))
       .join(broadcast(cells), col("p.i") === col("i") && col("p.b") === col("b"))
@@ -407,5 +415,4 @@ object EventOps {
       .agg(min(col("cnt")).as("cms_est"))
       .orderBy(col("cms_est").desc, col("user_id"))
       .limit(topN)
-  }
 }

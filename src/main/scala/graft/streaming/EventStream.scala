@@ -761,6 +761,43 @@ object EventStream {
         graft.operators.Corpus.sampleKey("sample:", col("doc_id")).as("sample_key"))
       .filter(col("sample_key") < col("weight"))
 
+  /** Streaming heavy-hitter monitor — twin of
+    * EventOps.heavyHittersCmsIncremental over a live event feed: the
+    * carried state is the ≤ depth·width count-min cell table, whose
+    * cell-wise Long-SUM merges are exactly associative, so the state
+    * after any trigger is BIT-identical to the one-shot cmsCells over
+    * every event arrived; each trigger publishes the incremental
+    * contract's output — THIS batch's keys ranked against full
+    * history (carrying per-key exacts would defeat the sketch; the
+    * batch-key restriction is the documented probe semantics).
+    * Per-trigger cost = the batch's bucket map scan + a ≤ 2·3072-row
+    * merge + a batch-key probe against the broadcast cells.
+    */
+  def heavyHittersStream(spark: SparkSession, dir: String, sinkPath: String,
+                         splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    tableStream(spark, dir, "events", "event_id", splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ev = batch.drop("ingest_ts")
+        val prev = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(Long, Long, Long)].toDF("i", "b", "cnt"))
+        val newCells = graft.operators.EventOps.mergeCmsCells(prev,
+            graft.operators.EventOps.cmsCells(ev))
+          .localCheckpoint(eager = true)
+        val probed = graft.operators.EventOps.probeCmsCells(newCells, ev)
+        graft.sources.Loader.truncateAndLoad(probed, s"$sinkPath/batch_$batchId")
+        graft.sources.Loader.truncateAndLoad(newCells, s"$stateDir/upto_$batchId")
+        releaseCheckpoints(newCells)
+        pruneStateBefore(spark, stateDir, batchId - 1)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming vocabulary-cardinality monitor — twin of
     * TextOps.vocabHll, in the covariance/reservoir STRONGEST
     * equivalence class: the carried state is the ≤256-row HLL register

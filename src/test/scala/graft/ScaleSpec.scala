@@ -397,6 +397,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(fin.count() === 64L * 65 / 2)
   }
 
+  test("streaming heavy hitters: cells state ≡ one-shot; probe ≡ incremental contract") {
+    val sink = Files.createTempDirectory("graft_cmsstream").toString + "/hh"
+    val q = EventStream.heavyHittersStream(spark, sf, sink, splitAt = Some(500L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val ev = Tables.events(spark, sf)
+    // the carried cell table after the final trigger is BIT-identical
+    // to the one-shot sketch over every event arrived (sum-merge
+    // associativity — the covariance-class state contract). Read only
+    // the LATEST version — pruning deliberately keeps one superseded
+    // upto_* behind for replay safety.
+    val latestUpto = new java.io.File(s"$sink.state").listFiles()
+      .map(_.getName).filter(_.startsWith("upto_"))
+      .maxBy(_.stripPrefix("upto_").toLong)
+    val state = spark.read.parquet(s"$sink.state/$latestUpto")
+    val oneShotCells = graft.operators.EventOps.cmsCells(ev)
+    assert(state.exceptAll(oneShotCells).count() === 0)
+    assert(oneShotCells.exceptAll(state).count() === 0)
+    // trigger 2's published ranking equals the batch-staged incremental
+    // operator over the same prefix/batch split
+    val t2 = spark.read.parquet(s"$sink/${batches.last}")
+    val expected = graft.operators.EventOps.heavyHittersCmsIncremental(
+      ev.filter(col("event_id") < 500), ev.filter(col("event_id") >= 500))
+    assert(t2.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(t2).count() === 0)
+    assert(t2.count() > 0)
+  }
+
   test("streaming hll: every trigger's estimate is BIT-identical to its one-shot prefix") {
     val sink = Files.createTempDirectory("graft_hllstream").toString + "/vocab"
     val q = EventStream.vocabHllStream(spark, sf, sink, splitAt = Some(250L))
