@@ -165,6 +165,7 @@ object SparkEntry {
     "events_new_returning" -> ((s, d) => EventOps.newVsReturning(Tables.events(s, d))),
     "events_sliding" -> ((s, d) => EventOps.slidingActivity(Tables.events(s, d))),
     "events_dau_wau" -> ((s, d) => EventOps.dauWau(Tables.events(s, d))),
+    "events_dau_hll" -> ((s, d) => EventOps.dauHll(Tables.events(s, d))),
     "events_transitions" -> ((s, d) => EventOps.typeTransitions(Tables.events(s, d))),
     "asof_join_events_orders" -> ((s, d) =>
       EventOps.asofJoinEventsOrders(Tables.events(s, d), t(s, d, "orders"))),
@@ -1188,6 +1189,34 @@ object SparkEntry {
         |  count(*) AS n_transitions
         |FROM t WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    // Grouped HLL: same register/estimator chain as corpus_vocab_hll
+    // keyed by day, exact DAU beside it for the error profile.
+    "events_dau_hll" ->
+      """WITH h AS (SELECT CAST(ts AS DATE) AS day,
+        |  (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) AS h FROM events),
+        |br AS (SELECT day, h >> 52 AS bucket, h & 4503599627370495 AS rem FROM h),
+        |rk AS (SELECT day, bucket,
+        |  CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END AS rank FROM br),
+        |reg AS (SELECT day, bucket, CAST(max(rank) AS BIGINT) AS max_rank
+        |  FROM rk GROUP BY 1, 2),
+        |agg AS (SELECT day, CAST(count(*) AS BIGINT) AS n_nonzero,
+        |  CAST(sum(9007199254740992 >> CAST(max_rank AS INT)) AS BIGINT) AS d_obs
+        |FROM reg GROUP BY 1),
+        |d AS (SELECT day, n_nonzero,
+        |  coalesce(d_obs, 0) + (256 - n_nonzero) * 9007199254740992 AS denom_scaled FROM agg),
+        |e AS (SELECT day, n_nonzero, denom_scaled,
+        |  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+        |    / CAST(denom_scaled AS DOUBLE) AS raw
+        |FROM d),
+        |x AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events GROUP BY 1)
+        |SELECT e.day, n_nonzero, denom_scaled,
+        |  CAST(floor((CASE WHEN (256 - n_nonzero) > 0 AND raw <= 640.0
+        |    THEN 256.0 * log2(256.0 / CAST(256 - n_nonzero AS DOUBLE)) * 0.6931471805599453
+        |    ELSE raw END) * 1000000.0 + 0.5) AS BIGINT) AS est_micro,
+        |  n_exact
+        |FROM e JOIN x ON e.day = x.day ORDER BY e.day""".stripMargin,
 
     "events_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),

@@ -400,6 +400,43 @@ object EventOps {
     probeCmsCells(mergeCmsCells(cmsCells(corpus, depth, width),
       cmsCells(batch, depth, width)), batch, depth, width, topN)
 
+  /** Per-day distinct-user estimate via GROUPED HyperLogLog — the
+    * warehouse shape of [[graft.operators.TextOps.vocabHllRegisters]]:
+    * one register table PER GROUP (day, bucket, max_rank — ≤256 short
+    * rows per day regardless of traffic), so a year of 100 TB event
+    * logs keeps per-day distinct counts in ~93k state rows where the
+    * exact form ([[dauWau]]) shuffles every distinct (day, user) pair.
+    * Hashing, rank, denominator, and the micro-quantized estimator are
+    * the IDENTICAL shared expressions of the corpus sketch (TextOps
+    * .hllEstMicro — one arithmetic, every oracle mirrors it once); the
+    * exact count is published beside the estimate for the error
+    * profile (the one-shot-measurability convention; a steady-state
+    * monitor carries registers only and drops it).
+    */
+  def dauHll(events: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val regs = events
+      .select(to_date(col("ts")).as("day"), shiftright(h, 52).as("bucket"),
+        h.bitwiseAND(lit(4503599627370495L)).as("rem"))
+      .select(col("day"), col("bucket"),
+        when(col("rem") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("rem")))).cast("long").as("rank"))
+      .groupBy("day", "bucket").agg(max(col("rank")).as("max_rank"))
+    val exact = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    regs.groupBy("day")
+      .agg(count(lit(1)).as("n_nonzero"), graft.operators.TextOps.hllDObs)
+      .select(col("day"), col("n_nonzero"),
+        graft.operators.TextOps.hllDenomScaled.as("denom_scaled"))
+      .select(col("day"), col("n_nonzero"), col("denom_scaled"),
+        graft.operators.TextOps.hllEstMicro(col("n_nonzero"), col("denom_scaled"))
+          .as("est_micro"))
+      .join(exact, Seq("day"))
+      .orderBy("day")
+  }
+
   /** Probe a materialized cell table with a key set — the shared tail
     * of the incremental op and the streaming twin (which carries the
     * cells as state and must not recompute them): estimate = MIN over

@@ -702,23 +702,39 @@ object TextOps {
     * registers exist and raw ≤ 2.5m — the standard HLL estimator with
     * every engine-crossing value anchored to exact integers.
     */
-  def vocabHllFromRegisters(registers: DataFrame): DataFrame = {
-    val denom = (coalesce(col("d_obs"), lit(0L)) +
-      (lit(256L) - col("n_nonzero")) * lit(9007199254740992L))
+  /** Closed-form denominator reconstruction from non-empty buckets
+    * only: Σ_observed 2^(53−M) plus (m − observed)·2^53 for the
+    * implicit empties — exact Long arithmetic throughout.
+    */
+  private[operators] def hllDenomScaled: Column =
+    coalesce(col("d_obs"), lit(0L)) +
+      (lit(256L) - col("n_nonzero")) * lit(9007199254740992L)
+
+  /** The HLL estimator as a Column over (n_nonzero, denom_scaled) —
+    * shared by the corpus-wide summary and the grouped (per-day)
+    * variants so every caller publishes the IDENTICAL micro-quantized
+    * arithmetic the oracles mirror.
+    */
+  private[operators] def hllEstMicro(nNonzero: Column, denomScaled: Column): Column = {
     val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-      lit(65536.0) * lit(9007199254740992.0) / col("denom_scaled").cast("double")
-    val v = lit(256L) - col("n_nonzero")
+      lit(65536.0) * lit(9007199254740992.0) / denomScaled.cast("double")
+    val v = lit(256L) - nNonzero
     val est = when(v > 0 && raw <= lit(640.0),
       lit(256.0) * log2(lit(256.0) / v.cast("double")) * lit(0.6931471805599453))
       .otherwise(raw)
-    registers
-      .agg(count(lit(1)).as("n_nonzero"),
-        sum(expr("shiftright(CAST(9007199254740992 AS BIGINT), CAST(max_rank AS INT))"))
-          .as("d_obs"))
-      .select(lit(256L).as("m"), col("n_nonzero"), denom.as("denom_scaled"))
-      .select(col("m"), col("n_nonzero"), col("denom_scaled"),
-        floor(est * lit(1e6) + lit(0.5)).cast(LongType).as("est_micro"))
+    floor(est * lit(1e6) + lit(0.5)).cast(LongType)
   }
+
+  private[operators] val hllDObs: Column =
+    sum(expr("shiftright(CAST(9007199254740992 AS BIGINT), CAST(max_rank AS INT))"))
+      .as("d_obs")
+
+  def vocabHllFromRegisters(registers: DataFrame): DataFrame =
+    registers
+      .agg(count(lit(1)).as("n_nonzero"), hllDObs)
+      .select(lit(256L).as("m"), col("n_nonzero"), hllDenomScaled.as("denom_scaled"))
+      .select(col("m"), col("n_nonzero"), col("denom_scaled"),
+        hllEstMicro(col("n_nonzero"), col("denom_scaled")).as("est_micro"))
 
   /** One-shot HLL vocabulary estimate, published BESIDE the exact
     * distinct count so the sketch's error profile is measurable on

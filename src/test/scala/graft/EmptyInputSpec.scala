@@ -126,6 +126,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(EventOps.sessionWindows(ev).count() === 0)
     assert(EventOps.dedupLatest(ev).count() === 0)
     assert(EventOps.heavyHittersCms(ev).count() === 0)
+    assert(EventOps.dauHll(ev).count() === 0)
     assert(EventOps.newVsReturning(ev).count() === 0)
     assert(EventOps.slidingActivity(ev).count() === 0)
   }

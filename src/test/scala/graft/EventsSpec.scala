@@ -218,4 +218,20 @@ class EventsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(closedBatch).count() === 0)
     assert(closedBatch.exceptAll(streamed).count() === 0)
   }
+
+  test("grouped dau hll: exact column matches dauWau; estimate within sketch error") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val hll = graft.operators.EventOps.dauHll(ev).collect()
+    assert(hll.nonEmpty)
+    val dau = graft.operators.EventOps.dauWau(ev).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    hll.foreach { r =>
+      val (day, est, exact) = (r.getDate(0).toString,
+        r.getLong(3) / 1e6, r.getLong(4))
+      assert(exact === dau(day), s"$day exact DAU disagrees with dauWau")
+      // m=256 HLL: σ ≈ 1.04/√256 ≈ 6.5%; 30% is > 4σ headroom
+      assert(math.abs(est - exact) / exact < 0.30,
+        s"$day estimate $est vs exact $exact out of tolerance")
+    }
+  }
 }
