@@ -112,6 +112,7 @@ object SparkEntry {
       Analytics.topCustomers(t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"))),
     "window_topk_per_brand" -> ((s, d) => Analytics.topkPerBrand(t(s, d, "part"))),
     "running_monthly_revenue" -> ((s, d) => Analytics.runningMonthlyRevenue(t(s, d, "orders"))),
+    "cohort_retention" -> ((s, d) => Analytics.cohortRetention(t(s, d, "orders"))),
     "rollup_sales" -> ((s, d) => Analytics.rollupSales(t(s, d, "orders"))),
     "pivot_status_priority" -> ((s, d) => Analytics.pivotStatusPriority(t(s, d, "orders"))),
     "order_value_percentiles" -> ((s, d) => Analytics.orderValuePercentiles(t(s, d, "orders"))),
@@ -1962,6 +1963,29 @@ object SparkEntry {
         |SELECT month, n_orders, CAST(rev AS DOUBLE) AS revenue,
         |  CAST(SUM(rev) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_revenue
         |FROM m ORDER BY month""".stripMargin,
+
+    // months_since is pure integer year/month arithmetic on both
+    // sides — no engine month-diff semantics involved.
+    "cohort_retention" ->
+      """WITH f AS (SELECT o_custkey,
+        |  min(date_trunc('month', CAST(o_orderdate AS DATE))) AS cohort_month
+        |FROM orders GROUP BY 1),
+        |cs AS (SELECT cohort_month, CAST(count(DISTINCT o_custkey) AS BIGINT) AS cohort_size
+        |  FROM f GROUP BY 1),
+        |o AS (SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS DATE)) AS order_month,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS tp FROM orders),
+        |j AS (SELECT o.o_custkey, f.cohort_month, o.order_month, o.tp,
+        |  CAST((year(o.order_month) * 12 + month(o.order_month))
+        |    - (year(f.cohort_month) * 12 + month(f.cohort_month)) AS BIGINT) AS months_since
+        |FROM o JOIN f ON o.o_custkey = f.o_custkey),
+        |c AS (SELECT cohort_month, months_since,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+        |  CAST(sum(tp) AS DOUBLE) AS revenue
+        |FROM j WHERE months_since < 12 GROUP BY 1, 2)
+        |SELECT c.cohort_month, months_since, cohort_size, n_active,
+        |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention, revenue
+        |FROM c JOIN cs ON c.cohort_month = cs.cohort_month
+        |ORDER BY c.cohort_month, months_since""".stripMargin,
 
     "rollup_sales" ->
       """WITH o AS (SELECT year(CAST(o_orderdate AS DATE)) AS yr, o_orderpriority AS prio,

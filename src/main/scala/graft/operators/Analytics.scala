@@ -107,6 +107,49 @@ object Analytics {
       .orderBy("month")
   }
 
+  /** Cohort retention/LTV matrix: cohort = month of the customer's
+    * FIRST order; cell (cohort_month, months_since) = distinct active
+    * customers, retention share vs cohort size, and exact-decimal
+    * revenue — the acquisition-cohort report every subscription/retail
+    * warehouse publishes. months_since is pure integer year/month
+    * arithmetic (no engine-specific month-diff semantics to drift);
+    * retention is one division of exact longs; revenue is the
+    * shuffle-order-independent DECIMAL sum cast once at the end.
+    *
+    * Scale shape: first-order aggregate keyed on the uniform custkey
+    * (map-side partials), joined back on the same key (AQE may
+    * broadcast the customer-sized side or keep a keyed shuffle join —
+    * either is safe); the cell rollup output is bounded by
+    * months × months, and the cohort-size join is metadata-scale.
+    */
+  def cohortRetention(orders: DataFrame, maxMonths: Int = 12): DataFrame = {
+    val first = orders
+      .groupBy(col("o_custkey"))
+      .agg(min(trunc(to_date(col("o_orderdate")), "month")).as("cohort_month"))
+    val sized = first.groupBy("cohort_month")
+      .agg(countDistinct(col("o_custkey")).as("cohort_size"))
+    val monthsSince =
+      ((year(col("order_month")) * 12 + month(col("order_month"))) -
+        (year(col("cohort_month")) * 12 + month(col("cohort_month")))).cast("long")
+    orders
+      .select(col("o_custkey"),
+        trunc(to_date(col("o_orderdate")), "month").as("order_month"),
+        money(col("o_totalprice")).as("tp"))
+      .join(first, Seq("o_custkey"))
+      .withColumn("months_since", monthsSince)
+      .filter(col("months_since") < maxMonths)
+      .groupBy("cohort_month", "months_since")
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        dbl(sum(col("tp"))).as("revenue"))
+      .join(broadcast(sized), Seq("cohort_month"))
+      .select(col("cohort_month"), col("months_since"), col("cohort_size"),
+        col("n_active"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"),
+        col("revenue"))
+      .orderBy("cohort_month", "months_since")
+  }
+
   /** ROLLUP(year, priority) with sentinel display values (-1 / 'ALL')
     * so ordering is NULL-free and engine-portable.
     */

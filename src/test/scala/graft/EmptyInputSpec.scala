@@ -137,6 +137,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dims.scd2Customer(orders).count() === 0)
     assert(Dims.dimFiscalPeriod(orders).count() === 0, "empty span → no periods")
     assert(Facts.factBalance(orders).count() === 0)
+    assert(Analytics.cohortRetention(orders).count() === 0)
     assert(Analytics.customerOrderDistribution(
       empty(StructType(Seq(StructField("c_custkey", LongType)))), orders).count() === 0)
   }

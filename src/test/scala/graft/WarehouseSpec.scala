@@ -344,4 +344,24 @@ class WarehouseSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept")).toMap
     assert(t === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
   }
+
+  test("cohort retention: month-0 is the full cohort; retention bounded; sizes conserve") {
+    val r = graft.operators.Analytics
+      .cohortRetention(Tables.orders(spark, sf)).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (size, active, ret) = (row.getLong(2), row.getLong(3), row.getDouble(4))
+      assert(active <= size, "active cannot exceed cohort size")
+      assert(ret > 0.0 && ret <= 1.0)
+      // month 0: every cohort member placed an order that month by
+      // definition of the cohort
+      if (row.getLong(1) == 0L) assert(active === size)
+    }
+    // cohort sizes: summing each cohort's month-0 row re-derives the
+    // distinct customer count
+    val totalCustomers = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    val month0Sum = r.filter(_.getLong(1) == 0L).map(_.getLong(3)).sum
+    assert(month0Sum === totalCustomers)
+  }
 }
