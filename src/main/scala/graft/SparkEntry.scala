@@ -283,6 +283,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashBands(t(s, d, "documents"))),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(t(s, d, "documents"))),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardTop(t(s, d, "documents"))),
+    "dedup_containment" -> ((s, d) => Dedup.containmentTop(t(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "knn_cosine_bruteforce" -> ((s, d) => Similarity.knnBrute(t(s, d, "embeddings"))),
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(t(s, d, "embeddings"))),
@@ -2581,6 +2582,26 @@ object SparkEntry {
          |SELECT doc_a, doc_b, n_common, n_union,
          |  CAST(n_common AS DOUBLE)/n_union AS jaccard
          |FROM p ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin,
+
+    // Same candidate/gram chain as dedup_jaccard; asymmetric scores +
+    // the overlap coefficient the ranking uses.
+    "dedup_containment" ->
+      s"""WITH $minhashCtes,
+         |$bandPairCtes,
+         |gt AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM t),
+         |g AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(tk)-1),
+         |    i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT)) AS gs
+         |FROM gt),
+         |p AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_common,
+         |  CAST(len(a.gs) AS BIGINT) AS n_a, CAST(len(b.gs) AS BIGINT) AS n_b
+         |FROM cand JOIN g a ON doc_a = a.doc_id JOIN g b ON doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, n_common, n_a, n_b,
+         |  CAST(n_common AS DOUBLE)/n_a AS containment_a,
+         |  CAST(n_common AS DOUBLE)/n_b AS containment_b,
+         |  CAST(n_common AS DOUBLE)/least(n_a, n_b) AS overlap
+         |FROM p ORDER BY overlap DESC, doc_a, doc_b LIMIT 100""".stripMargin,
 
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id,

@@ -276,20 +276,30 @@ object Dedup {
     * by LSH, and the two gram-side joins shuffle on doc ids (uniform).
     * This is the bucketed-o(n²) shape that survives 100 TB.
     */
-  def jaccardTop(documents: DataFrame): DataFrame = {
+  /** Sorted 60-bit-hashed token-3-gram sets per doc — the exact-set
+    * side shared by [[jaccardTop]] and [[containmentTop]].
+    * Grams are hashed to 60-bit ints (md5-prefix) BEFORE the set ops:
+    * 8-byte elements instead of ~20-byte strings shrinks the pair-join
+    * shuffle ~2.5× and the merge-walk compares become Long.compare;
+    * collision probability ~1e-14 per pair — set counts are effectively
+    * exact, and both engines hash identically so parity is exact.
+    * Sorted so the native merge-walk intersect can stream both sides.
+    */
+  private def gramSets(documents: DataFrame): DataFrame = {
     val toks = split(col("nt"), " ")
-    // docs are guaranteed ≥3 tokens (corpus min length ≈48 chars).
-    // Grams are hashed to 60-bit ints (md5-prefix) BEFORE the set ops:
-    // 8-byte elements instead of ~20-byte strings shrinks the pair-join
-    // shuffle ~2.5× and the merge-walk compares become Long.compare;
-    // collision probability ~1e-14 per pair — set counts are effectively
-    // exact, and both engines hash identically so parity is exact.
-    // Sorted so the native merge-walk intersect can stream both sides.
     val grams = sort_array(array_distinct(transform(
       transform(graft.functions.ColUtil.posRange(size(toks) - lit(2)),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
           element_at(toks, i + 2))),
       g => conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast(LongType))))
+    documents.select(col("doc_id"), norm.as("nt"))
+      .select(col("doc_id"), grams.as("gs"))
+  }
+
+  /** LSH band candidates joined to both sides' exact gram sets — the
+    * shared head of the exact-similarity pair operators.
+    */
+  private def candidateGramPairs(documents: DataFrame): DataFrame = {
     // Production note (100 TB): persist minhashPairs' result and
     // semi-join `documents` against its distinct ids BEFORE the gram
     // projection so gram arrays are computed/shuffled only for
@@ -297,11 +307,15 @@ object Dedup {
     // lazy plan and a cache entry per call would leak; measured at
     // sf0.1 a localCheckpoint of the gram table buys nothing (the cost
     // is the pair generation + intersect, not the double evaluation).
-    val g = documents.select(col("doc_id"), norm.as("nt"))
-      .select(col("doc_id"), grams.as("gs"))
-    val pairs = minhashPairs(documents)
+    val g = gramSets(documents)
+    minhashPairs(documents)
       .join(g.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), Seq("doc_a"))
       .join(g.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), Seq("doc_b"))
+  }
+
+  def jaccardTop(documents: DataFrame): DataFrame = {
+    // docs are guaranteed ≥3 tokens (corpus min length ≈48 chars).
+    val pairs = candidateGramPairs(documents)
     pairs
       .select(col("doc_a"), col("doc_b"),
         graft.functions.TextExpressions
@@ -316,6 +330,36 @@ object Dedup {
       .withColumn("jaccard",
         try_divide(col("n_common").cast("double"), col("n_union")))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  /** Asymmetric containment on the LSH band candidates — the
+    * quote/superset detector Jaccard misses: a short doc fully
+    * embedded in a long one scores jaccard |A|/|B| (tiny) but
+    * containment_a = 1.0. Publishes both directions plus the overlap
+    * coefficient |∩|/min(|A|,|B|) (Szymkiewicz–Simpson) the pair is
+    * ranked by. Same candidate generation, gram hashing, and
+    * merge-walk intersect as [[jaccardTop]] ([[candidateGramPairs]]);
+    * same try_divide degenerate-set contract (empty gram set → NULL
+    * score, NULLS last under the desc order). Scale shape identical
+    * to jaccardTop — bucketed candidates, uniform doc-id joins,
+    * TakeOrdered top-100.
+    */
+  def containmentTop(documents: DataFrame): DataFrame = {
+    val pairs = candidateGramPairs(documents)
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextExpressions
+          .sortedIntersectCount(col("gs_a"), col("gs_b")).as("n_common"),
+        size(col("gs_a")).cast(LongType).as("n_a"),
+        size(col("gs_b")).cast(LongType).as("n_b"))
+      .withColumn("containment_a",
+        try_divide(col("n_common").cast("double"), col("n_a")))
+      .withColumn("containment_b",
+        try_divide(col("n_common").cast("double"), col("n_b")))
+      .withColumn("overlap",
+        try_divide(col("n_common").cast("double"), least(col("n_a"), col("n_b"))))
+      .orderBy(col("overlap").desc, col("doc_a"), col("doc_b"))
       .limit(100)
   }
 

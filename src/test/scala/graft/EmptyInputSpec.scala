@@ -71,6 +71,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.packSummary(docs).count() === 0)
     assert(Corpus.piiScrub(docs).count() === 0)
     assert(Corpus.tfidfTopTerms(docs).count() === 0)
+    assert(Dedup.containmentTop(docs).count() === 0)
     assert(Corpus.bm25TopDocs(docs).count() === 0)
     assert(Corpus.bm25Batch(docs).count() === 0)
     assert(TextOps.vocabHllRegisters(docs).count() === 0)

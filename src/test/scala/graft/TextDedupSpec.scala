@@ -599,6 +599,42 @@ class TextDedupSpec extends AnyFunSuite {
     assert(jac !== null, "0-union band collision must not throw")
   }
 
+  test("containment: a planted prefix doc scores 1.0 against its superset") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // drop one trailing token: every 3-gram of the prefix is in the
+    // superset, near-identical shingles keep the pair band-colliding
+    val prefix = long.split(" ").dropRight(1).mkString(" ")
+    val planted = Seq(
+      (1L, long, "en", "src0", long.length.toLong),
+      (2L, prefix, "en", "src0", prefix.length.toLong),
+      (3L, "completely different words about spark shuffles and partitions here yes", "en", "src0", 60L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Dedup.containmentTop(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(7)))).toMap
+    val ((nCommon, nA, nB, overlap)) = rows.getOrElse((1L, 2L),
+      rows((2L, 1L)))
+    // prefix's gram set is a strict subset: containment(prefix) = 1
+    assert(nCommon === math.min(nA, nB))
+    assert(overlap === 1.0)
+    assert(!rows.contains((1L, 3L)) && !rows.contains((3L, 1L)))
+  }
+
+  test("containment: overlap == max of the directed containments; bounds hold") {
+    val rows = Dedup.containmentTop(docs).collect()
+    assert(rows.length <= 100)
+    rows.foreach { r =>
+      val (nCommon, nA, nB) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nCommon <= math.min(nA, nB))
+      if (!r.isNullAt(7)) {
+        val (ca, cb, ov) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+        assert(ov === math.max(ca, cb))
+        assert(ov >= 0.0 && ov <= 1.0)
+      }
+    }
+  }
+
   // ---- HLL vocabulary sketch ------------------------------------------
 
   private def hllReference(tokens: Seq[String]): Map[Long, Long] = {
