@@ -96,6 +96,7 @@ object SparkEntry {
       t(s, d, "documents"), Tables.events(s, d), t(s, d, "lineitem"))),
     "reconcile_orders" -> ((s, d) =>
       Validation.reconcileOrders(t(s, d, "lineitem"), t(s, d, "orders"))),
+    "validate_benford" -> ((s, d) => Validation.benfordTotalprice(t(s, d, "orders"))),
     "validate_freshness" -> ((s, d) => Validation.freshness(
       t(s, d, "orders"), t(s, d, "lineitem"), Tables.events(s, d))),
     "key_skew_orders" -> ((s, d) =>
@@ -1151,6 +1152,30 @@ object SparkEntry {
         |  CAST(closing_dec - spend_dec AS DOUBLE) AS opening_balance,
         |  CAST(closing_dec AS DOUBLE) AS closing_balance
         |FROM c ORDER BY c_custkey, month""".stripMargin,
+
+    // Benford audit: the expected shares are interpolated from the
+    // SAME Scala constants the DataFrame plan uses (shortest-round-trip
+    // double reprs parse identically in both engines — no cross-engine
+    // log10); floor before the digit extraction (cast semantics differ).
+    "validate_benford" -> {
+      // CAST each share from a STRING: DuckDB routes a numeric
+      // literal through DECIMAL, which re-rounds the 17th digit
+      // (measured: …93 → …92); the VARCHAR→DOUBLE cast round-trips
+      // the shortest repr exactly
+      val cases = graft.operators.Validation.benfordShares
+        .map { case (d, p) => s"WHEN $d THEN CAST('$p' AS DOUBLE)" }.mkString(" ")
+      s"""WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM orders),
+         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders),
+         |e AS (SELECT digit, n_obs, n_total,
+         |  CASE digit $cases END AS expected_share FROM g CROSS JOIN n)
+         |SELECT digit, n_obs, n_total, expected_share,
+         |  CAST(floor((CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_share)
+         |    * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_share)
+         |    / (CAST(n_total AS DOUBLE) * expected_share) * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
+         |FROM e ORDER BY digit""".stripMargin
+    },
 
     "validate_freshness" ->
       """WITH p AS (

@@ -380,4 +380,53 @@ object Validation {
       .withColumn("is_stale", col("lag_days") > 30)
       .orderBy("table_name")
   }
+
+  /** Expected Benford leading-digit shares log10(1 + 1/d), computed
+    * ONCE in Scala and inlined as literals into BOTH the DataFrame
+    * plan and the generated oracle SQL — the shortest-round-trip
+    * double repr parses to the identical bits in either engine, so no
+    * cross-engine log10 call ever happens.
+    */
+  val benfordShares: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** Benford's-law first-digit audit over order amounts — the classic
+    * anomaly/fraud screen a finance warehouse runs (Nigrini 1996):
+    * observed leading-digit counts against the log10(1+1/d) law, with
+    * the per-digit χ² contribution (obs − n·p)²/(n·p). Synthetic
+    * uniform prices will FAIL the law loudly — the operator reports
+    * the divergence, it does not assert conformance.
+    *
+    * Determinism: the leading digit is taken from the INTEGER part's
+    * string (amounts ≥ 1; double→string formatting differs across
+    * engines, BIGINT→string does not); counts are exact longs; the
+    * expected shares are compile-time literals (see [[benfordShares]]);
+    * the χ² contribution is micro-quantized per digit AFTER fully
+    * parenthesis-mirrored double arithmetic. Scale: one map-side
+    * combined 9-key aggregate + a 1-row count broadcast — nothing
+    * else crosses the shuffle.
+    */
+  def benfordTotalprice(orders: DataFrame): DataFrame = {
+    // floor, not a double→long CAST: Spark's cast truncates where
+    // DuckDB's rounds — 999.9 would land in different digits
+    val digit = substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+      .cast(LongType)
+    val counts = orders.select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val total = orders.agg(count(lit(1)).as("n_total"))
+    val share = benfordShares.tail.foldLeft(
+      when(col("digit") === 1, lit(benfordShares.head._2))) {
+        case (acc, (d, p)) => acc.when(col("digit") === d, lit(p))
+      }
+    val diff = col("n_obs").cast(DoubleType) -
+      col("n_total").cast(DoubleType) * col("expected_share")
+    counts
+      .crossJoin(broadcast(total)) // 1-row scalar
+      .withColumn("expected_share", share)
+      .withColumn("chi2_micro",
+        floor(diff * diff / (col("n_total").cast(DoubleType) * col("expected_share")) *
+          lit(1e6) + lit(0.5)).cast(LongType))
+      .select("digit", "n_obs", "n_total", "expected_share", "chi2_micro")
+      .orderBy("digit")
+  }
 }

@@ -345,6 +345,28 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
   }
 
+  test("benford audit: planted digits count exactly; chi2 replicates driver-side") {
+    import spark.implicits._
+    val amounts = Seq(123.45, 150.0, 1999.99, 10.01, 987.0, 20.5)
+    val orders = amounts.toDF("o_totalprice")
+    val r = graft.operators.Validation.benfordTotalprice(orders).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getLong(4)))).toMap
+    assert(r.keySet === Set(1L, 2L, 9L))
+    assert(r(1L)._1 === 4L && r(2L)._1 === 1L && r(9L)._1 === 1L)
+    assert(r.values.map(_._1).sum === amounts.length.toLong)
+    // replicate the chi2 arithmetic for digit 1 in the same JVM
+    val p1 = graft.operators.Validation.benfordShares.head._2
+    val diff = 4.0 - 6.0 * p1
+    val expected = math.floor(diff * diff / (6.0 * p1) * 1e6 + 0.5).toLong
+    assert(r(1L)._4 === expected)
+    // corpus run: shares exhaustive, counts conserve
+    val full = graft.operators.Validation
+      .benfordTotalprice(Tables.orders(spark, sf)).collect()
+    assert(full.map(_.getLong(1)).sum === full.head.getLong(2))
+    full.foreach(x => assert(x.getLong(0) >= 1 && x.getLong(0) <= 9))
+  }
+
   test("cohort retention: month-0 is the full cohort; retention bounded; sizes conserve") {
     val r = graft.operators.Analytics
       .cohortRetention(Tables.orders(spark, sf)).collect()
