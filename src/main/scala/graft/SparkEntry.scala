@@ -97,6 +97,14 @@ object SparkEntry {
     "reconcile_orders" -> ((s, d) =>
       Validation.reconcileOrders(t(s, d, "lineitem"), t(s, d, "orders"))),
     "validate_benford" -> ((s, d) => Validation.benfordTotalprice(t(s, d, "orders"))),
+    // drift staged between two snapshot halves (orderkey parity — the
+    // incremental-entry split convention)
+    "validate_distribution_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val o = t(s, d, "orders")
+      Validation.distributionDrift(o.filter(col("o_orderkey") % 2 === 0),
+        o.filter(col("o_orderkey") % 2 =!= 0))
+    }),
     "validate_freshness" -> ((s, d) => Validation.freshness(
       t(s, d, "orders"), t(s, d, "lineitem"), Tables.events(s, d))),
     "key_skew_orders" -> ((s, d) =>
@@ -1176,6 +1184,32 @@ object SparkEntry {
          |    / (CAST(n_total AS DOUBLE) * expected_share) * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
          |FROM e ORDER BY digit""".stripMargin
     },
+
+    // Two-sample χ² in the product-rewritten sqrt-free form, binned
+    // over the union's observed bounds — arithmetic mirror of
+    // Validation.distributionDrift.
+    "validate_distribution_drift" ->
+      """WITH u AS (SELECT CAST(o_totalprice AS DOUBLE) AS x,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS side FROM orders),
+        |b AS (SELECT min(x) AS mn, max(x) AS mx FROM u),
+        |bn AS (SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE CAST(least(floor((x - mn) / ((mx - mn) / 20.0)), 19) AS BIGINT) END AS bin,
+        |  side FROM u CROSS JOIN b),
+        |c AS (SELECT bin,
+        |  CAST(count(CASE WHEN side = 0 THEN 1 END) AS BIGINT) AS n_prev,
+        |  CAST(count(CASE WHEN side = 1 THEN 1 END) AS BIGINT) AS n_cur
+        |FROM bn GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_prev) AS BIGINT) AS t_prev,
+        |  CAST(sum(n_cur) AS BIGINT) AS t_cur FROM c)
+        |SELECT bin, n_prev, n_cur, t_prev, t_cur,
+        |  CAST(floor((CAST(n_prev AS DOUBLE) * CAST(t_cur AS DOUBLE)
+        |      - CAST(n_cur AS DOUBLE) * CAST(t_prev AS DOUBLE))
+        |    * (CAST(n_prev AS DOUBLE) * CAST(t_cur AS DOUBLE)
+        |      - CAST(n_cur AS DOUBLE) * CAST(t_prev AS DOUBLE))
+        |    / (CAST(t_prev AS DOUBLE) * CAST(t_cur AS DOUBLE)
+        |      * (CAST(n_prev AS DOUBLE) + CAST(n_cur AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
+        |FROM c CROSS JOIN t ORDER BY bin""".stripMargin,
 
     "validate_freshness" ->
       """WITH p AS (

@@ -381,6 +381,52 @@ object Validation {
       .orderBy("table_name")
   }
 
+  /** Two-sample distribution drift between snapshots of a numeric
+    * column — the distribution-shape companion to [[rowCountDrift]]'s
+    * volume check (a silent upstream price-scaling bug keeps row
+    * counts flat while shifting every histogram bin): both sides are
+    * binned into `bins` equal-width buckets over the UNION's observed
+    * [min, max], and each bin publishes its counts plus its
+    * contribution to the two-sample χ² statistic in the
+    * product-rewritten form (o₁·n₂ − o₂·n₁)²/(n₁·n₂·(o₁+o₂)) — no
+    * square roots, every input an exact integer count, the double
+    * arithmetic mirror-parenthesized and micro-quantized (the
+    * benford discipline).
+    *
+    * Scale: two map-only scans union into one bounded-key (≤ bins)
+    * map-side-combined aggregate; the min/max bounds and the n₁/n₂
+    * totals are 1-row broadcasts. Nothing corpus-sized shuffles.
+    */
+  def distributionDrift(prev: DataFrame, cur: DataFrame,
+                        column: String = "o_totalprice",
+                        bins: Int = 20): DataFrame = {
+    val u = prev.select(col(column).cast(DoubleType).as("x"), lit(0).as("side"))
+      .unionByName(cur.select(col(column).cast(DoubleType).as("x"), lit(1).as("side")))
+    val bounds = u.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val w = (col("mx") - col("mn")) / lit(bins.toDouble)
+    val counts = u
+      .crossJoin(broadcast(bounds)) // 1-row scalar
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(floor((col("x") - col("mn")) / w),
+            lit((bins - 1).toLong))).cast(LongType))
+      .groupBy("bin")
+      .agg(count(when(col("side") === 0, 1)).as("n_prev"),
+        count(when(col("side") === 1, 1)).as("n_cur"))
+    val totals = counts.agg(sum(col("n_prev")).as("t_prev"),
+      sum(col("n_cur")).as("t_cur"))
+    val d = col("n_prev").cast(DoubleType) * col("t_cur").cast(DoubleType) -
+      col("n_cur").cast(DoubleType) * col("t_prev").cast(DoubleType)
+    counts
+      .crossJoin(broadcast(totals)) // 1-row scalar
+      .withColumn("chi2_micro",
+        floor(d * d / (col("t_prev").cast(DoubleType) * col("t_cur").cast(DoubleType) *
+          (col("n_prev").cast(DoubleType) + col("n_cur").cast(DoubleType))) *
+          lit(1e6) + lit(0.5)).cast(LongType))
+      .select("bin", "n_prev", "n_cur", "t_prev", "t_cur", "chi2_micro")
+      .orderBy("bin")
+  }
+
   /** Expected Benford leading-digit shares log10(1 + 1/d), computed
     * ONCE in Scala and inlined as literals into BOTH the DataFrame
     * plan and the generated oracle SQL — the shortest-round-trip

@@ -139,6 +139,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dims.dimFiscalPeriod(orders).count() === 0, "empty span → no periods")
     assert(Facts.factBalance(orders).count() === 0)
     assert(Analytics.cohortRetention(orders).count() === 0)
+    assert(Validation.distributionDrift(orders, orders).count() === 0,
+      "empty union → null bounds → zero bins, no throw")
+    assert(Validation.benfordTotalprice(orders).count() === 0)
     assert(Analytics.customerOrderDistribution(
       empty(StructType(Seq(StructField("c_custkey", LongType)))), orders).count() === 0)
   }

@@ -367,6 +367,28 @@ class WarehouseSpec extends AnyFunSuite {
     full.foreach(x => assert(x.getLong(0) >= 1 && x.getLong(0) <= 9))
   }
 
+  test("distribution drift: identical snapshots score zero; disjoint ranges separate cleanly") {
+    import spark.implicits._
+    val vals = (0 until 200).map(i => i.toDouble)
+    val same = vals.toDF("o_totalprice")
+    val zero = graft.operators.Validation.distributionDrift(same, same).collect()
+    assert(zero.nonEmpty)
+    // o1 = o2 and n1 = n2 ⇒ the χ² numerator is exactly 0 per bin
+    zero.foreach(r => assert(r.getLong(5) === 0L))
+    // planted shift: prev ∈ [0,100), cur ∈ [100,200) — no bin mixes
+    val prev = (0 until 100).map(_.toDouble).toDF("o_totalprice")
+    val cur = (100 until 200).map(_.toDouble).toDF("o_totalprice")
+    val drift = graft.operators.Validation.distributionDrift(prev, cur).collect()
+    drift.foreach { r =>
+      val (bin, nPrev, nCur) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (bin < 10) assert(nCur === 0L, s"bin $bin leaked cur rows")
+      else assert(nPrev === 0L, s"bin $bin leaked prev rows")
+      assert(r.getLong(5) > 0L, "fully-separated bins must contribute drift")
+    }
+    assert(drift.map(_.getLong(1)).sum === 100L)
+    assert(drift.map(_.getLong(2)).sum === 100L)
+  }
+
   test("cohort retention: month-0 is the full cohort; retention bounded; sizes conserve") {
     val r = graft.operators.Analytics
       .cohortRetention(Tables.orders(spark, sf)).collect()
