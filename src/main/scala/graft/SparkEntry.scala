@@ -122,6 +122,7 @@ object SparkEntry {
     "window_topk_per_brand" -> ((s, d) => Analytics.topkPerBrand(t(s, d, "part"))),
     "running_monthly_revenue" -> ((s, d) => Analytics.runningMonthlyRevenue(t(s, d, "orders"))),
     "cohort_retention" -> ((s, d) => Analytics.cohortRetention(t(s, d, "orders"))),
+    "basket_pairs" -> ((s, d) => Analytics.basketPairs(t(s, d, "lineitem"))),
     "rollup_sales" -> ((s, d) => Analytics.rollupSales(t(s, d, "orders"))),
     "pivot_status_priority" -> ((s, d) => Analytics.pivotStatusPriority(t(s, d, "orders"))),
     "order_value_percentiles" -> ((s, d) => Analytics.orderValuePercentiles(t(s, d, "orders"))),
@@ -2023,6 +2024,25 @@ object SparkEntry {
         |SELECT month, n_orders, CAST(rev AS DOUBLE) AS revenue,
         |  CAST(SUM(rev) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_revenue
         |FROM m ORDER BY month""".stripMargin,
+
+    // lift = n_pair·N/(n_a·n_b): one division of exact integer
+    // products — engine-identical doubles, the tf-idf discipline.
+    "basket_pairs" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM i),
+        |s AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part FROM i GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  CAST(count(*) AS BIGINT) AS n_pair
+        |FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2),
+        |j AS (SELECT part_a, part_b, n_pair, sa.n_part AS n_a, sb.n_part AS n_b,
+        |  CAST(n_pair * n_orders AS DOUBLE) / CAST(sa.n_part * sb.n_part AS DOUBLE) AS lift
+        |FROM p JOIN s sa ON p.part_a = sa.l_partkey JOIN s sb ON p.part_b = sb.l_partkey
+        |  CROSS JOIN n
+        |ORDER BY n_pair DESC, part_a, part_b LIMIT 100)
+        |SELECT CAST(row_number() OVER (ORDER BY n_pair DESC, part_a, part_b) AS BIGINT) AS rank,
+        |  part_a, part_b, n_pair, n_a, n_b, lift
+        |FROM j ORDER BY rank""".stripMargin,
 
     // months_since is pure integer year/month arithmetic on both
     // sides — no engine month-diff semantics involved.

@@ -107,6 +107,45 @@ object Analytics {
       .orderBy("month")
   }
 
+  /** Market-basket pair mining: the top co-occurring part pairs across
+    * order baskets, with support counts and lift — the affinity
+    * report behind every "bought together" merchandising decision.
+    * lift = n_pair·N/(n_a·n_b) stays a single division of exact
+    * integer products (the tf-idf rational-score discipline), so the
+    * double is engine-identical.
+    *
+    * Scale shape: the pair generation is a self-join keyed on
+    * l_orderkey — fan-out is BOUNDED BY BASKET SIZE (≤ lines-per-order
+    * choose 2, a schema constant ~21, never corpus-driven), unlike a
+    * part-keyed join that would explode on popular parts; pair and
+    * support aggregates map-side combine; supports join back onto the
+    * pair counts (part-keyed, uniform — every part appears once per
+    * side post-aggregation); top-k via TakeOrdered, the rank window
+    * running over the k collected rows only.
+    */
+  def basketPairs(lineitem: DataFrame, topK: Int = 100): DataFrame = {
+    val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = items.select(countDistinct(col("l_orderkey")).as("n_orders"))
+    val supp = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val pairs = items.toDF("l_orderkey", "part_a")
+      .join(items.toDF("l_orderkey", "part_b"), Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_pair"))
+    val top = pairs
+      .join(supp.toDF("part_a", "n_a"), Seq("part_a"))
+      .join(supp.toDF("part_b", "n_b"), Seq("part_b"))
+      .crossJoin(broadcast(nOrders)) // 1-row scalar
+      .withColumn("lift",
+        (col("n_pair") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+      .orderBy(col("n_pair").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+    val w = Window.orderBy(col("n_pair").desc, col("part_a"), col("part_b"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "part_a", "part_b", "n_pair", "n_a", "n_b", "lift")
+      .orderBy("rank")
+  }
+
   /** Cohort retention/LTV matrix: cohort = month of the customer's
     * FIRST order; cell (cohort_month, months_since) = distinct active
     * customers, retention share vs cohort size, and exact-decimal

@@ -139,6 +139,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dims.dimFiscalPeriod(orders).count() === 0, "empty span → no periods")
     assert(Facts.factBalance(orders).count() === 0)
     assert(Analytics.cohortRetention(orders).count() === 0)
+    assert(Analytics.basketPairs(empty(StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType))))).count() === 0)
     assert(Validation.distributionDrift(orders, orders).count() === 0,
       "empty union → null bounds → zero bins, no throw")
     assert(Validation.benfordTotalprice(orders).count() === 0)

@@ -345,6 +345,21 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
   }
 
+  test("basket pairs: planted co-occurrence counts, exact lift, dense ranks") {
+    import spark.implicits._
+    val li = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (4L, 30L), (1L, 10L)) // dup line collapses
+      .toDF("l_orderkey", "l_partkey")
+    val r = graft.operators.Analytics.basketPairs(li).collect()
+    assert(r.map(_.getLong(0)).toSeq === (1L to r.length.toLong))
+    val top = r.head
+    assert((top.getLong(1), top.getLong(2), top.getLong(3)) === ((10L, 20L, 3L)))
+    assert(top.getDouble(6) === (3L * 4L).toDouble / (3L * 3L).toDouble)
+    val all = r.map(x => (x.getLong(1), x.getLong(2)) -> x.getLong(3)).toMap
+    assert(all === Map((10L, 20L) -> 3L, (10L, 30L) -> 1L, (20L, 30L) -> 1L))
+    r.foreach(x => assert(x.getLong(3) <= math.min(x.getLong(4), x.getLong(5))))
+  }
+
   test("benford audit: planted digits count exactly; chi2 replicates driver-side") {
     import spark.implicits._
     val amounts = Seq(123.45, 150.0, 1999.99, 10.01, 987.0, 20.5)
