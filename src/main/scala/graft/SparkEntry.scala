@@ -123,6 +123,7 @@ object SparkEntry {
     "running_monthly_revenue" -> ((s, d) => Analytics.runningMonthlyRevenue(t(s, d, "orders"))),
     "cohort_retention" -> ((s, d) => Analytics.cohortRetention(t(s, d, "orders"))),
     "basket_pairs" -> ((s, d) => Analytics.basketPairs(t(s, d, "lineitem"))),
+    "rfm_segments" -> ((s, d) => Analytics.rfmSegments(t(s, d, "orders"))),
     "rollup_sales" -> ((s, d) => Analytics.rollupSales(t(s, d, "orders"))),
     "pivot_status_priority" -> ((s, d) => Analytics.pivotStatusPriority(t(s, d, "orders"))),
     "order_value_percentiles" -> ((s, d) => Analytics.orderValuePercentiles(t(s, d, "orders"))),
@@ -2024,6 +2025,25 @@ object SparkEntry {
         |SELECT month, n_orders, CAST(rev AS DOUBLE) AS revenue,
         |  CAST(SUM(rev) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_revenue
         |FROM m ORDER BY month""".stripMargin,
+
+    // NTILE semantics (floor/ceil bucket fill) are standard-SQL
+    // identical in both engines; custkey tie-breaks pin assignment.
+    "rfm_segments" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_date FROM orders),
+        |c AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+        |  CAST(count(*) AS BIGINT) AS frequency,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        |FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey, CAST(datediff('day', last_order, max_date) AS BIGINT) AS recency_days,
+        |  frequency, monetary FROM c CROSS JOIN mx),
+        |s AS (SELECT o_custkey, recency_days, frequency, monetary,
+        |  CAST(ntile(4) OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r_score,
+        |  CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+        |  CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_score
+        |FROM r)
+        |SELECT o_custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+        |FROM s ORDER BY o_custkey""".stripMargin,
 
     // lift = n_pair·N/(n_a·n_b): one division of exact integer
     // products — engine-identical doubles, the tf-idf discipline.

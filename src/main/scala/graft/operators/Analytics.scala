@@ -107,6 +107,41 @@ object Analytics {
       .orderBy("month")
   }
 
+  /** RFM segmentation (Hughes 1994): per-customer recency/frequency/
+    * monetary quartile scores and the concatenated segment code — the
+    * canonical retail customer-scoring table. Recency is days since
+    * the customer's last order measured against the CORPUS max date
+    * (reproducible — wall-clock "today" would change every run) and
+    * its quartile is inverted so recent buyers score 4. All three
+    * ntiles run over the CUSTOMER AGGREGATE (the customer_value_tiers
+    * global-window honesty: input is pre-aggregated, one row per
+    * customer; at extreme scale swap in the bucketed-boundary form
+    * [[customerValueTiersBucketed]] demonstrates); tie-break on
+    * custkey keeps bucket assignment deterministic in both engines.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val maxDate = orders.agg(max(to_date(col("o_orderdate"))).as("max_date"))
+    val cust = orders.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        dbl(sum(money(col("o_totalprice")))).as("monetary"))
+      .crossJoin(broadcast(maxDate)) // 1-row scalar
+      .withColumn("recency_days",
+        datediff(col("max_date"), col("last_order")).cast("long"))
+    val wr = Window.orderBy(col("recency_days").desc, col("o_custkey"))
+    val wf = Window.orderBy(col("frequency"), col("o_custkey"))
+    val wm = Window.orderBy(col("monetary"), col("o_custkey"))
+    cust
+      .withColumn("r_score", ntile(4).over(wr).cast("long"))
+      .withColumn("f_score", ntile(4).over(wf).cast("long"))
+      .withColumn("m_score", ntile(4).over(wm).cast("long"))
+      .withColumn("segment", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+      .select("o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score", "segment")
+      .orderBy("o_custkey")
+  }
+
   /** Market-basket pair mining: the top co-occurring part pairs across
     * order baskets, with support counts and lift — the affinity
     * report behind every "bought together" merchandising decision.

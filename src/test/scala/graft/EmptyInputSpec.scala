@@ -139,6 +139,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dims.dimFiscalPeriod(orders).count() === 0, "empty span → no periods")
     assert(Facts.factBalance(orders).count() === 0)
     assert(Analytics.cohortRetention(orders).count() === 0)
+    assert(Analytics.rfmSegments(orders).count() === 0)
     assert(Analytics.basketPairs(empty(StructType(Seq(
       StructField("l_orderkey", LongType),
       StructField("l_partkey", LongType))))).count() === 0)

@@ -345,6 +345,26 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
   }
 
+  test("rfm: a fully-ordered planted panel scores 111..444; quartiles balance on the corpus") {
+    import spark.implicits._
+    val rows = (1 to 4).flatMap { c =>
+      (1 to c).map(i => (c.toLong, s"1996-01-0$c", c * 100.0))
+    }
+    val orders = rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val r = graft.operators.Analytics.rfmSegments(orders).collect()
+      .map(x => x.getLong(0) -> x.getString(7)).toMap
+    assert(r === Map(1L -> "111", 2L -> "222", 3L -> "333", 4L -> "444"))
+    // corpus: every score in 1..4 and quartiles near-balanced (ntile
+    // bucket sizes differ by at most 1)
+    val full = graft.operators.Analytics
+      .rfmSegments(Tables.orders(spark, sf)).collect()
+    Seq(4, 5, 6).foreach { i =>
+      val byScore = full.groupBy(_.getLong(i)).view.mapValues(_.length)
+      assert(byScore.keySet === Set(1L, 2L, 3L, 4L))
+      assert(byScore.values.max - byScore.values.min <= 1)
+    }
+  }
+
   test("basket pairs: planted co-occurrence counts, exact lift, dense ranks") {
     import spark.implicits._
     val li = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L),
