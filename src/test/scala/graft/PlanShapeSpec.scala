@@ -155,6 +155,30 @@ class PlanShapeSpec extends AnyFunSuite {
       "two-phase cap: per-(source,salt) window then candidate-only " +
         "per-source window — no mega-group window over a skewed raw " +
         "source; 6 = 2 rank windows + 4 WindowGroupLimit pushdowns"),
+    ("cohort_retention", Shape(6, 2, 0, 0),
+      "first-order agg + custkey join (broadcast at fixture stats; " +
+        "keyed shuffle at scale — either safe) + bounded cell rollup; " +
+        "no window, no SinglePartition"),
+    ("basket_pairs", Shape(9, 3, 0, 1),
+      "orderkey-keyed self-join (basket-bounded fan-out) + part-keyed " +
+        "support joins (broadcast at fixture stats); the 1-row " +
+        "n_orders scalar is the audited SinglePartition; rank window " +
+        "AFTER TakeOrdered"),
+    ("rfm_segments", Shape(3, 0, 0, 3),
+      "three customer-aggregate ntile windows SHARE one " +
+        "SinglePartition exchange (chained global sorts) — the " +
+        "customer_value_tiers honesty; + the 1-row max-date scalar"),
+    ("validate_benford", Shape(3, 0, 0, 0),
+      "one 9-key map-side-combined aggregate + 1-row count broadcast " +
+        "nested-loop + output sort; no joins, no window"),
+    ("validate_distribution_drift", Shape(6, 0, 0, 0),
+      "two map scans union into one ≤20-key aggregate; bounds and " +
+        "totals ride broadcast nested-loop 1-row crossJoins (bhj 0 " +
+        "correct); no window"),
+    ("dedup_containment", Shape(2, 2, 0, 0),
+      "the jaccardTop candidate chain (bands broadcast at fixture " +
+        "stats) with the asymmetric-score tail; TakeOrdered top-100, " +
+        "no window, no SinglePartition"),
     ("corpus_vocab_hll", Shape(4, 0, 0, 0),
       "register aggregate map-side-combines to ≤256 rows/partition; " +
         "the two scalar finals (register summary + exact distinct) " +
@@ -204,6 +228,17 @@ class PlanShapeSpec extends AnyFunSuite {
         "scalar final (planned twice — once under the re-planned " +
         "offset branch; ReuseExchange collapses them at runtime); " +
         "per-source offset windows ARE partitioned")),
+    "basket_pairs" -> ((1, "1-row n_orders scalar final stage")),
+    "validate_benford" -> ((1, "1-row n_total count-scalar final stage")),
+    "validate_distribution_drift" -> ((3,
+      "all scalar finals over parallelism-scale partials: the union " +
+        "min/max bounds row (plan-referenced under the binned branch " +
+        "too) and the n₁/n₂ totals over the ≤ bins-row count table — " +
+        "never data-scale input")),
+    "rfm_segments" -> ((2,
+      "the three customer-aggregate ntile windows share ONE " +
+        "SinglePartition exchange (pre-aggregated input — the " +
+        "customer_value_tiers bargain) + the 1-row max-date scalar")),
     "corpus_curriculum" -> ((2,
       "base-offset cumulative over the n_tokens histogram " +
         "(distinct-lengths rows; the per-length sub-offset window IS " +
