@@ -299,6 +299,7 @@ object SparkEntry {
     "knn_cosine_bruteforce" -> ((s, d) => Similarity.knnBrute(t(s, d, "embeddings"))),
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(t(s, d, "embeddings"))),
     "ann_recall" -> ((s, d) => Similarity.annRecall(t(s, d, "embeddings"))),
+    "ann_recall_ivf" -> ((s, d) => Similarity.annRecallIvf(t(s, d, "embeddings"))),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(t(s, d, "embeddings"))),
     "multimodal_frames" -> ((s, d) => Multimodal.frameSample(t(s, d, "documents"))),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(t(s, d, "embeddings"))),
@@ -3784,6 +3785,45 @@ object SparkEntry {
          |SELECT h.qid, n_brute, coalesce(n_lsh, CAST(0 AS BIGINT)) AS n_lsh, n_hit,
          |  CAST(n_hit AS DOUBLE) / 5.0 AS recall
          |FROM h LEFT JOIN nl ON h.qid = nl.qid ORDER BY h.qid""".stripMargin,
+
+    // IVF recall: the knn_ivf candidate chain feeding the ann_recall
+    // set-arithmetic tail (n_lsh column name kept for schema parity
+    // with the evaluator's shared output shape).
+    "ann_recall_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM e),
+        |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+        |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |br AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM bs),
+        |b AS (SELECT qid, nid FROM br WHERE rank <= 5),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |a AS (SELECT x.vec_id, x.v, x.nrm, c.cid,
+        |  list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*c.cv[i])) / (x.nrm * c.cnrm) AS ccos
+        |FROM n x CROSS JOIN cent c),
+        |rk AS (SELECT vec_id, v, nrm, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM a),
+        |corpus AS (SELECT vec_id AS nid, v AS nv, nrm AS nnrm, cid AS list_id
+        |  FROM rk WHERE crank = 1),
+        |probes AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS list_id
+        |  FROM rk WHERE vec_id < 20 AND crank <= 2),
+        |s AS (SELECT p.qid, c.nid,
+        |  list_sum(list_transform(range(1, len(p.qv)+1), i -> p.qv[i]*c.nv[i])) / (p.qnrm * c.nnrm) AS cos_sim
+        |FROM corpus c JOIN probes p ON p.list_id = c.list_id AND p.qid <> c.nid),
+        |g AS (SELECT qid, nid, max(cos_sim) AS cos_sim FROM s GROUP BY 1, 2),
+        |r AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM g),
+        |l AS (SELECT qid, nid FROM r WHERE rank <= 5),
+        |h AS (SELECT b.qid, CAST(count(*) AS BIGINT) AS n_brute,
+        |  CAST(sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |FROM b LEFT JOIN l ON b.qid = l.qid AND b.nid = l.nid GROUP BY 1),
+        |nl AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_lsh FROM l GROUP BY 1)
+        |SELECT h.qid, n_brute, coalesce(n_lsh, CAST(0 AS BIGINT)) AS n_lsh, n_hit,
+        |  CAST(n_hit AS DOUBLE) / 5.0 AS recall
+        |FROM h LEFT JOIN nl ON h.qid = nl.qid ORDER BY h.qid""".stripMargin,
 
     // A-Res weighted priority sample: u strictly inside (0,1) via
     // (2·hi28+1)/2^29 (log2 stays finite), priority = log2(u)/weight —

@@ -1101,16 +1101,31 @@ object Similarity {
     * on a SAMPLED probe set (nProbes parameterizes exactly that) —
     * recall estimation never needs every query.
     */
-  def annRecall(embeddings: DataFrame, nProbes: Int = 20, k: Int = 5): DataFrame = {
+  def annRecall(embeddings: DataFrame, nProbes: Int = 20, k: Int = 5): DataFrame =
+    recallAgainstBrute(embeddings, knnLsh(embeddings, nProbes, k), nProbes, k)
+
+  /** Recall@k of the IVF index against the same ground truth — the
+    * companion evaluation to [[annRecall]] so BOTH index families ship
+    * with a measured quality number (IVF trades the LSH bucket-miss
+    * failure mode for a probe-list-miss one; which loses more recall
+    * is an empirical question this answers per corpus).
+    */
+  def annRecallIvf(embeddings: DataFrame, nProbes: Int = 20, k: Int = 5): DataFrame =
+    recallAgainstBrute(embeddings, knnIvf(embeddings, nProbes, k), nProbes, k)
+
+  /** Shared recall evaluator: any candidate ranking with (qid, nid)
+    * columns scored against the exact top-k.
+    */
+  private def recallAgainstBrute(embeddings: DataFrame, approx: DataFrame,
+                                 nProbes: Int, k: Int): DataFrame = {
     val brute = knnBrute(embeddings, nProbes, k).select(col("qid"), col("nid"))
-    val lsh = knnLsh(embeddings, nProbes, k)
-      .select(col("qid"), col("nid"), lit(1L).as("hit"))
-    val hits = brute.join(lsh, Seq("qid", "nid"), "left")
+    val cand = approx.select(col("qid"), col("nid"), lit(1L).as("hit"))
+    val hits = brute.join(cand, Seq("qid", "nid"), "left")
       .groupBy("qid")
       .agg(count(lit(1)).as("n_brute"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-    val nLsh = lsh.groupBy("qid").agg(count(lit(1)).as("n_lsh"))
-    hits.join(nLsh, Seq("qid"), "left")
+    val nCand = cand.groupBy("qid").agg(count(lit(1)).as("n_lsh"))
+    hits.join(nCand, Seq("qid"), "left")
       .select(col("qid"), col("n_brute"),
         coalesce(col("n_lsh"), lit(0L)).as("n_lsh"), col("n_hit"),
         (col("n_hit").cast("double") / lit(k.toDouble)).as("recall"))

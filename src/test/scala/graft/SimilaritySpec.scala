@@ -607,6 +607,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ann_recall_ivf: counts replicate the set arithmetic against knnIvf exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.knnBrute(emb).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.knnIvf(emb).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val r = Similarity.annRecallIvf(emb).collect()
+    assert(r.map(_.getLong(0)).toSet === brute.keySet)
+    r.foreach { row =>
+      val (qid, nHit) = (row.getLong(0), row.getLong(3))
+      val cand = ivf.getOrElse(qid, Set.empty)
+      assert(nHit === brute(qid).intersect(cand).size.toLong)
+      assert(row.getLong(2) === cand.size.toLong)
+      assert(row.getDouble(4) === nHit.toDouble / 5.0)
+    }
+  }
+
   test("ann_recall: a single shared bucket gives perfect recall") {
     // every vector identical direction => identical signature => the
     // LSH candidates are exactly the brute-force candidates
