@@ -387,6 +387,14 @@ object SparkEntry {
     "bm25_top_docs" -> ((s, d) => Corpus.bm25TopDocs(t(s, d, "documents"))),
     "bm25_batch" -> ((s, d) => Corpus.bm25Batch(t(s, d, "documents"))),
     "corpus_zipf_slope" -> ((s, d) => Corpus.zipfSlope(t(s, d, "documents"))),
+    // vocabulary-merge continuation: even-id vocab state absorbs the
+    // odd-id batch; merged fit must BIT-equal the one-shot — same oracle
+    "corpus_zipf_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      Corpus.zipfSlopeIncremental(docs.filter(col("doc_id") % 2 =!= 0),
+        Corpus.zipfVocab(docs.filter(col("doc_id") % 2 === 0)))
+    }),
     "source_overlap" -> ((s, d) => Corpus.sourceOverlap(t(s, d, "documents"))),
     "cap_per_source" -> ((s, d) => Corpus.capPerSource(t(s, d, "documents"))),
     // rows-only (no SQL oracle — the greedy merge fold is not DuckDB-
@@ -930,6 +938,30 @@ object SparkEntry {
        |    ELSE raw END) * 1000000.0 + 0.5) AS BIGINT) AS est_micro$exactCol
        |FROM e""".stripMargin
   }
+
+  // One-shot Zipf fit — shared by corpus_zipf_slope and its
+  // incremental entry (vocabulary-sum associativity means the
+  // continuation must produce byte-identical output).
+  private val zipfSlopeSql: String =
+    """WITH e AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS term
+      |  FROM documents),
+      |v AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS freq FROM e GROUP BY 1, 2),
+      |r AS (SELECT lang, freq,
+      |  CAST(row_number() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS BIGINT) AS rnk
+      |FROM v),
+      |xy AS (SELECT lang,
+      |  CAST(floor(log2(CAST(rnk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+      |  CAST(floor(log2(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+      |FROM r WHERE rnk <= 30),
+      |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |  CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |FROM xy GROUP BY 1)
+      |SELECT lang, n_terms,
+      |  CAST(n_terms * sxy - sx * sy AS DOUBLE) / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS slope,
+      |  (sy - sx * (CAST(n_terms * sxy - sx * sy AS DOUBLE) / CAST(n_terms * sxx - sx * sx AS DOUBLE)))
+      |    / CAST(n_terms AS DOUBLE) AS intercept_micro
+      |FROM a ORDER BY lang""".stripMargin
 
   // One-shot A-Res priority sample — shared by corpus_priority_sample
   // and its incremental entry (reservoir merge associativity means the
@@ -3722,27 +3754,10 @@ object SparkEntry {
 
     // Zipf fit: integer micro-log x/y, exact LONG regression sums,
     // slope/intercept each one deterministic division — see
-    // Corpus.zipfSlope.
-    "corpus_zipf_slope" ->
-      s"""WITH e AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS term
-         |  FROM documents),
-         |v AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS freq FROM e GROUP BY 1, 2),
-         |r AS (SELECT lang, freq,
-         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS BIGINT) AS rnk
-         |FROM v),
-         |xy AS (SELECT lang,
-         |  CAST(floor(log2(CAST(rnk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
-         |  CAST(floor(log2(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
-         |FROM r WHERE rnk <= 30),
-         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
-         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         |  CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
-         |FROM xy GROUP BY 1)
-         |SELECT lang, n_terms,
-         |  CAST(n_terms * sxy - sx * sy AS DOUBLE) / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS slope,
-         |  (sy - sx * (CAST(n_terms * sxy - sx * sy AS DOUBLE) / CAST(n_terms * sxx - sx * sx AS DOUBLE)))
-         |    / CAST(n_terms AS DOUBLE) AS intercept_micro
-         |FROM a ORDER BY lang""".stripMargin,
+    // Corpus.zipfSlope. Shared with the incremental entry (vocabulary
+    // merge associativity ⇒ byte-identical output).
+    "corpus_zipf_slope" -> zipfSlopeSql,
+    "corpus_zipf_incremental" -> zipfSlopeSql,
 
     "source_overlap" ->
       s"""WITH e AS (SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS term

@@ -901,10 +901,36 @@ object Corpus {
     * scale: |V|·|langs| rows, ~log-growth in corpus size), so the
     * per-lang window is bounded regardless of data volume.
     */
-  def zipfSlope(documents: DataFrame, vTop: Int = 30): DataFrame = {
-    val vocab = documents
+  def zipfSlope(documents: DataFrame, vTop: Int = 30): DataFrame =
+    zipfSlopeFromVocab(zipfVocab(documents), vTop)
+
+  /** The (lang, term, freq) vocabulary aggregate — [[zipfSlope]]'s
+    * carried state: exact Long counts whose cell-wise SUM merges are
+    * exactly associative, so a standing corpus's vocabulary absorbs an
+    * arriving batch's and the fitted slope is BIT-identical to the
+    * one-shot ([[zipfSlopeIncremental]]). Vocabulary-scale state
+    * (|V|·|langs| rows, ~log growth in corpus size) — bigger than the
+    * histogram/register states but still orders below the corpus.
+    */
+  def zipfVocab(documents: DataFrame): DataFrame =
+    documents
       .select(col("lang"), explode(split(lower(trim(col("text"))), " ")).as("term"))
       .groupBy("lang", "term").agg(count(lit(1)).as("freq"))
+
+  /** Cell-wise vocabulary merge — exactly associative Long sums. */
+  def mergeZipfVocab(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("lang", "term").agg(sum(col("freq")).as("freq"))
+
+  /** Continuation form: merged vocabulary state → slope, bit-identical
+    * to the one-shot over everything arrived (the oracle states the
+    * one-shot literally). Per-tick cost = the batch's token scan + a
+    * vocabulary-scale merge, never a corpus rescan.
+    */
+  def zipfSlopeIncremental(batch: DataFrame, vocabState: DataFrame,
+                           vTop: Int = 30): DataFrame =
+    zipfSlopeFromVocab(mergeZipfVocab(vocabState, zipfVocab(batch)), vTop)
+
+  private def zipfSlopeFromVocab(vocab: DataFrame, vTop: Int): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(col("freq").desc, col("term"))
     val ranked = vocab.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= vTop)

@@ -664,6 +664,22 @@ class CorpusSpec extends AnyFunSuite {
       s"intercept $intercept")
   }
 
+  test("zipf continuation: any split, any chaining, bit-equal to one-shot") {
+    val oneShot = Corpus.zipfSlope(docs).collect().map(_.toSeq).toSeq
+    val r1 = Corpus.zipfSlopeIncremental(
+        docs.filter(col("doc_id") % 2 =!= 0),
+        Corpus.zipfVocab(docs.filter(col("doc_id") % 2 === 0)))
+      .collect().map(_.toSeq).toSeq
+    assert(r1 === oneShot)
+    // three-increment chain over unbalanced head/tail splits
+    val v1 = Corpus.zipfVocab(docs.filter(col("doc_id") < 50))
+    val v2 = Corpus.mergeZipfVocab(v1,
+      Corpus.zipfVocab(docs.filter(col("doc_id") >= 50 && col("doc_id") < 90)))
+    val r2 = Corpus.zipfSlopeIncremental(docs.filter(col("doc_id") >= 90), v2)
+      .collect().map(_.toSeq).toSeq
+    assert(r2 === oneShot)
+  }
+
   test("source_overlap: identical, partial, and disjoint source pairs") {
     val planted = Seq(
       doc(1L, "alpha beta gamma delta", source = "s1"),
