@@ -396,6 +396,14 @@ object SparkEntry {
         Corpus.zipfVocab(docs.filter(col("doc_id") % 2 === 0)))
     }),
     "source_overlap" -> ((s, d) => Corpus.sourceOverlap(t(s, d, "documents"))),
+    // set-union continuation (associative AND idempotent): even-id
+    // vocab state absorbs the odd-id batch — same oracle
+    "source_overlap_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      Corpus.sourceOverlapIncremental(docs.filter(col("doc_id") % 2 =!= 0),
+        Corpus.sourceVocab(docs.filter(col("doc_id") % 2 === 0)))
+    }),
     "cap_per_source" -> ((s, d) => Corpus.capPerSource(t(s, d, "documents"))),
     // rows-only (no SQL oracle — the greedy merge fold is not DuckDB-
     // expressible); BpeSpec proves bit-equality against an independent
@@ -938,6 +946,22 @@ object SparkEntry {
        |    ELSE raw END) * 1000000.0 + 0.5) AS BIGINT) AS est_micro$exactCol
        |FROM e""".stripMargin
   }
+
+  // One-shot source-overlap matrix — shared with its incremental
+  // entry (set-union associativity + idempotence means the
+  // continuation must produce byte-identical output).
+  private val sourceOverlapSql: String =
+    s"""WITH e AS (SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS term
+         |  FROM documents),
+         |v AS (SELECT DISTINCT source, term FROM e),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_common
+         |FROM v a JOIN v b USING (term) WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_common, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+         |FROM p JOIN sz sa ON p.source_a = sa.source JOIN sz sb ON p.source_b = sb.source
+         |ORDER BY source_a, source_b""".stripMargin
 
   // One-shot Zipf fit — shared by corpus_zipf_slope and its
   // incremental entry (vocabulary-sum associativity means the
@@ -3759,18 +3783,8 @@ object SparkEntry {
     "corpus_zipf_slope" -> zipfSlopeSql,
     "corpus_zipf_incremental" -> zipfSlopeSql,
 
-    "source_overlap" ->
-      s"""WITH e AS (SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS term
-         |  FROM documents),
-         |v AS (SELECT DISTINCT source, term FROM e),
-         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
-         |p AS (SELECT a.source AS source_a, b.source AS source_b,
-         |  CAST(count(*) AS BIGINT) AS n_common
-         |FROM v a JOIN v b USING (term) WHERE a.source < b.source GROUP BY 1, 2)
-         |SELECT source_a, source_b, n_common, sa.n AS n_a, sb.n AS n_b,
-         |  CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
-         |FROM p JOIN sz sa ON p.source_a = sa.source JOIN sz sb ON p.source_b = sb.source
-         |ORDER BY source_a, source_b""".stripMargin,
+    "source_overlap" -> sourceOverlapSql,
+    "source_overlap_incremental" -> sourceOverlapSql,
 
     // Recall@5 of the LSH index vs brute-force ground truth: both
     // component CTE chains verbatim (knn_cosine_bruteforce / knn_lsh),

@@ -969,17 +969,39 @@ object Corpus {
     * source post-distinct, unlike the raw token stream tf-idf salts).
     * Per-source sizes (|sources| rows) join back via broadcast.
     */
-  def sourceOverlap(documents: DataFrame): DataFrame = {
+  def sourceOverlap(documents: DataFrame): DataFrame =
     // the distinct (source,term) aggregate feeds THREE consumers (both
     // self-join sides and the size rollup) and Spark does not dedupe
     // shared subtrees — checkpoint the vocabulary-sized result once so
     // the corpus token scan runs once, not three times (the
     // unigramLogloss freq pattern; blocks released by the runners'
     // targeted GC — checkpointingQueries)
-    val vocab = documents
+    sourceOverlapFromVocab(sourceVocab(documents).localCheckpoint(true))
+
+  /** The distinct (source, term) set — [[sourceOverlap]]'s carried
+    * state: set UNION is exactly associative and idempotent (the
+    * strongest merge class — even REPLAYED batches cannot corrupt it),
+    * so a standing corpus's vocab absorbs an arriving batch's and the
+    * overlap matrix is BIT-identical to the one-shot
+    * ([[sourceOverlapIncremental]]). Vocabulary-scale state.
+    */
+  def sourceVocab(documents: DataFrame): DataFrame =
+    documents
       .select(col("source"), explode(split(lower(trim(col("text"))), " ")).as("term"))
       .distinct()
-      .localCheckpoint(true)
+
+  /** Set-union vocabulary merge — associative AND idempotent. */
+  def mergeSourceVocab(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** Continuation form: merged vocab state → overlap matrix,
+    * bit-identical to the one-shot over everything arrived.
+    */
+  def sourceOverlapIncremental(batch: DataFrame, vocabState: DataFrame): DataFrame =
+    sourceOverlapFromVocab(
+      mergeSourceVocab(vocabState, sourceVocab(batch)).localCheckpoint(true))
+
+  private def sourceOverlapFromVocab(vocab: DataFrame): DataFrame = {
     val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n_terms"))
     val a = vocab.toDF("source_a", "term")
     val b = vocab.toDF("source_b", "term")

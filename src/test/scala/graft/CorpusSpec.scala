@@ -680,6 +680,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(r2 === oneShot)
   }
 
+  test("source_overlap continuation: split-invariant AND replay-idempotent") {
+    val oneShot = Corpus.sourceOverlap(docs).collect().map(_.toSeq).toSeq
+    val state = Corpus.sourceVocab(docs.filter(col("doc_id") % 2 === 0))
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+    val r1 = Corpus.sourceOverlapIncremental(batch, state)
+      .collect().map(_.toSeq).toSeq
+    assert(r1 === oneShot)
+    // the set-union state's distinguishing property vs the counting
+    // continuations: REPLAYING a batch into the merged state changes
+    // nothing (idempotence) — a counting state would double-count
+    val replayed = Corpus.sourceOverlapIncremental(batch,
+        Corpus.mergeSourceVocab(state, Corpus.sourceVocab(batch)))
+      .collect().map(_.toSeq).toSeq
+    assert(replayed === oneShot)
+  }
+
   test("source_overlap: identical, partial, and disjoint source pairs") {
     val planted = Seq(
       doc(1L, "alpha beta gamma delta", source = "s1"),
