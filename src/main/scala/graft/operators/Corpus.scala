@@ -1089,33 +1089,27 @@ object Corpus {
     * web-scale corpus build runs (one crawl dump must not dominate the
     * mix no matter how large it is).
     *
-    * SCALE SHAPE — the two-phase trick, not a naive per-source window:
-    * source cardinality is config-bounded but source SIZE is wildly
-    * skewed (one crawl can be half the corpus), so a window partitioned
-    * by raw source puts the biggest source's every row in ONE task —
-    * the exact mega-group shape the dedup family eliminated in r6.
-    * Phase 1 windows over (source, doc_id mod `salts`) subgroups —
-    * each ≤ 1/salts of the source, any row in the source's global
-    * top-cap is necessarily in its subgroup's top-cap — keeping
-    * ≤ cap·salts candidates per source; phase 2 re-ranks the
-    * candidate set (≤ cap·salts·|sources| rows, metadata-scale) per
-    * source to the final cap. Result provably identical to the
-    * single-window form the oracle states, independent of the salt
-    * assignment ([[graft.operators.Corpus.scanTokensBefore]] and
-    * seq-pack use the same observed-range bucketing argument).
+    * SCALE NOTE — measured, not assumed (CapScaleTime): source size is
+    * wildly skewed (one crawl can be half the corpus), and a naive
+    * reading says a window partitioned by raw source funnels the
+    * mega-source through one task. In Spark 4 that reading is WRONG:
+    * the rank-filter plans a WindowGroupLimit pushdown that pre-trims
+    * EVERY input partition to its local top-cap BEFORE the exchange,
+    * so the final per-source sort sees ≤ cap·partitions rows — bounded
+    * by parallelism, not data. A hand-salted two-phase form (phase-1
+    * windows over (source, doc_id mod 32) subgroups, phase-2 re-rank)
+    * was built first on the mega-group instinct and measured 3×
+    * SLOWER at 1M rows / 80%-skew (0.4 vs 1.2 s — two windows, two
+    * shuffles, for a dedup the optimizer already does); the
+    * WindowGroupLimit presence is plan-pinned so a future optimizer
+    * regression surfaces as a spec failure, and the rejected
+    * alternative stays runnable in the harness.
     */
-  def capPerSource(documents: DataFrame, cap: Int = 15,
-                   salts: Int = 32): DataFrame = {
-    val salted = documents.withColumn("salt", pmod(col("doc_id"), lit(salts.toLong)))
-    val w1 = Window.partitionBy("source", "salt")
+  def capPerSource(documents: DataFrame, cap: Int = 15): DataFrame = {
+    val w = Window.partitionBy("source")
       .orderBy(col("n_chars").desc, col("doc_id"))
-    val candidates = salted
-      .withColumn("r1", row_number().over(w1))
-      .filter(col("r1") <= cap)
-    val w2 = Window.partitionBy("source")
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    candidates
-      .withColumn("rank", row_number().over(w2).cast(LongType))
+    documents
+      .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= cap)
       .select("source", "rank", "doc_id", "n_chars")
       .orderBy("source", "rank")
