@@ -842,8 +842,10 @@ object Corpus {
                 k: Int = 10): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    // distinct: a term listed twice in one query must not double-count
+    // its contribution (BM25 is a set-of-terms model)
     val qdf = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
-      .toDF("query_id", "term")
+      .distinct.toDF("query_id", "term")
     val allTerms = queries.flatMap(_._2).distinct
     val toks = split(lower(trim(col("text"))), " ")
     val matched = documents
