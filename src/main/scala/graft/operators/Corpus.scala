@@ -932,7 +932,10 @@ object Corpus {
                            vTop: Int = 30): DataFrame =
     zipfSlopeFromVocab(mergeZipfVocab(vocabState, zipfVocab(batch)), vTop)
 
-  private def zipfSlopeFromVocab(vocab: DataFrame, vTop: Int): DataFrame = {
+  /** Fit from a materialized vocabulary — the tail shared by the
+    * one-shot, incremental, and streaming forms.
+    */
+  def zipfSlopeFromVocab(vocab: DataFrame, vTop: Int = 30): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(col("freq").desc, col("term"))
     val ranked = vocab.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= vTop)

@@ -798,6 +798,44 @@ object EventStream {
       .start()
   }
 
+  /** Streaming Zipf-shape monitor — twin of Corpus.zipfSlope, the
+    * distribution-drift alarm a corpus intake stream raises when a
+    * machine-generated source starts flooding a language. Carried
+    * state = the (lang, term, freq) vocabulary (exactly-associative
+    * Long sums ⇒ every trigger's published fit is BIT-identical to
+    * the one-shot over everything arrived — the covariance-class
+    * contract), but unlike the bounded histogram/register/reservoir
+    * states this one is VOCABULARY-scale (~log growth in corpus
+    * size): the honest cost of an exact continuation for a
+    * vocabulary-shaped statistic — a production stream that cannot
+    * afford it trades exactness for the HLL/CMS sketch twins.
+    */
+  def zipfSlopeStream(spark: SparkSession, dir: String, sinkPath: String,
+                      splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    documentsStream(spark, dir, splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch.drop("ingest_ts")
+        val prev = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(String, String, Long)]
+            .toDF("lang", "term", "freq"))
+        val newVocab = graft.operators.Corpus.mergeZipfVocab(prev,
+            graft.operators.Corpus.zipfVocab(docs))
+          .localCheckpoint(eager = true)
+        val view = graft.operators.Corpus.zipfSlopeFromVocab(newVocab)
+        graft.sources.Loader.truncateAndLoad(view, s"$sinkPath/batch_$batchId")
+        graft.sources.Loader.truncateAndLoad(newVocab, s"$stateDir/upto_$batchId")
+        releaseCheckpoints(newVocab, view)
+        pruneStateBefore(spark, stateDir, batchId - 1)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming vocabulary-cardinality monitor — twin of
     * TextOps.vocabHll, in the covariance/reservoir STRONGEST
     * equivalence class: the carried state is the ≤256-row HLL register

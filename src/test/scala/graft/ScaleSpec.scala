@@ -427,6 +427,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(t2.count() > 0)
   }
 
+  test("streaming zipf: every trigger's fit is BIT-identical to its one-shot prefix") {
+    val sink = Files.createTempDirectory("graft_zipfstream").toString + "/zipf"
+    val q = EventStream.zipfSlopeStream(spark, sf, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val docs = Tables.documents(spark, sf)
+    val mid = spark.read.parquet(s"$sink/${batches.head}")
+    val midShot = graft.operators.Corpus.zipfSlope(docs.filter(col("doc_id") < 250))
+    assert(mid.exceptAll(midShot).count() === 0)
+    assert(midShot.exceptAll(mid).count() === 0)
+    val fin = spark.read.parquet(s"$sink/${batches.last}")
+    val oneShot = graft.operators.Corpus.zipfSlope(docs)
+    assert(fin.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(fin).count() === 0)
+    assert(fin.count() > 0)
+  }
+
   test("streaming hll: every trigger's estimate is BIT-identical to its one-shot prefix") {
     val sink = Files.createTempDirectory("graft_hllstream").toString + "/vocab"
     val q = EventStream.vocabHllStream(spark, sf, sink, splitAt = Some(250L))
