@@ -770,6 +770,7 @@ object Corpus {
   def bm25TopDocs(documents: DataFrame,
                   query: Seq[String] = Seq("hash", "join", "merge"),
                   k: Int = 20): DataFrame = {
+    require(query.nonEmpty, "bm25TopDocs: query term set must be non-empty")
     val toks = split(lower(trim(col("text"))), " ")
     // dl rides the SAME scan as the filtered explode (grouping on the
     // functionally-dependent (doc_id, dl) pair), so no separate
@@ -840,6 +841,8 @@ object Corpus {
                   1L -> Seq("merge", "sort"),
                   2L -> Seq("vector", "scan", "filter")),
                 k: Int = 10): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25Batch: every query needs a non-empty term set")
     val spark = documents.sparkSession
     import spark.implicits._
     // distinct: a term listed twice in one query must not double-count
@@ -942,18 +945,22 @@ object Corpus {
       .select(col("lang"),
         floor(log2(col("rnk").cast("double")) * 1e6 + 0.5).cast(LongType).as("x"),
         floor(log2(col("freq").cast("double")) * 1e6 + 0.5).cast(LongType).as("y"))
+    // try_divide: a ONE-term language has zero regression denominator
+    // (n·Sxx − Sx² = 0, all x equal) — the slope must be NULL, which
+    // is what DuckDB's /0 gives; Spark's raw double division would
+    // yield NaN and diverge (the r7.4 short-doc audit class). NULL
+    // propagates into the intercept through sx·slope.
+    val slope = try_divide(
+      (col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double"),
+      (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
     ranked.groupBy("lang")
       .agg(count(lit(1)).as("n_terms"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       .select(col("lang"), col("n_terms"),
-        ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
-          .as("slope"),
-        ((col("sy") - col("sx") *
-          ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double")))
-          .cast("double") / col("n_terms").cast("double")).as("intercept_micro"))
+        slope.as("slope"),
+        ((col("sy") - col("sx") * slope).cast("double") /
+          col("n_terms").cast("double")).as("intercept_micro"))
       .orderBy("lang")
   }
 

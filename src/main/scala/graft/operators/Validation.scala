@@ -419,9 +419,14 @@ object Validation {
       col("n_cur").cast(DoubleType) * col("t_prev").cast(DoubleType)
     counts
       .crossJoin(broadcast(totals)) // 1-row scalar
+      // try_divide: an EMPTY snapshot side zeroes the denominator —
+      // the contribution must be NULL (DuckDB's /0), not NaN/Inf
+      // (Spark's raw double division) — the r7.4 degenerate-divide
+      // contract; NULL propagates through the quantization unchanged
       .withColumn("chi2_micro",
-        floor(d * d / (col("t_prev").cast(DoubleType) * col("t_cur").cast(DoubleType) *
-          (col("n_prev").cast(DoubleType) + col("n_cur").cast(DoubleType))) *
+        floor(try_divide(d * d,
+          col("t_prev").cast(DoubleType) * col("t_cur").cast(DoubleType) *
+            (col("n_prev").cast(DoubleType) + col("n_cur").cast(DoubleType))) *
           lit(1e6) + lit(0.5)).cast(LongType))
       .select("bin", "n_prev", "n_cur", "t_prev", "t_cur", "chi2_micro")
       .orderBy("bin")

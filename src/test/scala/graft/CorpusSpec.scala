@@ -664,6 +664,18 @@ class CorpusSpec extends AnyFunSuite {
       s"intercept $intercept")
   }
 
+  test("zipf: a one-term language yields NULL slope (DuckDB /0 parity), not NaN") {
+    val planted = Seq(
+      doc(1L, "solo solo solo solo", lang = "xx"),
+      doc(2L, "alpha beta gamma delta epsilon", lang = "en")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.zipfSlope(planted).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("xx").isNullAt(2), "degenerate regression must be NULL")
+    assert(r("xx").isNullAt(3), "NULL must propagate into the intercept")
+    assert(!r("en").isNullAt(2), "well-formed language must still fit")
+  }
+
   test("zipf continuation: any split, any chaining, bit-equal to one-shot") {
     val oneShot = Corpus.zipfSlope(docs).collect().map(_.toSeq).toSeq
     val r1 = Corpus.zipfSlopeIncremental(

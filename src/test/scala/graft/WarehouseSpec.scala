@@ -422,6 +422,16 @@ class WarehouseSpec extends AnyFunSuite {
     }
     assert(drift.map(_.getLong(1)).sum === 100L)
     assert(drift.map(_.getLong(2)).sum === 100L)
+    // an EMPTY snapshot side: counts still report, the chi2
+    // contribution is NULL (the DuckDB /0 contract), no throw
+    val emptySide = graft.operators.Validation
+      .distributionDrift(vals.toDF("o_totalprice"),
+        Seq.empty[Double].toDF("o_totalprice")).collect()
+    assert(emptySide.nonEmpty)
+    emptySide.foreach { r =>
+      assert(r.getLong(2) === 0L)
+      assert(r.isNullAt(5), "zero-denominator chi2 must be NULL, not NaN/Inf")
+    }
   }
 
   test("cohort retention: month-0 is the full cohort; retention bounded; sizes conserve") {
