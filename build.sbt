@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// VERDICT r7 #1: the bench headline JSON reached the driver's stdout
+// tail intact but sbt's framing killed the parse — the line arrived
+// "[info] "-prefixed and sbt printed "[success] Total time: ..." AFTER
+// it, so the process's final stdout line was sbt's epilogue, not the
+// JSON. StdoutOutput makes the forked child write straight to stdout
+// (no [info] prefix); showSuccess := false drops the epilogue.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,6 +23,9 @@ object Bench {
     // the driver's 2,000-char stdout tail (BENCH r4-r6 parsed:null).
     // Nothing in a clean bench run should log at WARN.
     spark.sparkContext.setLogLevel("ERROR")
+    // single-row-group fixtures otherwise run expensive map stages on
+    // one task (see Tables.apply) — bench the operator, not one core
+    spark.conf.set("graft.scan.minPartitions", cpus)
     // warm the JVM/codegen once so per-query numbers measure the
     // operator, not first-query classloading
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
@@ -148,6 +151,16 @@ object Bench {
     // stop() BEFORE the headline print: executor/shutdown log lines can
     // no longer interleave after the JSON in the driver's stdout-tail
     // capture — the headline is the process's final stdout line.
+    // Belt-and-braces vs any remaining sbt framing (VERDICT r7 #1): the
+    // same headline also lands in a fixed file at the repo root, so the
+    // round record survives even if a future sbt version re-frames
+    // stdout. Subset runs skip the file, same as BENCH_FULL above.
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_HEADLINE.json"),
+        headlineJson.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     spark.stop()
     println(headlineJson)
   }

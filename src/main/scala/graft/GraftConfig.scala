@@ -26,7 +26,8 @@ final case class GraftConfig(
     outDir: String,
     cpus: Int,
     broadcastThreshold: Option[String],
-    benchReps: Int)
+    benchReps: Int,
+    curateSelector: String)
 
 object GraftConfig {
 
@@ -71,6 +72,12 @@ object GraftConfig {
         Runtime.getRuntime.availableProcessors()),
       broadcastThreshold =
         get("broadcast.threshold", "SPARK_GRAFT_BROADCAST_THRESHOLD"),
-      benchReps = getInt("bench.reps", "SPARK_GRAFT_BENCH_REPS", 2))
+      benchReps = getInt("bench.reps", "SPARK_GRAFT_BENCH_REPS", 2),
+      // which metering stage Corpus.curate composes: "budget"
+      // (score-bucket token budgeting — the default, oracle-pinned)
+      // or "priority" (weighted A-Res sampling); validated at the
+      // operator, not here, so a bad value names the call site
+      curateSelector = get("curate.selector", "SPARK_GRAFT_CURATE_SELECTOR")
+        .getOrElse("budget"))
   }
 }

@@ -60,7 +60,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    // The BPE apply-surface oracles carry a placeholder for the trained
+    // word→symbols dictionary (the training fold is not SQL-expressible
+    // but the apply step given the dictionary is) — resolve it here by
+    // training on the SAME fixture the queries ran, so the dumped SQL
+    // is self-contained for the driver's DuckDB gate.
+    val kept0 = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    val kept =
+      if (kept0.values.exists(_.contains(SparkEntry.BpeDictPlaceholder))) {
+        val dict = SparkEntry.bpeDictValues(spark, sfDir)
+        kept0.map { case (k, v) =>
+          k -> v.replace(SparkEntry.BpeDictPlaceholder, dict) }
+      } else kept0
+    val json = kept
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -670,8 +670,20 @@ object Corpus {
     * standalone operator's because it meters the FILTERED corpus.
     * Output = the selection frame over survivors: every surviving doc
     * with its budget verdict.
+    *
+    * `selector` picks the metering stage (VERDICT r7 #8): "budget" =
+    * score-bucket token budgeting ([[selectBudget]], the default and
+    * the oracle-pinned shape); "priority" = weighted A-Res sampling
+    * ([[prioritySample]], `sampleN` winners) — production stacks
+    * increasingly meter by weighted sampling, and both stages are
+    * independently oracle-verified, so the switch only re-routes the
+    * SAME survivor frame (spec covers both paths). Configurable via
+    * GraftConfig's curate.selector / SPARK_GRAFT_CURATE_SELECTOR.
     */
-  def curate(documents: DataFrame, budgetTokens: Long = 500L): DataFrame = {
+  def curate(documents: DataFrame, budgetTokens: Long = 500L,
+             selector: String = "budget", sampleN: Int = 25): DataFrame = {
+    require(selector == "budget" || selector == "priority",
+      s"curate selector must be 'budget' or 'priority', got '$selector'")
     // BOTH stage outputs are checkpointed before composing. The
     // verdict one is not about re-execution: combining the LAZY
     // verdict subtree (4 signal pipelines) with the dedup subtree in
@@ -692,8 +704,16 @@ object Corpus {
       .select(documents.columns.map(col): _*)
       .localCheckpoint(true)
     org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(v)
-    selectBudget(surviving, budgetTokens)
+    if (selector == "priority") prioritySample(surviving, sampleN)
+    else selectBudget(surviving, budgetTokens)
   }
+
+  /** [[curate]] driven by a [[graft.GraftConfig]] — the config-file
+    * orchestration shape: the metering stage comes from the mounted
+    * config (curate.selector) instead of code.
+    */
+  def curate(documents: DataFrame, cfg: graft.GraftConfig): DataFrame =
+    curate(documents, selector = cfg.curateSelector)
 
   /** Top-k terms per document by tf-idf. The score is the rational
     * form tf·N/df (monotone in the usual tf·ln(N/df) for fixed tf):
@@ -746,7 +766,10 @@ object Corpus {
     * two-layer scheme): every input to the floating-point score is an
     * exact integer (tf, df, dl, N, Σdl), the idf log argument is formed
     * as the single division (2N−2df+1)/(2df+1) ≡ (N−df+0.5)/(df+0.5)
-    * of exact integers, and the per-(doc,term) contribution is
+    * of exact integers, the log is taken as log2 (the engine-parity
+    * base) and rebased to the natural log of standard Okapi BM25
+    * (k1=1.2, b=0.75) by one exact-constant multiply, and the
+    * per-(doc,term) contribution is
     * quantized to integer micro-units BEFORE the per-doc sum — the
     * distributed aggregation sums LONGS, order-independent where a
     * double sum over an unordered shuffle is not. The oracle SQL spells
@@ -800,7 +823,14 @@ object Corpus {
     val ratio = (col("dl") * col("n_docs")).cast("double") / col("sum_dl").cast("double")
     val tfp = (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") + lit(0.3) + lit(0.9) * ratio)
-    val contrib = floor(idf * tfp * lit(1e6) + lit(0.5)).cast(LongType)
+    // ln(2) rebase: log2 is the engine-parity log (both engines'
+    // log2 round identically on this fixture), multiplied by the
+    // exact ln 2 constant — one correctly-rounded IEEE multiply in
+    // BOTH engines — so score_micro is textbook natural-log Okapi
+    // BM25, not the 1.4427x log2 variant (ADVICE r7).
+    val contrib =
+      floor(idf * lit(0.6931471805599453) * tfp * lit(1e6) + lit(0.5))
+        .cast(LongType)
     val scored = tf
       .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(totals)) // 1-row scalar
@@ -866,7 +896,14 @@ object Corpus {
     val ratio = (col("dl") * col("n_docs")).cast("double") / col("sum_dl").cast("double")
     val tfp = (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") + lit(0.3) + lit(0.9) * ratio)
-    val contrib = floor(idf * tfp * lit(1e6) + lit(0.5)).cast(LongType)
+    // ln(2) rebase: log2 is the engine-parity log (both engines'
+    // log2 round identically on this fixture), multiplied by the
+    // exact ln 2 constant — one correctly-rounded IEEE multiply in
+    // BOTH engines — so score_micro is textbook natural-log Okapi
+    // BM25, not the 1.4427x log2 variant (ADVICE r7).
+    val contrib =
+      floor(idf * lit(0.6931471805599453) * tfp * lit(1e6) + lit(0.5))
+        .cast(LongType)
     val scored = tf
       .join(broadcast(df), Seq("term"))
       .join(broadcast(qdf), Seq("term")) // fan out to owning queries

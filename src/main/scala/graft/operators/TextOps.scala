@@ -350,6 +350,20 @@ object TextOps {
   def mergeGramFirstIndex(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("g8").agg(min(col("first_doc")).as("first_doc"))
 
+  /** [[mergeGramFirstIndex]] with a STATIONARY state side — the merge
+    * restated as a full-outer join on g8, so a g8-bucketed standing
+    * index scans pre-clustered and the plan carries zero Exchange
+    * above the state scan; only the O(batch) side shuffles (the
+    * noveltyStream state path, VERDICT r7 #5). `least` skips NULLs,
+    * so a gram present on one side keeps that side's min — ScaleSpec
+    * proves frame equality with the union-form merge.
+    */
+  def mergeGramFirstIndexStationary(state: DataFrame, batchIdx: DataFrame): DataFrame =
+    state.join(batchIdx.withColumnRenamed("first_doc", "batch_first"),
+        Seq("g8"), "full_outer")
+      .select(col("g8"),
+        least(col("first_doc"), col("batch_first")).as("first_doc"))
+
   /** Incremental-admission novelty — the [[graft.operators.Dedup.incremental]]
     * shape for first-introducer attribution: a standing corpus (as its
     * [[gramFirstIndex]]) plus an ARRIVING batch, scoring ONLY the

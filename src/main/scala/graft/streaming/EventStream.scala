@@ -377,11 +377,82 @@ object EventStream {
   private def releaseCheckpoints(frames: org.apache.spark.sql.DataFrame*): Unit =
     frames.foreach(org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint)
 
+  /** Bucket count for the gram-scale carried states (novelty's
+    * g8→first_doc index, admission's band graph) — the states whose
+    * size grows with the corpus, unlike the bounded histograms. At
+    * 100 TB this is the knob that sizes state-merge tasks.
+    */
+  private val StateBuckets = 8
+
+  /** Catalog name for one version of a stream's bucketed state.
+    * Bucket metadata exists only through the catalog
+    * (DataFrameWriter.save rejects bucketBy), so the gram-scale
+    * states register per-version EXTERNAL tables whose data files
+    * live in the same versioned `.state/upto_N` layout as the plain
+    * parquet states. Unsigned hex of the stateDir hash keeps
+    * concurrent streams' names disjoint.
+    */
+  private[graft] def stateTableName(stateDir: String, batchId: Long): String =
+    "graft_state_" + java.lang.Integer.toHexString(stateDir.hashCode) +
+      "_upto_" + batchId
+
+  /** Land a gram-scale state version BUCKETED on its merge key
+    * (VERDICT r7 #5): the next trigger's merge, the carried-index
+    * distinct and the retro reconcile's pair aggregation then scan the
+    * state pre-clustered — zero Exchange above the state scan, only
+    * the O(batch) side shuffles (ScaleSpec pins both plans). Same
+    * overwrite-idempotent replay contract as the parquet states, and
+    * the returned frame IS the materialized state (replacing the
+    * per-trigger localCheckpoint the unbucketed form needed).
+    */
+  private def writeBucketedState(df: org.apache.spark.sql.DataFrame,
+      stateDir: String, batchId: Long, bucketCol: String): org.apache.spark.sql.DataFrame = {
+    val name = stateTableName(stateDir, batchId)
+    df.write.mode("overwrite").format("parquet")
+      .option("path", s"$stateDir/upto_$batchId")
+      .bucketBy(StateBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(name)
+    df.sparkSession.table(name)
+  }
+
+  /** Read a state version through its catalog entry (bucketed scan),
+    * falling back to the bare parquet files when the entry is gone —
+    * a restarted session keeps the files but not the in-memory
+    * catalog. Correctness never depends on the bucket metadata; only
+    * the Exchange elision does.
+    */
+  private[graft] def readStateVersion(spark: SparkSession, stateDir: String,
+                                      path: String): org.apache.spark.sql.DataFrame = {
+    val id = path.substring(path.lastIndexOf("upto_") + 5).toLong
+    val name = stateTableName(stateDir, id)
+    if (spark.catalog.tableExists(name)) spark.table(name)
+    else spark.read.parquet(path)
+  }
+
+  /** [[pruneStateBefore]] plus the catalog entries of bucketed
+    * versions (entry first, then files — DROP on an external table
+    * leaves the data, which the file prune then removes).
+    */
+  private def pruneBucketedStateBefore(spark: SparkSession, stateDir: String,
+                                       keepFloor: Long): Unit = {
+    graft.sources.Fs.childDirs(spark, stateDir)
+      .filter(_.startsWith("upto_"))
+      .map(_.stripPrefix("upto_").toLong)
+      .filter(_ < keepFloor)
+      .foreach { k =>
+        spark.sql(s"DROP TABLE IF EXISTS ${stateTableName(stateDir, k)}")
+        ()
+      }
+    pruneStateBefore(spark, stateDir, keepFloor)
+  }
+
   /** Streaming twin of Dedup.admitNearDup — the COMPLETE admission
     * pipeline as a continuous process: each micro-batch is tested
     * against the standing corpus band index PLUS the index of every
     * corpus-fresh doc seen in earlier batches (carried as versioned
-    * parquet state, so a near-dup of a doc admitted — or absorbed — in
+    * band_key-BUCKETED state (r8) — the carried-index distinct and the
+    * retro reconcile's pair aggregation scan it with zero Exchange —
+    * so a near-dup of a doc admitted — or absorbed — in
     * an earlier trigger is rejected), then clustered internally so
     * same-batch twins collapse to one canonical, by running the shared
     * batch operator per trigger through foreachBatch (the iterative
@@ -428,7 +499,7 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val docs = batch.drop("ingest_ts")
         val seenGraph = latestStateBefore(spark, stateDir, batchId)
-          .map(spark.read.parquet(_))
+          .map(readStateVersion(spark, stateDir, _))
           .getOrElse(Seq.empty[(Long, Int, String)]
             .toDF("doc_id", "band_idx", "band_key"))
         // ONE band pass per trigger, shared by every consumer below
@@ -441,9 +512,14 @@ object EventStream {
         // views and never needs revisiting)
         val corpusFresh = graft.operators.Dedup
           .freshBandsAgainstIndex(corpusIndex, bands)
-        val newGraph = seenGraph
-          .unionByName(graft.operators.Dedup.bandGraph(corpusFresh))
-          .localCheckpoint(eager = true)
+        // band_key-bucketed state landing (VERDICT r7 #5): the write
+        // IS the materialization (replacing the localCheckpoint), and
+        // the next trigger's carried-index distinct plus the retro
+        // reconcile's pair aggregation — both clustered on a superset
+        // of band_key — then scan the state with zero Exchange
+        writeBucketedState(
+          seenGraph.unionByName(graft.operators.Dedup.bandGraph(corpusFresh)),
+          stateDir, batchId, "band_key")
         // admitted universe = fresh vs corpus AND vs every earlier
         // corpus-fresh doc (admitted or absorbed or even rejected —
         // colliding with a known near-dup group means joining it)
@@ -455,13 +531,12 @@ object EventStream {
           .select(col("doc_id"), col("cluster_size"),
             (col("cluster_size") - 1).as("n_batch_dups"))
         graft.sources.Loader.truncateAndLoad(admitted, s"$sinkPath/batch_$batchId")
-        graft.sources.Loader.truncateAndLoad(newGraph, s"$stateDir/upto_$batchId")
         // `admitted` rides the labels checkpoint clustersFromBands left
         // behind — releasing it here (after the sink write landed) is
         // what keeps a long-running stream from pinning one labels
         // checkpoint per trigger until a full GC
-        releaseCheckpoints(bands, newGraph, admitted)
-        pruneStateBefore(spark, stateDir, batchId - 1)
+        releaseCheckpoints(bands, admitted)
+        pruneBucketedStateBefore(spark, stateDir, batchId - 1)
         ()
       }
       .start()
@@ -577,8 +652,12 @@ object EventStream {
     * covers out-of-order arrival by re-scoring the sunk pairs against
     * the final index — no text re-scan. State size grows with the
     * corpus gram count (like the admission band graph, unlike the
-    * bounded histograms); at 100 TB the per-trigger state rewrite
-    * becomes a merge into a g8-bucketed store. Same versioned
+    * bounded histograms); the state therefore lives in a g8-BUCKETED
+    * store (r8): each version lands as an external bucketed table
+    * over the same `.state/upto_N` files, so the stationary-join
+    * merge, the score join and the retro re-score all scan the state
+    * with zero Exchange — only the O(batch) side ever shuffles
+    * (ScaleSpec pins the plan). Same versioned
     * replay-idempotent state, stable checkpoint, pruning and
     * block-release discipline as [[admissionPipelineStream]].
     */
@@ -599,17 +678,21 @@ object EventStream {
           .agg(org.apache.spark.sql.functions.min(
             org.apache.spark.sql.functions.col("doc_id")).as("first_doc"))
         val prevIdx = latestStateBefore(spark, stateDir, batchId)
-          .map(spark.read.parquet(_))
+          .map(readStateVersion(spark, stateDir, _))
           .getOrElse(Seq.empty[(Long, Long)].toDF("g8", "first_doc"))
-        val newIdx = graft.operators.TextOps
-          .mergeGramFirstIndex(prevIdx, batchIdx)
-          .localCheckpoint(eager = true)
+        // stationary-state merge + bucketed landing (VERDICT r7 #5):
+        // the g8-bucketed previous version scans with no Exchange,
+        // only the O(batch) aggregate shuffles; the written table is
+        // the materialized state the score join reads back (its scan
+        // is bucketed too — the index side of the join never shuffles)
+        val newIdx = writeBucketedState(
+          graft.operators.TextOps.mergeGramFirstIndexStationary(prevIdx, batchIdx),
+          stateDir, batchId, "g8")
         val scored = graft.operators.TextOps.noveltyAgainstIndex(pairs, newIdx)
         graft.sources.Loader.truncateAndLoad(scored, s"$sinkPath/batch_$batchId")
         graft.sources.Loader.truncateAndLoad(pairs, s"$sinkPath/pairs_$batchId")
-        graft.sources.Loader.truncateAndLoad(newIdx, s"$stateDir/upto_$batchId")
-        releaseCheckpoints(pairs, newIdx)
-        pruneStateBefore(spark, stateDir, batchId - 1)
+        releaseCheckpoints(pairs)
+        pruneBucketedStateBefore(spark, stateDir, batchId - 1)
         ()
       }
       .start()
@@ -630,7 +713,7 @@ object EventStream {
       .reduceOption(_ max _)
       .getOrElse(throw new IllegalStateException(
         s"no novelty state under $stateDir — has the stream committed a trigger?"))
-    val idx = spark.read.parquet(s"$stateDir/upto_$latest")
+    val idx = readStateVersion(spark, stateDir, s"$stateDir/upto_$latest")
     val pairs = spark.read.parquet(s"$sinkPath/pairs_*")
     graft.operators.TextOps.noveltyAgainstIndex(pairs, idx)
   }

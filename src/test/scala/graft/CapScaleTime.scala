@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 
 /** Scratch timing harness for the per-source cap's scale claim: on a
   * source-skewed corpus (80% of rows in ONE source — the real shape of
-  * a crawl-dominated mix), the naive window partitioned by raw source
-  * funnels the mega-source through a single task's sort, while the
-  * two-phase salted form (Corpus.capPerSource) spreads phase 1 over
-  * (source, salt) subgroups and re-ranks a metadata-scale candidate
-  * set. Both forms are asserted result-identical before timing. Run:
+  * a crawl-dominated mix), the SHIPPED form (Corpus.capPerSource) is
+  * the single window over raw source, because Spark 4's
+  * WindowGroupLimit pushdown already runs the two-phase plan natively
+  * (per-task group-limit before the exchange, so the mega-source never
+  * funnels through one sort). The local `twoPhase` def below is the
+  * REJECTED hand-salted alternative — it spreads phase 1 over
+  * (source, salt) subgroups and re-ranks, and measured 3× slower than
+  * letting the optimizer do it. Both forms are asserted
+  * result-identical before timing. Run:
   * sbt "Test/runMain graft.CapScaleTime"
   */
 object CapScaleTime {

@@ -310,6 +310,34 @@ class CorpusSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("curate priority selector routes the SAME survivors through A-Res sampling") {
+    // both metering stages compose the identical verdict+dedup
+    // survivor frame — the switch (GraftConfig curate.selector) only
+    // picks which independently-verified selector runs after it
+    val out = Corpus.curate(docs, selector = "priority").cache()
+    val verdict = graft.operators.TextOps.qualityVerdict(docs)
+      .filter(col("keep")).select("doc_id")
+    val notDup = Dedup.exact(docs).filter(!col("is_dup")).select("doc_id")
+    val survivors = verdict.intersect(notDup)
+    val expected = Corpus.prioritySample(
+      docs.join(survivors, "doc_id").select(docs.columns.map(col): _*), 25)
+    assert(out.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(out).count() === 0)
+    // A-Res output shape: exactly n winners, dense ranks, all survivors
+    assert(out.count() === 25)
+    assert(out.select("doc_id").exceptAll(survivors).count() === 0)
+    // the config-driven overload resolves the same path
+    val cfg = GraftConfig.load(None).copy(curateSelector = "priority")
+    val viaCfg = Corpus.curate(docs, cfg)
+    assert(viaCfg.exceptAll(out).count() === 0)
+    assert(out.exceptAll(viaCfg).count() === 0)
+    // and a bad selector fails loudly at the call site
+    intercept[IllegalArgumentException] {
+      Corpus.curate(docs, selector = "typo")
+    }
+    out.unpersist()
+  }
+
   test("prune/report overloads with a materialized cluster table match the defaults") {
     val clustered = Dedup.clusters(docs).cache()
     try {

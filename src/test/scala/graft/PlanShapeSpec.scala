@@ -177,10 +177,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "two map scans union into one ≤20-key aggregate; bounds and " +
         "totals ride broadcast nested-loop 1-row crossJoins (bhj 0 " +
         "correct); no window"),
-    ("dedup_containment", Shape(2, 2, 0, 0),
-      "the jaccardTop candidate chain (bands broadcast at fixture " +
-        "stats) with the asymmetric-score tail; TakeOrdered top-100, " +
-        "no window, no SinglePartition"),
+    ("dedup_containment", Shape(2, 4, 0, 0),
+      "candidate-restricted gram chain (r8): the checkpointed LSH " +
+        "pair set semi-joins documents to candidate ids BEFORE the " +
+        "gram projection (broadcast at fixture stats), then both " +
+        "pair-side gram joins broadcast; TakeOrdered top-100, no " +
+        "window, no SinglePartition"),
     ("corpus_vocab_hll", Shape(4, 0, 0, 0),
       "register aggregate map-side-combines to ≤256 rows/partition; " +
         "the two scalar finals (register summary + exact distinct) " +

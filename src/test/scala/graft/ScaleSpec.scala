@@ -374,6 +374,81 @@ class ScaleSpec extends AnyFunSuite {
     assert(oneShot.exceptAll(settled).count() === 0)
   }
 
+  test("stationary gram-index merge is frame-equal to the union-form merge") {
+    val docs = Tables.documents(spark, sf)
+    val a = graft.operators.TextOps.gramFirstIndex(docs.filter(col("doc_id") < 250))
+    val bPairs = graft.operators.TextOps.gramPairs(docs.filter(col("doc_id") >= 250))
+    val b = bPairs.groupBy("g8").agg(min(col("doc_id")).as("first_doc"))
+    val unionForm = graft.operators.TextOps.mergeGramFirstIndex(a, b)
+    val joinForm = graft.operators.TextOps.mergeGramFirstIndexStationary(a, b)
+    assert(joinForm.exceptAll(unionForm).count() === 0)
+    assert(unionForm.exceptAll(joinForm).count() === 0)
+  }
+
+  test("bucketed novelty state: merge and score plans keep the state side exchange-free") {
+    val sink = Files.createTempDirectory("graft_novbkt").toString + "/novelty"
+    val q = EventStream.noveltyStream(spark, sf, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val stateDir = sink + ".state"
+    val latest = graft.sources.Fs.childDirs(spark, stateDir)
+      .filter(_.startsWith("upto_")).map(_.stripPrefix("upto_").toLong).max
+    val state = EventStream.readStateVersion(spark, stateDir, s"$stateDir/upto_$latest")
+    // the next trigger's merge: full-outer join of the bucketed state
+    // against a fresh batch aggregate — with broadcast off (full-outer
+    // can't broadcast anyway) the ONLY Exchange allowed is the batch
+    // side's; the state scan must read its buckets in place
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val (prev, prevAqe) = (spark.conf.get(thresholdKey), spark.conf.get(aqeKey))
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      spark.conf.set(aqeKey, "false") // plain tree for structural walk
+      val batchIdx = graft.operators.TextOps
+        .gramPairs(Tables.documents(spark, sf).filter(col("doc_id") < 100))
+        .groupBy("g8").agg(min(col("doc_id")).as("first_doc"))
+      val merged = graft.operators.TextOps
+        .mergeGramFirstIndexStationary(state, batchIdx)
+      merged.collect()
+      val plan = merged.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val bucketedScans = plan.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f }
+      assert(bucketedScans.nonEmpty, s"state scan must be bucketed:\n$plan")
+      // the state side must stay stationary: no Exchange anywhere above
+      // the bucketed scan — every shuffle in the plan is batch-branch
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, "sanity: the batch aggregate does shuffle")
+      assert(shuffles.forall(_.collect {
+          case f: FileSourceScanExec if f.bucketedScan => f }.isEmpty),
+        s"bucketed state scan must not sit under an Exchange:\n$plan")
+    } finally {
+      spark.conf.set(thresholdKey, prev); spark.conf.set(aqeKey, prevAqe)
+    }
+  }
+
+  test("bucketed admission state: carried-index distinct plans with zero Exchange") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val sink = Files.createTempDirectory("graft_admitbkt").toString + "/admitted"
+    val q = EventStream.admissionPipelineStream(spark, sf, corpus,
+      col("doc_id") % 3 === 0, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val stateDir = sink + ".state"
+    val latest = graft.sources.Fs.childDirs(spark, stateDir)
+      .filter(_.startsWith("upto_")).map(_.stripPrefix("upto_").toLong).max
+    val state = EventStream.readStateVersion(spark, stateDir, s"$stateDir/upto_$latest")
+    // the per-trigger carried index AND the retro reconcile both start
+    // from an aggregation clustered on (…, band_key); the band_key
+    // buckets satisfy that distribution, so the state never reshuffles
+    val idx = state.select("band_idx", "band_key").distinct()
+    idx.collect()
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"state scan must be bucketed:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed band-graph distinct must not shuffle:\n$plan")
+  }
+
   test("streaming covariance: every trigger's view is BIT-identical to its one-shot prefix") {
     val sink = Files.createTempDirectory("graft_covstream").toString + "/cov"
     val q = EventStream.covarianceStream(spark, sf, sink, splitAt = Some(250L))

@@ -153,6 +153,37 @@ class SimilaritySpec extends AnyFunSuite {
     pq.unpersist()
   }
 
+  test("pq: 4-bit subspace codebooks lift ADC recall over the 3-bit default") {
+    // VERDICT r7 #7 — the oracle-pinned index stays at kCodes=8; this
+    // measures what the free knob buys: doubling per-subspace
+    // codebook size halves quantization cells per subspace (3 -> 4
+    // bits), which must move recall measurably on the adversarial
+    // random fixture. Ground truth = exact L2 top-5 (the knnPq spec's
+    // evaluation, shared here).
+    val emb = Tables.embeddings(spark, sf)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .join(broadcast(probes), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Similarity.sqDist(col("qv"), col("nv")).as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("d"), col("nid"))))
+      .filter(col("rank") <= 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(kCodes: Int): Double = {
+      val got = Similarity.knnPq(emb, kCodes = kCodes).select("qid", "nid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r8 = recallOf(8)
+    val r16 = recallOf(16)
+    info(f"ADC recall@5: kCodes=8 -> $r8%.2f, kCodes=16 -> $r16%.2f")
+    assert(r16 > r8,
+      f"4-bit subspace codebooks did not lift recall: $r8%.2f -> $r16%.2f")
+  }
+
   test("ivf-pq: results are the cell-restricted subset of full ADC; recall reported") {
     val emb = Tables.embeddings(spark, sf)
     val ivfpq = Similarity.knnIvfPq(emb).cache()
