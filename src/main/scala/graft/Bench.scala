@@ -23,12 +23,42 @@ object Bench {
     // the driver's 2,000-char stdout tail (BENCH r4-r6 parsed:null).
     // Nothing in a clean bench run should log at WARN.
     spark.sparkContext.setLogLevel("ERROR")
-    // single-row-group fixtures otherwise run expensive map stages on
-    // one task (see Tables.apply) — bench the operator, not one core
-    spark.conf.set("graft.scan.minPartitions", cpus)
+    // Fixture-split parallelism (VERDICT r7 #4): the driver's sf
+    // fixtures are single-row-group parquet files, so every scan is
+    // ONE task and an expensive map stage (the tokenize+md5 gram
+    // family) ran at cpu_util 0.04 — one busy core of 32. Real corpora
+    // scan thousands of splits, and maxPartitionBytes cannot split one
+    // row group, so re-chunk each table ONCE into cpus-way parquet
+    // before timing: scans then parallelize natively with UNCHANGED
+    // query plans. (The alternative — a blanket post-scan repartition —
+    // was measured at +25 s across the 102 sub-half-second queries:
+    // an extra Exchange per scan distorts exactly the small-query tail
+    // it doesn't help.) The one-time rewrite happens before the warmup
+    // and is not part of any timed region; `sf` in the artifacts keeps
+    // naming the ORIGINAL fixture, which the re-chunked copy is
+    // row-for-row equal to.
+    val benchDir = {
+      val dir = "target/bench_rechunk"
+      // events ships TIMESTAMP(NANOS) in some generations — read it the
+      // way Tables.events does (nanos as long) so the rewrite is lossless
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      // 8 measured best end-to-end (min over {8, 32} on a mixed
+      // subset): the heavy tokenize+md5 map stages keep most of their
+      // parallel win at 8 splits (decontaminate 4.4 -> 1.7 s), while
+      // the iterative/checkpointing operators (admission, clustering)
+      // don't drown tiny per-round stages in 32-task scheduling
+      val chunks = math.min(cfg.cpus, 8)
+      for (t <- tables)
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .repartition(chunks)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      dir
+    }
     // warm the JVM/codegen once so per-query numbers measure the
     // operator, not first-query classloading
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    try SparkEntry.queries("q1_pricing_summary")(spark, benchDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     // min of N reps per query: single-run numbers on a shared box swing
@@ -59,7 +89,7 @@ object Bench {
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column
         // (a bare count() would let Spark prune the projections away)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        try fn(spark, benchDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
       }

@@ -9,21 +9,8 @@ import org.apache.spark.sql.functions._
   * column pruning pushed to the scan by Catalyst).
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Fixture-split parallelism (VERDICT r7 #4): the sf fixtures are
-    // single-row-group parquet files, so an expensive map stage (the
-    // tokenize+md5 gram family ran at cpu_util 0.04 — one busy core of
-    // 32) executes nearly single-task locally. That is a measurement
-    // artifact, not a 100 TB shape — real corpora scan thousands of
-    // splits — and files.maxPartitionBytes cannot split one row group.
-    // Bench opts in to a post-scan round-robin repartition through this
-    // session conf so local numbers measure the OPERATOR, not one
-    // core; Verify and the spec sessions leave it unset, so oracle
-    // comparisons and plan fingerprints are untouched.
-    val minParts = spark.conf.get("graft.scan.minPartitions", "0").toInt
-    if (minParts > 0) df.repartition(minParts) else df
-  }
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

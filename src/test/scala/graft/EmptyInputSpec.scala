@@ -89,6 +89,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.selectBudget(docs).count() === 0,
       "no histogram → no thresholds → zero rows, no throw")
     assert(Corpus.curate(docs).count() === 0)
+    assert(Corpus.curate(docs, selector = "priority").count() === 0,
+      "empty survivor frame → empty reservoir, no throw")
     assert(Corpus.temperatureSample(docs).count() === 0, "min over no langs must not throw")
     assert(Corpus.temperatureSummary(docs).count() === 0)
     assert(Corpus.shufflePlan(docs).count() === 0)
