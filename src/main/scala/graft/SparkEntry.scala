@@ -334,6 +334,10 @@ object SparkEntry {
       ((s, d) => Similarity.decontaminateEmbedding(t(s, d, "embeddings"))),
     "knn_pq_adc" -> ((s, d) => Similarity.knnPq(t(s, d, "embeddings"))),
     "knn_ivf_pq" -> ((s, d) => Similarity.knnIvfPq(t(s, d, "embeddings"))),
+    "knn_ivf_pq_residual" -> ((s, d) =>
+      Similarity.knnIvfPqResidual(t(s, d, "embeddings"))),
+    "ann_recall_ivf_pq" -> ((s, d) =>
+      Similarity.annRecallIvfPq(t(s, d, "embeddings"))),
     "knn_sq_int8" -> ((s, d) => Similarity.knnSqInt8(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents"))),
@@ -680,45 +684,88 @@ object SparkEntry {
     * Similarity.pqCodebooks/withPqCodes, generated per subspace the
     * same way the Scala side folds over them.
     */
-  private val pqCteSql: String = {
+  /** The per-subspace blocks with a NAME PREFIX and a parameterized
+    * source CTE `$src(vec_id, v)` — serves the raw-vector chain
+    * (prefix "", src "e": names e0/f0/c0_2/… unchanged) and r8's
+    * residual chain (prefix "r", src "er"). Final assignments land in
+    * `${p}f$i`.
+    */
+  private def pqBlocksSql(p: String, src: String): String = {
     val sub = 8; val kCodes = 8; val iters = 2
-    def sq(src: String, cb: String) =
-      s"""list_sum(list_transform(range(1, len($src.v)+1),
-         |      j -> ($src.v[j]-$cb.cv[j])*($src.v[j]-$cb.cv[j])))""".stripMargin
-    val blocks = (0 until 8).map { i =>
+    def sq(s: String, cb: String) =
+      s"""list_sum(list_transform(range(1, len($s.v)+1),
+         |      j -> ($s.v[j]-$cb.cv[j])*($s.v[j]-$cb.cv[j])))""".stripMargin
+    (0 until 8).map { i =>
       val iterBlocks = (1 to iters).map { t =>
-        s"""a${i}_$t AS (SELECT vec_id, cid FROM (
+        s"""${p}a${i}_$t AS (SELECT vec_id, cid FROM (
            |  SELECT s.vec_id, c.cid,
            |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
            |      ${sq("s", "c")} ASC, c.cid ASC) AS rn
-           |  FROM e$i s CROSS JOIN c${i}_${t - 1} c) WHERE rn = 1),
-           |m${i}_$t AS (SELECT a.cid, q.dim,
+           |  FROM ${p}e$i s CROSS JOIN ${p}c${i}_${t - 1} c) WHERE rn = 1),
+           |${p}m${i}_$t AS (SELECT a.cid, q.dim,
            |    CAST(SUM(q.q) AS DOUBLE)/1e9/count(*) AS mv
-           |  FROM a${i}_$t a JOIN eq$i q USING (vec_id) GROUP BY a.cid, q.dim),
-           |c${i}_$t AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
-           |  FROM c${i}_${t - 1} p LEFT JOIN (SELECT cid, list(mv ORDER BY dim) AS cv
-           |    FROM m${i}_$t GROUP BY cid) n USING (cid))""".stripMargin
+           |  FROM ${p}a${i}_$t a JOIN ${p}eq$i q USING (vec_id) GROUP BY a.cid, q.dim),
+           |${p}c${i}_$t AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+           |  FROM ${p}c${i}_${t - 1} p LEFT JOIN (SELECT cid, list(mv ORDER BY dim) AS cv
+           |    FROM ${p}m${i}_$t GROUP BY cid) n USING (cid))""".stripMargin
       }.mkString(",\n")
-      s"""e$i AS (SELECT vec_id, v[${i * sub + 1}:${(i + 1) * sub}] AS v FROM e),
-         |eq$i AS (SELECT vec_id, u.i - 1 AS dim, CAST(round(u.x*1e9) AS BIGINT) AS q
+      s"""${p}e$i AS (SELECT vec_id, v[${i * sub + 1}:${(i + 1) * sub}] AS v FROM $src),
+         |${p}eq$i AS (SELECT vec_id, u.i - 1 AS dim, CAST(round(u.x*1e9) AS BIGINT) AS q
          |  FROM (SELECT vec_id, unnest(list_transform(range(1, len(v)+1),
          |      j -> {'i': CAST(j AS BIGINT), 'x': v[j]})) AS u
-         |    FROM e$i)),
-         |c${i}_0 AS (SELECT vec_id AS cid, v AS cv FROM e$i WHERE vec_id < $kCodes),
+         |    FROM ${p}e$i)),
+         |${p}c${i}_0 AS (SELECT vec_id AS cid, v AS cv FROM ${p}e$i WHERE vec_id < $kCodes),
          |$iterBlocks,
-         |f$i AS (SELECT vec_id, code, cv,
+         |${p}f$i AS (SELECT vec_id, code, cv,
          |    CAST(floor(d * 1e9 + 0.5) AS BIGINT) AS sq_err_nano FROM (
          |  SELECT s.vec_id, c.cid AS code, c.cv,
          |    ${sq("s", "c")} AS d,
          |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
          |      ${sq("s", "c")} ASC, c.cid ASC) AS rn
-         |  FROM e$i s CROSS JOIN c${i}_$iters c) WHERE rn = 1)""".stripMargin
+         |  FROM ${p}e$i s CROSS JOIN ${p}c${i}_$iters c) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+  }
+
+  private val pqCteSql: String =
     s"""WITH e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |$blocks""".stripMargin
-  }
+       |${pqBlocksSql("", "e")}""".stripMargin
+
+  /** The knn_ivf_pq candidate chain — "g"-prefixed coarse Lloyd +
+    * cell assignment + probe lists + ADC ranking, ending in `rk` —
+    * shared verbatim by the search oracle and the r8 recall
+    * evaluator's oracle. Assumes [[pqCteSql]]'s CTEs in scope.
+    */
+  private val ivfPqSearchCtes: String =
+    s"""${kmeansBlocksSql("g", 8, 3)},
+      |cell AS (SELECT vec_id, cid FROM (
+      |  SELECT e.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(e.v)+1),
+      |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+      |  FROM e CROSS JOIN gc3 c) WHERE rn = 1),
+      |pl AS (SELECT vec_id AS qid, cid FROM (
+      |  SELECT e.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(e.v)+1),
+      |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+      |  FROM e CROSS JOIN gc3 c WHERE e.vec_id < 20) WHERE rn <= 2),
+      |rec AS (SELECT f0.vec_id,
+      |  ${(0 until 8).map(i => s"f$i.cv").mkString(" || ")} AS rv
+      |FROM f0 ${(1 until 8).map(i => s"JOIN f$i USING (vec_id)").mkString(" ")}),
+      |pr AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+      |sc AS (SELECT pl.qid, cell.vec_id AS nid,
+      |  CAST(floor(list_sum(list_transform(range(1, len(pr.qv)+1),
+      |    j -> (pr.qv[j]-rec.rv[j])*(pr.qv[j]-rec.rv[j]))) * 1e9 + 0.5) AS BIGINT)
+      |    AS adc_dist_nano
+      |FROM pl JOIN cell ON cell.cid = pl.cid
+      |JOIN rec ON rec.vec_id = cell.vec_id
+      |JOIN pr ON pr.qid = pl.qid
+      |WHERE pl.qid <> cell.vec_id),
+      |rk AS (SELECT qid, nid, adc_dist_nano,
+      |  CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY adc_dist_nano ASC, nid ASC) AS BIGINT) AS rank FROM sc)""".stripMargin
 
   /** Covariance CTE chain shared by the PCA-family oracles: per-row
     * linear/product terms nano-quantized to BIGINTs before the group
@@ -1049,7 +1096,10 @@ object SparkEntry {
       .orderBy("word").collect()
     org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(words)
     def esc(x: String) = x.replace("'", "''")
-    rows.map(r => s"('${esc(r.getString(0))}', '${esc(r.getString(1))}', " +
+    // empty corpus → VALUES needs at least one row to parse; the
+    // empty-string word can never join (words are non-empty by filter)
+    if (rows.isEmpty) "('', '', CAST(0 AS BIGINT))"
+    else rows.map(r => s"('${esc(r.getString(0))}', '${esc(r.getString(1))}', " +
         s"CAST(${r.getLong(2)} AS BIGINT))")
       .mkString(", ")
   }
@@ -3364,9 +3414,46 @@ object SparkEntry {
     // IVF-PQ: the PQ CTE chain + a "g"-prefixed coarse-kmeans chain
     // (same generator as the bare kmeans oracles), corpus cell = L2
     // argmin under gc3, probes take their 2 nearest cells, ADC ranks
-    // the quantized reconstructions within probed cells only
+    // the quantized reconstructions within probed cells only (search
+    // chain shared with the r8 recall evaluator — ivfPqSearchCtes)
     "knn_ivf_pq" ->
       s"""$pqCteSql,
+        |$ivfPqSearchCtes
+        |SELECT qid, rank, nid, adc_dist_nano FROM rk
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // Recall@5 of IVF-PQ vs brute-force cosine ground truth (r8): the
+    // shared search chain + the ann_recall set-arithmetic tail (n_lsh
+    // column name kept for schema parity with the shared evaluator).
+    "ann_recall_ivf_pq" ->
+      s"""$pqCteSql,
+        |$ivfPqSearchCtes,
+        |ap AS (SELECT qid, nid FROM rk WHERE rank <= 5),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM e),
+        |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+        |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |br AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM bs),
+        |b AS (SELECT qid, nid FROM br WHERE rank <= 5),
+        |h AS (SELECT b.qid, CAST(count(*) AS BIGINT) AS n_brute,
+        |  CAST(sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |FROM b LEFT JOIN ap ON b.qid = ap.qid AND b.nid = ap.nid GROUP BY 1),
+        |nl AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_lsh FROM ap GROUP BY 1)
+        |SELECT h.qid, n_brute, coalesce(n_lsh, CAST(0 AS BIGINT)) AS n_lsh, n_hit,
+        |  CAST(n_hit AS DOUBLE) / 5.0 AS recall
+        |FROM h LEFT JOIN nl ON h.qid = nl.qid ORDER BY h.qid""".stripMargin,
+
+    // Residual IVF-PQ (r8): the raw chain's coarse quantizer ("g"
+    // prefix) assigns cells; residuals round through REAL — the same
+    // IEEE float cast Spark applies — before the "r"-prefixed
+    // per-subspace Lloyd chain; probes take a residual PER probed
+    // cell; ADC fold/quantize/rank identical to knn_ivf_pq.
+    "knn_ivf_pq_residual" ->
+      s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
         |${kmeansBlocksSql("g", 8, 3)},
         |cell AS (SELECT vec_id, cid FROM (
         |  SELECT e.vec_id, c.cid,
@@ -3374,28 +3461,36 @@ object SparkEntry {
         |      list_sum(list_transform(range(1, len(e.v)+1),
         |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
         |  FROM e CROSS JOIN gc3 c) WHERE rn = 1),
+        |er AS (SELECT e.vec_id,
+        |    list_transform(range(1, len(e.v)+1),
+        |      i -> CAST(CAST(e.v[i] - c.cv[i] AS REAL) AS DOUBLE)) AS v
+        |  FROM e JOIN cell ON cell.vec_id = e.vec_id
+        |  JOIN gc3 c ON c.cid = cell.cid),
+        |${pqBlocksSql("r", "er")},
+        |rrec AS (SELECT rf0.vec_id,
+        |  ${(0 until 8).map(i => s"rf$i.cv").mkString(" || ")} AS rv
+        |FROM rf0 ${(1 until 8).map(i => s"JOIN rf$i USING (vec_id)").mkString(" ")}),
         |pl AS (SELECT vec_id AS qid, cid FROM (
         |  SELECT e.vec_id, c.cid,
         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
         |      list_sum(list_transform(range(1, len(e.v)+1),
         |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
         |  FROM e CROSS JOIN gc3 c WHERE e.vec_id < 20) WHERE rn <= 2),
-        |rec AS (SELECT f0.vec_id,
-        |  ${(0 until 8).map(i => s"f$i.cv").mkString(" || ")} AS rv
-        |FROM f0 ${(1 until 8).map(i => s"JOIN f$i USING (vec_id)").mkString(" ")}),
-        |pr AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
-        |sc AS (SELECT pl.qid, cell.vec_id AS nid,
-        |  CAST(floor(list_sum(list_transform(range(1, len(pr.qv)+1),
-        |    j -> (pr.qv[j]-rec.rv[j])*(pr.qv[j]-rec.rv[j]))) * 1e9 + 0.5) AS BIGINT)
+        |prr AS (SELECT pl.qid, pl.cid,
+        |    list_transform(range(1, len(e.v)+1),
+        |      i -> CAST(CAST(e.v[i] - c.cv[i] AS REAL) AS DOUBLE)) AS qrv
+        |  FROM pl JOIN e ON e.vec_id = pl.qid JOIN gc3 c ON c.cid = pl.cid),
+        |sc2 AS (SELECT prr.qid, cell.vec_id AS nid,
+        |  CAST(floor(list_sum(list_transform(range(1, len(prr.qrv)+1),
+        |    j -> (prr.qrv[j]-rrec.rv[j])*(prr.qrv[j]-rrec.rv[j]))) * 1e9 + 0.5) AS BIGINT)
         |    AS adc_dist_nano
-        |FROM pl JOIN cell ON cell.cid = pl.cid
-        |JOIN rec ON rec.vec_id = cell.vec_id
-        |JOIN pr ON pr.qid = pl.qid
-        |WHERE pl.qid <> cell.vec_id),
-        |rk AS (SELECT qid, nid, adc_dist_nano,
+        |FROM prr JOIN cell ON cell.cid = prr.cid
+        |JOIN rrec ON rrec.vec_id = cell.vec_id
+        |WHERE prr.qid <> cell.vec_id),
+        |rk2 AS (SELECT qid, nid, adc_dist_nano,
         |  CAST(row_number() OVER (PARTITION BY qid
-        |    ORDER BY adc_dist_nano ASC, nid ASC) AS BIGINT) AS rank FROM sc)
-        |SELECT qid, rank, nid, adc_dist_nano FROM rk
+        |    ORDER BY adc_dist_nano ASC, nid ASC) AS BIGINT) AS rank FROM sc2)
+        |SELECT qid, rank, nid, adc_dist_nano FROM rk2
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "multimodal_meta" ->

@@ -170,6 +170,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.knnPq(emb).count() === 0)
     assert(Similarity.knnSqInt8(emb).count() === 0)
     assert(Similarity.knnIvfPq(emb).count() === 0)
+    assert(Similarity.knnIvfPqResidual(emb).count() === 0)
     assert(Similarity.decontaminateEmbedding(emb).count() === 0)
     assert(Similarity.covariance(emb).count() === 0)
     assert(Similarity.pcaComponent(emb).count() === 0,

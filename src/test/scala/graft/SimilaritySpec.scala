@@ -153,6 +153,58 @@ class SimilaritySpec extends AnyFunSuite {
     pq.unpersist()
   }
 
+  test("residual ivf-pq: structural guarantees; lift appears exactly where clusters exist") {
+    val emb = Tables.embeddings(spark, sf)
+    // exact-L2 top-5 ground truth over an arbitrary corpus — the PQ
+    // specs' evaluation, parameterized
+    def exactTop5(corpus: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val probes = corpus.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        .join(broadcast(probes), col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          Similarity.sqDist(col("qv"), col("nv")).as("d"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("d"), col("nid"))))
+        .filter(col("rank") <= 5)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def recallOf(df: org.apache.spark.sql.DataFrame,
+                 exact: Set[(Long, Long)]): Double = {
+      val got = df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val res = Similarity.knnIvfPqResidual(emb).cache()
+    assert(res.filter(col("qid") === col("nid")).count() === 0)
+    assert(res.groupBy("qid").count().filter(col("count") > 5).count() === 0)
+    val exact = exactTop5(emb)
+    val rRes = recallOf(res, exact)
+    val rRaw = recallOf(Similarity.knnIvfPq(emb), exact)
+    // measured parity on the random fixture (0.20 vs 0.23): isotropic
+    // vectors give the coarse quantizer no between-cell variance to
+    // absorb, so residuals are as wide as the originals — the lift
+    // exists only on clustered corpora (scaladoc'd deployment guidance)
+    info(f"random fixture recall@5: raw codes $rRaw%.2f, residual codes $rRes%.2f")
+    assert(rRes > 0.05, f"residual ADC recall collapsed: $rRes%.2f")
+    res.unpersist()
+    // where the precondition HOLDS the lift must be real: plant 4
+    // well-separated clusters (+10·(id%4) on every dim) — raw codes
+    // now quantize a [0,30]-wide span per subspace dim while residual
+    // codes still see only the within-cluster spread
+    val offset = (col("vec_id") % 4).cast("double") * 10.0
+    val planted = emb.select(col("vec_id"),
+      transform(col("embedding"), x => (x.cast("double") + offset).cast("float"))
+        .as("embedding"))
+    val exactP = exactTop5(planted)
+    val pRaw = recallOf(Similarity.knnIvfPq(planted), exactP)
+    val pRes = recallOf(Similarity.knnIvfPqResidual(planted), exactP)
+    info(f"planted 4-cluster recall@5: raw codes $pRaw%.2f, residual codes $pRes%.2f")
+    assert(pRes > pRaw,
+      f"residual codes must beat raw codes on a clustered corpus: $pRaw%.2f -> $pRes%.2f")
+  }
+
   test("pq: 4-bit subspace codebooks lift ADC recall over the 3-bit default") {
     // VERDICT r7 #7 — the oracle-pinned index stays at kCodes=8; this
     // measures what the free knob buys: doubling per-subspace
