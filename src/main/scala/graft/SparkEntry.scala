@@ -30,6 +30,7 @@ object SparkEntry {
       "dedup_exact", "corpus_funnel", "bpe_merges", "bpe_token_counts",
       "quality_classifier", "quality_classifier_score", "doc_ngram_novelty",
       "doc_ngram_novelty_incremental", "corpus_curate",
+      "corpus_curate_priority",
       "embedding_covariance", "contamination_matrix",
       "embedding_covariance_incremental", "bpe_encode", "source_overlap",
       "source_overlap_incremental", "dedup_jaccard", "dedup_containment")
@@ -362,6 +363,10 @@ object SparkEntry {
       ((s, d) => Corpus.temperatureSummary(t(s, d, "documents"))),
     "corpus_select_budget" -> ((s, d) => Corpus.selectBudget(t(s, d, "documents"))),
     "corpus_curate" -> ((s, d) => Corpus.curate(t(s, d, "documents"))),
+    // the r8 selector switch's other path: same verdict+dedup survivor
+    // frame, metered by weighted A-Res sampling instead of the budget
+    "corpus_curate_priority" -> ((s, d) =>
+      Corpus.curate(t(s, d, "documents"), selector = "priority")),
     // the budget selection's continuation contract, batch-staged (the
     // quality_gate_incremental pattern): token histograms from two
     // doc_id-split increments merge associatively, re-selection of
@@ -410,6 +415,15 @@ object SparkEntry {
         Corpus.sourceVocab(docs.filter(col("doc_id") % 2 === 0)))
     }),
     "cap_per_source" -> ((s, d) => Corpus.capPerSource(t(s, d, "documents"))),
+    // reservoir continuation: state = the standing half's capped set,
+    // batch = the other half; output must equal the one-shot cap over
+    // everything (exact associativity of per-source top-cap)
+    "cap_per_source_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      Corpus.capPerSourceIncremental(docs.filter(col("doc_id") % 2 =!= 0),
+        Corpus.capPerSource(docs.filter(col("doc_id") % 2 === 0)))
+    }),
     // bpe_merges stays rows-only (no SQL oracle — the greedy merge
     // fold is not DuckDB-expressible); BpeSpec proves bit-equality
     // against an independent in-memory reference instead. The APPLY
@@ -2539,6 +2553,38 @@ object SparkEntry {
         |  bt.threshold_micro IS NOT NULL AND sv.score_micro >= bt.threshold_micro AS kept
         |FROM sv LEFT JOIN bt USING (lang) ORDER BY sv.doc_id""".stripMargin,
 
+    // The r8 selector switch's priority path: the SAME verdict+dedup
+    // survivor CTEs, then the A-Res tail (prioritySampleSql's
+    // hash-priority arithmetic verbatim) over the survivors.
+    "corpus_curate_priority" ->
+      s"""WITH $verdictCtes,
+        |vd AS (SELECT g.doc_id,
+        |  g.gopher_keep AND NOT r.is_repetitive
+        |    AND (e.em BETWEEN 1000000 AND 6000000)
+        |    AND sc.score_micro >= th.threshold_micro AS keep
+        |FROM gq g JOIN rp r USING (doc_id) JOIN en e USING (doc_id)
+        |JOIN sc USING (doc_id) JOIN th ON sc.lang = th.lang),
+        |dd AS (SELECT doc_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS is_dup
+        |FROM documents),
+        |sv AS (SELECT d.doc_id, d.source, d.lang FROM documents d
+        |JOIN vd USING (doc_id) JOIN dd USING (doc_id)
+        |WHERE vd.keep AND NOT dd.is_dup),
+        |s0 AS (SELECT doc_id, source, lang,
+        |  CAST(CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 0.9
+        |    WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.5
+        |    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 0.25
+        |    ELSE 0.1 END AS DOUBLE) AS weight,
+        |  (('0x' || substr(md5('ares:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT * 2 + 1)
+        |    / CAST(536870912 AS DOUBLE) AS u
+        |FROM sv),
+        |sp AS (SELECT doc_id, source, lang, weight,
+        |  CAST(floor(log2(u) / weight * 1000000 + 0.5) AS BIGINT) AS priority_micro FROM s0),
+        |tp AS (SELECT * FROM sp ORDER BY priority_micro DESC, doc_id LIMIT 25)
+        |SELECT CAST(row_number() OVER (ORDER BY priority_micro DESC, doc_id) AS BIGINT) AS rank,
+        |  doc_id, source, lang, weight, priority_micro
+        |FROM tp ORDER BY rank""".stripMargin,
+
     // integer micro-unit scores + histogram-cumulative threshold: the
     // keep rule is pure integer logic, so the gate reproduces exactly
     // (no interpolated-percentile boundary flake)
@@ -4026,11 +4072,16 @@ object SparkEntry {
 
     // Single-window statement of the cap; the Spark side's two-phase
     // salted form is provably identical (Corpus.capPerSource scaladoc).
-    "cap_per_source" ->
-      s"""WITH r AS (SELECT source, doc_id, n_chars,
-         |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
-         |FROM documents)
-         |SELECT source, rank, doc_id, n_chars FROM r WHERE rank <= 15
-         |ORDER BY source, rank""".stripMargin
+    "cap_per_source" -> capPerSourceSql,
+    // exact associativity of per-source top-cap ⇒ the continuation is
+    // byte-identical to the one-shot — one oracle serves both
+    "cap_per_source_incremental" -> capPerSourceSql
   )
+
+  private lazy val capPerSourceSql: String =
+    s"""WITH r AS (SELECT source, doc_id, n_chars,
+       |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+       |FROM documents)
+       |SELECT source, rank, doc_id, n_chars FROM r WHERE rank <= 15
+       |ORDER BY source, rank""".stripMargin
 }

@@ -1163,4 +1163,26 @@ object Corpus {
       .select("source", "rank", "doc_id", "n_chars")
       .orderBy("source", "rank")
   }
+
+  /** Incremental per-source cap (r8) — the reservoir property that
+    * makes the domain cap streamable: per-source top-cap under the
+    * TOTAL order (n_chars desc, doc_id) is exactly associative —
+    * top-cap(A ∪ B) = top-cap(top-cap(A) ∪ top-cap(B)) — so the
+    * carried state is just the current ≤cap winners per source
+    * (bounded regardless of corpus size; rank is derived, never
+    * stored) and absorbing a batch is the batch's own
+    * WindowGroupLimit-pruned cap merged with the state through one
+    * ≤2·cap-rows-per-source re-rank. Output is provably BIT-identical
+    * to the one-shot [[capPerSource]] over everything ever arrived —
+    * the oracle states the one-shot literally (the
+    * prioritySampleIncremental discipline, per source). Steady-state
+    * cost per tick = one batch scan + a state-sized window; never a
+    * corpus rescan.
+    */
+  def capPerSourceIncremental(batch: DataFrame, state: DataFrame,
+                              cap: Int = 15): DataFrame = {
+    val cols = Seq("source", "doc_id", "n_chars")
+    val batchCap = capPerSource(batch, cap).select(cols.map(col): _*)
+    capPerSource(state.select(cols.map(col): _*).unionByName(batchCap), cap)
+  }
 }

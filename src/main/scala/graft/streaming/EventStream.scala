@@ -765,6 +765,50 @@ object EventStream {
       .start()
   }
 
+  /** Streaming twin of Corpus.capPerSource (r8) — the domain cap as a
+    * continuous admission process, in the BIT-IDENTICAL state class
+    * (the covariance/zipf/hll/reservoir discipline): per-source
+    * top-cap under the total order (n_chars desc, doc_id) is exactly
+    * associative, so the carried state is the current ≤cap winners
+    * per source (three short columns, bounded regardless of corpus
+    * size) and the snapshot published at trigger T equals the
+    * one-shot capPerSource over everything arrived by T, bit-for-bit
+    * — no drift, no reconcile pass (spec asserts mid-stream AND
+    * final). Each trigger: the batch's own WindowGroupLimit-pruned
+    * cap, a ≤2·cap-per-source re-rank against the state
+    * (Corpus.capPerSourceIncremental), full snapshot to batch_<id>
+    * (a cap is a selection, not an append stream), state to
+    * upto_<id>. Same versioned replay-idempotent state, stable
+    * checkpoint, pruning and block-release discipline as the family.
+    */
+  def capPerSourceStream(spark: SparkSession, dir: String, sinkPath: String,
+                         cap: Int = 15,
+                         splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    documentsStream(spark, dir, splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val docs = batch.drop("ingest_ts")
+        val prev = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(String, Long, Long)]
+            .toDF("source", "doc_id", "n_chars"))
+        // checkpointed: the snapshot feeds the sink AND the state write
+        val view = graft.operators.Corpus
+          .capPerSourceIncremental(docs, prev, cap)
+          .localCheckpoint(eager = true)
+        graft.sources.Loader.truncateAndLoad(view, s"$sinkPath/batch_$batchId")
+        graft.sources.Loader.truncateAndLoad(
+          view.select("source", "doc_id", "n_chars"), s"$stateDir/upto_$batchId")
+        releaseCheckpoints(view)
+        pruneStateBefore(spark, stateDir, batchId - 1)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming twin of Corpus.selectBudget — token-budget data
     * selection as a continuous process. Same state discipline as
     * [[qualityGateStream]], with the carried state the (lang,

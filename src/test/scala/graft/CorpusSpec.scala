@@ -818,4 +818,25 @@ class CorpusSpec extends AnyFunSuite {
     assert("""\(\d+\) WindowGroupLimit""".r.findAllIn(plan).size >= 2,
       s"WindowGroupLimit pushdown missing:\n${plan.take(2000)}")
   }
+
+  test("cap_per_source incremental: reservoir continuation is BIT-identical to one-shot") {
+    // exact associativity of per-source top-cap: carrying only the
+    // standing winners and re-ranking against the batch's own capped
+    // set reproduces the one-shot cap over everything, byte for byte
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+    val cont = Corpus.capPerSourceIncremental(odd, Corpus.capPerSource(even))
+      .collect().toSeq
+    val oneShot = Corpus.capPerSource(docs).collect().toSeq
+    assert(cont === oneShot)
+    // and the carried state is bounded at cap rows per source
+    val state = Corpus.capPerSource(even)
+    assert(state.groupBy("source").count()
+      .filter(col("count") > 15).count() === 0)
+    // order-independence: absorbing the halves in the other order
+    // lands on the same winners (associativity + commutativity)
+    val contSwap = Corpus.capPerSourceIncremental(even, Corpus.capPerSource(odd))
+      .collect().toSeq
+    assert(contSwap === oneShot)
+  }
 }

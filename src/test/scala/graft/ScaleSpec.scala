@@ -472,6 +472,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(fin.count() === 64L * 65 / 2)
   }
 
+  test("streaming per-source cap: every trigger's snapshot is BIT-identical to its one-shot prefix") {
+    val sink = Files.createTempDirectory("graft_capstream").toString + "/cap"
+    val q = EventStream.capPerSourceStream(spark, sf, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val docs = Tables.documents(spark, sf)
+    // per-source top-cap is exactly associative — the bit-identical
+    // class: trigger-1 snapshot ≡ one-shot over the prefix, final ≡
+    // one-shot over everything, no reconcile
+    val mid = spark.read.parquet(s"$sink/${batches.head}")
+    val midShot = graft.operators.Corpus
+      .capPerSource(docs.filter(col("doc_id") < 250))
+    assert(mid.exceptAll(midShot).count() === 0)
+    assert(midShot.exceptAll(mid).count() === 0)
+    val fin = spark.read.parquet(s"$sink/${batches.last}")
+    val oneShot = graft.operators.Corpus.capPerSource(docs)
+    assert(fin.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(fin).count() === 0)
+    assert(fin.count() > 0)
+  }
+
   test("streaming heavy hitters: cells state ≡ one-shot; probe ≡ incremental contract") {
     val sink = Files.createTempDirectory("graft_cmsstream").toString + "/hh"
     val q = EventStream.heavyHittersStream(spark, sf, sink, splitAt = Some(500L))
