@@ -27,6 +27,7 @@ object SparkEntry {
     Set("dedup_clusters", "dedup_prune", "corpus_report", "decontaminate",
       "decontaminate_bloom", "decontaminate_incremental", "dedup_admit",
       "dedup_reconcile", "fact_transactions_cdc", "doc_unigram_logloss",
+      "doc_bigram_logloss",
       "dedup_exact", "corpus_funnel", "bpe_merges", "bpe_token_counts",
       "quality_classifier", "quality_classifier_score", "doc_ngram_novelty",
       "doc_ngram_novelty_incremental", "corpus_curate",
@@ -521,7 +522,8 @@ object SparkEntry {
       Validation.columnHistogram(t(s, d, "orders"), "o_totalprice")),
     "passage_dedup" -> ((s, d) => TextOps.passageDedup(t(s, d, "documents"))),
     "passage_scrub" -> ((s, d) => TextOps.passageScrub(t(s, d, "documents"))),
-    "doc_unigram_logloss" -> ((s, d) => TextOps.unigramLogloss(t(s, d, "documents")))
+    "doc_unigram_logloss" -> ((s, d) => TextOps.unigramLogloss(t(s, d, "documents"))),
+    "doc_bigram_logloss" -> ((s, d) => TextOps.bigramLogloss(t(s, d, "documents")))
   )
 
   // ---------------------------------------------------------------------
@@ -2734,6 +2736,36 @@ object SparkEntry {
         |    - CAST(floor(CAST(sum(lf) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS logloss_microbits
         |FROM j CROSS JOIN tot
         |GROUP BY doc_id, total_tokens ORDER BY doc_id""".stripMargin,
+
+    // Bigram step of the LM-perplexity filter (r8): add-one-smoothed
+    // P(w2|w1) = (c2+1)/(c1+V), per-bigram −log2 P = log2(c1+V) −
+    // log2(c2+1) — every log arg an exact integer, each log quantized
+    // SEPARATELY to micro-units before the per-doc Long sum (the
+    // unigram discipline). Docs with <2 tokens have no bigrams and
+    // are absent from both engines' output.
+    "doc_bigram_logloss" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM t),
+        |c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS bigram_freq
+        |  FROM p GROUP BY 1),
+        |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
+        |    CAST(sum(bigram_freq) AS BIGINT) AS hist_freq
+        |  FROM c2 GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT u.term) AS BIGINT) AS v
+        |  FROM (SELECT unnest(tk) AS term FROM t) u),
+        |ct AS (SELECT c2.bigram,
+        |  CAST(floor(log2(CAST(hist_freq + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |  - CAST(floor(log2(CAST(bigram_freq + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |    AS nll_micro
+        |FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1 CROSS JOIN vv),
+        |j AS (SELECT doc_id, nll_micro FROM p JOIN ct USING (bigram))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(nll_micro) AS BIGINT) AS sum_nll_micro,
+        |  CAST(floor(CAST(sum(nll_micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+        |    AS logloss_microbits
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
       """WITH s AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS tk FROM documents),

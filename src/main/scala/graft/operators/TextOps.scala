@@ -970,6 +970,63 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Bigram cross-entropy of each document under the corpus's own
+    * add-one-smoothed bigram model (r8) — the n-gram step up from
+    * [[unigramLogloss]] toward the CCNet-style LM-perplexity filter:
+    * unigram logloss scores token RARITY, bigram logloss scores
+    * SEQUENCE plausibility (shuffled or machine-concatenated text
+    * carries common tokens in improbable orders — invisible to the
+    * unigram model, loud here). With P(w2|w1) = (c2(w1,w2)+1) /
+    * (c1(w1)+V), per-bigram −log2 P = log2(c1+V) − log2(c2+1): every
+    * log argument is an exact integer corpus count, each log is
+    * micro-quantized SEPARATELY before the per-doc Long sum, and the
+    * final mean is one correctly-rounded division — the unigram
+    * determinism discipline verbatim. Docs with <2 tokens have no
+    * bigrams and are absent (stated in the oracle).
+    *
+    * Scale shape: ONE corpus map stage builds doc-local consecutive
+    * pairs (HOF over the token array — no positional self-join); the
+    * bigram aggregate map-side-combines to observed-bigram scale
+    * (Zipf-bounded ≪ corpus tokens); history counts c1 and the
+    * per-bigram contribution table derive from THAT vocabulary²-scale
+    * table, never from a corpus rescan; V is a 1-row broadcast; the
+    * one corpus-scale join (pairs ⋈ contribution) is SALTED on the
+    * bigram key — Zipf head bigrams ("of the") are the hot keys.
+    * Contribution table checkpointed: it feeds the join build side
+    * once instead of re-running the aggregate chain per consumer.
+    */
+  def bigramLogloss(documents: DataFrame): DataFrame = {
+    val bg = transform(graft.functions.ColUtil.posRange(size(toks) - lit(1)),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val pairs = documents.select(col("doc_id"), explode(bg).as("bigram"))
+    val c2 = pairs.groupBy("bigram").agg(count(lit(1)).as("bigram_freq"))
+      .localCheckpoint(true)
+    // history counts fall out of the bigram table (c1(w1) = Σ c2(w1,·))
+    // — vocabulary-scale input, not a corpus rescan
+    val c1 = c2.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+      .agg(sum(col("bigram_freq")).as("hist_freq"))
+    val vocab = documents.select(explode(toks).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    val contrib = c2
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab)) // 1-row scalar
+      .select(col("bigram"),
+        (floor(log2((col("hist_freq") + col("v")).cast("double")) * 1e6 + 0.5)
+          .cast(LongType) -
+          floor(log2((col("bigram_freq") + lit(1)).cast("double")) * 1e6 + 0.5)
+            .cast(LongType)).as("nll_micro"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(c2)
+    Partitioning.saltedEquiJoin(pairs, contrib, "bigram", col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("sum_nll_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_nll_micro"),
+        floor(col("sum_nll_micro").cast("double") / col("n_bigrams") + 0.5)
+          .cast(LongType).as("logloss_microbits"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-cleaning funnel: how many documents survive each filter
     * stage — quality gate, then exact dedup, then repetition — the
     * pipeline summary a training-data run reports (each stage is the

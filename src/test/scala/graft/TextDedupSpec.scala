@@ -484,6 +484,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(3L)._3 > out(1L)._3)
   }
 
+  test("bigram logloss: closed-form on a planted corpus; <2-token docs absent") {
+    import spark.implicits._
+    // bigram counts: "a b"=3, "b a"=1, "b c"=1, "c c"=1; histories
+    // c1(a)=3, c1(b)=2, c1(c)=1; V={a,b,c,z}=4 (the singleton doc
+    // contributes vocabulary but no bigrams)
+    // nll("a b") = round(log2(3+4)e6) − round(log2(3+1)e6) = 2807355 − 2000000
+    // nll("b a") = nll("b c") = round(log2 6·e6) − round(log2 2·e6) = 1584963
+    // nll("c c") = round(log2 5·e6) − 1000000 = 1321928
+    val planted = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "c c"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLogloss(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 807355L + 1584963L + 807355L, 1066558L)))
+    assert(out(2L) === ((2L, 807355L + 1584963L, 1196159L)))
+    assert(out(3L) === ((1L, 1321928L, 1321928L)))
+    assert(!out.contains(4L), "a single-token doc has no bigrams")
+    // the sequence-plausibility reading: the doc made of the corpus's
+    // dominant transition scores LOWER surprisal than the rare-pair doc
+    assert(out(1L)._3 < out(3L)._3)
+    // fixture non-degeneracy: every multi-token doc scored
+    val docs = Tables.documents(spark, sf)
+    val scored = TextOps.bigramLogloss(docs)
+    assert(scored.count() ===
+      docs.filter(size(split(lower(trim(col("text"))), " ")) >= 2).count())
+  }
+
   test("gopher rules: each rule trips on its planted violation") {
     import spark.implicits._
     val good = (Seq("the", "sun", "and", "hills") ++
