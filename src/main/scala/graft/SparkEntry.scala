@@ -27,7 +27,7 @@ object SparkEntry {
     Set("dedup_clusters", "dedup_prune", "corpus_report", "decontaminate",
       "decontaminate_bloom", "decontaminate_incremental", "dedup_admit",
       "dedup_reconcile", "fact_transactions_cdc", "doc_unigram_logloss",
-      "doc_bigram_logloss",
+      "doc_bigram_logloss", "doc_bigram_logloss_incremental",
       "dedup_exact", "corpus_funnel", "bpe_merges", "bpe_token_counts",
       "quality_classifier", "quality_classifier_score", "doc_ngram_novelty",
       "doc_ngram_novelty_incremental", "corpus_curate",
@@ -523,7 +523,17 @@ object SparkEntry {
     "passage_dedup" -> ((s, d) => TextOps.passageDedup(t(s, d, "documents"))),
     "passage_scrub" -> ((s, d) => TextOps.passageScrub(t(s, d, "documents"))),
     "doc_unigram_logloss" -> ((s, d) => TextOps.unigramLogloss(t(s, d, "documents"))),
-    "doc_bigram_logloss" -> ((s, d) => TextOps.bigramLogloss(t(s, d, "documents")))
+    "doc_bigram_logloss" -> ((s, d) => TextOps.bigramLogloss(t(s, d, "documents"))),
+    // model continuation: standing corpus carried as its count tables,
+    // batch scored under the merged model ≡ one-shot restricted to
+    // batch docs
+    "doc_bigram_logloss_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      val standing = docs.filter(col("doc_id") % 2 === 0)
+      TextOps.bigramLoglossIncremental(docs.filter(col("doc_id") % 2 =!= 0),
+        TextOps.bigramCounts(standing), TextOps.termCounts(standing))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -2743,29 +2753,12 @@ object SparkEntry {
     // SEPARATELY to micro-units before the per-doc Long sum (the
     // unigram discipline). Docs with <2 tokens have no bigrams and
     // are absent from both engines' output.
-    "doc_bigram_logloss" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
-        |  FROM documents),
-        |p AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-        |    i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM t),
-        |c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS bigram_freq
-        |  FROM p GROUP BY 1),
-        |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
-        |    CAST(sum(bigram_freq) AS BIGINT) AS hist_freq
-        |  FROM c2 GROUP BY 1),
-        |vv AS (SELECT CAST(count(DISTINCT u.term) AS BIGINT) AS v
-        |  FROM (SELECT unnest(tk) AS term FROM t) u),
-        |ct AS (SELECT c2.bigram,
-        |  CAST(floor(log2(CAST(hist_freq + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
-        |  - CAST(floor(log2(CAST(bigram_freq + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
-        |    AS nll_micro
-        |FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1 CROSS JOIN vv),
-        |j AS (SELECT doc_id, nll_micro FROM p JOIN ct USING (bigram))
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  CAST(sum(nll_micro) AS BIGINT) AS sum_nll_micro,
-        |  CAST(floor(CAST(sum(nll_micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
-        |    AS logloss_microbits
-        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "doc_bigram_logloss" -> bigramLoglossSql(""),
+    // the model continuation scores batch docs under the merged
+    // (= full-corpus) model, so the oracle is the one-shot restricted
+    // to batch docs — stated literally
+    "doc_bigram_logloss_incremental" ->
+      bigramLoglossSql("WHERE doc_id % 2 <> 0"),
 
     "lang_id" ->
       """WITH s AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS tk FROM documents),
@@ -4109,6 +4102,35 @@ object SparkEntry {
     // byte-identical to the one-shot — one oracle serves both
     "cap_per_source_incremental" -> capPerSourceSql
   )
+
+  /** Bigram logloss oracle with a final doc filter — "" for the
+    * one-shot, a doc_id predicate for the model-continuation form
+    * (same model CTEs either way: the merged model IS the full-corpus
+    * model).
+    */
+  private def bigramLoglossSql(docFilter: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+      |  FROM documents),
+      |p AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |    i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM t),
+      |c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS bigram_freq
+      |  FROM p GROUP BY 1),
+      |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
+      |    CAST(sum(bigram_freq) AS BIGINT) AS hist_freq
+      |  FROM c2 GROUP BY 1),
+      |vv AS (SELECT CAST(count(DISTINCT u.term) AS BIGINT) AS v
+      |  FROM (SELECT unnest(tk) AS term FROM t) u),
+      |ct AS (SELECT c2.bigram,
+      |  CAST(floor(log2(CAST(hist_freq + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |  - CAST(floor(log2(CAST(bigram_freq + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |    AS nll_micro
+      |FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1 CROSS JOIN vv),
+      |j AS (SELECT doc_id, nll_micro FROM p JOIN ct USING (bigram) $docFilter)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(nll_micro) AS BIGINT) AS sum_nll_micro,
+      |  CAST(floor(CAST(sum(nll_micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+      |    AS logloss_microbits
+      |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   private lazy val capPerSourceSql: String =
     s"""WITH r AS (SELECT source, doc_id, n_chars,

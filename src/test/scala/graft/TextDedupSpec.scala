@@ -511,6 +511,26 @@ class TextDedupSpec extends AnyFunSuite {
       docs.filter(size(split(lower(trim(col("text"))), " ")) >= 2).count())
   }
 
+  test("bigram logloss incremental: merged-model scores equal one-shot restricted to batch") {
+    val docs = Tables.documents(spark, sf)
+    val standing = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+    val cont = TextOps.bigramLoglossIncremental(batch,
+      TextOps.bigramCounts(standing), TextOps.termCounts(standing))
+    val oneShot = TextOps.bigramLogloss(docs).filter(col("doc_id") % 2 =!= 0)
+    assert(cont.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(cont).count() === 0)
+    assert(cont.count() > 0)
+    // count-merge associativity at the state level too: merged tables
+    // equal the one-shot tables bit-for-bit
+    val mb = TextOps.mergeBigramCounts(
+      TextOps.bigramCounts(standing), TextOps.bigramCounts(batch))
+    assert(mb.exceptAll(TextOps.bigramCounts(docs)).count() === 0)
+    val mt = TextOps.mergeTermCounts(
+      TextOps.termCounts(standing), TextOps.termCounts(batch))
+    assert(mt.exceptAll(TextOps.termCounts(docs)).count() === 0)
+  }
+
   test("gopher rules: each rule trips on its planted violation") {
     import spark.implicits._
     val good = (Seq("the", "sun", "and", "hills") ++
