@@ -1015,6 +1015,12 @@ object TextOps {
     bigramPairs(documents).groupBy("bigram")
       .agg(count(lit(1)).as("bigram_freq"))
 
+  /** Public handle on the doc-local pair stream — what the streaming
+    * twin sinks compactly beside its scores so the retro re-score
+    * never re-reads the texts.
+    */
+  def bigramPairsOf(documents: DataFrame): DataFrame = bigramPairs(documents)
+
   def termCounts(documents: DataFrame): DataFrame =
     documents.select(explode(toks).as("term"))
       .groupBy("term").agg(count(lit(1)).as("term_freq"))
@@ -1058,6 +1064,26 @@ object TextOps {
     org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(c2)
     out
   }
+
+  /** Score a doc set under an EXPLICIT model — the streaming twin's
+    * per-trigger entry ([[graft.streaming.EventStream]]): the caller
+    * owns the model tables (merged, MATERIALIZED — a parquet-backed
+    * state or a checkpoint, never an expensive lazy lineage: the
+    * bigram table feeds two consumers inside the scoring tail).
+    */
+  def bigramLoglossAgainstModel(batch: DataFrame, bigramModel: DataFrame,
+                                termModel: DataFrame): DataFrame =
+    bigramScore(bigramPairs(batch), bigramModel, termModel)
+
+  /** Score a SUNK pair stream under a model — the retro re-score
+    * entry: the streaming twin lands each batch's (doc_id, bigram)
+    * stream compactly beside the scores, and the reconcile pass
+    * re-scores those pairs against the FINAL model without ever
+    * re-reading the texts (the noveltyStream pairs-sink discipline).
+    */
+  def bigramLoglossFromPairs(pairs: DataFrame, bigramModel: DataFrame,
+                             termModel: DataFrame): DataFrame =
+    bigramScore(pairs, bigramModel, termModel)
 
   /** Scoring tail shared by the one-shot and incremental forms:
     * history counts fall out of the bigram table (c1(w1) = Σ c2(w1,·)

@@ -765,6 +765,88 @@ object EventStream {
       .start()
   }
 
+  /** Streaming twin of TextOps.bigramLogloss (r8) — corpus-relative
+    * perplexity filtering as a continuous process, in the
+    * quality-gate drift class: the carried state is the bigram MODEL
+    * ((bigram, count) + (term, count), both exactly associative under
+    * summation, packed into one versioned frame on a `kind` column),
+    * each trigger scores its batch under the model of the corpus SO
+    * FAR (batch included) and lands scores in batch_<id> plus the
+    * COMPACT (doc_id, bigram) pair stream in pairs_<id>. Online
+    * scores DRIFT as the model grows (an early doc was scored under a
+    * younger model — any online corpus-relative statistic must);
+    * [[reconcileBigramLogloss]] settles them by re-scoring the sunk
+    * pairs against the final model — no text re-scan, and the settled
+    * frame equals the one-shot operator over everything arrived
+    * (spec-asserted). State is vocabulary²-scale (the novelty-class
+    * cost, not the bounded-histogram one — at 100 TB the same
+    * g8-bucketed-store treatment applies). Same versioned
+    * replay-idempotent state, stable checkpoint, pruning and
+    * block-release discipline as the family.
+    */
+  def bigramLoglossStream(spark: SparkSession, dir: String, sinkPath: String,
+                          splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    documentsStream(spark, dir, splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val docs = batch.drop("ingest_ts")
+        val prev = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(String, String, Long)].toDF("kind", "k", "n"))
+        val mb = graft.operators.TextOps.mergeBigramCounts(
+            prev.filter(col("kind") === "b")
+              .select(col("k").as("bigram"), col("n").as("bigram_freq")),
+            graft.operators.TextOps.bigramCounts(docs))
+          .localCheckpoint(eager = true)
+        val mt = graft.operators.TextOps.mergeTermCounts(
+            prev.filter(col("kind") === "t")
+              .select(col("k").as("term"), col("n").as("term_freq")),
+            graft.operators.TextOps.termCounts(docs))
+          .localCheckpoint(eager = true)
+        val scored = graft.operators.TextOps
+          .bigramLoglossAgainstModel(docs, mb, mt)
+        graft.sources.Loader.truncateAndLoad(scored, s"$sinkPath/batch_$batchId")
+        graft.sources.Loader.truncateAndLoad(
+          graft.operators.TextOps.bigramPairsOf(docs), s"$sinkPath/pairs_$batchId")
+        val packed = mb.select(lit("b").as("kind"), col("bigram").as("k"),
+            col("bigram_freq").as("n"))
+          .unionByName(mt.select(lit("t").as("kind"), col("term").as("k"),
+            col("term_freq").as("n")))
+        graft.sources.Loader.truncateAndLoad(packed, s"$stateDir/upto_$batchId")
+        releaseCheckpoints(mb, mt)
+        pruneStateBefore(spark, stateDir, batchId - 1)
+        ()
+      }
+      .start()
+  }
+
+  /** The batch half of [[bigramLoglossStream]]'s lambda split:
+    * re-score every sunk (doc_id, bigram) pair against the FINAL
+    * model — settles the online drift (early batches saw a younger
+    * model) and equals the one-shot TextOps.bigramLogloss over
+    * everything that arrived. Compact inputs only: the pair streams
+    * and the carried count tables, never the texts.
+    */
+  def reconcileBigramLogloss(spark: SparkSession, sinkPath: String): DataFrame = {
+    val stateDir = sinkPath + ".state"
+    val latest = graft.sources.Fs.childDirs(spark, stateDir)
+      .filter(_.startsWith("upto_"))
+      .map(_.stripPrefix("upto_").toLong)
+      .reduceOption(_ max _)
+      .getOrElse(throw new IllegalStateException(
+        s"no bigram-model state under $stateDir — has the stream committed a trigger?"))
+    val st = spark.read.parquet(s"$stateDir/upto_$latest")
+    graft.operators.TextOps.bigramLoglossFromPairs(
+      spark.read.parquet(s"$sinkPath/pairs_*"),
+      st.filter(col("kind") === "b")
+        .select(col("k").as("bigram"), col("n").as("bigram_freq")),
+      st.filter(col("kind") === "t")
+        .select(col("k").as("term"), col("n").as("term_freq")))
+  }
+
   /** Streaming twin of Corpus.capPerSource (r8) — the domain cap as a
     * continuous admission process, in the BIT-IDENTICAL state class
     * (the covariance/zipf/hll/reservoir discipline): per-source

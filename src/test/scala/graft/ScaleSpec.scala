@@ -472,6 +472,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(fin.count() === 64L * 65 / 2)
   }
 
+  test("streaming bigram logloss: model carried across triggers; reconcile settles to one-shot") {
+    val sink = Files.createTempDirectory("graft_bgstream").toString + "/bigram"
+    val q = EventStream.bigramLoglossStream(spark, sf, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val docs = Tables.documents(spark, sf)
+    val oneShot = graft.operators.TextOps.bigramLogloss(docs)
+    // online drift exists by construction (trigger-1 docs were scored
+    // under the prefix model) — report, don't assert its size
+    val online = spark.read.parquet(s"$sink/batch_*")
+    val drift = online.exceptAll(oneShot).count()
+    info(s"online-vs-settled bigram score drift: $drift rows")
+    // trigger-2 scores used the FULL model (merge associativity), so
+    // they already equal the one-shot restricted to the second half
+    val t2 = spark.read.parquet(s"$sink/${batches.last}")
+    val t2Shot = oneShot.filter(col("doc_id") >= 250)
+    assert(t2.exceptAll(t2Shot).count() === 0)
+    assert(t2Shot.exceptAll(t2).count() === 0)
+    // the settled answer: sunk pairs + final model, no text re-scan
+    val settled = EventStream.reconcileBigramLogloss(spark, sink)
+    assert(settled.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(settled).count() === 0)
+  }
+
   test("streaming per-source cap: every trigger's snapshot is BIT-identical to its one-shot prefix") {
     val sink = Files.createTempDirectory("graft_capstream").toString + "/cap"
     val q = EventStream.capPerSourceStream(spark, sf, sink, splitAt = Some(250L))
