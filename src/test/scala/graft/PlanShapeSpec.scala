@@ -54,6 +54,21 @@ class PlanShapeSpec extends AnyFunSuite {
     ("doc_unigram_logloss", Shape(3, 1, 0, 0),
       "salted join probes the CHECKPOINTED freq (its agg exchange ran " +
         "at materialization, not here) + broadcast 1-row total"),
+    ("doc_bigram_logloss", Shape(2, 1, 0, 0),
+      "salted pair join probes the CHECKPOINTED contribution table " +
+        "(model aggregates ran at materialization, not here — the " +
+        "unigram discipline) + per-doc rollup; contribution side " +
+        "broadcast at fixture stats"),
+    ("cap_per_source_incremental", Shape(6, 0, 0, 9),
+      "three cap invocations (batch cap, carried-state cap from the " +
+        "query entry, merge re-rank), each the one-shot's " +
+        "1-rank-Window + 2-WindowGroupLimit + 2-exchange shape — at " +
+        "steady state the carried side is a materialized ≤cap-per-" +
+        "source table, so only the batch cap + 2·cap re-rank remain"),
+    ("knn_ivf_pq_residual", Shape(2, 1, 0, 3),
+      "literal-codebook residual + ADC map stages, probes broadcast, " +
+        "cell-id bucket join; 3 = per-probe rank Window + its 2 " +
+        "WindowGroupLimit prefilters (the knn-family top-k shape)"),
     ("doc_char_entropy", Shape(1, 0, 0, 0),
       "pure native-expression map; only the output sort exchanges"),
     ("quality_gopher", Shape(1, 0, 0, 0),
