@@ -30,6 +30,7 @@ object SparkEntry {
       "doc_bigram_logloss", "doc_bigram_logloss_incremental",
       "dedup_exact", "corpus_funnel", "bpe_merges", "bpe_token_counts",
       "quality_classifier", "quality_classifier_score", "doc_ngram_novelty",
+      "seq_pack_bpe",
       "doc_ngram_novelty_incremental", "corpus_curate",
       "corpus_curate_priority",
       "embedding_covariance", "contamination_matrix",
@@ -388,6 +389,15 @@ object SparkEntry {
     "corpus_curriculum" -> ((s, d) => Corpus.curriculum(t(s, d, "documents"))),
     "corpus_interleave" -> ((s, d) => Corpus.interleave(t(s, d, "documents"))),
     "seq_pack" -> ((s, d) => Corpus.packPlan(t(s, d, "documents"))),
+    // pack geometry under the TRAINED tokenizer's real per-doc cost
+    // (Bpe.tokenCounts) instead of the whitespace proxy
+    "seq_pack_bpe" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      Corpus.packPlanWithCounts(docs,
+        Bpe.tokenCounts(docs, nMerges = 8)
+          .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")))
+    }),
     "seq_pack_shuffled" -> ((s, d) => Corpus.packPlanShuffled(t(s, d, "documents"))),
     "seq_pack_summary" -> ((s, d) => Corpus.packSummary(t(s, d, "documents"))),
     "seq_pack_manifest" -> ((s, d) => Corpus.packManifest(t(s, d, "documents"))),
@@ -3735,6 +3745,26 @@ object SparkEntry {
     "seq_pack" ->
       s"""WITH tk AS (SELECT doc_id, lang,
          |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+         |FROM tk)
+         |SELECT doc_id, lang, n_tokens, tokens_before // 2048 AS pack_id,
+         |  tokens_before % 2048 AS pack_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The same prefix-sum geometry with the token source swapped to
+    // the TRAINED BPE dictionary's per-doc cost (the 35s2 VALUES
+    // mechanism — Verify inlines the dictionary at dump time).
+    "seq_pack_bpe" ->
+      s"""WITH dict(word, syms, n_syms) AS (VALUES $BpeDictPlaceholder),
+         |w AS (SELECT doc_id,
+         |  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |FROM documents),
+         |bt AS (SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_tokens
+         |  FROM w JOIN dict USING (word) WHERE word <> '' GROUP BY 1),
+         |tk AS (SELECT d.doc_id, d.lang, bt.n_tokens
+         |  FROM documents d JOIN bt USING (doc_id)),
          |c AS (SELECT doc_id, lang, n_tokens,
          |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before

@@ -371,6 +371,26 @@ object Corpus {
     packProject(scanTokensBefore(
       documents.select(col("doc_id"), col("lang"), wsTokens.as("n_tokens"))), capacity)
 
+  /** [[packPlan]] under an EXPLICIT per-doc token-count table
+    * (doc_id, n_tokens) — the composition a real pretraining run
+    * executes once a tokenizer is trained: pack geometry driven by
+    * the TRAINED BPE cost ([[graft.operators.Bpe.tokenCounts]])
+    * instead of the whitespace proxy the planning default uses
+    * (whitespace undercounts exactly the rare-word docs BPE splits
+    * hardest, so proxy-planned packs overflow at materialization).
+    * Same two-phase scan, same geometry contract; only the count
+    * source changes — with the whitespace counts passed explicitly
+    * this is bit-identical to [[packPlan]] (spec-asserted). Docs
+    * absent from `counts` (e.g. empty after tokenization) are
+    * absent from the plan, matching the tokenizer's own view.
+    */
+  def packPlanWithCounts(documents: DataFrame, counts: DataFrame,
+                         capacity: Int = 2048): DataFrame =
+    packProject(scanTokensBefore(
+      documents.select(col("doc_id"), col("lang"))
+        .join(counts.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))),
+      capacity)
+
   /** Shuffle-then-pack — the composition a production pretraining run
     * actually executes: docs take their [[shufflePlan]] epoch order
     * first, THEN fill context windows greedily in that order (packing

@@ -199,6 +199,31 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("pack plan with explicit counts: identity on the proxy, BPE geometry holds") {
+    // feeding the whitespace proxy explicitly must reproduce packPlan
+    // bit-for-bit — the count source is the ONLY thing the overload
+    // changes
+    import org.apache.spark.sql.functions.{size, split, trim}
+    val ws = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val viaCounts = Corpus.packPlanWithCounts(docs, ws).collect().toSeq
+    val direct = Corpus.packPlan(docs).collect().toSeq
+    assert(viaCounts === direct)
+    // BPE-driven plan: same geometry invariants under the trained cost
+    val bpe = graft.operators.Bpe.tokenCounts(docs, nMerges = 8)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+    val r = Corpus.packPlanWithCounts(docs, bpe).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getLong(4) >= 0 && x.getLong(4) < 2048))
+    r.groupBy(_.getString(1)).values.foreach { rows =>
+      val ids = rows.map(_.getLong(3)).distinct.sorted
+      assert(ids === (0L until ids.length).toSeq, "pack ids are dense per lang")
+    }
+    // BPE packs need at least as much room as the whitespace proxy's
+    // (n_bpe >= n_words per doc), so the plan can only grow
+    assert(r.map(_.getLong(3)).max >= direct.map(_.getLong(3)).max)
+  }
+
   test("pack scan is two-phase: no per-doc window partitioned on lang alone") {
     // the 100 TB guarantee: the window that runs over the DOCS must
     // partition by (lang, bucket) — a lang-only partition spec would

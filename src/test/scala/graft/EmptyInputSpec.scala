@@ -83,6 +83,11 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.zipfSlope(docs).count() === 0)
     assert(Corpus.sourceOverlap(docs).count() === 0)
     assert(Corpus.capPerSource(docs).count() === 0)
+    assert(Corpus.capPerSourceIncremental(docs, Corpus.capPerSource(docs))
+      .count() === 0)
+    assert(TextOps.bigramLogloss(docs).count() === 0)
+    assert(TextOps.bigramLoglossIncremental(docs,
+      TextOps.bigramCounts(docs), TextOps.termCounts(docs)).count() === 0)
     assert(Corpus.report(docs).count() === 0)
     assert(Corpus.packManifest(docs).count() === 0)
     assert(Corpus.packSequences(docs).count() === 0)
