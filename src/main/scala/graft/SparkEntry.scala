@@ -28,6 +28,7 @@ object SparkEntry {
       "decontaminate_bloom", "decontaminate_incremental", "dedup_admit",
       "dedup_reconcile", "fact_transactions_cdc", "doc_unigram_logloss",
       "doc_bigram_logloss", "doc_bigram_logloss_incremental",
+      "doc_perplexity_bucket",
       "dedup_exact", "corpus_funnel", "bpe_merges", "bpe_token_counts",
       "quality_classifier", "quality_classifier_score", "doc_ngram_novelty",
       "seq_pack_bpe",
@@ -534,6 +535,8 @@ object SparkEntry {
     "passage_scrub" -> ((s, d) => TextOps.passageScrub(t(s, d, "documents"))),
     "doc_unigram_logloss" -> ((s, d) => TextOps.unigramLogloss(t(s, d, "documents"))),
     "doc_bigram_logloss" -> ((s, d) => TextOps.bigramLogloss(t(s, d, "documents"))),
+    "doc_perplexity_bucket" -> ((s, d) =>
+      TextOps.perplexityBuckets(t(s, d, "documents"))),
     // model continuation: standing corpus carried as its count tables,
     // batch scored under the merged model ≡ one-shot restricted to
     // batch docs
@@ -2764,6 +2767,34 @@ object SparkEntry {
     // unigram discipline). Docs with <2 tokens have no bigrams and
     // are absent from both engines' output.
     "doc_bigram_logloss" -> bigramLoglossSql(""),
+
+    // CCNet head/middle/tail by per-lang bigram-logloss thirds:
+    // bucket-grain greedy thresholds over the count histogram
+    // (cum·3 ≥ n integer logic — no ntile, no per-doc window), kept
+    // drops the tail.
+    "doc_perplexity_bucket" ->
+      s"""WITH $bigramModelCtes,
+        |sb AS (SELECT doc_id,
+        |  CAST(floor(CAST(sum(nll_micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+        |    AS logloss_microbits
+        |FROM j GROUP BY 1),
+        |sl AS (SELECT sb.doc_id, d.lang, sb.logloss_microbits
+        |  FROM sb JOIN documents d USING (doc_id)),
+        |h AS (SELECT lang, logloss_microbits, CAST(count(*) AS BIGINT) AS n
+        |  FROM sl GROUP BY 1, 2),
+        |tl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM h GROUP BY 1),
+        |cu AS (SELECT lang, logloss_microbits,
+        |  sum(n) OVER (PARTITION BY lang ORDER BY logloss_microbits) AS cum FROM h),
+        |th AS (SELECT cu.lang,
+        |  min(CASE WHEN cum * 3 >= n_lang THEN logloss_microbits END) AS t1_micro,
+        |  min(CASE WHEN cum * 3 >= n_lang * 2 THEN logloss_microbits END) AS t2_micro
+        |FROM cu JOIN tl USING (lang) GROUP BY 1)
+        |SELECT sl.doc_id, sl.lang, sl.logloss_microbits, th.t1_micro, th.t2_micro,
+        |  CASE WHEN sl.logloss_microbits <= th.t1_micro THEN 'head'
+        |       WHEN sl.logloss_microbits <= th.t2_micro THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  sl.logloss_microbits <= th.t2_micro AS kept
+        |FROM sl JOIN th USING (lang) ORDER BY sl.doc_id""".stripMargin,
     // the model continuation scores batch docs under the merged
     // (= full-corpus) model, so the oracle is the one-shot restricted
     // to batch docs — stated literally
@@ -4133,13 +4164,12 @@ object SparkEntry {
     "cap_per_source_incremental" -> capPerSourceSql
   )
 
-  /** Bigram logloss oracle with a final doc filter — "" for the
-    * one-shot, a doc_id predicate for the model-continuation form
-    * (same model CTEs either way: the merged model IS the full-corpus
-    * model).
+  /** The bigram model + per-(doc,bigram) contribution CTE chain,
+    * ending in `j(doc_id, nll_micro)` — shared by the logloss oracles
+    * and r8's perplexity-bucket oracle.
     */
-  private def bigramLoglossSql(docFilter: String): String =
-    s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+  private val bigramModelCtes: String =
+    """t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
       |  FROM documents),
       |p AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
       |    i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM t),
@@ -4155,12 +4185,20 @@ object SparkEntry {
       |  - CAST(floor(log2(CAST(bigram_freq + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
       |    AS nll_micro
       |FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1 CROSS JOIN vv),
-      |j AS (SELECT doc_id, nll_micro FROM p JOIN ct USING (bigram) $docFilter)
+      |j AS (SELECT doc_id, nll_micro FROM p JOIN ct USING (bigram))""".stripMargin
+
+  /** Bigram logloss oracle with a final doc filter — "" for the
+    * one-shot, a doc_id predicate for the model-continuation form
+    * (same model CTEs either way: the merged model IS the full-corpus
+    * model).
+    */
+  private def bigramLoglossSql(docFilter: String): String =
+    s"""WITH $bigramModelCtes
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
       |  CAST(sum(nll_micro) AS BIGINT) AS sum_nll_micro,
       |  CAST(floor(CAST(sum(nll_micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
       |    AS logloss_microbits
-      |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+      |FROM j $docFilter GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   private lazy val capPerSourceSql: String =
     s"""WITH r AS (SELECT source, doc_id, n_chars,

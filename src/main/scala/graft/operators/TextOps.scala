@@ -1065,6 +1065,52 @@ object TextOps {
     out
   }
 
+  /** CCNet-style perplexity bucketing (r8) — the decision layer the
+    * LM-perplexity pipeline exists for: per language, docs split into
+    * head / middle / tail thirds by their [[bigramLogloss]] score
+    * (head = lowest cross-entropy = most fluent under the corpus's
+    * own model), and the published `kept` drops the tail — the CCNet
+    * recipe (Wenzek et al. 2020 train on head+middle; the bucket
+    * column keeps the policy a config choice downstream).
+    *
+    * Thresholds are BUCKET-GRAIN greedy over the metadata-scale
+    * (lang, score) count histogram — the qualityGate discipline: the
+    * ascending cumulative runs over ≤ distinct-score rows per
+    * language, t1/t2 are the smallest scores whose cumulative covers
+    * n/3 and 2n/3 (integer logic: cum·3 ≥ n, no division), and the
+    * per-doc keep test is a broadcast join — NO per-doc window, no
+    * ntile (whose positional tie-splitting is not oracle-exact).
+    * The scored frame is checkpointed: it feeds the histogram AND the
+    * final join, and recomputing it would re-run the whole bigram
+    * chain per consumer (checkpointingQueries releases the blocks).
+    */
+  def perplexityBuckets(documents: DataFrame): DataFrame = {
+    val scored = bigramLogloss(documents)
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("logloss_microbits"))
+      .localCheckpoint(true)
+    val hist = scored.groupBy("lang", "logloss_microbits")
+      .agg(count(lit(1)).as("n"))
+    val totals = hist.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+    val wAsc = Window.partitionBy("lang").orderBy(col("logloss_microbits"))
+    val cum = hist.withColumn("cum", sum(col("n")).over(wAsc))
+      .join(totals, Seq("lang"))
+    val th = cum.groupBy("lang").agg(
+      min(when(col("cum") * 3 >= col("n_lang"), col("logloss_microbits")))
+        .as("t1_micro"),
+      min(when(col("cum") * 3 >= col("n_lang") * 2, col("logloss_microbits")))
+        .as("t2_micro"))
+    scored.join(broadcast(th), Seq("lang"))
+      .withColumn("bucket",
+        when(col("logloss_microbits") <= col("t1_micro"), "head")
+          .when(col("logloss_microbits") <= col("t2_micro"), "middle")
+          .otherwise("tail"))
+      .withColumn("kept", col("bucket") =!= "tail")
+      .select("doc_id", "lang", "logloss_microbits", "t1_micro", "t2_micro",
+        "bucket", "kept")
+      .orderBy("doc_id")
+  }
+
   /** Score a doc set under an EXPLICIT model — the streaming twin's
     * per-trigger entry ([[graft.streaming.EventStream]]): the caller
     * owns the model tables (merged, MATERIALIZED — a parquet-backed

@@ -511,6 +511,38 @@ class TextDedupSpec extends AnyFunSuite {
       docs.filter(size(split(lower(trim(col("text"))), " ")) >= 2).count())
   }
 
+  test("perplexity buckets: tertile thresholds greedy-minimal, buckets ordered, kept drops tail") {
+    val docs = Tables.documents(spark, sf)
+    val r = TextOps.perplexityBuckets(docs).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getString(5), x.getBoolean(6)))
+    assert(r.nonEmpty)
+    r.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length.toLong
+      val (t1, t2) = (rows.head._4, rows.head._5)
+      assert(t1 <= t2, s"$lang thresholds must be ordered")
+      // bucket-grain greedy minimality: t1 covers >= n/3, and without
+      // its own bucket it would not (same for t2 at 2n/3)
+      val cumTo = (t: Long) => rows.count(_._3 <= t).toLong
+      assert(cumTo(t1) * 3 >= n && (cumTo(t1) - rows.count(_._3 == t1)) * 3 < n)
+      assert(cumTo(t2) * 3 >= 2 * n && (cumTo(t2) - rows.count(_._3 == t2)) * 3 < 2 * n)
+      // buckets are value-ordered and partition the language
+      val byBucket = rows.groupBy(_._6)
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+      def scores(b: String): Seq[Long] =
+        byBucket.getOrElse(b, Array.empty[(Long, String, Long, Long, Long, String, Boolean)])
+          .map(_._3).toSeq
+      if (scores("head").nonEmpty && scores("middle").nonEmpty)
+        assert(scores("head").max < scores("middle").min)
+      if (scores("middle").nonEmpty && scores("tail").nonEmpty)
+        assert(scores("middle").max < scores("tail").min)
+      // kept <=> not tail
+      rows.foreach(x => assert(x._7 === (x._6 != "tail")))
+      // fixture non-degeneracy: the corpus actually splits three ways
+      assert(byBucket.size === 3, s"$lang degenerate: ${byBucket.keySet}")
+    }
+  }
+
   test("bigram logloss incremental: merged-model scores equal one-shot restricted to batch") {
     val docs = Tables.documents(spark, sf)
     val standing = docs.filter(col("doc_id") % 2 === 0)
