@@ -69,6 +69,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "literal-codebook residual + ADC map stages, probes broadcast, " +
         "cell-id bucket join; 3 = per-probe rank Window + its 2 " +
         "WindowGroupLimit prefilters (the knn-family top-k shape)"),
+    ("doc_perplexity_bucket", Shape(5, 1, 1, 1),
+      "the bigram chain hides behind the scored checkpoint; histogram/" +
+        "threshold aggregates + the metadata-scale lang-partitioned " +
+        "cumulative window (never per-doc); thresholds broadcast back, " +
+        "the one SMJ is the fixture-stats histogram-totals join"),
+    ("seq_pack_bpe", Shape(11, 8, 1, 3),
+      "Bpe.tokenCounts' salted dictionary join feeding the unchanged " +
+        "two-phase pack scan (its per-(lang,bucket) windows + tiny " +
+        "offset rollup = the seq_pack shape); broadcasts are the " +
+        "literal-dictionary and offset sides at fixture stats"),
     ("doc_char_entropy", Shape(1, 0, 0, 0),
       "pure native-expression map; only the output sort exchanges"),
     ("quality_gopher", Shape(1, 0, 0, 0),
