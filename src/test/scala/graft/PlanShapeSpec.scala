@@ -239,6 +239,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "seq_pack" -> ((2,
       "the observed-id-span min/max scalar (two plan references; " +
         "ReuseExchange collapses them at runtime)")),
+    "seq_pack_bpe" -> ((2,
+      "seq_pack's observed-id-span scalar, inherited unchanged " +
+        "through the swapped count source")),
     "tfidf_top_terms" -> ((1, "1-row n_docs count-distinct scalar")),
     "bm25_top_docs" -> ((1, "1-row N/Σdl corpus-scalar final stage")),
     "bm25_batch" -> ((1, "1-row N/Σdl corpus-scalar final stage")),
