@@ -36,7 +36,8 @@ object SparkEntry {
       "corpus_curate_priority",
       "embedding_covariance", "contamination_matrix",
       "embedding_covariance_incremental", "bpe_encode", "source_overlap",
-      "source_overlap_incremental", "dedup_jaccard", "dedup_containment")
+      "source_overlap_incremental", "dedup_jaccard", "dedup_containment",
+      "dedup_lsh_recall")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -298,6 +299,9 @@ object SparkEntry {
     }),
     "dedup_minhash" -> ((s, d) => Dedup.minhashBands(t(s, d, "documents"))),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(t(s, d, "documents"))),
+    // recall/precision of the band index vs exact Jaccard ground
+    // truth on a probe subset — the dedup twin of ann_recall
+    "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(t(s, d, "documents"))),
     "dedup_jaccard" -> ((s, d) => Dedup.jaccardTop(t(s, d, "documents"))),
     "dedup_containment" -> ((s, d) => Dedup.containmentTop(t(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
@@ -2931,6 +2935,34 @@ object SparkEntry {
          |SELECT doc_a, doc_b, n_common, n_union,
          |  CAST(n_common AS DOUBLE)/n_union AS jaccard
          |FROM p ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin,
+
+    // LSH index quality vs exact ground truth (r8): candidates = the
+    // FULL corpus's band pairs restricted to the probe subset (the
+    // deployed index, sampled); truth = integer cross-multiply
+    // common·1e6 ≥ τmicro·union over all subset pairs; NULLIF mirrors
+    // Spark's try_divide on a degenerate subset.
+    "dedup_lsh_recall" ->
+      s"""WITH $minhashCtes,
+         |$bandPairCtes,
+         |scd AS (SELECT doc_a, doc_b FROM cand WHERE doc_a < 250 AND doc_b < 250),
+         |gt AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM t WHERE doc_id < 250),
+         |g AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(tk)-1),
+         |    i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT)) AS gs
+         |FROM gt),
+         |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE len(a.gs)+len(b.gs)-len(list_intersect(a.gs,b.gs)) > 0
+         |    AND CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) * 1000000 >=
+         |      500000 * CAST(len(a.gs)+len(b.gs)-len(list_intersect(a.gs,b.gs)) AS BIGINT)),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN scd.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |FROM tp LEFT JOIN scd ON tp.doc_a = scd.doc_a AND tp.doc_b = scd.doc_b),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM scd)
+         |SELECT n_true, n_candidates, n_hit,
+         |  CAST(n_hit AS DOUBLE) / NULLIF(n_true, 0) AS recall,
+         |  CAST(n_hit AS DOUBLE) / NULLIF(n_candidates, 0) AS precision_at_tau
+         |FROM h CROSS JOIN nc""".stripMargin,
 
     // Same candidate/gram chain as dedup_jaccard; asymmetric scores +
     // the overlap coefficient the ranking uses.

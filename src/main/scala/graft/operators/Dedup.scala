@@ -369,6 +369,56 @@ object Dedup {
       .limit(100)
   }
 
+  /** Recall/precision of the LSH band index against exact gram
+    * Jaccard ground truth (r8) — the dedup twin of the ANN family's
+    * `ann_recall`: the number a dedup deployment publishes before
+    * trusting the band candidates (bands trade exactness for o(n²),
+    * and the miss rate at the similarity threshold IS the quality
+    * knob banding parameters tune). Ground truth = ALL pairs among a
+    * probe subset (doc_id < nProbe) whose exact 3-gram Jaccard ≥ τ —
+    * decided by the INTEGER cross-multiply common·1e6 ≥ τmicro·union,
+    * no float division anywhere; candidates = the FULL corpus's
+    * [[minhashPairs]] restricted to the subset (the deployed index is
+    * built on the whole corpus — bucket caps and collisions behave as
+    * in production, probe evaluation just samples it). Pair
+    * enumeration is a single probe-bounded collect_list (config-sized
+    * like the codebook collects — never a corpus cartesian); output
+    * is one summary row: n_true, n_candidates, n_hit, recall,
+    * precision-at-τ (NULL on a degenerate subset via try_divide).
+    */
+  def lshRecall(documents: DataFrame, nProbe: Long = 250,
+                simMicro: Long = 500000L): DataFrame = {
+    val subset = documents.filter(col("doc_id") < nProbe)
+    val pairs = gramSets(subset)
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("gs")))).as("ds"))
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          b => struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            a.getField("gs").as("gs_a"), b.getField("gs").as("gs_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        graft.functions.TextExpressions
+          .sortedIntersectCount(col("p.gs_a"), col("p.gs_b")).as("n_common"),
+        (size(col("p.gs_a")) + size(col("p.gs_b"))).cast(LongType).as("n_total"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_total") - col("n_common")).as("n_union"))
+    val truePairs = pairs.filter(col("n_union") > 0 &&
+      col("n_common") * lit(1000000L) >= lit(simMicro) * col("n_union"))
+    val cands = minhashPairs(documents)
+      .filter(col("doc_a") < nProbe && col("doc_b") < nProbe)
+      .localCheckpoint(true)
+    val nCand = cands.agg(count(lit(1)).as("n_candidates"))
+    truePairs
+      .join(cands.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .crossJoin(broadcast(nCand)) // 1-row scalar
+      .select(col("n_true"), col("n_candidates"), col("n_hit"),
+        try_divide(col("n_hit").cast("double"), col("n_true")).as("recall"),
+        try_divide(col("n_hit").cast("double"), col("n_candidates"))
+          .as("precision_at_tau"))
+  }
+
   /** Incremental (batch-vs-corpus) exact dedup: an arriving batch is
     * admitted only where its normalized fingerprint is unseen — both
     * against the existing corpus AND within the batch itself (first

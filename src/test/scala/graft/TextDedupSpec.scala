@@ -511,6 +511,27 @@ class TextDedupSpec extends AnyFunSuite {
       docs.filter(size(split(lower(trim(col("text"))), " ")) >= 2).count())
   }
 
+  test("lsh recall: identical twins are always caught; fixture recall reported") {
+    import spark.implicits._
+    // identical texts share every shingle → every band collides → the
+    // one true pair MUST be a candidate: recall exactly 1.0
+    val long = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val planted = Seq((1L, long), (2L, long),
+      (3L, (61 to 120).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val p = Dedup.lshRecall(planted, nProbe = 10).collect()(0)
+    assert(p.getLong(0) === 1L, "exactly one true pair planted")
+    assert(p.getLong(2) === 1L && p.getDouble(3) === 1.0)
+    // the deployed-index evaluation on the real corpus: summary sane,
+    // hits bounded by both sides, recall reported
+    val r = Dedup.lshRecall(Tables.documents(spark, sf)).collect()(0)
+    val (nTrue, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTrue > 0, "fixture must carry true near-dup pairs in the probe subset")
+    assert(nHit <= nTrue && nHit <= nCand)
+    info(f"LSH recall@τ=0.5 on ${nTrue} true pairs: ${r.getDouble(3)}%.2f " +
+      f"(precision-at-τ ${r.getDouble(4)}%.3f over $nCand candidates)")
+  }
+
   test("perplexity buckets: tertile thresholds greedy-minimal, buckets ordered, kept drops tail") {
     val docs = Tables.documents(spark, sf)
     val r = TextOps.perplexityBuckets(docs).collect()
