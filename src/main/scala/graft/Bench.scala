@@ -38,22 +38,67 @@ object Bench {
     // naming the ORIGINAL fixture, which the re-chunked copy is
     // row-for-row equal to.
     val benchDir = {
-      val dir = "target/bench_rechunk"
       // events ships TIMESTAMP(NANOS) in some generations — read it the
       // way Tables.events does (nanos as long) so the rewrite is lossless
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tables = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
-      // 8 measured best end-to-end (min over {8, 32} on a mixed
-      // subset): the heavy tokenize+md5 map stages keep most of their
-      // parallel win at 8 splits (decontaminate 4.4 -> 1.7 s), while
-      // the iterative/checkpointing operators (admission, clustering)
-      // don't drown tiny per-round stages in 32-task scheduling
-      val chunks = math.min(cfg.cpus, 8)
-      for (t <- tables)
-        spark.read.parquet(s"$sfDir/$t.parquet")
-          .repartition(chunks)
-          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      // Re-chunk keyed by the FIXTURE path (r9 — ADVICE): the old fixed
+      // shared target/bench_rechunk meant two concurrent bench
+      // processes over different sf dirs clobbered each other's copies
+      // mid-read, and every invocation — including --only subset runs —
+      // paid the full 10-table rewrite. Now each table carries a
+      // `_graft_rechunk` marker (source mtime + chunk count; the `_`
+      // prefix keeps parquet readers away from it) and is rewritten
+      // only when stale, into a PID-keyed temp dir swapped in by
+      // rename — so subset runs reuse the standing copy and a
+      // concurrent writer never leaves a half-written table visible.
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.substring(0, 8)
+      val dir = s"target/bench_rechunk/$digest"
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+        f.delete(); ()
+      }
+      // Chunk count follows per-table WORK, not a blanket 8 (r9 —
+      // VERDICT #3): the r7 blanket 8-way split parallelized the heavy
+      // tokenize+md5 gram stages (decontaminate 4.4 -> 1.7 s) but
+      // turned the already-sub-half-second knn queries over the tiny
+      // embeddings/dim tables into scheduling overhead (knn_lsh
+      // 0.46 -> 1.23 s, knn_ivf_trained 0.54 -> 1.42 s — the only r8
+      // regressions). Work ~ rows x per-row cost: documents rows cost
+      // ~100x a TPC-H row (hundreds of md5'd gram positions each),
+      // embeddings rows ~10x (64-dim fold pipelines). One chunk per
+      // ~20k weighted rows, capped at min(cpus, 8) — at sf0.1 that is
+      // documents/lineitem/orders 8, events 5, embeddings 1 (measured
+      // below), every dim table 1.
+      val rowWeight = Map("documents" -> 100L, "embeddings" -> 40L)
+      for (t <- tables) {
+        val src = s"$sfDir/$t.parquet"
+        val rows = spark.read.parquet(src).count()
+        val chunks = math.min(math.min(cfg.cpus, 8).toLong,
+          math.max(1L, (rows * rowWeight.getOrElse(t, 1L) + 19999L) / 20000L))
+          .toInt
+        val stamp = s"${new java.io.File(src).lastModified}:$chunks"
+        val dst = new java.io.File(s"$dir/$t.parquet")
+        val marker = new java.io.File(dst, "_graft_rechunk")
+        val fresh = marker.isFile && new String(
+          java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+        if (!fresh) {
+          val tmp = new java.io.File(
+            s"$dir/.tmp_${ProcessHandle.current.pid()}_$t.parquet")
+          spark.read.parquet(src).repartition(chunks)
+            .write.mode("overwrite").parquet(tmp.toString)
+          java.nio.file.Files.write(
+            new java.io.File(tmp, "_graft_rechunk").toPath,
+            stamp.getBytes("UTF-8"))
+          deleteRec(dst)
+          if (!tmp.renameTo(dst))
+            throw new IllegalStateException(
+              s"bench re-chunk swap failed for $t (concurrent writer?)")
+        }
+      }
       dir
     }
     // warm the JVM/codegen once so per-query numbers measure the

@@ -381,25 +381,27 @@ object Dedup {
     * [[minhashPairs]] restricted to the subset (the deployed index is
     * built on the whole corpus — bucket caps and collisions behave as
     * in production, probe evaluation just samples it). Pair
-    * enumeration is a single probe-bounded collect_list (config-sized
-    * like the codebook collects — never a corpus cartesian); output
-    * is one summary row: n_true, n_candidates, n_hit, recall,
+    * enumeration is a doc_a < doc_b self-join with the probe subset's
+    * gram sets explicitly broadcast (config-bounded like the codebook
+    * collects — never a corpus cartesian): each task streams its share
+    * of probe rows against the broadcast copy, so the O(p²) truth work
+    * distributes instead of materializing every probe gram set in one
+    * collect_list task (r9 — the old single-row explode was the
+    * operator's memory ceiling at probe sets in the thousands).
+    * Output is one summary row: n_true, n_candidates, n_hit, recall,
     * precision-at-τ (NULL on a degenerate subset via try_divide).
     */
   def lshRecall(documents: DataFrame, nProbe: Long = 250,
                 simMicro: Long = 500000L): DataFrame = {
     val subset = documents.filter(col("doc_id") < nProbe)
-    val pairs = gramSets(subset)
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("gs")))).as("ds"))
-      .select(explode(flatten(transform(col("ds"), (a, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))),
-          b => struct(a.getField("doc_id").as("doc_a"),
-            b.getField("doc_id").as("doc_b"),
-            a.getField("gs").as("gs_a"), b.getField("gs").as("gs_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+    val gs = gramSets(subset)
+    val pairs = gs.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"))
+      .join(broadcast(gs.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"))),
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
         graft.functions.TextExpressions
-          .sortedIntersectCount(col("p.gs_a"), col("p.gs_b")).as("n_common"),
-        (size(col("p.gs_a")) + size(col("p.gs_b"))).cast(LongType).as("n_total"))
+          .sortedIntersectCount(col("gs_a"), col("gs_b")).as("n_common"),
+        (size(col("gs_a")) + size(col("gs_b"))).cast(LongType).as("n_total"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_total") - col("n_common")).as("n_union"))
     val truePairs = pairs.filter(col("n_union") > 0 &&

@@ -1121,6 +1121,20 @@ object TextOps {
                                 termModel: DataFrame): DataFrame =
     bigramScore(bigramPairs(batch), bigramModel, termModel)
 
+  /** [[bigramLoglossAgainstModel]] returning the scoring tail's
+    * internal contribution CHECKPOINT alongside the scores (r9 —
+    * ADVICE): a long-running stream must release that checkpoint
+    * once the trigger's sink writes are durable, or it pins one
+    * contribution table's blocks per trigger until a full GC — the
+    * exact leak the admission stream's release discipline exists for.
+    * Batch callers keep the simple form (the runners' targeted
+    * post-query GC reaps it — checkpointingQueries).
+    */
+  def bigramLoglossAgainstModelWithContrib(
+      batch: DataFrame, bigramModel: DataFrame,
+      termModel: DataFrame): (DataFrame, DataFrame) =
+    bigramScoreWithContrib(bigramPairs(batch), bigramModel, termModel)
+
   /** Score a SUNK pair stream under a model — the retro re-score
     * entry: the streaming twin lands each batch's (doc_id, bigram)
     * stream compactly beside the scores, and the reconcile pass
@@ -1141,7 +1155,11 @@ object TextOps {
     * references only the contribution checkpoint and `pairs`.
     */
   private def bigramScore(pairs: DataFrame, c2: DataFrame,
-                          terms: DataFrame): DataFrame = {
+                          terms: DataFrame): DataFrame =
+    bigramScoreWithContrib(pairs, c2, terms)._1
+
+  private def bigramScoreWithContrib(pairs: DataFrame, c2: DataFrame,
+                                     terms: DataFrame): (DataFrame, DataFrame) = {
     val c1 = c2.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
       .agg(sum(col("bigram_freq")).as("hist_freq"))
     val vocab = terms.agg(count(lit(1)).as("v"))
@@ -1155,13 +1173,14 @@ object TextOps {
           floor(log2((col("bigram_freq") + lit(1)).cast("double")) * 1e6 + 0.5)
             .cast(LongType)).as("nll_micro"))
       .localCheckpoint(true)
-    Partitioning.saltedEquiJoin(pairs, contrib, "bigram", col("doc_id"))
+    val out = Partitioning.saltedEquiJoin(pairs, contrib, "bigram", col("doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("sum_nll_micro"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_nll_micro"),
         floor(col("sum_nll_micro").cast("double") / col("n_bigrams") + 0.5)
           .cast(LongType).as("logloss_microbits"))
       .orderBy("doc_id")
+    (out, contrib)
   }
 
   /** Corpus-cleaning funnel: how many documents survive each filter

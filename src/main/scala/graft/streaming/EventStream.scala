@@ -389,12 +389,33 @@ object EventStream {
     * (DataFrameWriter.save rejects bucketBy), so the gram-scale
     * states register per-version EXTERNAL tables whose data files
     * live in the same versioned `.state/upto_N` layout as the plain
-    * parquet states. Unsigned hex of the stateDir hash keeps
-    * concurrent streams' names disjoint.
+    * parquet states. The name embeds a 48-bit md5 prefix of the FULL
+    * path (r9 — the old 32-bit String.hashCode could collide across
+    * two concurrent streams, and readStateVersion prefers the catalog
+    * entry over the path: a collision would silently serve the other
+    * stream's state).
     */
+  private[graft] def stateDirDigest(stateDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(stateDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 12)
+
   private[graft] def stateTableName(stateDir: String, batchId: Long): String =
-    "graft_state_" + java.lang.Integer.toHexString(stateDir.hashCode) +
-      "_upto_" + batchId
+    "graft_state_" + stateDirDigest(stateDir) + "_upto_" + batchId
+
+  /** Drop EVERY catalog entry a stream's bucketed state registered —
+    * the per-trigger prune keeps the last two live versions' entries
+    * for replay, so a stopped stream leaves those behind; call this
+    * after `query.stop()` when the state is no longer needed (entries
+    * are EXTERNAL — the data files under `.state/` survive and a
+    * restarted stream re-registers them on its next landing).
+    */
+  def dropStateCatalog(spark: SparkSession, sinkPath: String): Unit = {
+    val prefix = "graft_state_" + stateDirDigest(sinkPath + ".state") + "_upto_"
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(prefix))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
 
   /** Land a gram-scale state version BUCKETED on its merge key
     * (VERDICT r7 #5): the next trigger's merge, the carried-index
@@ -806,8 +827,12 @@ object EventStream {
               .select(col("k").as("term"), col("n").as("term_freq")),
             graft.operators.TextOps.termCounts(docs))
           .localCheckpoint(eager = true)
-        val scored = graft.operators.TextOps
-          .bigramLoglossAgainstModel(docs, mb, mt)
+        // WithContrib (r9 — ADVICE): the scoring tail checkpoints its
+        // contribution table internally; take the handle so this
+        // trigger can release it below instead of pinning one contrib
+        // checkpoint per trigger until a full GC
+        val (scored, contrib) = graft.operators.TextOps
+          .bigramLoglossAgainstModelWithContrib(docs, mb, mt)
         graft.sources.Loader.truncateAndLoad(scored, s"$sinkPath/batch_$batchId")
         graft.sources.Loader.truncateAndLoad(
           graft.operators.TextOps.bigramPairsOf(docs), s"$sinkPath/pairs_$batchId")
@@ -816,7 +841,7 @@ object EventStream {
           .unionByName(mt.select(lit("t").as("kind"), col("term").as("k"),
             col("term_freq").as("n")))
         graft.sources.Loader.truncateAndLoad(packed, s"$stateDir/upto_$batchId")
-        releaseCheckpoints(mb, mt)
+        releaseCheckpoints(mb, mt, contrib)
         pruneStateBefore(spark, stateDir, batchId - 1)
         ()
       }

@@ -317,6 +317,15 @@ class ScaleSpec extends AnyFunSuite {
     // component's connecting doc arrives after two non-colliding
     // members — see the operator contract
     assert(streamedIds.exceptAll(batchIds).count() === 0)
+    // a stopped stream's bucketed-state catalog entries (the last two
+    // versions survive the per-trigger prune for replay) are the
+    // caller's to drop — and dropping must actually clear them (r9)
+    EventStream.dropStateCatalog(spark, sink)
+    val prefix = "graft_state_" +
+      EventStream.stateDirDigest(sink + ".state") + "_upto_"
+    assert(!spark.catalog.listTables().collect()
+        .exists(_.name.startsWith(prefix)),
+      "dropStateCatalog left this stream's entries behind")
   }
 
   test("streaming quality gate: single trigger equals the one-shot gate") {
@@ -424,6 +433,7 @@ class ScaleSpec extends AnyFunSuite {
         s"bucketed state scan must not sit under an Exchange:\n$plan")
     } finally {
       spark.conf.set(thresholdKey, prev); spark.conf.set(aqeKey, prevAqe)
+      EventStream.dropStateCatalog(spark, sink)
     }
   }
 
@@ -447,6 +457,7 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("Bucketed: true"), s"state scan must be bucketed:\n$plan")
     assert(!plan.contains("Exchange"),
       s"bucketed band-graph distinct must not shuffle:\n$plan")
+    EventStream.dropStateCatalog(spark, sink)
   }
 
   test("streaming covariance: every trigger's view is BIT-identical to its one-shot prefix") {
