@@ -2684,18 +2684,24 @@ object SparkEntry {
         |    AND n_stopword_hits >= 2 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
 
-    // Cross-doc passage dedup: non-overlapping 16-token windows,
-    // md5 keys, distinct-doc df, shared-fraction rollup. DuckDB //
-    // integer division and end-exclusive range() give the same empty
-    // window list for short docs as the Spark-side guard; list_slice
-    // is 1-based INCLUSIVE so the window is [a, a+15]. Integer counts
+    // Cross-doc passage dedup over CONTENT-DEFINED chunks (r10): a
+    // token starts a new passage iff its md5's last hex nibble is '0'
+    // (p=1/16 → expected 16-token grain), so a shared block chunks
+    // identically at ANY offset — the fixed 16-token windows this
+    // oracle used through r9 missed duplicates offset by <16 tokens.
+    // generate_subscripts zips positionally with unnest; the window
+    // sum reproduces Spark's array-local fold; chunks of < 4 tokens
+    // are too weak to key and carry no passage grain. Integer counts
     // + one exact rational division.
     "passage_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
-        |x AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) // 16 + 1),
-        |  i -> array_to_string(list_slice(tk, (i-1)*16 + 1, (i-1)*16 + 16), ' '))) AS passage
-        |FROM t),
-        |s AS (SELECT doc_id, md5(passage) AS passage_md5 FROM x),
+        |e AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i FROM t),
+        |c AS (SELECT doc_id, tok, i,
+        |  sum(CASE WHEN i > 1 AND substr(md5(tok), 32, 1) = '0' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS cid FROM e),
+        |p AS (SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY i) AS passage,
+        |  count(*) AS ntok FROM c GROUP BY doc_id, cid),
+        |s AS (SELECT doc_id, md5(passage) AS passage_md5 FROM p WHERE ntok >= 4),
         |d AS (SELECT passage_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS passage_df
         |  FROM s GROUP BY 1)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
@@ -2705,41 +2711,33 @@ object SparkEntry {
         |FROM s JOIN d USING (passage_md5)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // Passage SCRUB: remove every cross-doc duplicated 16-token
-    // window except in its canonical (min doc_id) host, rebuild the
-    // text from kept windows in order + the sub-window tail. Grouping
-    // on the passage STRING (vs Spark's md5 key) is value-identical;
-    // string_agg ignores the NULLed-out removed passages; the
-    // CASE avoids a stray separator when either side is empty.
+    // Passage SCRUB over the same content-defined chunks: remove every
+    // cross-doc duplicated (≥4-token) chunk except in its canonical
+    // (min doc_id) host; sub-4-token chunks are never keyed and always
+    // survive. Chunks PARTITION the token stream, so the rebuild is
+    // string_agg of kept chunks in order and removed tokens are
+    // accounted one-for-one. Grouping on the passage STRING (vs
+    // Spark's md5 key) is value-identical; string_agg ignores the
+    // NULLed-out removed passages.
     "passage_scrub" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
-        |base AS (SELECT doc_id, tk, len(tk) // 16 AS nw,
-        |  -- array_to_string over an EMPTY slice is NULL in DuckDB
-        |  -- (Spark's array_join gives ''): coalesce to keep the CASE
-        |  -- arms total
-        |  coalesce(array_to_string(
-        |    list_slice(tk, (len(tk) // 16) * 16 + 1, len(tk)), ' '), '') AS tail
-        |FROM t),
-        |p AS (SELECT doc_id, unnest(list_transform(range(1, nw + 1),
-        |    i -> array_to_string(list_slice(tk, (i-1)*16 + 1, (i-1)*16 + 16), ' '))) AS passage,
-        |  unnest(range(0, nw)) AS idx
-        |FROM base),
+        |e AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i FROM t),
+        |c AS (SELECT doc_id, tok, i,
+        |  sum(CASE WHEN i > 1 AND substr(md5(tok), 32, 1) = '0' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS cid FROM e),
+        |p AS (SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY i) AS passage,
+        |  CAST(count(*) AS BIGINT) AS ntok FROM c GROUP BY doc_id, cid),
         |o AS (SELECT passage, count(DISTINCT doc_id) AS passage_df,
-        |  min(doc_id) AS owner_doc FROM p GROUP BY 1),
-        |k AS (SELECT p.doc_id, p.idx, p.passage,
-        |  (o.passage_df = 1 OR p.doc_id = o.owner_doc) AS keep_passage
-        |FROM p JOIN o USING (passage)),
-        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+        |  min(doc_id) AS owner_doc FROM p WHERE ntok >= 4 GROUP BY 1),
+        |k AS (SELECT p.doc_id, p.cid, p.passage, p.ntok, p.ntok >= 4 AS keyed,
+        |  coalesce(o.passage_df = 1 OR p.doc_id = o.owner_doc, TRUE) AS keep_passage
+        |FROM p LEFT JOIN o ON p.passage = o.passage AND p.ntok >= 4)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN keyed THEN 1 ELSE 0 END) AS BIGINT) AS n_passages,
         |  CAST(sum(CASE WHEN NOT keep_passage THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-        |  coalesce(string_agg(CASE WHEN keep_passage THEN passage END, ' ' ORDER BY idx), '') AS kept_text
-        |FROM k GROUP BY doc_id)
-        |SELECT base.doc_id,
-        |  coalesce(r.n_passages, 0) AS n_passages,
-        |  coalesce(r.n_removed, 0) AS n_removed,
-        |  CASE WHEN coalesce(r.kept_text, '') = '' THEN base.tail
-        |       WHEN base.tail = '' THEN r.kept_text
-        |       ELSE r.kept_text || ' ' || base.tail END AS scrubbed_text
-        |FROM base LEFT JOIN r USING (doc_id) ORDER BY base.doc_id""".stripMargin,
+        |  CAST(sum(CASE WHEN NOT keep_passage THEN ntok ELSE 0 END) AS BIGINT) AS n_removed_tokens,
+        |  coalesce(string_agg(CASE WHEN keep_passage THEN passage END, ' ' ORDER BY cid), '') AS scrubbed_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "corpus_select_budget" -> selectBudgetSql,
     "corpus_select_budget_incremental" -> selectBudgetSql,

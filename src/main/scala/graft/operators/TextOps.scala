@@ -799,6 +799,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** A token ANCHORS (starts) a new passage iff the last hex nibble of
+    * its md5 is '0' — p = 1/16, so the expected passage length is 16
+    * tokens, the same grain as the fixed windows this family used
+    * before r10. Content decides the boundary, not position: the
+    * gear/Rabin trick behind CDC dedup (LBFS/Venti) applied at token
+    * grain, and the reason a block shared by two docs chunks
+    * IDENTICALLY in both no matter what offset it sits at.
+    */
+  private def anchors(t: Column): Column =
+    substring(md5(t.cast("binary")), 32, 1) === lit("0")
+
+  /** Content-defined passages of the normalized token stream: a new
+    * passage starts at token 1 and at every anchor token ([[anchors]]).
+    * Passages partition the stream (non-overlapping, covering — the
+    * scrub rebuild contract), built by one array-local fold: no
+    * explode-then-window, no shuffle, O(doc length) per doc.
+    */
+  private def cdcPassages: Column = {
+    val empty = array().cast("array<string>")
+    aggregate(
+      toks,
+      struct(empty.as("done"), lit("").as("cur"), lit(true).as("first")),
+      (acc, t) => {
+        // `first` distinguishes "no tokens folded yet" from a pending
+        // chunk whose only token is the empty string (split on ' '
+        // emits "" for empty/multi-space text)
+        val startNew = anchors(t) && !acc.getField("first")
+        struct(
+          when(startNew, concat(acc.getField("done"), array(acc.getField("cur"))))
+            .otherwise(acc.getField("done")).as("done"),
+          when(startNew || acc.getField("first"), t)
+            .otherwise(concat(acc.getField("cur"), lit(" "), t)).as("cur"),
+          lit(false).as("first"))
+      },
+      acc => concat(acc.getField("done"), array(acc.getField("cur"))))
+  }
+
+  /** (doc_id, idx, passage, n_passage_tokens) — the exploded
+    * content-defined passage stream both passage operators consume.
+    * Token count is recovered by re-splitting: tokens contain no
+    * spaces, so join-then-split is lossless even for empty tokens.
+    */
+  private def passageRows(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(cdcPassages).as(Seq("idx", "passage")))
+      .withColumn("n_passage_tokens",
+        size(split(col("passage"), " ")).cast(LongType))
+
   /** Cross-document duplicated-passage signal — the CCNet/RefinedWeb
     * line-level dedup filter at the passage grain, sitting between
     * whole-document dedup (Dedup.exact) and within-document n-gram
@@ -807,33 +855,31 @@ object TextOps {
     * host document stays unique, so per-doc "fraction of passages
     * shared with other docs" is the standard strip-or-keep feature —
     * and it localizes WHICH parts of a near-dup pair overlap, which
-    * document-level minhash cannot. Passages are non-overlapping
-    * `windowTokens`-token windows of the normalized text (the passage
-    * form when line structure is absent; a doc shorter than one
-    * window has no passage grain and is absent from the output),
-    * hashed to md5 keys; cross-doc df per passage via one uniform-key
-    * aggregate (map-side partials), joined back SALTED on
+    * document-level minhash cannot.
+    *
+    * Passages are CONTENT-DEFINED ([[cdcPassages]]; expected 16-token
+    * grain): through r9 this family hashed non-overlapping fixed
+    * 16-token windows, which MISS any cross-doc duplicate offset by a
+    * non-multiple of 16 — the common case when boilerplate follows a
+    * variable-length header (VERDICT r8/r9 #1). Anchoring boundaries
+    * on token content makes the chunking alignment-invariant: a
+    * shared block yields bit-identical interior passages at ANY
+    * offset. Passages shorter than `minTokens` are too weak to key
+    * (a lone stopword would df-match half the corpus) and carry no
+    * passage grain; a doc with no qualifying passage is absent from
+    * the output, as short docs were before.
+    *
+    * Scale shape unchanged: md5 keys; cross-doc df per passage via one
+    * uniform-key aggregate (map-side partials), joined back SALTED on
     * (passage_md5, hash(doc_id)) — a boilerplate passage is exactly a
     * Zipf head key, the same skew the tf-idf family salts
     * ([[graft.operators.Partitioning.saltedEquiJoin]]) — then a
     * doc-keyed rollup. Integer counts + one exact rational division;
     * engine-exact.
     */
-  def passageDedup(documents: DataFrame, windowTokens: Int = 16): DataFrame = {
-    val w = windowTokens
-    // stage arrays/counts as named columns (HOF outer-capture rule);
-    // the window count guard must produce an EMPTY array for short
-    // docs — Spark's sequence(1, 0) steps DOWN to [1, 0], which would
-    // emit a partial window plus a from-the-end slice(tk, -15, …)
-    val passages = documents.select(col("doc_id"), toks.as("tk"))
-      .select(col("doc_id"), col("tk"),
-        (size(col("tk")) / lit(w)).cast("int").as("nw"))
-      .select(col("doc_id"),
-        explode(transform(
-          when(col("nw") >= 1, sequence(lit(1), col("nw")))
-            .otherwise(array().cast("array<int>")),
-          i => array_join(slice(col("tk"), (i - 1) * w + 1, lit(w)), " ")))
-          .as("passage"))
+  def passageDedup(documents: DataFrame, minTokens: Int = 4): DataFrame = {
+    val passages = passageRows(documents)
+      .filter(col("n_passage_tokens") >= minTokens)
       .select(col("doc_id"), md5(col("passage").cast("binary")).as("passage_md5"))
     val df = passages.groupBy("passage_md5")
       .agg(countDistinct(col("doc_id")).as("passage_df"))
@@ -856,70 +902,66 @@ object TextOps {
     * one document is stripped EXCEPT in its canonical (min doc_id)
     * document — one copy of each boilerplate block survives corpus-
     * wide, so no content is lost, while every other host sheds it.
-    * Passages are the same non-overlapping `windowTokens`-token
-    * windows of the normalized text as [[passageDedup]]; the
-    * sub-window tail is never boilerplate-keyed and is always kept,
-    * so a doc shorter than one window passes through unchanged
-    * (normalized). Output text is rebuilt from kept windows in
-    * original order + tail — scrub operates on the normalized token
-    * stream like the rest of the family.
+    *
+    * Passages are the same CONTENT-DEFINED chunks as [[passageDedup]]
+    * ([[cdcPassages]]; alignment-invariant, so a boilerplate block
+    * offset by a variable-length header is scrubbed where the old
+    * fixed windows missed it). The chunks PARTITION the token stream
+    * — non-overlapping and covering — so the rebuild contract is
+    * exact: output text = the doc's kept chunks joined in original
+    * order, and removed tokens are accounted one-for-one in
+    * `n_removed_tokens`. Chunks shorter than `minTokens` are never
+    * boilerplate-keyed and always survive (the content-positioned
+    * successor of the old sub-window tail), so a doc with no
+    * qualifying chunk passes through unchanged (normalized).
     *
     * Scale shape: passage keys are md5'd; the df/min-owner aggregate
     * is ONE uniform-key groupBy with map-side partials; the join back
     * is SALTED on (passage_md5, hash(doc_id)) because a boilerplate
     * passage IS a Zipf head key ([[graft.operators.Partitioning.saltedEquiJoin]]);
-    * the rebuild is a doc-keyed collect of that doc's OWN windows —
+    * the rebuild is a doc-keyed collect of that doc's OWN chunks —
     * bounded by document length, the same per-doc grain every map
     * stage here already holds. No per-corpus window, no all-pairs.
     */
-  def passageScrub(documents: DataFrame, windowTokens: Int = 16): DataFrame = {
-    val w = windowTokens
-    // `base` feeds the passage explode AND the final tail join, so the
-    // tokenize+slice scan runs twice — the tfidf/commonness double-scan
+  def passageScrub(documents: DataFrame, minTokens: Int = 4): DataFrame = {
+    // `rows` feeds the keyed-owner aggregate AND the join probe, so the
+    // tokenize+chunk scan runs twice — the tfidf/commonness double-scan
     // trade-off (measured there: an eager checkpoint of the whitespace
     // split was flat-to-slower than re-scanning; see tfidfTopTerms)
-    val base = documents.select(col("doc_id"), toks.as("tk"))
-      .select(col("doc_id"), col("tk"),
-        (size(col("tk")) / lit(w)).cast("int").as("nw"))
-      .select(col("doc_id"), col("tk"), col("nw"),
-        // tail = tokens after the last full window (possibly empty)
-        array_join(slice(col("tk"), col("nw") * w + 1,
-          size(col("tk")) - col("nw") * w), " ").as("tail"))
-    val passages = base
-      .select(col("doc_id"),
-        posexplode(transform(
-          when(col("nw") >= 1, sequence(lit(1), col("nw")))
-            .otherwise(array().cast("array<int>")),
-          i => array_join(slice(col("tk"), (i - 1) * w + 1, lit(w)), " "))))
-      .select(col("doc_id"), col("pos").as("idx"), col("col").as("passage"),
-        md5(col("col").cast("binary")).as("passage_md5"))
-    val owners = passages.groupBy("passage_md5")
+    val rows = passageRows(documents)
+      .withColumn("keyed", col("n_passage_tokens") >= minTokens)
+    val keyed = rows.filter(col("keyed"))
+      .withColumn("passage_md5", md5(col("passage").cast("binary")))
+    val owners = keyed.groupBy("passage_md5")
       .agg(countDistinct(col("doc_id")).as("passage_df"),
         min(col("doc_id")).as("owner_doc"))
-    val kept = Partitioning
-      .saltedEquiJoin(passages, owners, "passage_md5", col("doc_id"))
-      .withColumn("keep_passage",
-        col("passage_df") === 1 || col("doc_id") === col("owner_doc"))
-    // per-doc rebuild: windows are doc-local, so the collect is
-    // bounded by one document's own window count
-    val rebuilt = kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_passages"),
+    // sub-minTokens chunks skip the join entirely (always kept) — a
+    // union of two map branches, not a left join, keeps the salted
+    // inner join's skew handling intact
+    val judged = Partitioning
+      .saltedEquiJoin(keyed, owners, "passage_md5", col("doc_id"))
+      .select(col("doc_id"), col("idx"), col("passage"),
+        col("n_passage_tokens"), col("keyed"),
+        (col("passage_df") === 1 || col("doc_id") === col("owner_doc"))
+          .as("keep_passage"))
+      .unionByName(rows.filter(!col("keyed"))
+        .select(col("doc_id"), col("idx"), col("passage"),
+          col("n_passage_tokens"), col("keyed"),
+          lit(true).as("keep_passage")))
+    // per-doc rebuild: chunks are doc-local, so the collect is bounded
+    // by one document's own chunk count; every doc has ≥1 chunk, so
+    // the rollup alone covers the whole corpus (no base re-join)
+    judged.groupBy("doc_id")
+      .agg(sum(when(col("keyed"), 1L).otherwise(0L)).as("n_passages"),
         sum(when(!col("keep_passage"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!col("keep_passage"), col("n_passage_tokens"))
+          .otherwise(0L)).as("n_removed_tokens"),
         array_join(transform(
           array_sort(collect_list(when(col("keep_passage"),
             struct(col("idx"), col("passage"))))),
-          s => s.getField("passage")), " ").as("kept_text"))
-    base.select(col("doc_id"), col("tail"), col("nw"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        // kept windows ++ tail, skipping the separator when either is
-        // empty (concat_ws drops NULLs but not empty strings)
-        when(coalesce(col("kept_text"), lit("")) === "", col("tail"))
-          .when(col("tail") === "", col("kept_text"))
-          .otherwise(concat_ws(" ", col("kept_text"), col("tail")))
-          .as("scrubbed_text"))
+          s => s.getField("passage")), " ").as("scrubbed_text"))
+      .select("doc_id", "n_passages", "n_removed", "n_removed_tokens",
+        "scrubbed_text")
       .orderBy("doc_id")
   }
 

@@ -104,11 +104,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "the one window runs over the bounded (lang,score) token " +
         "histogram, never per-doc; threshold broadcasts back (left " +
         "outer — langs whose top bucket overshoots keep nothing)"),
-    ("passage_scrub", Shape(5, 1, 1, 0),
+    ("passage_scrub", Shape(4, 1, 0, 0),
       "salted owner join (tf-idf family, broadcast at fixture stats); " +
-        "doc-keyed rebuild; the one SMJ is the uniform doc_id tail " +
-        "join (equal-sized sides, AQE-splittable) — no per-corpus " +
-        "window, no cross product"),
+        "doc-keyed rebuild — one exchange LIGHTER than the pre-r10 " +
+        "fixed-window form: content-defined chunks cover the whole " +
+        "stream, so the old doc_id tail re-join (its SMJ + exchange) " +
+        "is gone; the union's unkeyed branch is a pure map — no " +
+        "per-corpus window, no cross product"),
     ("knn_pq_adc", Shape(2, 0, 0, 3),
       "map-only literal-codebook reconstruction; the probe join is a " +
         "broadcast NESTED-LOOP (non-equi qid<>nid — bcastJoin 0 is " +

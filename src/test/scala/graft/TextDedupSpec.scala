@@ -401,23 +401,42 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
-  test("passage dedup: planted shared window localizes; short docs have no passage grain") {
+  // Shared boilerplate block for the passage family's offset tests.
+  // Anchor tokens (md5 last nibble '0', verified): rain, snow, sand;
+  // qq1..qq24, tt1..tt15, uu1..uu3 are all verified NON-anchors. The
+  // block's content-defined interior chunks are therefore exactly
+  //   A = "rain qq1 qq2 qq3 qq4"  (5 tokens, keyed)
+  //   B = "snow qq5 qq6 qq7"      (4 tokens, keyed)
+  // in EVERY host, regardless of the host-specific prefix length; the
+  // trailing "sand qq8..qq11" chunk absorbs the host's unique suffix
+  // and never matches across docs.
+  private val boilerBlock =
+    "rain qq1 qq2 qq3 qq4 snow qq5 qq6 qq7 sand qq8 qq9 qq10 qq11"
+  private def offsetHosts(spark: org.apache.spark.sql.SparkSession) = {
     import spark.implicits._
-    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
-    val boiler = words("shared", 16) // the boilerplate passage
-    val planted = Seq(
-      (1L, boiler + " " + words("aa", 16)),  // boiler first
-      (2L, words("bb", 16) + " " + boiler),  // boiler second
-      (3L, words("cc", 32)),                 // fully unique
-      (4L, words("dd", 15)))                 // < one window → no grain
-      .toDF("doc_id", "text")
-    val out = TextOps.passageDedup(planted).collect()
+    (0 to 15).map { k =>
+      val prefix = (1 to k).map(i => s"tt$i").mkString(" ")
+      val text = (if (k == 0) "" else prefix + " ") + boilerBlock + s" uniq$k"
+      (k.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  test("passage dedup: duplicate block found at EVERY offset k=0..15; sub-minTokens docs have no grain") {
+    import spark.implicits._
+    val out = TextOps.passageDedup(offsetHosts(spark)).collect()
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
-    assert(out(1L) === ((2L, 1L, 2L, 0.5)))
-    assert(out(2L) === ((2L, 1L, 2L, 0.5)))
-    assert(out(3L) === ((2L, 0L, 1L, 0.0)))
-    assert(!out.contains(4L), "doc shorter than one window has no passage grain")
+    for (k <- 0L to 15L) {
+      // chunks: [prefix (keyed iff k>=4)], A (shared), B (shared),
+      // "sand qq8..qq11 uniqK" (unique) — the old fixed windows
+      // detected NOTHING for k=1..15
+      val nKeyed = if (k >= 4) 4L else 3L
+      assert(out(k) === ((nKeyed, 2L, 16L, 2.0 / nKeyed)),
+        s"offset-$k host must see both shared interior chunks")
+    }
+    // sub-minTokens doc: one 3-token chunk → no passage grain
+    val tiny = Seq((99L, "qq1 qq2 qq3")).toDF("doc_id", "text")
+    assert(TextOps.passageDedup(tiny).count() === 0)
     // fixture: the planted duplicate docs must surface as shared passages
     val corpus = TextOps.passageDedup(docs)
     assert(corpus.filter(col("n_shared_passages") > 0).count() > 0)
@@ -437,23 +456,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(all.filter(col("train_doc") % 2 =!= 0).count() > 0)
   }
 
-  test("passage scrub: dup window survives only in its canonical host; tokens conserve") {
+  test("passage scrub: offset dup survives only in its canonical host; tokens conserve exactly") {
     import spark.implicits._
-    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
-    val boiler = words("shared", 16)
-    val planted = Seq(
-      (1L, boiler + " " + words("aa", 16)), // canonical host keeps boiler
-      (2L, words("bb", 16) + " " + boiler), // sheds it (second window)
-      (3L, boiler + " tail words here"),    // sheds it, tail survives
-      (4L, words("dd", 15)))                // < one window → unchanged
-      .toDF("doc_id", "text")
-    val out = TextOps.passageScrub(planted).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
-    assert(out(1L) === ((2L, 0L, boiler + " " + words("aa", 16))))
-    assert(out(2L) === ((2L, 1L, words("bb", 16))))
-    assert(out(3L) === ((1L, 1L, "tail words here")))
-    assert(out(4L) === ((0L, 0L, words("dd", 15))))
-    // corpus invariants: scrubbed token count = original − 16·n_removed,
+    val out = TextOps.passageScrub(offsetHosts(spark)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // canonical host (min doc_id = offset-0) keeps the whole block
+    assert(out(0L) === ((3L, 0L, 0L, boilerBlock + " uniq0")))
+    for (k <- 1L to 15L) {
+      // every other host sheds exactly the two shared interior chunks
+      // (A: 5 tokens + B: 4 tokens = 9), at ANY offset — the old fixed
+      // windows scrubbed nothing for k=1..15
+      val nKeyed = if (k >= 4) 4L else 3L
+      val prefix = (1L to k).map(i => s"tt$i").mkString(" ")
+      assert(out(k) === ((nKeyed, 2L, 9L,
+        prefix + " sand qq8 qq9 qq10 qq11 uniq" + k)),
+        s"offset-$k host must shed both shared interior chunks")
+    }
+    // sub-minTokens doc passes through unchanged with no passage grain
+    val tiny = Seq((99L, "qq1 qq2 qq3")).toDF("doc_id", "text")
+    assert(TextOps.passageScrub(tiny).collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq ===
+      Seq((0L, 0L, 0L, "qq1 qq2 qq3")))
+    // corpus invariants: exact token conservation via n_removed_tokens,
     // and the fixture's planted dups make removal non-degenerate
     val checked = TextOps.passageScrub(docs)
       .join(docs.select(col("doc_id"),
@@ -462,7 +487,7 @@ class TextDedupSpec extends AnyFunSuite {
         when(col("scrubbed_text") === "", 0L)
           .otherwise(size(split(col("scrubbed_text"), " ")).cast("long")))
     assert(checked.filter(col("n_scrubbed") =!=
-      col("n_orig") - lit(16L) * col("n_removed")).count() === 0)
+      col("n_orig") - col("n_removed_tokens")).count() === 0)
     assert(checked.filter(col("n_removed") > 0).count() > 0)
   }
 
