@@ -26,7 +26,7 @@ class EtlSpec extends AnyFunSuite {
     // legitimately export must not fail this suite)
     val dflt = GraftConfig.load(Some(confFile.toString + ".missing"))
     assert(dflt.outDir === sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "target/warehouse"))
-    assert(dflt.benchReps === sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    assert(dflt.benchReps === sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     // a malformed numeric value must name the offending key — a bare
     // NumberFormatException gives no hint which knob carried the garbage
     val badFile = confFile.resolveSibling("bad.properties")
