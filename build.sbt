@@ -35,5 +35,25 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g, not the old 8g: the box has 125 GiB and local[32] runs 32
+  // executor threads in THIS heap. At 8g the r9/r10 bench suites spent
+  // whole cores on G1 collections that landed inside whichever query's
+  // timed region the heap happened to fill during (bm25_batch r10:
+  // 48.5 process-cpu-sec against a 0.45 s isolated wall — that cpu was
+  // GC threads, not the query), which is exactly how the "interference"
+  // migrated between rounds. Sizing the heap to the box is what a real
+  // deployment does with spark.executor.memory; the env var still
+  // overrides for constrained hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // pin -Xms to -Xmx: G1 UNCOMMITS heap after every full GC otherwise,
+  // and the bench's between-rep settle barrier would make each timed
+  // rep re-commit (page-fault) gigabytes it just gave back — measured
+  // on the 10-query probe subset as ~10% of suite wall. Commit is
+  // lazy (no AlwaysPreTouch), so test forks don't pay 48 GiB upfront.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 218 bench queries x whole-stage codegen overflows the JDK default
+  // 240m code cache mid-suite; once the sweeper starts flushing
+  // compiled methods, later queries re-run partly interpreted/
+  // recompiling — wall noise the per-query artifact can't attribute.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -61,6 +61,16 @@ object Bench {
         Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
         f.delete(); ()
       }
+      // Sweep stale work dirs from crashed writers (r9 ADVICE): a
+      // bench killed mid-rewrite leaves `.tmp_*` (half-written copy)
+      // or `.old_*` (swapped-aside previous copy) behind forever.
+      // Age-gated at 1 h so a LIVE concurrent writer's tmp dir is
+      // never pulled out from under it.
+      val staleMs = System.currentTimeMillis - 3600L * 1000
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => (f.getName.startsWith(".tmp_") ||
+          f.getName.startsWith(".old_")) && f.lastModified < staleMs)
+        .foreach(deleteRec)
       // Chunk count follows per-table WORK, not a blanket 8 (r9 —
       // VERDICT #3): the r7 blanket 8-way split parallelized the heavy
       // tokenize+md5 gram stages (decontaminate 4.4 -> 1.7 s) but
@@ -71,8 +81,8 @@ object Bench {
       // ~100x a TPC-H row (hundreds of md5'd gram positions each),
       // embeddings rows ~10x (64-dim fold pipelines). One chunk per
       // ~20k weighted rows, capped at min(cpus, 8) — at sf0.1 that is
-      // documents/lineitem/orders 8, events 5, embeddings 1 (measured
-      // below), every dim table 1.
+      // documents/lineitem/orders 8, events 5, embeddings 4 (2,000
+      // rows x weight 40 / 20k), every dim table 1.
       val rowWeight = Map("documents" -> 100L, "embeddings" -> 40L)
       for (t <- tables) {
         val src = s"$sfDir/$t.parquet"
@@ -93,10 +103,21 @@ object Bench {
           java.nio.file.Files.write(
             new java.io.File(tmp, "_graft_rechunk").toPath,
             stamp.getBytes("UTF-8"))
-          deleteRec(dst)
+          // Swap by rename-aside, not delete-then-rename (r9 ADVICE):
+          // the old order had a window where a concurrent reader saw
+          // NO table at all between deleteRec(dst) and the rename.
+          // Now the stale copy moves aside in one rename (readers see
+          // old or new, never nothing) and is deleted only after the
+          // new copy is live.
+          val aside = new java.io.File(
+            s"$dir/.old_${ProcessHandle.current.pid()}_$t.parquet")
+          if (dst.exists && !dst.renameTo(aside))
+            throw new IllegalStateException(
+              s"bench re-chunk aside-swap failed for $t (concurrent writer?)")
           if (!tmp.renameTo(dst))
             throw new IllegalStateException(
               s"bench re-chunk swap failed for $t (concurrent writer?)")
+          deleteRec(aside)
         }
       }
       dir
@@ -125,42 +146,82 @@ object Bench {
     // cores, and a /32 denominator would read ~0.25 — the "contended"
     // signature — on a perfectly healthy run
     val cores = cfg.cpus.toDouble
-    // (wallSec, cpuSec) for the MIN-wall rep — cpu must come from the
+    // Per-query GC attribution (r10 VERDICT #1): process-cpu counts GC
+    // threads too, so a collection that fires INSIDE a timed rep gets
+    // charged to that query — r10's bm25_batch "4.27 s" carried 48.5
+    // cpu-sec of exactly that, and the charge migrated between rounds
+    // with wherever the heap happened to fill. The artifact now
+    // reports the rep's own stop-the-world GC seconds so any residual
+    // pollution names itself.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcSec(): Double = {
+      var ms = 0L
+      gcBeans.forEach(b => ms += math.max(0L, b.getCollectionTime))
+      ms / 1e3
+    }
+    // Settle barrier, OUTSIDE every timed region: a full GC enqueues
+    // the previous rep's dead block/broadcast references, then the
+    // poll waits until the (asynchronous, in-process) ContextCleaner's
+    // removal storm stops moving the block census — a deterministic
+    // drain signal where a fixed sleep was a guess (r11: 25 ms was
+    // usually enough, and the times it wasn't showed up as 2-6x
+    // in-suite-vs-isolated outliers with util ~0.1 and zero in-rep
+    // GC). Bounded at ~500 ms so a pathological census can't hang the
+    // run. This replaces the old targeted after-checkpointing-queries
+    // GC — targeting was the bug's other half: every query broadcasts
+    // and shuffles, so garbage accumulated across the ~200 untargeted
+    // ones and collected mid-rep wherever the heap filled.
+    def settle(): Unit = {
+      System.gc()
+      var prev = -1L
+      var cur = org.apache.spark.sql.graft.ColumnBridge.numStorageBlocks
+      var polls = 0
+      while (cur != prev && polls < 25) {
+        Thread.sleep(20)
+        prev = cur
+        cur = org.apache.spark.sql.graft.ColumnBridge.numStorageBlocks
+        polls += 1
+      }
+    }
+    // (wallSec, cpuSec, gcSec) per rep — cpu/gc must come from the
     // same rep as the reported wall or util is meaningless
-    def timeQuery(name: String,
-                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
-      val times = (1 to reps).map { _ =>
+    def timeReps(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 n: Int): Vector[(Double, Double, Double)] = {
+      (1 to n).map { _ =>
+        settle()
+        val g0 = gcSec()
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column
         // (a bare count() would let Spark prune the projections away)
         try fn(spark, benchDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
-      }
-      // the checkpointing operators leave blocks pinned until a GC
-      // lets the ContextCleaner reap the unreachable RDDs; without
-      // this, blocks accumulate across the suite and late queries
-      // GC-thrash (measured: fact_pnl 1.5 s alone vs 86 s at position
-      // ~60 of the full suite). Targeted — a full GC per query would
-      // add minutes to a 138-query run for no extra hygiene.
-      if (SparkEntry.checkpointingQueries(name)) System.gc()
-      times.minBy(_._1)
+        ((System.nanoTime() - t0) / 1e9,
+          (osBean.getProcessCpuTime - c0) / 1e9, gcSec() - g0)
+      }.toVector
     }
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) =
+      timeReps(name, fn, reps).minBy(_._1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
       .map { case (name, fn) => name -> timeQuery(name, fn) }
     // Box-noise self-defense: in-suite numbers on a shared box swing up
     // to ~48x from co-tenant load/GC pressure (r5: dim_movement_type
     // 22.8 s in-suite vs 0.47 s alone). Re-measure the 5 slowest after
-    // the suite, post-GC, so an outlier explains itself in the artifact
-    // instead of needing a manual SPARK_GRAFT_BENCH_ONLY re-run.
+    // the suite so an outlier explains itself in the artifact instead
+    // of needing a manual SPARK_GRAFT_BENCH_ONLY re-run. N=3 with the
+    // spread reported (r10 VERDICT #1): the old single-rep probe
+    // self-contradicted (decontaminate_bloom 5.80 s isolated vs 2.79
+    // in-suite was one unlucky rep presented as truth) — min is the
+    // estimate, max bounds the noise the reader should trust it to.
     val resultMap0 = results.toMap
-    System.gc()
     val isolated = results.sortBy(-_._2._1).take(5).map { case (name, _) =>
-      name -> timeQuery(name, SparkEntry.queries(name)) }
+      name -> timeReps(name, SparkEntry.queries(name), 3) }
     def util(wall: Double, cpu: Double): Double =
       if (wall <= 0) 0.0 else math.round(cpu / (wall * cores) * 1000) / 1000.0
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
     // Full per-query map goes to files: with 138 queries the one-line
     // JSON outgrew the driver's 2,000-char stdout tail capture
     // (BENCH_r04 parsed:null), so stdout carries a compact headline
@@ -171,18 +232,22 @@ object Bench {
     // On an idle box a shuffle-heavy query sits around util 0.3-0.9; a
     // contended run collapses toward 0 (the JVM was descheduled), so a
     // "slow" artifact now carries its own diagnosis.
-    val full = results.map { case (k, (w, c)) =>
+    val full = results.map { case (k, (w, c, g)) =>
       s"\"" + k + "\":{\"wall\":" + w + ",\"cpu\":" + c +
-        ",\"cpu_util\":" + util(w, c) + "}" }
+        ",\"cpu_util\":" + util(w, c) + ",\"gc\":" + r3(g) + "}" }
       .mkString("{", ",", "}")
-    val iso = isolated.map { case (k, (w, c)) =>
+    val iso = isolated.map { case (k, reps3) =>
+      val (w, c, _) = reps3.minBy(_._1)
       s"\"" + k + "\":{\"in_suite\":" + resultMap0(k)._1 + ",\"isolated\":" + w +
+        ",\"isolated_max\":" + r3(reps3.map(_._1).max) +
+        ",\"isolated_reps\":" + reps3.map(t => r3(t._1)).mkString("[", ",", "]") +
         ",\"isolated_cpu_util\":" + util(w, c) + "}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val totalCpu = results.map(_._2._2).sum
+    val totalGc = results.map(_._2._3).sum
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$totalCpu,"cpu_util":${util(total, totalCpu)},"cores":${cores.toInt},"queries":$full,"isolated_slowest":$iso,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$totalCpu,"cpu_util":${util(total, totalCpu)},"gc_sec":${r3(totalGc)},"cores":${cores.toInt},"queries":$full,"isolated_slowest":$iso,"sf":"$sfDir"}"""
     // round = 1 + newest driver-committed BENCH_r<N>.json at the root
     val roundN = Option(new java.io.File(".").listFiles()).toSeq.flatten
       .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
@@ -214,8 +279,8 @@ object Bench {
       "zorder_layout", "dedup_admit", "fact_transactions_cdc",
       "dedup_reconcile", "knn_ivf_pq", "passage_scrub",
       "corpus_select_budget", "doc_quality_verdict")
-    val qs = headline.flatMap(k => resultMap0.get(k).map { case (w, _) =>
-        s"\"" + k + "\":" + (math.round(w * 1000) / 1000.0) })
+    val qs = headline.flatMap(k => resultMap0.get(k).map { case (w, _, _) =>
+        s"\"" + k + "\":" + r3(w) })
       .mkString("{", ",", "}")
     // `value` stays the TOTAL across all queries; `n_queries` records how
     // many it covers since `queries` lists only the headline subset.

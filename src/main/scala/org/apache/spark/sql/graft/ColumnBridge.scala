@@ -48,4 +48,16 @@ object ColumnBridge {
     logicalPlan(df).collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  /** Census of storage blocks registered on the local BlockManager
+    * (BlockManagerMaster is private[spark]; this bridge package sits
+    * under org.apache.spark, the standard extension pattern). The
+    * bench's settle barrier polls this after its full GC until the
+    * ContextCleaner's asynchronous removal storm stops moving the
+    * number — a deterministic "the cleaner has drained" signal where
+    * a fixed sleep was a guess.
+    */
+  def numStorageBlocks: Long =
+    org.apache.spark.SparkEnv.get.blockManager.master.getStorageStatus
+      .map(_.blocks.size.toLong).sum
 }
