@@ -394,7 +394,14 @@ object Dedup {
   def lshRecall(documents: DataFrame, nProbe: Long = 250,
                 simMicro: Long = 500000L): DataFrame = {
     val subset = documents.filter(col("doc_id") < nProbe)
-    val gs = gramSets(subset)
+    // materialized ONCE (r9 ADVICE): gs feeds both the streamed side
+    // and the broadcast side of the pair join, and without the
+    // checkpoint each side re-runs the tokenize+md5 gram pipeline
+    // over the probe subset — the most expensive stage in the
+    // operator, paid twice for identical output (probe-bounded, so
+    // the pinned blocks are small; dedup_lsh_recall is in
+    // SparkEntry.checkpointingQueries like the other pinning ops)
+    val gs = gramSets(subset).localCheckpoint(true)
     val pairs = gs.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"))
       .join(broadcast(gs.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"))),
         col("doc_a") < col("doc_b"))

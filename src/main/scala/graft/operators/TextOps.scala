@@ -810,28 +810,49 @@ object TextOps {
   private def anchors(t: Column): Column =
     substring(md5(t.cast("binary")), 32, 1) === lit("0")
 
+  /** Standard CDC maximum-chunk bound (r10 ADVICE): a boundary is
+    * FORCED once a chunk reaches this many tokens, so an anchor-free
+    * run (P(no anchor in n) = (15/16)^n — but 'na na na …' boilerplate
+    * of one non-anchor token hits it deterministically) can no longer
+    * collapse into one doc-length chunk. Forced breaks are periodic
+    * FROM THE LAST ANCHOR, so chunking stays alignment-invariant for
+    * any shared block shorter than the bound (and for every
+    * anchor-started chunk inside longer blocks); only forced chunks
+    * whose gap began before the shared region can misalign — the
+    * usual CDC max-bound trade.
+    */
+  private[graft] val MaxPassageTokens = 64
+
   /** Content-defined passages of the normalized token stream: a new
-    * passage starts at token 1 and at every anchor token ([[anchors]]).
+    * passage starts at token 1, at every anchor token ([[anchors]]),
+    * and at every [[MaxPassageTokens]]th token of an anchor-free run.
     * Passages partition the stream (non-overlapping, covering — the
     * scrub rebuild contract), built by one array-local fold: no
-    * explode-then-window, no shuffle, O(doc length) per doc.
+    * explode-then-window, no shuffle. Per-doc cost is O(n ·
+    * maxChunkChars) character copying (the pending chunk is rebuilt
+    * per append but the cap bounds it — the uncapped fold was O(n²)
+    * on anchor-free docs) plus O(chunks) reference copies per
+    * emitted chunk for the done-array append.
     */
   private def cdcPassages: Column = {
     val empty = array().cast("array<string>")
     aggregate(
       toks,
-      struct(empty.as("done"), lit("").as("cur"), lit(true).as("first")),
+      struct(empty.as("done"), lit("").as("cur"), lit(0).as("n")),
       (acc, t) => {
-        // `first` distinguishes "no tokens folded yet" from a pending
-        // chunk whose only token is the empty string (split on ' '
-        // emits "" for empty/multi-space text)
-        val startNew = anchors(t) && !acc.getField("first")
+        // `n` = tokens in the pending chunk; 0 ⟺ nothing folded yet,
+        // which distinguishes a genuinely empty accumulator from a
+        // pending chunk whose only token is the empty string (split
+        // on ' ' emits "" for empty/multi-space text)
+        val n = acc.getField("n")
+        val startNew =
+          (anchors(t) || n >= lit(MaxPassageTokens)) && n > lit(0)
         struct(
           when(startNew, concat(acc.getField("done"), array(acc.getField("cur"))))
             .otherwise(acc.getField("done")).as("done"),
-          when(startNew || acc.getField("first"), t)
+          when(startNew || n === lit(0), t)
             .otherwise(concat(acc.getField("cur"), lit(" "), t)).as("cur"),
-          lit(false).as("first"))
+          when(startNew || n === lit(0), lit(1)).otherwise(n + lit(1)).as("n"))
       },
       acc => concat(acc.getField("done"), array(acc.getField("cur"))))
   }
@@ -864,10 +885,20 @@ object TextOps {
     * variable-length header (VERDICT r8/r9 #1). Anchoring boundaries
     * on token content makes the chunking alignment-invariant: a
     * shared block yields bit-identical interior passages at ANY
-    * offset. Passages shorter than `minTokens` are too weak to key
-    * (a lone stopword would df-match half the corpus) and carry no
-    * passage grain; a doc with no qualifying passage is absent from
-    * the output, as short docs were before.
+    * offset (runs longer than [[MaxPassageTokens]] break on the
+    * forced periodic boundary — see the bound's own trade note).
+    * Passages shorter than `minTokens` are too weak to key (a lone
+    * stopword would df-match half the corpus) and carry no passage
+    * grain; a doc with no qualifying passage is absent from the
+    * output, as short docs were before. The recall trade of
+    * content-defined boundaries (r10 ADVICE): chunk lengths are
+    * GEOMETRIC, so ~1/16 of boundaries spawn sub-`minTokens` chunks
+    * that are never keyed — short boilerplate fragments adjacent to
+    * an anchor are invisible to dedup/scrub where fixed windows
+    * could catch them (this repo's fixture: 78 shared occurrences
+    * under CDC vs 124 under aligned fixed windows), bought for
+    * alignment invariance. Tune `minTokens` against that variance,
+    * not against a fixed-window mental model.
     *
     * Scale shape unchanged: md5 keys; cross-doc df per passage via one
     * uniform-key aggregate (map-side partials), joined back SALTED on
@@ -1126,23 +1157,66 @@ object TextOps {
     * final join, and recomputing it would re-run the whole bigram
     * chain per consumer (checkpointingQueries releases the blocks).
     */
-  def perplexityBuckets(documents: DataFrame): DataFrame = {
+  def perplexityBuckets(documents: DataFrame, keptNumer: Int = 2,
+                        keptDenom: Int = 3): DataFrame = {
     val scored = bigramLogloss(documents)
       .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("logloss_microbits"))
       .localCheckpoint(true)
-    val hist = scored.groupBy("lang", "logloss_microbits")
+    bucketAgainstThresholds(scored,
+      perplexityThresholds(perplexityHistogram(scored), keptNumer, keptDenom))
+  }
+
+  /** (lang, logloss_microbits, n) count histogram of a scored frame —
+    * the carried state of the streaming twin
+    * ([[graft.streaming.EventStream.perplexityBucketStream]]): bounded
+    * by distinct (lang, score) pairs — metadata-scale, never the
+    * corpus — and ASSOCIATIVE under count summation
+    * ([[mergePerplexityHistograms]]), which is what makes the
+    * cross-trigger carry exact.
+    */
+  def perplexityHistogram(scoredLang: DataFrame): DataFrame =
+    scoredLang.groupBy("lang", "logloss_microbits")
       .agg(count(lit(1)).as("n"))
+
+  def mergePerplexityHistograms(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("lang", "logloss_microbits")
+      .agg(sum(col("n")).as("n"))
+
+  /** Per-language bucket thresholds from a (lang, score, n)
+    * histogram: BUCKET-GRAIN greedy — the ascending cumulative runs
+    * over ≤ distinct-score rows per language. The KEPT fraction is
+    * the rational keptNumer/keptDenom (GraftConfig
+    * `perplexity.kept.fraction`, r8 #7): t2 is the smallest score
+    * whose cumulative covers kept·n (the keep|tail cut), t1 the
+    * smallest covering kept·n/2 (head = half the kept mass). All
+    * cuts are exact integer cross-multiplies — cum·D ≥ n·N, no
+    * division, no ntile whose positional tie-splitting is not
+    * oracle-exact — and the 2/3 default reproduces the CCNet tercile
+    * recipe bit-for-bit (cum·3 ≥ n and cum·3 ≥ 2n, scaled by 2).
+    */
+  def perplexityThresholds(hist: DataFrame, keptNumer: Int = 2,
+                           keptDenom: Int = 3): DataFrame = {
+    require(keptNumer > 0 && keptDenom >= keptNumer,
+      s"kept fraction must satisfy 0 < N <= D: $keptNumer/$keptDenom")
     val totals = hist.groupBy("lang").agg(sum(col("n")).as("n_lang"))
     val wAsc = Window.partitionBy("lang").orderBy(col("logloss_microbits"))
     val cum = hist.withColumn("cum", sum(col("n")).over(wAsc))
       .join(totals, Seq("lang"))
-    val th = cum.groupBy("lang").agg(
-      min(when(col("cum") * 3 >= col("n_lang"), col("logloss_microbits")))
-        .as("t1_micro"),
-      min(when(col("cum") * 3 >= col("n_lang") * 2, col("logloss_microbits")))
-        .as("t2_micro"))
-    scored.join(broadcast(th), Seq("lang"))
+    cum.groupBy("lang").agg(
+      min(when(col("cum") * (2L * keptDenom) >= col("n_lang") * keptNumer,
+        col("logloss_microbits"))).as("t1_micro"),
+      min(when(col("cum") * keptDenom.toLong >= col("n_lang") * keptNumer,
+        col("logloss_microbits"))).as("t2_micro"))
+  }
+
+  /** The bucket decision: per-doc keep test against the broadcast
+    * per-language thresholds — NO per-doc window. `kept` drops the
+    * tail (CCNet trains on head+middle; the bucket column keeps the
+    * policy a config choice downstream).
+    */
+  def bucketAgainstThresholds(scoredLang: DataFrame, th: DataFrame): DataFrame =
+    scoredLang.join(broadcast(th), Seq("lang"))
       .withColumn("bucket",
         when(col("logloss_microbits") <= col("t1_micro"), "head")
           .when(col("logloss_microbits") <= col("t2_micro"), "middle")
@@ -1151,7 +1225,6 @@ object TextOps {
       .select("doc_id", "lang", "logloss_microbits", "t1_micro", "t2_micro",
         "bucket", "kept")
       .orderBy("doc_id")
-  }
 
   /** Score a doc set under an EXPLICIT model — the streaming twin's
     * per-trigger entry ([[graft.streaming.EventStream]]): the caller
@@ -1390,11 +1463,13 @@ object TextOps {
     */
   def qualityVerdict(documents: DataFrame,
                      entropyLoMicro: Long = 1000000L,
-                     entropyHiMicro: Long = 6000000L): DataFrame = {
+                     entropyHiMicro: Long = 6000000L,
+                     dropFraction: Double = 0.25): DataFrame = {
     val g = gopherQuality(documents).select(col("doc_id"), col("keep").as("gopher_keep"))
     val r = repetition(documents).select(col("doc_id"), col("is_repetitive"))
     val e = charEntropy(documents).select(col("doc_id"), col("entropy_microbits"))
-    val q = qualityGate(documents).select(col("doc_id"), col("kept").as("gate_keep"))
+    val q = qualityGate(documents, dropFraction)
+      .select(col("doc_id"), col("kept").as("gate_keep"))
     g.join(r, "doc_id").join(e, "doc_id").join(q, "doc_id")
       .withColumn("entropy_ok",
         col("entropy_microbits").between(entropyLoMicro, entropyHiMicro))

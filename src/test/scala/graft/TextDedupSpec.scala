@@ -402,14 +402,20 @@ class TextDedupSpec extends AnyFunSuite {
   }
 
   // Shared boilerplate block for the passage family's offset tests.
-  // Anchor tokens (md5 last nibble '0', verified): rain, snow, sand;
-  // qq1..qq24, tt1..tt15, uu1..uu3 are all verified NON-anchors. The
-  // block's content-defined interior chunks are therefore exactly
+  // Anchor tokens (md5 last nibble '0', verified over exactly the
+  // tokens this fixture uses): rain, snow, sand — and uniq14;
+  // qq1..qq11, tt1..tt15, and every other uniqK are NON-anchors
+  // (r10 ADVICE: the old comment claimed uniq14 was absorbed into the
+  // sand chunk and vouched for uu*/qq12+ tokens that never appear).
+  // The block's content-defined interior chunks are therefore exactly
   //   A = "rain qq1 qq2 qq3 qq4"  (5 tokens, keyed)
   //   B = "snow qq5 qq6 qq7"      (4 tokens, keyed)
-  // in EVERY host, regardless of the host-specific prefix length; the
+  // in EVERY host, regardless of the host-specific prefix length. The
   // trailing "sand qq8..qq11" chunk absorbs the host's unique suffix
-  // and never matches across docs.
+  // for every k EXCEPT 14, where the uniq14 anchor splits it into
+  // "sand qq8 qq9 qq10 qq11" (keyed, but df=1: no other doc ends a
+  // chunk there) + a lone unkeyed "uniq14" — either way nothing
+  // matches across docs, which the k=14 shape assertion below pins.
   private val boilerBlock =
     "rain qq1 qq2 qq3 qq4 snow qq5 qq6 qq7 sand qq8 qq9 qq10 qq11"
   private def offsetHosts(spark: org.apache.spark.sql.SparkSession) = {
@@ -489,6 +495,82 @@ class TextDedupSpec extends AnyFunSuite {
     assert(checked.filter(col("n_scrubbed") =!=
       col("n_orig") - col("n_removed_tokens")).count() === 0)
     assert(checked.filter(col("n_removed") > 0).count() > 0)
+  }
+
+  // Verified against the fold's own anchor rule so the generated
+  // fixtures below never contain an accidental anchor token.
+  private def nonAnchorTokens(n: Int): Seq[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Iterator.from(1).map(i => s"w$i").filter { t =>
+      val h = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      h.last != '0'
+    }.take(n).toSeq
+  }
+
+  test("passage CDC max-bound: anchor-free runs break at exactly 64 tokens (r10 ADVICE)") {
+    import spark.implicits._
+    val r = nonAnchorTokens(100)
+    // docA's forced break must land exactly after token 64: only then
+    // does its tail chunk equal docB (= the run's tokens 65..100) —
+    // a cap of 63 or 65 shifts docA's tail off docB and shares nothing
+    val pair = Seq(
+      (0L, r.mkString(" ")),
+      (1L, r.drop(64).mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.passageDedup(pair).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(out(0L) === ((2L, 1L, 2L, 0.5)),
+      "docA: [r1..r64] unique + [r65..r100] shared")
+    assert(out(1L) === ((1L, 1L, 2L, 1.0)),
+      "docB: its single chunk IS docA's forced tail")
+    // and an identical-token run (the 'na na na …' case the uncapped
+    // fold was quadratic on) now chunks finitely: 200 copies of one
+    // non-anchor token → 64+64+64+8, all keyed, all df=1 in a
+    // single-doc corpus
+    val mono = Seq((7L, Seq.fill(200)(r.head).mkString(" "))).toDF("doc_id", "text")
+    val m = TextOps.passageDedup(mono).collect()
+    assert(m.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ===
+      Seq((7L, 4L, 0L)))
+  }
+
+  test("passage CDC max-bound: forced chunks stay aligned when the gap starts inside the shared run") {
+    import spark.implicits._
+    // 150-token anchor-free run prefixed by DIFFERENT anchors in two
+    // hosts: the gap start (the anchor) sits at run-offset −1 in
+    // both, so the periodic forced breaks land at the SAME run
+    // offsets — chunk2 (r64..r127) and chunk3 (r128..r150) are
+    // bit-identical across hosts even though chunk1 embeds each
+    // host's own anchor. This is the alignment the closed-form
+    // oracle restates as (i − gs) % 64.
+    val run = nonAnchorTokens(150)
+    val pair = Seq(
+      (0L, ("rain" +: run).mkString(" ")),
+      (1L, ("tt1" +: "snow" +: run).mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.passageDedup(pair).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // host 0: [rain r1..r63] [r64..r127] [r128..r150]; host 1: the
+    // lone unkeyed "tt1" chunk (opened as the doc's first token,
+    // closed by the snow anchor), then [snow r1..r63] [r64..r127]
+    // [r128..r150]
+    assert(out(0L) === ((3L, 2L)), "anchored host: 2 of 3 chunks shared")
+    assert(out(1L) === ((3L, 2L)), "offset host: same 2 forced chunks shared")
+  }
+
+  test("passage CDC: uniq14 IS an anchor — the k=14 tail splits but matches nothing (r10 ADVICE)") {
+    import spark.implicits._
+    // pin the shape the offset tests only pass by coincidence: a doc
+    // ending "… uniq14" splits its tail into a keyed "sand qq8 qq9
+    // qq10 qq11" + lone "uniq14", so a second doc whose own anchor
+    // cuts at the same point DOES share the sand chunk with it
+    val pair = Seq(
+      (0L, "sand qq8 qq9 qq10 qq11 uniq14"),
+      (1L, "sand qq8 qq9 qq10 qq11 rain qq1 qq2 qq3")).toDF("doc_id", "text")
+    val out = TextOps.passageDedup(pair).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(out(0L) === ((1L, 1L, 2L)),
+      "uniq14 starts its own chunk, leaving the sand chunk keyed and shared")
+    assert(out(1L) === ((2L, 1L, 2L)))
   }
 
   test("unigram logloss: closed-form on a planted vocabulary; rare tokens score higher") {
@@ -587,6 +669,53 @@ class TextDedupSpec extends AnyFunSuite {
       // fixture non-degeneracy: the corpus actually splits three ways
       assert(byBucket.size === 3, s"$lang degenerate: ${byBucket.keySet}")
     }
+  }
+
+  test("kept-fraction knob (r8 #7): non-default fractions parse, flow, and cut where the integer logic says") {
+    // config parse through the real file > env > default chain
+    val f = java.nio.file.Files.createTempFile("graft_knob", ".properties")
+    java.nio.file.Files.writeString(f,
+      "gate.drop.fraction=0.4\nperplexity.kept.fraction=1/2\n")
+    val cfg = GraftConfig.load(Some(f.toString))
+    assert(cfg.gateDropFraction === 0.4)
+    assert((cfg.perplexityKeptNumer, cfg.perplexityKeptDenom) === ((1, 2)))
+    // malformed knobs name themselves instead of burying an NFE
+    intercept[IllegalArgumentException](GraftConfig.parseKept("three quarters"))
+    intercept[IllegalArgumentException](GraftConfig.parseKept("5/4"))
+    intercept[IllegalArgumentException](GraftConfig.parseKept("0/3"))
+    val docs = Tables.documents(spark, sf)
+    // the gate at 0.4 drops strictly more than the 0.25 default, and
+    // per language the drop count respects floor(f·n) exactly (ties
+    // at the threshold are KEPT — the documented semantics)
+    val g40 = TextOps.qualityGate(docs, cfg.gateDropFraction)
+    val g25 = TextOps.qualityGate(docs)
+    assert(g40.filter(!col("kept")).count() > g25.filter(!col("kept")).count())
+    g40.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("dropped"))
+      .collect().foreach { r =>
+        assert(r.getLong(2) <= math.floor(0.4 * r.getLong(1)).toLong,
+          s"lang ${r.getString(0)}: dropped past the floor")
+      }
+    // perplexity kept = 1/2: t2 is the greedy-minimal median cut —
+    // kept covers ≥ n/2 and would not without its own tie bucket
+    val b12 = TextOps.perplexityBuckets(docs, 1, 2).collect()
+      .map(x => (x.getString(1), x.getLong(2), x.getLong(4), x.getBoolean(6)))
+    b12.groupBy(_._1).foreach { case (lang, rows) =>
+      val n = rows.length.toLong
+      val t2 = rows.head._3
+      val kept = rows.count(_._4).toLong
+      assert(kept * 2 >= n, s"$lang: kept below the 1/2 target")
+      assert((kept - rows.count(x => x._2 == t2)) * 2 < n,
+        s"$lang: t2 not greedy-minimal for kept=1/2")
+      assert(kept < n, s"$lang: a 1/2 cut must actually drop a tail")
+    }
+    // and the default-arg path is bit-identical to an explicit 2/3 —
+    // the knob's default changes nothing
+    val d1 = TextOps.perplexityBuckets(docs)
+    val d2 = TextOps.perplexityBuckets(docs, 2, 3)
+    assert(d1.exceptAll(d2).count() === 0)
+    assert(d2.exceptAll(d1).count() === 0)
   }
 
   test("bigram logloss incremental: merged-model scores equal one-shot restricted to batch") {
