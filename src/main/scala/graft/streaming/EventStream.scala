@@ -403,6 +403,14 @@ object EventStream {
   private[graft] def stateTableName(stateDir: String, batchId: Long): String =
     "graft_state_" + stateDirDigest(stateDir) + "_upto_" + batchId
 
+  /** Catalog entries live pinned in `default` (r9 ADVICE): every
+    * register/read/drop site qualifies the name, so a caller who has
+    * USE'd another database still registers, resolves and reclaims
+    * the SAME entries — the old unqualified forms scattered state
+    * tables across whatever database each session had selected.
+    */
+  private def qualified(name: String): String = "default." + name
+
   /** Drop EVERY catalog entry a stream's bucketed state registered —
     * the per-trigger prune keeps the last two live versions' entries
     * for replay, so a stopped stream leaves those behind; call this
@@ -411,10 +419,22 @@ object EventStream {
     * restarted stream re-registers them on its next landing).
     */
   def dropStateCatalog(spark: SparkSession, sinkPath: String): Unit = {
-    val prefix = "graft_state_" + stateDirDigest(sinkPath + ".state") + "_upto_"
-    spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith(prefix))
-      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    val stateDir = sinkPath + ".state"
+    // Also match the pre-r9 32-bit String.hashCode naming (r9 ADVICE):
+    // a warehouse carried across the rename would otherwise keep those
+    // orphan entries forever — this is the only sweep that can ever
+    // reclaim them.
+    val prefixes = Seq(
+      "graft_state_" + stateDirDigest(stateDir) + "_upto_",
+      "graft_state_" + java.lang.Integer.toHexString(stateDir.hashCode) +
+        "_upto_")
+    // listTables(db), not listTables() (r9 ADVICE): the registrations
+    // go to the session's default database, and the no-arg form lists
+    // whatever database the CALLER currently has selected — a caller
+    // who had USE'd elsewhere silently dropped nothing.
+    spark.catalog.listTables("default").collect()
+      .map(_.name).filter(n => prefixes.exists(n.startsWith))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS default.$n"))
   }
 
   /** Land a gram-scale state version BUCKETED on its merge key
@@ -432,8 +452,8 @@ object EventStream {
     df.write.mode("overwrite").format("parquet")
       .option("path", s"$stateDir/upto_$batchId")
       .bucketBy(StateBuckets, bucketCol).sortBy(bucketCol)
-      .saveAsTable(name)
-    df.sparkSession.table(name)
+      .saveAsTable(qualified(name))
+    df.sparkSession.table(qualified(name))
   }
 
   /** Read a state version through its catalog entry (bucketed scan),
@@ -445,7 +465,7 @@ object EventStream {
   private[graft] def readStateVersion(spark: SparkSession, stateDir: String,
                                       path: String): org.apache.spark.sql.DataFrame = {
     val id = path.substring(path.lastIndexOf("upto_") + 5).toLong
-    val name = stateTableName(stateDir, id)
+    val name = qualified(stateTableName(stateDir, id))
     if (spark.catalog.tableExists(name)) spark.table(name)
     else spark.read.parquet(path)
   }
@@ -461,7 +481,7 @@ object EventStream {
       .map(_.stripPrefix("upto_").toLong)
       .filter(_ < keepFloor)
       .foreach { k =>
-        spark.sql(s"DROP TABLE IF EXISTS ${stateTableName(stateDir, k)}")
+        spark.sql(s"DROP TABLE IF EXISTS ${qualified(stateTableName(stateDir, k))}")
         ()
       }
     pruneStateBefore(spark, stateDir, keepFloor)
@@ -870,6 +890,123 @@ object EventStream {
         .select(col("k").as("bigram"), col("n").as("bigram_freq")),
       st.filter(col("kind") === "t")
         .select(col("k").as("term"), col("n").as("term_freq")))
+  }
+
+  /** Streaming twin of TextOps.perplexityBuckets (r8 VERDICT #2 /
+    * r10 #2) — the DECISION layer over [[bigramLoglossStream]]'s
+    * model state: an intake pipeline applies the head/middle/tail
+    * bucket, not the raw score, so the bucketing itself must run
+    * online. Carried state packs THREE associative tables on one
+    * `kind` column: the bigram model ("b"/"t" — summation, exactly
+    * the bigramLoglossStream carry) plus the (lang, score) count
+    * HISTOGRAM of the online scores published so far ("h" —
+    * summation; metadata-scale like the quality-gate histogram).
+    * Each trigger: score the batch under the model of the corpus SO
+    * FAR, merge the batch's score histogram, bucket the batch
+    * against the thresholds of the MERGED histogram, land the
+    * bucketed rows in batch_<id> (lang rides along — the retro pass
+    * reads it back from there, never the texts) and the compact
+    * (doc_id, bigram) pair stream in pairs_<id>. Online buckets
+    * drift TWICE over — early docs were scored under a younger
+    * model AND cut by thresholds estimated from drifted scores — the
+    * honest semantics of any online corpus-relative decision;
+    * [[reconcilePerplexityBuckets]] settles both at once and equals
+    * the one-shot operator (spec-asserted, riding the
+    * doc_perplexity_bucket oracle). Same versioned
+    * replay-idempotent state, stable checkpoint, pruning and
+    * block-release discipline as the family.
+    */
+  def perplexityBucketStream(spark: SparkSession, dir: String, sinkPath: String,
+                             splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    documentsStream(spark, dir, splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val docs = batch.drop("ingest_ts")
+        val prev = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(String, String, Long)].toDF("kind", "k", "n"))
+        val mb = graft.operators.TextOps.mergeBigramCounts(
+            prev.filter(col("kind") === "b")
+              .select(col("k").as("bigram"), col("n").as("bigram_freq")),
+            graft.operators.TextOps.bigramCounts(docs))
+          .localCheckpoint(eager = true)
+        val mt = graft.operators.TextOps.mergeTermCounts(
+            prev.filter(col("kind") === "t")
+              .select(col("k").as("term"), col("n").as("term_freq")),
+            graft.operators.TextOps.termCounts(docs))
+          .localCheckpoint(eager = true)
+        val (scored0, contrib) = graft.operators.TextOps
+          .bigramLoglossAgainstModelWithContrib(docs, mb, mt)
+        // checkpointed: feeds the batch histogram AND the bucket join
+        // AND (via the merged histogram) the state write
+        val scored = scored0
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("logloss_microbits"))
+          .localCheckpoint(eager = true)
+        // histogram rows pack as kind="h", k="<lang>:<micro>" — langs
+        // are ISO codes, ':' can't appear, so the decode is exact
+        val prevHist = prev.filter(col("kind") === "h").select(
+          substring_index(col("k"), ":", 1).as("lang"),
+          substring_index(col("k"), ":", -1).cast("long").as("logloss_microbits"),
+          col("n"))
+        val newHist = graft.operators.TextOps.mergePerplexityHistograms(
+            prevHist, graft.operators.TextOps.perplexityHistogram(scored))
+          .localCheckpoint(eager = true)
+        val bucketed = graft.operators.TextOps.bucketAgainstThresholds(
+          scored, graft.operators.TextOps.perplexityThresholds(newHist))
+        graft.sources.Loader.truncateAndLoad(bucketed, s"$sinkPath/batch_$batchId")
+        graft.sources.Loader.truncateAndLoad(
+          graft.operators.TextOps.bigramPairsOf(docs), s"$sinkPath/pairs_$batchId")
+        val packed = mb.select(lit("b").as("kind"), col("bigram").as("k"),
+            col("bigram_freq").as("n"))
+          .unionByName(mt.select(lit("t").as("kind"), col("term").as("k"),
+            col("term_freq").as("n")))
+          .unionByName(newHist.select(lit("h").as("kind"),
+            concat_ws(":", col("lang"), col("logloss_microbits")).as("k"),
+            col("n")))
+        graft.sources.Loader.truncateAndLoad(packed, s"$stateDir/upto_$batchId")
+        releaseCheckpoints(mb, mt, contrib, scored, newHist)
+        pruneStateBefore(spark, stateDir, batchId - 1)
+        ()
+      }
+      .start()
+  }
+
+  /** The batch half of [[perplexityBucketStream]]'s lambda split:
+    * re-score every sunk (doc_id, bigram) pair against the FINAL
+    * model, rebuild the histogram FROM the settled scores (the
+    * carried "h" state serves only the online decisions — settled
+    * thresholds must come from settled scores), re-bucket. Compact
+    * inputs only — the pair streams, the carried model, and the
+    * batch sink's (doc_id, lang) columns; never the texts — and the
+    * result equals the one-shot TextOps.perplexityBuckets over
+    * everything that arrived.
+    */
+  def reconcilePerplexityBuckets(spark: SparkSession, sinkPath: String): DataFrame = {
+    val stateDir = sinkPath + ".state"
+    val latest = graft.sources.Fs.childDirs(spark, stateDir)
+      .filter(_.startsWith("upto_"))
+      .map(_.stripPrefix("upto_").toLong)
+      .reduceOption(_ max _)
+      .getOrElse(throw new IllegalStateException(
+        s"no perplexity state under $stateDir — has the stream committed a trigger?"))
+    val st = spark.read.parquet(s"$stateDir/upto_$latest")
+    val settled = graft.operators.TextOps.bigramLoglossFromPairs(
+        spark.read.parquet(s"$sinkPath/pairs_*"),
+        st.filter(col("kind") === "b")
+          .select(col("k").as("bigram"), col("n").as("bigram_freq")),
+        st.filter(col("kind") === "t")
+          .select(col("k").as("term"), col("n").as("term_freq")))
+      .join(spark.read.parquet(s"$sinkPath/batch_*")
+        .select(col("doc_id"), col("lang")).distinct(), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("logloss_microbits"))
+      .localCheckpoint(eager = true)
+    graft.operators.TextOps.bucketAgainstThresholds(settled,
+      graft.operators.TextOps.perplexityThresholds(
+        graft.operators.TextOps.perplexityHistogram(settled)))
   }
 
   /** Streaming twin of Corpus.capPerSource (r8) — the domain cap as a

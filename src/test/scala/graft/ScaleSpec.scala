@@ -509,6 +509,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(oneShot.exceptAll(settled).count() === 0)
   }
 
+  test("streaming perplexity buckets: model+histogram carried; online buckets drift; reconcile settles to one-shot") {
+    val sink = Files.createTempDirectory("graft_ppxstream").toString + "/ppx"
+    val q = EventStream.perplexityBucketStream(spark, sf, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val docs = Tables.documents(spark, sf)
+    val oneShot = graft.operators.TextOps.perplexityBuckets(docs)
+    // every arrived doc got an online decision, exactly once
+    val online = spark.read.parquet(s"$sink/batch_*")
+    assert(online.count() === oneShot.count())
+    assert(online.select("doc_id").distinct().count() === oneShot.count())
+    // online decisions drift TWICE over (younger model AND thresholds
+    // cut from drifted scores) — genuine by construction for any
+    // online corpus-relative decision; report, don't assert a size.
+    // Compare on the decision columns: threshold columns differ
+    // trivially at trigger 1.
+    val dec = Seq("doc_id", "lang", "bucket", "kept").map(col)
+    val drift = online.select(dec: _*)
+      .exceptAll(oneShot.select(dec: _*)).count()
+    info(s"online-vs-settled bucket drift: $drift of ${oneShot.count()} docs")
+    // trigger-2 SCORES are final (full model) but trigger-2 BUCKETS
+    // can still drift: its thresholds read a histogram whose
+    // trigger-1 half holds drifted scores — the decision layer's own
+    // drift, distinct from the score layer's (report it too)
+    val t2 = spark.read.parquet(s"$sink/${batches.last}")
+    val t2Drift = t2.select(dec: _*)
+      .exceptAll(oneShot.select(dec: _*)).count()
+    info(s"trigger-2 bucket drift (threshold-side only): $t2Drift of ${t2.count()} docs")
+    // the settled answer: sunk pairs + final model + rebuilt
+    // histogram — no text re-scan — equals the one-shot operator
+    val settled = EventStream.reconcilePerplexityBuckets(spark, sink)
+    assert(settled.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(settled).count() === 0)
+  }
+
   test("streaming per-source cap: every trigger's snapshot is BIT-identical to its one-shot prefix") {
     val sink = Files.createTempDirectory("graft_capstream").toString + "/cap"
     val q = EventStream.capPerSourceStream(spark, sf, sink, splitAt = Some(250L))
