@@ -1091,6 +1091,95 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** ±1 sign-flip diagonal of the OPQ-style pre-rotation, md5-derived
+    * like [[lshPlaneCoefs]]/[[rpCoefs]] — engine-free randomness, so
+    * the oracle regenerates the identical diagonal from the same
+    * strings.
+    */
+  def opqSigns(dim: Int = 64): IndexedSeq[Double] =
+    (0 until dim).map { j =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"opq:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Row `i` of the rotation R = (1/√d)·H·D — H the d×d
+    * Walsh–Hadamard matrix (H(i,j) = (−1)^popcount(i AND j); d = 64
+    * is a power of two, so H exists exactly), D the [[opqSigns]]
+    * diagonal. R is EXACTLY orthonormal and every entry is ±1/8 —
+    * exactly representable in binary floating point, so there is no
+    * irrational constant to drift between engines (the rpCoefs k=16
+    * trick at full dimension).
+    */
+  def opqRotationRow(i: Int, dim: Int = 64): IndexedSeq[Double] = {
+    val signs = opqSigns(dim)
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    (0 until dim).map { j =>
+      val h = if (Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+      h * signs(j) * scale
+    }
+  }
+
+  /** OPQ-style pre-rotation before PQ subspacing (r8 VERDICT #4):
+    * contiguous-slice PQ quantizes each 8-dim block independently, so
+    * when the corpus's variance concentrates in a few (correlated)
+    * coordinates one subspace carries most of the quantization error
+    * while the rest sit idle — the imbalance OPQ (Ge et al. 2013,
+    * "Optimized Product Quantization") learns a rotation to remove.
+    * This is the standard DATA-FREE member of that family: a
+    * randomized Hadamard transform (sign flip + Walsh–Hadamard, the
+    * FJLT/FAISS-RandomRotation pre-transform), which spreads every
+    * input coordinate's energy uniformly across ALL output
+    * coordinates — no training pass, no driver state, and exact
+    * engine parity where a learned eigenbasis would drift. L2
+    * distances, dot products and cosines are preserved EXACTLY in
+    * real arithmetic (R orthonormal; float rounding is the only
+    * delta), so every downstream PQ/IVF operator runs unchanged on
+    * the rotated frame.
+    *
+    * What it buys — measured, not wished (the residual-IVF-PQ
+    * honest-negative discipline): the rotation provably BALANCES
+    * per-subspace variance (spec-pinned: a fixture with 95%+ of its
+    * energy in subspace 0 rotates to <25% max share), but balancing
+    * variance alone does NOT lower PQ distortion — high-rate
+    * distortion per subspace follows det(Σ_sub)^(1/d), and by AM–GM
+    * isotropizing at fixed total trace cannot reduce the sum:
+    * measured recall is EXACT PARITY with the unrotated index on
+    * both the concentrated and the isotropic fixture. The recall win
+    * belongs to OPQ's LEARNED eigenvalue-allocation rotation (Ge et
+    * al. §4); this md5-derived transform is the engine-parity slot
+    * that rotation drops into, and meanwhile the guard against
+    * adversarially subspace-aligned inputs. Pure codegen map stage:
+    * d² literal multiply-adds per row, one corpus scan, output
+    * re-cast to float (the storage type both engines round
+    * identically).
+    */
+  def opqRotate(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val yCols = (0 until dim).map { i =>
+      val coef = typedLit(opqRotationRow(i, dim).toSeq)
+      aggregate(
+        graft.functions.ColUtil.posRange(least(size(col("v")), lit(dim))),
+        lit(0.0),
+        (acc, p) => acc + element_at(col("v"), p) * element_at(coef, p))
+        .cast("float")
+    }
+    base.select(col("vec_id"), col("label"), array(yCols: _*).as("embedding"))
+  }
+
+  /** Recall@k of IVF-PQ built in the ROTATED space against the same
+    * exact-cosine ground truth in the ORIGINAL space (rotation
+    * preserves cosine, so the truth set is the same) — the measured
+    * answer to "did the OPQ-style rotation buy recall on THIS
+    * corpus", next to [[annRecallIvfPq]] for the unrotated index.
+    */
+  def annRecallIvfPqOpq(embeddings: DataFrame, nProbes: Int = 20,
+                        k: Int = 5): DataFrame =
+    recallAgainstBrute(embeddings,
+      knnIvfPq(opqRotate(embeddings), nProbes, k), nProbes, k)
+
   /** Top-k principal components by sequential DEFLATION — after each
     * component, C ← C − λ·v·vᵀ removes the found direction and the
     * next power iteration converges on the residual's dominant axis
@@ -1195,6 +1284,83 @@ object Similarity {
     */
   def annRecallIvfPq(embeddings: DataFrame, nProbes: Int = 20, k: Int = 5): DataFrame =
     recallAgainstBrute(embeddings, knnIvfPq(embeddings, nProbes, k), nProbes, k)
+
+  /** ANN operating curve (r8 VERDICT #5) — the tuning table a
+    * deployment reads before picking its probe count: ONE pass over
+    * the IVF index sweeping the probed-cell grid, emitting per
+    * configuration the exact-truth recall@k AND the candidate volume
+    * that bought it (the cost axis: candidates scanned before
+    * ranking). Sweeping inside one operator costs one corpus scan
+    * TOTAL — the probe side explodes its ranked cell list once with
+    * the rank attached, every candidate pair carries its minimum
+    * probe rank, and each grid point is a filter over that shared
+    * pair set, not a re-search. Recall is monotone non-decreasing in
+    * the probe count BY CONSTRUCTION (candidate sets nest; the spec
+    * pins it), so the published rows bracket the recall/cost
+    * trade-off: read down the table until recall clears the corpus's
+    * bar, deploy that probe count. Shuffle shape = [[knnIvf]]'s own
+    * (literal centroid codebook, broadcast probes, one corpus scan)
+    * plus metadata-scale config fan-out; at 100 TB the probe set is
+    * the sampling knob, exactly as in [[annRecall]].
+    */
+  def annOperatingCurve(embeddings: DataFrame, nProbes: Int = 20, k: Int = 5,
+                        nCentroids: Int = 16,
+                        probeGrid: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(probeGrid.nonEmpty && probeGrid.forall(_ > 0))
+    val maxP = probeGrid.max
+    val gridLit = typedLit(probeGrid.map(_.toLong).sorted)
+    val centRows = embeddings.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
+    val cidsLit = typedLit(centRows.map(_._1))
+    val centsLit = typedLit(centRows.map(_._2))
+    // same ranked-cells construction and Generate-on-both-sides
+    // discipline as ivfSearch (see the alias-leak note there)
+    def ranked(v: Column) = array_sort(zip_with(
+      transform(centsLit, c => cosine(v, c)),
+      cidsLit, (s, c) => struct((-s).as("ns"), c.as("cid"))))
+    val corpus = embeddings
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .select(col("nid"), col("nv"),
+        explode(transform(slice(ranked(col("nv")), 1, 1),
+          r => r.getField("cid"))).as("list_id"))
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("qid"), col("qv"),
+        posexplode(transform(slice(ranked(col("qv")), 1, maxP),
+          r => r.getField("cid"))).as(Seq("crank0", "list_id")))
+    // one candidate set at the WIDEST config; min_crank remembers the
+    // narrowest config that would still have generated the pair
+    val pairs = corpus.join(broadcast(probes), Seq("list_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("crank0"),
+        cosine(col("qv"), col("nv")).as("cos_sim"))
+      .groupBy("qid", "nid")
+      .agg(max(col("cos_sim")).as("cos_sim"),
+        (min(col("crank0")) + 1).cast(LongType).as("min_crank"))
+    val confs = pairs
+      .select(col("qid"), col("nid"), col("cos_sim"), col("min_crank"),
+        explode(gridLit).as("n_probe_lists"))
+      .filter(col("min_crank") <= col("n_probe_lists"))
+    val w = Window.partitionBy("n_probe_lists", "qid")
+      .orderBy(col("cos_sim").desc, col("nid"))
+    val topk = confs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("n_probe_lists"), col("qid"), col("nid"), lit(1L).as("hit"))
+    val truth = knnBrute(embeddings, nProbes, k).select(col("qid"), col("nid"))
+      .select(col("qid"), col("nid"), explode(gridLit).as("n_probe_lists"))
+    val hits = truth.join(topk, Seq("n_probe_lists", "qid", "nid"), "left")
+      .groupBy("n_probe_lists")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    val nCand = confs.groupBy("n_probe_lists")
+      .agg(count(lit(1)).as("n_candidates"))
+    hits.join(nCand, Seq("n_probe_lists"), "left")
+      .select(col("n_probe_lists"), col("n_true"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true")).as("recall"))
+      .orderBy("n_probe_lists")
+  }
 
   /** Shared recall evaluator: any candidate ranking with (qid, nid)
     * columns scored against the exact top-k.

@@ -153,6 +153,109 @@ class SimilaritySpec extends AnyFunSuite {
     pq.unpersist()
   }
 
+  test("opq rotation: orthonormal + deterministic; balances subspace variance; recall parity measured (honest negative)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    // (1) geometry: the randomized Hadamard preserves norms and dot
+    // products up to float storage rounding (R is exactly orthonormal
+    // in real arithmetic; the re-cast to float is the only delta)
+    val rot = Similarity.opqRotate(emb)
+    val both = emb.select(col("vec_id"), col("embedding").as("a"))
+      .join(rot.select(col("vec_id"), col("embedding").as("b")), "vec_id")
+      .select(Similarity.vdot(col("a"), col("a")).as("na"),
+        Similarity.vdot(col("b"), col("b")).as("nb"))
+      .collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <=
+        1e-3 * (1.0 + r.getDouble(0)), s"norm not preserved: $r")
+    }
+    // determinism: the md5-derived rotation regenerates identically
+    assert(Similarity.opqRotate(emb).exceptAll(rot).count() === 0)
+    // (2) the OPQ precondition fixture: all variance lives in dims
+    // 0–1 (a 16×16 grid), so contiguous-slice PQ sends EVERY bit of
+    // structure through subspace 0's eight centroids while subspaces
+    // 1–7 quantize constants — the imbalance the rotation exists to
+    // remove: rotated, the grid's energy spreads over all 8
+    // subspaces and the product codebook resolves 8^8 cells.
+    val grid = (0 until 256).map { id =>
+      val v = Array.fill(64)(0.0f)
+      v(0) = (id % 16).toFloat * 2 + 1
+      v(1) = (id / 16).toFloat * 2 + 1
+      (id.toLong, v.toSeq, (id % 4).toLong)
+    }.toDF("vec_id", "embedding", "label")
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val rs = df.select("recall").collect().map(_.getDouble(0))
+      rs.sum / rs.length
+    }
+    // the transform's actual CONTRACT: per-subspace variance share.
+    // Plain slicing sends all of the grid's energy through subspace
+    // 0; the rotation spreads it near-uniformly (Hadamard mixes every
+    // input coordinate into every subspace).
+    def subspaceShares(df: org.apache.spark.sql.DataFrame): Seq[Double] = {
+      val rows = df.select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble))
+      val n = rows.length.toDouble
+      val mean = (0 until 64).map(j => rows.map(_(j)).sum / n)
+      val varPerDim = (0 until 64).map(j =>
+        rows.map(v => math.pow(v(j) - mean(j), 2)).sum / n)
+      val tot = varPerDim.sum
+      (0 until 8).map(s => (0 until 8).map(d => varPerDim(s * 8 + d)).sum / tot)
+    }
+    val sharesPlain = subspaceShares(grid)
+    val sharesRot = subspaceShares(Similarity.opqRotate(grid))
+    info(f"max subspace variance share: plain ${sharesPlain.max}%.2f, rotated ${sharesRot.max}%.2f")
+    assert(sharesPlain.max > 0.9, "fixture must concentrate variance in one subspace")
+    assert(sharesRot.max < 0.25,
+      f"rotation must balance subspace variance: shares $sharesRot")
+    // The measured RECALL story is the honest negative (the
+    // residual-IVF-PQ pattern): balancing per-subspace VARIANCE does
+    // not lower product-quantization distortion by itself — high-rate
+    // distortion per subspace follows det(Σ_sub)^(1/8), and by AM–GM
+    // isotropizing a fixed total trace cannot reduce the sum; the
+    // recall win needs OPQ's LEARNED eigenvalue allocation (Ge et
+    // al. 2013 §4), for which this rotation is the drop-in slot.
+    // Measured on this fixture: exact parity (0.35 vs 0.35).
+    val plain = meanRecall(Similarity.annRecallIvfPq(grid))
+    val opq = meanRecall(Similarity.annRecallIvfPqOpq(grid))
+    info(f"subspace-concentrated fixture recall@5: plain $plain%.2f, opq-rotated $opq%.2f")
+    assert(math.abs(opq - plain) <= 0.15,
+      f"rotated index should stay in the plain index's recall band: $opq%.2f vs $plain%.2f")
+    // (3) isotropic fixture: variance already uniform, nothing to
+    // balance — parity again, asserted as a band
+    val plainIso = meanRecall(Similarity.annRecallIvfPq(emb))
+    val opqIso = meanRecall(Similarity.annRecallIvfPqOpq(emb))
+    info(f"isotropic fixture recall@5: plain $plainIso%.2f, opq-rotated $opqIso%.2f")
+    assert(math.abs(opqIso - plainIso) < 0.25,
+      f"isotropic delta should be noise-scale: $opqIso%.2f vs $plainIso%.2f")
+  }
+
+  test("ann operating curve: recall monotone in probed cells; np=2 row ties out to ann_recall_ivf") {
+    val emb = Tables.embeddings(spark, sf)
+    val curve = Similarity.annOperatingCurve(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(curve.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    // candidate sets nest, so volume and recall are both monotone
+    // non-decreasing in the probe count — the property that makes the
+    // table readable as an operating curve at all
+    curve.sliding(2).foreach { p =>
+      assert(p(0)._3 <= p(1)._3, s"candidate volume must grow: $p")
+      assert(p(0)._5 <= p(1)._5, s"recall must not drop with more probes: $p")
+    }
+    // non-degenerate sweep: widening the probe list actually buys
+    // candidates on this corpus
+    assert(curve.head._3 < curve.last._3)
+    info(curve.map(c => f"np=${c._1} recall=${c._5}%.2f candidates=${c._3}")
+      .mkString(", "))
+    // cross-pin: the np=2 row aggregates EXACTLY the per-probe
+    // ann_recall_ivf evaluator (same chain, same truth)
+    val ivf = Similarity.annRecallIvf(emb)
+      .agg(sum("n_hit").as("h"), sum("n_brute").as("b")).collect().head
+    val row2 = curve.find(_._1 == 2L).get
+    assert(row2._4 === ivf.getLong(0), "np=2 hits must equal ann_recall_ivf's")
+    assert(row2._2 === ivf.getLong(1), "np=2 truth must equal ann_recall_ivf's")
+  }
+
   test("residual ivf-pq: structural guarantees; lift appears exactly where clusters exist") {
     val emb = Tables.embeddings(spark, sf)
     // exact-L2 top-5 ground truth over an arbitrary corpus — the PQ
