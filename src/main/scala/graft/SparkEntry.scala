@@ -28,7 +28,7 @@ object SparkEntry {
       "decontaminate_bloom", "decontaminate_incremental", "dedup_admit",
       "dedup_reconcile", "fact_transactions_cdc", "doc_unigram_logloss",
       "doc_bigram_logloss", "doc_bigram_logloss_incremental",
-      "doc_perplexity_bucket",
+      "doc_perplexity_bucket", "doc_perplexity_bucket_reconciled",
       "dedup_exact", "corpus_funnel", "bpe_merges", "bpe_token_counts",
       "quality_classifier", "quality_classifier_score", "doc_ngram_novelty",
       "seq_pack_bpe",
@@ -346,6 +346,15 @@ object SparkEntry {
       Similarity.knnIvfPqResidual(t(s, d, "embeddings"))),
     "ann_recall_ivf_pq" -> ((s, d) =>
       Similarity.annRecallIvfPq(t(s, d, "embeddings"))),
+    // OPQ-style randomized-Hadamard pre-rotation (r8 VERDICT #4): PQ
+    // trained and coded in the rotated space; recall scored against
+    // the ORIGINAL-space exact truth (rotation preserves cosine)
+    "opq_codes" -> ((s, d) =>
+      Similarity.pqCodes(Similarity.opqRotate(t(s, d, "embeddings")))),
+    "ann_recall_ivf_pq_opq" -> ((s, d) =>
+      Similarity.annRecallIvfPqOpq(t(s, d, "embeddings"))),
+    "ann_operating_curve" -> ((s, d) =>
+      Similarity.annOperatingCurve(t(s, d, "embeddings"))),
     "knn_sq_int8" -> ((s, d) => Similarity.knnSqInt8(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents"))),
@@ -449,6 +458,13 @@ object SparkEntry {
     "bpe_merges" -> ((s, d) => Bpe.merges(t(s, d, "documents"), nMerges = 8)),
     "bpe_token_counts" -> ((s, d) => Bpe.tokenCounts(t(s, d, "documents"), nMerges = 8)),
     "bpe_encode" -> ((s, d) => Bpe.encode(t(s, d, "documents"), nMerges = 8)),
+    // SentencePiece-style unigram-LM trainer (r8 #8): rows-only like
+    // bpe_merges — the Viterbi DP is sequential per word — with the
+    // UnigramSpec independent-reference bit-equality proof standing
+    // in for the oracle
+    "unigram_vocab" -> ((s, d) => UnigramLm.vocab(t(s, d, "documents"))),
+    "unigram_token_counts" -> ((s, d) =>
+      UnigramLm.tokenCounts(t(s, d, "documents"))),
     // ---- D (r6). steady-state admission + CDC maintenance ----
     "dedup_admit" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -517,7 +533,13 @@ object SparkEntry {
     "doc_quality_verdict" -> ((s, d) => TextOps.qualityVerdict(t(s, d, "documents"))),
     "quality_classifier" -> ((s, d) => Classifier.train(t(s, d, "documents"))),
     "quality_classifier_score" -> ((s, d) => Classifier.score(t(s, d, "documents"))),
-    "quality_gate_relative" -> ((s, d) => TextOps.qualityGate(t(s, d, "documents"))),
+    // kept-fraction knob (r8 #7): the drop fraction flows from
+    // GraftConfig to the operator here AND to the oracle text at
+    // Verify dump time (qualityGateSql reads the same config), so a
+    // non-default run stays fully oracle-checked
+    "quality_gate_relative" -> ((s, d) =>
+      TextOps.qualityGate(t(s, d, "documents"),
+        GraftConfig.load().gateDropFraction)),
     // the streaming twin's continuation contract, batch-staged: carry
     // the associative histogram across two doc_id-split increments,
     // then retro-gate everything against the merged state — must equal
@@ -529,7 +551,8 @@ object SparkEntry {
       val b = TextOps.qualityScores(docs.filter(col("doc_id") % 2 =!= 0))
       val hist = TextOps.mergeHistograms(
         TextOps.qualityHistogram(a), TextOps.qualityHistogram(b))
-      TextOps.gateAgainstThresholds(a.unionByName(b), TextOps.gateThresholds(hist))
+      TextOps.gateAgainstThresholds(a.unionByName(b),
+          TextOps.gateThresholds(hist, GraftConfig.load().gateDropFraction))
         .orderBy("doc_id")
     }),
     "table_profile_orders" -> ((s, d) => Validation.tableProfile(t(s, d, "orders"))),
@@ -539,8 +562,11 @@ object SparkEntry {
     "passage_scrub" -> ((s, d) => TextOps.passageScrub(t(s, d, "documents"))),
     "doc_unigram_logloss" -> ((s, d) => TextOps.unigramLogloss(t(s, d, "documents"))),
     "doc_bigram_logloss" -> ((s, d) => TextOps.bigramLogloss(t(s, d, "documents"))),
-    "doc_perplexity_bucket" -> ((s, d) =>
-      TextOps.perplexityBuckets(t(s, d, "documents"))),
+    "doc_perplexity_bucket" -> ((s, d) => {
+      val cfg = GraftConfig.load()
+      TextOps.perplexityBuckets(t(s, d, "documents"),
+        cfg.perplexityKeptNumer, cfg.perplexityKeptDenom)
+    }),
     // model continuation: standing corpus carried as its count tables,
     // batch scored under the merged model ≡ one-shot restricted to
     // batch docs
@@ -550,6 +576,34 @@ object SparkEntry {
       val standing = docs.filter(col("doc_id") % 2 === 0)
       TextOps.bigramLoglossIncremental(docs.filter(col("doc_id") % 2 =!= 0),
         TextOps.bigramCounts(standing), TextOps.termCounts(standing))
+    }),
+    // the perplexity-bucket stream's lambda split, settled in batch
+    // (r10 VERDICT #2): two triggers' sunk (doc_id, bigram) pair
+    // streams re-scored under the FINAL merged model, histogram
+    // rebuilt from the settled scores, re-bucketed — per the
+    // reconcile contract this equals the one-shot perplexityBuckets,
+    // and the one-shot's oracle grades it (the actual Structured
+    // Streaming twin rides the same helpers; ScaleSpec drives it)
+    "doc_perplexity_bucket_reconciled" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      val standing = docs.filter(col("doc_id") % 2 === 0)
+      val arriving = docs.filter(col("doc_id") % 2 =!= 0)
+      val mb = TextOps.mergeBigramCounts(
+          TextOps.bigramCounts(standing), TextOps.bigramCounts(arriving))
+        .localCheckpoint(true)
+      val mt = TextOps.mergeTermCounts(
+        TextOps.termCounts(standing), TextOps.termCounts(arriving))
+      val settled = TextOps.bigramLoglossFromPairs(
+          TextOps.bigramPairsOf(standing)
+            .unionByName(TextOps.bigramPairsOf(arriving)), mb, mt)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("logloss_microbits"))
+        .localCheckpoint(true)
+      val cfg = GraftConfig.load()
+      TextOps.bucketAgainstThresholds(settled,
+        TextOps.perplexityThresholds(TextOps.perplexityHistogram(settled),
+          cfg.perplexityKeptNumer, cfg.perplexityKeptDenom))
     })
   )
 
@@ -775,6 +829,30 @@ object SparkEntry {
        |  FROM embeddings),
        |${pqBlocksSql("", "e")}""".stripMargin
 
+  /** Rotated source CTEs for the OPQ-style chain: eraw = the raw
+    * doubles (named around pqBlocksSql's own e0..e7 subspace CTEs),
+    * e = the randomized-Hadamard rotation y_i = Σ_j v_j ·
+    * H(i,j)·s_j/8 re-cast through REAL (the float storage round-trip
+    * Spark applies). H is REGENERATED here from bit parity —
+    * bit_count(i & j) — not transcribed, and only the 64 md5 signs
+    * embed (same generator-literal convention as the LSH planes).
+    * Every coefficient is ±0.125 exactly, so the fold is
+    * bit-identical in both engines.
+    */
+  private val opqRotatedCteSql: String = {
+    val signs = graft.operators.Similarity.opqSigns(64)
+      .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    s"""eraw AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, list_transform(range(0, 64), i ->
+       |  CAST(CAST(COALESCE(list_sum(list_transform(range(0, least(len(v), 64)),
+       |    j -> v[j + 1] * ((CASE WHEN bit_count(i & j) % 2 = 0
+       |      THEN 1.0 ELSE -1.0 END) * ($signs)[j + 1] * 0.125))), 0.0)
+       |    AS REAL) AS DOUBLE)) AS v
+       |  FROM eraw)""".stripMargin
+  }
+
   /** The knn_ivf_pq candidate chain — "g"-prefixed coarse Lloyd +
     * cell assignment + probe lists + ADC ranking, ending in `rk` —
     * shared verbatim by the search oracle and the r8 recall
@@ -893,8 +971,14 @@ object SparkEntry {
 
   private val decontaminateSql: String = decontaminateSqlFor("")
 
-  private val qualityGateSql: String =
-    """WITH s AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS tk
+  // a DEF, not a val (r8 #7): the drop fraction reads GraftConfig at
+  // oracle-dump time, so the same knob that parameterizes the Spark
+  // operator parameterizes this text — a non-default run stays
+  // hash-checked. The literal renders via toString, the identical
+  // decimal both engines parse to the same double.
+  private def qualityGateSql: String = {
+    val f = GraftConfig.load().gateDropFraction
+    s"""WITH s AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS tk
       |  FROM documents),
       |sc AS (SELECT doc_id, lang,
       |  CAST(len(tk) AS BIGINT) AS n_tokens,
@@ -906,18 +990,23 @@ object SparkEntry {
       |  sum(n) OVER (PARTITION BY lang ORDER BY score_micro) AS cum,
       |  sum(n) OVER (PARTITION BY lang) AS total FROM h),
       |t AS (SELECT lang, min(score_micro) AS threshold_micro FROM c
-      |  WHERE cum > floor(0.25 * total) GROUP BY lang)
+      |  WHERE cum > floor($f * total) GROUP BY lang)
       |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.n_distinct_tokens,
       |  sc.score_micro, t.threshold_micro,
       |  sc.score_micro >= t.threshold_micro AS kept
       |FROM sc JOIN t USING (lang) ORDER BY sc.doc_id""".stripMargin
+  }
 
   /** The four quality-signal CTE chains (tokens/normalized text,
     * Gopher rules, trigram repetition, char entropy, TTR scores +
     * relative-gate threshold) — shared by the verdict oracle and the
     * curation pipeline's oracle, each restating its source oracle
     * verbatim. `sc` carries n_tokens for the curate oracle's budget
-    * stage; the verdict's final select simply doesn't read it.
+    * stage; the verdict's final select simply doesn't read it. The
+    * gate fraction here stays the PINNED default 0.25 — matching the
+    * verdict/curate operators, which compose qualityGate at its
+    * default; only the standalone gate entries follow the
+    * `gate.drop.fraction` knob (qualityGateSql).
     */
   private val verdictCtes: String =
     """t AS (SELECT doc_id, lang, text, lower(trim(text)) AS nt,
@@ -2689,16 +2778,26 @@ object SparkEntry {
     // (p=1/16 → expected 16-token grain), so a shared block chunks
     // identically at ANY offset — the fixed 16-token windows this
     // oracle used through r9 missed duplicates offset by <16 tokens.
-    // generate_subscripts zips positionally with unnest; the window
-    // sum reproduces Spark's array-local fold; chunks of < 4 tokens
-    // are too weak to key and carry no passage grain. Integer counts
-    // + one exact rational division.
+    // r11 adds the standard CDC max bound: a boundary is FORCED every
+    // 64 tokens of an anchor-free run. Spark folds that sequentially;
+    // here it is CLOSED-FORM because forced breaks are periodic from
+    // the last anchor — gs = running max anchor position, boundary ⟺
+    // anchor OR (i − gs) divisible by 64 — a genuinely independent
+    // restatement, not the fold transcribed. generate_subscripts zips
+    // positionally with unnest; chunks of < 4 tokens are too weak to
+    // key and carry no passage grain. Integer counts + one exact
+    // rational division.
     "passage_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
         |e AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i FROM t),
+        |g AS (SELECT doc_id, tok, i,
+        |  (i = 1 OR substr(md5(tok), 32, 1) = '0') AS anch,
+        |  max(CASE WHEN i = 1 OR substr(md5(tok), 32, 1) = '0' THEN i END)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS gs FROM e),
         |c AS (SELECT doc_id, tok, i,
-        |  sum(CASE WHEN i > 1 AND substr(md5(tok), 32, 1) = '0' THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY doc_id ORDER BY i) AS cid FROM e),
+        |  sum(CASE WHEN (anch AND i > 1) OR (NOT anch AND (i - gs) % 64 = 0)
+        |    THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS cid FROM g),
         |p AS (SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY i) AS passage,
         |  count(*) AS ntok FROM c GROUP BY doc_id, cid),
         |s AS (SELECT doc_id, md5(passage) AS passage_md5 FROM p WHERE ntok >= 4),
@@ -2722,9 +2821,14 @@ object SparkEntry {
     "passage_scrub" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
         |e AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i FROM t),
+        |g AS (SELECT doc_id, tok, i,
+        |  (i = 1 OR substr(md5(tok), 32, 1) = '0') AS anch,
+        |  max(CASE WHEN i = 1 OR substr(md5(tok), 32, 1) = '0' THEN i END)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS gs FROM e),
         |c AS (SELECT doc_id, tok, i,
-        |  sum(CASE WHEN i > 1 AND substr(md5(tok), 32, 1) = '0' THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY doc_id ORDER BY i) AS cid FROM e),
+        |  sum(CASE WHEN (anch AND i > 1) OR (NOT anch AND (i - gs) % 64 = 0)
+        |    THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS cid FROM g),
         |p AS (SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY i) AS passage,
         |  CAST(count(*) AS BIGINT) AS ntok FROM c GROUP BY doc_id, cid),
         |o AS (SELECT passage, count(DISTINCT doc_id) AS passage_df,
@@ -2774,29 +2878,12 @@ object SparkEntry {
     // bucket-grain greedy thresholds over the count histogram
     // (cum·3 ≥ n integer logic — no ntile, no per-doc window), kept
     // drops the tail.
-    "doc_perplexity_bucket" ->
-      s"""WITH $bigramModelCtes,
-        |sb AS (SELECT doc_id,
-        |  CAST(floor(CAST(sum(nll_micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
-        |    AS logloss_microbits
-        |FROM j GROUP BY 1),
-        |sl AS (SELECT sb.doc_id, d.lang, sb.logloss_microbits
-        |  FROM sb JOIN documents d USING (doc_id)),
-        |h AS (SELECT lang, logloss_microbits, CAST(count(*) AS BIGINT) AS n
-        |  FROM sl GROUP BY 1, 2),
-        |tl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM h GROUP BY 1),
-        |cu AS (SELECT lang, logloss_microbits,
-        |  sum(n) OVER (PARTITION BY lang ORDER BY logloss_microbits) AS cum FROM h),
-        |th AS (SELECT cu.lang,
-        |  min(CASE WHEN cum * 3 >= n_lang THEN logloss_microbits END) AS t1_micro,
-        |  min(CASE WHEN cum * 3 >= n_lang * 2 THEN logloss_microbits END) AS t2_micro
-        |FROM cu JOIN tl USING (lang) GROUP BY 1)
-        |SELECT sl.doc_id, sl.lang, sl.logloss_microbits, th.t1_micro, th.t2_micro,
-        |  CASE WHEN sl.logloss_microbits <= th.t1_micro THEN 'head'
-        |       WHEN sl.logloss_microbits <= th.t2_micro THEN 'middle'
-        |       ELSE 'tail' END AS bucket,
-        |  sl.logloss_microbits <= th.t2_micro AS kept
-        |FROM sl JOIN th USING (lang) ORDER BY sl.doc_id""".stripMargin,
+    "doc_perplexity_bucket" -> perplexityBucketSql,
+    // the streamed lambda split settled: sunk pair streams re-scored
+    // under the FINAL merged model, histogram rebuilt from the
+    // settled scores, re-bucketed — ≡ the one-shot operator, so the
+    // SAME oracle text grades the reconcile path (r10 VERDICT #2)
+    "doc_perplexity_bucket_reconciled" -> perplexityBucketSql,
     // the model continuation scores batch docs under the merged
     // (= full-corpus) model, so the oracle is the one-shot restricted
     // to batch docs — stated literally
@@ -3587,6 +3674,44 @@ object SparkEntry {
         |  CAST(n_hit AS DOUBLE) / 5.0 AS recall
         |FROM h LEFT JOIN nl ON h.qid = nl.qid ORDER BY h.qid""".stripMargin,
 
+    // PQ codes in the OPQ-ROTATED space: the rotated source CTE (H
+    // regenerated from bit parity, only the md5 signs embed) feeding
+    // the IDENTICAL per-subspace unrolled-Lloyd chain as pq_codes.
+    "opq_codes" ->
+      s"""WITH $opqRotatedCteSql,
+        |${pqBlocksSql("", "e")}
+        |${(0 until 8).map(i =>
+            s"SELECT vec_id, CAST($i AS BIGINT) AS subspace, code, sq_err_nano FROM f$i")
+            .mkString("", "\nUNION ALL ", "")}
+        |ORDER BY vec_id, subspace""".stripMargin,
+
+    // Recall of the rotated-space IVF-PQ index: candidate chain runs
+    // entirely on the rotated `e`, ground truth stays the exact
+    // cosine over the ORIGINAL `e0` floats (rotation preserves
+    // cosine; Spark computes the truth on the raw frame, so the
+    // oracle must too — the two spaces agree in real arithmetic but
+    // not bit-for-bit).
+    "ann_recall_ivf_pq_opq" ->
+      s"""WITH $opqRotatedCteSql,
+        |${pqBlocksSql("", "e")},
+        |$ivfPqSearchCtes,
+        |ap AS (SELECT qid, nid FROM rk WHERE rank <= 5),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM eraw),
+        |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+        |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |br AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM bs),
+        |b AS (SELECT qid, nid FROM br WHERE rank <= 5),
+        |h AS (SELECT b.qid, CAST(count(*) AS BIGINT) AS n_brute,
+        |  CAST(sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |FROM b LEFT JOIN ap ON b.qid = ap.qid AND b.nid = ap.nid GROUP BY 1),
+        |nl AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_lsh FROM ap GROUP BY 1)
+        |SELECT h.qid, n_brute, coalesce(n_lsh, CAST(0 AS BIGINT)) AS n_lsh, n_hit,
+        |  CAST(n_hit AS DOUBLE) / 5.0 AS recall
+        |FROM h LEFT JOIN nl ON h.qid = nl.qid ORDER BY h.qid""".stripMargin,
+
     // Residual IVF-PQ (r8): the raw chain's coarse quantizer ("g"
     // prefix) assigns cells; residuals round through REAL — the same
     // IEEE float cast Spark applies — before the "r"-prefixed
@@ -4176,6 +4301,54 @@ object SparkEntry {
         |  CAST(n_hit AS DOUBLE) / 5.0 AS recall
         |FROM h LEFT JOIN nl ON h.qid = nl.qid ORDER BY h.qid""".stripMargin,
 
+    // Operating curve (r8 #5): the knn_ivf chain widened to the grid
+    // maximum (crank ≤ 4, rank retained), every candidate pair
+    // carrying its MINIMUM probe rank; each grid point is then a
+    // filter over the shared pair set, ranked per (config, probe) —
+    // one sweep, three rows, monotone recall by candidate nesting.
+    "ann_operating_curve" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cfg AS (SELECT unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(4 AS BIGINT)]) AS np),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM e),
+        |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+        |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |br AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM bs),
+        |b AS (SELECT qid, nid FROM br WHERE rank <= 5),
+        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |a AS (SELECT x.vec_id, x.v, x.nrm, c.cid,
+        |  list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*c.cv[i])) / (x.nrm * c.cnrm) AS ccos
+        |FROM n x CROSS JOIN cent c),
+        |rk AS (SELECT vec_id, v, nrm, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM a),
+        |corpus AS (SELECT vec_id AS nid, v AS nv, nrm AS nnrm, cid AS list_id
+        |  FROM rk WHERE crank = 1),
+        |probes AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS list_id, crank
+        |  FROM rk WHERE vec_id < 20 AND crank <= 4),
+        |s AS (SELECT p.qid, c.nid, p.crank,
+        |  list_sum(list_transform(range(1, len(p.qv)+1), i -> p.qv[i]*c.nv[i])) / (p.qnrm * c.nnrm) AS cos_sim
+        |FROM corpus c JOIN probes p ON p.list_id = c.list_id AND p.qid <> c.nid),
+        |g AS (SELECT qid, nid, max(cos_sim) AS cos_sim,
+        |  CAST(min(crank) AS BIGINT) AS min_crank FROM s GROUP BY 1, 2),
+        |x AS (SELECT cfg.np, g.qid, g.nid, g.cos_sim FROM g CROSS JOIN cfg
+        |  WHERE g.min_crank <= cfg.np),
+        |r AS (SELECT np, qid, nid,
+        |  row_number() OVER (PARTITION BY np, qid ORDER BY cos_sim DESC, nid) AS rank FROM x),
+        |l AS (SELECT np, qid, nid FROM r WHERE rank <= 5),
+        |tb AS (SELECT cfg.np, b.qid, b.nid FROM b CROSS JOIN cfg),
+        |h AS (SELECT tb.np, CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |FROM tb LEFT JOIN l ON tb.np = l.np AND tb.qid = l.qid AND tb.nid = l.nid
+        |GROUP BY 1),
+        |nc AS (SELECT np, CAST(count(*) AS BIGINT) AS n_candidates FROM x GROUP BY 1)
+        |SELECT h.np AS n_probe_lists, n_true,
+        |  coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates, n_hit,
+        |  CAST(n_hit AS DOUBLE) / n_true AS recall
+        |FROM h LEFT JOIN nc ON h.np = nc.np ORDER BY n_probe_lists""".stripMargin,
+
     // A-Res weighted priority sample: u strictly inside (0,1) via
     // (2·hi28+1)/2^29 (log2 stays finite), priority = log2(u)/weight —
     // expression order mirrors Corpus.prioritySample exactly.
@@ -4229,6 +4402,42 @@ object SparkEntry {
       |  CAST(floor(CAST(sum(nll_micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
       |    AS logloss_microbits
       |FROM j $docFilter GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** CCNet bucket decision over the bigram logloss — per-language
+    * tercile thresholds at bucket grain (cum·3 ≥ n integer logic).
+    * One text, two graded paths: the one-shot operator and the
+    * streamed-then-reconciled lambda split (their outputs are equal
+    * by the reconcile contract).
+    */
+  private def perplexityBucketSql: String = {
+    // kept fraction N/D from the same config the operator reads; the
+    // default 2/3 renders cum·6 ≥ n·2 / cum·3 ≥ n·2 — integer-
+    // equivalent to the r8 tercile cuts (both sides scaled by 2)
+    val cfg = GraftConfig.load()
+    val (kn, kd) = (cfg.perplexityKeptNumer, cfg.perplexityKeptDenom)
+    s"""WITH $bigramModelCtes,
+      |sb AS (SELECT doc_id,
+      |  CAST(floor(CAST(sum(nll_micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+      |    AS logloss_microbits
+      |FROM j GROUP BY 1),
+      |sl AS (SELECT sb.doc_id, d.lang, sb.logloss_microbits
+      |  FROM sb JOIN documents d USING (doc_id)),
+      |h AS (SELECT lang, logloss_microbits, CAST(count(*) AS BIGINT) AS n
+      |  FROM sl GROUP BY 1, 2),
+      |tl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM h GROUP BY 1),
+      |cu AS (SELECT lang, logloss_microbits,
+      |  sum(n) OVER (PARTITION BY lang ORDER BY logloss_microbits) AS cum FROM h),
+      |th AS (SELECT cu.lang,
+      |  min(CASE WHEN cum * ${2L * kd} >= n_lang * $kn THEN logloss_microbits END) AS t1_micro,
+      |  min(CASE WHEN cum * $kd >= n_lang * $kn THEN logloss_microbits END) AS t2_micro
+      |FROM cu JOIN tl USING (lang) GROUP BY 1)
+      |SELECT sl.doc_id, sl.lang, sl.logloss_microbits, th.t1_micro, th.t2_micro,
+      |  CASE WHEN sl.logloss_microbits <= th.t1_micro THEN 'head'
+      |       WHEN sl.logloss_microbits <= th.t2_micro THEN 'middle'
+      |       ELSE 'tail' END AS bucket,
+      |  sl.logloss_microbits <= th.t2_micro AS kept
+      |FROM sl JOIN th USING (lang) ORDER BY sl.doc_id""".stripMargin
+  }
 
   private lazy val capPerSourceSql: String =
     s"""WITH r AS (SELECT source, doc_id, n_chars,
