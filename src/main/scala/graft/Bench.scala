@@ -171,15 +171,26 @@ object Bench {
     // GC — targeting was the bug's other half: every query broadcasts
     // and shuffles, so garbage accumulated across the ~200 untargeted
     // ones and collected mid-rep wherever the heap filled.
+    // The census spans storage blocks AND disk blocks: shuffle
+    // data/index files never register as storage blocks, so the
+    // storage count alone declares "drained" while the cleaner is
+    // still deleting the previous queries' shuffle files — deletion
+    // I/O and block-manager lock traffic that then lands inside the
+    // next timed rep (r11: the residual 2-6x in-suite outliers with
+    // util ~0.1 and zero in-rep GC, e.g. validate_ri 2.72 s in-suite
+    // vs 0.47 isolated, fit exactly this blind spot).
+    def census(): Long =
+      org.apache.spark.sql.graft.ColumnBridge.numStorageBlocks +
+        org.apache.spark.sql.graft.ColumnBridge.numDiskBlocks
     def settle(): Unit = {
       System.gc()
       var prev = -1L
-      var cur = org.apache.spark.sql.graft.ColumnBridge.numStorageBlocks
+      var cur = census()
       var polls = 0
       while (cur != prev && polls < 25) {
         Thread.sleep(20)
         prev = cur
-        cur = org.apache.spark.sql.graft.ColumnBridge.numStorageBlocks
+        cur = census()
         polls += 1
       }
     }
@@ -201,12 +212,34 @@ object Bench {
           (osBean.getProcessCpuTime - c0) / 1e9, gcSec() - g0)
       }.toVector
     }
-    def timeQuery(name: String,
-                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) =
-      timeReps(name, fn, reps).minBy(_._1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Adaptive reps (r11, the interference diagnosis's last layer):
+    // the full-rep data showed rep 1 slowest for 215/224 queries and
+    // walls STILL FALLING at rep 3 for the outliers — the "isolated"
+    // probe was just executions 4-6 of the same generated code, so
+    // most of the residual in-suite-vs-isolated gap was per-query
+    // JIT/codegen warm-up, not cross-query interference. Keep timing
+    // while the newest rep still improves the running min by >10%
+    // (floor `reps`, cap reps+3): a steady-state query pays nothing
+    // extra, a warm-up-dominated one earns its converged number
+    // in-suite instead of being mislabeled "interfered".
+    def timeConverged(name: String,
+                      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Vector[(Double, Double, Double)] = {
+      var acc = timeReps(name, fn, reps)
+      while (acc.length >= 2 && acc.length < reps + 3 &&
+        acc.last._1 < acc.init.map(_._1).min * 0.9) {
+        acc = acc ++ timeReps(name, fn, 1)
+      }
+      acc
+    }
+    // keep ALL reps: the min is the estimate, but the spread is the
+    // in-suite diagnosis — stable-slow reps ([2.7, 2.7, 2.7] against a
+    // fast isolated probe) mean positional interference to go fix;
+    // one outlier rep means box noise the min already absorbed
+    val repsAll = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
-      .map { case (name, fn) => name -> timeQuery(name, fn) }
+      .map { case (name, fn) => name -> timeConverged(name, fn) }
+    val results = repsAll.map { case (name, rs) => name -> rs.minBy(_._1) }
     // Box-noise self-defense: in-suite numbers on a shared box swing up
     // to ~48x from co-tenant load/GC pressure (r5: dim_movement_type
     // 22.8 s in-suite vs 0.47 s alone). Re-measure the 5 slowest after
@@ -218,7 +251,7 @@ object Bench {
     // estimate, max bounds the noise the reader should trust it to.
     val resultMap0 = results.toMap
     val isolated = results.sortBy(-_._2._1).take(5).map { case (name, _) =>
-      name -> timeReps(name, SparkEntry.queries(name), 3) }
+      name -> timeConverged(name, SparkEntry.queries(name)) }
     def util(wall: Double, cpu: Double): Double =
       if (wall <= 0) 0.0 else math.round(cpu / (wall * cores) * 1000) / 1000.0
     def r3(x: Double): Double = math.round(x * 1000) / 1000.0
@@ -232,9 +265,12 @@ object Bench {
     // On an idle box a shuffle-heavy query sits around util 0.3-0.9; a
     // contended run collapses toward 0 (the JVM was descheduled), so a
     // "slow" artifact now carries its own diagnosis.
+    val repsMap = repsAll.toMap
     val full = results.map { case (k, (w, c, g)) =>
       s"\"" + k + "\":{\"wall\":" + w + ",\"cpu\":" + c +
-        ",\"cpu_util\":" + util(w, c) + ",\"gc\":" + r3(g) + "}" }
+        ",\"cpu_util\":" + util(w, c) + ",\"gc\":" + r3(g) +
+        ",\"reps\":" + repsMap(k).map(t => r3(t._1)).mkString("[", ",", "]") +
+        "}" }
       .mkString("{", ",", "}")
     val iso = isolated.map { case (k, reps3) =>
       val (w, c, _) = reps3.minBy(_._1)

@@ -37,7 +37,8 @@ object SparkEntry {
       "embedding_covariance", "contamination_matrix",
       "embedding_covariance_incremental", "bpe_encode", "source_overlap",
       "source_overlap_incremental", "dedup_jaccard", "dedup_containment",
-      "dedup_lsh_recall")
+      "dedup_lsh_recall", "opq_codes", "ann_recall_ivf_pq_opq",
+      "unigram_vocab", "unigram_token_counts")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -350,7 +351,11 @@ object SparkEntry {
     // trained and coded in the rotated space; recall scored against
     // the ORIGINAL-space exact truth (rotation preserves cosine)
     "opq_codes" -> ((s, d) =>
-      Similarity.pqCodes(Similarity.opqRotate(t(s, d, "embeddings")))),
+      // rotation checkpointed: pqCodes' codebook-training collects
+      // would otherwise re-run the d² fold per consumer (see
+      // annRecallIvfPqOpq's pin note)
+      Similarity.pqCodes(
+        Similarity.opqRotate(t(s, d, "embeddings")).localCheckpoint(true))),
     "ann_recall_ivf_pq_opq" -> ((s, d) =>
       Similarity.annRecallIvfPqOpq(t(s, d, "embeddings"))),
     "ann_operating_curve" -> ((s, d) =>
@@ -458,10 +463,11 @@ object SparkEntry {
     "bpe_merges" -> ((s, d) => Bpe.merges(t(s, d, "documents"), nMerges = 8)),
     "bpe_token_counts" -> ((s, d) => Bpe.tokenCounts(t(s, d, "documents"), nMerges = 8)),
     "bpe_encode" -> ((s, d) => Bpe.encode(t(s, d, "documents"), nMerges = 8)),
-    // SentencePiece-style unigram-LM trainer (r8 #8): rows-only like
-    // bpe_merges — the Viterbi DP is sequential per word — with the
-    // UnigramSpec independent-reference bit-equality proof standing
-    // in for the oracle
+    // SentencePiece-style unigram-LM trainer (r8 #8): unigram_vocab is
+    // rows-only like bpe_merges — the training DP is sequential per
+    // word — with the UnigramSpec independent-reference bit-equality
+    // proof standing in; unigram_token_counts gets a FULL oracle via
+    // the inlined trained dictionary (the bpe_token_counts pattern)
     "unigram_vocab" -> ((s, d) => UnigramLm.vocab(t(s, d, "documents"))),
     "unigram_token_counts" -> ((s, d) =>
       UnigramLm.tokenCounts(t(s, d, "documents"))),
@@ -1233,6 +1239,25 @@ object SparkEntry {
     if (rows.isEmpty) "('', '', CAST(0 AS BIGINT))"
     else rows.map(r => s"('${esc(r.getString(0))}', '${esc(r.getString(1))}', " +
         s"CAST(${r.getLong(2)} AS BIGINT))")
+      .mkString(", ")
+  }
+
+  /** The unigram-LM twin of [[BpeDictPlaceholder]]: the trained
+    * word → Viterbi-piece-count dictionary, resolved at dump time.
+    * Training (hard-EM over a sequential DP) is not SQL-expressible,
+    * but GIVEN this vocabulary-scale table the apply step is — the
+    * same training-vs-apply oracle boundary the BPE family draws.
+    */
+  val UnigramDictPlaceholder: String = "/*UNIGRAM_DICT*/"
+
+  def unigramDictValues(spark: SparkSession, sfDir: String): String = {
+    val rows = UnigramLm.wordPieceCounts(t(spark, sfDir, "documents"))
+      .orderBy("word").collect()
+    def esc(x: String) = x.replace("'", "''")
+    // empty corpus → VALUES needs one row; ''-word can never join
+    if (rows.isEmpty) "('', CAST(0 AS BIGINT))"
+    else rows.map(r =>
+        s"('${esc(r.getString(0))}', CAST(${r.getLong(1)} AS BIGINT))")
       .mkString(", ")
   }
 
@@ -4204,6 +4229,20 @@ object SparkEntry {
          |m AS (SELECT doc_id, n_syms FROM w JOIN dict USING (word) WHERE word <> '')
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+         |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the unigram-LM apply surface under the SAME training-vs-apply
+    // boundary: the trained word→piece-count dictionary inlines as
+    // VALUES at dump time (unigramDictValues), the per-doc word
+    // explode + join + aggregation restates independently
+    "unigram_token_counts" ->
+      s"""WITH dict(word, n_pieces) AS (VALUES $UnigramDictPlaceholder),
+         |w AS (SELECT doc_id,
+         |  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |FROM documents),
+         |m AS (SELECT doc_id, n_pieces FROM w JOIN dict USING (word) WHERE word <> '')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_pieces) AS BIGINT) AS n_unigram_tokens
          |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // Positional reassembly: word positions ride the list transform,

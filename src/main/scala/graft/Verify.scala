@@ -66,12 +66,19 @@ object Verify {
     // training on the SAME fixture the queries ran, so the dumped SQL
     // is self-contained for the driver's DuckDB gate.
     val kept0 = SparkEntry.oracleSql.filter(kv => keep(kv._1))
-    val kept =
-      if (kept0.values.exists(_.contains(SparkEntry.BpeDictPlaceholder))) {
-        val dict = SparkEntry.bpeDictValues(spark, sfDir)
-        kept0.map { case (k, v) =>
-          k -> v.replace(SparkEntry.BpeDictPlaceholder, dict) }
-      } else kept0
+    // each trained-dictionary placeholder resolves lazily — a subset
+    // run that keeps no BPE/unigram oracle never pays the training
+    val dicts: Seq[(String, () => String)] = Seq(
+      SparkEntry.BpeDictPlaceholder ->
+        (() => SparkEntry.bpeDictValues(spark, sfDir)),
+      SparkEntry.UnigramDictPlaceholder ->
+        (() => SparkEntry.unigramDictValues(spark, sfDir)))
+    val kept = dicts.foldLeft(kept0) { case (acc, (ph, mk)) =>
+      if (acc.values.exists(_.contains(ph))) {
+        val dict = mk()
+        acc.map { case (k, v) => k -> v.replace(ph, dict) }
+      } else acc
+    }
     val json = kept
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -1178,7 +1178,15 @@ object Similarity {
   def annRecallIvfPqOpq(embeddings: DataFrame, nProbes: Int = 20,
                         k: Int = 5): DataFrame =
     recallAgainstBrute(embeddings,
-      knnIvfPq(opqRotate(embeddings), nProbes, k), nProbes, k)
+      // checkpointed: the IVF-PQ pipeline references its input from
+      // MANY consumers (per-subspace codebook-training collects,
+      // assignment, the probe and corpus sides of the search), and
+      // without the checkpoint each re-runs the d² rotation fold
+      // over the corpus — measured 20.8 s vs 2.6 s for the unrotated
+      // twin at sf0.1 before the pin (the lshRecall gs lesson at d²
+      // cost). Registered in SparkEntry.checkpointingQueries.
+      knnIvfPq(opqRotate(embeddings).localCheckpoint(true), nProbes, k),
+      nProbes, k)
 
   /** Top-k principal components by sequential DEFLATION — after each
     * component, C ← C − λ·v·vᵀ removes the found direction and the

@@ -170,6 +170,28 @@ object UnigramLm {
       .orderBy("rank")
   }
 
+  /** The trained model applied to the word dictionary: word → Viterbi
+    * piece count — the bounded artifact the apply surface joins
+    * against, and (like [[Bpe.train]]'s word→symbols table) what the
+    * oracle inlines as VALUES at dump time: training is not
+    * SQL-expressible, but GIVEN this table the per-doc aggregation
+    * is, which upgrades `unigram_token_counts` from rows-only to a
+    * full hash-checked oracle.
+    */
+  def wordPieceCounts(documents: DataFrame, vocabSize: Int = 64,
+                      seedSize: Int = 256, iters: Int = 2): DataFrame = {
+    val pieces = train(documents, vocabSize, seedSize, iters)
+    val costs = pieces.map(p => p.piece -> p.cost_micro).toMap
+    if (costs.isEmpty) {
+      val spark = documents.sparkSession
+      import spark.implicits._
+      return Seq.empty[(String, Long)].toDF("word", "n_pieces")
+    }
+    Bpe.wordCounts(documents)
+      .select(col("word"),
+        size(viterbiPieces(col("word"), costs)).cast(LongType).as("n_pieces"))
+  }
+
   /** Per-doc token counts under the trained unigram LM — the
     * [[Bpe.tokenCounts]] twin: the dictionary carries each word's
     * Viterbi piece count (one bounded-vocabulary map stage over the
@@ -178,17 +200,7 @@ object UnigramLm {
     */
   def tokenCounts(documents: DataFrame, vocabSize: Int = 64,
                   seedSize: Int = 256, iters: Int = 2): DataFrame = {
-    val pieces = train(documents, vocabSize, seedSize, iters)
-    val costs = pieces.map(p => p.piece -> p.cost_micro).toMap
-    if (costs.isEmpty) {
-      val spark = documents.sparkSession
-      import spark.implicits._
-      return Seq.empty[(Long, Long, Long)]
-        .toDF("doc_id", "n_words", "n_unigram_tokens")
-    }
-    val sizes = Bpe.wordCounts(documents)
-      .select(col("word"),
-        size(viterbiPieces(col("word"), costs)).cast(LongType).as("n_pieces"))
+    val sizes = wordPieceCounts(documents, vocabSize, seedSize, iters)
     val docWords = documents.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .filter(col("word") =!= "")

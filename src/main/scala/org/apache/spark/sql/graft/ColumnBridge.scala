@@ -60,4 +60,20 @@ object ColumnBridge {
   def numStorageBlocks: Long =
     org.apache.spark.SparkEnv.get.blockManager.master.getStorageStatus
       .map(_.blocks.size.toLong).sum
+
+  /** Census of blocks materialized on local DISK — the storage census'
+    * blind spot: shuffle data/index files never register as storage
+    * blocks, so a settle barrier polling [[numStorageBlocks]] alone
+    * declares "drained" while the ContextCleaner is still mid-way
+    * through deleting the previous queries' shuffle files, and that
+    * deletion I/O (plus the write-side block-manager lock traffic it
+    * contends on) lands inside the NEXT timed rep. Counting the
+    * DiskBlockManager's files folds shuffle lifecycle into the same
+    * drain signal. The walk is ~64 subdirs of the local block-manager
+    * dir — milliseconds, driver-side, safe to poll.
+    */
+  def numDiskBlocks: Long =
+    try org.apache.spark.SparkEnv.get.blockManager
+      .diskBlockManager.getAllBlocks().length.toLong
+    catch { case _: Throwable => 0L }
 }
