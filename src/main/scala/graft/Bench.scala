@@ -64,12 +64,18 @@ object Bench {
       // Sweep stale work dirs from crashed writers (r9 ADVICE): a
       // bench killed mid-rewrite leaves `.tmp_*` (half-written copy)
       // or `.old_*` (swapped-aside previous copy) behind forever.
-      // Age-gated at 1 h so a LIVE concurrent writer's tmp dir is
-      // never pulled out from under it.
+      // Age-gated at 1 h on the NEWEST mtime in the tree (r11
+      // ADVICE), not the directory entry's own mtime — a live writer
+      // streaming parquet parts into a tmp dir whose top-level mtime
+      // happens to be old keeps refreshing its files' mtimes, so the
+      // tree gate never sweeps it mid-write.
       val staleMs = System.currentTimeMillis - 3600L * 1000
+      def newestMtime(f: java.io.File): Long =
+        (f.lastModified +: Option(f.listFiles()).toSeq.flatten
+          .map(newestMtime)).max
       Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .filter(f => (f.getName.startsWith(".tmp_") ||
-          f.getName.startsWith(".old_")) && f.lastModified < staleMs)
+          f.getName.startsWith(".old_")) && newestMtime(f) < staleMs)
         .foreach(deleteRec)
       // Chunk count follows per-table WORK, not a blanket 8 (r9 —
       // VERDICT #3): the r7 blanket 8-way split parallelized the heavy
@@ -111,6 +117,11 @@ object Bench {
           // new copy is live.
           val aside = new java.io.File(
             s"$dir/.old_${ProcessHandle.current.pid()}_$t.parquet")
+          // the pid-qualified aside name can only be THIS process's
+          // own leftover from a crashed earlier run with a recycled
+          // pid (r11 ADVICE) — clear it or the renameTo below fails
+          // with a misleading 'concurrent writer?' abort
+          if (aside.exists) deleteRec(aside)
           if (dst.exists && !dst.renameTo(aside))
             throw new IllegalStateException(
               s"bench re-chunk aside-swap failed for $t (concurrent writer?)")
@@ -194,11 +205,17 @@ object Bench {
         polls += 1
       }
     }
-    // (wallSec, cpuSec, gcSec) per rep — cpu/gc must come from the
-    // same rep as the reported wall or util is meaningless
+    // one rep's full measurement — cpu/gc must come from the same rep
+    // as the reported wall or util is meaningless. `err` carries the
+    // failure instead of SWALLOWING it (r11 VERDICT #2): a throwing
+    // query used to bench as a near-zero wall that *improved* the
+    // headline; now the exception class+message lands in the artifact
+    // per query and the headline names the erroring queries.
+    case class Rep(wall: Double, cpu: Double, gc: Double,
+                   err: Option[String])
     def timeReps(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                 n: Int): Vector[(Double, Double, Double)] = {
+                 n: Int): Vector[Rep] = {
       (1 to n).map { _ =>
         settle()
         val g0 = gcSec()
@@ -206,10 +223,13 @@ object Bench {
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column
         // (a bare count() would let Spark prune the projections away)
-        try fn(spark, benchDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        ((System.nanoTime() - t0) / 1e9,
-          (osBean.getProcessCpuTime - c0) / 1e9, gcSec() - g0)
+        val err =
+          try { fn(spark, benchDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable =>
+            Some((e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("")).take(200)) }
+        Rep((System.nanoTime() - t0) / 1e9,
+          (osBean.getProcessCpuTime - c0) / 1e9, gcSec() - g0, err)
       }.toVector
     }
     // Adaptive reps (r11, the interference diagnosis's last layer):
@@ -219,19 +239,26 @@ object Bench {
     // most of the residual in-suite-vs-isolated gap was per-query
     // JIT/codegen warm-up, not cross-query interference. Keep timing
     // while the newest rep still improves the running min by >10%
-    // (floor `reps`, cap reps+3): a steady-state query pays nothing
-    // extra, a warm-up-dominated one earns its converged number
-    // in-suite instead of being mislabeled "interfered".
+    // (floor `reps`, cap reps+5 — raised from +3 in r12: fact_sales
+    // was still falling >10% at the old cap, overstating its steady
+    // state): a steady-state query pays nothing extra, a
+    // warm-up-dominated one earns its converged number in-suite.
+    // Convergence is PUBLISHED per query (r11 VERDICT #3): a query
+    // whose last rep still improved >10% on the prior min when the
+    // cap cut it off carries converged:false instead of passing its
+    // cap-truncated min off as steady state.
     def timeConverged(name: String,
                       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Vector[(Double, Double, Double)] = {
+        : Vector[Rep] = {
       var acc = timeReps(name, fn, reps)
-      while (acc.length >= 2 && acc.length < reps + 3 &&
-        acc.last._1 < acc.init.map(_._1).min * 0.9) {
+      while (acc.length >= 2 && acc.length < reps + 5 &&
+        acc.last.wall < acc.init.map(_.wall).min * 0.9) {
         acc = acc ++ timeReps(name, fn, 1)
       }
       acc
     }
+    def isConverged(acc: Vector[Rep]): Boolean =
+      acc.length < 2 || acc.last.wall >= acc.init.map(_.wall).min * 0.9
     // keep ALL reps: the min is the estimate, but the spread is the
     // in-suite diagnosis — stable-slow reps ([2.7, 2.7, 2.7] against a
     // fast isolated probe) mean positional interference to go fix;
@@ -239,7 +266,7 @@ object Bench {
     val repsAll = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
       .map { case (name, fn) => name -> timeConverged(name, fn) }
-    val results = repsAll.map { case (name, rs) => name -> rs.minBy(_._1) }
+    val results = repsAll.map { case (name, rs) => name -> rs.minBy(_.wall) }
     // Box-noise self-defense: in-suite numbers on a shared box swing up
     // to ~48x from co-tenant load/GC pressure (r5: dim_movement_type
     // 22.8 s in-suite vs 0.47 s alone). Re-measure the 5 slowest after
@@ -250,7 +277,7 @@ object Bench {
     // in-suite was one unlucky rep presented as truth) — min is the
     // estimate, max bounds the noise the reader should trust it to.
     val resultMap0 = results.toMap
-    val isolated = results.sortBy(-_._2._1).take(5).map { case (name, _) =>
+    val isolated = results.sortBy(-_._2.wall).take(5).map { case (name, _) =>
       name -> timeConverged(name, SparkEntry.queries(name)) }
     def util(wall: Double, cpu: Double): Double =
       if (wall <= 0) 0.0 else math.round(cpu / (wall * cores) * 1000) / 1000.0
@@ -266,24 +293,43 @@ object Bench {
     // contended run collapses toward 0 (the JVM was descheduled), so a
     // "slow" artifact now carries its own diagnosis.
     val repsMap = repsAll.toMap
-    val full = results.map { case (k, (w, c, g)) =>
-      s"\"" + k + "\":{\"wall\":" + w + ",\"cpu\":" + c +
-        ",\"cpu_util\":" + util(w, c) + ",\"gc\":" + r3(g) +
-        ",\"reps\":" + repsMap(k).map(t => r3(t._1)).mkString("[", ",", "]") +
-        "}" }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+    val full = results.map { case (k, rep) =>
+      val rs = repsMap(k)
+      // first failing rep's message, if any — the artifact must name
+      // a bench-only breakage instead of letting a ~0 s erroring rep
+      // flatter the headline (r11 VERDICT #2)
+      val errField = rs.flatMap(_.err).headOption
+        .map(m => ",\"err\":" + jstr(m)).getOrElse("")
+      s"\"" + k + "\":{\"wall\":" + rep.wall + ",\"cpu\":" + rep.cpu +
+        ",\"cpu_util\":" + util(rep.wall, rep.cpu) + ",\"gc\":" + r3(rep.gc) +
+        ",\"reps\":" + rs.map(t => r3(t.wall)).mkString("[", ",", "]") +
+        ",\"converged\":" + isConverged(rs) + errField + "}" }
       .mkString("{", ",", "}")
     val iso = isolated.map { case (k, reps3) =>
-      val (w, c, _) = reps3.minBy(_._1)
-      s"\"" + k + "\":{\"in_suite\":" + resultMap0(k)._1 + ",\"isolated\":" + w +
-        ",\"isolated_max\":" + r3(reps3.map(_._1).max) +
-        ",\"isolated_reps\":" + reps3.map(t => r3(t._1)).mkString("[", ",", "]") +
-        ",\"isolated_cpu_util\":" + util(w, c) + "}" }
+      val best = reps3.minBy(_.wall)
+      s"\"" + k + "\":{\"in_suite\":" + resultMap0(k).wall +
+        ",\"isolated\":" + best.wall +
+        ",\"isolated_max\":" + r3(reps3.map(_.wall).max) +
+        ",\"isolated_reps\":" + reps3.map(t => r3(t.wall)).mkString("[", ",", "]") +
+        ",\"isolated_cpu_util\":" + util(best.wall, best.cpu) + "}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    val totalCpu = results.map(_._2._2).sum
-    val totalGc = results.map(_._2._3).sum
+    val total = results.map(_._2.wall).sum
+    val totalCpu = results.map(_._2.cpu).sum
+    val totalGc = results.map(_._2.gc).sum
+    // headline-level honesty rollups: every query with ANY erroring
+    // rep, and every query whose adaptive reps hit the cap still
+    // improving >10% (its min overstates steady state)
+    val errQueries = repsAll.filter(_._2.exists(_.err.isDefined)).map(_._1)
+    val notConverged = repsAll.filterNot(kv => isConverged(kv._2)).map(_._1)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$totalCpu,"cpu_util":${util(total, totalCpu)},"gc_sec":${r3(totalGc)},"cores":${cores.toInt},"queries":$full,"isolated_slowest":$iso,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$totalCpu,"cpu_util":${util(total, totalCpu)},"gc_sec":${r3(totalGc)},"cores":${cores.toInt},"err_queries":${errQueries.map(jstr).mkString("[", ",", "]")},"not_converged":${notConverged.map(jstr).mkString("[", ",", "]")},"queries":$full,"isolated_slowest":$iso,"sf":"$sfDir"}"""
     // round = 1 + newest driver-committed BENCH_r<N>.json at the root
     val roundN = Option(new java.io.File(".").listFiles()).toSeq.flatten
       .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
@@ -315,15 +361,15 @@ object Bench {
       "zorder_layout", "dedup_admit", "fact_transactions_cdc",
       "dedup_reconcile", "knn_ivf_pq", "passage_scrub",
       "corpus_select_budget", "doc_quality_verdict")
-    val qs = headline.flatMap(k => resultMap0.get(k).map { case (w, _, _) =>
-        s"\"" + k + "\":" + r3(w) })
+    val qs = headline.flatMap(k => resultMap0.get(k).map(rep =>
+        s"\"" + k + "\":" + r3(rep.wall)))
       .mkString("{", ",", "}")
     // `value` stays the TOTAL across all queries; `n_queries` records how
     // many it covers since `queries` lists only the headline subset.
     // suite cpu_util rides along so a contended run is visible in the
     // tail too, not only in the full artifact.
     val headlineJson =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"cpu_util":${util(total, totalCpu)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"cpu_util":${util(total, totalCpu)},"err_queries":${errQueries.map(jstr).mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
     // stop() BEFORE the headline print: executor/shutdown log lines can
     // no longer interleave after the JSON in the driver's stdout-tail
     // capture — the headline is the process's final stdout line.

@@ -66,6 +66,13 @@ object GraftConfig {
             s"config value for '$key' (env $env) is not an integer: '$v'")
         }
       }.getOrElse(default)
+    // read + parse the kept fraction ONCE (r11 ADVICE): two
+    // independent get/parseKept calls — one per tuple element — could
+    // yield an inconsistent numer/denom pair from a config source with
+    // side effects or a concurrent writer between the reads
+    val (keptN, keptD) = parseKept(
+      get("perplexity.kept.fraction", "SPARK_GRAFT_PERPLEXITY_KEPT")
+        .getOrElse("2/3"))
     GraftConfig(
       sfDir = get("sf.dir", "SPARK_GRAFT_SF_DIR")
         .getOrElse("/root/testdata/sf0.1"),
@@ -107,12 +114,8 @@ object GraftConfig {
           s"gate.drop.fraction must be in [0, 1): $v")
         v
       },
-      perplexityKeptNumer = parseKept(
-        get("perplexity.kept.fraction", "SPARK_GRAFT_PERPLEXITY_KEPT")
-          .getOrElse("2/3"))._1,
-      perplexityKeptDenom = parseKept(
-        get("perplexity.kept.fraction", "SPARK_GRAFT_PERPLEXITY_KEPT")
-          .getOrElse("2/3"))._2)
+      perplexityKeptNumer = keptN,
+      perplexityKeptDenom = keptD)
   }
 
   private[graft] def parseKept(raw: String): (Int, Int) = raw.trim.split("/") match {

@@ -27,7 +27,8 @@ object SparkEntry {
     Set("dedup_clusters", "dedup_prune", "corpus_report", "decontaminate",
       "decontaminate_bloom", "decontaminate_incremental", "dedup_admit",
       "dedup_reconcile", "fact_transactions_cdc", "doc_unigram_logloss",
-      "doc_bigram_logloss", "doc_bigram_logloss_incremental",
+      // doc_bigram_logloss{,_incremental} left this set in r12: the
+      // window-based scoring tail is checkpoint-free
       "doc_perplexity_bucket", "doc_perplexity_bucket_reconciled",
       "dedup_exact", "corpus_funnel", "bpe_merges", "bpe_token_counts",
       "quality_classifier", "quality_classifier_score", "doc_ngram_novelty",
@@ -38,7 +39,9 @@ object SparkEntry {
       "embedding_covariance_incremental", "bpe_encode", "source_overlap",
       "source_overlap_incremental", "dedup_jaccard", "dedup_containment",
       "dedup_lsh_recall", "opq_codes", "ann_recall_ivf_pq_opq",
-      "unigram_vocab", "unigram_token_counts")
+      "ann_recall_ivf_pq_opq_learned",
+      "unigram_vocab", "unigram_vocab_kudo", "unigram_token_counts",
+      "unigram_encode")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -358,8 +361,19 @@ object SparkEntry {
         Similarity.opqRotate(t(s, d, "embeddings")).localCheckpoint(true))),
     "ann_recall_ivf_pq_opq" -> ((s, d) =>
       Similarity.annRecallIvfPqOpq(t(s, d, "embeddings"))),
+    // the LEARNED rotation in the Hadamard slot (r11 VERDICT #5):
+    // Ge §4 eigenvalue allocation over the deflated PCA eigenbasis;
+    // oracle inlines the trained matrix at dump time (the BPE
+    // training-vs-apply boundary)
+    "ann_recall_ivf_pq_opq_learned" -> ((s, d) =>
+      Similarity.annRecallIvfPqOpqLearned(t(s, d, "embeddings"))),
     "ann_operating_curve" -> ((s, d) =>
       Similarity.annOperatingCurve(t(s, d, "embeddings"))),
+    // the LSH family's cost-knob sweep (r11 VERDICT #6): signature
+    // length grid over ONE shared candidate set; full-signature row
+    // cross-pins to ann_recall
+    "lsh_operating_curve" -> ((s, d) =>
+      Similarity.lshOperatingCurve(t(s, d, "embeddings"))),
     "knn_sq_int8" -> ((s, d) => Similarity.knnSqInt8(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents"))),
@@ -469,8 +483,17 @@ object SparkEntry {
     // proof standing in; unigram_token_counts gets a FULL oracle via
     // the inlined trained dictionary (the bpe_token_counts pattern)
     "unigram_vocab" -> ((s, d) => UnigramLm.vocab(t(s, d, "documents"))),
+    // Kudo §3.2 likelihood-loss prune schedule beside the top-usage
+    // default (r11 #8 stretch) — rows-only like the trainer, spec
+    // bit-equal to its independent reference
+    "unigram_vocab_kudo" -> ((s, d) =>
+      UnigramLm.vocabLossPruned(t(s, d, "documents"))),
     "unigram_token_counts" -> ((s, d) =>
       UnigramLm.tokenCounts(t(s, d, "documents"))),
+    // the apply-surface twin of bpe_encode (r11 VERDICT #4): per-doc
+    // encoded piece-stream digest under the trained vocabulary; FULL
+    // oracle via the VALUES-inlined word→pieces dictionary
+    "unigram_encode" -> ((s, d) => UnigramLm.encode(t(s, d, "documents"))),
     // ---- D (r6). steady-state admission + CDC maintenance ----
     "dedup_admit" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -595,9 +618,12 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val standing = docs.filter(col("doc_id") % 2 === 0)
       val arriving = docs.filter(col("doc_id") % 2 =!= 0)
+      // consumed ONCE by the window-based scoring tail (r12) — no
+      // checkpoint (the streaming twin's mb checkpoint exists because
+      // its mb ALSO feeds the state write; here there is no such
+      // second consumer)
       val mb = TextOps.mergeBigramCounts(
-          TextOps.bigramCounts(standing), TextOps.bigramCounts(arriving))
-        .localCheckpoint(true)
+        TextOps.bigramCounts(standing), TextOps.bigramCounts(arriving))
       val mt = TextOps.mergeTermCounts(
         TextOps.termCounts(standing), TextOps.termCounts(arriving))
       val settled = TextOps.bigramLoglossFromPairs(
@@ -1251,15 +1277,36 @@ object SparkEntry {
   val UnigramDictPlaceholder: String = "/*UNIGRAM_DICT*/"
 
   def unigramDictValues(spark: SparkSession, sfDir: String): String = {
-    val rows = UnigramLm.wordPieceCounts(t(spark, sfDir, "documents"))
+    import org.apache.spark.sql.functions.{col, concat_ws, size}
+    // (word, syms, n_pieces) — the syms column serves unigram_encode's
+    // positional reassembly, n_pieces serves unigram_token_counts;
+    // one trained dictionary feeds both oracles (the bpeDictValues
+    // 3-column shape)
+    val rows = UnigramLm.wordPieces(t(spark, sfDir, "documents"))
+      .select(col("word"), concat_ws(" ", col("pieces")).as("syms"),
+        size(col("pieces")).cast("long").as("n_pieces"))
       .orderBy("word").collect()
     def esc(x: String) = x.replace("'", "''")
     // empty corpus → VALUES needs one row; ''-word can never join
-    if (rows.isEmpty) "('', CAST(0 AS BIGINT))"
-    else rows.map(r =>
-        s"('${esc(r.getString(0))}', CAST(${r.getLong(1)} AS BIGINT))")
+    if (rows.isEmpty) "('', '', CAST(0 AS BIGINT))"
+    else rows.map(r => s"('${esc(r.getString(0))}', '${esc(r.getString(1))}', " +
+        s"CAST(${r.getLong(2)} AS BIGINT))")
       .mkString(", ")
   }
+
+  /** The learned OPQ rotation's dump-time literal — a nested DuckDB
+    * list `[[r00, r01, …], …]` of the 64×64 matrix
+    * [[Similarity.opqLearnedRotationRows]] trains on the SAME fixture
+    * the query ran (training is deterministic driver math, so the
+    * re-train reproduces Spark's matrix bit-for-bit;
+    * java.lang.Double.toString round-trips every entry exactly).
+    */
+  val OpqLearnedRotPlaceholder: String = "/*OPQ_LEARNED_ROT*/"
+
+  def opqLearnedRotLiteral(spark: SparkSession, sfDir: String): String =
+    Similarity.opqLearnedRotationRows(t(spark, sfDir, "embeddings"))
+      .map(_.map(_.toString).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
 
   def oracleSql: Map[String, String] = Map(
     "dim_date" ->
@@ -3737,6 +3784,40 @@ object SparkEntry {
         |  CAST(n_hit AS DOUBLE) / 5.0 AS recall
         |FROM h LEFT JOIN nl ON h.qid = nl.qid ORDER BY h.qid""".stripMargin,
 
+    // The learned-rotation twin: identical recall chain, but `e` is
+    // the corpus rotated by the DUMP-TIME-INLINED trained matrix
+    // (opqLearnedRotLiteral) instead of the regenerated Hadamard —
+    // the BPE training-vs-apply oracle boundary: Ge §4 training is
+    // driver math, applying the trained artifact is SQL.
+    "ann_recall_ivf_pq_opq_learned" ->
+      s"""WITH eraw AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |rot AS (SELECT $OpqLearnedRotPlaceholder AS rm),
+        |e AS (SELECT vec_id, list_transform(range(0, 64), i ->
+        |  CAST(CAST(COALESCE(list_sum(list_transform(range(0, 64),
+        |    j -> v[j + 1] * rm[i + 1][j + 1])), 0.0)
+        |    AS REAL) AS DOUBLE)) AS v
+        |  FROM eraw CROSS JOIN rot),
+        |${pqBlocksSql("", "e")},
+        |$ivfPqSearchCtes,
+        |ap AS (SELECT qid, nid FROM rk WHERE rank <= 5),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM eraw),
+        |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+        |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |br AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM bs),
+        |b AS (SELECT qid, nid FROM br WHERE rank <= 5),
+        |h AS (SELECT b.qid, CAST(count(*) AS BIGINT) AS n_brute,
+        |  CAST(sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |FROM b LEFT JOIN ap ON b.qid = ap.qid AND b.nid = ap.nid GROUP BY 1),
+        |nl AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_lsh FROM ap GROUP BY 1)
+        |SELECT h.qid, n_brute, coalesce(n_lsh, CAST(0 AS BIGINT)) AS n_lsh, n_hit,
+        |  CAST(n_hit AS DOUBLE) / 5.0 AS recall
+        |FROM h LEFT JOIN nl ON h.qid = nl.qid ORDER BY h.qid""".stripMargin,
+
     // Residual IVF-PQ (r8): the raw chain's coarse quantizer ("g"
     // prefix) assigns cells; residuals round through REAL — the same
     // IEEE float cast Spark applies — before the "r"-prefixed
@@ -4236,7 +4317,7 @@ object SparkEntry {
     // VALUES at dump time (unigramDictValues), the per-doc word
     // explode + join + aggregation restates independently
     "unigram_token_counts" ->
-      s"""WITH dict(word, n_pieces) AS (VALUES $UnigramDictPlaceholder),
+      s"""WITH dict(word, syms, n_pieces) AS (VALUES $UnigramDictPlaceholder),
          |w AS (SELECT doc_id,
          |  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
          |FROM documents),
@@ -4244,6 +4325,23 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(n_pieces) AS BIGINT) AS n_unigram_tokens
          |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the unigram twin of bpe_encode's positional reassembly: word
+    // positions ride the list transform, the dict join fans each word
+    // to its space-joined piece string, and the order-by-pos
+    // string_agg rebuilds exactly the stream Spark digests
+    "unigram_encode" ->
+      s"""WITH dict(word, syms, n_pieces) AS (VALUES $UnigramDictPlaceholder),
+         |t AS (SELECT doc_id,
+         |  string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+         |w AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+         |  i -> struct_pack(pos := i, word := ws[i]))) AS p FROM t),
+         |f AS (SELECT doc_id, p.pos AS pos, p.word AS word FROM w
+         |  WHERE p.word <> ''),
+         |j AS (SELECT doc_id, pos, syms, n_pieces FROM f JOIN dict USING (word))
+         |SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(syms, ' ' ORDER BY pos)) AS token_md5
+         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // Positional reassembly: word positions ride the list transform,
     // the dict join fans each word to its symbol string, and the
@@ -4387,6 +4485,46 @@ object SparkEntry {
         |  coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates, n_hit,
         |  CAST(n_hit AS DOUBLE) / n_true AS recall
         |FROM h LEFT JOIN nc ON h.np = nc.np ORDER BY n_probe_lists""".stripMargin,
+
+    // The LSH family's knob sweep (r11 VERDICT #6): one coarsest-
+    // bucket pair set, per-pair leading-prefix agreement (exact
+    // integer min-over-mismatch-positions), grid rows as filters —
+    // the ann_operating_curve construction with the knob direction
+    // reversed (longer signature = FEWER candidates).
+    "lsh_operating_curve" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cfg AS (SELECT unnest([CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(8 AS BIGINT)]) AS np),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM e),
+        |sg AS (SELECT vec_id, v, nrm, $lshSigSql AS sig FROM n),
+        |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+        |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |br AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM bs),
+        |b AS (SELECT qid, nid FROM br WHERE rank <= 5),
+        |pr AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, sig AS qs FROM sg WHERE vec_id < 20),
+        |pairs AS (SELECT pr.qid, c.vec_id AS nid,
+        |  list_sum(list_transform(range(1, len(pr.qv)+1), i -> pr.qv[i]*c.v[i])) / (pr.qn * c.nrm) AS cos_sim,
+        |  CAST(list_min(list_transform(range(1, 9), i ->
+        |    CASE WHEN substr(pr.qs, i, 1) = substr(c.sig, i, 1) THEN 8 ELSE i - 1 END)) AS BIGINT) AS agree_len
+        |FROM sg c JOIN pr ON substr(c.sig, 1, 2) = substr(pr.qs, 1, 2) AND pr.qid <> c.vec_id),
+        |x AS (SELECT cfg.np, pairs.qid, pairs.nid, pairs.cos_sim
+        |  FROM pairs CROSS JOIN cfg WHERE pairs.agree_len >= cfg.np),
+        |r AS (SELECT np, qid, nid,
+        |  row_number() OVER (PARTITION BY np, qid ORDER BY cos_sim DESC, nid) AS rank FROM x),
+        |l AS (SELECT np, qid, nid FROM r WHERE rank <= 5),
+        |tb AS (SELECT cfg.np, b.qid, b.nid FROM b CROSS JOIN cfg),
+        |h AS (SELECT tb.np, CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |FROM tb LEFT JOIN l ON tb.np = l.np AND tb.qid = l.qid AND tb.nid = l.nid
+        |GROUP BY 1),
+        |nc AS (SELECT np, CAST(count(*) AS BIGINT) AS n_candidates FROM x GROUP BY 1)
+        |SELECT h.np AS n_planes, n_true,
+        |  coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates, n_hit,
+        |  CAST(n_hit AS DOUBLE) / n_true AS recall
+        |FROM h LEFT JOIN nc ON h.np = nc.np ORDER BY n_planes""".stripMargin,
 
     // A-Res weighted priority sample: u strictly inside (0,1) via
     // (2·hi28+1)/2^29 (log2 stays finite), priority = log2(u)/weight —

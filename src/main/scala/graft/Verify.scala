@@ -72,7 +72,9 @@ object Verify {
       SparkEntry.BpeDictPlaceholder ->
         (() => SparkEntry.bpeDictValues(spark, sfDir)),
       SparkEntry.UnigramDictPlaceholder ->
-        (() => SparkEntry.unigramDictValues(spark, sfDir)))
+        (() => SparkEntry.unigramDictValues(spark, sfDir)),
+      SparkEntry.OpqLearnedRotPlaceholder ->
+        (() => SparkEntry.opqLearnedRotLiteral(spark, sfDir)))
     val kept = dicts.foldLeft(kept0) { case (acc, (ph, mk)) =>
       if (acc.values.exists(_.contains(ph))) {
         val dict = mk()

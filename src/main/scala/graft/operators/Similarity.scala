@@ -1155,14 +1155,42 @@ object Similarity {
     * re-cast to float (the storage type both engines round
     * identically).
     */
-  def opqRotate(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+  def opqRotate(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    opqRotateRows(embeddings, (0 until dim).map(opqRotationRow(_, dim)))
+
+  /** Apply an EXPLICIT orthonormal rotation (one literal row per
+    * output coordinate) — the shared map stage behind the data-free
+    * Hadamard ([[opqRotate]]) and the learned eigenvalue-allocation
+    * rotation ([[opqLearnedRotationRows]]). Pure codegen: d² literal
+    * multiply-adds per row, one corpus scan, output re-cast to float.
+    */
+  def opqRotateRows(embeddings: DataFrame,
+                    rows: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+    val dim = rows.length
     val base = embeddings.select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val yCols = (0 until dim).map { i =>
-      val coef = typedLit(opqRotationRow(i, dim).toSeq)
+      val coef = typedLit(rows(i).toSeq)
+      // `dim` is a HARD contract (r11 ADVICE): the old
+      // least(size, dim) bound silently truncated a longer embedding,
+      // breaking orthonormality — the rotation then no longer
+      // preserves norms/cosine and the original-space ground truth of
+      // annRecallIvfPqOpq becomes an invalid comparison. Enforced at
+      // EXECUTION (codegen'd, one int compare per row riding inside
+      // y0 — it cannot be column-pruned away) because the driver
+      // never sees the rows; a short row would also fail on its own
+      // via ANSI element_at, but the explicit raise names the
+      // contract instead of an index error.
+      val init =
+        if (i == 0)
+          when(size(col("v")) === lit(dim), lit(0.0))
+            .otherwise(raise_error(concat(
+              lit(s"opqRotateRows: embedding dimension must be exactly $dim, got "),
+              size(col("v")).cast("string"))).cast("double"))
+        else lit(0.0)
       aggregate(
-        graft.functions.ColUtil.posRange(least(size(col("v")), lit(dim))),
-        lit(0.0),
+        graft.functions.ColUtil.posRange(lit(dim)),
+        init,
         (acc, p) => acc + element_at(col("v"), p) * element_at(coef, p))
         .cast("float")
     }
@@ -1186,6 +1214,109 @@ object Similarity {
       // twin at sf0.1 before the pin (the lshRecall gs lesson at d²
       // cost). Registered in SparkEntry.checkpointingQueries.
       knnIvfPq(opqRotate(embeddings).localCheckpoint(true), nProbes, k),
+      nProbes, k)
+
+  /** The LEARNED member of the OPQ family — Ge et al. 2013 §4
+    * "eigenvalue allocation", the rotation the Hadamard slot's honest
+    * negative names as the one that can actually BUY recall: rotate
+    * into the PCA eigenbasis, then PERMUTE the principal directions
+    * across subspaces so each subspace's eigenvalue PRODUCT is
+    * balanced (greedy: eigenvalues in descending order, each assigned
+    * to the non-full subspace with the smallest log-product so far —
+    * Ge §4's balanced-partition heuristic verbatim). High-rate PQ
+    * distortion per subspace follows det(Σ_sub)^(1/d'), so balancing
+    * the products minimizes the SUM — exactly the objective the
+    * variance-only Hadamard provably cannot improve (AM–GM, the
+    * spec-pinned negative).
+    *
+    * Training is bounded driver math on the collected d×d covariance
+    * (the k-means-codebook bargain): full eigenbasis by Hotelling
+    * deflation ([[powerIteration]] per component), then one modified
+    * Gram–Schmidt pass — approximate deflated eigenvectors are not
+    * exactly orthonormal, and the ROTATION must be (cosine/L2
+    * preservation is what keeps the original-space ground truth
+    * valid); a degenerate residual direction (rank-deficient
+    * covariance) falls back to the first coordinate axis with
+    * non-vanishing orthogonal component, so the result is ALWAYS a
+    * full orthonormal basis. Deterministic end to end: fixed start
+    * vector, fixed iteration count, sequential driver arithmetic —
+    * the oracle re-trains bit-identically at dump time and inlines
+    * the matrix as a literal (the BPE-dictionary boundary: training
+    * is not SQL-expressible, applying the trained artifact is).
+    */
+  def opqLearnedRotationRows(embeddings: DataFrame, dim: Int = 64,
+                             nSubspaces: Int = 8,
+                             iters: Int = 12): IndexedSeq[IndexedSeq[Double]] = {
+    val identity = IndexedSeq.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    val (c0, _) = covArrays(embeddings)
+    if (c0.isEmpty) return identity
+    require(c0.length == dim,
+      s"opqLearnedRotationRows: covariance is ${c0.length}-dim, expected $dim")
+    var c = c0
+    val eig = Array.ofDim[Double](dim, dim)
+    val lam = new Array[Double](dim)
+    for (k <- 0 until dim) {
+      val (v, l) = powerIteration(c, iters)
+      eig(k) = v.clone(); lam(k) = l
+      c = Array.tabulate(dim, dim)((i, j) => c(i)(j) - l * v(i) * v(j))
+    }
+    // modified Gram–Schmidt with deterministic degenerate fallback
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }; s
+    }
+    def orthogonalized(x: Array[Double], upTo: Int): Array[Double] = {
+      val y = x.clone()
+      for (p <- 0 until upTo) {
+        val d = dot(y, eig(p))
+        var i = 0; while (i < dim) { y(i) -= d * eig(p)(i); i += 1 }
+      }
+      y
+    }
+    for (k <- 0 until dim) {
+      var y = orthogonalized(eig(k), k)
+      var nrm = math.sqrt(dot(y, y))
+      var axis = 0
+      while (nrm <= 1e-9 && axis < dim) {
+        val e = Array.tabulate(dim)(i => if (i == axis) 1.0 else 0.0)
+        y = orthogonalized(e, k)
+        nrm = math.sqrt(dot(y, y))
+        axis += 1
+      }
+      eig(k) = y.map(_ / nrm)
+    }
+    // eigenvalue allocation: descending λ (deflation order), greedy
+    // min-log-product subspace with capacity dim/nSubspaces; ties
+    // keep the lowest subspace index (stable, deterministic)
+    val cap = dim / nSubspaces
+    val bucketLog = Array.fill(nSubspaces)(0.0)
+    val slots = Array.fill(nSubspaces)(0)
+    val rows = Array.ofDim[Double](dim, dim)
+    for (k <- 0 until dim) {
+      var best = -1
+      for (s <- 0 until nSubspaces if slots(s) < cap)
+        if (best < 0 || bucketLog(s) < bucketLog(best)) best = s
+      rows(best * cap + slots(best)) = eig(k)
+      slots(best) += 1
+      bucketLog(best) += math.log(math.max(lam(k), 1e-12))
+    }
+    rows.map(_.toIndexedSeq).toIndexedSeq
+  }
+
+  /** Recall@k of IVF-PQ in the LEARNED-rotation space against the
+    * original-space exact-cosine truth — the measured answer to "did
+    * eigenvalue allocation buy recall where the Hadamard could not"
+    * (on the subspace-concentrated fixture the spec plants, it must;
+    * on isotropic corpora the allocation degenerates toward parity —
+    * the same precondition the honest negative states).
+    */
+  def annRecallIvfPqOpqLearned(embeddings: DataFrame, nProbes: Int = 20,
+                               k: Int = 5): DataFrame =
+    recallAgainstBrute(embeddings,
+      // same checkpoint justification as [[annRecallIvfPqOpq]]: the
+      // IVF-PQ pipeline fans the rotated frame to many consumers
+      knnIvfPq(opqRotateRows(embeddings, opqLearnedRotationRows(embeddings))
+        .localCheckpoint(true), nProbes, k),
       nProbes, k)
 
   /** Top-k principal components by sequential DEFLATION — after each
@@ -1368,6 +1499,78 @@ object Similarity {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_true")).as("recall"))
       .orderBy("n_probe_lists")
+  }
+
+  /** The LSH family's operating curve (r11 VERDICT #6) — the
+    * [[annOperatingCurve]] construction applied to the OTHER index
+    * family's cost knob: signature LENGTH (hyperplane count). ONE
+    * candidate set is built at the COARSEST grid config (a
+    * `planeGrid.min`-bit prefix bucket join — the widest buckets, so
+    * every tighter config's candidates are a subset by construction),
+    * and each pair carries its leading-prefix AGREEMENT length — the
+    * TIGHTEST config that would still have bucketed it together. Grid
+    * rows are then pure filters over that one set: no re-hash, no
+    * re-join per config. Recall and candidate volume are both
+    * monotone NON-INCREASING in n_planes (nested candidate sets —
+    * the mirror image of the IVF curve's non-decreasing direction,
+    * because here the knob TIGHTENS rather than widens the search).
+    *
+    * Scale: the one bucket join runs at 2^-planeGrid.min selectivity
+    * — the grid's lower bound is the cost ceiling, stated rather
+    * than hidden (at 100 TB sweep e.g. 12..24 bits, never 2); probe
+    * side broadcast; top-k per config via the rank window over the
+    * shared pair set. The full-signature row cross-pins to
+    * [[annRecall]] (spec-asserted) exactly as the IVF curve's np=2
+    * row pins to annRecallIvf.
+    */
+  def lshOperatingCurve(embeddings: DataFrame, nProbes: Int = 20, k: Int = 5,
+                        planeGrid: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    require(planeGrid.nonEmpty && planeGrid.forall(p => p > 0 && p <= 8),
+      s"planeGrid must be within the 8-bit signature: $planeGrid")
+    val pMin = planeGrid.min
+    val maxP = 8 // agreement always measured on the full signature
+    val gridLit = typedLit(planeGrid.map(_.toLong).sorted)
+    val withSig = embeddings.select(col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), maxP).as("sig"))
+    val probes = withSig.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("sig").as("qsig"), substring(col("sig"), 1, pMin).as("bucket"))
+    val corpus = withSig
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("sig").as("nsig"), substring(col("sig"), 1, pMin).as("bucket"))
+    // leading agreement = min over positions of (i−1 at the first
+    // mismatch, maxP where bits agree) — exact integer logic the
+    // oracle restates verbatim
+    val agree = array_min(transform(
+      graft.functions.ColUtil.posRange(lit(maxP)),
+      i => when(col("qsig").substr(i, lit(1)) === col("nsig").substr(i, lit(1)),
+        lit(maxP)).otherwise(i - 1))).cast(LongType)
+    val pairs = corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine(col("qv"), col("nv")).as("cos_sim"), agree.as("agree_len"))
+    val confs = pairs
+      .select(col("qid"), col("nid"), col("cos_sim"), col("agree_len"),
+        explode(gridLit).as("n_planes"))
+      .filter(col("agree_len") >= col("n_planes"))
+    val w = Window.partitionBy("n_planes", "qid")
+      .orderBy(col("cos_sim").desc, col("nid"))
+    val topk = confs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("n_planes"), col("qid"), col("nid"), lit(1L).as("hit"))
+    val truth = knnBrute(embeddings, nProbes, k).select(col("qid"), col("nid"))
+      .select(col("qid"), col("nid"), explode(gridLit).as("n_planes"))
+    val hits = truth.join(topk, Seq("n_planes", "qid", "nid"), "left")
+      .groupBy("n_planes")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    val nCand = confs.groupBy("n_planes")
+      .agg(count(lit(1)).as("n_candidates"))
+    hits.join(nCand, Seq("n_planes"), "left")
+      .select(col("n_planes"), col("n_true"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true")).as("recall"))
+      .orderBy("n_planes")
   }
 
   /** Shared recall evaluator: any candidate ranking with (qid, nid)

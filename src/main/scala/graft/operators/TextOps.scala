@@ -1106,12 +1106,22 @@ object TextOps {
     a.unionByName(b).groupBy("term")
       .agg(sum(col("term_freq")).as("term_freq"))
 
-  def bigramLogloss(documents: DataFrame): DataFrame = {
-    val c2 = bigramCounts(documents).localCheckpoint(true)
-    val out = bigramScore(bigramPairs(documents), c2, termCounts(documents))
-    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(c2)
-    out
-  }
+  /** One DECLARATIVE plan, zero internal checkpoints (r12 — the
+    * doc_perplexity_bucket regression diagnosis): the r11 chain
+    * materialized c2 and the contribution table eagerly because c2
+    * fed TWO consumers (the c1 history aggregate and the contrib
+    * join). With [[bigramScore]]'s window-based history sum, c2 has
+    * ONE consumer, so the checkpoints bought nothing and cost two
+    * full job barriers per call — the query ran as 3+ serialized jobs
+    * at cpu_util ~0.16, maximally exposed to scheduler latency (the
+    * rising-rep signature was barrier-bound wall, not a leak: per-rep
+    * gc was ~0 throughout). Catalyst now schedules the three corpus
+    * scans (pairs probe, bigram counts, vocabulary size) inside one
+    * job.
+    */
+  def bigramLogloss(documents: DataFrame): DataFrame =
+    bigramScore(bigramPairs(documents), bigramCounts(documents),
+      termCounts(documents))
 
   /** Incremental bigram scoring — the [[ngramNoveltyIncremental]]
     * shape for the perplexity filter: a standing corpus carried as
@@ -1129,14 +1139,12 @@ object TextOps {
     */
   def bigramLoglossIncremental(batch: DataFrame,
                                corpusBigrams: DataFrame,
-                               corpusTerms: DataFrame): DataFrame = {
-    val c2 = mergeBigramCounts(corpusBigrams, bigramCounts(batch))
-      .localCheckpoint(true)
-    val out = bigramScore(bigramPairs(batch), c2,
+                               corpusTerms: DataFrame): DataFrame =
+    // merged model consumed ONCE by the window-based scoring tail
+    // (r12) — no checkpoint; see [[bigramLogloss]]
+    bigramScore(bigramPairs(batch),
+      mergeBigramCounts(corpusBigrams, bigramCounts(batch)),
       mergeTermCounts(corpusTerms, termCounts(batch)))
-    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(c2)
-    out
-  }
 
   /** CCNet-style perplexity bucketing (r8) — the decision layer the
     * LM-perplexity pipeline exists for: per language, docs split into
@@ -1236,20 +1244,6 @@ object TextOps {
                                 termModel: DataFrame): DataFrame =
     bigramScore(bigramPairs(batch), bigramModel, termModel)
 
-  /** [[bigramLoglossAgainstModel]] returning the scoring tail's
-    * internal contribution CHECKPOINT alongside the scores (r9 —
-    * ADVICE): a long-running stream must release that checkpoint
-    * once the trigger's sink writes are durable, or it pins one
-    * contribution table's blocks per trigger until a full GC — the
-    * exact leak the admission stream's release discipline exists for.
-    * Batch callers keep the simple form (the runners' targeted
-    * post-query GC reaps it — checkpointingQueries).
-    */
-  def bigramLoglossAgainstModelWithContrib(
-      batch: DataFrame, bigramModel: DataFrame,
-      termModel: DataFrame): (DataFrame, DataFrame) =
-    bigramScoreWithContrib(bigramPairs(batch), bigramModel, termModel)
-
   /** Score a SUNK pair stream under a model — the retro re-score
     * entry: the streaming twin lands each batch's (doc_id, bigram)
     * stream compactly beside the scores, and the reconcile pass
@@ -1261,41 +1255,38 @@ object TextOps {
     bigramScore(pairs, bigramModel, termModel)
 
   /** Scoring tail shared by the one-shot and incremental forms:
-    * history counts fall out of the bigram table (c1(w1) = Σ c2(w1,·)
-    * — vocabulary-scale input, not a corpus rescan), V is the term
-    * table's row count (1-row broadcast), the per-bigram contribution
-    * table is checkpointed (it would otherwise re-run the aggregate
-    * chain per consumer), and the one corpus-scale join is salted on
-    * the bigram key. `c2` must arrive materialized; the returned plan
-    * references only the contribution checkpoint and `pairs`.
+    * history counts fall out of the bigram table as a WINDOW sum over
+    * the w1 partition (c1(w1) = Σ c2(w1,·) — one exchange+sort of the
+    * vocabulary²-scale table, replacing r11's separate aggregate +
+    * self-join which consumed c2 TWICE and therefore forced callers
+    * to materialize it; exact integer Long sums either way), V is the
+    * term table's row count (1-row broadcast), and the one
+    * corpus-scale join is salted on the bigram key. Every input is
+    * consumed exactly once, so the whole tail is one declarative plan
+    * — no checkpoint, no job barrier (r12; the per-consumer
+    * re-execution the old contrib checkpoint guarded against cannot
+    * occur with single-consumer inputs).
     */
   private def bigramScore(pairs: DataFrame, c2: DataFrame,
-                          terms: DataFrame): DataFrame =
-    bigramScoreWithContrib(pairs, c2, terms)._1
-
-  private def bigramScoreWithContrib(pairs: DataFrame, c2: DataFrame,
-                                     terms: DataFrame): (DataFrame, DataFrame) = {
-    val c1 = c2.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
-      .agg(sum(col("bigram_freq")).as("hist_freq"))
+                          terms: DataFrame): DataFrame = {
+    val wHist = Window.partitionBy("w1")
     val vocab = terms.agg(count(lit(1)).as("v"))
     val contrib = c2
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
-      .join(c1, Seq("w1"))
+      .withColumn("hist_freq", sum(col("bigram_freq")).over(wHist))
       .crossJoin(broadcast(vocab)) // 1-row scalar
       .select(col("bigram"),
         (floor(log2((col("hist_freq") + col("v")).cast("double")) * 1e6 + 0.5)
           .cast(LongType) -
           floor(log2((col("bigram_freq") + lit(1)).cast("double")) * 1e6 + 0.5)
             .cast(LongType)).as("nll_micro"))
-      .localCheckpoint(true)
-    val out = Partitioning.saltedEquiJoin(pairs, contrib, "bigram", col("doc_id"))
+    Partitioning.saltedEquiJoin(pairs, contrib, "bigram", col("doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("sum_nll_micro"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_nll_micro"),
         floor(col("sum_nll_micro").cast("double") / col("n_bigrams") + 0.5)
           .cast(LongType).as("logloss_microbits"))
       .orderBy("doc_id")
-    (out, contrib)
   }
 
   /** Corpus-cleaning funnel: how many documents survive each filter

@@ -116,14 +116,53 @@ object UnigramLm {
     }).getField("out")
   }
 
+  /** Driver-side Viterbi COST of one string under `costs` with one
+    * piece excluded — the Kudo §3.2 loss primitive: "what would this
+    * piece's occurrences cost if the piece were gone" is the cost of
+    * segmenting the piece's own string without using it (its
+    * substrings remain available; single-char coverage guarantees
+    * segmentability, so INF only appears for the skip-everything
+    * degenerate case). Bounded driver math — the piece table is
+    * vocabulary-scale, never the corpus (the Gram–Schmidt/codebook
+    * bargain).
+    */
+  private[operators] def viterbiCostExcluding(word: String,
+      costs: Map[String, Long], skip: String): Long = {
+    val inf = Long.MaxValue / 4
+    val n = word.length
+    val dp = Array.fill(n + 1)(inf)
+    dp(0) = 0L
+    for (i <- 1 to n; len <- 1 to math.min(MaxPieceLen, i)) {
+      val piece = word.substring(i - len, i)
+      if (piece != skip) costs.get(piece).foreach { c =>
+        if (dp(i - len) < inf && dp(i - len) + c < dp(i)) dp(i) = dp(i - len) + c
+      }
+    }
+    dp(n)
+  }
+
   /** The training loop: seed → `iters` hard-EM rounds → prune to
     * `vocabSize` (single chars always retained for coverage) → one
     * re-estimation round on the pruned vocabulary. Returns the
     * rank-ordered piece table (driver-bounded: ≤ max(seedSize,
     * vocabSize) + alphabet rows at every step).
+    *
+    * `pruneByLoss = true` replaces the top-usage retention with Kudo
+    * §3.2's LIKELIHOOD-LOSS ranking (the r11 scaladoc's documented
+    * simplification, closed): a multi-char piece's loss is
+    * usage × (cost of segmenting the piece WITHOUT itself − its own
+    * cost) — how much total corpus cost rises if it is dropped and
+    * its occurrences re-segment from the surviving vocabulary. A
+    * high-usage piece whose substrings segment it almost as cheaply
+    * carries near-zero loss (top-usage keeps it; loss ranking
+    * correctly lets it go), which is exactly the case the heuristic
+    * orders wrongly. Ranking is (loss desc, piece asc); a piece
+    * unsegmentable without itself keeps Long.MaxValue loss. The
+    * loss pass is bounded driver math over the vocabulary-scale
+    * piece table — the corpus-scale EM scans are unchanged.
     */
   def train(documents: DataFrame, vocabSize: Int = 64, seedSize: Int = 256,
-            iters: Int = 2): Seq[Piece] = {
+            iters: Int = 2, pruneByLoss: Boolean = false): Seq[Piece] = {
     val words = Bpe.wordCounts(documents).localCheckpoint(true)
     try {
       val seedRows = words
@@ -145,8 +184,21 @@ object UnigramLm {
         usage ++ chars.map(_._1).filterNot(usage.contains).map(_ -> 1L)
       }
       for (_ <- 1 to iters) counts = emRound(counts)
-      val kept = counts.toSeq.sortBy { case (p, c) => (-c, p) }
-        .take(vocabSize).map(_._1).toSet ++ chars.map(_._1)
+      val kept =
+        if (!pruneByLoss)
+          counts.toSeq.sortBy { case (p, c) => (-c, p) }
+            .take(vocabSize).map(_._1).toSet ++ chars.map(_._1)
+        else {
+          val costs = toCosts(counts)
+          counts.toSeq.filter(_._1.length > 1).map { case (p, c) =>
+            val alt = viterbiCostExcluding(p, costs, p)
+            val loss =
+              if (alt >= Long.MaxValue / 4) Long.MaxValue
+              else c * (alt - costs(p))
+            (p, loss)
+          }.sortBy { case (p, l) => (-l, p) }
+            .take(vocabSize).map(_._1).toSet ++ chars.map(_._1)
+        }
       counts = emRound(counts.filter(kv => kept(kv._1)))
       val costs = toCosts(counts)
       counts.toSeq.sortBy { case (p, c) => (-c, p) }.zipWithIndex
@@ -170,6 +222,20 @@ object UnigramLm {
       .orderBy("rank")
   }
 
+  /** [[vocab]] under Kudo §3.2 likelihood-loss pruning — published
+    * beside the top-usage default so the two prune schedules stay
+    * individually inspectable (rows-only like the trainer itself;
+    * UnigramSpec proves bit-equality to its independent reference).
+    */
+  def vocabLossPruned(documents: DataFrame, vocabSize: Int = 64,
+                      seedSize: Int = 256, iters: Int = 2): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    train(documents, vocabSize, seedSize, iters, pruneByLoss = true).toDF()
+      .select(col("rank"), col("piece"), col("n_count"), col("cost_micro"))
+      .orderBy("rank")
+  }
+
   /** The trained model applied to the word dictionary: word → Viterbi
     * piece count — the bounded artifact the apply surface joins
     * against, and (like [[Bpe.train]]'s word→symbols table) what the
@@ -179,17 +245,57 @@ object UnigramLm {
     * full hash-checked oracle.
     */
   def wordPieceCounts(documents: DataFrame, vocabSize: Int = 64,
-                      seedSize: Int = 256, iters: Int = 2): DataFrame = {
+                      seedSize: Int = 256, iters: Int = 2): DataFrame =
+    wordPieces(documents, vocabSize, seedSize, iters)
+      .select(col("word"), size(col("pieces")).cast(LongType).as("n_pieces"))
+
+  /** The full apply-surface dictionary: word → Viterbi piece ARRAY
+    * under the trained model ([[wordPieceCounts]] is its size
+    * projection; [[encode]] reassembles it positionally). One
+    * bounded-vocabulary map stage over the word dictionary — never
+    * the corpus.
+    */
+  def wordPieces(documents: DataFrame, vocabSize: Int = 64,
+                 seedSize: Int = 256, iters: Int = 2): DataFrame = {
     val pieces = train(documents, vocabSize, seedSize, iters)
     val costs = pieces.map(p => p.piece -> p.cost_micro).toMap
     if (costs.isEmpty) {
       val spark = documents.sparkSession
       import spark.implicits._
-      return Seq.empty[(String, Long)].toDF("word", "n_pieces")
+      return Seq.empty[(String, Seq[String])].toDF("word", "pieces")
     }
     Bpe.wordCounts(documents)
-      .select(col("word"),
-        size(viterbiPieces(col("word"), costs)).cast(LongType).as("n_pieces"))
+      .select(col("word"), viterbiPieces(col("word"), costs).as("pieces"))
+  }
+
+  /** Per-doc ENCODED piece stream under the trained unigram LM — the
+    * [[Bpe.encode]] twin (r11 VERDICT: the dataloader that trains
+    * unigram needs the same encoded-stream artifact bpe_encode
+    * publishes). Positional reassembly: docs posexplode to (doc_id,
+    * pos, word), the word→pieces dictionary joins SALTED on the Zipf
+    * word key, and the per-doc collect_list(struct(pos, pieces))
+    * array_sort rebuilds the exact token order — the md5 digest of
+    * the space-joined stream is the compact equality-checkable
+    * artifact (the full stream is corpus-scale output; the digest is
+    * doc-scale). Oracle restates the reassembly with the dictionary
+    * inlined as VALUES at dump time (the 35s3 mechanism verbatim).
+    */
+  def encode(documents: DataFrame, vocabSize: Int = 64,
+             seedSize: Int = 256, iters: Int = 2): DataFrame = {
+    val words = wordPieces(documents, vocabSize, seedSize, iters)
+    val docWordsPos = documents
+      .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")))
+      .toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+    Partitioning.saltedEquiJoin(docWordsPos, words, "word", col("doc_id"))
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("pieces")))),
+          s => s.getField("pieces"))).as("tokens"))
+      .select(col("doc_id"),
+        size(col("tokens")).cast(LongType).as("n_tokens"),
+        md5(concat_ws(" ", col("tokens")).cast("binary")).as("token_md5"))
+      .orderBy("doc_id")
   }
 
   /** Per-doc token counts under the trained unigram LM — the

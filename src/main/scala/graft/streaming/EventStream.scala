@@ -424,17 +424,27 @@ object EventStream {
     // a warehouse carried across the rename would otherwise keep those
     // orphan entries forever — this is the only sweep that can ever
     // reclaim them.
-    val prefixes = Seq(
-      "graft_state_" + stateDirDigest(stateDir) + "_upto_",
-      "graft_state_" + java.lang.Integer.toHexString(stateDir.hashCode) +
-        "_upto_")
+    val md5Prefix = "graft_state_" + stateDirDigest(stateDir) + "_upto_"
+    val legacyPrefix = "graft_state_" +
+      java.lang.Integer.toHexString(stateDir.hashCode) + "_upto_"
     // listTables(db), not listTables() (r9 ADVICE): the registrations
     // go to the session's default database, and the no-arg form lists
     // whatever database the CALLER currently has selected — a caller
-    // who had USE'd elsewhere silently dropped nothing.
+    // who had USE'd elsewhere silently dropped nothing. The md5-named
+    // entries only ever register qualified into `default`, so that
+    // sweep stays pinned there; the PRE-r9 hashCode-named orphans were
+    // created UNQUALIFIED — i.e. in whatever database the registering
+    // session had USE'd at the time — so their sweep must walk every
+    // database or orphans outside `default` are never reclaimed
+    // (r11 ADVICE).
     spark.catalog.listTables("default").collect()
-      .map(_.name).filter(n => prefixes.exists(n.startsWith))
+      .map(_.name).filter(_.startsWith(md5Prefix))
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS default.$n"))
+    spark.catalog.listDatabases().collect().map(_.name).foreach { db =>
+      spark.catalog.listTables(db).collect()
+        .map(_.name).filter(_.startsWith(legacyPrefix))
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$db`.$n"))
+    }
   }
 
   /** Land a gram-scale state version BUCKETED on its merge key
@@ -847,12 +857,12 @@ object EventStream {
               .select(col("k").as("term"), col("n").as("term_freq")),
             graft.operators.TextOps.termCounts(docs))
           .localCheckpoint(eager = true)
-        // WithContrib (r9 — ADVICE): the scoring tail checkpoints its
-        // contribution table internally; take the handle so this
-        // trigger can release it below instead of pinning one contrib
-        // checkpoint per trigger until a full GC
-        val (scored, contrib) = graft.operators.TextOps
-          .bigramLoglossAgainstModelWithContrib(docs, mb, mt)
+        // the scoring tail is checkpoint-free since the window-based
+        // history sum (r12) — mb/mt are each consumed once inside it,
+        // and their own checkpoints above exist because they ALSO
+        // feed the packed state write below
+        val scored = graft.operators.TextOps
+          .bigramLoglossAgainstModel(docs, mb, mt)
         graft.sources.Loader.truncateAndLoad(scored, s"$sinkPath/batch_$batchId")
         graft.sources.Loader.truncateAndLoad(
           graft.operators.TextOps.bigramPairsOf(docs), s"$sinkPath/pairs_$batchId")
@@ -861,7 +871,7 @@ object EventStream {
           .unionByName(mt.select(lit("t").as("kind"), col("term").as("k"),
             col("term_freq").as("n")))
         graft.sources.Loader.truncateAndLoad(packed, s"$stateDir/upto_$batchId")
-        releaseCheckpoints(mb, mt, contrib)
+        releaseCheckpoints(mb, mt)
         pruneStateBefore(spark, stateDir, batchId - 1)
         ()
       }
@@ -917,8 +927,19 @@ object EventStream {
     * block-release discipline as the family.
     */
   def perplexityBucketStream(spark: SparkSession, dir: String, sinkPath: String,
-                             splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                             splitAt: Option[Long] = None,
+                             kept: Option[(Int, Int)] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
+    // kept fraction resolves through the SAME chain as the batch
+    // operator (r11 ADVICE): explicit param > GraftConfig (file > env
+    // > 2/3 default). The old hardcoded default silently diverged
+    // from the one-shot operator under a non-default
+    // perplexity.kept.fraction, breaking the reconcile-equals-one-shot
+    // contract exactly where the config knob was exercised.
+    val (keptN, keptD) = kept.getOrElse {
+      val c = graft.GraftConfig.load()
+      (c.perplexityKeptNumer, c.perplexityKeptDenom)
+    }
     val stateDir = sinkPath + ".state"
     documentsStream(spark, dir, splitAt)
       .writeStream.outputMode("append")
@@ -938,8 +959,9 @@ object EventStream {
               .select(col("k").as("term"), col("n").as("term_freq")),
             graft.operators.TextOps.termCounts(docs))
           .localCheckpoint(eager = true)
-        val (scored0, contrib) = graft.operators.TextOps
-          .bigramLoglossAgainstModelWithContrib(docs, mb, mt)
+        // checkpoint-free scoring tail (r12) — see bigramLoglossStream
+        val scored0 = graft.operators.TextOps
+          .bigramLoglossAgainstModel(docs, mb, mt)
         // checkpointed: feeds the batch histogram AND the bucket join
         // AND (via the merged histogram) the state write
         val scored = scored0
@@ -956,7 +978,8 @@ object EventStream {
             prevHist, graft.operators.TextOps.perplexityHistogram(scored))
           .localCheckpoint(eager = true)
         val bucketed = graft.operators.TextOps.bucketAgainstThresholds(
-          scored, graft.operators.TextOps.perplexityThresholds(newHist))
+          scored,
+          graft.operators.TextOps.perplexityThresholds(newHist, keptN, keptD))
         graft.sources.Loader.truncateAndLoad(bucketed, s"$sinkPath/batch_$batchId")
         graft.sources.Loader.truncateAndLoad(
           graft.operators.TextOps.bigramPairsOf(docs), s"$sinkPath/pairs_$batchId")
@@ -968,7 +991,7 @@ object EventStream {
             concat_ws(":", col("lang"), col("logloss_microbits")).as("k"),
             col("n")))
         graft.sources.Loader.truncateAndLoad(packed, s"$stateDir/upto_$batchId")
-        releaseCheckpoints(mb, mt, contrib, scored, newHist)
+        releaseCheckpoints(mb, mt, scored, newHist)
         pruneStateBefore(spark, stateDir, batchId - 1)
         ()
       }
@@ -985,7 +1008,15 @@ object EventStream {
     * result equals the one-shot TextOps.perplexityBuckets over
     * everything that arrived.
     */
-  def reconcilePerplexityBuckets(spark: SparkSession, sinkPath: String): DataFrame = {
+  def reconcilePerplexityBuckets(spark: SparkSession, sinkPath: String,
+                                 kept: Option[(Int, Int)] = None): DataFrame = {
+    // same resolution chain as the stream and the batch operator
+    // (r11 ADVICE): a non-default perplexity.kept.fraction must reach
+    // the reconcile too or it diverges from the one-shot it must equal
+    val (keptN, keptD) = kept.getOrElse {
+      val c = graft.GraftConfig.load()
+      (c.perplexityKeptNumer, c.perplexityKeptDenom)
+    }
     val stateDir = sinkPath + ".state"
     val latest = graft.sources.Fs.childDirs(spark, stateDir)
       .filter(_.startsWith("upto_"))
@@ -1006,7 +1037,7 @@ object EventStream {
       .localCheckpoint(eager = true)
     graft.operators.TextOps.bucketAgainstThresholds(settled,
       graft.operators.TextOps.perplexityThresholds(
-        graft.operators.TextOps.perplexityHistogram(settled)))
+        graft.operators.TextOps.perplexityHistogram(settled), keptN, keptD))
   }
 
   /** Streaming twin of Corpus.capPerSource (r8) — the domain cap as a

@@ -54,11 +54,13 @@ class PlanShapeSpec extends AnyFunSuite {
     ("doc_unigram_logloss", Shape(3, 1, 0, 0),
       "salted join probes the CHECKPOINTED freq (its agg exchange ran " +
         "at materialization, not here) + broadcast 1-row total"),
-    ("doc_bigram_logloss", Shape(2, 1, 0, 0),
-      "salted pair join probes the CHECKPOINTED contribution table " +
-        "(model aggregates ran at materialization, not here — the " +
-        "unigram discipline) + per-doc rollup; contribution side " +
-        "broadcast at fixture stats"),
+    ("doc_bigram_logloss", Shape(6, 1, 0, 1),
+      "ONE declarative plan since r12 (no checkpoint barriers): " +
+        "bigram-count agg, the w1-partitioned history-sum window " +
+        "(vocabulary²-scale, never per-doc), both salted-join sides, " +
+        "per-doc rollup, output sort = 6 exchanges; contribution " +
+        "side broadcast at fixture stats (keyed shuffle join at " +
+        "scale — either safe)"),
     ("cap_per_source_incremental", Shape(6, 0, 0, 9),
       "three cap invocations (batch cap, carried-state cap from the " +
         "query entry, merge re-rank), each the one-shot's " +
@@ -252,6 +254,10 @@ class PlanShapeSpec extends AnyFunSuite {
         "the measurability-only exact distinct count (absent from " +
         "the incremental/steady-state form)")),
     "doc_unigram_logloss" -> ((1, "1-row Σfreq vocabulary-total scalar")),
+    "doc_bigram_logloss" -> ((1,
+      "1-row V vocabulary-count scalar (visible in the plan since " +
+        "r12's checkpoint-free tail; previously it ran inside the " +
+        "contrib materialization job)")),
     "table_profile_orders" -> ((1,
       "the profile IS a one-row global aggregate — its final stage")),
     "column_histogram_totalprice" -> ((1, "1-row min/max bounds scalar")),

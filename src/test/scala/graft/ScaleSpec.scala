@@ -546,6 +546,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(oneShot.exceptAll(settled).count() === 0)
   }
 
+  test("streaming perplexity buckets under a NON-DEFAULT kept fraction (r11 ADVICE): the explicit 1/2 reaches both the online triggers and the reconcile") {
+    val sink = Files.createTempDirectory("graft_ppxstream_kept").toString + "/ppx"
+    val q = EventStream.perplexityBucketStream(spark, sf, sink,
+      splitAt = Some(250L), kept = Some((1, 2)))
+    q.processAllAvailable(); q.stop()
+    val docs = Tables.documents(spark, sf)
+    // reconcile must equal the one-shot AT THE SAME fraction — the
+    // old hardcoded 2/3 default silently broke exactly this contract
+    val oneShot = graft.operators.TextOps.perplexityBuckets(docs, 1, 2)
+    val settled = EventStream.reconcilePerplexityBuckets(spark, sink,
+      kept = Some((1, 2)))
+    assert(settled.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(settled).count() === 0)
+    // and the ONLINE path used 1/2 too: trigger-2's published buckets
+    // must equal re-bucketing its own scores against thresholds cut
+    // at 1/2 from the full online histogram (trigger-2 scores are
+    // final — full model — so only the threshold side is in play)
+    val online = spark.read.parquet(s"$sink/batch_*")
+      .select(col("doc_id"), col("lang"), col("logloss_microbits"))
+    val t2scores = spark.read.parquet(s"$sink/batch_1")
+      .select(col("doc_id"), col("lang"), col("logloss_microbits"))
+    val expectT2 = graft.operators.TextOps.bucketAgainstThresholds(t2scores,
+      graft.operators.TextOps.perplexityThresholds(
+        graft.operators.TextOps.perplexityHistogram(online), 1, 2))
+    val gotT2 = spark.read.parquet(s"$sink/batch_1")
+      .select(expectT2.columns.map(col): _*)
+    assert(gotT2.exceptAll(expectT2).count() === 0)
+    assert(expectT2.exceptAll(gotT2).count() === 0)
+  }
+
   test("streaming per-source cap: every trigger's snapshot is BIT-identical to its one-shot prefix") {
     val sink = Files.createTempDirectory("graft_capstream").toString + "/cap"
     val q = EventStream.capPerSourceStream(spark, sf, sink, splitAt = Some(250L))

@@ -229,6 +229,83 @@ class SimilaritySpec extends AnyFunSuite {
       f"isotropic delta should be noise-scale: $opqIso%.2f vs $plainIso%.2f")
   }
 
+  test("learned OPQ rotation (Ge §4): orthonormal + deterministic; recall LIFTS on the concentrated fixture the Hadamard negative named") {
+    import spark.implicits._
+    // The Ge §4 precondition fixture: ALL energy inside subspace 0,
+    // spread over its 8 dims as decorrelated 16-level coordinates —
+    // contiguous-slice PQ must quantize a genuinely 8-DIMENSIONAL
+    // cloud with 8 centroids (reconstructions collapse to 8 points;
+    // angles between reconstructions are group-wise arbitrary), while
+    // eigenvalue allocation hands each subspace ONE principal
+    // direction to quantize in 1-D — the distortion gap the learned
+    // rotation exists to close. (The 2-D grid of the Hadamard test is
+    // deliberately NOT reused: its cosine geometry is one angle with
+    // dense near-ties, so recall@5 there measures tie-breaking, not
+    // quantization.)
+    val grid = (0 until 256).map { id =>
+      val v = Array.fill(64)(0.0f)
+      for (j <- 0 until 8)
+        v(j) = (((id * 37 + j * 101 + (id * id + j) * 13) % 16 + 16) % 16)
+          .toFloat * 2 + 1
+      (id.toLong, v.toSeq, (id % 4).toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val rows = Similarity.opqLearnedRotationRows(grid)
+    // the rotation MUST be orthonormal (cosine/L2 preservation is
+    // what keeps the original-space ground truth valid) — Gram-
+    // Schmidt guarantees it regardless of power-iteration accuracy
+    for (i <- 0 until 64; j <- i until 64) {
+      var d = 0.0
+      for (k <- 0 until 64) d += rows(i)(k) * rows(j)(k)
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"R·Rᵀ deviates at ($i,$j): $d")
+    }
+    // deterministic re-train (the dump-time oracle literal depends on it)
+    assert(Similarity.opqLearnedRotationRows(grid) === rows)
+    // The lift is pinned where ADC is the BINDING constraint: probe
+    // every coarse cell, so the candidate pool is the whole corpus
+    // and ranking quality is purely the PQ reconstruction's. (At the
+    // default 2-of-8 probed cells both variants sit on the identical
+    // COARSE ceiling — the coarse k-means is rotation-equivariant, so
+    // the same 24% of truth is outside the probed cells either way;
+    // measured 0.76/0.76 — candidate-limited, not ADC-limited.)
+    // Truth is exact L2 (what ADC approximates), computed driver-side
+    // over the 256-vector fixture.
+    val vecs = grid.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      (0 until 64).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val truth: Map[Long, Set[Long]] = (0L until 20L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (sq(vecs(q), vecs(n)), n)).take(5).toSet
+    }.toMap
+    def recallOf(idx: org.apache.spark.sql.DataFrame): Double =
+      idx.select("qid", "nid").collect()
+        .count(r => truth(r.getLong(0))(r.getLong(1))) / 100.0
+    val plain = recallOf(Similarity.knnIvfPq(grid, probeLists = 8))
+    val learned = recallOf(
+      Similarity.knnIvfPq(Similarity.opqRotateRows(grid, rows), probeLists = 8))
+    info(f"ADC-bound recall@5 (all cells probed): plain $plain%.2f, learned-OPQ $learned%.2f")
+    // contiguous slicing pushes the fixture's whole 8-D cloud through
+    // subspace 0's eight centroids (reconstructions collapse to ≤8
+    // points — ADC ranks by group + id); eigen-allocation hands each
+    // subspace one 1-D coordinate and ADC becomes near-exact
+    assert(learned > plain + 0.1,
+      f"eigenvalue allocation should LIFT ADC-bound recall: $learned%.2f vs $plain%.2f")
+    // isotropic fixture through the PUBLISHED evaluator: the
+    // precondition is absent (nothing to allocate) — parity band
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val rs = df.select("recall").collect().map(_.getDouble(0))
+      rs.sum / rs.length
+    }
+    val emb = Tables.embeddings(spark, sf)
+    val plainIso = meanRecall(Similarity.annRecallIvfPq(emb))
+    val learnedIso = meanRecall(Similarity.annRecallIvfPqOpqLearned(emb))
+    info(f"isotropic fixture recall@5: plain $plainIso%.2f, learned-OPQ $learnedIso%.2f")
+    assert(math.abs(learnedIso - plainIso) < 0.25,
+      f"isotropic delta should be noise-scale: $learnedIso%.2f vs $plainIso%.2f")
+  }
+
   test("ann operating curve: recall monotone in probed cells; np=2 row ties out to ann_recall_ivf") {
     val emb = Tables.embeddings(spark, sf)
     val curve = Similarity.annOperatingCurve(emb).collect()
@@ -254,6 +331,32 @@ class SimilaritySpec extends AnyFunSuite {
     val row2 = curve.find(_._1 == 2L).get
     assert(row2._4 === ivf.getLong(0), "np=2 hits must equal ann_recall_ivf's")
     assert(row2._2 === ivf.getLong(1), "np=2 truth must equal ann_recall_ivf's")
+  }
+
+  test("lsh operating curve: recall/candidates monotone NON-increasing in signature length; full-signature row ties out to ann_recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val curve = Similarity.lshOperatingCurve(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(curve.map(_._1).toSeq === Seq(2L, 4L, 8L))
+    // candidate sets NEST downward: a longer signature only removes
+    // pairs, so volume and recall both fall (or hold) as bits grow —
+    // the mirror image of the IVF curve's direction
+    curve.sliding(2).foreach { p =>
+      assert(p(0)._3 >= p(1)._3, s"candidate volume must shrink: $p")
+      assert(p(0)._5 >= p(1)._5, s"recall must not rise with more planes: $p")
+    }
+    // non-degenerate sweep: tightening the signature actually prunes
+    assert(curve.head._3 > curve.last._3)
+    info(curve.map(c => f"planes=${c._1} recall=${c._5}%.2f candidates=${c._3}")
+      .mkString(", "))
+    // cross-pin: the 8-plane row IS knnLsh's full-signature bucket —
+    // same candidates, same truth as the ann_recall evaluator
+    val lsh = Similarity.annRecall(emb)
+      .agg(sum("n_hit").as("h"), sum("n_brute").as("b")).collect().head
+    val row8 = curve.find(_._1 == 8L).get
+    assert(row8._4 === lsh.getLong(0), "8-plane hits must equal ann_recall's")
+    assert(row8._2 === lsh.getLong(1), "8-plane truth must equal ann_recall's")
   }
 
   test("residual ivf-pq: structural guarantees; lift appears exactly where clusters exist") {
