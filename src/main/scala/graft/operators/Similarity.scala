@@ -996,11 +996,22 @@ object Similarity {
     * engines (the one transcendental the ln()/exp() ban does not
     * apply to). A zero intermediate norm (all-zero covariance) keeps
     * the previous vector — deterministic, no RNG restart.
+    *
+    * `startAxis` < 0 keeps the all-ones start (the published PCA
+    * contract the oracles restate); `startAxis` = k starts from
+    * coordinate axis e_k — the deterministic RESTART the learned-OPQ
+    * trainer uses when ones is exactly annihilated by C (C·1 = 0
+    * whenever the corpus rows share a constant coordinate sum — a
+    * structural null vector, not a degenerate matrix; the r12
+    * no-lift's root cause). One matvec self-corrects any start with
+    * NONZERO overlap (the null component is annihilated exactly), so
+    * only an exact zero first iterate needs the restart.
     */
   private[operators] def powerIteration(c: Array[Array[Double]],
-      iters: Int): (Array[Double], Double) = {
+      iters: Int, startAxis: Int = -1): (Array[Double], Double) = {
     val d = c.length
-    var v = Array.fill(d)(1.0)
+    var v = if (startAxis < 0) Array.fill(d)(1.0)
+            else Array.tabulate(d)(i => if (i == startAxis) 1.0 else 0.0)
     def matvec(x: Array[Double]): Array[Double] =
       Array.tabulate(d) { i =>
         var s = 0.0; var j = 0
@@ -1223,7 +1234,11 @@ object Similarity {
     * across subspaces so each subspace's eigenvalue PRODUCT is
     * balanced (greedy: eigenvalues in descending order, each assigned
     * to the non-full subspace with the smallest log-product so far —
-    * Ge §4's balanced-partition heuristic verbatim). High-rate PQ
+    * Ge §4's balanced-partition heuristic; directions with λ at the
+    * numerical floor are filler, placed round-robin OUTSIDE the
+    * log-product bookkeeping, because a zero-λ entry would otherwise
+    * make its bucket the greedy's permanent attractor — the r12
+    * no-lift bug). High-rate PQ
     * distortion per subspace follows det(Σ_sub)^(1/d'), so balancing
     * the products minimizes the SUM — exactly the objective the
     * variance-only Hadamard provably cannot improve (AM–GM, the
@@ -1256,7 +1271,22 @@ object Similarity {
     val eig = Array.ofDim[Double](dim, dim)
     val lam = new Array[Double](dim)
     for (k <- 0 until dim) {
-      val (v, l) = powerIteration(c, iters)
+      var (v, l) = powerIteration(c, iters)
+      // λ exactly 0.0 while the residual still carries diagonal mass
+      // means the all-ones start was EXACTLY annihilated (C·1 = 0
+      // whenever rows share a constant coordinate sum — the r12
+      // no-lift's root cause: every component degenerated to the
+      // unmoved ones vector with λ = 0); restart deterministically
+      // from coordinate axes until an iterate moves
+      if (l == 0.0) {
+        val trace = (0 until dim).map(i => math.abs(c(i)(i))).sum
+        var axis = 0
+        while (l == 0.0 && trace > 1e-9 && axis < dim) {
+          val r = powerIteration(c, iters, axis)
+          v = r._1; l = r._2
+          axis += 1
+        }
+      }
       eig(k) = v.clone(); lam(k) = l
       c = Array.tabulate(dim, dim)((i, j) => c(i)(j) - l * v(i) * v(j))
     }
@@ -1285,20 +1315,40 @@ object Similarity {
       }
       eig(k) = y.map(_ / nrm)
     }
-    // eigenvalue allocation: descending λ (deflation order), greedy
-    // min-log-product subspace with capacity dim/nSubspaces; ties
-    // keep the lowest subspace index (stable, deterministic)
+    // eigenvalue allocation (Ge §4): INFORMATIVE directions (λ above
+    // a relative floor), sorted by λ descending — deflation order is
+    // only approximately sorted when power iteration hasn't fully
+    // converged — each assigned to the non-full subspace with the
+    // smallest eigenvalue log-PRODUCT so far (ties keep the lowest
+    // subspace index: stable, deterministic). DEGENERATE directions
+    // (λ ≤ floor: null-space fills, rank-deficient residue) go
+    // round-robin into the remaining slots WITHOUT touching the
+    // log-products — the r12 no-lift's second bug was
+    // log(max(λ, 1e-12)) turning the first zero-λ bucket into the
+    // greedy's permanent attractor (smallest product forever), piling
+    // every subsequent direction into subspace 0 and reproducing the
+    // exact concentration the rotation exists to remove.
     val cap = dim / nSubspaces
+    val tol = 1e-9 * math.max(lam.max, 1e-300)
+    val order = (0 until dim).sortBy(k => (-lam(k), k))
+    val (informative, degenerate) = order.partition(k => lam(k) > tol)
     val bucketLog = Array.fill(nSubspaces)(0.0)
     val slots = Array.fill(nSubspaces)(0)
     val rows = Array.ofDim[Double](dim, dim)
-    for (k <- 0 until dim) {
+    for (k <- informative) {
       var best = -1
       for (s <- 0 until nSubspaces if slots(s) < cap)
         if (best < 0 || bucketLog(s) < bucketLog(best)) best = s
       rows(best * cap + slots(best)) = eig(k)
       slots(best) += 1
-      bucketLog(best) += math.log(math.max(lam(k), 1e-12))
+      bucketLog(best) += math.log(lam(k))
+    }
+    for (k <- degenerate) {
+      var best = -1
+      for (s <- 0 until nSubspaces if slots(s) < cap)
+        if (best < 0 || slots(s) < slots(best)) best = s
+      rows(best * cap + slots(best)) = eig(k)
+      slots(best) += 1
     }
     rows.map(_.toIndexedSeq).toIndexedSeq
   }
