@@ -40,8 +40,13 @@ object SparkEntry {
       "source_overlap_incremental", "dedup_jaccard", "dedup_containment",
       "dedup_lsh_recall", "opq_codes", "ann_recall_ivf_pq_opq",
       "ann_recall_ivf_pq_opq_learned",
-      "unigram_vocab", "unigram_vocab_kudo", "unigram_token_counts",
-      "unigram_encode")
+      "unigram_vocab", "unigram_vocab_kudo", "unigram_vocab_soft",
+      "unigram_token_counts", "unigram_encode",
+      // the _pretrained entries train their artifact inside the query
+      // fn (checkpointed dictionary, released explicitly) — GC after
+      // them reaps the transient blocks promptly
+      "bpe_encode_pretrained", "bpe_token_counts_pretrained",
+      "unigram_encode_pretrained", "unigram_token_counts_pretrained")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -494,6 +499,29 @@ object SparkEntry {
     // encoded piece-stream digest under the trained vocabulary; FULL
     // oracle via the VALUES-inlined word→pieces dictionary
     "unigram_encode" -> ((s, d) => UnigramLm.encode(t(s, d, "documents"))),
+    // Pre-trained apply overloads (r12 VERDICT #3): the deployment
+    // split — train ONCE, ship the artifact, encode forever. Each
+    // query trains the artifact first (so the registry entry is
+    // self-contained) and then runs the APPLY-ONLY plan, whose build
+    // launches zero Spark jobs (spec-asserted); output is
+    // bit-identical to the self-training form, so the oracle is the
+    // SAME SQL over the same dump-time dictionary.
+    "bpe_encode_pretrained" -> ((s, d) => {
+      val (m, w) = Bpe.train(t(s, d, "documents"), nMerges = 8)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(w)
+      Bpe.encodeWith(t(s, d, "documents"), m)
+    }),
+    "bpe_token_counts_pretrained" -> ((s, d) => {
+      val (m, w) = Bpe.train(t(s, d, "documents"), nMerges = 8)
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(w)
+      Bpe.tokenCountsWith(t(s, d, "documents"), m)
+    }),
+    "unigram_encode_pretrained" -> ((s, d) =>
+      UnigramLm.encodeWith(t(s, d, "documents"),
+        UnigramLm.train(t(s, d, "documents")))),
+    "unigram_token_counts_pretrained" -> ((s, d) =>
+      UnigramLm.tokenCountsWith(t(s, d, "documents"),
+        UnigramLm.train(t(s, d, "documents")))),
     // ---- D (r6). steady-state admission + CDC maintenance ----
     "dedup_admit" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -1307,6 +1335,61 @@ object SparkEntry {
     Similarity.opqLearnedRotationRows(t(spark, sfDir, "embeddings"))
       .map(_.map(_.toString).mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
+
+  // The four tokenizer apply-surface oracles, shared verbatim by the
+  // self-training and _pretrained registry keys: the pre-trained apply
+  // is bit-identical to the self-training form by contract (spec
+  // frame-equality), so one SQL (over the same dump-time dictionary)
+  // checks both.
+  private lazy val bpeTokenCountsSql: String =
+    s"""WITH dict(word, syms, n_syms) AS (VALUES $BpeDictPlaceholder),
+       |w AS (SELECT doc_id,
+       |  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |FROM documents),
+       |m AS (SELECT doc_id, n_syms FROM w JOIN dict USING (word) WHERE word <> '')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+       |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  private lazy val unigramTokenCountsSql: String =
+    s"""WITH dict(word, syms, n_pieces) AS (VALUES $UnigramDictPlaceholder),
+       |w AS (SELECT doc_id,
+       |  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |FROM documents),
+       |m AS (SELECT doc_id, n_pieces FROM w JOIN dict USING (word) WHERE word <> '')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_pieces) AS BIGINT) AS n_unigram_tokens
+       |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // Positional reassembly: word positions ride the list transform,
+  // the dict join fans each word to its symbol/piece string, and the
+  // order-by-pos string_agg rebuilds exactly the space-joined token
+  // stream Spark digests (md5 lowercase hex in both engines).
+  private lazy val unigramEncodeSql: String =
+    s"""WITH dict(word, syms, n_pieces) AS (VALUES $UnigramDictPlaceholder),
+       |t AS (SELECT doc_id,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |w AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+       |  i -> struct_pack(pos := i, word := ws[i]))) AS p FROM t),
+       |f AS (SELECT doc_id, p.pos AS pos, p.word AS word FROM w
+       |  WHERE p.word <> ''),
+       |j AS (SELECT doc_id, pos, syms, n_pieces FROM f JOIN dict USING (word))
+       |SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(syms, ' ' ORDER BY pos)) AS token_md5
+       |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  private lazy val bpeEncodeSql: String =
+    s"""WITH dict(word, syms, n_syms) AS (VALUES $BpeDictPlaceholder),
+       |t AS (SELECT doc_id,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |w AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+       |  i -> struct_pack(pos := i, word := ws[i]))) AS p FROM t),
+       |f AS (SELECT doc_id, p.pos AS pos, p.word AS word FROM w
+       |  WHERE p.word <> ''),
+       |j AS (SELECT doc_id, pos, syms, n_syms FROM f JOIN dict USING (word))
+       |SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(syms, ' ' ORDER BY pos)) AS token_md5
+       |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dim_date" ->
@@ -4302,63 +4385,31 @@ object SparkEntry {
     // given the TRAINED dictionary — inlined as VALUES by Verify, see
     // bpeDictValues — the word join and per-doc aggregation restate
     // independently in SQL.
-    "bpe_token_counts" ->
-      s"""WITH dict(word, syms, n_syms) AS (VALUES $BpeDictPlaceholder),
-         |w AS (SELECT doc_id,
-         |  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
-         |FROM documents),
-         |m AS (SELECT doc_id, n_syms FROM w JOIN dict USING (word) WHERE word <> '')
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
-         |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "bpe_token_counts" -> bpeTokenCountsSql,
+    // pre-trained apply twin: output bit-identical by contract, same
+    // dump-time dictionary, same SQL (r12 VERDICT #3)
+    "bpe_token_counts_pretrained" -> bpeTokenCountsSql,
 
     // the unigram-LM apply surface under the SAME training-vs-apply
     // boundary: the trained word→piece-count dictionary inlines as
     // VALUES at dump time (unigramDictValues), the per-doc word
     // explode + join + aggregation restates independently
-    "unigram_token_counts" ->
-      s"""WITH dict(word, syms, n_pieces) AS (VALUES $UnigramDictPlaceholder),
-         |w AS (SELECT doc_id,
-         |  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
-         |FROM documents),
-         |m AS (SELECT doc_id, n_pieces FROM w JOIN dict USING (word) WHERE word <> '')
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |  CAST(sum(n_pieces) AS BIGINT) AS n_unigram_tokens
-         |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "unigram_token_counts" -> unigramTokenCountsSql,
+    "unigram_token_counts_pretrained" -> unigramTokenCountsSql,
 
     // the unigram twin of bpe_encode's positional reassembly: word
     // positions ride the list transform, the dict join fans each word
     // to its space-joined piece string, and the order-by-pos
     // string_agg rebuilds exactly the stream Spark digests
-    "unigram_encode" ->
-      s"""WITH dict(word, syms, n_pieces) AS (VALUES $UnigramDictPlaceholder),
-         |t AS (SELECT doc_id,
-         |  string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
-         |w AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
-         |  i -> struct_pack(pos := i, word := ws[i]))) AS p FROM t),
-         |f AS (SELECT doc_id, p.pos AS pos, p.word AS word FROM w
-         |  WHERE p.word <> ''),
-         |j AS (SELECT doc_id, pos, syms, n_pieces FROM f JOIN dict USING (word))
-         |SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
-         |  md5(string_agg(syms, ' ' ORDER BY pos)) AS token_md5
-         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "unigram_encode" -> unigramEncodeSql,
+    "unigram_encode_pretrained" -> unigramEncodeSql,
 
     // Positional reassembly: word positions ride the list transform,
     // the dict join fans each word to its symbol string, and the
     // order-by-pos string_agg rebuilds exactly the space-joined token
     // stream Spark digests (md5 lowercase hex in both engines).
-    "bpe_encode" ->
-      s"""WITH dict(word, syms, n_syms) AS (VALUES $BpeDictPlaceholder),
-         |t AS (SELECT doc_id,
-         |  string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
-         |w AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
-         |  i -> struct_pack(pos := i, word := ws[i]))) AS p FROM t),
-         |f AS (SELECT doc_id, p.pos AS pos, p.word AS word FROM w
-         |  WHERE p.word <> ''),
-         |j AS (SELECT doc_id, pos, syms, n_syms FROM f JOIN dict USING (word))
-         |SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_tokens,
-         |  md5(string_agg(syms, ' ' ORDER BY pos)) AS token_md5
-         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "bpe_encode" -> bpeEncodeSql,
+    "bpe_encode_pretrained" -> bpeEncodeSql,
 
     // Zipf fit: integer micro-log x/y, exact LONG regression sums,
     // slope/intercept each one deterministic division — see

@@ -189,4 +189,59 @@ object Bpe {
       .orderBy("doc_id")
     counts
   }
+
+  /** word → trained symbol sequence under a PRE-TRAINED merge table —
+    * the apply-only half of the train-once/encode-forever deployment
+    * split (the kmeansAssignWith pattern, r12 VERDICT #3): the rank-
+    * ordered merge list composes as nested [[applyMerge]] folds over
+    * the NEW corpus's own word dictionary, so unseen words segment
+    * correctly (each merge fires exactly where training would have
+    * fired it — per-word greedy application is history-free, which is
+    * why composing the folds equals [[train]]'s checkpointed rounds).
+    * ONE map-only stage over the dictionary: no pair-count aggregate,
+    * no argmax collect, no checkpoint round — building this plan
+    * launches ZERO Spark jobs (spec-asserted), where the self-training
+    * path runs 2·nMerges+1 driver-visible jobs before the first apply.
+    */
+  private def applyTrainedWords(documents: DataFrame,
+                                merges: Seq[Merge]): DataFrame =
+    wordCounts(documents).select(col("word"),
+      merges.foldLeft(initialSymbols(col("word")))(
+        (syms, m) => applyMerge(syms, m.lhs, m.rhs)).as("syms"))
+
+  /** [[encode]] under a pre-trained merge table: identical output to
+    * the self-training form on the training corpus (spec: frame
+    * equality), zero training jobs on any corpus.
+    */
+  def encodeWith(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val words = applyTrainedWords(documents, merges)
+    val docWordsPos = documents
+      .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")))
+      .toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+    Partitioning
+      .saltedEquiJoin(docWordsPos, words.select(col("word"), col("syms")),
+        "word", col("doc_id"))
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("syms")))),
+          s => s.getField("syms"))).as("tokens"))
+      .select(col("doc_id"),
+        size(col("tokens")).cast(LongType).as("n_tokens"),
+        md5(concat_ws(" ", col("tokens")).cast("binary")).as("token_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** [[tokenCounts]] under a pre-trained merge table — the apply-only
+    * twin ([[encodeWith]]'s size projection).
+    */
+  def tokenCountsWith(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val sizes = applyTrainedWords(documents, merges)
+      .select(col("word"), size(col("syms")).cast(LongType).as("n_syms"))
+    Partitioning
+      .saltedEquiJoin(docWords(documents), sizes, "word", col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
 }

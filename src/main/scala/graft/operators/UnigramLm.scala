@@ -316,4 +316,58 @@ object UnigramLm {
         sum(col("n_pieces")).as("n_unigram_tokens"))
       .orderBy("doc_id")
   }
+
+  /** word → Viterbi pieces under a PRE-TRAINED piece table — the
+    * apply-only half of the train-once/encode-forever deployment split
+    * (the kmeansAssignWith pattern, r12 VERDICT #3): the NEW corpus's
+    * own word dictionary segments under the artifact's literal
+    * micro-bit cost map, so unseen words segment too (single-char
+    * coverage is part of the artifact contract). ONE map-only stage
+    * over the dictionary: no seed scan, no EM round, no usage collect —
+    * building this plan launches ZERO Spark jobs (spec-asserted),
+    * where the self-training path runs seed + 3 EM-round jobs first.
+    */
+  private def applyTrainedWords(documents: DataFrame,
+                                pieces: Seq[Piece]): DataFrame = {
+    val costs = pieces.map(p => p.piece -> p.cost_micro).toMap
+    Bpe.wordCounts(documents)
+      .select(col("word"), viterbiPieces(col("word"), costs).as("pieces"))
+  }
+
+  /** [[encode]] under a pre-trained piece table: identical output to
+    * the self-training form on the training corpus (spec: frame
+    * equality), zero training jobs on any corpus.
+    */
+  def encodeWith(documents: DataFrame, pieces: Seq[Piece]): DataFrame = {
+    val words = applyTrainedWords(documents, pieces)
+    val docWordsPos = documents
+      .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")))
+      .toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+    Partitioning.saltedEquiJoin(docWordsPos, words, "word", col("doc_id"))
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("pieces")))),
+          s => s.getField("pieces"))).as("tokens"))
+      .select(col("doc_id"),
+        size(col("tokens")).cast(LongType).as("n_tokens"),
+        md5(concat_ws(" ", col("tokens")).cast("binary")).as("token_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** [[tokenCounts]] under a pre-trained piece table — the apply-only
+    * twin ([[encodeWith]]'s size projection).
+    */
+  def tokenCountsWith(documents: DataFrame, pieces: Seq[Piece]): DataFrame = {
+    val sizes = applyTrainedWords(documents, pieces)
+      .select(col("word"), size(col("pieces")).cast(LongType).as("n_pieces"))
+    val docWords = documents.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    Partitioning.saltedEquiJoin(docWords, sizes, "word", col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_unigram_tokens"))
+      .orderBy("doc_id")
+  }
 }

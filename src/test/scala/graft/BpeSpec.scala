@@ -148,4 +148,37 @@ class BpeSpec extends AnyFunSuite {
     tc.foreach(r => assert(enc(r.getLong(0))._1 === r.getLong(2)))
     assert(enc(doc0.getLong(0)) === refEncodeDigest(doc0.getString(1), refSyms))
   }
+
+  test("encodeWith/tokenCountsWith: pre-trained apply equals self-training and builds with ZERO jobs (r13)") {
+    val docs = Tables.documents(spark, sf)
+    // train ONCE — the deployment artifact
+    val (merges, wordsDf) = Bpe.train(docs, nMerges = 8)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(wordsDf)
+    // the apply path must not train: building both plans launches no
+    // Spark job (the self-training path runs 2 jobs per merge round
+    // eagerly before the first apply stage exists)
+    var encW: org.apache.spark.sql.DataFrame = null
+    var tcW: org.apache.spark.sql.DataFrame = null
+    val jobs = TestSpark.jobsDuring {
+      encW = Bpe.encodeWith(docs, merges)
+      tcW = Bpe.tokenCountsWith(docs, merges)
+    }
+    assert(jobs === 0, s"apply-only plan build launched $jobs Spark jobs")
+    // frame equality with the self-training forms: greedy per-word
+    // application is history-free, so composing the rank-ordered folds
+    // equals train()'s checkpointed rounds exactly
+    val wantEnc = Bpe.encode(docs, nMerges = 8).collect().toSeq
+    val gotEnc = encW.collect().toSeq
+    assert(gotEnc === wantEnc)
+    val wantTc = Bpe.tokenCounts(docs, nMerges = 8).collect().toSeq
+    val gotTc = tcW.collect().toSeq
+    assert(gotTc === wantTc)
+    // unseen-word deployment: encoding a corpus containing words the
+    // artifact never saw still segments (char seeds always available)
+    import spark.implicits._
+    val fresh = Seq((900L, "zzqx low", "en", "srcX", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val freshRows = Bpe.encodeWith(fresh, merges).collect()
+    assert(freshRows.length === 1 && freshRows(0).getLong(1) >= 2L)
+  }
 }

@@ -16,4 +16,30 @@ object TestSpark {
     s
   }
   val sf = "/root/testdata/sf0.001"
+
+  /** Number of Spark jobs (default job group) launched while `body`
+    * runs — the plan-side assertion behind the pre-trained tokenizer
+    * overloads ("the apply path contains no training scan"): building
+    * an apply-only plan must launch ZERO jobs, where the self-training
+    * path runs its per-round aggregates eagerly. The status tracker is
+    * listener-bus-fed (async), so a grouped SENTINEL job is run after
+    * `body` and polled for: the bus is FIFO, so once the sentinel is
+    * visible every job `body` launched is too.
+    */
+  def jobsDuring(body: => Unit): Int = {
+    val sc = spark.sparkContext
+    val st = sc.statusTracker
+    def defaultGroupJobs = st.getJobIdsForGroup(null).length
+    val before = defaultGroupJobs
+    body
+    val sentinel = s"jobs-during-sentinel-${System.nanoTime()}"
+    sc.setJobGroup(sentinel, "listener-bus drain sentinel")
+    try spark.range(1).count() finally sc.clearJobGroup()
+    val deadline = System.currentTimeMillis + 30000
+    while (st.getJobIdsForGroup(sentinel).isEmpty &&
+      System.currentTimeMillis < deadline) Thread.sleep(20)
+    assert(st.getJobIdsForGroup(sentinel).nonEmpty,
+      "sentinel job never reached the status tracker")
+    defaultGroupJobs - before
+  }
 }
