@@ -493,6 +493,12 @@ object SparkEntry {
     // bit-equal to its independent reference
     "unigram_vocab_kudo" -> ((s, d) =>
       UnigramLm.vocabLossPruned(t(s, d, "documents"))),
+    // Kudo §3's soft E-step beside the hard-EM default (r12 VERDICT
+    // #6): forward-backward expected counts, nano-quantized before
+    // the distributed usage sum — rows-only like the trainer, spec
+    // bit-equal to its independent reference
+    "unigram_vocab_soft" -> ((s, d) =>
+      UnigramLm.vocabSoftEm(t(s, d, "documents"))),
     "unigram_token_counts" -> ((s, d) =>
       UnigramLm.tokenCounts(t(s, d, "documents"))),
     // the apply-surface twin of bpe_encode (r11 VERDICT #4): per-doc

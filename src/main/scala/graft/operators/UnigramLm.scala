@@ -21,17 +21,19 @@ import org.apache.spark.sql.types.LongType
   * vocabulary-bounded driver collect. No corpus rescan, no UDF, no
   * per-word driver loop.
   *
-  * Faithfulness boundary, stated honestly: the E-step here is HARD EM
-  * (Viterbi best segmentation, the `sample=false` deterministic mode
-  * every SentencePiece deployment encodes with) rather than
-  * forward–backward expected counts, and the prune schedule is
-  * top-by-usage retention (plus guaranteed single-character coverage)
-  * rather than Kudo §3.2's likelihood-loss ranking — the two
-  * simplifications that keep every step an exact integer/bounded
-  * computation. Like the BPE family, the sequential DP is not
-  * SQL-expressible, so the published queries are rows-only and the
-  * spec proves the whole pipeline bit-equal to an independent
-  * in-memory reference implementation (the BpeSpec discipline).
+  * Faithfulness boundary, now fully closed: the DEFAULT E-step is
+  * hard EM (Viterbi best segmentation, the `sample=false`
+  * deterministic mode every SentencePiece deployment encodes with)
+  * with Kudo §3's forward–backward soft E-step published beside it
+  * ([[vocabSoftEm]], r13 — expected counts nano-quantized before the
+  * distributed sum so the aggregate stays an exact Long), and the
+  * prune schedule is top-by-usage retention (plus guaranteed
+  * single-character coverage) with Kudo §3.2's likelihood-loss
+  * ranking beside it ([[vocabLossPruned]], r12). Like the BPE
+  * family, the sequential DP is not SQL-expressible, so the
+  * published queries are rows-only and the spec proves the whole
+  * pipeline bit-equal to an independent in-memory reference
+  * implementation (the BpeSpec discipline).
   *
   * Determinism: piece costs are integer MICRO-bits
   * (round((log2 total − log2 count)·1e6) via StrictMath), the DP
@@ -116,6 +118,73 @@ object UnigramLm {
     }).getField("out")
   }
 
+  /** Forward–backward EXPECTED piece usage of one word (Kudo §3's
+    * soft E-step, closing the hard-EM half of the documented
+    * faithfulness boundary): the segmentation lattice's forward mass
+    * α(i) (paths covering the first i chars), backward mass β(i)
+    * (paths covering the rest), and per-occurrence posterior
+    * E = α(start)·p(piece)·β(end)/Z — fractional credit to EVERY
+    * segmentation, where Viterbi gives winner-take-all counts.
+    * Emitted as (piece, nano) structs with the posterior quantized
+    * round-half-up to NANO units BEFORE the distributed sum, so the
+    * corpus aggregate stays an order-independent Long sum (the
+    * covariance-terms discipline). Piece probabilities 2^(−cost/1e6)
+    * are precomputed driver-side and ride in as a literal map; every
+    * lattice sum is an ordered fold over piece lengths 1..
+    * [[MaxPieceLen]], mirrored term-for-term by the spec's
+    * independent reference. Pure codegen'd HOF pipeline per word —
+    * no UDF, no shuffle beyond the usage aggregate.
+    *
+    * `quantum` sets the quantization scale (default nano, 1e9): the
+    * Long usage sum holds ~9.2e18/quantum expected piece occurrences
+    * per piece, so a 100 TB corpus (~1e13 tokens) drops the quantum
+    * to 1e3–1e6 — same discipline, wider headroom — instead of
+    * silently wrapping the aggregate.
+    */
+  private[operators] def fbExpectedNano(word: Column,
+                                        costs: Map[String, Long],
+                                        quantum: Double = 1e9): Column = {
+    val pm = typedLit(costs.map { case (s, c) =>
+      s -> StrictMath.pow(2.0, -(c.toDouble / 1e6)) })
+    val n = length(word)
+    val pos = graft.functions.ColUtil.posRange(n)
+    // α(0..n), α(0) = 1; α(i) = Σ_len α(i−len)·p(word[i−len, i))
+    val alpha = aggregate(pos, array(lit(1.0)), (acc, i) => {
+      val terms = (1 to MaxPieceLen).map { len =>
+        val p = element_at(pm, word.substr(i - lit(len) + 1, lit(len)))
+        when(i >= lit(len) && p.isNotNull,
+          element_at(acc, i - lit(len) + 1) * p).otherwise(lit(0.0))
+      }
+      concat(acc, array(terms.reduceLeft(_ + _)))
+    })
+    // β stored reversed: element_at(beta, j+1) = β(n−j); β(n) = 1
+    val beta = aggregate(pos, array(lit(1.0)), (acc, j) => {
+      val terms = (1 to MaxPieceLen).map { len =>
+        val p = element_at(pm, (word.substr(n - j + 1, lit(len))))
+        when(j >= lit(len) && p.isNotNull,
+          p * element_at(acc, j - lit(len) + 1)).otherwise(lit(0.0))
+      }
+      concat(acc, array(terms.reduceLeft(_ + _)))
+    })
+    val z = element_at(alpha, n + 1)
+    // occurrences keyed by end position i and length len:
+    // E = α(i−len)·p·β(i)/Z, β(i) read at reversed index n−i+1
+    flatten(transform(pos, i =>
+      filter(
+        transform(graft.functions.ColUtil.posRange(lit(MaxPieceLen)), l => {
+          val piece = word.substr(i - l + 1, l)
+          val p = element_at(pm, piece)
+          val e = element_at(alpha, i - l + 1) * p *
+            element_at(beta, n - i + 1) / z
+          struct(
+            when(i >= l && p.isNotNull && z > lit(0.0),
+              floor(e * lit(quantum) + lit(0.5)).cast(LongType))
+              .otherwise(lit(null).cast(LongType)).as("nano"),
+            piece.as("piece"))
+        }),
+        s => s.getField("nano").isNotNull)))
+  }
+
   /** Driver-side Viterbi COST of one string under `costs` with one
     * piece excluded — the Kudo §3.2 loss primitive: "what would this
     * piece's occurrences cost if the piece were gone" is the cost of
@@ -162,7 +231,8 @@ object UnigramLm {
     * piece table — the corpus-scale EM scans are unchanged.
     */
   def train(documents: DataFrame, vocabSize: Int = 64, seedSize: Int = 256,
-            iters: Int = 2, pruneByLoss: Boolean = false): Seq[Piece] = {
+            iters: Int = 2, pruneByLoss: Boolean = false,
+            softEm: Boolean = false): Seq[Piece] = {
     val words = Bpe.wordCounts(documents).localCheckpoint(true)
     try {
       val seedRows = words
@@ -173,28 +243,63 @@ object UnigramLm {
       val chars = seedRows.filter(_._1.length == 1)
       val top = seedRows.sortBy { case (p, c) => (-c, p) }.take(seedSize)
       var counts: Map[String, Long] = (chars ++ top).toMap
+      // `softEm = false`: HARD (Viterbi) counts — winner-take-all per
+      // word, the `sample=false` deterministic deployment mode.
+      // `softEm = true`: forward–backward EXPECTED counts (Kudo §3's
+      // actual E-step) in NANO units — every segmentation contributes
+      // its posterior mass, so a near-tied alternative piece keeps
+      // fractional credit instead of starving to zero. Both usage
+      // scales feed the same cost map unchanged: toCosts is
+      // scale-invariant up to its final micro-bit rounding.
       def emRound(vocab: Map[String, Long]): Map[String, Long] = {
-        val usage = words
-          .select(explode(viterbiPieces(col("word"), toCosts(vocab)))
-            .as("piece"), col("n"))
-          .groupBy("piece").agg(sum(col("n")).as("cnt"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val usage =
+          if (!softEm) words
+            .select(explode(viterbiPieces(col("word"), toCosts(vocab)))
+              .as("piece"), col("n"))
+            .groupBy("piece").agg(sum(col("n")).as("cnt"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          else words
+            .select(explode(fbExpectedNano(col("word"), toCosts(vocab)))
+              .as("o"), col("n"))
+            .select(col("o.piece").as("piece"),
+              (col("o.nano") * col("n")).as("u"))
+            .groupBy("piece").agg(sum(col("u")).as("cnt"))
+            .collect().map(r => r.getString(0) -> r.getLong(1))
+            // a piece whose posterior rounded to zero everywhere has
+            // died — drop it so log2(0) never reaches the cost map
+            .filter(_._2 > 0L).toMap
         // unused single chars keep a floor count of 1: coverage must
         // survive EM or an unseen-word arrival could fail to segment
         usage ++ chars.map(_._1).filterNot(usage.contains).map(_ -> 1L)
       }
       for (_ <- 1 to iters) counts = emRound(counts)
+      // Both prune schedules spend the SAME budget: vocabSize
+      // multi-char slots + the guaranteed single-char coverage union
+      // (r12 ADVICE: top-usage previously ranked chars inside the
+      // vocabSize budget while the loss branch did not, so the
+      // published schedule comparison conflated the ranking criterion
+      // with a systematically larger loss vocabulary).
       val kept =
         if (!pruneByLoss)
-          counts.toSeq.sortBy { case (p, c) => (-c, p) }
+          counts.toSeq.filter(_._1.length > 1)
+            .sortBy { case (p, c) => (-c, p) }
             .take(vocabSize).map(_._1).toSet ++ chars.map(_._1)
         else {
           val costs = toCosts(counts)
           counts.toSeq.filter(_._1.length > 1).map { case (p, c) =>
             val alt = viterbiCostExcluding(p, costs, p)
+            // usage × cost-delta saturates instead of wrapping: at the
+            // 100 TB scale the scaladocs target (usage ~1e11+, delta
+            // ~1e8 micro-bits) the Long product overflows and would
+            // silently demote the highest-value pieces (r12 ADVICE)
             val loss =
               if (alt >= Long.MaxValue / 4) Long.MaxValue
-              else c * (alt - costs(p))
+              else {
+                val d = alt - costs(p)
+                val lo = c * d
+                if (Math.multiplyHigh(c, d) != (lo >> 63)) Long.MaxValue
+                else lo
+              }
             (p, loss)
           }.sortBy { case (p, l) => (-l, p) }
             .take(vocabSize).map(_._1).toSet ++ chars.map(_._1)
@@ -232,6 +337,24 @@ object UnigramLm {
     val spark = documents.sparkSession
     import spark.implicits._
     train(documents, vocabSize, seedSize, iters, pruneByLoss = true).toDF()
+      .select(col("rank"), col("piece"), col("n_count"), col("cost_micro"))
+      .orderBy("rank")
+  }
+
+  /** [[vocab]] under SOFT-EM training (forward–backward expected
+    * counts, [[fbExpectedNano]]) — the r12 scaladoc's remaining
+    * documented simplification, closed: published beside the hard-EM
+    * default so the two E-steps stay individually inspectable.
+    * n_count is in NANO usage units (the expected-count scale).
+    * Rows-only like the trainer; UnigramSpec proves bit-equality to
+    * an independent reference forward–backward implementation and
+    * pins the fractional-credit case hard EM starves to zero.
+    */
+  def vocabSoftEm(documents: DataFrame, vocabSize: Int = 64,
+                  seedSize: Int = 256, iters: Int = 2): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    train(documents, vocabSize, seedSize, iters, softEm = true).toDF()
       .select(col("rank"), col("piece"), col("n_count"), col("cost_micro"))
       .orderBy("rank")
   }

@@ -53,6 +53,56 @@ class UnigramSpec extends AnyFunSuite {
     out.toList
   }
 
+  // Soft E-step reference (r13): forward–backward expected piece
+  // usage in NANO units, mirroring fbExpectedNano TERM-FOR-TERM —
+  // same pow, same len-ascending ordered sums (0.0 placeholders for
+  // invalid arms included), same ((α·p)·β)/Z association, same
+  // floor(x·1e9 + 0.5) quantization per occurrence.
+  private def refFbExpectedNano(word: String,
+      costs: Map[String, Long]): Map[String, Long] = {
+    val probs = costs.map { case (s, c) =>
+      s -> StrictMath.pow(2.0, -(c.toDouble / 1e6)) }
+    val n = word.length
+    val alpha = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    for (i <- 1 to n) {
+      var s = 0.0
+      for (len <- 1 to L) {
+        val t = if (i >= len)
+          probs.get(word.substring(i - len, i))
+            .map(alpha(i - len) * _).getOrElse(0.0)
+        else 0.0
+        s += t
+      }
+      alpha(i) = s
+    }
+    // betaRev(j) = β(n − j); β(n) = 1
+    val betaRev = new Array[Double](n + 1)
+    betaRev(0) = 1.0
+    for (j <- 1 to n) {
+      var s = 0.0
+      for (len <- 1 to L) {
+        val t = if (j >= len)
+          probs.get(word.substring(n - j, n - j + len))
+            .map(_ * betaRev(j - len)).getOrElse(0.0)
+        else 0.0
+        s += t
+      }
+      betaRev(j) = s
+    }
+    val z = alpha(n)
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    if (z > 0.0) for (i <- 1 to n; len <- 1 to L if i >= len) {
+      val piece = word.substring(i - len, i)
+      probs.get(piece).foreach { p =>
+        val e = alpha(i - len) * p * betaRev(n - i) / z
+        val nano = math.floor(e * 1e9 + 0.5).toLong
+        out(piece) = out.getOrElse(piece, 0L) + nano
+      }
+    }
+    out.toMap
+  }
+
   // Kudo §3.2 reference loss primitive: Viterbi COST of `word` with
   // one piece excluded (its substrings stay available)
   private def refViterbiCostExcluding(word: String, costs: Map[String, Long],
@@ -71,7 +121,8 @@ class UnigramSpec extends AnyFunSuite {
 
   private def refTrain(wc: Map[String, Long], vocabSize: Int, seedSize: Int,
                        iters: Int,
-                       pruneByLoss: Boolean = false): Seq[(Long, String, Long, Long)] = {
+                       pruneByLoss: Boolean = false,
+                       softEm: Boolean = false): Seq[(Long, String, Long, Long)] = {
     val seedPairs = wc.toSeq.flatMap { case (w, n) =>
       (0 until w.length).flatMap(i =>
         (1 to math.min(L, w.length - i)).map(l => (w.substring(i, i + l), n)))
@@ -84,22 +135,40 @@ class UnigramSpec extends AnyFunSuite {
     def emRound(vocab: Map[String, Long]): Map[String, Long] = {
       val costs = refCosts(vocab)
       val usage = scala.collection.mutable.Map.empty[String, Long]
-      wc.foreach { case (w, n) =>
-        refViterbi(w, costs).foreach(p =>
-          usage(p) = usage.getOrElse(p, 0L) + n)
+      if (!softEm)
+        wc.foreach { case (w, n) =>
+          refViterbi(w, costs).foreach(p =>
+            usage(p) = usage.getOrElse(p, 0L) + n)
+        }
+      else {
+        wc.foreach { case (w, n) =>
+          refFbExpectedNano(w, costs).foreach { case (p, nano) =>
+            usage(p) = usage.getOrElse(p, 0L) + nano * n }
+        }
+        usage.filterInPlace { case (_, u) => u > 0L }
       }
       usage.toMap ++ chars.keys.filterNot(usage.contains).map(_ -> 1L)
     }
     for (_ <- 1 to iters) counts = emRound(counts)
+    // both schedules spend vocabSize multi-char slots + the char union
+    // (budget parity, r12 ADVICE); the loss product saturates like the
+    // engine's multiplyHigh guard
     val kept =
       if (!pruneByLoss)
-        counts.toSeq.sortBy { case (p, c) => (-c, p) }
+        counts.toSeq.filter(_._1.length > 1)
+          .sortBy { case (p, c) => (-c, p) }
           .take(vocabSize).map(_._1).toSet ++ chars.keys
       else {
         val costs = refCosts(counts)
         counts.toSeq.filter(_._1.length > 1).map { case (p, c) =>
           val alt = refViterbiCostExcluding(p, costs, p)
-          val loss = if (alt >= INF) Long.MaxValue else c * (alt - costs(p))
+          val loss =
+            if (alt >= INF) Long.MaxValue
+            else {
+              val d = alt - costs(p)
+              val lo = c * d
+              if (Math.multiplyHigh(c, d) != (lo >> 63)) Long.MaxValue else lo
+            }
           (p, loss)
         }.sortBy { case (p, l) => (-l, p) }
           .take(vocabSize).map(_._1).toSet ++ chars.keys
@@ -206,5 +275,70 @@ class UnigramSpec extends AnyFunSuite {
     val tc = UnigramLm.tokenCounts(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     got.foreach { case (id, (n, _)) => assert(n === tc(id)) }
+  }
+
+  test("unigram LM: soft-EM (forward-backward) training is bit-identical to the independent reference (r13)") {
+    val docs = Tables.documents(spark, sf)
+    val got = UnigramLm.train(docs, softEm = true)
+      .map(p => (p.rank, p.piece, p.n_count, p.cost_micro))
+    val want = refTrain(collectedWordCounts(docs), 64, 256, 2, softEm = true)
+    assert(got.nonEmpty)
+    assert(got === want, {
+      val d = got.zip(want).find { case (a, b) => a != b }
+      s"first divergence: $d"
+    })
+    assert(got.count(_._2.length > 1) > 10, s"vocab ${got.map(_._2).take(20)}")
+  }
+
+  test("unigram LM: soft-EM keeps fractional credit where hard EM starves a piece to zero (r13)") {
+    import spark.implicits._
+    // "abab" corpus: Viterbi's winner-take-all segments every word as
+    // the whole-word piece (cheapest single arc), so "ab" collects
+    // ZERO hard counts and vanishes from the model after one round;
+    // forward-backward gives the ab+ab path its posterior mass, so
+    // "ab" survives with fractional credit — the exact behavioral gap
+    // between the two E-steps, pinned through the published vocabs
+    val planted = (0 until 16).map(i =>
+        (i.toLong, "abab", "en", "src0", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val hard = UnigramLm.vocab(planted, vocabSize = 16, iters = 1).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val soft = UnigramLm.vocabSoftEm(planted, vocabSize = 16, iters = 1)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(!hard.contains("ab"),
+      s"hard EM should starve 'ab' (winner-take-all): $hard")
+    assert(soft.get("ab").exists(_ > 0L),
+      s"soft EM must keep fractional credit on 'ab': $soft")
+    // both keep the dominant whole-word piece
+    assert(hard.contains("abab") && soft.contains("abab"))
+  }
+
+  test("unigram LM: encodeWith/tokenCountsWith pre-trained apply equals self-training and builds with ZERO jobs (r13)") {
+    val docs = Tables.documents(spark, sf)
+    // train ONCE — the piece-table artifact a deployment ships
+    val pieces = UnigramLm.train(docs)
+    var encW: org.apache.spark.sql.DataFrame = null
+    var tcW: org.apache.spark.sql.DataFrame = null
+    val jobs = TestSpark.jobsDuring {
+      encW = UnigramLm.encodeWith(docs, pieces)
+      tcW = UnigramLm.tokenCountsWith(docs, pieces)
+    }
+    assert(jobs === 0, s"apply-only plan build launched $jobs Spark jobs")
+    // frame equality with the self-training forms: Viterbi under the
+    // SAME literal cost map segments identically whether the map came
+    // from a fresh train() or the shipped artifact
+    val wantEnc = UnigramLm.encode(docs).collect().toSeq
+    assert(encW.collect().toSeq === wantEnc)
+    val wantTc = UnigramLm.tokenCounts(docs).collect().toSeq
+    assert(tcW.collect().toSeq === wantTc)
+    // unseen-word deployment: single-char coverage is part of the
+    // artifact contract, so a WORD the trainer never saw segments —
+    // as long as its characters appeared in the training corpus
+    // (coverage is corpus-alphabet-scoped, stated in the scaladoc)
+    import spark.implicits._
+    val fresh = Seq((901L, "tnemucod the", "en", "srcX", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val freshRows = UnigramLm.encodeWith(fresh, pieces).collect()
+    assert(freshRows.length === 1 && freshRows(0).getLong(1) >= 2L)
   }
 }
