@@ -379,6 +379,11 @@ object SparkEntry {
     // cross-pins to ann_recall
     "lsh_operating_curve" -> ((s, d) =>
       Similarity.lshOperatingCurve(t(s, d, "embeddings"))),
+    // the COMPOSED index's probeLists sweep (r12 VERDICT #4): one
+    // shared candidate set at the widest config over the trained
+    // IVF-PQ pipeline; np=2 row cross-pins to ann_recall_ivf_pq
+    "ann_operating_curve_ivf_pq" -> ((s, d) =>
+      Similarity.annOperatingCurveIvfPq(t(s, d, "embeddings"))),
     "knn_sq_int8" -> ((s, d) => Similarity.knnSqInt8(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents"))),
@@ -4582,6 +4587,70 @@ object SparkEntry {
         |  coalesce(n_candidates, CAST(0 AS BIGINT)) AS n_candidates, n_hit,
         |  CAST(n_hit AS DOUBLE) / n_true AS recall
         |FROM h LEFT JOIN nc ON h.np = nc.np ORDER BY n_planes""".stripMargin,
+
+    // The composed IVF-PQ index's probeLists sweep (r12 VERDICT #4):
+    // the shared unrolled-Lloyd chains (pq + "g"-prefixed coarse),
+    // probe cells ranked to the WIDEST grid config with their rank
+    // kept (a corpus row sits in one cell, so the rank IS min_crank),
+    // grid rows filter the one pair set, ADC nano-ranked per config,
+    // cosine brute truth — the ann_operating_curve tail over the
+    // knn_ivf_pq search machinery.
+    "ann_operating_curve_ivf_pq" ->
+      s"""$pqCteSql,
+        |${kmeansBlocksSql("g", 8, 3)},
+        |cell AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.v)+1),
+        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+        |  FROM e CROSS JOIN gc3 c) WHERE rn = 1),
+        |plr AS (SELECT vec_id AS qid, cid, CAST(rn AS BIGINT) AS min_crank FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.v)+1),
+        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+        |  FROM e CROSS JOIN gc3 c WHERE e.vec_id < 20) WHERE rn <= 8),
+        |rec AS (SELECT f0.vec_id,
+        |  ${(0 until 8).map(i => s"f$i.cv").mkString(" || ")} AS rv
+        |FROM f0 ${(1 until 8).map(i => s"JOIN f$i USING (vec_id)").mkString(" ")}),
+        |pr AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+        |pairs AS (SELECT plr.qid, cell.vec_id AS nid, plr.min_crank,
+        |  CAST(floor(list_sum(list_transform(range(1, len(pr.qv)+1),
+        |    j -> (pr.qv[j]-rec.rv[j])*(pr.qv[j]-rec.rv[j]))) * 1e9 + 0.5) AS BIGINT)
+        |    AS adc_dist_nano
+        |FROM plr JOIN cell ON cell.cid = plr.cid
+        |JOIN rec ON rec.vec_id = cell.vec_id
+        |JOIN pr ON pr.qid = plr.qid
+        |WHERE plr.qid <> cell.vec_id),
+        |grid AS (SELECT unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+        |  CAST(4 AS BIGINT), CAST(8 AS BIGINT)]) AS n_probe_lists),
+        |confs AS (SELECT g.n_probe_lists, p.qid, p.nid, p.adc_dist_nano
+        |  FROM pairs p CROSS JOIN grid g WHERE p.min_crank <= g.n_probe_lists),
+        |tk AS (SELECT n_probe_lists, qid, nid FROM (
+        |  SELECT n_probe_lists, qid, nid,
+        |    row_number() OVER (PARTITION BY n_probe_lists, qid
+        |      ORDER BY adc_dist_nano ASC, nid ASC) AS rank FROM confs)
+        |  WHERE rank <= 5),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM e),
+        |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+        |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |br AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM bs),
+        |b AS (SELECT g.n_probe_lists, br.qid, br.nid FROM br CROSS JOIN grid g
+        |  WHERE br.rank <= 5),
+        |h AS (SELECT b.n_probe_lists, CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN tk.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |FROM b LEFT JOIN tk ON tk.n_probe_lists = b.n_probe_lists
+        |  AND tk.qid = b.qid AND tk.nid = b.nid GROUP BY 1),
+        |nc AS (SELECT n_probe_lists, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM confs GROUP BY 1)
+        |SELECT h.n_probe_lists, n_true,
+        |  coalesce(nc.n_candidates, CAST(0 AS BIGINT)) AS n_candidates, n_hit,
+        |  CAST(n_hit AS DOUBLE) / n_true AS recall
+        |FROM h LEFT JOIN nc ON h.n_probe_lists = nc.n_probe_lists
+        |ORDER BY h.n_probe_lists""".stripMargin,
 
     // A-Res weighted priority sample: u strictly inside (0,1) via
     // (2·hi28+1)/2^29 (log2 stays finite), priority = log2(u)/weight —

@@ -1551,6 +1551,101 @@ object Similarity {
       .orderBy("n_probe_lists")
   }
 
+  /** The COMPOSED index's operating curve (r12 VERDICT #4) — the
+    * missing third member next to IVF's ([[annOperatingCurve]]) and
+    * LSH's ([[lshOperatingCurve]]): probeLists swept over the full
+    * IVF-PQ pipeline ([[knnIvfPq]]'s trained coarse quantizer + ADC
+    * ranking of quantized reconstructions), so the production index's
+    * recall/cost trade-off is a measured table, not two point
+    * evaluators. The 42h5 shared-candidate construction verbatim: ONE
+    * candidate set at the WIDEST config (probe cells posexploded with
+    * their rank; a corpus row sits in exactly one cell, so each
+    * (qid, nid) pair joins at most once and its probe rank IS the
+    * narrowest config that generates it), each grid row a filter over
+    * that set — no re-search, no re-train per config. CANDIDATE
+    * volume is monotone non-decreasing by construction (the sets
+    * nest; spec-pinned) — but recall is NOT guaranteed monotone,
+    * unlike the IVF and LSH curves: there the ranking metric equals
+    * the truth metric (exact cosine), so a nested superset can only
+    * improve the top-k, while HERE ranking is lossy ADC — a wider
+    * pool can rank a quantization-flattered stranger above a true
+    * neighbor that made the top-k at fewer probes (measured on the
+    * fixture: 0.23@np=2 → 0.19@np=4, spec-pinned as the honest
+    * negative). That dip IS the curve's diagnostic value: recall
+    * falling as probes rise means the index is ADC-limited, not
+    * candidate-limited — spend bits on codes (or a learned rotation,
+    * 42h6), not on probes. The probeGrid.max row is the ADC-bound
+    * ceiling (all cells probed = [[knnPq]]'s full scan, spec
+    * cross-pinned — the r13 learned-OPQ diagnosis axis). Full
+    * oracle: trained codebooks restate via the
+    * shared unrolled-Lloyd CTEs, ADC folds ordered, distances
+    * nano-quantized before ranking. Scale shape = [[knnIvfPq]]'s own
+    * (literal codebooks, map-only assignment, bucket join on cell id,
+    * broadcast probe side) plus metadata-scale config fan-out; at
+    * 100 TB the probe set is the sampling knob, as in [[annRecall]].
+    */
+  def annOperatingCurveIvfPq(embeddings: DataFrame, nProbes: Int = 20,
+                             k: Int = 5, kClusters: Int = 8,
+                             coarseIters: Int = 3, subspaces: Int = 8,
+                             kCodes: Int = 8, pqIters: Int = 2,
+                             probeGrid: Seq[Int] = Seq(1, 2, 4, 8),
+                             dim: Int = 64): DataFrame = {
+    require(probeGrid.nonEmpty && probeGrid.forall(p => p > 0 && p <= kClusters),
+      s"probeGrid must lie within 1..$kClusters: $probeGrid")
+    val maxP = probeGrid.max
+    val gridLit = typedLit(probeGrid.map(_.toLong).sorted)
+    val coarse = kmeansCodebook(embeddings, kClusters, coarseIters)
+    val books = pqCodebooks(embeddings, subspaces, kCodes, pqIters, dim)
+    val cidsLit = typedLit(coarse.map(_._1))
+    val centsLit = typedLit(coarse.map(_._2))
+    def rankedCells(v: Column) = array_sort(zip_with(
+      transform(centsLit, c => sqDistTo(v, c)),
+      cidsLit, (d, c) => struct(d.as("d"), c.as("cid"))))
+    val corpus = withPqRecon(embeddings, books, dim)
+      .select(col("vec_id").as("nid"), col("__recon").as("nv"),
+        col("embedding").as("ne"))
+      .select(col("nid"), col("nv"),
+        explode(transform(slice(rankedCells(col("ne")), 1, 1),
+          r => r.getField("cid"))).as("list_id"))
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("qid"), col("qv"),
+        posexplode(transform(slice(rankedCells(col("qv")), 1, maxP),
+          r => r.getField("cid"))).as(Seq("crank0", "list_id")))
+    // a corpus row sits in exactly ONE cell and a probe's ranked cells
+    // are distinct, so each (qid, nid) pair joins at most once — its
+    // probe rank needs no min aggregate (unlike the seeded-IVF curve,
+    // whose max-cosine dedup doubles as the min-rank fold)
+    val pairs = corpus.join(broadcast(probes), Seq("list_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (col("crank0") + 1).cast(LongType).as("min_crank"),
+        floor(sqDistTo(col("qv"), col("nv")) * lit(1e9) + 0.5).cast(LongType)
+          .as("adc_dist_nano"))
+    val confs = pairs
+      .select(col("qid"), col("nid"), col("adc_dist_nano"), col("min_crank"),
+        explode(gridLit).as("n_probe_lists"))
+      .filter(col("min_crank") <= col("n_probe_lists"))
+    val w = Window.partitionBy("n_probe_lists", "qid")
+      .orderBy(col("adc_dist_nano"), col("nid"))
+    val topk = confs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("n_probe_lists"), col("qid"), col("nid"), lit(1L).as("hit"))
+    val truth = knnBrute(embeddings, nProbes, k).select(col("qid"), col("nid"))
+      .select(col("qid"), col("nid"), explode(gridLit).as("n_probe_lists"))
+    val hits = truth.join(topk, Seq("n_probe_lists", "qid", "nid"), "left")
+      .groupBy("n_probe_lists")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    val nCand = confs.groupBy("n_probe_lists")
+      .agg(count(lit(1)).as("n_candidates"))
+    hits.join(nCand, Seq("n_probe_lists"), "left")
+      .select(col("n_probe_lists"), col("n_true"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true")).as("recall"))
+      .orderBy("n_probe_lists")
+  }
+
   /** The LSH family's operating curve (r11 VERDICT #6) — the
     * [[annOperatingCurve]] construction applied to the OTHER index
     * family's cost knob: signature LENGTH (hyperplane count). ONE

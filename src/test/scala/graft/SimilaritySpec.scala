@@ -333,6 +333,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(row2._2 === ivf.getLong(1), "np=2 truth must equal ann_recall_ivf's")
   }
 
+  test("ivf-pq operating curve: candidates monotone, recall honestly NOT (lossy ADC ranking); rows tie out to ann_recall_ivf_pq and the full ADC scan (r13)") {
+    val emb = Tables.embeddings(spark, sf)
+    val curve = Similarity.annOperatingCurveIvfPq(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(curve.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    // candidate sets nest, so VOLUME is monotone non-decreasing —
+    // but recall is NOT asserted monotone: ranking is lossy ADC, so a
+    // wider pool can rank a quantization-flattered stranger above a
+    // true neighbor (the IVF/LSH curves rank by the truth metric
+    // itself, which is why THEIR recall monotonicity holds)
+    curve.sliding(2).foreach { p =>
+      assert(p(0)._3 <= p(1)._3, s"candidate volume must grow: $p")
+    }
+    assert(curve.head._3 < curve.last._3, "widening must buy candidates")
+    info(curve.map(c => f"np=${c._1} recall=${c._5}%.2f candidates=${c._3}")
+      .mkString(", "))
+    // the honest negative, pinned: on this fixture the ADC-limited
+    // regime is VISIBLE — more probes (np=2 → 4) measurably DROP
+    // recall@5, the signature that the index should spend bits on
+    // codes, not probes (the deterministic fixture makes the exact
+    // inversion reproducible)
+    val byNp = curve.map(c => c._1 -> c._5).toMap
+    assert(byNp(4L) < byNp(2L),
+      s"expected the measured ADC-limited dip at np=4: $byNp")
+    // cross-pin: the np=2 row aggregates EXACTLY the per-probe
+    // ann_recall_ivf_pq evaluator (same trained chain, same truth)
+    val pq = Similarity.annRecallIvfPq(emb)
+      .agg(sum("n_hit").as("h"), sum("n_brute").as("b")).collect().head
+    val row2 = curve.find(_._1 == 2L).get
+    assert(row2._4 === pq.getLong(0), "np=2 hits must equal ann_recall_ivf_pq's")
+    assert(row2._2 === pq.getLong(1), "np=2 truth must equal ann_recall_ivf_pq's")
+    // probing ALL cells makes the candidate pool the whole corpus
+    // minus self — the ADC-bound ceiling row the OPQ diagnosis reads
+    val n = emb.count()
+    assert(curve.last._3 === 20L * (n - 1),
+      s"np=8 candidates must be the full corpus: ${curve.last._3} vs 20*(${n}-1)")
+    // and the np=8 row IS knnPq's full ADC scan: same candidates,
+    // same ranking — hits must agree exactly
+    val truth = Similarity.knnBrute(emb).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullAdcHits = Similarity.knnPq(emb).select("qid", "nid").collect()
+      .count(r => truth((r.getLong(0), r.getLong(1)))).toLong
+    assert(curve.last._4 === fullAdcHits,
+      "np=8 hits must equal the full-scan ADC search's")
+  }
+
   test("lsh operating curve: recall/candidates monotone NON-increasing in signature length; full-signature row ties out to ann_recall") {
     val emb = Tables.embeddings(spark, sf)
     val curve = Similarity.lshOperatingCurve(emb).collect()
