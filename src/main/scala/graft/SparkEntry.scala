@@ -32,7 +32,7 @@ object SparkEntry {
       "doc_perplexity_bucket", "doc_perplexity_bucket_reconciled",
       "dedup_exact", "corpus_funnel", "bpe_merges", "bpe_token_counts",
       "quality_classifier", "quality_classifier_score", "doc_ngram_novelty",
-      "seq_pack_bpe",
+      "seq_pack_bpe", "seq_pack_unigram",
       "doc_ngram_novelty_incremental", "corpus_curate",
       "corpus_curate_priority",
       "embedding_covariance", "contamination_matrix",
@@ -440,6 +440,16 @@ object SparkEntry {
       Corpus.packPlanWithCounts(docs,
         Bpe.tokenCounts(docs, nMerges = 8)
           .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")))
+    }),
+    // pack geometry under the unigram tokenizer's real cost (r12
+    // VERDICT #5) — the 44q7 mechanism with the count source swapped
+    // to the trained unigram dictionary
+    "seq_pack_unigram" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      Corpus.packPlanWithCounts(docs,
+        UnigramLm.tokenCounts(docs)
+          .select(col("doc_id"), col("n_unigram_tokens").as("n_tokens")))
     }),
     "seq_pack_shuffled" -> ((s, d) => Corpus.packPlanShuffled(t(s, d, "documents"))),
     "seq_pack_summary" -> ((s, d) => Corpus.packSummary(t(s, d, "documents"))),
@@ -4131,6 +4141,26 @@ object SparkEntry {
     "seq_pack" ->
       s"""WITH tk AS (SELECT doc_id, lang,
          |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+         |FROM tk)
+         |SELECT doc_id, lang, n_tokens, tokens_before // 2048 AS pack_id,
+         |  tokens_before % 2048 AS pack_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The same prefix-sum geometry with the token source swapped to
+    // the trained UNIGRAM dictionary's per-doc cost (r12 VERDICT #5;
+    // the seq_pack_bpe mechanism with the 35s5 dictionary).
+    "seq_pack_unigram" ->
+      s"""WITH dict(word, syms, n_pieces) AS (VALUES $UnigramDictPlaceholder),
+         |w AS (SELECT doc_id,
+         |  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |FROM documents),
+         |bt AS (SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS n_tokens
+         |  FROM w JOIN dict USING (word) WHERE word <> '' GROUP BY 1),
+         |tk AS (SELECT d.doc_id, d.lang, bt.n_tokens
+         |  FROM documents d JOIN bt USING (doc_id)),
          |c AS (SELECT doc_id, lang, n_tokens,
          |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before

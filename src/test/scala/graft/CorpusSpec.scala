@@ -224,6 +224,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(r.map(_.getLong(3)).max >= direct.map(_.getLong(3)).max)
   }
 
+  test("pack plan under the unigram tokenizer's real cost: geometry invariants hold (r13)") {
+    val uni = graft.operators.UnigramLm.tokenCounts(docs)
+      .select(col("doc_id"), col("n_unigram_tokens").as("n_tokens"))
+    val r = Corpus.packPlanWithCounts(docs, uni).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getLong(4) >= 0 && x.getLong(4) < 2048))
+    r.groupBy(_.getString(1)).values.foreach { rows =>
+      val ids = rows.map(_.getLong(3)).distinct.sorted
+      assert(ids === (0L until ids.length).toSeq, "pack ids are dense per lang")
+    }
+    // every word segments to at least one piece, so the unigram plan
+    // needs at least the whitespace proxy's room
+    val direct = Corpus.packPlan(docs).collect().toSeq
+    assert(r.map(_.getLong(3)).max >= direct.map(_.getLong(3)).max)
+  }
+
   test("pack scan is two-phase: no per-doc window partitioned on lang alone") {
     // the 100 TB guarantee: the window that runs over the DOCS must
     // partition by (lang, bucket) — a lang-only partition spec would

@@ -225,7 +225,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "two-level ordinal: per-(len,sub) rank window, per-len sub " +
         "offsets (broadcast at fixture stats; unhinted, so a keyed " +
         "shuffle join at scale), histogram base offsets broadcast, " +
-        "1-row count via broadcast nested-loop"))
+        "1-row count via broadcast nested-loop"),
+    ("seq_pack_unigram", Shape(15, 8, 1, 3),
+      "seq_pack_bpe's shape +4 exchanges because the unigram count " +
+        "source re-derives the word dictionary declaratively " +
+        "(wordCounts agg + both salted-join sides + per-doc rollup) " +
+        "where BPE's plan reads its training-time CHECKPOINT; the " +
+        "pack tail (per-(lang,bucket) windows + offset rollup) is " +
+        "unchanged; the one SMJ is the fixture-stats offset join"),
+    ("ann_operating_curve_ivf_pq", Shape(8, 2, 2, 6),
+      "knn_ivf_pq's literal-codebook search widened to the grid: " +
+        "corpus cell assign + broadcast probe join + config fan-out; " +
+        "6 windows = the curve's rank + 2 WindowGroupLimit and the " +
+        "brute-truth side's same trio; the 2 SMJs join CONFIG-scale " +
+        "aggregates (4 grid rows x 20 probes x k) — metadata joins, " +
+        "broadcast-vs-SMJ immaterial at any scale"))
 
   // Explicitly-audited exceptions to the no-SinglePartition sweep:
   // cumulative-offset windows that run over METADATA-scale aggregates
@@ -246,6 +260,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "seq_pack_bpe" -> ((2,
       "seq_pack's observed-id-span scalar, inherited unchanged " +
         "through the swapped count source")),
+    "seq_pack_unigram" -> ((2,
+      "seq_pack's observed-id-span scalar, inherited unchanged " +
+        "through the swapped count source (the seq_pack_bpe allowance)")),
     "tfidf_top_terms" -> ((1, "1-row n_docs count-distinct scalar")),
     "bm25_top_docs" -> ((1, "1-row N/Σdl corpus-scalar final stage")),
     "bm25_batch" -> ((1, "1-row N/Σdl corpus-scalar final stage")),
