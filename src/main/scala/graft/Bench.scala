@@ -70,9 +70,13 @@ object Bench {
       // happens to be old keeps refreshing its files' mtimes, so the
       // tree gate never sweeps it mid-write.
       val staleMs = System.currentTimeMillis - 3600L * 1000
+      // symlinks are never followed (r12 ADVICE): a link inside a
+      // stale tree could cycle (infinite recursion) or point at a
+      // fresh foreign mtime that keeps the dir unsweepable forever
       def newestMtime(f: java.io.File): Long =
-        (f.lastModified +: Option(f.listFiles()).toSeq.flatten
-          .map(newestMtime)).max
+        (f.lastModified +: (if (java.nio.file.Files.isSymbolicLink(f.toPath))
+            Seq.empty
+          else Option(f.listFiles()).toSeq.flatten.map(newestMtime))).max
       Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .filter(f => (f.getName.startsWith(".tmp_") ||
           f.getName.startsWith(".old_")) && newestMtime(f) < staleMs)
@@ -266,7 +270,14 @@ object Bench {
     val repsAll = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
       .map { case (name, fn) => name -> timeConverged(name, fn) }
-    val results = repsAll.map { case (name, rs) => name -> rs.minBy(_.wall) }
+    // a rep that THREW must not feed the published numbers (r12 ADVICE
+    // — the r11 fix only NAMED the error while a fast-failing rep
+    // could still win the min and flatter the per-query wall, the
+    // headline subset, and the suite total): the min is taken over
+    // CLEAN reps only; a query with zero clean reps publishes
+    // wall:null, is excluded from `value`, and stays in err_queries
+    val results: Seq[(String, Option[Rep])] = repsAll.map { case (name, rs) =>
+      name -> rs.filter(_.err.isEmpty).sortBy(_.wall).headOption }
     // Box-noise self-defense: in-suite numbers on a shared box swing up
     // to ~48x from co-tenant load/GC pressure (r5: dim_movement_type
     // 22.8 s in-suite vs 0.47 s alone). Re-measure the 5 slowest after
@@ -276,8 +287,9 @@ object Bench {
     // self-contradicted (decontaminate_bloom 5.80 s isolated vs 2.79
     // in-suite was one unlucky rep presented as truth) — min is the
     // estimate, max bounds the noise the reader should trust it to.
-    val resultMap0 = results.toMap
-    val isolated = results.sortBy(-_._2.wall).take(5).map { case (name, _) =>
+    val resultMap0 = results.collect { case (k, Some(rep)) => k -> rep }.toMap
+    val isolated = results.collect { case (k, Some(rep)) => (k, rep) }
+      .sortBy(-_._2.wall).take(5).map { case (name, _) =>
       name -> timeConverged(name, SparkEntry.queries(name)) }
     def util(wall: Double, cpu: Double): Double =
       if (wall <= 0) 0.0 else math.round(cpu / (wall * cores) * 1000) / 1000.0
@@ -300,17 +312,34 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
-    val full = results.map { case (k, rep) =>
+    val full = results.map { case (k, repOpt) =>
       val rs = repsMap(k)
       // first failing rep's message, if any — the artifact must name
       // a bench-only breakage instead of letting a ~0 s erroring rep
-      // flatter the headline (r11 VERDICT #2)
+      // flatter the headline (r11 VERDICT #2; r12 ADVICE closed the
+      // flattering itself — see `results` above)
       val errField = rs.flatMap(_.err).headOption
         .map(m => ",\"err\":" + jstr(m)).getOrElse("")
-      s"\"" + k + "\":{\"wall\":" + rep.wall + ",\"cpu\":" + rep.cpu +
-        ",\"cpu_util\":" + util(rep.wall, rep.cpu) + ",\"gc\":" + r3(rep.gc) +
+      // max_over_min names a post-min blowup (r12 VERDICT #3: the
+      // converged flag only tests the LAST rep vs the min, so a rep
+      // sequence like [3.4, 1.9, 1.1, 9.7] published converged:true
+      // while its final rep blew up 9x — the min is still the right
+      // estimate, but the spread must name itself in the artifact)
+      val clean = rs.filter(_.err.isEmpty).map(_.wall)
+      val spreadField =
+        if (clean.size >= 2 && clean.min > 0)
+          ",\"max_over_min\":" + r3(clean.max / clean.min)
+        else ""
+      val wallFields = repOpt match {
+        case Some(rep) =>
+          "\"wall\":" + rep.wall + ",\"cpu\":" + rep.cpu +
+            ",\"cpu_util\":" + util(rep.wall, rep.cpu) +
+            ",\"gc\":" + r3(rep.gc)
+        case None => "\"wall\":null"
+      }
+      s"\"" + k + "\":{" + wallFields +
         ",\"reps\":" + rs.map(t => r3(t.wall)).mkString("[", ",", "]") +
-        ",\"converged\":" + isConverged(rs) + errField + "}" }
+        ",\"converged\":" + isConverged(rs) + spreadField + errField + "}" }
       .mkString("{", ",", "}")
     val iso = isolated.map { case (k, reps3) =>
       val best = reps3.minBy(_.wall)
@@ -320,9 +349,9 @@ object Bench {
         ",\"isolated_reps\":" + reps3.map(t => r3(t.wall)).mkString("[", ",", "]") +
         ",\"isolated_cpu_util\":" + util(best.wall, best.cpu) + "}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.wall).sum
-    val totalCpu = results.map(_._2.cpu).sum
-    val totalGc = results.map(_._2.gc).sum
+    val total = results.flatMap(_._2).map(_.wall).sum
+    val totalCpu = results.flatMap(_._2).map(_.cpu).sum
+    val totalGc = results.flatMap(_._2).map(_.gc).sum
     // headline-level honesty rollups: every query with ANY erroring
     // rep, and every query whose adaptive reps hit the cap still
     // improving >10% (its min overstates steady state)
