@@ -1316,6 +1316,36 @@ object EventStream {
       .start()
   }
 
+  /** Streaming tokenizer apply under a PRE-TRAINED artifact (r13) —
+    * the deployment [[graft.operators.UnigramLm.encodeWith]] exists
+    * for: a trained tokenizer encoding an unbounded document feed.
+    * STATELESS per trigger: the artifact is a fixed literal and every
+    * doc's encoding depends on nothing outside the doc, so the UNION
+    * of per-batch sinks is BIT-identical to the batch encodeWith over
+    * everything arrived — the strongest twin class's degenerate case
+    * (no carried state, so snapshot-vs-rebuild drift cannot even
+    * arise; spec proves the union contract over a real two-trigger
+    * run). Per-trigger cost = the batch's own dictionary map + salted
+    * join + per-doc reassembly; NO training scan ever runs on the
+    * stream path (the encodeWith zero-jobs contract), which is the
+    * whole point — the self-training encode would retrain per
+    * trigger. No checkpoint state dir: there is no state.
+    */
+  def tokenizeStream(spark: SparkSession, dir: String, sinkPath: String,
+                     pieces: Seq[graft.operators.UnigramLm.Piece],
+                     splitAt: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    documentsStream(spark, dir, splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = graft.operators.UnigramLm
+          .encodeWith(batch.drop("ingest_ts"), pieces)
+        graft.sources.Loader.truncateAndLoad(out, s"$sinkPath/batch_$batchId")
+        ()
+      }
+      .start()
+
   /** Streaming context-window pack planner — twin of Corpus.packPlan.
     * Carried state per language is ONE counter (the running token
     * total, versioned tiny parquet next to the sink), so a stream can

@@ -670,6 +670,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(fin.count() === 1L)
   }
 
+  test("streaming tokenizer apply: union of per-batch sinks is BIT-identical to batch encodeWith (r13)") {
+    val docs = Tables.documents(spark, sf)
+    // the artifact predates the stream — trained once, outside it
+    val pieces = graft.operators.UnigramLm.train(docs)
+    val sink = Files.createTempDirectory("graft_tokstream").toString + "/tokens"
+    val q = EventStream.tokenizeStream(spark, sf, sink, pieces,
+      splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    // stateless twin: each batch sink IS the one-shot over its slice,
+    // so the union is the one-shot over everything — bit-for-bit
+    val union = batches.map(b => spark.read.parquet(s"$sink/$b"))
+      .reduce(_ unionByName _)
+    val oneShot = graft.operators.UnigramLm.encodeWith(docs, pieces)
+    assert(union.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(union).count() === 0)
+    assert(union.count() === oneShot.count() && union.count() > 0)
+    val mid = spark.read.parquet(s"$sink/${batches.head}")
+    val midShot = graft.operators.UnigramLm
+      .encodeWith(docs.filter(col("doc_id") < 250), pieces)
+    assert(mid.exceptAll(midShot).count() === 0)
+    assert(midShot.exceptAll(mid).count() === 0)
+  }
+
   test("streaming reservoir: every trigger's snapshot is BIT-identical to its one-shot prefix") {
     val sink = Files.createTempDirectory("graft_resstream").toString + "/reservoir"
     val q = EventStream.reservoirStream(spark, sf, sink, splitAt = Some(250L))
