@@ -453,6 +453,15 @@ object UnigramLm {
   private def applyTrainedWords(documents: DataFrame,
                                 pieces: Seq[Piece]): DataFrame = {
     val costs = pieces.map(p => p.piece -> p.cost_micro).toMap
+    // an EMPTY artifact violates the coverage contract (no single-char
+    // pieces exist), and the Viterbi fold would silently emit
+    // char-splits with INF cost — return the empty dictionary instead,
+    // the wordPieces empty-corpus convention
+    if (costs.isEmpty) {
+      val spark = documents.sparkSession
+      import spark.implicits._
+      return Seq.empty[(String, Seq[String])].toDF("word", "pieces")
+    }
     Bpe.wordCounts(documents)
       .select(col("word"), viterbiPieces(col("word"), costs).as("pieces"))
   }

@@ -104,6 +104,19 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Bpe.merges(docs).count() === 0, "no pairs → zero merges, no throw")
     assert(Bpe.tokenCounts(docs).count() === 0)
     assert(Bpe.encode(docs).count() === 0)
+    // pre-trained apply overloads (r13): empty corpus under any
+    // artifact, and an empty artifact against a live corpus
+    assert(Bpe.encodeWith(docs, Seq.empty).count() === 0)
+    assert(Bpe.tokenCountsWith(docs, Seq.empty).count() === 0)
+    assert(UnigramLm.train(docs).isEmpty, "empty corpus → empty piece table")
+    assert(UnigramLm.train(docs, softEm = true).isEmpty)
+    assert(UnigramLm.vocab(docs).count() === 0)
+    assert(UnigramLm.vocabSoftEm(docs).count() === 0)
+    assert(UnigramLm.vocabLossPruned(docs).count() === 0)
+    assert(UnigramLm.tokenCounts(docs).count() === 0)
+    assert(UnigramLm.encode(docs).count() === 0)
+    assert(UnigramLm.encodeWith(docs, Seq.empty).count() === 0)
+    assert(UnigramLm.tokenCountsWith(docs, Seq.empty).count() === 0)
     // an empty corpus trains the zero model (null gradients → no update)
     val model = Classifier.train(docs).collect()
     assert(model.length === Classifier.featureNames.size)
@@ -118,6 +131,11 @@ class EmptyInputSpec extends AnyFunSuite {
     import spark.implicits._
     val batch = Seq((1L, "some arriving text", "en", "src0", 18L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // an EMPTY artifact against a live corpus: BPE falls back to char
+    // symbols (no vocab contract); unigram returns zero rows (coverage
+    // contract violated — the guarded empty-dictionary convention)
+    assert(Bpe.encodeWith(batch, Seq.empty).count() === 1)
+    assert(UnigramLm.encodeWith(batch, Seq.empty).count() === 0)
     assert(Dedup.incremental(docs, batch).count() === 1)
     assert(Dedup.admitNearDup(docs, batch).count() === 1)
     // empty batch against a standing corpus: nothing admitted, no throw
@@ -184,6 +202,15 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.covarianceIncremental(emb, emb).count() === 0)
     assert(Similarity.pcaComponents(emb).count() === 0)
     assert(Similarity.randomProject(emb).count() === 0)
+    // operating curves (r13): empty corpus → empty codebooks and an
+    // empty truth side — zero rows, no throw
+    assert(Similarity.annOperatingCurve(emb).count() === 0)
+    assert(Similarity.lshOperatingCurve(emb).count() === 0)
+    assert(Similarity.annOperatingCurveIvfPq(emb).count() === 0)
+    // the learned-rotation trainer on an empty corpus returns the
+    // identity basis (documented fallback), never throws
+    val rows = Similarity.opqLearnedRotationRows(emb)
+    assert(rows.length === 64 && rows(0)(0) === 1.0 && rows(0)(1) === 0.0)
   }
 
   test("profiling operators survive empty tables") {
