@@ -256,13 +256,20 @@ object Bench {
         : Vector[Rep] = {
       var acc = timeReps(name, fn, reps)
       while (acc.length >= 2 && acc.length < reps + 5 &&
-        acc.last.wall < acc.init.map(_.wall).min * 0.9) {
+        stillImproving(acc)) {
         acc = acc ++ timeReps(name, fn, 1)
       }
       acc
     }
-    def isConverged(acc: Vector[Rep]): Boolean =
-      acc.length < 2 || acc.last.wall >= acc.init.map(_.wall).min * 0.9
+    // convergence is judged on CLEAN reps only (the same discipline as
+    // the published min): an erroring rep's near-zero wall must neither
+    // trigger extra reps nor mask a still-warming query
+    def stillImproving(acc: Vector[Rep]): Boolean = {
+      val clean = acc.filter(_.err.isEmpty)
+      clean.length >= 2 && acc.last.err.isEmpty &&
+        clean.last.wall < clean.init.map(_.wall).min * 0.9
+    }
+    def isConverged(acc: Vector[Rep]): Boolean = !stillImproving(acc)
     // keep ALL reps: the min is the estimate, but the spread is the
     // in-suite diagnosis — stable-slow reps ([2.7, 2.7, 2.7] against a
     // fast isolated probe) mean positional interference to go fix;

@@ -40,6 +40,7 @@ object SparkEntry {
       "source_overlap_incremental", "dedup_jaccard", "dedup_containment",
       "dedup_lsh_recall", "opq_codes", "ann_recall_ivf_pq_opq",
       "ann_recall_ivf_pq_opq_learned",
+      "ann_operating_curve_ivf_pq_opq_learned",
       "unigram_vocab", "unigram_vocab_kudo", "unigram_vocab_soft",
       "unigram_token_counts", "unigram_encode",
       // the _pretrained entries train their artifact inside the query
@@ -384,6 +385,11 @@ object SparkEntry {
     // IVF-PQ pipeline; np=2 row cross-pins to ann_recall_ivf_pq
     "ann_operating_curve_ivf_pq" -> ((s, d) =>
       Similarity.annOperatingCurveIvfPq(t(s, d, "embeddings"))),
+    // the r13 curve in the LEARNED rotation's space (the plain
+    // curve's "ADC-limited" reading, answered with a measured table);
+    // rotated frame checkpointed once (the annRecallIvfPqOpq pin)
+    "ann_operating_curve_ivf_pq_opq_learned" -> ((s, d) =>
+      Similarity.annOperatingCurveIvfPqOpqLearned(t(s, d, "embeddings"))),
     "knn_sq_int8" -> ((s, d) => Similarity.knnSqInt8(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents"))),
@@ -939,6 +945,27 @@ object SparkEntry {
     * shared verbatim by the search oracle and the r8 recall
     * evaluator's oracle. Assumes [[pqCteSql]]'s CTEs in scope.
     */
+  /** Learned-rotation source CTEs (42h6): eraw = raw doubles, rot =
+    * the dump-time-inlined trained matrix (opqLearnedRotLiteral), e =
+    * the rotated frame re-cast through REAL (the float storage
+    * round-trip Spark applies). Shared by the recall evaluator and
+    * the r13 operating curve. LAZY because OpqLearnedRotPlaceholder
+    * is declared later in this object — an eager val here would
+    * interpolate null at object init (forward reference), which is
+    * exactly how the first draft shipped `rot AS (SELECT null AS rm)`
+    * into the dumped oracle.
+    */
+  private lazy val opqLearnedRotatedCteSql: String =
+    s"""eraw AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |rot AS (SELECT $OpqLearnedRotPlaceholder AS rm),
+      |e AS (SELECT vec_id, list_transform(range(0, 64), i ->
+      |  CAST(CAST(COALESCE(list_sum(list_transform(range(0, 64),
+      |    j -> v[j + 1] * rm[i + 1][j + 1])), 0.0)
+      |    AS REAL) AS DOUBLE)) AS v
+      |  FROM eraw CROSS JOIN rot)""".stripMargin
+
   private val ivfPqSearchCtes: String =
     s"""${kmeansBlocksSql("g", 8, 3)},
       |cell AS (SELECT vec_id, cid FROM (
@@ -1411,6 +1438,69 @@ object SparkEntry {
        |SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_tokens,
        |  md5(string_agg(syms, ' ' ORDER BY pos)) AS token_md5
        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** The IVF-PQ probeLists-sweep oracle tail (42h8): "g"-prefixed
+    * coarse chain over `e`, probe cells ranked to the widest grid
+    * config with rank kept, one pair set, config fan-out, ADC
+    * nano-ranking — recall scored against exact-cosine truth computed
+    * over `truthSrc` ("e" for the plain curve, "eraw" for the
+    * learned-rotation curve whose truth stays in the original space).
+    */
+  private def ivfPqCurveTailSql(truthSrc: String): String =
+    s"""${kmeansBlocksSql("g", 8, 3)},
+      |cell AS (SELECT vec_id, cid FROM (
+      |  SELECT e.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(e.v)+1),
+      |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+      |  FROM e CROSS JOIN gc3 c) WHERE rn = 1),
+      |plr AS (SELECT vec_id AS qid, cid, CAST(rn AS BIGINT) AS min_crank FROM (
+      |  SELECT e.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(e.v)+1),
+      |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+      |  FROM e CROSS JOIN gc3 c WHERE e.vec_id < 20) WHERE rn <= 8),
+      |rec AS (SELECT f0.vec_id,
+      |  ${(0 until 8).map(i => s"f$i.cv").mkString(" || ")} AS rv
+      |FROM f0 ${(1 until 8).map(i => s"JOIN f$i USING (vec_id)").mkString(" ")}),
+      |pr AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+      |pairs AS (SELECT plr.qid, cell.vec_id AS nid, plr.min_crank,
+      |  CAST(floor(list_sum(list_transform(range(1, len(pr.qv)+1),
+      |    j -> (pr.qv[j]-rec.rv[j])*(pr.qv[j]-rec.rv[j]))) * 1e9 + 0.5) AS BIGINT)
+      |    AS adc_dist_nano
+      |FROM plr JOIN cell ON cell.cid = plr.cid
+      |JOIN rec ON rec.vec_id = cell.vec_id
+      |JOIN pr ON pr.qid = plr.qid
+      |WHERE plr.qid <> cell.vec_id),
+      |grid AS (SELECT unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+      |  CAST(4 AS BIGINT), CAST(8 AS BIGINT)]) AS n_probe_lists),
+      |confs AS (SELECT g.n_probe_lists, p.qid, p.nid, p.adc_dist_nano
+      |  FROM pairs p CROSS JOIN grid g WHERE p.min_crank <= g.n_probe_lists),
+      |tk AS (SELECT n_probe_lists, qid, nid FROM (
+      |  SELECT n_probe_lists, qid, nid,
+      |    row_number() OVER (PARTITION BY n_probe_lists, qid
+      |      ORDER BY adc_dist_nano ASC, nid ASC) AS rank FROM confs)
+      |  WHERE rank <= 5),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM $truthSrc),
+      |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+      |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+      |br AS (SELECT qid, nid,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM bs),
+      |b AS (SELECT g.n_probe_lists, br.qid, br.nid FROM br CROSS JOIN grid g
+      |  WHERE br.rank <= 5),
+      |h AS (SELECT b.n_probe_lists, CAST(count(*) AS BIGINT) AS n_true,
+      |  CAST(sum(CASE WHEN tk.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |FROM b LEFT JOIN tk ON tk.n_probe_lists = b.n_probe_lists
+      |  AND tk.qid = b.qid AND tk.nid = b.nid GROUP BY 1),
+      |nc AS (SELECT n_probe_lists, CAST(count(*) AS BIGINT) AS n_candidates
+      |  FROM confs GROUP BY 1)
+      |SELECT h.n_probe_lists, n_true,
+      |  coalesce(nc.n_candidates, CAST(0 AS BIGINT)) AS n_candidates, n_hit,
+      |  CAST(n_hit AS DOUBLE) / n_true AS recall
+      |FROM h LEFT JOIN nc ON h.n_probe_lists = nc.n_probe_lists
+      |ORDER BY h.n_probe_lists""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dim_date" ->
@@ -3894,15 +3984,7 @@ object SparkEntry {
     // the BPE training-vs-apply oracle boundary: Ge §4 training is
     // driver math, applying the trained artifact is SQL.
     "ann_recall_ivf_pq_opq_learned" ->
-      s"""WITH eraw AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |rot AS (SELECT $OpqLearnedRotPlaceholder AS rm),
-        |e AS (SELECT vec_id, list_transform(range(0, 64), i ->
-        |  CAST(CAST(COALESCE(list_sum(list_transform(range(0, 64),
-        |    j -> v[j + 1] * rm[i + 1][j + 1])), 0.0)
-        |    AS REAL) AS DOUBLE)) AS v
-        |  FROM eraw CROSS JOIN rot),
+      s"""WITH $opqLearnedRotatedCteSql,
         |${pqBlocksSql("", "e")},
         |$ivfPqSearchCtes,
         |ap AS (SELECT qid, nid FROM rk WHERE rank <= 5),
@@ -4627,60 +4709,16 @@ object SparkEntry {
     // knn_ivf_pq search machinery.
     "ann_operating_curve_ivf_pq" ->
       s"""$pqCteSql,
-        |${kmeansBlocksSql("g", 8, 3)},
-        |cell AS (SELECT vec_id, cid FROM (
-        |  SELECT e.vec_id, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, len(e.v)+1),
-        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
-        |  FROM e CROSS JOIN gc3 c) WHERE rn = 1),
-        |plr AS (SELECT vec_id AS qid, cid, CAST(rn AS BIGINT) AS min_crank FROM (
-        |  SELECT e.vec_id, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, len(e.v)+1),
-        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
-        |  FROM e CROSS JOIN gc3 c WHERE e.vec_id < 20) WHERE rn <= 8),
-        |rec AS (SELECT f0.vec_id,
-        |  ${(0 until 8).map(i => s"f$i.cv").mkString(" || ")} AS rv
-        |FROM f0 ${(1 until 8).map(i => s"JOIN f$i USING (vec_id)").mkString(" ")}),
-        |pr AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
-        |pairs AS (SELECT plr.qid, cell.vec_id AS nid, plr.min_crank,
-        |  CAST(floor(list_sum(list_transform(range(1, len(pr.qv)+1),
-        |    j -> (pr.qv[j]-rec.rv[j])*(pr.qv[j]-rec.rv[j]))) * 1e9 + 0.5) AS BIGINT)
-        |    AS adc_dist_nano
-        |FROM plr JOIN cell ON cell.cid = plr.cid
-        |JOIN rec ON rec.vec_id = cell.vec_id
-        |JOIN pr ON pr.qid = plr.qid
-        |WHERE plr.qid <> cell.vec_id),
-        |grid AS (SELECT unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT),
-        |  CAST(4 AS BIGINT), CAST(8 AS BIGINT)]) AS n_probe_lists),
-        |confs AS (SELECT g.n_probe_lists, p.qid, p.nid, p.adc_dist_nano
-        |  FROM pairs p CROSS JOIN grid g WHERE p.min_crank <= g.n_probe_lists),
-        |tk AS (SELECT n_probe_lists, qid, nid FROM (
-        |  SELECT n_probe_lists, qid, nid,
-        |    row_number() OVER (PARTITION BY n_probe_lists, qid
-        |      ORDER BY adc_dist_nano ASC, nid ASC) AS rank FROM confs)
-        |  WHERE rank <= 5),
-        |n AS (SELECT vec_id, v,
-        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM e),
-        |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-        |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
-        |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
-        |br AS (SELECT qid, nid,
-        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM bs),
-        |b AS (SELECT g.n_probe_lists, br.qid, br.nid FROM br CROSS JOIN grid g
-        |  WHERE br.rank <= 5),
-        |h AS (SELECT b.n_probe_lists, CAST(count(*) AS BIGINT) AS n_true,
-        |  CAST(sum(CASE WHEN tk.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-        |FROM b LEFT JOIN tk ON tk.n_probe_lists = b.n_probe_lists
-        |  AND tk.qid = b.qid AND tk.nid = b.nid GROUP BY 1),
-        |nc AS (SELECT n_probe_lists, CAST(count(*) AS BIGINT) AS n_candidates
-        |  FROM confs GROUP BY 1)
-        |SELECT h.n_probe_lists, n_true,
-        |  coalesce(nc.n_candidates, CAST(0 AS BIGINT)) AS n_candidates, n_hit,
-        |  CAST(n_hit AS DOUBLE) / n_true AS recall
-        |FROM h LEFT JOIN nc ON h.n_probe_lists = nc.n_probe_lists
-        |ORDER BY h.n_probe_lists""".stripMargin,
+        |${ivfPqCurveTailSql("e")}""".stripMargin,
+
+    // The r13 curve in the LEARNED rotation's space: index chain over
+    // the rotated e (dump-time-inlined matrix), truth over the raw
+    // floats — row-by-row comparable with the plain curve, the
+    // measured answer to its own "ADC-limited" diagnostic reading.
+    "ann_operating_curve_ivf_pq_opq_learned" ->
+      s"""WITH $opqLearnedRotatedCteSql,
+        |${pqBlocksSql("", "e")},
+        |${ivfPqCurveTailSql("eraw")}""".stripMargin,
 
     // A-Res weighted priority sample: u strictly inside (0,1) via
     // (2·hi28+1)/2^29 (log2 stays finite), priority = log2(u)/weight —

@@ -1589,7 +1589,45 @@ object Similarity {
                              coarseIters: Int = 3, subspaces: Int = 8,
                              kCodes: Int = 8, pqIters: Int = 2,
                              probeGrid: Seq[Int] = Seq(1, 2, 4, 8),
-                             dim: Int = 64): DataFrame = {
+                             dim: Int = 64): DataFrame =
+    ivfPqCurve(embeddings, knnBrute(embeddings, nProbes, k), nProbes, k,
+      kClusters, coarseIters, subspaces, kCodes, pqIters, probeGrid, dim)
+
+  /** [[annOperatingCurveIvfPq]] with the index built in the LEARNED
+    * eigenvalue-allocation rotation's space (42h6) — the measured
+    * answer to the plain curve's own diagnostic reading: when the dip
+    * says "ADC-limited, spend bits on a rotation", THIS is the table
+    * that shows what the rotation bought at every probe budget.
+    * Ground truth stays the exact cosine over the ORIGINAL floats
+    * (rotation preserves cosine — the annRecallIvfPqOpqLearned
+    * convention), so the two curves are directly comparable row by
+    * row. The rotated frame is checkpointed once (the IVF-PQ pipeline
+    * fans it to many consumers — the annRecallIvfPqOpq pin).
+    */
+  def annOperatingCurveIvfPqOpqLearned(embeddings: DataFrame,
+                                       nProbes: Int = 20, k: Int = 5,
+                                       kClusters: Int = 8,
+                                       coarseIters: Int = 3,
+                                       subspaces: Int = 8, kCodes: Int = 8,
+                                       pqIters: Int = 2,
+                                       probeGrid: Seq[Int] = Seq(1, 2, 4, 8),
+                                       dim: Int = 64): DataFrame = {
+    val rot = opqRotateRows(embeddings, opqLearnedRotationRows(embeddings))
+      .localCheckpoint(true)
+    ivfPqCurve(rot, knnBrute(embeddings, nProbes, k), nProbes, k,
+      kClusters, coarseIters, subspaces, kCodes, pqIters, probeGrid, dim)
+  }
+
+  /** The shared sweep body: index (coarse cells + PQ + ADC) built on
+    * `indexFrame`, recall scored against the top-k `truth` rows
+    * (whatever space they were computed in).
+    */
+  private def ivfPqCurve(indexFrame: DataFrame, truthTopK: DataFrame,
+                         nProbes: Int, k: Int, kClusters: Int,
+                         coarseIters: Int, subspaces: Int, kCodes: Int,
+                         pqIters: Int, probeGrid: Seq[Int],
+                         dim: Int): DataFrame = {
+    val embeddings = indexFrame
     require(probeGrid.nonEmpty && probeGrid.forall(p => p > 0 && p <= kClusters),
       s"probeGrid must lie within 1..$kClusters: $probeGrid")
     val maxP = probeGrid.max
@@ -1631,7 +1669,7 @@ object Similarity {
     val topk = confs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("n_probe_lists"), col("qid"), col("nid"), lit(1L).as("hit"))
-    val truth = knnBrute(embeddings, nProbes, k).select(col("qid"), col("nid"))
+    val truth = truthTopK.select(col("qid"), col("nid"))
       .select(col("qid"), col("nid"), explode(gridLit).as("n_probe_lists"))
     val hits = truth.join(topk, Seq("n_probe_lists", "qid", "nid"), "left")
       .groupBy("n_probe_lists")

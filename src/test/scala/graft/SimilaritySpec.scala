@@ -380,6 +380,62 @@ class SimilaritySpec extends AnyFunSuite {
       "np=8 hits must equal the full-scan ADC search's")
   }
 
+  test("learned-OPQ ivf-pq operating curve: np=2 row ties out to the learned recall evaluator; isotropic parity band; concentrated lift at every probe budget (r13)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val learned = Similarity.annOperatingCurveIvfPqOpqLearned(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(learned.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    learned.sliding(2).foreach { p =>
+      assert(p(0)._3 <= p(1)._3, s"candidate volume must grow: $p")
+    }
+    // cross-pin: np=2 aggregates EXACTLY the learned recall evaluator
+    // (same trained rotation, same index chain, same original-space
+    // truth)
+    val ev = Similarity.annRecallIvfPqOpqLearned(emb)
+      .agg(sum("n_hit").as("h"), sum("n_brute").as("b")).collect().head
+    val row2 = learned.find(_._1 == 2L).get
+    assert(row2._4 === ev.getLong(0),
+      "np=2 hits must equal ann_recall_ivf_pq_opq_learned's")
+    assert(row2._2 === ev.getLong(1),
+      "np=2 truth must equal ann_recall_ivf_pq_opq_learned's")
+    // isotropic corpus: the allocation has nothing to allocate —
+    // parity band with the plain curve per config (the honest-negative
+    // precondition, row by row)
+    val plain = Similarity.annOperatingCurveIvfPq(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    learned.foreach { case (np, _, _, _, rec) =>
+      assert(math.abs(rec - plain(np)) < 0.25,
+        f"isotropic delta at np=$np should be noise-scale: $rec%.2f vs ${plain(np)}%.2f")
+    }
+    info(learned.map(c =>
+      f"np=${c._1} learned=${c._5}%.2f plain=${plain(c._1)}%.2f").mkString(", "))
+    // concentrated fixture (the 42h6 lattice): the rotation's lift
+    // holds at EVERY probe budget, not only the ADC-bound ceiling —
+    // the table the plain curve's "spend bits on a rotation" reading
+    // promises
+    val grid = (0 until 256).map { id =>
+      val v = Array.fill(64)(0.0f)
+      for (j <- 0 until 8)
+        v(j) = (((id * 37 + j * 101 + (id * id + j) * 13) % 16 + 16) % 16)
+          .toFloat * 2 + 1
+      (id.toLong, v.toSeq, (id % 4).toLong)
+    }.toDF("vec_id", "embedding", "label")
+    val gPlain = Similarity.annOperatingCurveIvfPq(grid).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val gLearned = Similarity.annOperatingCurveIvfPqOpqLearned(grid).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    info(Seq(1L, 2L, 4L, 8L).map(np =>
+      f"np=$np plain=${gPlain(np)}%.2f learned=${gLearned(np)}%.2f").mkString(", "))
+    Seq(1L, 2L, 4L, 8L).foreach { np =>
+      assert(gLearned(np) >= gPlain(np),
+        f"lift must hold at np=$np: ${gLearned(np)}%.2f vs ${gPlain(np)}%.2f")
+    }
+    assert(gLearned(8L) > gPlain(8L) + 0.1,
+      "the ADC-bound ceiling row must show the decisive lift")
+  }
+
   test("lsh operating curve: recall/candidates monotone NON-increasing in signature length; full-signature row ties out to ann_recall") {
     val emb = Tables.embeddings(spark, sf)
     val curve = Similarity.lshOperatingCurve(emb).collect()
