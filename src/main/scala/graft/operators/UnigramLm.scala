@@ -469,6 +469,15 @@ object UnigramLm {
   /** [[encode]] under a pre-trained piece table: identical output to
     * the self-training form on the training corpus (spec: frame
     * equality), zero training jobs on any corpus.
+    *
+    * Coverage contract, stated honestly: single-char coverage is
+    * scoped to the TRAINING corpus's alphabet. A word containing a
+    * character the artifact never saw has an unreachable Viterbi
+    * lattice, and the traceback degrades to a char-split that
+    * includes out-of-vocabulary "pieces" — a deployment ingesting
+    * unknown scripts maps them to a known symbol upstream (the
+    * SentencePiece <unk> convention) rather than relying on this
+    * fallback.
     */
   def encodeWith(documents: DataFrame, pieces: Seq[Piece]): DataFrame = {
     val words = applyTrainedWords(documents, pieces)
