@@ -349,12 +349,22 @@ object Bench {
         ",\"converged\":" + isConverged(rs) + spreadField + errField + "}" }
       .mkString("{", ",", "}")
     val iso = isolated.map { case (k, reps3) =>
-      val best = reps3.minBy(_.wall)
-      s"\"" + k + "\":{\"in_suite\":" + resultMap0(k).wall +
-        ",\"isolated\":" + best.wall +
-        ",\"isolated_max\":" + r3(reps3.map(_.wall).max) +
+      // same clean-rep discipline as the in-suite min: an isolation
+      // rep that threw must not publish a flattering near-zero wall
+      // (isolation candidates are drawn from clean in-suite results,
+      // so an all-erroring probe is a real finding — published as
+      // isolated:null with the error visible in isolated_reps' walls)
+      val cleanIso = reps3.filter(_.err.isEmpty)
+      val isoFields = cleanIso.sortBy(_.wall).headOption match {
+        case Some(best) =>
+          ",\"isolated\":" + best.wall +
+            ",\"isolated_max\":" + r3(cleanIso.map(_.wall).max) +
+            ",\"isolated_cpu_util\":" + util(best.wall, best.cpu)
+        case None => ",\"isolated\":null"
+      }
+      s"\"" + k + "\":{\"in_suite\":" + resultMap0(k).wall + isoFields +
         ",\"isolated_reps\":" + reps3.map(t => r3(t.wall)).mkString("[", ",", "]") +
-        ",\"isolated_cpu_util\":" + util(best.wall, best.cpu) + "}" }
+        "}" }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).map(_.wall).sum
     val totalCpu = results.flatMap(_._2).map(_.cpu).sum

@@ -390,6 +390,10 @@ object SparkEntry {
     // rotated frame checkpointed once (the annRecallIvfPqOpq pin)
     "ann_operating_curve_ivf_pq_opq_learned" -> ((s, d) =>
       Similarity.annOperatingCurveIvfPqOpqLearned(t(s, d, "embeddings"))),
+    // the residual member of the curve family (r13) — completes the
+    // sweep matrix across raw / learned-rotation / residual
+    "ann_operating_curve_ivf_pq_residual" -> ((s, d) =>
+      Similarity.annOperatingCurveIvfPqResidual(t(s, d, "embeddings"))),
     "knn_sq_int8" -> ((s, d) => Similarity.knnSqInt8(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents"))),
@@ -1439,6 +1443,42 @@ object SparkEntry {
        |  md5(string_agg(syms, ' ' ORDER BY pos)) AS token_md5
        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** The config fan-out / rank / truth-score tail shared by every
+    * IVF-PQ-family curve oracle: expects a CTE named `pairs` with
+    * (qid, nid, min_crank, adc_dist_nano) and scores against the
+    * exact-cosine truth computed over `truthSrc`.
+    */
+  private def curveGridTailSql(truthSrc: String): String =
+    s"""grid AS (SELECT unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+      |  CAST(4 AS BIGINT), CAST(8 AS BIGINT)]) AS n_probe_lists),
+      |confs AS (SELECT g.n_probe_lists, p.qid, p.nid, p.adc_dist_nano
+      |  FROM pairs p CROSS JOIN grid g WHERE p.min_crank <= g.n_probe_lists),
+      |tk AS (SELECT n_probe_lists, qid, nid FROM (
+      |  SELECT n_probe_lists, qid, nid,
+      |    row_number() OVER (PARTITION BY n_probe_lists, qid
+      |      ORDER BY adc_dist_nano ASC, nid ASC) AS rank FROM confs)
+      |  WHERE rank <= 5),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM $truthSrc),
+      |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+      |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+      |br AS (SELECT qid, nid,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM bs),
+      |b AS (SELECT g.n_probe_lists, br.qid, br.nid FROM br CROSS JOIN grid g
+      |  WHERE br.rank <= 5),
+      |h AS (SELECT b.n_probe_lists, CAST(count(*) AS BIGINT) AS n_true,
+      |  CAST(sum(CASE WHEN tk.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |FROM b LEFT JOIN tk ON tk.n_probe_lists = b.n_probe_lists
+      |  AND tk.qid = b.qid AND tk.nid = b.nid GROUP BY 1),
+      |nc AS (SELECT n_probe_lists, CAST(count(*) AS BIGINT) AS n_candidates
+      |  FROM confs GROUP BY 1)
+      |SELECT h.n_probe_lists, n_true,
+      |  coalesce(nc.n_candidates, CAST(0 AS BIGINT)) AS n_candidates, n_hit,
+      |  CAST(n_hit AS DOUBLE) / n_true AS recall
+      |FROM h LEFT JOIN nc ON h.n_probe_lists = nc.n_probe_lists
+      |ORDER BY h.n_probe_lists""".stripMargin
+
   /** The IVF-PQ probeLists-sweep oracle tail (42h8): "g"-prefixed
     * coarse chain over `e`, probe cells ranked to the widest grid
     * config with rank kept, one pair set, config fan-out, ADC
@@ -1472,35 +1512,7 @@ object SparkEntry {
       |JOIN rec ON rec.vec_id = cell.vec_id
       |JOIN pr ON pr.qid = plr.qid
       |WHERE plr.qid <> cell.vec_id),
-      |grid AS (SELECT unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT),
-      |  CAST(4 AS BIGINT), CAST(8 AS BIGINT)]) AS n_probe_lists),
-      |confs AS (SELECT g.n_probe_lists, p.qid, p.nid, p.adc_dist_nano
-      |  FROM pairs p CROSS JOIN grid g WHERE p.min_crank <= g.n_probe_lists),
-      |tk AS (SELECT n_probe_lists, qid, nid FROM (
-      |  SELECT n_probe_lists, qid, nid,
-      |    row_number() OVER (PARTITION BY n_probe_lists, qid
-      |      ORDER BY adc_dist_nano ASC, nid ASC) AS rank FROM confs)
-      |  WHERE rank <= 5),
-      |n AS (SELECT vec_id, v,
-      |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM $truthSrc),
-      |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-      |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
-      |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
-      |br AS (SELECT qid, nid,
-      |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM bs),
-      |b AS (SELECT g.n_probe_lists, br.qid, br.nid FROM br CROSS JOIN grid g
-      |  WHERE br.rank <= 5),
-      |h AS (SELECT b.n_probe_lists, CAST(count(*) AS BIGINT) AS n_true,
-      |  CAST(sum(CASE WHEN tk.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-      |FROM b LEFT JOIN tk ON tk.n_probe_lists = b.n_probe_lists
-      |  AND tk.qid = b.qid AND tk.nid = b.nid GROUP BY 1),
-      |nc AS (SELECT n_probe_lists, CAST(count(*) AS BIGINT) AS n_candidates
-      |  FROM confs GROUP BY 1)
-      |SELECT h.n_probe_lists, n_true,
-      |  coalesce(nc.n_candidates, CAST(0 AS BIGINT)) AS n_candidates, n_hit,
-      |  CAST(n_hit AS DOUBLE) / n_true AS recall
-      |FROM h LEFT JOIN nc ON h.n_probe_lists = nc.n_probe_lists
-      |ORDER BY h.n_probe_lists""".stripMargin
+      |${curveGridTailSql(truthSrc)}""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dim_date" ->
@@ -4719,6 +4731,50 @@ object SparkEntry {
       s"""WITH $opqLearnedRotatedCteSql,
         |${pqBlocksSql("", "e")},
         |${ivfPqCurveTailSql("eraw")}""".stripMargin,
+
+    // The RESIDUAL member of the curve family (r13): the
+    // knn_ivf_pq_residual chain (cells, REAL-roundtripped residuals,
+    // "r"-prefixed per-subspace Lloyd, per-probed-cell probe residual)
+    // with probe cells ranked to the widest config, then the shared
+    // grid tail; truth over the raw doubles.
+    "ann_operating_curve_ivf_pq_residual" ->
+      s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |${kmeansBlocksSql("g", 8, 3)},
+        |cell AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.v)+1),
+        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+        |  FROM e CROSS JOIN gc3 c) WHERE rn = 1),
+        |er AS (SELECT e.vec_id,
+        |    list_transform(range(1, len(e.v)+1),
+        |      i -> CAST(CAST(e.v[i] - c.cv[i] AS REAL) AS DOUBLE)) AS v
+        |  FROM e JOIN cell ON cell.vec_id = e.vec_id
+        |  JOIN gc3 c ON c.cid = cell.cid),
+        |${pqBlocksSql("r", "er")},
+        |rrec AS (SELECT rf0.vec_id,
+        |  ${(0 until 8).map(i => s"rf$i.cv").mkString(" || ")} AS rv
+        |FROM rf0 ${(1 until 8).map(i => s"JOIN rf$i USING (vec_id)").mkString(" ")}),
+        |plr AS (SELECT vec_id AS qid, cid, CAST(rn AS BIGINT) AS min_crank FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.v)+1),
+        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+        |  FROM e CROSS JOIN gc3 c WHERE e.vec_id < 20) WHERE rn <= 8),
+        |prr AS (SELECT plr.qid, plr.cid, plr.min_crank,
+        |    list_transform(range(1, len(e.v)+1),
+        |      i -> CAST(CAST(e.v[i] - c.cv[i] AS REAL) AS DOUBLE)) AS qrv
+        |  FROM plr JOIN e ON e.vec_id = plr.qid JOIN gc3 c ON c.cid = plr.cid),
+        |pairs AS (SELECT prr.qid, cell.vec_id AS nid, prr.min_crank,
+        |  CAST(floor(list_sum(list_transform(range(1, len(prr.qrv)+1),
+        |    j -> (prr.qrv[j]-rrec.rv[j])*(prr.qrv[j]-rrec.rv[j]))) * 1e9 + 0.5) AS BIGINT)
+        |    AS adc_dist_nano
+        |FROM prr JOIN cell ON cell.cid = prr.cid
+        |JOIN rrec ON rrec.vec_id = cell.vec_id
+        |WHERE prr.qid <> cell.vec_id),
+        |${curveGridTailSql("e")}""".stripMargin,
 
     // A-Res weighted priority sample: u strictly inside (0,1) via
     // (2·hi28+1)/2^29 (log2 stays finite), priority = log2(u)/weight —

@@ -1660,6 +1660,16 @@ object Similarity {
         (col("crank0") + 1).cast(LongType).as("min_crank"),
         floor(sqDistTo(col("qv"), col("nv")) * lit(1e9) + 0.5).cast(LongType)
           .as("adc_dist_nano"))
+    probeCurveTail(pairs, truthTopK, gridLit, k)
+  }
+
+  /** The shared probe-sweep tail: `pairs` carries one row per
+    * (qid, nid) candidate with its narrowest generating config
+    * (min_crank) and ADC nano distance; each grid row filters, ranks,
+    * and scores against the top-k `truthTopK` rows.
+    */
+  private def probeCurveTail(pairs: DataFrame, truthTopK: DataFrame,
+                             gridLit: Column, k: Int): DataFrame = {
     val confs = pairs
       .select(col("qid"), col("nid"), col("adc_dist_nano"), col("min_crank"),
         explode(gridLit).as("n_probe_lists"))
@@ -1682,6 +1692,67 @@ object Similarity {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_true")).as("recall"))
       .orderBy("n_probe_lists")
+  }
+
+  /** [[annOperatingCurveIvfPq]] for the RESIDUAL-encoded index
+    * ([[knnIvfPqResidual]], the full FAISS IVFPQ semantic) —
+    * completes the curve matrix across the composed family's three
+    * members (raw / learned-rotation / residual). The probe side
+    * takes a residual PER PROBED CELL, so each candidate pair's ADC
+    * is fixed by the corpus row's one cell — config filters stay
+    * valid, and the shared-candidate construction carries verbatim.
+    * On clustered corpora the residual curve should dominate the raw
+    * curve at every probe budget (the knnIvfPqResidual 3× lift,
+    * spec-measured); on isotropic corpora parity — the same
+    * precondition honesty as the point evaluators.
+    */
+  def annOperatingCurveIvfPqResidual(embeddings: DataFrame,
+                                     nProbes: Int = 20, k: Int = 5,
+                                     kClusters: Int = 8,
+                                     coarseIters: Int = 3,
+                                     subspaces: Int = 8, kCodes: Int = 8,
+                                     pqIters: Int = 2,
+                                     probeGrid: Seq[Int] = Seq(1, 2, 4, 8),
+                                     dim: Int = 64): DataFrame = {
+    require(probeGrid.nonEmpty && probeGrid.forall(p => p > 0 && p <= kClusters),
+      s"probeGrid must lie within 1..$kClusters: $probeGrid")
+    val maxP = probeGrid.max
+    val gridLit = typedLit(probeGrid.map(_.toLong).sorted)
+    val coarse = kmeansCodebook(embeddings, kClusters, coarseIters)
+    val cidsLit = typedLit(coarse.map(_._1))
+    val centsLit = typedLit(coarse.map(_._2))
+    def rankedCells(v: Column) = array_sort(zip_with(
+      transform(centsLit, c => sqDistTo(v, c)),
+      cidsLit, (d, c) => struct(d.as("d"), c.as("cid"))))
+    def centOf(cid: Column) =
+      element_at(centsLit, array_position(cidsLit, cid).cast("int"))
+    def residualTo(v: Column, cent: Column) =
+      zip_with(v, cent, (a, b) => (a.cast("double") - b).cast("float"))
+    val residuals = embeddings
+      .select(col("vec_id"), col("embedding"),
+        explode(transform(slice(rankedCells(col("embedding")), 1, 1),
+          r => r.getField("cid"))).as("list_id"))
+      .select(col("vec_id"),
+        residualTo(col("embedding"), centOf(col("list_id"))).as("embedding"),
+        col("list_id"))
+    val books = pqCodebooks(residuals.select("vec_id", "embedding"),
+      subspaces, kCodes, pqIters, dim)
+    val corpus = withPqRecon(residuals, books, dim)
+      .select(col("vec_id").as("nid"), col("__recon").as("nv"), col("list_id"))
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .select(col("qid"), col("qv"),
+        posexplode(transform(slice(rankedCells(col("qv")), 1, maxP),
+          r => r.getField("cid"))).as(Seq("crank0", "list_id")))
+      .select(col("qid"),
+        residualTo(col("qv"), centOf(col("list_id"))).as("qrv"),
+        (col("crank0") + 1).cast(LongType).as("min_crank"), col("list_id"))
+    val pairs = corpus.join(broadcast(probes), Seq("list_id"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("min_crank"),
+        floor(sqDistTo(col("qrv"), col("nv")) * lit(1e9) + 0.5).cast(LongType)
+          .as("adc_dist_nano"))
+    probeCurveTail(pairs, knnBrute(embeddings, nProbes, k), gridLit, k)
   }
 
   /** The LSH family's operating curve (r11 VERDICT #6) — the

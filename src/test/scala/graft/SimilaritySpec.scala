@@ -436,6 +436,48 @@ class SimilaritySpec extends AnyFunSuite {
       "the ADC-bound ceiling row must show the decisive lift")
   }
 
+  test("residual ivf-pq operating curve: np=2 row ties out to knn_ivf_pq_residual; clustered lift at every probe budget (r13)") {
+    val emb = Tables.embeddings(spark, sf)
+    val curve = Similarity.annOperatingCurveIvfPqResidual(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(curve.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    curve.sliding(2).foreach { p =>
+      assert(p(0)._3 <= p(1)._3, s"candidate volume must grow: $p")
+    }
+    // cross-pin: the np=2 row's hits are EXACTLY the residual search's
+    // top-k scored against the same cosine truth (same trained chain)
+    val truth = Similarity.knnBrute(emb).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val resHits = Similarity.knnIvfPqResidual(emb).select("qid", "nid")
+      .collect().count(r => truth((r.getLong(0), r.getLong(1)))).toLong
+    val row2 = curve.find(_._1 == 2L).get
+    assert(row2._4 === resHits, "np=2 hits must equal knn_ivf_pq_residual's")
+    info(curve.map(c => f"np=${c._1} recall=${c._5}%.2f candidates=${c._3}")
+      .mkString(", "))
+    // where the residual precondition HOLDS (the planted 4-cluster
+    // corpus of the point-evaluator spec), the residual curve must
+    // dominate the raw curve at EVERY probe budget — the sweep version
+    // of the measured 3x point lift
+    import org.apache.spark.sql.functions.transform
+    val offset = (col("vec_id") % 4).cast("double") * 10.0
+    val planted = emb.select(col("vec_id"),
+      transform(col("embedding"), x => (x.cast("double") + offset).cast("float"))
+        .as("embedding"))
+    val cRes = Similarity.annOperatingCurveIvfPqResidual(planted).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val cRaw = Similarity.annOperatingCurveIvfPq(planted).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    info(Seq(1L, 2L, 4L, 8L).map(np =>
+      f"np=$np raw=${cRaw(np)}%.2f residual=${cRes(np)}%.2f").mkString(", "))
+    Seq(1L, 2L, 4L, 8L).foreach { np =>
+      assert(cRes(np) >= cRaw(np),
+        f"residual lift must hold at np=$np: ${cRes(np)}%.2f vs ${cRaw(np)}%.2f")
+    }
+    assert(cRes(8L) > cRaw(8L) + 0.1,
+      "the ADC-bound ceiling row must show a decisive residual lift")
+  }
+
   test("lsh operating curve: recall/candidates monotone NON-increasing in signature length; full-signature row ties out to ann_recall") {
     val emb = Tables.embeddings(spark, sf)
     val curve = Similarity.lshOperatingCurve(emb).collect()
