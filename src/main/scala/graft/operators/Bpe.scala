@@ -190,6 +190,20 @@ object Bpe {
     counts
   }
 
+  /** The inverse of [[merges]]: read a persisted merge-table artifact
+    * (rank, lhs, rhs, merged, pair_count — e.g. the parquet a
+    * `merges().write.parquet(...)` landed) back into the [[Merge]]
+    * sequence the apply overloads take — closing the train → persist
+    * → load → encode deployment loop. Rows are re-sorted by rank
+    * (application order IS the contract), so storage order is
+    * irrelevant. Bounded collect: nMerges rows by construction.
+    */
+  def mergesFrom(mergesDf: DataFrame): Seq[Merge] =
+    mergesDf.select("rank", "lhs", "rhs", "merged", "pair_count").collect()
+      .map(r => Merge(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .sortBy(_.rank).toSeq
+
   /** word → trained symbol sequence under a PRE-TRAINED merge table —
     * the apply-only half of the train-once/encode-forever deployment
     * split (the kmeansAssignWith pattern, r12 VERDICT #3): the rank-

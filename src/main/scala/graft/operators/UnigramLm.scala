@@ -440,6 +440,20 @@ object UnigramLm {
       .orderBy("doc_id")
   }
 
+  /** The inverse of [[vocab]]: read a persisted piece-table artifact
+    * (rank, piece, n_count, cost_micro — e.g.
+    * `spark.read.parquet(...)` of a `vocab().write.parquet(...)`)
+    * back into the [[Piece]] sequence the apply overloads take —
+    * closing the train → persist → load → encode deployment loop.
+    * Rows are re-sorted by rank, so storage order is irrelevant.
+    * Bounded collect by the artifact contract (vocabulary-scale).
+    */
+  def piecesFrom(vocabDf: DataFrame): Seq[Piece] =
+    vocabDf.select("rank", "piece", "n_count", "cost_micro").collect()
+      .map(r => Piece(r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+      .sortBy(_.rank).toSeq
+
   /** word → Viterbi pieces under a PRE-TRAINED piece table — the
     * apply-only half of the train-once/encode-forever deployment split
     * (the kmeansAssignWith pattern, r12 VERDICT #3): the NEW corpus's

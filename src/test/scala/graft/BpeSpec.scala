@@ -181,4 +181,19 @@ class BpeSpec extends AnyFunSuite {
     val freshRows = Bpe.encodeWith(fresh, merges).collect()
     assert(freshRows.length === 1 && freshRows(0).getLong(1) >= 2L)
   }
+
+  test("merge artifact round-trips through parquet into the apply overload (r13)") {
+    val docs = Tables.documents(spark, sf)
+    // the real deployment loop: train -> land the artifact -> a later
+    // job reads it back and encodes with it
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_artifact")
+      .toString + "/merges"
+    graft.operators.Bpe.merges(docs, nMerges = 8).write.parquet(dir)
+    val loaded = Bpe.mergesFrom(spark.read.parquet(dir))
+    val (direct, w) = Bpe.train(docs, nMerges = 8)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(w)
+    assert(loaded === direct, "artifact must survive the parquet round-trip")
+    assert(Bpe.encodeWith(docs, loaded).collect().toSeq ===
+      Bpe.encode(docs, nMerges = 8).collect().toSeq)
+  }
 }

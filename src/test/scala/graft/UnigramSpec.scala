@@ -341,4 +341,16 @@ class UnigramSpec extends AnyFunSuite {
     val freshRows = UnigramLm.encodeWith(fresh, pieces).collect()
     assert(freshRows.length === 1 && freshRows(0).getLong(1) >= 2L)
   }
+
+  test("piece artifact round-trips through parquet into the apply overload (r13)") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_uni_artifact")
+      .toString + "/pieces"
+    UnigramLm.vocab(docs).write.parquet(dir)
+    val loaded = UnigramLm.piecesFrom(spark.read.parquet(dir))
+    val direct = UnigramLm.train(docs)
+    assert(loaded === direct, "artifact must survive the parquet round-trip")
+    assert(UnigramLm.encodeWith(docs, loaded).collect().toSeq ===
+      UnigramLm.encode(docs).collect().toSeq)
+  }
 }
