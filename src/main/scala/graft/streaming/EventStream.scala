@@ -1335,12 +1335,29 @@ object EventStream {
                      pieces: Seq[graft.operators.UnigramLm.Piece],
                      splitAt: Option[Long] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    applyArtifactStream(spark, dir, sinkPath, splitAt,
+      batch => graft.operators.UnigramLm.encodeWith(batch, pieces))
+
+  /** The BPE twin of [[tokenizeStream]] — same stateless contract,
+    * same union-of-sinks ≡ one-shot encodeWith proof, under the merge
+    * table artifact instead of the piece table.
+    */
+  def tokenizeBpeStream(spark: SparkSession, dir: String, sinkPath: String,
+                        merges: Seq[graft.operators.Bpe.Merge],
+                        splitAt: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    applyArtifactStream(spark, dir, sinkPath, splitAt,
+      batch => graft.operators.Bpe.encodeWith(batch, merges))
+
+  private def applyArtifactStream(spark: SparkSession, dir: String,
+                                  sinkPath: String, splitAt: Option[Long],
+                                  apply: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     documentsStream(spark, dir, splitAt)
       .writeStream.outputMode("append")
       .option("checkpointLocation", sinkPath + ".ckpt")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val out = graft.operators.UnigramLm
-          .encodeWith(batch.drop("ingest_ts"), pieces)
+        val out = apply(batch.drop("ingest_ts"))
         graft.sources.Loader.truncateAndLoad(out, s"$sinkPath/batch_$batchId")
         ()
       }

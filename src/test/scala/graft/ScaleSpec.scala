@@ -694,6 +694,23 @@ class ScaleSpec extends AnyFunSuite {
       .encodeWith(docs.filter(col("doc_id") < 250), pieces)
     assert(mid.exceptAll(midShot).count() === 0)
     assert(midShot.exceptAll(mid).count() === 0)
+    // the BPE twin under the same stateless contract
+    val (merges, w) = graft.operators.Bpe.train(docs, nMerges = 8)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(w)
+    val sinkB = Files.createTempDirectory("graft_tokstream_bpe")
+      .toString + "/tokens"
+    val qb = EventStream.tokenizeBpeStream(spark, sf, sinkB, merges,
+      splitAt = Some(250L))
+    qb.processAllAvailable(); qb.stop()
+    val batchesB = new java.io.File(sinkB).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batchesB.length === 2)
+    val unionB = batchesB.map(b => spark.read.parquet(s"$sinkB/$b"))
+      .reduce(_ unionByName _)
+    val oneShotB = graft.operators.Bpe.encodeWith(docs, merges)
+    assert(unionB.exceptAll(oneShotB).count() === 0)
+    assert(oneShotB.exceptAll(unionB).count() === 0)
+    assert(unionB.count() === oneShotB.count() && unionB.count() > 0)
   }
 
   test("streaming reservoir: every trigger's snapshot is BIT-identical to its one-shot prefix") {

@@ -342,6 +342,19 @@ class UnigramSpec extends AnyFunSuite {
     assert(freshRows.length === 1 && freshRows(0).getLong(1) >= 2L)
   }
 
+  test("unigram LM: soft-EM composes with loss pruning — the flag matrix's last cell, bit-equal to the reference (r13)") {
+    val docs = Tables.documents(spark, sf)
+    val got = UnigramLm.train(docs, pruneByLoss = true, softEm = true)
+      .map(p => (p.rank, p.piece, p.n_count, p.cost_micro))
+    val want = refTrain(collectedWordCounts(docs), 64, 256, 2,
+      pruneByLoss = true, softEm = true)
+    assert(got.nonEmpty)
+    assert(got === want, {
+      val d = got.zip(want).find { case (a, b) => a != b }
+      s"first divergence: $d"
+    })
+  }
+
   test("piece artifact round-trips through parquet into the apply overload (r13)") {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_uni_artifact")
