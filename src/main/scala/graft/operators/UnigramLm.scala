@@ -216,6 +216,19 @@ object UnigramLm {
     * rank-ordered piece table (driver-bounded: ≤ max(seedSize,
     * vocabSize) + alphabet rows at every step).
     *
+    * `quantum` (soft mode only) is the expected-count quantization
+    * scale [[fbExpectedNano]] aggregates in — the 100 TB overflow
+    * escape hatch, now an actual parameter (r13 ADVICE: the scaladoc
+    * named the knob but nothing plumbed it): the Long usage sum holds
+    * ~9.2e18/quantum expected occurrences per piece, so a ~1e13-token
+    * corpus drops it to 1e3–1e6. The single-char coverage floor is
+    * quantum-RELATIVE in soft mode (one whole expected occurrence,
+    * not 1e-9 of one — the second r13 ADVICE nit): hard counts floor
+    * at 1 occurrence, soft nano-counts floor at `quantum`, so an
+    * unused char's cost sits the same ~log2(total) bits above the
+    * live pieces in both modes and unseen-word fallback segmentation
+    * behaves identically across the E-step choice.
+    *
     * `pruneByLoss = true` replaces the top-usage retention with Kudo
     * §3.2's LIKELIHOOD-LOSS ranking (the r11 scaladoc's documented
     * simplification, closed): a multi-char piece's loss is
@@ -232,7 +245,7 @@ object UnigramLm {
     */
   def train(documents: DataFrame, vocabSize: Int = 64, seedSize: Int = 256,
             iters: Int = 2, pruneByLoss: Boolean = false,
-            softEm: Boolean = false): Seq[Piece] = {
+            softEm: Boolean = false, quantum: Double = 1e9): Seq[Piece] = {
     val words = Bpe.wordCounts(documents).localCheckpoint(true)
     try {
       val seedRows = words
@@ -259,7 +272,7 @@ object UnigramLm {
             .groupBy("piece").agg(sum(col("n")).as("cnt"))
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
           else words
-            .select(explode(fbExpectedNano(col("word"), toCosts(vocab)))
+            .select(explode(fbExpectedNano(col("word"), toCosts(vocab), quantum))
               .as("o"), col("n"))
             .select(col("o.piece").as("piece"),
               (col("o.nano") * col("n")).as("u"))
@@ -268,9 +281,17 @@ object UnigramLm {
             // a piece whose posterior rounded to zero everywhere has
             // died — drop it so log2(0) never reaches the cost map
             .filter(_._2 > 0L).toMap
-        // unused single chars keep a floor count of 1: coverage must
-        // survive EM or an unseen-word arrival could fail to segment
-        usage ++ chars.map(_._1).filterNot(usage.contains).map(_ -> 1L)
+        // unused single chars keep a floor count of one OCCURRENCE:
+        // coverage must survive EM or an unseen-word arrival could
+        // fail to segment. Occurrence scale differs per E-step — hard
+        // counts are 1 per occurrence, soft counts are `quantum` per
+        // expected occurrence — so the floor follows (r13 ADVICE: a
+        // flat 1L under softEm was 1e-9 of an occurrence, pushing
+        // unused chars ~30 bits further from the live pieces than the
+        // hard-mode floor does)
+        val floorCount = if (softEm) math.round(quantum) else 1L
+        usage ++ chars.map(_._1).filterNot(usage.contains)
+          .map(_ -> floorCount)
       }
       for (_ <- 1 to iters) counts = emRound(counts)
       // Both prune schedules spend the SAME budget: vocabSize
@@ -345,16 +366,20 @@ object UnigramLm {
     * counts, [[fbExpectedNano]]) — the r12 scaladoc's remaining
     * documented simplification, closed: published beside the hard-EM
     * default so the two E-steps stay individually inspectable.
-    * n_count is in NANO usage units (the expected-count scale).
-    * Rows-only like the trainer; UnigramSpec proves bit-equality to
-    * an independent reference forward–backward implementation and
-    * pins the fractional-credit case hard EM starves to zero.
+    * n_count is in `quantum` usage units (default nano, 1e9 — the
+    * expected-count scale; drop the quantum at extreme corpus scale,
+    * see [[train]]). Rows-only like the trainer; UnigramSpec proves
+    * bit-equality to an independent reference forward–backward
+    * implementation and pins the fractional-credit case hard EM
+    * starves to zero.
     */
   def vocabSoftEm(documents: DataFrame, vocabSize: Int = 64,
-                  seedSize: Int = 256, iters: Int = 2): DataFrame = {
+                  seedSize: Int = 256, iters: Int = 2,
+                  quantum: Double = 1e9): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    train(documents, vocabSize, seedSize, iters, softEm = true).toDF()
+    train(documents, vocabSize, seedSize, iters, softEm = true,
+      quantum = quantum).toDF()
       .select(col("rank"), col("piece"), col("n_count"), col("cost_micro"))
       .orderBy("rank")
   }
@@ -479,6 +504,14 @@ object UnigramLm {
     Bpe.wordCounts(documents)
       .select(col("word"), viterbiPieces(col("word"), costs).as("pieces"))
   }
+
+  /** The apply-surface dictionary under a PRE-TRAINED piece table —
+    * [[wordPieces]]' apply-only twin (public so the oracle dump can
+    * render a soft-EM-trained artifact's word → pieces table as
+    * VALUES without re-implementing the Viterbi apply).
+    */
+  def wordPiecesWith(documents: DataFrame, pieces: Seq[Piece]): DataFrame =
+    applyTrainedWords(documents, pieces)
 
   /** [[encode]] under a pre-trained piece table: identical output to
     * the self-training form on the training corpus (spec: frame

@@ -147,7 +147,12 @@ class UnigramSpec extends AnyFunSuite {
         }
         usage.filterInPlace { case (_, u) => u > 0L }
       }
-      usage.toMap ++ chars.keys.filterNot(usage.contains).map(_ -> 1L)
+      // coverage floor is one OCCURRENCE on each E-step's own scale:
+      // 1 hard count, `quantum` (1e9) soft nano-count — mirrors the
+      // engine's quantum-relative floor (r13 ADVICE)
+      val floorCount = if (softEm) 1000000000L else 1L
+      usage.toMap ++ chars.keys.filterNot(usage.contains)
+        .map(_ -> floorCount)
     }
     for (_ <- 1 to iters) counts = emRound(counts)
     // both schedules spend vocabSize multi-char slots + the char union
