@@ -47,7 +47,8 @@ object SparkEntry {
       // fn (checkpointed dictionary, released explicitly) — GC after
       // them reaps the transient blocks promptly
       "bpe_encode_pretrained", "bpe_token_counts_pretrained",
-      "unigram_encode_pretrained", "unigram_token_counts_pretrained")
+      "unigram_encode_pretrained", "unigram_token_counts_pretrained",
+      "unigram_encode_pretrained_soft")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -553,6 +554,15 @@ object SparkEntry {
     "unigram_token_counts_pretrained" -> ((s, d) =>
       UnigramLm.tokenCountsWith(t(s, d, "documents"),
         UnigramLm.train(t(s, d, "documents")))),
+    // The SOFT-EM trainer on the full pipeline surface (r13 VERDICT
+    // #7): a forward–backward-trained artifact driven end-to-end
+    // through the same pretrained apply path — vocabSoftEm was
+    // previously spec-only; this is the deployment-shaped proof that
+    // a soft-EM piece table encodes a corpus, with a FULL oracle over
+    // the VALUES-inlined soft dictionary.
+    "unigram_encode_pretrained_soft" -> ((s, d) =>
+      UnigramLm.encodeWith(t(s, d, "documents"),
+        UnigramLm.train(t(s, d, "documents"), softEm = true))),
     // ---- D (r6). steady-state admission + CDC maintenance ----
     "dedup_admit" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -1374,6 +1384,32 @@ object SparkEntry {
       .mkString(", ")
   }
 
+  /** The SOFT-EM twin of [[UnigramDictPlaceholder]] (r13 VERDICT #7 —
+    * the soft-EM trainer wired to the full pipeline surface): word →
+    * Viterbi pieces under a piece table trained with forward–backward
+    * EXPECTED counts (`softEm = true`). Same training-vs-apply oracle
+    * boundary: the soft E-step is not SQL-expressible, but GIVEN the
+    * trained dictionary the per-doc reassembly is — which makes the
+    * end-to-end soft-EM encode a FULL hash-checked oracle entry.
+    */
+  val UnigramSoftDictPlaceholder: String = "/*UNIGRAM_SOFT_DICT*/"
+
+  def unigramSoftDictValues(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.{col, concat_ws, size}
+    val docs = t(spark, sfDir, "documents")
+    val rows = UnigramLm
+      .wordPiecesWith(docs, UnigramLm.train(docs, softEm = true))
+      .select(col("word"), concat_ws(" ", col("pieces")).as("syms"),
+        size(col("pieces")).cast("long").as("n_pieces"))
+      .orderBy("word").collect()
+    def esc(x: String) = x.replace("'", "''")
+    // empty corpus → VALUES needs one row; ''-word can never join
+    if (rows.isEmpty) "('', '', CAST(0 AS BIGINT))"
+    else rows.map(r => s"('${esc(r.getString(0))}', '${esc(r.getString(1))}', " +
+        s"CAST(${r.getLong(2)} AS BIGINT))")
+      .mkString(", ")
+  }
+
   /** The learned OPQ rotation's dump-time literal — a nested DuckDB
     * list `[[r00, r01, …], …]` of the 64×64 matrix
     * [[Similarity.opqLearnedRotationRows]] trains on the SAME fixture
@@ -1419,6 +1455,21 @@ object SparkEntry {
   // stream Spark digests (md5 lowercase hex in both engines).
   private lazy val unigramEncodeSql: String =
     s"""WITH dict(word, syms, n_pieces) AS (VALUES $UnigramDictPlaceholder),
+       |t AS (SELECT doc_id,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |w AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+       |  i -> struct_pack(pos := i, word := ws[i]))) AS p FROM t),
+       |f AS (SELECT doc_id, p.pos AS pos, p.word AS word FROM w
+       |  WHERE p.word <> ''),
+       |j AS (SELECT doc_id, pos, syms, n_pieces FROM f JOIN dict USING (word))
+       |SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(syms, ' ' ORDER BY pos)) AS token_md5
+       |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // the soft-EM dictionary through the identical reassembly chain —
+  // only the VALUES source differs (UnigramSoftDictPlaceholder)
+  private lazy val unigramEncodeSoftSql: String =
+    s"""WITH dict(word, syms, n_pieces) AS (VALUES $UnigramSoftDictPlaceholder),
        |t AS (SELECT doc_id,
        |  string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
        |w AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
@@ -4538,6 +4589,10 @@ object SparkEntry {
     // string_agg rebuilds exactly the stream Spark digests
     "unigram_encode" -> unigramEncodeSql,
     "unigram_encode_pretrained" -> unigramEncodeSql,
+    // the soft-EM-trained artifact through the same reassembly: only
+    // the dump-time dictionary differs (unigramSoftDictValues trains
+    // with forward–backward expected counts)
+    "unigram_encode_pretrained_soft" -> unigramEncodeSoftSql,
 
     // Positional reassembly: word positions ride the list transform,
     // the dict join fans each word to its symbol string, and the
