@@ -74,7 +74,13 @@ object Bench {
       // stale tree could cycle (infinite recursion) or point at a
       // fresh foreign mtime that keeps the dir unsweepable forever
       def newestMtime(f: java.io.File): Long =
-        (f.lastModified +: (if (java.nio.file.Files.isSymbolicLink(f.toPath))
+        // the link's OWN mtime, never the target's (r13 ADVICE: the
+        // r12 no-follow fix only stopped recursion — f.lastModified
+        // still follows the link, so a symlink to a continually-
+        // refreshed foreign file kept its stale tree unsweepable)
+        (java.nio.file.Files.getLastModifiedTime(f.toPath,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS).toMillis +:
+          (if (java.nio.file.Files.isSymbolicLink(f.toPath))
             Seq.empty
           else Option(f.listFiles()).toSeq.flatten.map(newestMtime))).max
       Option(new java.io.File(dir).listFiles()).toSeq.flatten
@@ -263,13 +269,23 @@ object Bench {
     }
     // convergence is judged on CLEAN reps only (the same discipline as
     // the published min): an erroring rep's near-zero wall must neither
-    // trigger extra reps nor mask a still-warming query
-    def stillImproving(acc: Vector[Rep]): Boolean = {
+    // trigger extra reps nor mask a still-warming query. The PUBLISHED
+    // flag looks at clean.last alone (r13 ADVICE: requiring
+    // acc.last.err.isEmpty here let a query whose FINAL rep errored
+    // publish converged:true while its clean reps were still falling
+    // >10% — the error is a stop condition for the extension loop,
+    // not evidence of steady state)
+    def cleanStillImproving(acc: Vector[Rep]): Boolean = {
       val clean = acc.filter(_.err.isEmpty)
-      clean.length >= 2 && acc.last.err.isEmpty &&
+      clean.length >= 2 &&
         clean.last.wall < clean.init.map(_.wall).min * 0.9
     }
-    def isConverged(acc: Vector[Rep]): Boolean = !stillImproving(acc)
+    // extension-loop condition: an erroring last rep stops extending
+    // (re-running a breaking query buys nothing), separately from the
+    // clean-rep improvement signal
+    def stillImproving(acc: Vector[Rep]): Boolean =
+      acc.last.err.isEmpty && cleanStillImproving(acc)
+    def isConverged(acc: Vector[Rep]): Boolean = !cleanStillImproving(acc)
     // keep ALL reps: the min is the estimate, but the spread is the
     // in-suite diagnosis — stable-slow reps ([2.7, 2.7, 2.7] against a
     // fast isolated probe) mean positional interference to go fix;
