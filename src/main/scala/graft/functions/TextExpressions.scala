@@ -41,6 +41,8 @@ object TextExpressions {
     ColumnBridge.column(RollingHash31(ColumnBridge.expression(s)))
   def charCounts(s: Column): Column =
     ColumnBridge.column(CharCounts(ColumnBridge.expression(s)))
+  def bpeApplyMerges(word: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeApplyMerges(ColumnBridge.expression(word), merges))
 }
 
 /** Shared eval body of [[CharCounts]], also called from its generated
@@ -398,4 +400,87 @@ case class RollingHash31(child: Expression) extends UnaryExpression {
       """
     })
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Shared eval body of [[BpeApplyMerges]], also called from its
+  * generated code (the CharCountsHelper pattern: one static call site
+  * keeps the GENERATED method constant-size regardless of the merge
+  * count — the entire point of the expression, r13 VERDICT #2).
+  *
+  * Semantics are EXACTLY the rank-ordered greedy passes of
+  * Bpe.applyMerge composed nMerges deep (spec: frame equality):
+  * initial symbols = the word's code points + the terminal `</w>`,
+  * then for each merge in rank order one left-to-right scan replaces
+  * every non-overlapping (lhs, rhs) adjacency by the merged symbol
+  * ("aaa" + (a,a) → [aa, a] — the Sennrich scan). A per-word symbol
+  * SUPERSET (never shrunk) skips merges whose lhs or rhs was never
+  * present — O(1) per skipped merge, so a 32k-merge production
+  * artifact costs two hash probes per non-firing merge instead of a
+  * full scan, and the dominant Zipf-head words exit almost
+  * immediately.
+  */
+object BpeApplyHelper {
+  def compute(word: UTF8String, merges: Array[Array[String]]): ArrayData = {
+    val s = word.toString
+    var syms = new java.util.ArrayList[String](s.length + 1)
+    var i = 0
+    while (i < s.length) {
+      val n = Character.charCount(s.codePointAt(i))
+      syms.add(s.substring(i, i + n))
+      i += n
+    }
+    syms.add("</w>")
+    val present = new java.util.HashSet[String](syms)
+    var m = 0
+    while (m < merges.length) {
+      val l = merges(m)(0); val r = merges(m)(1); val mg = merges(m)(2)
+      if (present.contains(l) && present.contains(r)) {
+        val out = new java.util.ArrayList[String](syms.size)
+        var j = 0
+        var applied = false
+        while (j < syms.size) {
+          if (j + 1 < syms.size && syms.get(j) == l && syms.get(j + 1) == r) {
+            out.add(mg); applied = true; j += 2
+          } else { out.add(syms.get(j)); j += 1 }
+        }
+        if (applied) { syms = out; present.add(mg) }
+      }
+      m += 1
+    }
+    val arr = new Array[Any](syms.size)
+    var k = 0
+    while (k < syms.size) { arr(k) = UTF8String.fromString(syms.get(k)); k += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** word → trained BPE symbol sequence under a rank-ordered merge
+  * table carried as a PLAN REFERENCE OBJECT, not as nMerges nested
+  * fold expressions (r13 VERDICT #2: the fold composition grew the
+  * plan linearly in the merge count — codegen-clean at the fixture's
+  * 16 merges, but a production 32k-merge vocabulary blows the Janino
+  * 64KB method limit and falls back to interpreted). Here the plan
+  * holds ONE node whatever the artifact size; generated code is a
+  * single static call (BpeApplyHelper), so whole-stage codegen spans
+  * are unaffected by vocabulary scale. Runs over the word DICTIONARY
+  * (Zipf-bounded), never the corpus.
+  */
+case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply_merges"
+
+  @transient private lazy val table: Array[Array[String]] =
+    merges.map { case (l, r) => Array(l, r, l + r) }.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    BpeApplyHelper.compute(v.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w => {
+      val ref = ctx.addReferenceObj("bpeMerges", table, "java.lang.String[][]")
+      s"${ev.value} = graft.functions.BpeApplyHelper.compute($w, $ref);"
+    })
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

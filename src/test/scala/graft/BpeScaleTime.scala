@@ -30,6 +30,48 @@ object BpeScaleTime {
         println(f"$tag run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
+    // ---- r14 (VERDICT r13 #2): pretrained APPLY at production merge
+    // counts. The old nested-fold apply composed nMerges aggregate
+    // expressions — plan depth and generated code linear in the
+    // artifact size (Janino 64KB collapse at 30k+ merges). The native
+    // BpeApplyMerges expression carries the table as a reference
+    // object: plan constant, per-word cost two hash probes per
+    // non-firing merge. Measure BOTH forms, fresh plans per point
+    // (run the expression points FIRST — the fresh-JVM-control
+    // lesson: later sections inherit JIT warm-up, which here only
+    // biases AGAINST the expression form).
+    def synth(n: Int): Seq[graft.operators.Bpe.Merge] =
+      (0 until n).map(i =>
+        graft.operators.Bpe.Merge(i + 1L, s"q$i", s"z$i", s"q${i}z$i", 1L))
+    val (real16, w16) = graft.operators.Bpe.train(docs1, nMerges = 16)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(w16)
+    def encodeCount(form: String, ms: Seq[graft.operators.Bpe.Merge]): Unit = {
+      val dict =
+        if (form == "expr") graft.operators.Bpe.applyTrainedWords(docs1, ms)
+        else graft.operators.Bpe.applyTrainedWordsFold(docs1, ms)
+      dict.write.format("noop").mode("overwrite").save()
+    }
+    for (n <- Seq(16, 1024, 8192)) {
+      val ms = real16 ++ synth(n - 16)
+      timeIt(s"apply-dict EXPR $n merges (reference-object table)") {
+        encodeCount("expr", ms)
+      }
+    }
+    // fold-form collapse is even EARLIER than the predicted Janino
+    // 64KB bound: at ~100 nested folds the ANALYZER itself gives up
+    // (Resolution hits its 100-iteration cap — measured: FOLD 128
+    // merges throws, where EXPR runs 8192 flat). The failure is the
+    // finding; catch it so the harness prints it as a data point.
+    for (n <- Seq(16, 64, 128)) {
+      val ms = real16 ++ synth(n - 16)
+      try timeIt(s"apply-dict FOLD $n merges (nMerges nested aggregates)") {
+        encodeCount("fold", ms)
+      } catch { case e: Throwable =>
+        println(s"apply-dict FOLD $n merges FAILED: " +
+          e.getMessage.linesIterator.next())
+      }
+    }
+
     for (k <- Seq(1, 8, 64)) {
       val d = if (k == 1) docs1 else replica(k)
       timeIt(s"wordCounts ${k}x (the one corpus-scale stage)") {
