@@ -41,6 +41,9 @@ object SparkEntry {
       "dedup_lsh_recall", "opq_codes", "ann_recall_ivf_pq_opq",
       "ann_recall_ivf_pq_opq_learned",
       "ann_operating_curve_ivf_pq_opq_learned",
+      "knn_ivf_pq_residual_opq_learned",
+      "ann_recall_ivf_pq_residual_opq_learned",
+      "ann_operating_curve_ivf_pq_residual_opq_learned",
       "unigram_vocab", "unigram_vocab_kudo", "unigram_vocab_soft",
       "unigram_token_counts", "unigram_encode",
       // the _pretrained entries train their artifact inside the query
@@ -395,6 +398,15 @@ object SparkEntry {
     // sweep matrix across raw / learned-rotation / residual
     "ann_operating_curve_ivf_pq_residual" -> ((s, d) =>
       Similarity.annOperatingCurveIvfPqResidual(t(s, d, "embeddings"))),
+    // the COMPOSED production stack (r14, VERDICT r13 #3): learned
+    // rotation THEN per-cell residual PQ — FAISS's real OPQ-IVFPQ;
+    // search, point evaluator, and the curve matrix's fourth member
+    "knn_ivf_pq_residual_opq_learned" -> ((s, d) =>
+      Similarity.knnIvfPqResidualOpqLearned(t(s, d, "embeddings"))),
+    "ann_recall_ivf_pq_residual_opq_learned" -> ((s, d) =>
+      Similarity.annRecallIvfPqResidualOpqLearned(t(s, d, "embeddings"))),
+    "ann_operating_curve_ivf_pq_residual_opq_learned" -> ((s, d) =>
+      Similarity.annOperatingCurveIvfPqResidualOpqLearned(t(s, d, "embeddings"))),
     "knn_sq_int8" -> ((s, d) => Similarity.knnSqInt8(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents"))),
@@ -845,24 +857,24 @@ object SparkEntry {
     */
   private def kmeansBlocksSql(p: String, k: Int, iters: Int): String = {
     val iterBlocks = (1 to iters).map { t =>
-      s"""${p}a$t AS (SELECT vec_id, cid FROM (
+      s"""${p}a$t AS MATERIALIZED (SELECT vec_id, cid FROM (
          |  SELECT e.vec_id, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |      list_sum(list_transform(range(1, len(e.v)+1),
          |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
          |  FROM e CROSS JOIN ${p}c${t - 1} c) WHERE rn = 1),
-         |${p}m$t AS (SELECT a.cid, q.dim,
+         |${p}m$t AS MATERIALIZED (SELECT a.cid, q.dim,
          |    CAST(SUM(q.q) AS DOUBLE)/1e9/count(*) AS mv
          |  FROM ${p}a$t a JOIN ${p}eq q USING (vec_id) GROUP BY a.cid, q.dim),
-         |${p}c$t AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+         |${p}c$t AS MATERIALIZED (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
          |  FROM ${p}c${t - 1} p LEFT JOIN (SELECT cid, list(mv ORDER BY dim) AS cv
          |    FROM ${p}m$t GROUP BY cid) n USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""${p}eq AS (SELECT vec_id, u.i - 1 AS dim, CAST(round(u.x*1e9) AS BIGINT) AS q
+    s"""${p}eq AS MATERIALIZED (SELECT vec_id, u.i - 1 AS dim, CAST(round(u.x*1e9) AS BIGINT) AS q
        |  FROM (SELECT vec_id, unnest(list_transform(range(1, len(v)+1),
        |      i -> {'i': CAST(i AS BIGINT), 'x': v[i]})) AS u
        |    FROM e)),
-       |${p}c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k),
+       |${p}c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k),
        |$iterBlocks""".stripMargin
   }
 
@@ -895,26 +907,26 @@ object SparkEntry {
          |      j -> ($s.v[j]-$cb.cv[j])*($s.v[j]-$cb.cv[j])))""".stripMargin
     (0 until 8).map { i =>
       val iterBlocks = (1 to iters).map { t =>
-        s"""${p}a${i}_$t AS (SELECT vec_id, cid FROM (
+        s"""${p}a${i}_$t AS MATERIALIZED (SELECT vec_id, cid FROM (
            |  SELECT s.vec_id, c.cid,
            |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
            |      ${sq("s", "c")} ASC, c.cid ASC) AS rn
            |  FROM ${p}e$i s CROSS JOIN ${p}c${i}_${t - 1} c) WHERE rn = 1),
-           |${p}m${i}_$t AS (SELECT a.cid, q.dim,
+           |${p}m${i}_$t AS MATERIALIZED (SELECT a.cid, q.dim,
            |    CAST(SUM(q.q) AS DOUBLE)/1e9/count(*) AS mv
            |  FROM ${p}a${i}_$t a JOIN ${p}eq$i q USING (vec_id) GROUP BY a.cid, q.dim),
-           |${p}c${i}_$t AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+           |${p}c${i}_$t AS MATERIALIZED (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
            |  FROM ${p}c${i}_${t - 1} p LEFT JOIN (SELECT cid, list(mv ORDER BY dim) AS cv
            |    FROM ${p}m${i}_$t GROUP BY cid) n USING (cid))""".stripMargin
       }.mkString(",\n")
-      s"""${p}e$i AS (SELECT vec_id, v[${i * sub + 1}:${(i + 1) * sub}] AS v FROM $src),
-         |${p}eq$i AS (SELECT vec_id, u.i - 1 AS dim, CAST(round(u.x*1e9) AS BIGINT) AS q
+      s"""${p}e$i AS MATERIALIZED (SELECT vec_id, v[${i * sub + 1}:${(i + 1) * sub}] AS v FROM $src),
+         |${p}eq$i AS MATERIALIZED (SELECT vec_id, u.i - 1 AS dim, CAST(round(u.x*1e9) AS BIGINT) AS q
          |  FROM (SELECT vec_id, unnest(list_transform(range(1, len(v)+1),
          |      j -> {'i': CAST(j AS BIGINT), 'x': v[j]})) AS u
          |    FROM ${p}e$i)),
-         |${p}c${i}_0 AS (SELECT vec_id AS cid, v AS cv FROM ${p}e$i WHERE vec_id < $kCodes),
+         |${p}c${i}_0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM ${p}e$i WHERE vec_id < $kCodes),
          |$iterBlocks,
-         |${p}f$i AS (SELECT vec_id, code, cv,
+         |${p}f$i AS MATERIALIZED (SELECT vec_id, code, cv,
          |    CAST(floor(d * 1e9 + 0.5) AS BIGINT) AS sq_err_nano FROM (
          |  SELECT s.vec_id, c.cid AS code, c.cv,
          |    ${sq("s", "c")} AS d,
@@ -974,7 +986,7 @@ object SparkEntry {
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |rot AS (SELECT $OpqLearnedRotPlaceholder AS rm),
-      |e AS (SELECT vec_id, list_transform(range(0, 64), i ->
+      |e AS MATERIALIZED (SELECT vec_id, list_transform(range(0, 64), i ->
       |  CAST(CAST(COALESCE(list_sum(list_transform(range(0, 64),
       |    j -> v[j + 1] * rm[i + 1][j + 1])), 0.0)
       |    AS REAL) AS DOUBLE)) AS v
@@ -982,7 +994,7 @@ object SparkEntry {
 
   private val ivfPqSearchCtes: String =
     s"""${kmeansBlocksSql("g", 8, 3)},
-      |cell AS (SELECT vec_id, cid FROM (
+      |cell AS MATERIALIZED (SELECT vec_id, cid FROM (
       |  SELECT e.vec_id, c.cid,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |      list_sum(list_transform(range(1, len(e.v)+1),
@@ -994,7 +1006,7 @@ object SparkEntry {
       |      list_sum(list_transform(range(1, len(e.v)+1),
       |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
       |  FROM e CROSS JOIN gc3 c WHERE e.vec_id < 20) WHERE rn <= 2),
-      |rec AS (SELECT f0.vec_id,
+      |rec AS MATERIALIZED (SELECT f0.vec_id,
       |  ${(0 until 8).map(i => s"f$i.cv").mkString(" || ")} AS rv
       |FROM f0 ${(1 until 8).map(i => s"JOIN f$i USING (vec_id)").mkString(" ")}),
       |pr AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
@@ -1009,6 +1021,89 @@ object SparkEntry {
       |rk AS (SELECT qid, nid, adc_dist_nano,
       |  CAST(row_number() OVER (PARTITION BY qid
       |    ORDER BY adc_dist_nano ASC, nid ASC) AS BIGINT) AS rank FROM sc)""".stripMargin
+
+  /** The residual-encoded index build (r8, factored r14 for the
+    * composed learned-rotation member): coarse "g"-prefixed Lloyd over
+    * `e`, cell assignment, REAL-roundtripped residuals, "r"-prefixed
+    * per-subspace Lloyd over the residuals, reconstruction `rrec`.
+    * Assumes a CTE `e(vec_id, v)` in scope — the raw doubles for the
+    * plain entries, the learned-rotated frame for the composed ones
+    * (rotation preserves L2, so the chain is unchanged). LAZY: the
+    * composed callers interpolate it next to the placeholder-carrying
+    * rotated CTE (the SparkEntry object-init hazard).
+    */
+  private lazy val ivfPqResidualIndexCtes: String =
+    s"""${kmeansBlocksSql("g", 8, 3)},
+      |cell AS MATERIALIZED (SELECT vec_id, cid FROM (
+      |  SELECT e.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(e.v)+1),
+      |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+      |  FROM e CROSS JOIN gc3 c) WHERE rn = 1),
+      |er AS MATERIALIZED (SELECT e.vec_id,
+      |    list_transform(range(1, len(e.v)+1),
+      |      i -> CAST(CAST(e.v[i] - c.cv[i] AS REAL) AS DOUBLE)) AS v
+      |  FROM e JOIN cell ON cell.vec_id = e.vec_id
+      |  JOIN gc3 c ON c.cid = cell.cid),
+      |${pqBlocksSql("r", "er")},
+      |rrec AS MATERIALIZED (SELECT rf0.vec_id,
+      |  ${(0 until 8).map(i => s"rf$i.cv").mkString(" || ")} AS rv
+      |FROM rf0 ${(1 until 8).map(i => s"JOIN rf$i USING (vec_id)").mkString(" ")})""".stripMargin
+
+  /** The residual SEARCH tail — probes take their 2 nearest cells, a
+    * residual PER probed cell, ADC ranks within probed cells; ends in
+    * `rk2`. Shared by knn_ivf_pq_residual and its learned-rotation
+    * composition.
+    */
+  private lazy val ivfPqResidualSearchCtes: String =
+    s"""$ivfPqResidualIndexCtes,
+      |pl AS (SELECT vec_id AS qid, cid FROM (
+      |  SELECT e.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(e.v)+1),
+      |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+      |  FROM e CROSS JOIN gc3 c WHERE e.vec_id < 20) WHERE rn <= 2),
+      |prr AS (SELECT pl.qid, pl.cid,
+      |    list_transform(range(1, len(e.v)+1),
+      |      i -> CAST(CAST(e.v[i] - c.cv[i] AS REAL) AS DOUBLE)) AS qrv
+      |  FROM pl JOIN e ON e.vec_id = pl.qid JOIN gc3 c ON c.cid = pl.cid),
+      |sc2 AS (SELECT prr.qid, cell.vec_id AS nid,
+      |  CAST(floor(list_sum(list_transform(range(1, len(prr.qrv)+1),
+      |    j -> (prr.qrv[j]-rrec.rv[j])*(prr.qrv[j]-rrec.rv[j]))) * 1e9 + 0.5) AS BIGINT)
+      |    AS adc_dist_nano
+      |FROM prr JOIN cell ON cell.cid = prr.cid
+      |JOIN rrec ON rrec.vec_id = cell.vec_id
+      |WHERE prr.qid <> cell.vec_id),
+      |rk2 AS (SELECT qid, nid, adc_dist_nano,
+      |  CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY adc_dist_nano ASC, nid ASC) AS BIGINT) AS rank FROM sc2)""".stripMargin
+
+  /** The residual CURVE tail — probe cells ranked to the widest grid
+    * config with their rank kept (a residual per probed cell, so each
+    * pair's ADC is fixed by the corpus row's one cell), one pair set,
+    * then the shared grid fan-out scored against exact-cosine truth
+    * over `truthSrc` ("e" raw, "eraw" for the composed member).
+    */
+  private def ivfPqResidualCurveTailSql(truthSrc: String): String =
+    s"""$ivfPqResidualIndexCtes,
+      |plr AS (SELECT vec_id AS qid, cid, CAST(rn AS BIGINT) AS min_crank FROM (
+      |  SELECT e.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(e.v)+1),
+      |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+      |  FROM e CROSS JOIN gc3 c WHERE e.vec_id < 20) WHERE rn <= 8),
+      |prr AS (SELECT plr.qid, plr.cid, plr.min_crank,
+      |    list_transform(range(1, len(e.v)+1),
+      |      i -> CAST(CAST(e.v[i] - c.cv[i] AS REAL) AS DOUBLE)) AS qrv
+      |  FROM plr JOIN e ON e.vec_id = plr.qid JOIN gc3 c ON c.cid = plr.cid),
+      |pairs AS (SELECT prr.qid, cell.vec_id AS nid, prr.min_crank,
+      |  CAST(floor(list_sum(list_transform(range(1, len(prr.qrv)+1),
+      |    j -> (prr.qrv[j]-rrec.rv[j])*(prr.qrv[j]-rrec.rv[j]))) * 1e9 + 0.5) AS BIGINT)
+      |    AS adc_dist_nano
+      |FROM prr JOIN cell ON cell.cid = prr.cid
+      |JOIN rrec ON rrec.vec_id = cell.vec_id
+      |WHERE prr.qid <> cell.vec_id),
+      |${curveGridTailSql(truthSrc)}""".stripMargin
 
   /** Covariance CTE chain shared by the PCA-family oracles: per-row
     * linear/product terms nano-quantized to BIGINTs before the group
@@ -1539,7 +1634,7 @@ object SparkEntry {
     */
   private def ivfPqCurveTailSql(truthSrc: String): String =
     s"""${kmeansBlocksSql("g", 8, 3)},
-      |cell AS (SELECT vec_id, cid FROM (
+      |cell AS MATERIALIZED (SELECT vec_id, cid FROM (
       |  SELECT e.vec_id, c.cid,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |      list_sum(list_transform(range(1, len(e.v)+1),
@@ -1551,7 +1646,7 @@ object SparkEntry {
       |      list_sum(list_transform(range(1, len(e.v)+1),
       |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
       |  FROM e CROSS JOIN gc3 c WHERE e.vec_id < 20) WHERE rn <= 8),
-      |rec AS (SELECT f0.vec_id,
+      |rec AS MATERIALIZED (SELECT f0.vec_id,
       |  ${(0 until 8).map(i => s"f$i.cv").mkString(" || ")} AS rv
       |FROM f0 ${(1 until 8).map(i => s"JOIN f$i USING (vec_id)").mkString(" ")}),
       |pr AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
@@ -3954,7 +4049,7 @@ object SparkEntry {
     // then nid) agree bit-exactly with Spark
     "knn_pq_adc" ->
       s"""$pqCteSql,
-        |rec AS (SELECT f0.vec_id,
+        |rec AS MATERIALIZED (SELECT f0.vec_id,
         |  ${(0 until 8).map(i => s"f$i.cv").mkString(" || ")} AS rv
         |FROM f0 ${(1 until 8).map(i => s"JOIN f$i USING (vec_id)").mkString(" ")}),
         |pr AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
@@ -4076,44 +4171,44 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |${kmeansBlocksSql("g", 8, 3)},
-        |cell AS (SELECT vec_id, cid FROM (
-        |  SELECT e.vec_id, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, len(e.v)+1),
-        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
-        |  FROM e CROSS JOIN gc3 c) WHERE rn = 1),
-        |er AS (SELECT e.vec_id,
-        |    list_transform(range(1, len(e.v)+1),
-        |      i -> CAST(CAST(e.v[i] - c.cv[i] AS REAL) AS DOUBLE)) AS v
-        |  FROM e JOIN cell ON cell.vec_id = e.vec_id
-        |  JOIN gc3 c ON c.cid = cell.cid),
-        |${pqBlocksSql("r", "er")},
-        |rrec AS (SELECT rf0.vec_id,
-        |  ${(0 until 8).map(i => s"rf$i.cv").mkString(" || ")} AS rv
-        |FROM rf0 ${(1 until 8).map(i => s"JOIN rf$i USING (vec_id)").mkString(" ")}),
-        |pl AS (SELECT vec_id AS qid, cid FROM (
-        |  SELECT e.vec_id, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, len(e.v)+1),
-        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
-        |  FROM e CROSS JOIN gc3 c WHERE e.vec_id < 20) WHERE rn <= 2),
-        |prr AS (SELECT pl.qid, pl.cid,
-        |    list_transform(range(1, len(e.v)+1),
-        |      i -> CAST(CAST(e.v[i] - c.cv[i] AS REAL) AS DOUBLE)) AS qrv
-        |  FROM pl JOIN e ON e.vec_id = pl.qid JOIN gc3 c ON c.cid = pl.cid),
-        |sc2 AS (SELECT prr.qid, cell.vec_id AS nid,
-        |  CAST(floor(list_sum(list_transform(range(1, len(prr.qrv)+1),
-        |    j -> (prr.qrv[j]-rrec.rv[j])*(prr.qrv[j]-rrec.rv[j]))) * 1e9 + 0.5) AS BIGINT)
-        |    AS adc_dist_nano
-        |FROM prr JOIN cell ON cell.cid = prr.cid
-        |JOIN rrec ON rrec.vec_id = cell.vec_id
-        |WHERE prr.qid <> cell.vec_id),
-        |rk2 AS (SELECT qid, nid, adc_dist_nano,
-        |  CAST(row_number() OVER (PARTITION BY qid
-        |    ORDER BY adc_dist_nano ASC, nid ASC) AS BIGINT) AS rank FROM sc2)
+        |$ivfPqResidualSearchCtes
         |SELECT qid, rank, nid, adc_dist_nano FROM rk2
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // The COMPOSED production stack (r14, VERDICT r13 #3): the
+    // dump-time-inlined learned rotation feeds the IDENTICAL residual
+    // chain — rotate, coarse-assign in the rotated frame, residual-
+    // encode, ADC-rank. Rotation preserves L2, so only the source CTE
+    // differs from knn_ivf_pq_residual.
+    "knn_ivf_pq_residual_opq_learned" ->
+      s"""WITH $opqLearnedRotatedCteSql,
+        |$ivfPqResidualSearchCtes
+        |SELECT qid, rank, nid, adc_dist_nano FROM rk2
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // Recall of the composed index: candidates from the rotated
+    // residual chain, ground truth the exact cosine over the ORIGINAL
+    // floats (eraw) — the point evaluator the composed curve's np=2
+    // row cross-pins to.
+    "ann_recall_ivf_pq_residual_opq_learned" ->
+      s"""WITH $opqLearnedRotatedCteSql,
+        |$ivfPqResidualSearchCtes,
+        |ap AS (SELECT qid, nid FROM rk2 WHERE rank <= 5),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm FROM eraw),
+        |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+        |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |br AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM bs),
+        |b AS (SELECT qid, nid FROM br WHERE rank <= 5),
+        |h AS (SELECT b.qid, CAST(count(*) AS BIGINT) AS n_brute,
+        |  CAST(sum(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |FROM b LEFT JOIN ap ON b.qid = ap.qid AND b.nid = ap.nid GROUP BY 1),
+        |nl AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_lsh FROM ap GROUP BY 1)
+        |SELECT h.qid, n_brute, coalesce(n_lsh, CAST(0 AS BIGINT)) AS n_lsh, n_hit,
+        |  CAST(n_hit AS DOUBLE) / 5.0 AS recall
+        |FROM h LEFT JOIN nl ON h.qid = nl.qid ORDER BY h.qid""".stripMargin,
 
     "multimodal_meta" ->
       """WITH t AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
@@ -4796,40 +4891,16 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |${kmeansBlocksSql("g", 8, 3)},
-        |cell AS (SELECT vec_id, cid FROM (
-        |  SELECT e.vec_id, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, len(e.v)+1),
-        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
-        |  FROM e CROSS JOIN gc3 c) WHERE rn = 1),
-        |er AS (SELECT e.vec_id,
-        |    list_transform(range(1, len(e.v)+1),
-        |      i -> CAST(CAST(e.v[i] - c.cv[i] AS REAL) AS DOUBLE)) AS v
-        |  FROM e JOIN cell ON cell.vec_id = e.vec_id
-        |  JOIN gc3 c ON c.cid = cell.cid),
-        |${pqBlocksSql("r", "er")},
-        |rrec AS (SELECT rf0.vec_id,
-        |  ${(0 until 8).map(i => s"rf$i.cv").mkString(" || ")} AS rv
-        |FROM rf0 ${(1 until 8).map(i => s"JOIN rf$i USING (vec_id)").mkString(" ")}),
-        |plr AS (SELECT vec_id AS qid, cid, CAST(rn AS BIGINT) AS min_crank FROM (
-        |  SELECT e.vec_id, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, len(e.v)+1),
-        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
-        |  FROM e CROSS JOIN gc3 c WHERE e.vec_id < 20) WHERE rn <= 8),
-        |prr AS (SELECT plr.qid, plr.cid, plr.min_crank,
-        |    list_transform(range(1, len(e.v)+1),
-        |      i -> CAST(CAST(e.v[i] - c.cv[i] AS REAL) AS DOUBLE)) AS qrv
-        |  FROM plr JOIN e ON e.vec_id = plr.qid JOIN gc3 c ON c.cid = plr.cid),
-        |pairs AS (SELECT prr.qid, cell.vec_id AS nid, prr.min_crank,
-        |  CAST(floor(list_sum(list_transform(range(1, len(prr.qrv)+1),
-        |    j -> (prr.qrv[j]-rrec.rv[j])*(prr.qrv[j]-rrec.rv[j]))) * 1e9 + 0.5) AS BIGINT)
-        |    AS adc_dist_nano
-        |FROM prr JOIN cell ON cell.cid = prr.cid
-        |JOIN rrec ON rrec.vec_id = cell.vec_id
-        |WHERE prr.qid <> cell.vec_id),
-        |${curveGridTailSql("e")}""".stripMargin,
+        |${ivfPqResidualCurveTailSql("e")}""".stripMargin,
+
+    // The composed stack's sweep (r14, VERDICT r13 #3): the residual
+    // curve chain over the LEARNED-rotated frame, truth over the raw
+    // floats — the fourth member completing the curve matrix
+    // (raw / learned / residual / learned+residual), all four
+    // row-by-row comparable.
+    "ann_operating_curve_ivf_pq_residual_opq_learned" ->
+      s"""WITH $opqLearnedRotatedCteSql,
+        |${ivfPqResidualCurveTailSql("eraw")}""".stripMargin,
 
     // A-Res weighted priority sample: u strictly inside (0,1) via
     // (2·hi28+1)/2^29 (log2 stays finite), priority = log2(u)/weight —

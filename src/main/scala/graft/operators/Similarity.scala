@@ -1369,6 +1369,52 @@ object Similarity {
         .localCheckpoint(true), nProbes, k),
       nProbes, k)
 
+  /** The COMPOSED production stack (r13 VERDICT #3): learned rotation
+    * THEN residual encoding — FAISS's actual OPQ-IVFPQ (Ge et al. 2013
+    * composed with Jégou et al. 2011 §IV-A): rotate into the
+    * eigenvalue-allocated basis, coarse-quantize the ROTATED corpus,
+    * PQ-encode the per-cell residuals. The two mechanisms remove
+    * DIFFERENT variance: the coarse stage absorbs between-cluster
+    * spread (the residual lift's precondition), the rotation
+    * redistributes the remaining within-cluster directions so each
+    * contiguous PQ subspace quantizes ~one principal axis (the
+    * allocation lift's precondition) — on a corpus with BOTH
+    * structures the lifts stack (spec: planted clustered+concentrated
+    * fixture), and where either precondition is absent that
+    * mechanism's contribution degenerates to parity (the honest-
+    * negative discipline of both parents). Rotation preserves L2, so
+    * coarse cells and residual geometry in the rotated frame are
+    * isometric images of the originals; the ORIGINAL-space exact-
+    * cosine ground truth stays valid for recall (the
+    * annRecallIvfPqOpqLearned convention). Rotated frame checkpointed
+    * once — the IVF-PQ pipeline fans it to many consumers (coarse
+    * Lloyd, residual projection, per-subspace training, both search
+    * sides); the annRecallIvfPqOpq pin. Full oracle: the dump-time
+    * rotation literal feeds the SAME residual CTE chain as
+    * knn_ivf_pq_residual.
+    */
+  def knnIvfPqResidualOpqLearned(embeddings: DataFrame, nProbes: Int = 20,
+                                 k: Int = 5, kClusters: Int = 8,
+                                 coarseIters: Int = 3, subspaces: Int = 8,
+                                 kCodes: Int = 8, pqIters: Int = 2,
+                                 probeLists: Int = 2, dim: Int = 64): DataFrame = {
+    val rot = opqRotateRows(embeddings, opqLearnedRotationRows(embeddings, dim))
+      .localCheckpoint(true)
+    knnIvfPqResidual(rot, nProbes, k, kClusters, coarseIters, subspaces,
+      kCodes, pqIters, probeLists, dim)
+  }
+
+  /** Recall@k of the composed rotate→residual index against the
+    * ORIGINAL-space exact-cosine truth — the point evaluator the
+    * composed curve's np=2 row cross-pins to (spec), and the number
+    * that shows whether the two lifts stacked on a given corpus.
+    */
+  def annRecallIvfPqResidualOpqLearned(embeddings: DataFrame,
+                                       nProbes: Int = 20,
+                                       k: Int = 5): DataFrame =
+    recallAgainstBrute(embeddings,
+      knnIvfPqResidualOpqLearned(embeddings, nProbes, k), nProbes, k)
+
   /** Top-k principal components by sequential DEFLATION — after each
     * component, C ← C − λ·v·vᵀ removes the found direction and the
     * next power iteration converges on the residual's dominant axis
@@ -1713,7 +1759,41 @@ object Similarity {
                                      subspaces: Int = 8, kCodes: Int = 8,
                                      pqIters: Int = 2,
                                      probeGrid: Seq[Int] = Seq(1, 2, 4, 8),
-                                     dim: Int = 64): DataFrame = {
+                                     dim: Int = 64): DataFrame =
+    ivfPqResidualCurve(embeddings, knnBrute(embeddings, nProbes, k), nProbes,
+      k, kClusters, coarseIters, subspaces, kCodes, pqIters, probeGrid, dim)
+
+  /** The residual curve for the COMPOSED rotate→residual index
+    * ([[knnIvfPqResidualOpqLearned]]) — the sweep table of the real
+    * FAISS OPQ-IVFPQ stack, completing the curve matrix's missing
+    * cell (raw / learned-rotation / residual / learned+residual).
+    * Index chain runs entirely in the learned rotation's frame
+    * (checkpointed once); ground truth stays the exact cosine over
+    * the ORIGINAL floats, so all four curves are comparable row by
+    * row.
+    */
+  def annOperatingCurveIvfPqResidualOpqLearned(
+      embeddings: DataFrame, nProbes: Int = 20, k: Int = 5,
+      kClusters: Int = 8, coarseIters: Int = 3, subspaces: Int = 8,
+      kCodes: Int = 8, pqIters: Int = 2,
+      probeGrid: Seq[Int] = Seq(1, 2, 4, 8), dim: Int = 64): DataFrame = {
+    val rot = opqRotateRows(embeddings, opqLearnedRotationRows(embeddings, dim))
+      .localCheckpoint(true)
+    ivfPqResidualCurve(rot, knnBrute(embeddings, nProbes, k), nProbes, k,
+      kClusters, coarseIters, subspaces, kCodes, pqIters, probeGrid, dim)
+  }
+
+  /** The shared residual-sweep body: coarse cells, per-cell residuals,
+    * PQ-on-residuals and the widest-config candidate set built on
+    * `indexFrame`; recall scored against the top-k `truthTopK` rows
+    * (whatever space they were computed in — the ivfPqCurve split).
+    */
+  private def ivfPqResidualCurve(indexFrame: DataFrame, truthTopK: DataFrame,
+                                 nProbes: Int, k: Int, kClusters: Int,
+                                 coarseIters: Int, subspaces: Int,
+                                 kCodes: Int, pqIters: Int,
+                                 probeGrid: Seq[Int], dim: Int): DataFrame = {
+    val embeddings = indexFrame
     require(probeGrid.nonEmpty && probeGrid.forall(p => p > 0 && p <= kClusters),
       s"probeGrid must lie within 1..$kClusters: $probeGrid")
     val maxP = probeGrid.max
@@ -1752,7 +1832,7 @@ object Similarity {
       .select(col("qid"), col("nid"), col("min_crank"),
         floor(sqDistTo(col("qrv"), col("nv")) * lit(1e9) + 0.5).cast(LongType)
           .as("adc_dist_nano"))
-    probeCurveTail(pairs, knnBrute(embeddings, nProbes, k), gridLit, k)
+    probeCurveTail(pairs, truthTopK, gridLit, k)
   }
 
   /** The LSH family's operating curve (r11 VERDICT #6) — the

@@ -478,6 +478,110 @@ class SimilaritySpec extends AnyFunSuite {
       "the ADC-bound ceiling row must show a decisive residual lift")
   }
 
+  test("composed rotate->residual ivf-pq: np=2 curve row ties out to the point evaluator; the two lifts STACK on a clustered+concentrated fixture; isotropic parity (r14)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    // structural: curve grid shape + nested candidate volumes
+    val curve = Similarity.annOperatingCurveIvfPqResidualOpqLearned(emb)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(curve.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    curve.sliding(2).foreach { p =>
+      assert(p(0)._3 <= p(1)._3, s"candidate volume must grow: $p")
+    }
+    // cross-pin: the np=2 row aggregates EXACTLY the composed point
+    // evaluator (same trained rotation, same residual chain, same
+    // original-space truth)
+    val ev = Similarity.annRecallIvfPqResidualOpqLearned(emb)
+      .agg(sum("n_hit").as("h"), sum("n_brute").as("b")).collect().head
+    val row2 = curve.find(_._1 == 2L).get
+    assert(row2._4 === ev.getLong(0),
+      "np=2 hits must equal ann_recall_ivf_pq_residual_opq_learned's")
+    assert(row2._2 === ev.getLong(1),
+      "np=2 truth must equal ann_recall_ivf_pq_residual_opq_learned's")
+    // isotropic corpus: NEITHER precondition holds (no clusters for
+    // the coarse stage to absorb, nothing for the allocation to
+    // allocate) — parity band with the single-mechanism curves
+    val resIso = Similarity.annOperatingCurveIvfPqResidual(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    curve.foreach { case (np, _, _, _, rec) =>
+      assert(math.abs(rec - resIso(np)) < 0.25,
+        f"isotropic delta at np=$np should be noise-scale: $rec%.2f vs ${resIso(np)}%.2f")
+    }
+    info(curve.map(c =>
+      f"np=${c._1} composed=${c._5}%.2f residual=${resIso(c._1)}%.2f").mkString(", "))
+    // The lift-stacking fixture: BOTH preconditions planted, tuned so
+    // NEITHER mechanism alone saturates. Three measured dead ends
+    // shaped it: (a) centers on the all-ones direction are a 1-D,
+    // few-value component the rotated PQ quantizes for FREE
+    // (learned-only saturated at 1.00); (b) any lattice built as a
+    // polynomial mod 16 of the id is PERIODIC with period 16, so 256
+    // "distinct" rows were 16 copies of 16 points and every index
+    // scored 1.00 on duplicates; (c) non-orthogonal cluster centers
+    // leak ~45% of the cosine truth across clusters, a recall
+    // ceiling that masks the code-quality gap. Final design:
+    // within-cluster spread = an 8-dim 16-level lattice in dims 0–7
+    // (mod-101-then-16 hash — 256 distinct patterns), between-cluster
+    // spread = ONE-HOT centers 1280·e_{8+c} for eight clusters (one
+    // per coarse cell, orthogonal directions -> truth is 100%
+    // same-cluster; the spec asserts it):
+    //  - residual-only: centers absorbed, but the residual cloud is
+    //    the bare 8-D lattice inside contiguous subspace 0 -> 8
+    //    centroids quantize an 8-D cloud (measured 0.50);
+    //  - learned-only: allocation pairs each center direction with a
+    //    lattice direction, and the 1280-unit binary center split
+    //    spends centroid budget the lattice needed (measured 0.46,
+    //    parity with raw's 0.45);
+    //  - composed: coarse removes the centers in the rotated frame
+    //    (isometry), leaving each subspace ~one 1-D lattice
+    //    coordinate for all 8 centroids (measured 0.66).
+    def lat(id: Int, j: Int): Float =
+      (((id * 73 + (j + 1) * id * id * 31 + (id / 16) * (j * j + 5) * 11)
+        % 101) % 16).toFloat * 2 + 1
+    val both = (0 until 256).map { id =>
+      val c = id % 8
+      val v = Array.fill(64)(0.0f)
+      for (j <- 0 until 8) v(j) = lat(id, j)
+      v(8 + c) = 1280.0f
+      (id.toLong, v.toSeq, c.toLong)
+    }.toDF("vec_id", "embedding", "label")
+    // the fixture's two load-bearing properties, asserted not assumed
+    assert(both.select("embedding").distinct().count() === 256L)
+    val bruteBoth = Similarity.knnBrute(both).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(bruteBoth.forall { case (q, n) => q % 8 == n % 8 },
+      "one-hot centers must make the cosine truth fully within-cluster")
+    def byNp(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val cComposed = byNp(Similarity.annOperatingCurveIvfPqResidualOpqLearned(both))
+    val cResidual = byNp(Similarity.annOperatingCurveIvfPqResidual(both))
+    val cLearned = byNp(Similarity.annOperatingCurveIvfPqOpqLearned(both))
+    val cRaw = byNp(Similarity.annOperatingCurveIvfPq(both))
+    info(Seq(1L, 2L, 4L, 8L).map(np =>
+      f"np=$np raw=${cRaw(np)}%.2f learned=${cLearned(np)}%.2f " +
+        f"residual=${cResidual(np)}%.2f composed=${cComposed(np)}%.2f")
+      .mkString("; "))
+    // at the ADC-bound ceiling (all cells probed — ranking quality is
+    // purely the code's) the composition must beat BOTH single
+    // mechanisms decisively: the lifts stack
+    assert(cComposed(8L) > cResidual(8L) + 0.1,
+      f"rotation must add on top of residuals: ${cComposed(8L)}%.2f vs ${cResidual(8L)}%.2f")
+    assert(cComposed(8L) > cLearned(8L) + 0.1,
+      f"residuals must add on top of the rotation: ${cComposed(8L)}%.2f vs ${cLearned(8L)}%.2f")
+    assert(cComposed(8L) > cRaw(8L) + 0.15,
+      f"the stack must dominate raw codes: ${cComposed(8L)}%.2f vs ${cRaw(8L)}%.2f")
+    // and composition never LOSES to residual-only anywhere on the grid
+    Seq(1L, 2L, 4L, 8L).foreach { np =>
+      assert(cComposed(np) >= cResidual(np) - 0.05,
+        f"composed must not fall below residual-only at np=$np")
+    }
+    // the composed SEARCH is structurally sound on the planted corpus
+    val knn = Similarity.knnIvfPqResidualOpqLearned(both)
+    assert(knn.filter(col("qid") === col("nid")).count() === 0)
+    assert(knn.groupBy("qid").count().filter(col("count") > 5).count() === 0)
+  }
+
   test("lsh operating curve: recall/candidates monotone NON-increasing in signature length; full-signature row ties out to ann_recall") {
     val emb = Tables.embeddings(spark, sf)
     val curve = Similarity.lshOperatingCurve(emb).collect()
