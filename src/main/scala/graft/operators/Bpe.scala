@@ -30,6 +30,19 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
   * rows-only queries — the spec instead proves bit-exact equality of
   * the full merge table against an independent in-memory reference
   * implementation.
+  *
+  * SCRIPT SCOPE (r14, pinned in TokenizerScopeSpec): pre-tokenization
+  * is `\s+`, so scriptio-continua text (CJK etc.) collapses to
+  * whole-sentence dictionary "words" — training still works (symbols
+  * are code points; merges learn CJK pairs; the astral plane is
+  * handled as code points, spec-pinned), but the dictionary becomes
+  * SENTENCE-scale instead of Zipf-word-scale, which erodes the
+  * scan-once-then-vocabulary-scale bargain above. A deployment
+  * ingesting such scripts segments upstream (or uses byte-level
+  * pre-tokenization — the SentencePiece/GPT-2 convention) before this
+  * trainer. Unseen words at apply time are benign by construction:
+  * symbols are substrings of the word itself, so nothing is ever
+  * out-of-vocabulary.
   */
 object Bpe {
 

@@ -35,6 +35,19 @@ import org.apache.spark.sql.types.LongType
   * pipeline bit-equal to an independent in-memory reference
   * implementation (the BpeSpec discipline).
   *
+  * SCRIPT SCOPE (r14, pinned in TokenizerScopeSpec): `\s+`
+  * pre-tokenization makes scriptio-continua text (CJK etc.) one
+  * whole-sentence dictionary word per run — the DP stays
+  * [[MaxPieceLen]]-bounded (lattice width never grows with word
+  * length, spec-pinned), so training works, but the dictionary is
+  * sentence-scale and the single-char coverage contract spans only
+  * the TRAINING alphabet: a pre-trained artifact applied to an
+  * unseen script degrades to a deterministic per-char split whose
+  * "pieces" are out-of-vocabulary (spec-pinned). Deployments map
+  * unknown scripts to a known symbol upstream (SentencePiece's
+  * <unk>) or use byte-fallback pre-tokenization — the full fix this
+  * engine deliberately leaves upstream.
+  *
   * Determinism: piece costs are integer MICRO-bits
   * (round((log2 total − log2 count)·1e6) via StrictMath), the DP
   * compares exact Long sums, and every tie has a pinned winner —

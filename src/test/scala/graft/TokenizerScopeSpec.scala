@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Bpe, UnigramLm}
+
+/** Non-whitespace-script scope pinning (r14, VERDICT r13 #4): both
+  * tokenizer families pre-tokenize on `\s+`, so scriptio-continua
+  * text (CJK and friends) degenerates to whole-sentence "words", and
+  * the unigram coverage contract spans only the TRAINING alphabet.
+  * These specs pin what actually happens on planted CJK fixtures —
+  * no silent degenerate lattice, no undefined fallback — and the
+  * scaladocs state the deployment guidance (SentencePiece's <unk> /
+  * byte-fallback conventions upstream of this engine).
+  */
+class TokenizerScopeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("scriptio-continua text is ONE dictionary word per whitespace run (pinned)") {
+    val docs = Seq((1L, "这是一个测试句子 测试句子"), (2L, "测试句子"))
+      .toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // no segmentation happens below whitespace: the 8-char run is one
+    // dictionary entry — at corpus scale this means CJK dictionaries
+    // are SENTENCE-scale, the documented cost of `\s+` pre-tokenization
+    assert(wc === Map("这是一个测试句子" -> 1L, "测试句子" -> 2L))
+  }
+
+  test("BPE trains on CJK code points; expression and fold agree including astral chars") {
+    // 测试 adjacency occurs 5x (dominant), plus an ASTRAL (surrogate-
+    // pair) musical symbol to pin code-point handling end to end
+    val docs = Seq((1L, "测试 测试 测试句 句子 句子"), (2L, "𝄞音 𝄞音 测试"))
+      .toDF("doc_id", "text")
+    val (merges, w) = Bpe.train(docs, nMerges = 4)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(w)
+    assert(merges.nonEmpty)
+    assert((merges.head.lhs, merges.head.rhs) === ("测", "试"),
+      s"top CJK pair should win the first merge: ${merges.head}")
+    // the native apply expression must agree with the fold form on
+    // CJK AND on the astral char (code-unit vs code-point splits
+    // would diverge exactly here)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("word", "syms").collect()
+        .map(r => (r.getString(0), r.getSeq[String](1).toList)).sortBy(_._1).toSeq
+    assert(rows(Bpe.applyTrainedWords(docs, merges)) ===
+      rows(Bpe.applyTrainedWordsFold(docs, merges)))
+    // end-to-end encode is well-defined on the CJK corpus
+    assert(Bpe.encodeWith(docs, merges).collect().length === 2)
+  }
+
+  test("unigram trains on CJK: the whole-sentence word's lattice stays MaxPieceLen-bounded and learns multi-char pieces") {
+    val docs = Seq((1L, "测试句子测试句子 测试"), (2L, "测试句子"))
+      .toDF("doc_id", "text")
+    val pieces = UnigramLm.train(docs)
+    assert(pieces.nonEmpty)
+    // the DP width is MaxPieceLen regardless of word length, so the
+    // 8-char sentence-word trains fine — the COST of scriptio
+    // continua is dictionary cardinality, not lattice width
+    assert(pieces.forall(_.piece.length <= UnigramLm.MaxPieceLen))
+    assert(pieces.exists(_.piece.length > 1),
+      "a repeated CJK n-gram must survive as a multi-char piece")
+    assert(UnigramLm.encode(docs).collect().length === 2)
+  }
+
+  test("unseen-script arrival under a pre-trained artifact: deterministic char-split fallback with OOV pieces (deployment maps to <unk>/byte-fallback upstream)") {
+    val latin = Seq((1L, "the cat sat on the mat"), (2L, "the mat"))
+      .toDF("doc_id", "text")
+    val pieces = UnigramLm.train(latin)
+    val vocab = pieces.map(_.piece).toSet
+    val cjk = Seq((9L, "测试句子")).toDF("doc_id", "text")
+    // the artifact never saw these chars: the Viterbi lattice is
+    // unreachable and the traceback degrades to the documented
+    // char-split — every emitted "piece" is OUTSIDE the artifact
+    val dict = UnigramLm.wordPiecesWith(cjk, pieces).collect()
+    assert(dict.length === 1)
+    val ps = dict(0).getSeq[String](1).toList
+    assert(ps === List("测", "试", "句", "子"),
+      s"unseen-script fallback must be the per-char split, got $ps")
+    assert(ps.forall(p => !vocab.contains(p)),
+      "fallback pieces are out-of-vocabulary by construction")
+    // the encode surface stays total and deterministic over it
+    val enc = UnigramLm.encodeWith(cjk, pieces).collect()
+    assert(enc.length === 1 && enc(0).getLong(1) === 4L)
+    // BPE's fallback is benign by construction: unseen words keep
+    // their char symbols (no merge fires), nothing is OOV because
+    // BPE symbols ARE substrings of the word itself
+    val (m, w) = Bpe.train(latin, nMerges = 8)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(w)
+    val bpeEnc = Bpe.encodeWith(cjk, m).collect()
+    assert(bpeEnc.length === 1 && bpeEnc(0).getLong(1) === 5L) // 4 chars + </w>
+  }
+}
