@@ -51,7 +51,8 @@ object SparkEntry {
       // them reaps the transient blocks promptly
       "bpe_encode_pretrained", "bpe_token_counts_pretrained",
       "unigram_encode_pretrained", "unigram_token_counts_pretrained",
-      "unigram_encode_pretrained_soft")
+      "unigram_encode_pretrained_soft",
+      "unigram_encode_pretrained_bytefallback")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -575,6 +576,15 @@ object SparkEntry {
     "unigram_encode_pretrained_soft" -> ((s, d) =>
       UnigramLm.encodeWith(t(s, d, "documents"),
         UnigramLm.train(t(s, d, "documents"), softEm = true))),
+    // SentencePiece byte_fallback on the apply surface (r14): unseen-
+    // script pieces re-emit as <0xNN> byte tokens — a CLOSED output
+    // space. On the training corpus coverage is complete, so fallback
+    // is a contractual NO-OP: output bit-identical to the plain apply,
+    // same oracle SQL (the fallback firing path is spec-pinned on the
+    // CJK fixture, TokenizerScopeSpec).
+    "unigram_encode_pretrained_bytefallback" -> ((s, d) =>
+      UnigramLm.encodeWithByteFallback(t(s, d, "documents"),
+        UnigramLm.train(t(s, d, "documents")))),
     // ---- D (r6). steady-state admission + CDC maintenance ----
     "dedup_admit" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -4688,6 +4698,11 @@ object SparkEntry {
     // the dump-time dictionary differs (unigramSoftDictValues trains
     // with forward–backward expected counts)
     "unigram_encode_pretrained_soft" -> unigramEncodeSoftSql,
+    // byte fallback is a no-op when the artifact's alphabet covers
+    // the corpus (the training corpus by construction) — output
+    // bit-identical to the plain apply, one SQL checks both; the
+    // firing path is spec-pinned on the CJK fixture
+    "unigram_encode_pretrained_bytefallback" -> unigramEncodeSql,
 
     // Positional reassembly: word positions ride the list transform,
     // the dict join fans each word to its symbol string, and the

@@ -556,6 +556,52 @@ object UnigramLm {
       .orderBy("doc_id")
   }
 
+  /** [[encodeWith]] with SentencePiece-style BYTE FALLBACK — the
+    * in-engine "full fix" for the training-alphabet coverage contract
+    * (r14; the r13 VERDICT #4 deployment guidance, implemented): a
+    * piece the artifact does not know (the unseen-script char-split
+    * fallback, see [[encodeWith]]) is re-emitted as its UTF-8 bytes,
+    * one `<0xNN>` token per byte — SentencePiece's `byte_fallback`
+    * convention, so the OUTPUT token space is CLOSED (artifact pieces
+    * ∪ the fixed 256 byte tokens) instead of leaking arbitrary OOV
+    * strings into downstream counts. On a corpus the artifact's
+    * alphabet covers, fallback never fires and the output is
+    * BIT-IDENTICAL to [[encodeWith]] (spec: frame equality; the
+    * oracle is the same SQL under the same dump-time dictionary).
+    * The expansion is one more codegen'd HOF stage over the
+    * vocabulary-scale word dictionary (vocab membership against a
+    * plan-literal array) — no new shuffle, no UDF.
+    */
+  def encodeWithByteFallback(documents: DataFrame,
+                             pieces: Seq[Piece]): DataFrame = {
+    val vocabLit = typedLit(pieces.map(_.piece))
+    val words0 = applyTrainedWords(documents, pieces)
+    val words = words0.select(col("word"),
+      flatten(transform(col("pieces"), p => {
+        // fully qualified: `encode` alone resolves to this object's
+        // own corpus encoder, not the SQL charset function
+        val b = org.apache.spark.sql.functions.encode(p, "UTF-8")
+        when(array_contains(vocabLit, p), array(p))
+          .otherwise(transform(
+            graft.functions.ColUtil.posRange(octet_length(b)),
+            i => concat(lit("<0x"), upper(hex(b.substr(i, lit(1)))),
+              lit(">"))))
+      })).as("pieces"))
+    val docWordsPos = documents
+      .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")))
+      .toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+    Partitioning.saltedEquiJoin(docWordsPos, words, "word", col("doc_id"))
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("pieces")))),
+          s => s.getField("pieces"))).as("tokens"))
+      .select(col("doc_id"),
+        size(col("tokens")).cast(LongType).as("n_tokens"),
+        md5(concat_ws(" ", col("tokens")).cast("binary")).as("token_md5"))
+      .orderBy("doc_id")
+  }
+
   /** [[tokenCounts]] under a pre-trained piece table — the apply-only
     * twin ([[encodeWith]]'s size projection).
     */

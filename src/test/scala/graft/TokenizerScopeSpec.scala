@@ -90,4 +90,43 @@ class TokenizerScopeSpec extends AnyFunSuite {
     val bpeEnc = Bpe.encodeWith(cjk, m).collect()
     assert(bpeEnc.length === 1 && bpeEnc(0).getLong(1) === 5L) // 4 chars + </w>
   }
+
+  test("byte fallback: unseen-script pieces re-emit as <0xNN> tokens (closed space); no-op frame equality where coverage is complete (r14)") {
+    val latin = Seq((1L, "the cat sat on the mat"), (2L, "the mat"))
+      .toDF("doc_id", "text")
+    val pieces = UnigramLm.train(latin)
+    val cjk = Seq((9L, "测试")).toDF("doc_id", "text")
+    // 测 = E6 B5 8B, 试 = E8 AF 95 in UTF-8: the char-split fallback
+    // pieces expand to exactly these six byte tokens — every one
+    // inside the FIXED 256-token byte space, never an arbitrary OOV
+    // string (the SentencePiece byte_fallback contract)
+    val enc = UnigramLm.encodeWithByteFallback(cjk, pieces).collect()
+    assert(enc.length === 1)
+    assert(enc(0).getLong(1) === 6L, s"expected 6 byte tokens: ${enc(0)}")
+    val wantMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("<0xE6> <0xB5> <0x8B> <0xE8> <0xAF> <0x95>"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(enc(0).getString(2) === wantMd5,
+      "byte tokens must be the word's exact UTF-8 bytes in order")
+    // where the artifact's alphabet covers the corpus, fallback never
+    // fires: BIT-identical to the plain apply (the oracle contract —
+    // the registry key shares unigram_encode's SQL on this basis)
+    assert(UnigramLm.encodeWithByteFallback(latin, pieces).collect().toSeq ===
+      UnigramLm.encodeWith(latin, pieces).collect().toSeq)
+    // mixed word: known chars segment normally, the unseen char alone
+    // expands — fallback is per-PIECE, not per-word
+    val mixed = Seq((5L, "cat测")).toDF("doc_id", "text")
+    val dict = UnigramLm.wordPiecesWith(mixed, pieces).collect()
+    val rawPieces = dict(0).getSeq[String](1).toList
+    val encMixed = UnigramLm.encodeWithByteFallback(mixed, pieces).collect()
+    val vocab = pieces.map(_.piece).toSet
+    val wantTokens = rawPieces.flatMap(p =>
+      if (vocab(p)) List(p)
+      else p.getBytes("UTF-8").map(b => f"<0x${b & 0xff}%02X>").toList)
+    val wantMixedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(wantTokens.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(encMixed(0).getLong(1) === wantTokens.length.toLong)
+    assert(encMixed(0).getString(2) === wantMixedMd5)
+  }
 }
