@@ -52,7 +52,8 @@ object SparkEntry {
       "bpe_encode_pretrained", "bpe_token_counts_pretrained",
       "unigram_encode_pretrained", "unigram_token_counts_pretrained",
       "unigram_encode_pretrained_soft",
-      "unigram_encode_pretrained_bytefallback")
+      "unigram_encode_pretrained_bytefallback",
+      "bpe_merges_bytes", "bpe_encode_bytes")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -561,6 +562,17 @@ object SparkEntry {
       org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(w)
       Bpe.tokenCountsWith(t(s, d, "documents"), m)
     }),
+    // BYTE-LEVEL BPE (r14): GPT-2's convention — initial symbols are
+    // the word's UTF-8 bytes as <0xNN> tokens, so the base alphabet
+    // is the closed 256-token byte space and EVERY script trains
+    // (the BPE-family completion of the unigram byte fallback).
+    // Merge table rows-only (BPE-family convention; spec bit-equality
+    // to an independent byte-mode reference); encode FULL oracle via
+    // the byte-level dump-time dictionary.
+    "bpe_merges_bytes" -> ((s, d) =>
+      Bpe.merges(t(s, d, "documents"), nMerges = 8, byteLevel = true)),
+    "bpe_encode_bytes" -> ((s, d) =>
+      Bpe.encode(t(s, d, "documents"), nMerges = 8, byteLevel = true)),
     "unigram_encode_pretrained" -> ((s, d) =>
       UnigramLm.encodeWith(t(s, d, "documents"),
         UnigramLm.train(t(s, d, "documents")))),
@@ -1463,6 +1475,28 @@ object SparkEntry {
       .mkString(", ")
   }
 
+  /** The BYTE-LEVEL twin of [[BpeDictPlaceholder]] (r14): word →
+    * byte-level trained symbols under `train(byteLevel = true)` —
+    * same training-vs-apply oracle boundary; symbols are pure-ASCII
+    * `<0xNN>` tokens, so VALUES inlining needs no extra escaping.
+    */
+  val BpeBytesDictPlaceholder: String = "/*BPE_BYTES_DICT*/"
+
+  def bpeBytesDictValues(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.{col, concat_ws, size}
+    val (_, words) =
+      Bpe.train(t(spark, sfDir, "documents"), nMerges = 8, byteLevel = true)
+    val rows = words.select(col("word"), concat_ws(" ", col("syms")).as("syms"),
+        size(col("syms")).cast("long").as("n_syms"))
+      .orderBy("word").collect()
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(words)
+    def esc(x: String) = x.replace("'", "''")
+    if (rows.isEmpty) "('', '', CAST(0 AS BIGINT))"
+    else rows.map(r => s"('${esc(r.getString(0))}', '${esc(r.getString(1))}', " +
+        s"CAST(${r.getLong(2)} AS BIGINT))")
+      .mkString(", ")
+  }
+
   /** The unigram-LM twin of [[BpeDictPlaceholder]]: the trained
     * word → Viterbi-piece-count dictionary, resolved at dump time.
     * Training (hard-EM over a sequential DP) is not SQL-expressible,
@@ -1583,6 +1617,20 @@ object SparkEntry {
        |  WHERE p.word <> ''),
        |j AS (SELECT doc_id, pos, syms, n_pieces FROM f JOIN dict USING (word))
        |SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(syms, ' ' ORDER BY pos)) AS token_md5
+       |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // byte-level dict through the identical reassembly chain
+  private lazy val bpeEncodeBytesSql: String =
+    s"""WITH dict(word, syms, n_syms) AS (VALUES $BpeBytesDictPlaceholder),
+       |t AS (SELECT doc_id,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |w AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+       |  i -> struct_pack(pos := i, word := ws[i]))) AS p FROM t),
+       |f AS (SELECT doc_id, p.pos AS pos, p.word AS word FROM w
+       |  WHERE p.word <> ''),
+       |j AS (SELECT doc_id, pos, syms, n_syms FROM f JOIN dict USING (word))
+       |SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_tokens,
        |  md5(string_agg(syms, ' ' ORDER BY pos)) AS token_md5
        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
 
@@ -4710,6 +4758,7 @@ object SparkEntry {
     // stream Spark digests (md5 lowercase hex in both engines).
     "bpe_encode" -> bpeEncodeSql,
     "bpe_encode_pretrained" -> bpeEncodeSql,
+    "bpe_encode_bytes" -> bpeEncodeBytesSql,
 
     // Zipf fit: integer micro-log x/y, exact LONG regression sums,
     // slope/intercept each one deterministic division — see

@@ -54,6 +54,8 @@ object Verify {
     val dicts: Seq[(String, () => String)] = Seq(
       SparkEntry.BpeDictPlaceholder ->
         (() => SparkEntry.bpeDictValues(spark, sfDir)),
+      SparkEntry.BpeBytesDictPlaceholder ->
+        (() => SparkEntry.bpeBytesDictValues(spark, sfDir)),
       SparkEntry.UnigramDictPlaceholder ->
         (() => SparkEntry.unigramDictValues(spark, sfDir)),
       SparkEntry.UnigramSoftDictPlaceholder ->

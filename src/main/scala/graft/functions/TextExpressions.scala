@@ -41,8 +41,10 @@ object TextExpressions {
     ColumnBridge.column(RollingHash31(ColumnBridge.expression(s)))
   def charCounts(s: Column): Column =
     ColumnBridge.column(CharCounts(ColumnBridge.expression(s)))
-  def bpeApplyMerges(word: Column, merges: Seq[(String, String)]): Column =
-    ColumnBridge.column(BpeApplyMerges(ColumnBridge.expression(word), merges))
+  def bpeApplyMerges(word: Column, merges: Seq[(String, String)],
+                     byteLevel: Boolean = false): Column =
+    ColumnBridge.column(
+      BpeApplyMerges(ColumnBridge.expression(word), merges, byteLevel))
 }
 
 /** Shared eval body of [[CharCounts]], also called from its generated
@@ -420,14 +422,30 @@ case class RollingHash31(child: Expression) extends UnaryExpression {
   * immediately.
   */
 object BpeApplyHelper {
-  def compute(word: UTF8String, merges: Array[Array[String]]): ArrayData = {
-    val s = word.toString
-    var syms = new java.util.ArrayList[String](s.length + 1)
-    var i = 0
-    while (i < s.length) {
-      val n = Character.charCount(s.codePointAt(i))
-      syms.add(s.substring(i, i + n))
-      i += n
+  private val HexDigits = "0123456789ABCDEF"
+
+  def compute(word: UTF8String, merges: Array[Array[String]],
+              byteLevel: Boolean): ArrayData = {
+    var syms = new java.util.ArrayList[String]()
+    if (byteLevel) {
+      // GPT-2 byte-level base alphabet: one <0xNN> token per UTF-8
+      // byte — mirrors Bpe.initialSymbolsBytes exactly
+      val bytes = word.getBytes
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        syms.add(new String(Array('<', '0', 'x',
+          HexDigits.charAt(b >> 4), HexDigits.charAt(b & 0xf), '>')))
+        i += 1
+      }
+    } else {
+      val s = word.toString
+      var i = 0
+      while (i < s.length) {
+        val n = Character.charCount(s.codePointAt(i))
+        syms.add(s.substring(i, i + n))
+        i += n
+      }
     }
     syms.add("</w>")
     val present = new java.util.HashSet[String](syms)
@@ -465,7 +483,8 @@ object BpeApplyHelper {
   * are unaffected by vocabulary scale. Runs over the word DICTIONARY
   * (Zipf-bounded), never the corpus.
   */
-case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
+case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)],
+                          byteLevel: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_apply_merges"
@@ -474,12 +493,12 @@ case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
     merges.map { case (l, r) => Array(l, r, l + r) }.toArray
 
   override def nullSafeEval(v: Any): Any =
-    BpeApplyHelper.compute(v.asInstanceOf[UTF8String], table)
+    BpeApplyHelper.compute(v.asInstanceOf[UTF8String], table, byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, w => {
       val ref = ctx.addReferenceObj("bpeMerges", table, "java.lang.String[][]")
-      s"${ev.value} = graft.functions.BpeApplyHelper.compute($w, $ref);"
+      s"${ev.value} = graft.functions.BpeApplyHelper.compute($w, $ref, $byteLevel);"
     })
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -66,6 +66,27 @@ object Bpe {
   private def initialSymbols(word: Column): Column =
     concat(filter(split(word, ""), s => s =!= ""), array(lit("</w>")))
 
+  /** word → initial BYTE-LEVEL symbol sequence (r14): the word's
+    * UTF-8 bytes as `<0xNN>` tokens + the terminal marker — GPT-2's
+    * byte-level BPE convention. The base alphabet is the CLOSED
+    * 256-token byte space, so every script is trainable and nothing
+    * is ever out-of-vocabulary at apply time: the full fix for the
+    * char-level coverage scope (see the object scaladoc's script
+    * note), at the cost of longer initial sequences (a CJK char is 3
+    * symbols before merges learn it back). Codegen'd HOF over the
+    * encoded binary — no UDF.
+    */
+  private def initialSymbolsBytes(word: Column): Column = {
+    val b = org.apache.spark.sql.functions.encode(word, "UTF-8")
+    concat(
+      transform(graft.functions.ColUtil.posRange(octet_length(b)),
+        i => concat(lit("<0x"), upper(hex(b.substr(i, lit(1)))), lit(">"))),
+      array(lit("</w>")))
+  }
+
+  private def initialSyms(word: Column, byteLevel: Boolean): Column =
+    if (byteLevel) initialSymbolsBytes(word) else initialSymbols(word)
+
   /** Adjacent symbol pairs of a word (every occurrence counts, the
     * standard BPE statistic — "aaa" contributes (a,a) twice).
     */
@@ -112,9 +133,11 @@ object Bpe {
     * Training stops early when no pair occurs twice (merging a
     * count-1 pair can never help a tokenizer).
     */
-  def train(documents: DataFrame, nMerges: Int = 16): (Seq[Merge], DataFrame) = {
+  def train(documents: DataFrame, nMerges: Int = 16,
+            byteLevel: Boolean = false): (Seq[Merge], DataFrame) = {
     var words = wordCounts(documents)
-      .select(col("word"), col("n"), initialSymbols(col("word")).as("syms"))
+      .select(col("word"), col("n"),
+        initialSyms(col("word"), byteLevel).as("syms"))
       .localCheckpoint(true)
     val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var continue = true
@@ -142,8 +165,9 @@ object Bpe {
     * ships (rank-ordered; applying merges in rank order re-derives the
     * trained dictionary).
     */
-  def merges(documents: DataFrame, nMerges: Int = 16): DataFrame = {
-    val (learned, words) = train(documents, nMerges)
+  def merges(documents: DataFrame, nMerges: Int = 16,
+             byteLevel: Boolean = false): DataFrame = {
+    val (learned, words) = train(documents, nMerges, byteLevel)
     org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(words)
     val spark = documents.sparkSession
     import spark.implicits._
@@ -173,8 +197,9 @@ object Bpe {
     * Rows-only like the rest of the BPE family; the spec proves every
     * digest equal to the independent in-memory reference encoder.
     */
-  def encode(documents: DataFrame, nMerges: Int = 16): DataFrame = {
-    val (_, words) = train(documents, nMerges)
+  def encode(documents: DataFrame, nMerges: Int = 16,
+             byteLevel: Boolean = false): DataFrame = {
+    val (_, words) = train(documents, nMerges, byteLevel)
     val docWordsPos = documents
       .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")))
       .toDF("doc_id", "pos", "word")
@@ -241,10 +266,11 @@ object Bpe {
     * BpeScaleTime measures both at ≥1k merges.
     */
   private[graft] def applyTrainedWords(documents: DataFrame,
-                                        merges: Seq[Merge]): DataFrame =
+                                        merges: Seq[Merge],
+                                        byteLevel: Boolean = false): DataFrame =
     wordCounts(documents).select(col("word"),
       graft.functions.TextExpressions.bpeApplyMerges(col("word"),
-        merges.map(m => (m.lhs, m.rhs))).as("syms"))
+        merges.map(m => (m.lhs, m.rhs)), byteLevel).as("syms"))
 
   /** The pre-r14 nested-fold apply — kept as the frame-equality
     * reference for [[applyTrainedWords]]' native expression (and as
@@ -252,9 +278,10 @@ object Bpe {
     * merge count, the documented scale bound the expression removes).
     */
   private[graft] def applyTrainedWordsFold(documents: DataFrame,
-                                            merges: Seq[Merge]): DataFrame =
+                                            merges: Seq[Merge],
+                                            byteLevel: Boolean = false): DataFrame =
     wordCounts(documents).select(col("word"),
-      merges.foldLeft(initialSymbols(col("word")))(
+      merges.foldLeft(initialSyms(col("word"), byteLevel))(
         (syms, m) => applyMerge(syms, m.lhs, m.rhs)).as("syms"))
 
   /** [[encode]] under a pre-trained merge table: identical output to
@@ -264,8 +291,9 @@ object Bpe {
     * reference object, so plan size, codegen, and per-word skip cost
     * are flat in the merge count (see [[applyTrainedWords]]).
     */
-  def encodeWith(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
-    val words = applyTrainedWords(documents, merges)
+  def encodeWith(documents: DataFrame, merges: Seq[Merge],
+                 byteLevel: Boolean = false): DataFrame = {
+    val words = applyTrainedWords(documents, merges, byteLevel)
     val docWordsPos = documents
       .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")))
       .toDF("doc_id", "pos", "word")

@@ -34,12 +34,19 @@ class BpeSpec extends AnyFunSuite {
     out.result()
   }
 
-  /** (merge table, final word → symbols). */
-  private def refTrain(docs: Seq[String], nMerges: Int)
+  /** (merge table, final word → symbols). `byteLevel` mirrors the
+    * engine's GPT-2-style byte-mode base alphabet (r14).
+    */
+  private def refTrain(docs: Seq[String], nMerges: Int,
+                       byteLevel: Boolean = false)
       : (Seq[(Long, String, String, String, Long)], Map[String, Vector[String]]) = {
     val wc = refWordCounts(docs)
+    def initial(w: String): Vector[String] =
+      if (byteLevel)
+        w.getBytes("UTF-8").map(b => f"<0x${b & 0xff}%02X>").toVector :+ "</w>"
+      else w.map(_.toString).toVector :+ "</w>"
     var syms: Map[String, Vector[String]] =
-      wc.keys.map(w => w -> (w.map(_.toString).toVector :+ "</w>")).toMap
+      wc.keys.map(w => w -> initial(w)).toMap
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var rank = 1L
     var done = false
@@ -195,6 +202,55 @@ class BpeSpec extends AnyFunSuite {
     assert(loaded === direct, "artifact must survive the parquet round-trip")
     assert(Bpe.encodeWith(docs, loaded).collect().toSeq ===
       Bpe.encode(docs, nMerges = 8).collect().toSeq)
+  }
+
+  // ---- r14: byte-level mode (GPT-2 convention) ------------------------
+
+  test("byte-level BPE: merge table bit-equal to the byte-mode reference on planted and fixture corpora (r14)") {
+    // the planted corpus deliberately mixes scripts: byte-level
+    // training sees ONLY <0xNN> symbols, so CJK and latin share one
+    // closed base alphabet
+    val plantedDocs = Seq("low low low lower", "测试 测试 newest")
+    val planted = plantedDocs.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val want = refTrain(plantedDocs, 12, byteLevel = true)._1
+    val got = collectMerges(Bpe.merges(planted, nMerges = 12, byteLevel = true))
+    assert(got === want)
+    // every learned symbol is built from the byte alphabet (closed space)
+    assert(got.forall { case (_, l, r, m, _) =>
+      (l + r) == m && m.startsWith("<0x") || m.endsWith("</w>") })
+    // fixture corpus
+    val docs = Tables.documents(spark, sf)
+    val fixtureDocs = docs.select("text").collect().map(_.getString(0)).toSeq
+    val wantFx = refTrain(fixtureDocs, 8, byteLevel = true)._1
+    val gotFx = collectMerges(Bpe.merges(docs, nMerges = 8, byteLevel = true))
+    assert(gotFx === wantFx)
+  }
+
+  test("byte-level encode: digest matches the reference encoder; expression equals fold (r14)") {
+    val docs = Seq((1L, "low low lower"), (2L, "测试 low")).toDF("doc_id", "text")
+    val (merges, w) = Bpe.train(docs, nMerges = 8, byteLevel = true)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(w)
+    // reference per-doc digest over the same greedy application
+    val (refMerges, refSyms) = refTrain(Seq("low low lower", "测试 low"), 8,
+      byteLevel = true)
+    assert(collectMerges(Bpe.merges(docs, nMerges = 8, byteLevel = true))
+      === refMerges)
+    val wantDigests = Map(
+      1L -> Seq("low", "low", "lower"), 2L -> Seq("测试", "low")
+    ).map { case (id, ws) =>
+      val stream = ws.flatMap(refSyms).mkString(" ")
+      id -> java.security.MessageDigest.getInstance("MD5")
+        .digest(stream.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val got = Bpe.encode(docs, nMerges = 8, byteLevel = true).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got === wantDigests)
+    // apply-surface twins agree in byte mode too
+    assert(dictRows(Bpe.applyTrainedWords(docs, merges, byteLevel = true)) ===
+      dictRows(Bpe.applyTrainedWordsFold(docs, merges, byteLevel = true)))
+    assert(Bpe.encodeWith(docs, merges, byteLevel = true).collect().toSeq ===
+      Bpe.encode(docs, nMerges = 8, byteLevel = true).collect().toSeq)
   }
 
   // ---- r14: production merge counts (VERDICT r13 #2) -----------------

@@ -91,6 +91,41 @@ class TokenizerScopeSpec extends AnyFunSuite {
     assert(bpeEnc.length === 1 && bpeEnc(0).getLong(1) === 5L) // 4 chars + </w>
   }
 
+  test("byte-level BPE closes the script scope: any corpus trains over the 256-token base; unseen scripts at apply time stay in-space (r14)") {
+    // CJK trains byte-level: the dominant char's three UTF-8 bytes
+    // merge back into one symbol — the trainer RECOVERS characters
+    // from bytes instead of needing them as primitives
+    val cjk = Seq((1L, "测试 测试 测试"), (2L, "测试句子")).toDF("doc_id", "text")
+    val (m, w) = graft.operators.Bpe.train(cjk, nMerges = 8, byteLevel = true)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(w)
+    assert(m.nonEmpty)
+    // every adjacent byte pair inside 测试 occurs exactly 4 times
+    // (3 + 1), so the first merge is decided by the (lhs, rhs)
+    // tie-break: "<0x8B>" (测's last byte, meeting 试's first) sorts
+    // lowest — the deterministic-tie contract, exercised on bytes
+    assert((m.head.lhs, m.head.rhs, m.head.pair_count) ===
+      (("<0x8B>", "<0xE8>", 4L)),
+      s"tie-broken first byte merge: ${m.head}")
+    // and the learned table rebuilds multi-byte units: some merged
+    // symbol spans a full 3-byte CJK char or more
+    assert(m.exists(_.merged.count(_ == '<') >= 3),
+      s"merges should recover at least a full char from bytes: $m")
+    // a LATIN-trained byte-level artifact applied to CJK emits ONLY
+    // in-space tokens: unmerged <0xNN> bytes + the terminal — the
+    // closed-space property char-level BPE has, now with a base
+    // alphabet no script can escape
+    val latin = Seq((1L, "the cat sat"), (2L, "the mat")).toDF("doc_id", "text")
+    val (lm, lw) = graft.operators.Bpe.train(latin, nMerges = 8, byteLevel = true)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(lw)
+    val dict = graft.operators.Bpe
+      .applyTrainedWords(Seq((9L, "测试")).toDF("doc_id", "text"), lm,
+        byteLevel = true).collect()
+    val syms = dict(0).getSeq[String](1).toList
+    assert(syms === List("<0xE6>", "<0xB5>", "<0x8B>",
+      "<0xE8>", "<0xAF>", "<0x95>", "</w>"),
+      s"latin byte artifact must leave CJK as raw byte tokens: $syms")
+  }
+
   test("byte fallback: unseen-script pieces re-emit as <0xNN> tokens (closed space); no-op frame equality where coverage is complete (r14)") {
     val latin = Seq((1L, "the cat sat on the mat"), (2L, "the mat"))
       .toDF("doc_id", "text")
