@@ -239,7 +239,18 @@ class PlanShapeSpec extends AnyFunSuite {
         "6 windows = the curve's rank + 2 WindowGroupLimit and the " +
         "brute-truth side's same trio; the 2 SMJs join CONFIG-scale " +
         "aggregates (4 grid rows x 20 probes x k) — metadata joins, " +
-        "broadcast-vs-SMJ immaterial at any scale"))
+        "broadcast-vs-SMJ immaterial at any scale"),
+    ("knn_ivf_pq_residual_opq_learned", Shape(2, 1, 0, 3),
+      "EXACTLY knn_ivf_pq_residual's shape: the learned rotation is a " +
+        "checkpointed scan by the time this plan builds, so composing " +
+        "it adds NO plan structure — literal-codebook residual + ADC " +
+        "map stages, broadcast probes, cell-id bucket join, the " +
+        "knn-family 1-rank-Window + 2-WindowGroupLimit top-k"),
+    ("ann_operating_curve_ivf_pq_residual_opq_learned", Shape(8, 2, 2, 6),
+      "EXACTLY ann_operating_curve_ivf_pq's shape for the same reason " +
+        "(checkpointed rotated frame = plain scan): widest-config " +
+        "candidate set + config fan-out + the brute-truth trio; the 2 " +
+        "SMJs join CONFIG-scale aggregates — metadata joins"))
 
   // Explicitly-audited exceptions to the no-SinglePartition sweep:
   // cumulative-offset windows that run over METADATA-scale aggregates
