@@ -77,9 +77,15 @@ object Bench {
         // the link's OWN mtime, never the target's (r13 ADVICE: the
         // r12 no-follow fix only stopped recursion — f.lastModified
         // still follows the link, so a symlink to a continually-
-        // refreshed foreign file kept its stale tree unsweepable)
-        (java.nio.file.Files.getLastModifiedTime(f.toPath,
-          java.nio.file.LinkOption.NOFOLLOW_LINKS).toMillis +:
+        // refreshed foreign file kept its stale tree unsweepable).
+        // A node that vanishes between listFiles and the stat (a LIVE
+        // concurrent writer's parquet task commit churns .tmp_ files
+        // constantly) counts as MinValue instead of aborting the whole
+        // bench at startup (r14 ADVICE — the old f.lastModified
+        // returned 0L silently; getLastModifiedTime throws).
+        ((try java.nio.file.Files.getLastModifiedTime(f.toPath,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS).toMillis
+          catch { case _: java.io.IOException => Long.MinValue }) +:
           (if (java.nio.file.Files.isSymbolicLink(f.toPath))
             Seq.empty
           else Option(f.listFiles()).toSeq.flatten.map(newestMtime))).max

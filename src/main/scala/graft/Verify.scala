@@ -91,6 +91,11 @@ object Verify {
     * plan cannot starve the queries after it. `queries` is a
     * parameter so the spec can inject a deliberately-hanging entry.
     */
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+    f.delete(); ()
+  }
+
   def dumpQueries(spark: SparkSession, sfDir: String, outDir: String,
                   keep: String => Boolean, capSec: Long,
                   queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -106,12 +111,30 @@ object Verify {
     names.zipWithIndex.foreach { case (name, idx) =>
       val group = s"verify-$name"
       val t0 = System.nanoTime()
+      // r14 ADVICE: cancelJobGroup only reaches jobs ALREADY submitted
+      // — a query hung in driver-side code (plan construction, a
+      // collect about to start) leaks a zombie Future that may submit
+      // and run jobs AFTER the cancel, leaving a partially written
+      // parquet dir the DuckDB compare would read as a truncated (but
+      // well-formed) result. Two guards: the dump dir is deleted on
+      // timeout/failure, and a poisoned flag checked in the zombie's
+      // finally re-issues the cancel + re-deletes whatever the zombie
+      // eventually wrote, so a timed-out query can neither leave a
+      // misleading artifact nor keep holding the cluster.
+      val poisoned = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def purge(): Unit = deleteRec(new java.io.File(s"$outDir/$name"))
       val fut = Future {
         spark.sparkContext
           .setJobGroup(group, s"verify dump $name", interruptOnCancel = true)
         try queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        finally spark.sparkContext.clearJobGroup()
+        finally {
+          spark.sparkContext.clearJobGroup()
+          if (poisoned.get()) {
+            spark.sparkContext.cancelJobGroup(group)
+            purge()
+          }
+        }
       }
       def secs = f"${(System.nanoTime() - t0) / 1e9}%.1fs"
       try {
@@ -119,10 +142,13 @@ object Verify {
         System.err.println(s"[verify] ${idx + 1}/$total $name ok $secs")
       } catch {
         case _: TimeoutException =>
+          poisoned.set(true)
           spark.sparkContext.cancelJobGroup(group)
+          purge()
           System.err.println(
-            s"[verify] ${idx + 1}/$total $name TIMEOUT after ${capSec}s — jobs cancelled")
+            s"[verify] ${idx + 1}/$total $name TIMEOUT after ${capSec}s — jobs cancelled, dump purged")
         case e: Throwable =>
+          purge()
           System.err.println(
             s"[verify] ${idx + 1}/$total $name FAILED: ${e.getMessage}")
       }

@@ -67,8 +67,12 @@ object Bpe {
     concat(filter(split(word, ""), s => s =!= ""), array(lit("</w>")))
 
   /** word → initial BYTE-LEVEL symbol sequence (r14): the word's
-    * UTF-8 bytes as `<0xNN>` tokens + the terminal marker — GPT-2's
-    * byte-level BPE convention. The base alphabet is the CLOSED
+    * UTF-8 bytes as `<0xNN>` tokens + the terminal marker — a
+    * byte-level base alphabet (GPT-2-style closed 256-byte space,
+    * SentencePiece `<0xNN>` token convention; NOT GPT-2's
+    * bytes_to_unicode printable remap, so merge tables are not
+    * artifact-compatible with GPT-2's — r14 ADVICE). The base
+    * alphabet is the CLOSED
     * 256-token byte space, so every script is trainable and nothing
     * is ever out-of-vocabulary at apply time: the full fix for the
     * char-level coverage scope (see the object scaladoc's script

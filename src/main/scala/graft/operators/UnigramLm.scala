@@ -302,7 +302,11 @@ object UnigramLm {
         // flat 1L under softEm was 1e-9 of an occurrence, pushing
         // unused chars ~30 bits further from the live pieces than the
         // hard-mode floor does)
-        val floorCount = if (softEm) math.round(quantum) else 1L
+        // max(1L, ...) — quantum < 0.5 would round the floor to ZERO,
+        // silently re-introducing the exact failure the floor exists
+        // to prevent (log2(0) in the cost map kills coverage — r14
+        // ADVICE: the escape hatch invited unbounded small quanta)
+        val floorCount = if (softEm) math.max(1L, math.round(quantum)) else 1L
         usage ++ chars.map(_._1).filterNot(usage.contains)
           .map(_ -> floorCount)
       }

@@ -217,8 +217,11 @@ class BpeSpec extends AnyFunSuite {
     val got = collectMerges(Bpe.merges(planted, nMerges = 12, byteLevel = true))
     assert(got === want)
     // every learned symbol is built from the byte alphabet (closed space)
+    // (r14 ADVICE: precedence — && binds tighter than ||, so the old
+    // unparenthesized form let any "</w>"-suffixed merge skip the
+    // l+r==m and byte-alphabet checks entirely)
     assert(got.forall { case (_, l, r, m, _) =>
-      (l + r) == m && m.startsWith("<0x") || m.endsWith("</w>") })
+      (l + r) == m && (m.startsWith("<0x") || m.endsWith("</w>")) })
     // fixture corpus
     val docs = Tables.documents(spark, sf)
     val fixtureDocs = docs.select("text").collect().map(_.getString(0)).toSeq

@@ -68,6 +68,31 @@ class VerifySpec extends AnyFunSuite {
     assert(wallSec < 30.0, s"dump took ${wallSec}s — cap did not engage")
   }
 
+  test("a timed-out query's dump dir is purged — even when the zombie " +
+    "future finishes its write AFTER the cancel (r14 ADVICE)") {
+    val out = tmpDir("purge")
+    import spark.implicits._
+    // aa_hang stalls in DRIVER-side code (Thread.sleep — the mode
+    // cancelJobGroup cannot reach: no jobs submitted yet), then writes
+    // a perfectly well-formed parquet AFTER the timeout fired. Without
+    // the poisoned-flag purge this truncated-looking-but-valid dump
+    // would sit where the DuckDB compare picks it up.
+    val injected = Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame](
+      "aa_hang" -> ((s, _) => { Thread.sleep(3000); s.range(5).toDF() }),
+      "zz_fast" -> ((_, _) => Seq((1L, "ok")).toDF("id", "v")))
+    Verify.dumpQueries(spark, sf, out, _ => true, capSec = 1L,
+      queries = injected)
+    assert(Files.exists(Paths.get(s"$out/zz_fast")))
+    // the zombie may still be mid-write when dumpQueries returns; its
+    // finally block purges whatever it wrote — poll until it has
+    val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+    while (Files.exists(Paths.get(s"$out/aa_hang")) &&
+      System.nanoTime() < deadline) Thread.sleep(200)
+    assert(!Files.exists(Paths.get(s"$out/aa_hang")),
+      "timed-out query left a (misleading) dump on disk")
+  }
+
   test("a subset dump leaves exactly the killed-run artifact shape: " +
     "valid oracle set + the dumped subset") {
     val out = tmpDir("subset")
