@@ -56,6 +56,8 @@ object Verify {
         (() => SparkEntry.bpeDictValues(spark, sfDir)),
       SparkEntry.BpeBytesDictPlaceholder ->
         (() => SparkEntry.bpeBytesDictValues(spark, sfDir)),
+      SparkEntry.BpeBatchedDictPlaceholder ->
+        (() => SparkEntry.bpeBatchedDictValues(spark, sfDir)),
       SparkEntry.UnigramDictPlaceholder ->
         (() => SparkEntry.unigramDictValues(spark, sfDir)),
       SparkEntry.UnigramSoftDictPlaceholder ->

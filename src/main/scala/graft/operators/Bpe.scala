@@ -20,9 +20,15 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
   * driver state, same bargain as the k-means codebook) + a per-word
   * merge map. Rounds localCheckpoint the dictionary so plan depth and
   * lineage stay flat, releasing the previous round's blocks (the
-  * Dedup.clusters loop discipline). A production run with 30k+ merges
-  * would batch non-overlapping merges per pass; the per-round
-  * structure here is the honest unbatched algorithm.
+  * Dedup.clusters loop discipline). [[train]] is the honest unbatched
+  * algorithm — ONE merge per Spark round, the reference semantics the
+  * whole BPE oracle family is pinned to; a 32k-merge production
+  * vocabulary under it is 32k sequential Spark rounds (the
+  * training-side scale bound, r14 VERDICT #1). [[trainBatched]] is
+  * the production trainer: top-K non-conflicting merges per round, so
+  * the round count collapses to ≈ nMerges / K (measured in
+  * BpeScaleTime) — see its scaladoc for the conflict rule and the
+  * honest equivalence class vs the unbatched table.
   *
   * Not oracle-expressible: the greedy merge fold is inherently
   * sequential per word (DuckDB `replace` cannot reproduce greedy
@@ -136,6 +142,17 @@ object Bpe {
     * UTF-8 string order, deterministic across runs and cluster sizes.
     * Training stops early when no pair occurs twice (merging a
     * count-1 pair can never help a tokenizer).
+    *
+    * SCALE BOUND (r14 VERDICT #1): one merge costs one Spark round
+    * (pair-count aggregate + argmax collect + checkpoint), so a
+    * production 32k-merge vocabulary is 32k SEQUENTIAL rounds —
+    * train-once/encode-forever holds on the apply side (the merge
+    * table rides as one expression reference object), but the
+    * training side of this overload is fixture/exploration scale.
+    * Production training is [[trainBatched]] (top-K non-conflicting
+    * merges per round, rounds ≈ nMerges / K); this unbatched form is
+    * the reference semantics every oracle and the batched trainer's
+    * equivalence spec are pinned against.
     */
   def train(documents: DataFrame, nMerges: Int = 16,
             byteLevel: Boolean = false): (Seq[Merge], DataFrame) = {
@@ -176,6 +193,129 @@ object Bpe {
     val spark = documents.sparkSession
     import spark.implicits._
     learned.toDF().orderBy("rank")
+  }
+
+  /** BATCHED greedy training — the production trainer (r14 VERDICT
+    * #1: [[train]] runs one Spark round PER merge, so a 32k-merge
+    * vocabulary is 32k sequential rounds; here it is ≈ 32k / K).
+    *
+    * Per round: ONE pair-count aggregate over the dictionary, ONE
+    * bounded top-candidate collect (≤ 8·K + 8 rows — driver state
+    * stays codebook-scale), then the candidates are walked in the
+    * same global order the unbatched argmax uses (count desc, lhs,
+    * rhs — binary UTF-8, deterministic) and greedily accepted into
+    * the batch under the CONFLICT RULE: a candidate (l, r) is
+    * accepted iff neither l nor r appears among the lhs/rhs/merged
+    * symbols of any merge already accepted THIS round (skipped
+    * candidates are not lost — the next round's full recount sees
+    * them). Accepted merges get consecutive ranks in acceptance
+    * order and are applied together in rank order before the next
+    * recount.
+    *
+    * WHY the rule makes within-batch counts exact: merging (l1, r1)
+    * → m1 rewrites `… x l1 r1 y …` to `… x m1 y …` — it destroys
+    * only pairs touching l1/r1 and creates only pairs touching m1.
+    * A later batch member (l2, r2) with {l2, r2} disjoint from
+    * {l1, r1, m1} therefore has its occurrence set untouched, so the
+    * pre-round count recorded in its [[Merge]] row equals what the
+    * unbatched recount would have measured.
+    *
+    * THE HONEST EQUIVALENCE CLASS (spec: BpeSpec batched section):
+    * the batched table is IDENTICAL to [[train]]'s — ranks, pairs,
+    * counts — whenever, within each round, (a) no candidate is
+    * conflict-skipped ahead of an accepted one, and (b) no pair
+    * CREATED by an accepted merge outranks a later batch member.
+    * Both failure modes are scheduling divergences, not count
+    * errors: (a) defers a pair one round (its recount value is
+    * unchanged by disjointness); (b) means the unbatched trainer
+    * would have interleaved a brand-new pair (e.g. learning `th`
+    * then immediately `the`) where the batch finishes its
+    * already-selected members first. The spec pins a fixture for
+    * the equality case AND a divergence fixture for each mode,
+    * each verified against an independent in-memory batched
+    * reference.
+    *
+    * Plan shape: the base (word, n) dictionary is checkpointed ONCE;
+    * every round re-derives symbols from the word via the native
+    * [[graft.functions.BpeApplyMerges]] expression carrying all
+    * merges learned so far as a reference object — plan size is
+    * CONSTANT in the merge count (no per-round checkpoint, no
+    * lineage growth; the r14 apply fix reused on the training side).
+    * Returns (merges, final dictionary view, rounds run); the caller
+    * releases the checkpoint via the returned DataFrame's base
+    * (ColumnBridge.unpersistCheckpoint on the dictionary) when done.
+    */
+  def trainBatched(documents: DataFrame, nMerges: Int = 16,
+                   batchK: Int = 16, byteLevel: Boolean = false)
+      : (Seq[Merge], DataFrame, Int) = {
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
+    val base = wordCounts(documents).localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    def symsCol: Column = graft.functions.TextExpressions
+      .bpeApplyMerges(col("word"), learned.toSeq.map(m => (m.lhs, m.rhs)),
+        byteLevel)
+    var rounds = 0
+    var continue = true
+    while (continue && learned.size < nMerges) {
+      // candidate cap: enough slack that heavy conflict-skipping can
+      // still fill the batch, still bounded driver state
+      val cap = 8 * batchK + 8
+      val cands = base
+        .select(explode(adjacentPairs(symsCol)).as("p"), col("n"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("n")).as("cnt"))
+        .filter(col("cnt") >= 2L)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(cap).collect()
+      rounds += 1
+      if (cands.isEmpty) continue = false
+      else {
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val want = math.min(batchK, nMerges - learned.size)
+        var accepted = 0
+        var i = 0
+        while (i < cands.length && accepted < want) {
+          val (l, r, c) = (cands(i).getString(0), cands(i).getString(1),
+            cands(i).getLong(2))
+          if (!used(l) && !used(r)) {
+            learned += Merge(learned.size + 1L, l, r, l + r, c)
+            used += l; used += r; used += (l + r)
+            accepted += 1
+          }
+          i += 1
+        }
+      }
+    }
+    (learned.toSeq, base.select(col("word"), col("n"), symsCol.as("syms")),
+      rounds)
+  }
+
+  /** [[merges]] under the batched trainer — the production artifact
+    * path. Same schema; ranks are batch-acceptance order (identical
+    * to the unbatched table inside the equivalence class above).
+    */
+  def mergesBatched(documents: DataFrame, nMerges: Int = 16,
+                    batchK: Int = 16, byteLevel: Boolean = false): DataFrame = {
+    val (learned, words, _) = trainBatched(documents, nMerges, batchK, byteLevel)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(words)
+    val spark = documents.sparkSession
+    import spark.implicits._
+    learned.toDF().orderBy("rank")
+  }
+
+  /** [[encode]] under the batched trainer: train batched, then the
+    * standard positional-reassembly apply — the end-to-end production
+    * train→encode path (full oracle via the batched dump-time
+    * dictionary, SparkEntry.bpeBatchedDictValues).
+    */
+  def encodeBatched(documents: DataFrame, nMerges: Int = 16,
+                    batchK: Int = 16, byteLevel: Boolean = false): DataFrame = {
+    val (m, words) = {
+      val (m0, w0, _) = trainBatched(documents, nMerges, batchK, byteLevel)
+      (m0, w0)
+    }
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(words)
+    encodeWith(documents, m, byteLevel)
   }
 
   /** Per-doc BPE token counts under the trained merges — the

@@ -296,6 +296,183 @@ class BpeSpec extends AnyFunSuite {
     assert(got("abab") === List("ab", "ab</w>"))
   }
 
+  // ---- r15: batched trainer (VERDICT r14 #1) -------------------------
+
+  /** INDEPENDENT in-memory reference of the batched contract (plain
+    * collections, same conflict rule and candidate-scan cap as the
+    * engine's scaladoc states): per round, candidates sorted by
+    * (count desc, lhs, rhs), scanned to depth 8·K + 8, greedily
+    * accepted iff lhs/rhs disjoint from every already-accepted
+    * member's {lhs, rhs, merged}; accepted merges applied
+    * sequentially in rank order before the next recount.
+    */
+  private def refTrainBatched(docs: Seq[String], nMerges: Int, batchK: Int,
+                              byteLevel: Boolean = false)
+      : (Seq[(Long, String, String, String, Long)],
+         Map[String, Vector[String]], Int) = {
+    val wc = refWordCounts(docs)
+    def initial(w: String): Vector[String] =
+      if (byteLevel)
+        w.getBytes("UTF-8").map(b => f"<0x${b & 0xff}%02X>").toVector :+ "</w>"
+      else w.map(_.toString).toVector :+ "</w>"
+    var syms: Map[String, Vector[String]] =
+      wc.keys.map(w => w -> initial(w)).toMap
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var total = 0
+    var rounds = 0
+    var done = false
+    while (!done && total < nMerges) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, s) <- syms; p <- s.sliding(2) if p.size == 2)
+        pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + wc(w)
+      val cands = pc.toSeq.filter(_._2 >= 2L)
+        .sortBy { case ((l, r), c) => (-c, l, r) }
+        .take(8 * batchK + 8)
+      rounds += 1
+      if (cands.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val want = math.min(batchK, nMerges - total)
+        var accepted = 0
+        val batch = Seq.newBuilder[(String, String, Long)]
+        for (((l, r), c) <- cands if accepted < want)
+          if (!used(l) && !used(r)) {
+            batch += ((l, r, c))
+            used += l; used += r; used += (l + r)
+            accepted += 1
+          }
+        for ((l, r, c) <- batch.result()) {
+          total += 1
+          merges += ((total.toLong, l, r, l + r, c))
+          syms = syms.map { case (w, s) => w -> refApply(s, l, r) }
+        }
+      }
+    }
+    (merges.result(), syms, rounds)
+  }
+
+  private def collectBatched(docs: org.apache.spark.sql.DataFrame,
+                             nMerges: Int, batchK: Int,
+                             byteLevel: Boolean = false) = {
+    val (m, w, rounds) = Bpe.trainBatched(docs, nMerges, batchK, byteLevel)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(w)
+    (m.map(x => (x.rank, x.lhs, x.rhs, x.merged, x.pair_count)), rounds)
+  }
+
+  test("batched trainer: bit-equal to the independent batched reference " +
+    "on planted, fixture, and byte-level corpora (r15)") {
+    val texts = Seq(
+      "low low low lower lowest",
+      "new newer newest new new",
+      "aaa aaa aaab",
+      "low new lower newer")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (got, gotRounds) = collectBatched(docs, nMerges = 12, batchK = 4)
+    val (want, _, wantRounds) = refTrainBatched(texts, 12, 4)
+    assert(got === want)
+    assert(gotRounds === wantRounds)
+    // byte-level mode threads through the batched loop too
+    val (gotB, _) = collectBatched(docs, nMerges = 10, batchK = 4,
+      byteLevel = true)
+    assert(gotB === refTrainBatched(texts, 10, 4, byteLevel = true)._1)
+    // real fixture corpus
+    val fx = Tables.documents(spark, sf)
+    val fxTexts = fx.select("text").collect().map(_.getString(0)).toSeq
+    val (gotFx, _) = collectBatched(fx, nMerges = 8, batchK = 4)
+    assert(gotFx === refTrainBatched(fxTexts, 8, 4)._1)
+  }
+
+  test("batched K=1 degenerates to the unbatched trainer exactly (r15)") {
+    // with one acceptance per round the batch IS the argmax — the
+    // schedules coincide by construction, so the tables must too
+    val docs = Tables.documents(spark, sf)
+    val (got, rounds) = collectBatched(docs, nMerges = 8, batchK = 1)
+    assert(got === collectMerges(Bpe.merges(docs, nMerges = 8)))
+    assert(rounds === 8,
+      s"K=1 must run exactly one round per merge, ran $rounds")
+  }
+
+  test("equivalence class: batched table IS the unbatched table when " +
+    "batch members are disjoint and no created pair outranks (r15)") {
+    // three tiers with strictly separated counts — (a,b)=16, (c,d)=12,
+    // (e,f)=10 — each pair living in TWO contexts so the pairs a merge
+    // CREATES carry half its count (8/6/5) and never outrank the next
+    // tier; all symbols pairwise distinct, so nothing conflicts
+    val texts =
+      Seq.fill(8)("xaby") ++ Seq.fill(8)("zabw") ++
+      Seq.fill(6)("mcdn") ++ Seq.fill(6)("pcdq") ++
+      Seq.fill(5)("gefh") ++ Seq.fill(5)("iefj")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (batched, rounds) = collectBatched(docs, nMerges = 3, batchK = 3)
+    val unbatched = collectMerges(Bpe.merges(docs, nMerges = 3))
+    assert(batched === unbatched)
+    assert(batched.map(_._5) === Seq(16L, 12L, 10L))
+    // and the whole table landed in ONE accepting round
+    assert(rounds <= 2, s"disjoint top-3 should batch in one round, took $rounds")
+  }
+
+  test("divergence mode (a) pinned: a conflict-skip defers a merge one " +
+    "round — same merge SET, permuted ranks, counts exact (r15)") {
+    // (a,b)=8 and (b,m)=6 SHARE symbol b (no overlapping occurrences —
+    // different words), (c,d)=5 is disjoint; created pairs are 4s/3s.
+    // Batched K=2 skips (b,m) inside round 1 and takes it in round 2;
+    // unbatched takes it second. Set equal, order permuted.
+    val texts =
+      Seq.fill(4)("xaby") ++ Seq.fill(4)("zabw") ++
+      Seq.fill(3)("sbmt") ++ Seq.fill(3)("ubmv") ++
+      Seq.fill(3)("pcdq") ++ Seq.fill(2)("rcds")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (batched, _) = collectBatched(docs, nMerges = 3, batchK = 2)
+    val unbatched = collectMerges(Bpe.merges(docs, nMerges = 3))
+    assert(batched === Seq(
+      (1L, "a", "b", "ab", 8L), (2L, "c", "d", "cd", 5L),
+      (3L, "b", "m", "bm", 6L)))
+    assert(unbatched === Seq(
+      (1L, "a", "b", "ab", 8L), (2L, "b", "m", "bm", 6L),
+      (3L, "c", "d", "cd", 5L)))
+    // the divergence is pure SCHEDULING: same merges, same counts
+    assert(batched.map(m => (m._2, m._3, m._5)).toSet ===
+      unbatched.map(m => (m._2, m._3, m._5)).toSet)
+  }
+
+  test("divergence mode (b) pinned: a pair CREATED by a batch member " +
+    "that outranks a later member is taken by unbatched first (r15)") {
+    // merging (a,b) in the one-word corpus "ab" creates (ab,</w>) at
+    // the SAME count 5 — unbatched recounts and takes it before
+    // (c,d)=4; batched committed to (c,d) from the pre-round counts
+    val texts = Seq.fill(5)("ab") ++ Seq.fill(4)("cd")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (batched, _) = collectBatched(docs, nMerges = 2, batchK = 2)
+    val unbatched = collectMerges(Bpe.merges(docs, nMerges = 2))
+    assert(batched === Seq(
+      (1L, "a", "b", "ab", 5L), (2L, "c", "d", "cd", 4L)))
+    assert(unbatched === Seq(
+      (1L, "a", "b", "ab", 5L), (2L, "ab", "</w>", "ab</w>", 5L)))
+    // both schedules' counts are exact for what they selected — the
+    // divergence is WHICH pair ran second, never a miscounted one
+  }
+
+  test("encodeBatched: per-doc digest matches the reference encoder " +
+    "under the batched dictionary; artifact round-trips (r15)") {
+    val texts = Seq("low low lower", "new newest aaa", "low new", "aaa aaab low")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (_, refSyms, _) = refTrainBatched(texts, 8, 4)
+    val want = texts.zipWithIndex
+      .map { case (t, i) => i.toLong -> refEncodeDigest(t, refSyms) }.toMap
+    val got = Bpe.encodeBatched(docs, nMerges = 8, batchK = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got === want)
+    // the batched artifact drives the standard pretrained apply path
+    val loaded = Bpe.mergesFrom(Bpe.mergesBatched(docs, nMerges = 8, batchK = 4))
+    assert(Bpe.encodeWith(docs, loaded).collect().toSeq ===
+      Bpe.encodeBatched(docs, nMerges = 8, batchK = 4).collect().toSeq)
+  }
+
   test("apply plan size and codegen are constant in the merge count (r14)") {
     val docs = Tables.documents(spark, sf)
     // synthetic artifact scaled 16 -> 4096 merges (mostly non-firing,
