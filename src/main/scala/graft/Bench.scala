@@ -1,6 +1,69 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // DCE guard for the calibration workloads: results land here so
+  // neither the JVM spin nor the Spark aggregate can be eliminated
+  @volatile private var calSink: Long = 0L
+
+  /** Calibration fingerprint (r14 VERDICT #2): the r14 driver artifact
+    * ran on a ~21% slower box than the builder's same-HEAD committed
+    * run — 14 queries would have been filed as regressions, and the
+    * artifact carried nothing a reader could normalize by; the drift
+    * was provable only because a same-HEAD twin happened to exist.
+    * Every BENCH_FULL now carries its own yardstick: this FIXED
+    * workload timed at suite start AND end, plus os loadavg at each
+    * point.
+    *
+    * Two probes, two failure axes: a single-thread pure-JVM integer
+    * spin (core speed + scheduling pressure, independent of every
+    * Spark config) and a fixed codegen'd aggregate over a GENERATED
+    * range on `cores` tasks (task dispatch + whole-stage-codegen
+    * throughput — the path every benched query rides). A generated
+    * range rather than the cached frame the obvious design reaches
+    * for: a cached yardstick silently re-materializes if 244 queries'
+    * storage pressure evicted it, so its end-point would measure
+    * recomputation, not the box; range generation has no state to
+    * evict, so start and end time the identical work by construction.
+    *
+    * HOW TO READ IT (cross-run comparison): for two artifacts at the
+    * same HEAD, ratio their calibration times (jvm for raw core speed,
+    * spark for the dispatch path) and divide per-query walls by that
+    * ratio before calling anything a regression — uniform residual ≈1
+    * is the box, a surviving >1.5x outlier is real. end/start within
+    * one artifact bounds mid-suite drift: a co-tenant arriving during
+    * the run shows as end/start >> 1 with loadavg rising.
+    */
+  private[graft] def calibrationJson(spark: SparkSession, cores: Int): String = {
+    import org.apache.spark.sql.functions.{col, sum}
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+    // each probe runs warm-then-measure EVERY call: the first-ever
+    // spark probe pays plan codegen and the first spin pays JIT, so a
+    // measure-only start point would time compilation the end point
+    // doesn't — the per-call warm pass makes both points time
+    // identical work by construction (observed: 0.40 vs 0.19 s on an
+    // idle box without it)
+    def spin(): (Double, Long) = {
+      val j0 = System.nanoTime()
+      var acc = 1469598103934665603L
+      var i = 0
+      while (i < 200000000) { acc = (acc ^ i) * 1099511628211L; i += 1 }
+      ((System.nanoTime() - j0) / 1e9, acc)
+    }
+    def sparkProbe(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val s = spark.range(0, 256L * 1000 * 1000, 1, cores)
+        .select(sum(col("id") * 2654435761L % 999983L)).collect()(0).getLong(0)
+      ((System.nanoTime() - t0) / 1e9, s)
+    }
+    calSink = spin()._2 ^ sparkProbe()._2 // warm pass, result consumed
+    val (jvmSec, acc) = spin()
+    val (sparkSec, s) = sparkProbe()
+    calSink = acc ^ s
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    s"""{"jvm_spin_sec":${r3(jvmSec)},"spark_range_agg_sec":${r3(sparkSec)},"loadavg":${r3(load)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     // file > env > defaults — see GraftConfig (config-file parity with
     // the reference's etl_config.yaml; the driver sets env only)
@@ -154,6 +217,11 @@ object Bench {
     try SparkEntry.queries("q1_pricing_summary")(spark, benchDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // calibration fingerprint, START point (r14 VERDICT #2 — see
+    // calibrationJson): after warm-up so the yardstick measures the
+    // box, not first-call classloading; its twin runs after the last
+    // timed query
+    val calStart = calibrationJson(spark, cfg.cpus)
     // min of N reps per query: single-run numbers on a shared box swing
     // 2-3x from GC/scheduling noise; the min is the stable estimate
     val reps = cfg.benchReps
@@ -320,6 +388,9 @@ object Bench {
     val isolated = results.collect { case (k, Some(rep)) => (k, rep) }
       .sortBy(-_._2.wall).take(5).map { case (name, _) =>
       name -> timeConverged(name, SparkEntry.queries(name)) }
+    // calibration fingerprint, END point — after every timed region,
+    // so end/start bounds the drift the suite actually ran under
+    val calEnd = calibrationJson(spark, cfg.cpus)
     def util(wall: Double, cpu: Double): Double =
       if (wall <= 0) 0.0 else math.round(cpu / (wall * cores) * 1000) / 1000.0
     def r3(x: Double): Double = math.round(x * 1000) / 1000.0
@@ -397,7 +468,7 @@ object Bench {
     val errQueries = repsAll.filter(_._2.exists(_.err.isDefined)).map(_._1)
     val notConverged = repsAll.filterNot(kv => isConverged(kv._2)).map(_._1)
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$totalCpu,"cpu_util":${util(total, totalCpu)},"gc_sec":${r3(totalGc)},"cores":${cores.toInt},"err_queries":${errQueries.map(jstr).mkString("[", ",", "]")},"not_converged":${notConverged.map(jstr).mkString("[", ",", "]")},"queries":$full,"isolated_slowest":$iso,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$totalCpu,"cpu_util":${util(total, totalCpu)},"gc_sec":${r3(totalGc)},"cores":${cores.toInt},"calibration":{"start":$calStart,"end":$calEnd},"err_queries":${errQueries.map(jstr).mkString("[", ",", "]")},"not_converged":${notConverged.map(jstr).mkString("[", ",", "]")},"queries":$full,"isolated_slowest":$iso,"sf":"$sfDir"}"""
     // round = 1 + newest driver-committed BENCH_r<N>.json at the root
     val roundN = Option(new java.io.File(".").listFiles()).toSeq.flatten
       .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)

@@ -80,23 +80,27 @@ object BpeScaleTime {
     // it above the floor on real text — the measured number IS the
     // claim). Single run per point: the unbatched 256-merge baseline
     // is the expensive thing being dethroned.
-    def once(tag: String)(f: => Int): Unit = {
+    // the fixture corpus may EXHAUST (no pair left with count >= 2)
+    // before the requested merge count — report the trained size
+    // instead of assuming it, so the point stays honest either way
+    def once(tag: String)(f: => (Int, Int)): Unit = {
       val t0 = System.nanoTime()
-      val rounds = f
-      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s, $rounds Spark rounds")
+      val (rounds, trained) = f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        f"$rounds Spark rounds, $trained merges trained")
     }
     for (n <- Seq(64, 256)) {
       once(s"train UNBATCHED $n merges") {
         val (m, words) = graft.operators.Bpe.train(docs1, nMerges = n)
         org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(words)
-        assert(m.size == n); m.size
+        (m.size, m.size)
       }
       for (k <- Seq(16, 32)) {
         once(s"train BATCHED  $n merges K=$k") {
           val (m, words, rounds) =
             graft.operators.Bpe.trainBatched(docs1, nMerges = n, batchK = k)
           org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(words)
-          assert(m.size == n); rounds
+          (rounds, m.size)
         }
       }
     }
