@@ -683,6 +683,22 @@ object Similarity {
                        subspaces: Int = 8, kCodes: Int = 8, pqIters: Int = 2,
                        probeLists: Int = 2, dim: Int = 64): DataFrame = {
     val coarse = kmeansCodebook(embeddings, kClusters, coarseIters)
+    val books = pqCodebooks(
+      coarseResidualFrame(embeddings, coarse).select("vec_id", "embedding"),
+      subspaces, kCodes, pqIters, dim)
+    knnIvfPqResidualWith(embeddings, coarse, books, nProbes, k, probeLists, dim)
+  }
+
+  /** (vec_id, embedding = float-rounded residual v − c(v), list_id)
+    * under a GIVEN coarse codebook — nearest cell only. Shared by the
+    * residual-PQ trainer (the frame the per-cell codebooks train on)
+    * and the search corpus side, so the self-training and pretrained
+    * paths quantize literally the same residuals. The float rounding
+    * is the engine-parity boundary (both engines apply the identical
+    * IEEE cast to the exact difference).
+    */
+  private def coarseResidualFrame(embeddings: DataFrame,
+                                  coarse: Seq[(Long, Seq[Double])]): DataFrame = {
     val cidsLit = typedLit(coarse.map(_._1))
     val centsLit = typedLit(coarse.map(_._2))
     def rankedCells(v: Column) = array_sort(zip_with(
@@ -692,18 +708,39 @@ object Similarity {
       explode(transform(slice(rankedCells(v), 1, n), r => r.getField("cid")))
     def centOf(cid: Column) =
       element_at(centsLit, array_position(cidsLit, cid).cast("int"))
-    // float-rounded residual: the engine-parity boundary (both engines
-    // apply the identical IEEE float rounding to the exact difference)
     def residualTo(v: Column, cent: Column) =
       zip_with(v, cent, (a, b) => (a.cast("double") - b).cast("float"))
-    val residuals = embeddings
+    embeddings
       .select(col("vec_id"), col("embedding"),
         cells(col("embedding"), 1).as("list_id"))
       .select(col("vec_id"),
         residualTo(col("embedding"), centOf(col("list_id"))).as("embedding"),
         col("list_id"))
-    val books = pqCodebooks(residuals.select("vec_id", "embedding"),
-      subspaces, kCodes, pqIters, dim)
+  }
+
+  /** Residual-IVF-PQ search under GIVEN coarse + PQ codebooks — the
+    * apply-only half of [[knnIvfPqResidual]] (which trains both and
+    * delegates here). Building this plan launches ZERO Spark jobs:
+    * every trained quantity is a literal, so the deployment call shape
+    * (load artifact → search) never re-runs a Lloyd iteration.
+    */
+  def knnIvfPqResidualWith(embeddings: DataFrame,
+                           coarse: Seq[(Long, Seq[Double])],
+                           books: Seq[Seq[(Long, Seq[Double])]],
+                           nProbes: Int = 20, k: Int = 5,
+                           probeLists: Int = 2, dim: Int = 64): DataFrame = {
+    val cidsLit = typedLit(coarse.map(_._1))
+    val centsLit = typedLit(coarse.map(_._2))
+    def rankedCells(v: Column) = array_sort(zip_with(
+      transform(centsLit, c => sqDistTo(v, c)),
+      cidsLit, (d, c) => struct(d.as("d"), c.as("cid"))))
+    def cells(v: Column, n: Int) =
+      explode(transform(slice(rankedCells(v), 1, n), r => r.getField("cid")))
+    def centOf(cid: Column) =
+      element_at(centsLit, array_position(cidsLit, cid).cast("int"))
+    def residualTo(v: Column, cent: Column) =
+      zip_with(v, cent, (a, b) => (a.cast("double") - b).cast("float"))
+    val residuals = coarseResidualFrame(embeddings, coarse)
     val corpus = withPqRecon(residuals, books, dim)
       .select(col("vec_id").as("nid"), col("__recon").as("nv"), col("list_id"))
     val probes = embeddings.filter(col("vec_id") < nProbes)
@@ -1414,6 +1451,122 @@ object Similarity {
                                        k: Int = 5): DataFrame =
     recallAgainstBrute(embeddings,
       knnIvfPqResidualOpqLearned(embeddings, nProbes, k), nProbes, k)
+
+  /** The composed stack's DEPLOYMENT artifact (r14 VERDICT #3): the
+    * learned rotation + the coarse codebook trained in the rotated
+    * frame + the per-cell-residual PQ codebooks — everything a serving
+    * layer needs to search without re-running any training. The
+    * tokenizer family's train-once/encode-forever split
+    * ([[graft.operators.Bpe.mergesFrom]]), now on the ANN side: the
+    * registry's train-per-call trio measures the evaluator contract;
+    * this bundle is what a production index actually ships.
+    */
+  final case class IvfPqResidualOpqArtifact(
+      rotation: Seq[Seq[Double]],
+      coarse: Seq[(Long, Seq[Double])],
+      books: Seq[Seq[(Long, Seq[Double])]])
+
+  /** Train the composed artifact once — identical training math to
+    * [[knnIvfPqResidualOpqLearned]]'s internals (same rotation, same
+    * rotated-frame Lloyd, same residual PQ), so searching with the
+    * bundle is bit-identical to the self-training form (spec: frame
+    * equality; oracle: the SAME SQL). Rotated frame checkpointed for
+    * the Lloyd loops' many scans, released before returning.
+    */
+  def trainIvfPqResidualOpqArtifact(embeddings: DataFrame,
+                                    kClusters: Int = 8, coarseIters: Int = 3,
+                                    subspaces: Int = 8, kCodes: Int = 8,
+                                    pqIters: Int = 2, dim: Int = 64)
+      : IvfPqResidualOpqArtifact = {
+    val rotation = opqLearnedRotationRows(embeddings, dim)
+    val rot = opqRotateRows(embeddings, rotation).localCheckpoint(true)
+    val coarse = kmeansCodebook(rot, kClusters, coarseIters)
+    val books = pqCodebooks(
+      coarseResidualFrame(rot, coarse).select("vec_id", "embedding"),
+      subspaces, kCodes, pqIters, dim)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(rot)
+    IvfPqResidualOpqArtifact(rotation, coarse, books)
+  }
+
+  /** Composed search under a PRE-TRAINED artifact — rotate the corpus
+    * into the learned frame (map-only literal projection, no
+    * checkpoint: the apply path has no training loop to re-feed) and
+    * run the literal-codebook residual search. Building this plan
+    * launches ZERO Spark jobs (spec-asserted), where the self-training
+    * form runs the rotation covariance pass plus every Lloyd iteration
+    * before the first search stage exists — the deployment-shaped
+    * cost the bench now measures beside the train-per-call trio.
+    */
+  def knnIvfPqResidualOpqWith(embeddings: DataFrame,
+                              art: IvfPqResidualOpqArtifact,
+                              nProbes: Int = 20, k: Int = 5,
+                              probeLists: Int = 2, dim: Int = 64): DataFrame =
+    knnIvfPqResidualWith(
+      opqRotateRows(embeddings,
+        art.rotation.map(_.toIndexedSeq).toIndexedSeq),
+      art.coarse, art.books, nProbes, k, probeLists, dim)
+
+  /** Recall@k of the pretrained composed search against the
+    * ORIGINAL-space exact-cosine truth — [[annRecallIvfPqResidualOpqLearned]]
+    * with the artifact supplied instead of retrained.
+    */
+  def annRecallIvfPqResidualOpqWith(embeddings: DataFrame,
+                                    art: IvfPqResidualOpqArtifact,
+                                    nProbes: Int = 20, k: Int = 5): DataFrame =
+    recallAgainstBrute(embeddings,
+      knnIvfPqResidualOpqWith(embeddings, art, nProbes, k), nProbes, k)
+
+  /** The artifact as three exploded-long-format DataFrames — the
+    * persisted form ([[kmeansCentroids]] / [[pqCentroids]] shapes plus
+    * a (row_idx, dim_idx, rot_val) rotation table), closing the
+    * train → persist → load → search loop parquet-side.
+    */
+  def ivfPqResidualOpqArtifactDfs(spark: org.apache.spark.sql.SparkSession,
+                                  art: IvfPqResidualOpqArtifact)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val rotDf = art.rotation.zipWithIndex.flatMap { case (row, i) =>
+      row.zipWithIndex.map { case (x, j) => (i.toLong, j.toLong, x) }
+    }.toDF("row_idx", "dim_idx", "rot_val").orderBy("row_idx", "dim_idx")
+    val coarseDf = art.coarse.flatMap { case (cid, vs) =>
+      vs.zipWithIndex.map { case (x, i) => (cid, i.toLong, x) }
+    }.toDF("cluster_id", "dim_idx", "centroid_val")
+      .orderBy("cluster_id", "dim_idx")
+    val booksDf = art.books.zipWithIndex.flatMap { case (code, sp) =>
+      code.flatMap { case (cid, vs) =>
+        vs.zipWithIndex.map { case (x, i) => (sp.toLong, cid, i.toLong, x) }
+      }
+    }.toDF("subspace", "cluster_id", "dim_idx", "centroid_val")
+      .orderBy("subspace", "cluster_id", "dim_idx")
+    (rotDf, coarseDf, booksDf)
+  }
+
+  /** Read the persisted artifact back ([[ivfPqResidualOpqArtifactDfs]]'
+    * inverse — the [[graft.operators.Bpe.mergesFrom]] convention).
+    * Storage order is irrelevant: every component re-sorts on its own
+    * indices, and codebook ENTRY order (which sets argmin tie-breaks)
+    * is restored by cluster id — the same order training emitted.
+    * Bounded collects: rotation d², codebooks k·d — artifact scale.
+    */
+  def ivfPqResidualOpqArtifactFrom(rotDf: DataFrame, coarseDf: DataFrame,
+                                   booksDf: DataFrame)
+      : IvfPqResidualOpqArtifact = {
+    val rotation = rotDf.select("row_idx", "dim_idx", "rot_val").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val coarse = coarseDf.select("cluster_id", "dim_idx", "centroid_val")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
+    val books = booksDf
+      .select("subspace", "cluster_id", "dim_idx", "centroid_val").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (cid, rows) => (cid, rows.sortBy(_._3).map(_._4).toSeq) })
+    IvfPqResidualOpqArtifact(rotation, coarse, books)
+  }
 
   /** Top-k principal components by sequential DEFLATION — after each
     * component, C ← C − λ·v·vᵀ removes the found direction and the

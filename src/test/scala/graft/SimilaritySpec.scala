@@ -582,6 +582,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(knn.groupBy("qid").count().filter(col("count") > 5).count() === 0)
   }
 
+  test("pretrained composed OPQ-IVFPQ (r15): artifact search is frame-" +
+    "equal to self-training, builds with ZERO jobs, round-trips parquet") {
+    val emb = Tables.embeddings(spark, sf)
+    // train ONCE — the deployment artifact
+    val art = Similarity.trainIvfPqResidualOpqArtifact(emb)
+    // the apply path must not train: building both plans launches no
+    // Spark job (the self-training form runs the covariance pass +
+    // every Lloyd iteration eagerly before its first search stage)
+    var knnW: org.apache.spark.sql.DataFrame = null
+    var recW: org.apache.spark.sql.DataFrame = null
+    val jobs = TestSpark.jobsDuring {
+      knnW = Similarity.knnIvfPqResidualOpqWith(emb, art)
+      recW = Similarity.annRecallIvfPqResidualOpqWith(emb, art)
+    }
+    assert(jobs === 0, s"apply-only plan build launched $jobs Spark jobs")
+    // frame equality with the self-training composed stack: identical
+    // rotation (deterministic driver math), identical codebooks,
+    // identical literal-codebook search
+    assert(knnW.collect().toSeq ===
+      Similarity.knnIvfPqResidualOpqLearned(emb).collect().toSeq)
+    assert(recW.collect().toSeq ===
+      Similarity.annRecallIvfPqResidualOpqLearned(emb).collect().toSeq)
+    // the real deployment loop: land the three artifact tables in
+    // parquet, read them back, search with the loaded bundle
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_artifact").toString
+    val (rotDf, coarseDf, booksDf) =
+      Similarity.ivfPqResidualOpqArtifactDfs(spark, art)
+    rotDf.write.parquet(s"$dir/rotation")
+    coarseDf.write.parquet(s"$dir/coarse")
+    booksDf.write.parquet(s"$dir/books")
+    val loaded = Similarity.ivfPqResidualOpqArtifactFrom(
+      spark.read.parquet(s"$dir/rotation"),
+      spark.read.parquet(s"$dir/coarse"),
+      spark.read.parquet(s"$dir/books"))
+    assert(loaded === art, "artifact must survive the parquet round-trip")
+  }
+
   test("lsh operating curve: recall/candidates monotone NON-increasing in signature length; full-signature row ties out to ann_recall") {
     val emb = Tables.embeddings(spark, sf)
     val curve = Similarity.lshOperatingCurve(emb).collect()
