@@ -436,6 +436,17 @@ object SparkEntry {
     "knn_sq_int8" -> ((s, d) => Similarity.knnSqInt8(t(s, d, "embeddings"))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(t(s, d, "documents"))),
     "multimodal_audio" -> ((s, d) => Multimodal.audioWindows(t(s, d, "documents"))),
+    // r15 (VERDICT r14 #4): image perceptual near-dup — per-doc dHash
+    // signature + its four 16-bit band keys (the persisted index the
+    // band machinery joins; candidate PAIRS can legitimately be zero
+    // on an arbitrary corpus, which a rows-only gate can't tell from
+    // a broken dump, so the always-populated signature table is the
+    // registry surface). Rows-only by the bpe_merges convention:
+    // DuckDB cannot decode image containers; the spec pins every
+    // signature bit-equal to an independent driver-side reference on
+    // real PNGs AND the stub path, and the near-dup pairing itself.
+    "multimodal_image_dhash" -> ((s, d) =>
+      Multimodal.imageDHashSignatures(s, t(s, d, "documents"))),
     // ---- D (r5). corpus construction ----
     "dedup_clusters" -> ((s, d) => Dedup.clusters(t(s, d, "documents"))),
     "dedup_prune" -> ((s, d) => Dedup.prune(t(s, d, "documents"))),

@@ -374,6 +374,95 @@ class TextDedupSpec extends AnyFunSuite {
     assert(meta(2L)._1 === "jpeg") // dimensions stay stub (no IHDR in JFIF)
   }
 
+  test("image dHash (r15): signatures bit-equal an independent reference " +
+    "on REAL PNGs and the stub path; banding finds the perturbed twin") {
+    import java.awt.image.BufferedImage
+    // independent driver-side reference (the refTrain convention): the
+    // 9x8 center-sampled grid, r+g+b gray, adjacent-compare bits —
+    // implemented with its own loops against the contract
+    def refDhash(gray: (Int, Int) => Int): Long =
+      (for (gy <- 0 until 8; gx <- 0 until 8
+            if gray(gx + 1, gy) > gray(gx, gy))
+        yield 1L << (gy * 8 + gx)).foldLeft(0L)(_ | _)
+    def refImage(bi: BufferedImage): Long = refDhash { (gx, gy) =>
+      val rgb = bi.getRGB((2 * gx + 1) * bi.getWidth / 18,
+        (2 * gy + 1) * bi.getHeight / 16)
+      ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    def refStub(p: Array[Byte]): Long =
+      if (p.isEmpty) 0L
+      else refDhash((gx, gy) => p((gy * 9 + gx) % p.length) & 0xff)
+    def pngBytes(paint: BufferedImage => Unit): Array[Byte] = {
+      val bi = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      paint(bi)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "png", baos), "no png writer")
+      baos.toByteArray
+    }
+    def gradient(bi: BufferedImage): Unit =
+      for (y <- 0 until 48; x <- 0 until 64)
+        bi.setRGB(x, y, new java.awt.Color(x * 3, x * 3, x * 3).getRGB)
+    // base: ascending-x gradient (every adjacent grid compare rises);
+    // twin: ONE sampled pixel brightened — exactly one gradient sign
+    // flips; distinct: descending gradient (every compare falls)
+    val base = pngBytes(gradient)
+    val twin = pngBytes { bi =>
+      gradient(bi)
+      bi.setRGB(3, 3, new java.awt.Color(250, 9, 9).getRGB)
+    }
+    val distinct = pngBytes { bi =>
+      for (y <- 0 until 48; x <- 0 until 64)
+        bi.setRGB(x, y, new java.awt.Color((63 - x) * 3, (63 - x) * 3,
+          (63 - x) * 3).getRGB)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.BinaryType)))
+    val payloads = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, base),
+        org.apache.spark.sql.Row(2L, twin),
+        org.apache.spark.sql.Row(3L, distinct)),
+      schema)
+    // bit-equality of every REAL-decode signature with the reference
+    val want = Map(
+      1L -> refImage(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(base))),
+      2L -> refImage(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(twin))),
+      3L -> refImage(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(distinct))))
+    val got = Multimodal.decodeBatch(spark, payloads).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(got === want)
+    // the fixture's shape: base is all-ones (every compare rises),
+    // the twin differs in EXACTLY the one flipped bit, the distinct
+    // image is maximally far
+    assert(got(1L) === -1L, "ascending gradient must set all 64 bits")
+    assert(java.lang.Long.bitCount(got(1L) ^ got(2L)) === 1)
+    assert(java.lang.Long.bitCount(got(1L) ^ got(3L)) > 10)
+    // banding: the twin pair surfaces, the distinct image never does
+    val pairs = Multimodal.imageNearDup(spark, payloads).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+    assert(pairs.head._3 === 1L)
+    // stub path on the REAL text fixture: every signature bit-equals
+    // the byte-sampling reference, and the registry surface's band
+    // keys are the hash's own 16-bit slices
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sigs = Multimodal.imageDHashSignatures(spark, docs).collect()
+    assert(sigs.nonEmpty)
+    sigs.foreach { r =>
+      val (id, dh) = (r.getLong(0), r.getLong(1))
+      assert(dh === refStub(texts(id).getBytes("UTF-8")), s"stub dhash doc $id")
+      (0 until 4).foreach(b =>
+        assert(r.getLong(2 + b) === ((dh >>> (16 * b)) & 0xffffL)))
+    }
+  }
+
   test("char entropy: known distributions give exact closed-form microbits") {
     import spark.implicits._
     val planted = Seq(
