@@ -485,6 +485,11 @@ object Bench {
         java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
       } catch { case _: Throwable => () }
     }
+    // r15 refresh (VERDICT r14 #7): the old 43-query subset predated
+    // the ANN/tokenizer surface that now dominates suite cost — the
+    // composed rotate->residual trio, its r15 apply-only twin, and a
+    // pretrained tokenizer apply join so the headline tracks what is
+    // actually expensive (the trio alone was ~11 s of the r14 suite).
     val headline = Vector(
       "fact_sales", "fact_inventory", "fact_inventory_wh", "fact_pnl",
       "fact_transactions", "scd2_customer", "q1_pricing_summary",
@@ -499,7 +504,12 @@ object Bench {
       "seq_pack_sequences", "embedding_quantize", "snapshot_diff",
       "zorder_layout", "dedup_admit", "fact_transactions_cdc",
       "dedup_reconcile", "knn_ivf_pq", "passage_scrub",
-      "corpus_select_budget", "doc_quality_verdict")
+      "corpus_select_budget", "doc_quality_verdict",
+      "knn_ivf_pq_residual_opq_learned",
+      "ann_recall_ivf_pq_residual_opq_learned",
+      "ann_operating_curve_ivf_pq_residual_opq_learned",
+      "knn_ivf_pq_residual_opq_pretrained",
+      "bpe_encode_pretrained")
     val qs = headline.flatMap(k => resultMap0.get(k).map(rep =>
         s"\"" + k + "\":" + r3(rep.wall)))
       .mkString("{", ",", "}")

@@ -1,8 +1,16 @@
 #!/usr/bin/env python3
 """Local pre-flight for the driver's correctness gate: run each oracle
 SQL in DuckDB against the sf tables and compare (sorted columns, sorted
-rows, exact values) with the parquet the Spark Verify main wrote."""
-import sys, json, glob, os
+rows, exact values) with the parquet the Spark Verify main wrote.
+
+Per-oracle DuckDB wall time is printed alongside the verdicts plus a
+top-10 table at the end (r14 VERDICT #6): an oracle whose CTE chain
+DuckDB re-inlines per reference can silently go from seconds to
+unbounded (the r14 lesson — a shared unrolled-Lloyd chain composed
+with a rotation CTE ran >45 min until AS MATERIALIZED pinned it), and
+a gate that can't finish zeroes the round. Oracle wall time is a
+first-class property; watch the top-10 after touching any shared CTE."""
+import sys, json, glob, os, time
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -17,7 +25,7 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-fail, ok = [], []
+fail, ok, walls = [], [], {}
 for name, sql in sorted(oracle.items()):
     pdir = f"{outdir}/{name}"
     if not os.path.isdir(pdir):
@@ -27,10 +35,14 @@ for name, sql in sorted(oracle.items()):
                               for f in sorted(glob.glob(f"{pdir}/*.parquet"))])
     except Exception as e:
         fail.append((name, f"read spark: {e}")); continue
+    t0 = time.monotonic()
     try:
         duck_df = con.sql(sql).df()
     except Exception as e:
+        walls[name] = time.monotonic() - t0
         fail.append((name, f"duckdb: {e}")); continue
+    walls[name] = time.monotonic() - t0
+    print(f"[oracle] {name} {walls[name]:.2f}s", file=sys.stderr)
     sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
     if sc != dc:
         fail.append((name, f"cols spark={sc} duck={dc}")); continue
@@ -59,6 +71,12 @@ for name, sql in sorted(oracle.items()):
     else:
         ok.append(name)
 
+if walls:
+    top = sorted(walls.items(), key=lambda kv: -kv[1])[:10]
+    print(f"top-10 oracle wall times (of {len(walls)}, "
+          f"total {sum(walls.values()):.1f}s):")
+    for n, w in top:
+        print(f"  {w:7.2f}s  {n}")
 print(f"OK ({len(ok)}):", " ".join(ok))
 print(f"FAIL ({len(fail)}):")
 for n, msg in fail:
