@@ -250,7 +250,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "EXACTLY ann_operating_curve_ivf_pq's shape for the same reason " +
         "(checkpointed rotated frame = plain scan): widest-config " +
         "candidate set + config fan-out + the brute-truth trio; the 2 " +
-        "SMJs join CONFIG-scale aggregates — metadata joins"))
+        "SMJs join CONFIG-scale aggregates — metadata joins"),
+    ("knn_ivf_pq_residual_opq_pretrained", Shape(2, 1, 0, 3),
+      "EXACTLY knn_ivf_pq_residual_opq_learned's shape: the artifact's " +
+        "rotation applies as a literal map projection over the scan " +
+        "(no checkpoint in the apply path — nothing retrains), so the " +
+        "deployment plan adds NO structure to the self-training one; " +
+        "every codebook is a plan literal, zero training jobs at build"),
+    ("knn_ivf_kmeans", Shape(3, 1, 0, 3),
+      "knn_ivf's literal-codebook search under the Lloyd-trained " +
+        "coarse codebook: map-only cell assign, broadcast probes, " +
+        "cell-id bucket join; the +1 exchange over the residual-family " +
+        "shape is the (qid,nid) max-dedup agg for probes whose 2 " +
+        "probed lists both hit a candidate"))
 
   // Explicitly-audited exceptions to the no-SinglePartition sweep:
   // cumulative-offset windows that run over METADATA-scale aggregates
