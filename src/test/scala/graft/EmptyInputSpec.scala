@@ -56,6 +56,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // the funnel still reports its four stages, all zero
     val funnel = TextOps.corpusFunnel(docs).collect()
     assert(funnel.length === 4 && funnel.forall(_.getLong(2) === 0L))
+    // image dHash family (r15): empty corpus → zero signatures, zero
+    // candidate pairs, no throw
+    assert(Multimodal.imageDHashSignatures(spark, docs).count() === 0)
+    assert(Multimodal.imageNearDup(spark, docs).count() === 0)
   }
 
   test("corpus-construction operators survive an empty corpus") {
@@ -104,6 +108,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Bpe.merges(docs).count() === 0, "no pairs → zero merges, no throw")
     assert(Bpe.tokenCounts(docs).count() === 0)
     assert(Bpe.encode(docs).count() === 0)
+    // batched trainer (r15): empty dictionary → one empty candidate
+    // round → zero merges, no throw
+    assert(Bpe.mergesBatched(docs).count() === 0)
+    assert(Bpe.encodeBatched(docs).count() === 0)
     // pre-trained apply overloads (r13): empty corpus under any
     // artifact, and an empty artifact against a live corpus
     assert(Bpe.encodeWith(docs, Seq.empty).count() === 0)
@@ -194,6 +202,15 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.knnSqInt8(emb).count() === 0)
     assert(Similarity.knnIvfPq(emb).count() === 0)
     assert(Similarity.knnIvfPqResidual(emb).count() === 0)
+    assert(Similarity.knnIvfKmeans(emb).count() === 0,
+      "empty Lloyd codebook → zero rows, no throw")
+    // pretrained composed artifact (r15): the empty-corpus artifact is
+    // identity rotation + empty codebooks; searching with it on the
+    // empty corpus returns zero rows, no throw
+    val art = Similarity.trainIvfPqResidualOpqArtifact(emb)
+    assert(art.coarse.isEmpty && art.books.forall(_.isEmpty))
+    assert(Similarity.knnIvfPqResidualOpqWith(emb, art).count() === 0)
+    assert(Similarity.annRecallIvfPqResidualOpqWith(emb, art).count() === 0)
     assert(Similarity.decontaminateEmbedding(emb).count() === 0)
     assert(Similarity.covariance(emb).count() === 0)
     assert(Similarity.pcaComponent(emb).count() === 0,
