@@ -1018,6 +1018,14 @@ object SparkEntry {
     * embed (same generator-literal convention as the LSH planes).
     * Every coefficient is ±0.125 exactly, so the fold is
     * bit-identical in both engines.
+    *
+    * `e` is MATERIALIZED (r15 — the per-oracle timing table's first
+    * catch): the rotation is a 64×64 fold per row and the downstream
+    * pqBlocks/ivfPq chains reference `e` a dozen times, so DuckDB's
+    * per-reference CTE re-inlining recomputed it each time —
+    * ann_recall_ivf_pq_opq alone ran 94 s of the 183 s oracle gate,
+    * opq_codes 25 s (the learned-rotation twin already carried the
+    * hint; this chain predated the r14 MATERIALIZED sweep).
     */
   private val opqRotatedCteSql: String = {
     val signs = graft.operators.Similarity.opqSigns(64)
@@ -1025,12 +1033,13 @@ object SparkEntry {
     s"""eraw AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |e AS (SELECT vec_id, list_transform(range(0, 64), i ->
+       |sgn AS (SELECT $signs AS sg),
+       |e AS MATERIALIZED (SELECT vec_id, list_transform(range(0, 64), i ->
        |  CAST(CAST(COALESCE(list_sum(list_transform(range(0, least(len(v), 64)),
        |    j -> v[j + 1] * ((CASE WHEN bit_count(i & j) % 2 = 0
-       |      THEN 1.0 ELSE -1.0 END) * ($signs)[j + 1] * 0.125))), 0.0)
+       |      THEN 1.0 ELSE -1.0 END) * sg[j + 1] * 0.125))), 0.0)
        |    AS REAL) AS DOUBLE)) AS v
-       |  FROM eraw)""".stripMargin
+       |  FROM eraw CROSS JOIN sgn)""".stripMargin
   }
 
   /** The knn_ivf_pq candidate chain — "g"-prefixed coarse Lloyd +
