@@ -56,7 +56,7 @@ object SparkEntry {
       "unigram_encode_pretrained_soft",
       "unigram_encode_pretrained_bytefallback",
       "bpe_merges_bytes", "bpe_encode_bytes",
-      "bpe_merges_batched", "bpe_encode_batched")
+      "bpe_merges_batched", "bpe_encode_batched", "multimodal_image_admit")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -447,6 +447,18 @@ object SparkEntry {
     // real PNGs AND the stub path, and the near-dup pairing itself.
     "multimodal_image_dhash" -> ((s, d) =>
       Multimodal.imageDHashSignatures(s, t(s, d, "documents"))),
+    // the admission lifecycle step (r15): odd-id batch admits against
+    // the even-id corpus's standing signature index — the
+    // cap_per_source_incremental staging convention; rows-only for the
+    // same decode-boundary reason, pairwise-non-near-dup contract
+    // spec-asserted
+    "multimodal_image_admit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      Multimodal.imageAdmit(s,
+        Multimodal.imageDHashSignatures(s, docs.filter(col("doc_id") % 2 === 0)),
+        docs.filter(col("doc_id") % 2 =!= 0))
+    }),
     // ---- D (r5). corpus construction ----
     "dedup_clusters" -> ((s, d) => Dedup.clusters(t(s, d, "documents"))),
     "dedup_prune" -> ((s, d) => Dedup.prune(t(s, d, "documents"))),

@@ -302,4 +302,57 @@ object Multimodal {
           shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(lit(0xffffL))
             .as(s"band_key_$b"))): _*)
       .orderBy("doc_id")
+
+  private def explodeSigBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until 4).map(b => col(s"band_key_$b")): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+
+  /** Incremental image admission (r15) — the lifecycle step the
+    * signature table exists for: a batch of new payloads admits
+    * against a STANDING [[imageDHashSignatures]] index without
+    * re-decoding the corpus. A batch doc is admitted iff NO verified
+    * near-dup (band-bucketed candidate with Hamming ≤ `maxHamming`)
+    * exists in the corpus index OR among smaller-id batch docs.
+    *
+    * The within-batch rule is one-pass smaller-id dominance, NOT the
+    * text family's component collapse: no iteration, and the admitted
+    * set is PAIRWISE non-near-dup by construction (two admitted docs
+    * with a verified pair would have suppressed the larger id —
+    * spec-asserted). Conservative relative to a maximal independent
+    * set: a chain's later members are all suppressed by any smaller
+    * neighbor, admitted or not — it can over-reject a chain tail,
+    * never under-reject.
+    *
+    * Output is the admitted docs' OWN signature rows — exactly what
+    * the caller appends to the standing index, closing the
+    * decode-once / admit-per-batch loop (the Dedup.bandIndex
+    * convention). Scale: both collision tests are band-bucket joins
+    * (16-bit keys → bucket population ~ n/65536 per band; at extreme
+    * corpus scale widen the bands — the knnLsh knob); the batch is
+    * decoded ONCE (eager checkpoint shared by the corpus test, the
+    * self test, and the returned survivors — the admitNearDup
+    * discipline; the registry entry is listed as checkpointing).
+    */
+  def imageAdmit(spark: SparkSession, corpusSigs: DataFrame,
+                 batch: DataFrame, maxHamming: Int = 10): DataFrame = {
+    val batchSigs = imageDHashSignatures(spark, batch).localCheckpoint(true)
+    val batchBands = explodeSigBands(batchSigs)
+    def hits(index: DataFrame): DataFrame =
+      batchBands.join(index, Seq("band_idx", "band_key"))
+        .filter(bit_count(col("dhash").bitwiseXOR(col("o_dhash"))) <= maxHamming)
+        .select("doc_id").distinct()
+    val corpusHit = hits(explodeSigBands(corpusSigs)
+      .select(col("band_idx"), col("band_key"), col("dhash").as("o_dhash")))
+    val batchHit = batchBands
+      .join(explodeSigBands(batchSigs).select(col("band_idx"), col("band_key"),
+          col("doc_id").as("o_id"), col("dhash").as("o_dhash")),
+        Seq("band_idx", "band_key"))
+      .filter(col("o_id") < col("doc_id") &&
+        bit_count(col("dhash").bitwiseXOR(col("o_dhash"))) <= maxHamming)
+      .select("doc_id").distinct()
+    batchSigs
+      .join(corpusHit.union(batchHit).distinct(), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
 }

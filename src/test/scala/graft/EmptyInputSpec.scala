@@ -60,6 +60,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // candidate pairs, no throw
     assert(Multimodal.imageDHashSignatures(spark, docs).count() === 0)
     assert(Multimodal.imageNearDup(spark, docs).count() === 0)
+    assert(Multimodal.imageAdmit(spark,
+      Multimodal.imageDHashSignatures(spark, docs), docs).count() === 0)
   }
 
   test("corpus-construction operators survive an empty corpus") {

@@ -463,6 +463,75 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("image admission (r15): batch admits against a standing signature " +
+    "index — corpus twins rejected, batch twins smaller-id-dominated, " +
+    "admitted set pairwise non-near-dup") {
+    import java.awt.image.BufferedImage
+    def pngBytes(paint: BufferedImage => Unit): Array[Byte] = {
+      val bi = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      paint(bi)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "png", baos), "no png writer")
+      baos.toByteArray
+    }
+    def fill(f: Int => Int)(bi: BufferedImage): Unit =
+      for (y <- 0 until 48; x <- 0 until 64)
+        bi.setRGB(x, y, new java.awt.Color(f(x), f(x), f(x)).getRGB)
+    val ascending = pngBytes(fill(x => x * 3))           // dhash all-ones
+    val ascTwin = pngBytes { bi =>
+      fill(x => x * 3)(bi)
+      bi.setRGB(3, 3, new java.awt.Color(250, 9, 9).getRGB)  // 1 bit off
+    }
+    val descending = pngBytes(fill(x => (63 - x) * 3))   // dhash all-zeros
+    val descTwin = pngBytes { bi =>
+      fill(x => (63 - x) * 3)(bi)
+      bi.setRGB(3, 3, new java.awt.Color(250, 9, 9).getRGB)
+    }
+    val stripes = pngBytes(fill(x => if ((x / 7) % 2 == 0) 30 else 200))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.BinaryType)))
+    def df(rows: (Long, Array[Byte])*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (id, b) =>
+        org.apache.spark.sql.Row(id, b) }: _*), schema)
+    // standing corpus: the ascending gradient only
+    val corpusSigs = Multimodal.imageDHashSignatures(spark, df(1L -> ascending))
+    // batch: a corpus twin (reject), a fresh image (admit), its OWN
+    // in-batch twin (reject — smaller-id dominance), an independent
+    // third pattern (admit)
+    val batch = df(10L -> ascTwin, 11L -> descending, 12L -> descTwin,
+      13L -> stripes)
+    val admitted = Multimodal.imageAdmit(spark, corpusSigs, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(admitted.keySet === Set(11L, 13L),
+      s"expected {11, 13} admitted, got ${admitted.keySet}")
+    // the admitted set is pairwise non-near-dup by contract
+    assert(java.lang.Long.bitCount(admitted(11L) ^ admitted(13L)) > 10)
+    // fixture smoke over the stub path: odd-id batch vs even-id corpus
+    // index — the registry staging; every admitted pair ≥ maxHamming
+    // apart (driver-verified over the collected signatures)
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 =!= 0)
+    val admittedFx = Multimodal
+      .imageAdmit(spark, Multimodal.imageDHashSignatures(spark, evens), odds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(admittedFx.nonEmpty)
+    assert(admittedFx.forall { case (id, _) => id % 2 != 0 })
+    for (Seq((ia, ha), (ib, hb)) <- admittedFx.toSeq.combinations(2)) {
+      // pairwise property holds only for pairs that SHARE a band
+      // (banding is the candidate generator, exact for hamming <= 3);
+      // assert the full verified contract: any shared-band pair is
+      // > maxHamming apart
+      val shareBand = (0 until 4).exists(b =>
+        ((ha >>> (16 * b)) & 0xffffL) == ((hb >>> (16 * b)) & 0xffffL))
+      if (shareBand)
+        assert(java.lang.Long.bitCount(ha ^ hb) > 10,
+          s"admitted near-dup pair $ia/$ib survived")
+    }
+  }
+
   test("char entropy: known distributions give exact closed-form microbits") {
     import spark.implicits._
     val planted = Seq(
