@@ -1491,4 +1491,187 @@ object TextOps {
         // per-codepoint oracle fold)
         graft.functions.TextExpressions.rollingHash31(col("nt")).as("rolling_fp"))
       .orderBy("doc_id")
+
+  // -----------------------------------------------------------------
+  // Cross-corpus duplicated-SPAN detection — the ExactSubstr grain
+  // (Lee et al. 2021, "Deduplicating Training Data Makes Language
+  // Models Better"): the dedup grain between whole-document
+  // (Dedup.exact/minhash) and the CDC passage family ([[passageDedup]]).
+  // Passages are NON-OVERLAPPING content-defined chunks, so a
+  // duplicate offset inside a chunk is invisible to them; this family
+  // slides an OVERLAPPING positional n-gram window, so any duplicated
+  // token run of >= n tokens is caught at every offset.
+  // -----------------------------------------------------------------
+
+  /** Default duplicated-span gram width (tokens). Lee et al. scrub at
+    * 50 BPE tokens; the synthetic corpus' documents are sentence-scale,
+    * so the default window is the decontamination family's 8.
+    */
+  val SpanGramN: Int = 8
+
+  /** Maximal cross-corpus duplicated token spans per document —
+    * (doc_id, span_start, span_end, n_span_tokens, n_dup_grams), token
+    * positions 1-based inclusive.
+    *
+    * SEMANTICS, stated honestly: a position p is *duplicated* iff the
+    * n-gram starting at p occurs >= 2 times in the whole corpus
+    * (across documents OR again inside the same document — exactly the
+    * suffix-array criterion, which also counts self-repeats). A span
+    * is a maximal interval covered by the UNION of [p, p+n-1] over
+    * duplicated positions p — the "fraction of tokens inside
+    * duplicated n-grams" coverage measure (RefinedWeb/Dolma). This
+    * OVER-approximates the suffix-array guarantee: two duplicated
+    * grams with DIFFERENT partners can chain into one reported span
+    * that never occurs verbatim anywhere else (the spec pins a
+    * constructed instance). Every token the suffix-array method would
+    * scrub is inside some reported span (no under-report); the union
+    * semantics is what the gram-hash approach can promise without
+    * all-pairs verification, and is the measure production scrubbers
+    * act on.
+    *
+    * Scale shape: the positional gram stream is token-scale and CANNOT
+    * be array_distinct'd (positions are the payload) — it is eagerly
+    * localCheckpoint'd once because it feeds both the duplicate-set
+    * aggregate and the join probe (the [[decontaminateCore]]
+    * three-consumer lesson, here two). The duplicate set is ONE
+    * uniform-8-byte-key aggregate with map-side partials (a boilerplate
+    * gram's million occurrences partial-combine per task), then a
+    * LEFT_SEMI join filters positions; the island merge is a per-doc
+    * window — document-bounded, never corpus-bounded. No all-pairs,
+    * no per-gram state beyond the count.
+    */
+  def repeatedSpans(documents: DataFrame, n: Int = SpanGramN,
+      minSpan: Int = SpanGramN): DataFrame =
+    repeatedSpansCore(documents.withColumn("__fresh", lit(true)), n, minSpan)
+
+  /** Incremental-admission duplicated spans — the [[Dedup.incremental]]
+    * shape: a standing corpus plus an ARRIVING batch; gram duplication
+    * counts span the UNION (an arriving copy of standing text is
+    * duplicated even if the batch alone holds one occurrence), but
+    * spans are reported only for batch documents — exactly the
+    * one-shot [[repeatedSpans]] restricted to batch doc_ids, which is
+    * what the oracle states literally and the spec asserts as frame
+    * equality. Steady-state cost per ingestion tick: the batch's gram
+    * scan plus one count-merge against the standing gram-frequency
+    * aggregate — old spans are never recomputed.
+    */
+  def repeatedSpansIncremental(corpus: DataFrame, batch: DataFrame,
+      n: Int = SpanGramN, minSpan: Int = SpanGramN): DataFrame =
+    repeatedSpansCore(
+      corpus.withColumn("__fresh", lit(false))
+        .unionByName(batch.withColumn("__fresh", lit(true))),
+      n, minSpan)
+
+  /** Positional-gram core: `documents` must carry `__fresh`; gram
+    * duplication is counted over EVERY row, spans are emitted for
+    * fresh rows only.
+    */
+  private def repeatedSpansCore(documents: DataFrame, n: Int,
+      minSpan: Int): DataFrame = {
+    val tk = toks
+    // one md5 digest per gram position, the decontaminate key recipe
+    // (60-bit uniform key) — but NO array_distinct: the position IS
+    // the payload here.
+    val grams = transform(
+      graft.functions.ColUtil.posRange(size(tk) - lit(n - 1)),
+      i => conv(substring(md5(array_join(slice(tk, i, lit(n)), " ").cast("binary")),
+        1, 15), 16, 10).cast(LongType))
+    val exploded = documents
+      .select(col("doc_id"), col("__fresh"), posexplode(grams).as(Seq("p0", "g8")))
+      .select(col("doc_id"), col("__fresh"),
+        (col("p0") + 1).cast(LongType).as("pos"), col("g8"))
+      .localCheckpoint(true)
+    // duplicated grams: total occurrence count >= 2 (cross-doc or
+    // self-repeat — the suffix-array criterion), one uniform-key agg.
+    val dup = exploded.groupBy("g8")
+      .agg(count(lit(1)).as("gram_tf"))
+      .filter(col("gram_tf") >= 2)
+      .select("g8")
+    val dupPos = exploded.join(dup, Seq("g8"), "left_semi")
+      .filter(col("__fresh"))
+      .select("doc_id", "pos")
+    // gaps-and-islands over fixed-width intervals [pos, pos+n-1]: with
+    // equal widths the running-max interval end is the previous row's,
+    // so a new island starts exactly when pos - prev_pos > n (a gap in
+    // coverage). Per-doc window — document-bounded.
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos
+      // two projections: a window function can't nest inside another
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > n, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1).cast(LongType)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .withColumn("n_span_tokens", col("span_end") - col("span_start") + 1L)
+      .filter(col("n_span_tokens") >= minSpan)
+      .select("doc_id", "span_start", "span_end", "n_span_tokens", "n_dup_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** ExactSubstr SCRUB: remove every token inside a [[repeatedSpans]]
+    * span and reassemble the cleaned text — Lee et al.'s actual
+    * intervention (they CUT the duplicated span, keeping both flanks;
+    * unlike [[passageScrub]] there is no canonical-owner exemption,
+    * because a span's "owner" is ill-defined under union semantics —
+    * the honesty note on [[repeatedSpans]] applies). Token accounting
+    * is exact: n_tokens = pre-scrub count, n_removed_tokens = tokens
+    * inside spans, scrubbed_text = the kept tokens in original order
+    * (normalized). A document with no spans passes through unchanged
+    * (normalized), n_spans 0.
+    *
+    * Scale shape: the span table is duplication-sized — orders of
+    * magnitude below corpus scale on a healthy corpus — so the join
+    * back to documents is AQE-broadcastable; the rebuild is a pure
+    * map stage over the doc's own token array (higher-order filter on
+    * position membership, document-bounded spans array per row).
+    */
+  def repeatedSpanScrub(documents: DataFrame, n: Int = SpanGramN,
+      minSpan: Int = SpanGramN): DataFrame = {
+    val spans = repeatedSpans(documents, n, minSpan)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(
+        struct(col("span_start").as("s"), col("span_end").as("e")))).as("spans"))
+    val keep = (i: Column) => !coalesce(
+      exists(col("spans"), sp => i >= sp("s") && i <= sp("e")), lit(false))
+    documents.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), toks.as("tk"), col("spans"))
+      .select(col("doc_id"), col("tk"), col("spans"),
+        filter(graft.functions.ColUtil.posRange(size(col("tk"))), keep).as("kept"))
+      .select(col("doc_id"),
+        size(col("tk")).cast(LongType).as("n_tokens"),
+        coalesce(size(col("spans")), lit(0)).cast(LongType).as("n_spans"),
+        (size(col("tk")) - size(col("kept"))).cast(LongType).as("n_removed_tokens"),
+        array_join(transform(col("kept"), i => element_at(col("tk"), i)), " ")
+          .as("scrubbed_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source duplicated-token exposure — the corpus-owner's report
+    * over [[repeatedSpans]]: which ingestion sources carry how much
+    * span-duplicated text. dup_token_share is exact rational
+    * n_dup_tokens / n_tokens per source. Rides the duplication-sized
+    * span table joined back to the corpus by doc_id (AQE broadcast),
+    * then one small per-source rollup.
+    */
+  def repeatedSpansSummary(documents: DataFrame, n: Int = SpanGramN,
+      minSpan: Int = SpanGramN): DataFrame = {
+    val perDoc = repeatedSpans(documents, n, minSpan)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("n_span_tokens")).as("n_dup_tokens"))
+    documents
+      .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_spans").isNotNull, 1L).otherwise(0L)).as("n_docs_with_spans"),
+        sum(col("n_toks")).as("n_tokens"),
+        coalesce(sum(col("n_dup_tokens")), lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_token_share",
+        col("n_dup_tokens").cast("double") / col("n_tokens"))
+      .orderBy("source")
+  }
 }
