@@ -355,4 +355,103 @@ object Multimodal {
       .join(corpusHit.union(batchHit).distinct(), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
+
+  /** Per-window 64-bit audio fingerprint — the Chromaprint/landmark
+    * shape: segment the stream into [[audioWindows]]' fixed analysis
+    * windows, extract a small grid of energy samples per window, and
+    * keep only GRADIENT SIGNS (adjacent-sample comparisons — the same
+    * difference-hash trick as the image [[dhashOfGrid]], which is what
+    * makes the signature robust to level shifts).
+    *
+    * The energy extractor is the stub half (no audio codecs in this
+    * environment): "energy" s of window w is the raw payload byte at
+    * (w·73 + s·7) mod n_bytes — CONTENT-addressed (identical payloads
+    * ⇒ identical fingerprint series; a real FFT band-energy extractor
+    * replaces exactly this sampling expression). Unlike the image
+    * decode this needs no codec, so the whole fingerprint is PURE
+    * EXPRESSIONS — one hex() of the payload per row, 72 substr probes
+    * per window against a retained projection (referenced >1 and
+    * non-cheap, so CollapseProject keeps it), 64 static OR-terms; no
+    * mapPartitions, no UDF, and the family gets a FULL DuckDB oracle
+    * where the image family is rows-only behind the codec boundary.
+    *
+    * Output: (doc_id, n_windows, window_idx, fp) — the per-window
+    * signature table an audio-dedup admission indexes by fp.
+    */
+  def audioFingerprints(documents: DataFrame,
+      windowMs: Long = 10000L): DataFrame = {
+    val nBytes = octet_length(col("text")).cast(LongType)
+    val windows = documents
+      .select(col("doc_id"), nBytes.as("n_bytes"),
+        hex(bin).as("hx"),
+        (nBytes * 37 % 50000 + 1000).as("duration_ms"))
+      .withColumn("n_windows",
+        ((col("duration_ms") + windowMs - 1) / windowMs).cast(LongType))
+      .select(col("doc_id"), col("n_bytes"), col("hx"), col("n_windows"),
+        explode(sequence(lit(0L), col("n_windows") - 1)).as("window_idx"))
+    // 72 sampled bytes per window: position (w·73 + s·7) mod n_bytes,
+    // read as 2 hex chars from the one hex() per row. Empty payload →
+    // all-zero samples (the dhashOfStub convention).
+    val samples = transform(sequence(lit(0), lit(71)), s =>
+      when(col("n_bytes") === 0L, lit(0))
+        .otherwise(conv(col("hx").substr(
+          (((col("window_idx") * 73L + s.cast(LongType) * 7L) % col("n_bytes")) * 2L + 1L)
+            .cast("int"), lit(2)), 16, 10).cast("int")))
+    // bit (gy·8+gx) ⟺ sample(gy·9+gx+1) > sample(gy·9+gx): 64 static
+    // disjoint-bit terms OR'd — the dhashOfGrid layout as expressions.
+    val fp = (0 until 64).map { i =>
+      val s = (i / 8) * 9 + (i % 8)
+      when(element_at(col("vs"), s + 2) > element_at(col("vs"), s + 1),
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    windows
+      .withColumn("vs", samples)
+      .select(col("doc_id"), col("n_windows"), col("window_idx"), fp.as("fp"))
+      .orderBy("doc_id", "window_idx")
+  }
+
+  /** Audio near-dup by ALIGNED window-fingerprint matches — the
+    * Shazam constellation rule: two streams match when many window
+    * fingerprints agree AT A CONSISTENT OFFSET (delta = window_a −
+    * window_b), not merely in any order; grouping matches by delta
+    * and scoring the best diagonal is exactly the landmark
+    * offset-histogram vote. Output per candidate pair: total matching
+    * window pairs, the best aligned count, and its delta; kept iff
+    * n_aligned ≥ `minAligned`.
+    *
+    * Scale: one uniform-key groupBy on the 64-bit fp builds capped
+    * buckets (a constant-payload fingerprint is a Zipf head —
+    * [[Dedup.BandBucketCap]] bounds the blowup exactly like the text
+    * band machinery), pairs expand inside each bucket (sorted,
+    * i&lt;j), then two metadata-scale aggregates. No all-pairs over
+    * docs, no window over the corpus.
+    */
+  def audioNearDup(documents: DataFrame, minAligned: Int = 2,
+      bucketCap: Int = Dedup.BandBucketCap): DataFrame = {
+    val fps = audioFingerprints(documents)
+      .select(col("doc_id"), col("window_idx"), col("fp"))
+    val pairs = fps.groupBy("fp")
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("window_idx")))).as("xs"))
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= bucketCap)
+      .select(explode(flatten(transform(col("xs"), (a, i) =>
+        transform(slice(col("xs"), i + 2, size(col("xs"))), b =>
+          struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            (a.getField("window_idx") - b.getField("window_idx"))
+              .as("delta")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.delta"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    pairs.groupBy("doc_a", "doc_b", "delta")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("n")).as("n_fp_matches"),
+        // best diagonal, ties broken toward the SMALLEST delta
+        // (struct max on (n, -delta) — deterministic, one pass)
+        max(struct(col("n"), (-col("delta")).as("nd"))).as("best"))
+      .select(col("doc_a"), col("doc_b"), col("n_fp_matches"),
+        col("best.n").as("n_aligned"), (-col("best.nd")).as("best_delta"))
+      .filter(col("n_aligned") >= minAligned)
+      .orderBy("doc_a", "doc_b")
+  }
 }
