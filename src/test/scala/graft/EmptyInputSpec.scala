@@ -53,6 +53,12 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextOps.qualityGate(docs).count() === 0)
     assert(TextOps.qualityVerdict(docs).count() === 0)
     assert(TextOps.passageScrub(docs).count() === 0)
+    // ExactSubstr family (r15): empty corpus → zero spans; scrub and
+    // summary of an empty corpus are empty, not a throw
+    assert(TextOps.repeatedSpans(docs).count() === 0)
+    assert(TextOps.repeatedSpansIncremental(docs, docs).count() === 0)
+    assert(TextOps.repeatedSpanScrub(docs).count() === 0)
+    assert(TextOps.repeatedSpansSummary(docs).count() === 0)
     // the funnel still reports its four stages, all zero
     val funnel = TextOps.corpusFunnel(docs).collect()
     assert(funnel.length === 4 && funnel.forall(_.getLong(2) === 0L))
@@ -62,6 +68,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Multimodal.imageNearDup(spark, docs).count() === 0)
     assert(Multimodal.imageAdmit(spark,
       Multimodal.imageDHashSignatures(spark, docs), docs).count() === 0)
+    // audio fingerprint family (r15): empty corpus → zero windows,
+    // zero candidate pairs
+    assert(Multimodal.audioFingerprints(docs).count() === 0)
+    assert(Multimodal.audioNearDup(docs).count() === 0)
   }
 
   test("corpus-construction operators survive an empty corpus") {
