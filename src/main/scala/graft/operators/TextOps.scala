@@ -1562,12 +1562,25 @@ object TextOps {
         .unionByName(batch.withColumn("__fresh", lit(true))),
       n, minSpan)
 
+  /** Measured-alternative twin for the SpanScaleTime harness:
+    * identical output, but the positional gram stream is RE-DERIVED
+    * for the probe side instead of checkpointed — the storage-vs-
+    * second-scan trade the 100 TB run has to make explicitly (the
+    * positional stream cannot be array_distinct'd, so its checkpoint
+    * is strictly larger than decontaminate's). Kept runnable so the
+    * choice stays a measurement, not an instinct.
+    */
+  private[graft] def repeatedSpansRescan(documents: DataFrame,
+      n: Int = SpanGramN, minSpan: Int = SpanGramN): DataFrame =
+    repeatedSpansCore(documents.withColumn("__fresh", lit(true)), n, minSpan,
+      checkpoint = false)
+
   /** Positional-gram core: `documents` must carry `__fresh`; gram
     * duplication is counted over EVERY row, spans are emitted for
     * fresh rows only.
     */
   private def repeatedSpansCore(documents: DataFrame, n: Int,
-      minSpan: Int): DataFrame = {
+      minSpan: Int, checkpoint: Boolean = true): DataFrame = {
     val tk = toks
     // one md5 digest per gram position, the decontaminate key recipe
     // (60-bit uniform key) — but NO array_distinct: the position IS
@@ -1576,11 +1589,12 @@ object TextOps {
       graft.functions.ColUtil.posRange(size(tk) - lit(n - 1)),
       i => conv(substring(md5(array_join(slice(tk, i, lit(n)), " ").cast("binary")),
         1, 15), 16, 10).cast(LongType))
-    val exploded = documents
+    val explodedPlan = documents
       .select(col("doc_id"), col("__fresh"), posexplode(grams).as(Seq("p0", "g8")))
       .select(col("doc_id"), col("__fresh"),
         (col("p0") + 1).cast(LongType).as("pos"), col("g8"))
-      .localCheckpoint(true)
+    val exploded =
+      if (checkpoint) explodedPlan.localCheckpoint(true) else explodedPlan
     // duplicated grams: total occurrence count >= 2 (cross-doc or
     // self-repeat — the suffix-array criterion), one uniform-key agg.
     val dup = exploded.groupBy("g8")

@@ -25,6 +25,21 @@ class PlanShapeSpec extends AnyFunSuite {
   // query -> audited shape. Notes capture WHY the shape is the wanted
   // one, so a diff reviewer doesn't have to re-derive it.
   private val pinned: Seq[(String, Shape, String)] = Seq(
+    ("repeated_spans", Shape(3, 1, 0, 2),
+      "dup-gram agg + ONE doc_id exchange under both island windows " +
+        "(lag + running sum share it; the span agg rides the same " +
+        "partitioning) + output sort; dup set broadcast onto the " +
+        "checkpointed positional stream"),
+    ("repeated_spans_scrub", Shape(5, 2, 0, 2),
+      "the repeated_spans body + the duplication-sized span table " +
+        "broadcast back onto documents; rebuild is a pure map stage"),
+    ("audio_fingerprints", Shape(1, 0, 0, 0),
+      "pure expression map (hex once, window explode, 64 OR terms); " +
+        "only the output sort exchanges"),
+    ("audio_near_dup", Shape(5, 0, 0, 0),
+      "fp-bucket agg, in-bucket pair expansion, two metadata-scale " +
+        "rollups + output sort — NO join operator anywhere (the " +
+        "bucket agg IS the matching), no window"),
     ("fact_sales", Shape(3, 9, 0, 1),
       "all dims broadcast onto one lineitem scan; no SMJ anywhere"),
     ("fact_inventory_wh", Shape(2, 4, 0, 0),

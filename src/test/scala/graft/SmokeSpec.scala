@@ -19,9 +19,11 @@ class SmokeSpec extends AnyFunSuite {
 
   // queries that may legitimately be empty at sf0.001: candidate pairs
   // on a dup-free corpus, a specific nation pair with no trade in 6k
-  // lines, no dormant-rich customers in a 150-customer sample
+  // lines, no dormant-rich customers in a 150-customer sample, audio
+  // pairs on a corpus with no byte-identical payloads (r15 — the
+  // full oracle still hash-checks the empty result)
   private val mayBeEmpty = Set("dedup_minhash_pairs", "knn_lsh",
-    "q7_nation_trade", "q22_dormant_rich")
+    "q7_nation_trade", "q22_dormant_rich", "audio_near_dup")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
