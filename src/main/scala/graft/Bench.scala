@@ -509,7 +509,11 @@ object Bench {
       "ann_recall_ivf_pq_residual_opq_learned",
       "ann_operating_curve_ivf_pq_residual_opq_learned",
       "knn_ivf_pq_residual_opq_pretrained",
-      "bpe_encode_pretrained")
+      "bpe_encode_pretrained",
+      // r15.2: the session's two new families' flagships — the
+      // ExactSubstr positional-gram span detector (token-scale
+      // explode + checkpoint) and the audio aligned-vote near-dup
+      "repeated_spans", "audio_near_dup")
     val qs = headline.flatMap(k => resultMap0.get(k).map(rep =>
         s"\"" + k + "\":" + r3(rep.wall)))
       .mkString("{", ",", "}")

@@ -59,7 +59,8 @@ object SparkEntry {
       "bpe_merges_batched", "bpe_encode_batched", "multimodal_image_admit",
       // the ExactSubstr family checkpoints its positional gram stream
       "repeated_spans", "repeated_spans_incremental",
-      "repeated_spans_scrub", "repeated_spans_summary")
+      "repeated_spans_scrub", "repeated_spans_summary",
+      "repeated_spans_reconciled")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -773,6 +774,22 @@ object SparkEntry {
     }),
     "repeated_spans_scrub" -> ((s, d) => TextOps.repeatedSpanScrub(t(s, d, "documents"))),
     "repeated_spans_summary" -> ((s, d) => TextOps.repeatedSpansSummary(t(s, d, "documents"))),
+    // the streaming twin's reconcile math stated batch-side (the
+    // doc_perplexity_bucket_reconciled convention): per-split counts
+    // sum-merged via the STATIONARY full-outer form, every position
+    // probed against the merged table — integer-sum associativity
+    // makes it ≡ the one-shot, so the SAME oracle grades it
+    "repeated_spans_reconciled" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      val pa = TextOps.spanGramPositions(docs.filter(col("doc_id") % 2 === 0))
+        .localCheckpoint(true)
+      val pb = TextOps.spanGramPositions(docs.filter(col("doc_id") % 2 =!= 0))
+        .localCheckpoint(true)
+      TextOps.spansAgainstCounts(pa.unionByName(pb),
+        TextOps.mergeSpanGramCountsStationary(
+          TextOps.spanGramCounts(pa), TextOps.spanGramCounts(pb)))
+    }),
     "doc_unigram_logloss" -> ((s, d) => TextOps.unigramLogloss(t(s, d, "documents"))),
     "doc_bigram_logloss" -> ((s, d) => TextOps.bigramLogloss(t(s, d, "documents"))),
     "doc_perplexity_bucket" -> ((s, d) => {
@@ -3621,6 +3638,8 @@ object SparkEntry {
     "repeated_spans" -> repeatedSpansSql,
     "repeated_spans_incremental" ->
       repeatedSpansSqlFor("AND doc_id % 2 = 0"),
+    // ≡ the one-shot by integer-sum associativity — same oracle
+    "repeated_spans_reconciled" -> repeatedSpansSql,
     "repeated_spans_scrub" -> repeatedSpanScrubSql,
     "repeated_spans_summary" -> repeatedSpansSummarySql,
 

@@ -1575,34 +1575,54 @@ object TextOps {
     repeatedSpansCore(documents.withColumn("__fresh", lit(true)), n, minSpan,
       checkpoint = false)
 
-  /** Positional-gram core: `documents` must carry `__fresh`; gram
-    * duplication is counted over EVERY row, spans are emitted for
-    * fresh rows only.
+  /** One md5 digest per gram position — the decontaminate 60-bit key
+    * recipe, but NO array_distinct: the position IS the payload.
     */
-  private def repeatedSpansCore(documents: DataFrame, n: Int,
-      minSpan: Int, checkpoint: Boolean = true): DataFrame = {
-    val tk = toks
-    // one md5 digest per gram position, the decontaminate key recipe
-    // (60-bit uniform key) — but NO array_distinct: the position IS
-    // the payload here.
-    val grams = transform(
-      graft.functions.ColUtil.posRange(size(tk) - lit(n - 1)),
-      i => conv(substring(md5(array_join(slice(tk, i, lit(n)), " ").cast("binary")),
-        1, 15), 16, 10).cast(LongType))
-    val explodedPlan = documents
-      .select(col("doc_id"), col("__fresh"), posexplode(grams).as(Seq("p0", "g8")))
-      .select(col("doc_id"), col("__fresh"),
-        (col("p0") + 1).cast(LongType).as("pos"), col("g8"))
-    val exploded =
-      if (checkpoint) explodedPlan.localCheckpoint(true) else explodedPlan
-    // duplicated grams: total occurrence count >= 2 (cross-doc or
-    // self-repeat — the suffix-array criterion), one uniform-key agg.
-    val dup = exploded.groupBy("g8")
-      .agg(count(lit(1)).as("gram_tf"))
-      .filter(col("gram_tf") >= 2)
-      .select("g8")
-    val dupPos = exploded.join(dup, Seq("g8"), "left_semi")
-      .filter(col("__fresh"))
+  private def spanGramHashes(n: Int): Column = transform(
+    graft.functions.ColUtil.posRange(size(toks) - lit(n - 1)),
+    i => conv(substring(md5(array_join(slice(toks, i, lit(n)), " ").cast("binary")),
+      1, 15), 16, 10).cast(LongType))
+
+  /** The positional n-gram stream (doc_id, pos, g8), positions
+    * 1-based — the compact per-document record the streaming twin
+    * sinks (8-byte key + position, never the text).
+    */
+  def spanGramPositions(documents: DataFrame, n: Int = SpanGramN): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(spanGramHashes(n)).as(Seq("p0", "g8")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"), col("g8"))
+
+  /** Gram occurrence counts (g8, n_occ) — the span family's carried
+    * state: integer sums, so increments merge EXACTLY associatively
+    * (the covariance-class contract).
+    */
+  def spanGramCounts(positions: DataFrame): DataFrame =
+    positions.groupBy("g8").agg(count(lit(1)).as("n_occ"))
+
+  /** [[spanGramCounts]] merge with a STATIONARY state side — restated
+    * as a full-outer join on g8 so a g8-bucketed standing count table
+    * scans pre-clustered with zero Exchange above the state scan;
+    * only the O(batch) aggregate shuffles (the
+    * [[mergeGramFirstIndexStationary]] discipline). Bit-identical to
+    * recounting from scratch because integer sums are associative.
+    */
+  def mergeSpanGramCountsStationary(state: DataFrame,
+      batch: DataFrame): DataFrame =
+    state.join(batch.withColumnRenamed("n_occ", "batch_occ"),
+        Seq("g8"), "full_outer")
+      .select(col("g8"),
+        (coalesce(col("n_occ"), lit(0L)) + coalesce(col("batch_occ"), lit(0L)))
+          .as("n_occ"))
+
+  /** The span-merge tail: filter `positions` to those whose gram is
+    * duplicated under `counts` (n_occ >= 2), then merge covered
+    * intervals [pos, pos+n-1] into maximal spans. Shared by the batch
+    * core, the reconciled twin, and the streaming twin.
+    */
+  def spansAgainstCounts(positions: DataFrame, counts: DataFrame,
+      n: Int = SpanGramN, minSpan: Int = SpanGramN): DataFrame = {
+    val dup = counts.filter(col("n_occ") >= 2).select("g8")
+    val dupPos = positions.join(dup, Seq("g8"), "left_semi")
       .select("doc_id", "pos")
     // gaps-and-islands over fixed-width intervals [pos, pos+n-1]: with
     // equal widths the running-max interval end is the previous row's,
@@ -1623,6 +1643,27 @@ object TextOps {
       .filter(col("n_span_tokens") >= minSpan)
       .select("doc_id", "span_start", "span_end", "n_span_tokens", "n_dup_grams")
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Positional-gram core: `documents` must carry `__fresh`; gram
+    * duplication is counted over EVERY row, spans are emitted for
+    * fresh rows only.
+    */
+  private def repeatedSpansCore(documents: DataFrame, n: Int,
+      minSpan: Int, checkpoint: Boolean = true): DataFrame = {
+    val explodedPlan = documents
+      .select(col("doc_id"), col("__fresh"),
+        posexplode(spanGramHashes(n)).as(Seq("p0", "g8")))
+      .select(col("doc_id"), col("__fresh"),
+        (col("p0") + 1).cast(LongType).as("pos"), col("g8"))
+    val exploded =
+      if (checkpoint) explodedPlan.localCheckpoint(true) else explodedPlan
+    // duplicated grams: total occurrence count >= 2 (cross-doc or
+    // self-repeat — the suffix-array criterion), one uniform-key agg.
+    spansAgainstCounts(
+      exploded.filter(col("__fresh")).select("doc_id", "pos", "g8"),
+      spanGramCounts(exploded.select("doc_id", "pos", "g8")),
+      n, minSpan)
   }
 
   /** ExactSubstr SCRUB: remove every token inside a [[repeatedSpans]]

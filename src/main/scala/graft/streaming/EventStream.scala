@@ -749,6 +749,82 @@ object EventStream {
       .start()
   }
 
+  /** Streaming twin of TextOps.repeatedSpans — ExactSubstr duplicated-
+    * span detection as a continuous admission process. Carried state =
+    * the positional-gram COUNT table (g8 → n_occ); the merge is an
+    * integer sum, EXACTLY associative (the covariance-class contract),
+    * so the count table at trigger T is bit-identical to a one-shot
+    * count over everything arrived by T, and the spans published for
+    * batch B are EXACTLY TextOps.repeatedSpansIncremental(arrived-
+    * before-B, B) — the admission semantics, spec-asserted. What the
+    * online view cannot settle: a duplicate arriving LATER never
+    * retro-flags an already-published doc — that tail is the
+    * reconcile half's job ([[reconcileRepeatedSpans]]), which rescans
+    * only the sunk COMPACT positional streams (8-byte gram + position
+    * per token, never the texts) against the final counts and equals
+    * the one-shot TextOps.repeatedSpans (spec-asserted frame
+    * equality). Same versioned replay-idempotent bucketed state,
+    * checkpoint, pruning and block-release discipline as
+    * [[noveltyStream]].
+    */
+  def repeatedSpansStream(spark: SparkSession, dir: String, sinkPath: String,
+                          splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    documentsStream(spark, dir, splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch.drop("ingest_ts")
+        // checkpointed: feeds the batch count aggregate, the span
+        // probe, AND the positions sink
+        val positions = graft.operators.TextOps.spanGramPositions(docs)
+          .localCheckpoint(eager = true)
+        val batchCounts = graft.operators.TextOps.spanGramCounts(positions)
+        val prevCounts = latestStateBefore(spark, stateDir, batchId)
+          .map(readStateVersion(spark, stateDir, _))
+          .getOrElse(Seq.empty[(Long, Long)].toDF("g8", "n_occ"))
+        // stationary-state merge + bucketed landing: the g8-bucketed
+        // previous version scans with no Exchange; only the O(batch)
+        // aggregate shuffles; the written table is the state the span
+        // probe reads back (bucketed scan — the index side never
+        // shuffles)
+        val newCounts = writeBucketedState(
+          graft.operators.TextOps.mergeSpanGramCountsStationary(
+            prevCounts, batchCounts),
+          stateDir, batchId, "g8")
+        val spans = graft.operators.TextOps.spansAgainstCounts(
+          positions, newCounts)
+        graft.sources.Loader.truncateAndLoad(spans, s"$sinkPath/batch_$batchId")
+        graft.sources.Loader.truncateAndLoad(positions, s"$sinkPath/pairs_$batchId")
+        releaseCheckpoints(positions)
+        pruneBucketedStateBefore(spark, stateDir, batchId - 1)
+        ()
+      }
+      .start()
+  }
+
+  /** The batch half of [[repeatedSpansStream]]'s lambda split:
+    * re-derive EVERY arrived doc's spans against the FINAL gram-count
+    * state — settles the late-arriving-duplicate tail (a doc published
+    * before its twin arrived gains its spans here) and equals the
+    * one-shot TextOps.repeatedSpans over everything that arrived.
+    * Compact inputs only: the sunk positional streams + the count
+    * table, never the texts.
+    */
+  def reconcileRepeatedSpans(spark: SparkSession, sinkPath: String): DataFrame = {
+    val stateDir = sinkPath + ".state"
+    val latest = graft.sources.Fs.childDirs(spark, stateDir)
+      .filter(_.startsWith("upto_"))
+      .map(_.stripPrefix("upto_").toLong)
+      .reduceOption(_ max _)
+      .getOrElse(throw new IllegalStateException(
+        s"no span state under $stateDir — has the stream committed a trigger?"))
+    val counts = readStateVersion(spark, stateDir, s"$stateDir/upto_$latest")
+    val positions = spark.read.parquet(s"$sinkPath/pairs_*")
+    graft.operators.TextOps.spansAgainstCounts(positions, counts)
+  }
+
   /** The batch half of [[noveltyStream]]'s lambda split: re-score
     * every sunk gram pair against the FINAL index — settles the
     * out-of-order-arrival tail (under monotone ingestion it is

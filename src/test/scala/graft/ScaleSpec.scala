@@ -383,6 +383,53 @@ class ScaleSpec extends AnyFunSuite {
     assert(oneShot.exceptAll(settled).count() === 0)
   }
 
+  test("streaming repeated spans: triggers publish the admission view; reconcile settles to one-shot") {
+    val sink = Files.createTempDirectory("graft_spanstream").toString + "/spans"
+    val q = EventStream.repeatedSpansStream(spark, sf, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val docs = Tables.documents(spark, sf)
+    val first = docs.filter(col("doc_id") < 250)
+    val second = docs.filter(col("doc_id") >= 250)
+    // trigger 1 saw an empty standing corpus: its view IS the one-shot
+    // over the first half; trigger 2 is the incremental-admission view
+    // (counts span everything arrived, spans only for batch docs)
+    val b0 = spark.read.parquet(s"$sink/${batches(0)}")
+    val t1 = graft.operators.TextOps.repeatedSpans(first)
+    assert(b0.exceptAll(t1).count() === 0 && t1.exceptAll(b0).count() === 0)
+    val b1 = spark.read.parquet(s"$sink/${batches(1)}")
+    val t2 = graft.operators.TextOps.repeatedSpansIncremental(first, second)
+    assert(b1.exceptAll(t2).count() === 0 && t2.exceptAll(b1).count() === 0)
+    // the lambda-split tail: duplicates that arrived AFTER a doc was
+    // published cannot retro-flag it online — report the drift, then
+    // assert the reconcile pass (compact positions + final counts,
+    // no text) settles EXACTLY to the one-shot
+    val oneShot = graft.operators.TextOps.repeatedSpans(docs)
+    val online = b0.unionByName(b1)
+    info(s"online-vs-settled span drift: " +
+      s"${oneShot.exceptAll(online).count()} late-duplicate span rows")
+    val settled = EventStream.reconcileRepeatedSpans(spark, sink)
+    assert(settled.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(settled).count() === 0)
+  }
+
+  test("stationary span-count merge is bit-equal to recounting from scratch") {
+    val docs = Tables.documents(spark, sf)
+    val pa = graft.operators.TextOps
+      .spanGramPositions(docs.filter(col("doc_id") < 250))
+    val pb = graft.operators.TextOps
+      .spanGramPositions(docs.filter(col("doc_id") >= 250))
+    val merged = graft.operators.TextOps.mergeSpanGramCountsStationary(
+      graft.operators.TextOps.spanGramCounts(pa),
+      graft.operators.TextOps.spanGramCounts(pb))
+    val oneShot = graft.operators.TextOps.spanGramCounts(
+      graft.operators.TextOps.spanGramPositions(docs))
+    assert(merged.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(merged).count() === 0)
+  }
+
   test("stationary gram-index merge is frame-equal to the union-form merge") {
     val docs = Tables.documents(spark, sf)
     val a = graft.operators.TextOps.gramFirstIndex(docs.filter(col("doc_id") < 250))
