@@ -30,7 +30,9 @@ final case class GraftConfig(
     curateSelector: String,
     gateDropFraction: Double,
     perplexityKeptNumer: Int,
-    perplexityKeptDenom: Int)
+    perplexityKeptDenom: Int,
+    spanGramN: Int,
+    spanMinTokens: Int)
 
 object GraftConfig {
 
@@ -115,7 +117,22 @@ object GraftConfig {
         v
       },
       perplexityKeptNumer = keptN,
-      perplexityKeptDenom = keptD)
+      perplexityKeptDenom = keptD,
+      // ExactSubstr span-family knobs (the gate.drop.fraction
+      // convention): gram width and minimum reported span, flowing to
+      // the operator AND its oracle text at Verify dump time. The
+      // fixture default is the decontamination family's 8; a
+      // production ExactSubstr run is ~50/50 (Lee et al.).
+      spanGramN = {
+        val v = getInt("span.gram.n", "SPARK_GRAFT_SPAN_GRAM_N", 8)
+        require(v >= 2 && v <= 64, s"span.gram.n must be in [2, 64]: $v")
+        v
+      },
+      spanMinTokens = {
+        val v = getInt("span.min.tokens", "SPARK_GRAFT_SPAN_MIN_TOKENS", 8)
+        require(v >= 1, s"span.min.tokens must be >= 1: $v")
+        v
+      })
   }
 
   private[graft] def parseKept(raw: String): (Int, Int) = raw.trim.split("/") match {

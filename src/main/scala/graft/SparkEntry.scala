@@ -764,16 +764,30 @@ object SparkEntry {
       Validation.columnHistogram(t(s, d, "orders"), "o_totalprice")),
     "passage_dedup" -> ((s, d) => TextOps.passageDedup(t(s, d, "documents"))),
     "passage_scrub" -> ((s, d) => TextOps.passageScrub(t(s, d, "documents"))),
-    "repeated_spans" -> ((s, d) => TextOps.repeatedSpans(t(s, d, "documents"))),
+    // span gram width / min span are GraftConfig knobs flowing to the
+    // operator AND the oracle text at dump time (production
+    // ExactSubstr runs ~50/50; the fixture default is 8/8)
+    "repeated_spans" -> ((s, d) => {
+      val cfg = GraftConfig.load()
+      TextOps.repeatedSpans(t(s, d, "documents"), cfg.spanGramN, cfg.spanMinTokens)
+    }),
     "repeated_spans_incremental" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
+      val cfg = GraftConfig.load()
       val docs = t(s, d, "documents")
       TextOps.repeatedSpansIncremental(
         docs.filter(col("doc_id") % 2 =!= 0),
-        docs.filter(col("doc_id") % 2 === 0))
+        docs.filter(col("doc_id") % 2 === 0),
+        cfg.spanGramN, cfg.spanMinTokens)
     }),
-    "repeated_spans_scrub" -> ((s, d) => TextOps.repeatedSpanScrub(t(s, d, "documents"))),
-    "repeated_spans_summary" -> ((s, d) => TextOps.repeatedSpansSummary(t(s, d, "documents"))),
+    "repeated_spans_scrub" -> ((s, d) => {
+      val cfg = GraftConfig.load()
+      TextOps.repeatedSpanScrub(t(s, d, "documents"), cfg.spanGramN, cfg.spanMinTokens)
+    }),
+    "repeated_spans_summary" -> ((s, d) => {
+      val cfg = GraftConfig.load()
+      TextOps.repeatedSpansSummary(t(s, d, "documents"), cfg.spanGramN, cfg.spanMinTokens)
+    }),
     // the streaming twin's reconcile math stated batch-side (the
     // doc_perplexity_bucket_reconciled convention): per-split counts
     // sum-merged via the STATIONARY full-outer form, every position
@@ -781,14 +795,16 @@ object SparkEntry {
     // makes it ≡ the one-shot, so the SAME oracle grades it
     "repeated_spans_reconciled" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
+      val cfg = GraftConfig.load()
       val docs = t(s, d, "documents")
-      val pa = TextOps.spanGramPositions(docs.filter(col("doc_id") % 2 === 0))
-        .localCheckpoint(true)
-      val pb = TextOps.spanGramPositions(docs.filter(col("doc_id") % 2 =!= 0))
-        .localCheckpoint(true)
+      val pa = TextOps.spanGramPositions(docs.filter(col("doc_id") % 2 === 0),
+        cfg.spanGramN).localCheckpoint(true)
+      val pb = TextOps.spanGramPositions(docs.filter(col("doc_id") % 2 =!= 0),
+        cfg.spanGramN).localCheckpoint(true)
       TextOps.spansAgainstCounts(pa.unionByName(pb),
         TextOps.mergeSpanGramCountsStationary(
-          TextOps.spanGramCounts(pa), TextOps.spanGramCounts(pb)))
+          TextOps.spanGramCounts(pa), TextOps.spanGramCounts(pb)),
+        cfg.spanGramN, cfg.spanMinTokens)
     }),
     "doc_unigram_logloss" -> ((s, d) => TextOps.unigramLogloss(t(s, d, "documents"))),
     "doc_bigram_logloss" -> ((s, d) => TextOps.bigramLogloss(t(s, d, "documents"))),
@@ -1351,45 +1367,52 @@ object SparkEntry {
 
   private val decontaminateSql: String = decontaminateSqlFor("")
 
-  /** Shared ExactSubstr CTE chain: positional 8-grams (parallel
+  /** Shared ExactSubstr CTE chain: positional n-grams (parallel
     * unnests zip), duplicated-gram set (count >= 2 over EVERY row),
     * gaps-and-islands span merge. `restrict` narrows the emitted
     * positions (the incremental entry passes the batch predicate);
-    * duplication is always counted corpus-wide.
+    * duplication is always counted corpus-wide. DEFS, not vals (the
+    * gate.drop.fraction convention): gram width and min-span read
+    * GraftConfig at oracle-dump time, so the same knobs that
+    * parameterize the Spark operators parameterize this text — a
+    * non-default run stays hash-checked.
     */
-  private def repeatedSpansCteFor(restrict: String): String =
+  private def repeatedSpansCteFor(restrict: String): String = {
+    val n = GraftConfig.load().spanGramN
     s"""t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
       |g AS (SELECT doc_id,
-      |  unnest(range(1, greatest(len(tk)-6, 1))) AS pos,
-      |  unnest(list_transform(range(1, greatest(len(tk)-6, 1)),
-      |    i -> ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT)) AS g8
+      |  unnest(range(1, greatest(len(tk)-${n - 2}, 1))) AS pos,
+      |  unnest(list_transform(range(1, greatest(len(tk)-${n - 2}, 1)),
+      |    i -> ('0x' || substr(md5(array_to_string(tk[i:i+${n - 1}], ' ')), 1, 15))::BIGINT)) AS g8
       |FROM t),
       |d AS (SELECT g8 FROM g GROUP BY g8 HAVING count(*) >= 2),
       |p AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM g
       |  WHERE g8 IN (SELECT g8 FROM d) $restrict),
       |l AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM p),
       |i AS (SELECT doc_id, pos,
-      |  sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+      |  sum(CASE WHEN prev IS NULL OR pos - prev > $n THEN 1 ELSE 0 END)
       |    OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM l),
-      |s AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
-      |  max(pos) + 7 - min(pos) + 1 AS n_span_tokens,
+      |s AS (SELECT doc_id, min(pos) AS span_start, max(pos) + ${n - 1} AS span_end,
+      |  max(pos) + ${n - 1} - min(pos) + 1 AS n_span_tokens,
       |  CAST(count(*) AS BIGINT) AS n_dup_grams
       |  FROM i GROUP BY doc_id, isl)""".stripMargin
+  }
 
   private def repeatedSpansSqlFor(restrict: String): String =
     s"""WITH ${repeatedSpansCteFor(restrict)}
       |SELECT doc_id, span_start, span_end, n_span_tokens, n_dup_grams
-      |FROM s WHERE n_span_tokens >= 8 ORDER BY doc_id, span_start""".stripMargin
+      |FROM s WHERE n_span_tokens >= ${GraftConfig.load().spanMinTokens}
+      |ORDER BY doc_id, span_start""".stripMargin
 
-  private val repeatedSpansSql: String = repeatedSpansSqlFor("")
+  private def repeatedSpansSql: String = repeatedSpansSqlFor("")
 
   // scrub: kept positions = those inside no span; a fully-scrubbed doc
   // joins to '' (DuckDB array_to_string of an empty list is NULL,
   // Spark array_join is '') — hence the coalesce.
-  private val repeatedSpanScrubSql: String =
+  private def repeatedSpanScrubSql: String =
     s"""WITH ${repeatedSpansCteFor("")},
       |k AS (SELECT doc_id, list(struct_pack(s := span_start, e := span_end)) AS spans
-      |  FROM s WHERE n_span_tokens >= 8 GROUP BY doc_id),
+      |  FROM s WHERE n_span_tokens >= ${GraftConfig.load().spanMinTokens} GROUP BY doc_id),
       |r AS (SELECT t.doc_id, t.tk, coalesce(k.spans, []) AS spans
       |  FROM t LEFT JOIN k USING (doc_id)),
       |f AS (SELECT doc_id, tk, len(spans) AS n_spans,
@@ -1451,10 +1474,10 @@ object SparkEntry {
       |WHERE m.mx >= 2
       |GROUP BY 1, 2, 3, 4 ORDER BY doc_a, doc_b""".stripMargin
 
-  private val repeatedSpansSummarySql: String =
+  private def repeatedSpansSummarySql: String =
     s"""WITH ${repeatedSpansCteFor("")},
       |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, sum(n_span_tokens) AS n_dup
-      |  FROM s WHERE n_span_tokens >= 8 GROUP BY doc_id)
+      |  FROM s WHERE n_span_tokens >= ${GraftConfig.load().spanMinTokens} GROUP BY doc_id)
       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_spans,
       |  CAST(sum(len(string_split(lower(trim(d.text)), ' '))) AS BIGINT) AS n_tokens,
