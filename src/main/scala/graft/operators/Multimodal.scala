@@ -378,6 +378,12 @@ object Multimodal {
     * Output: (doc_id, n_windows, window_idx, fp) — the per-window
     * signature table an audio-dedup admission indexes by fp.
     */
+  /** Default aligned-match threshold for [[audioNearDup]] — named so
+    * the operator default and the oracle SQL interpolate ONE constant
+    * (the [[Dedup.BandBucketCap]] convention).
+    */
+  val AudioMinAligned: Int = 2
+
   def audioFingerprints(documents: DataFrame,
       windowMs: Long = 10000L): DataFrame = {
     val nBytes = octet_length(col("text")).cast(LongType)
@@ -426,7 +432,7 @@ object Multimodal {
     * i&lt;j), then two metadata-scale aggregates. No all-pairs over
     * docs, no window over the corpus.
     */
-  def audioNearDup(documents: DataFrame, minAligned: Int = 2,
+  def audioNearDup(documents: DataFrame, minAligned: Int = AudioMinAligned,
       bucketCap: Int = Dedup.BandBucketCap): DataFrame = {
     val fps = audioFingerprints(documents)
       .select(col("doc_id"), col("window_idx"), col("fp"))

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
+import graft.GraftConfig
+
 /** Structured Streaming twins of the batch event pipeline
   * (graft.operators.EventOps). Same transforms, readStream source,
   * watermarked state — specs drive them with the static parquet via
@@ -765,10 +767,18 @@ object EventStream {
     * the one-shot TextOps.repeatedSpans (spec-asserted frame
     * equality). Same versioned replay-idempotent bucketed state,
     * checkpoint, pruning and block-release discipline as
-    * [[noveltyStream]].
+    * [[noveltyStream]]. Gram width / min span default to the
+    * GraftConfig span knobs so a non-default config run gets a
+    * streaming view CONSISTENT with the batch query surface (the sunk
+    * positional streams are gram-width-specific, so a mismatch would
+    * be undetectable after the fact); [[reconcileRepeatedSpans]] must
+    * be called with the SAME n/minSpan the stream ran at (both read
+    * the same config by default).
     */
   def repeatedSpansStream(spark: SparkSession, dir: String, sinkPath: String,
-                          splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                          splitAt: Option[Long] = None,
+                          n: Int = GraftConfig.load().spanGramN,
+                          minSpan: Int = GraftConfig.load().spanMinTokens): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
     val stateDir = sinkPath + ".state"
     documentsStream(spark, dir, splitAt)
@@ -778,7 +788,7 @@ object EventStream {
         val docs = batch.drop("ingest_ts")
         // checkpointed: feeds the batch count aggregate, the span
         // probe, AND the positions sink
-        val positions = graft.operators.TextOps.spanGramPositions(docs)
+        val positions = graft.operators.TextOps.spanGramPositions(docs, n)
           .localCheckpoint(eager = true)
         val batchCounts = graft.operators.TextOps.spanGramCounts(positions)
         val prevCounts = latestStateBefore(spark, stateDir, batchId)
@@ -794,7 +804,7 @@ object EventStream {
             prevCounts, batchCounts),
           stateDir, batchId, "g8")
         val spans = graft.operators.TextOps.spansAgainstCounts(
-          positions, newCounts)
+          positions, newCounts, n, minSpan)
         graft.sources.Loader.truncateAndLoad(spans, s"$sinkPath/batch_$batchId")
         graft.sources.Loader.truncateAndLoad(positions, s"$sinkPath/pairs_$batchId")
         releaseCheckpoints(positions)
@@ -810,9 +820,12 @@ object EventStream {
     * before its twin arrived gains its spans here) and equals the
     * one-shot TextOps.repeatedSpans over everything that arrived.
     * Compact inputs only: the sunk positional streams + the count
-    * table, never the texts.
+    * table, never the texts. n/minSpan must match what the stream ran
+    * at — both default to the same GraftConfig span knobs.
     */
-  def reconcileRepeatedSpans(spark: SparkSession, sinkPath: String): DataFrame = {
+  def reconcileRepeatedSpans(spark: SparkSession, sinkPath: String,
+      n: Int = GraftConfig.load().spanGramN,
+      minSpan: Int = GraftConfig.load().spanMinTokens): DataFrame = {
     val stateDir = sinkPath + ".state"
     val latest = graft.sources.Fs.childDirs(spark, stateDir)
       .filter(_.startsWith("upto_"))
@@ -822,7 +835,7 @@ object EventStream {
         s"no span state under $stateDir — has the stream committed a trigger?"))
     val counts = readStateVersion(spark, stateDir, s"$stateDir/upto_$latest")
     val positions = spark.read.parquet(s"$sinkPath/pairs_*")
-    graft.operators.TextOps.spansAgainstCounts(positions, counts)
+    graft.operators.TextOps.spansAgainstCounts(positions, counts, n, minSpan)
   }
 
   /** The batch half of [[noveltyStream]]'s lambda split: re-score

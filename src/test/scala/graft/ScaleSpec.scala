@@ -415,6 +415,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(oneShot.exceptAll(settled).count() === 0)
   }
 
+  test("streaming repeated spans at NON-DEFAULT knobs stays consistent with the batch family") {
+    // r15 ADVICE: the stream used to hardcode n=8/minSpan=8 while the
+    // batch surface read the GraftConfig knobs — the sunk positional
+    // streams are gram-width-specific, so that mismatch is
+    // undetectable after the fact. Explicit-knob run must reconcile
+    // to the batch one-shot AT THOSE KNOBS.
+    val sink = Files.createTempDirectory("graft_spanstream_knobs").toString + "/spans"
+    val q = EventStream.repeatedSpansStream(spark, sf, sink,
+      splitAt = Some(250L), n = 4, minSpan = 12)
+    q.processAllAvailable(); q.stop()
+    val docs = Tables.documents(spark, sf)
+    val oneShot = graft.operators.TextOps.repeatedSpans(docs, n = 4, minSpan = 12)
+    val settled = EventStream.reconcileRepeatedSpans(spark, sink, n = 4, minSpan = 12)
+    assert(settled.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(settled).count() === 0)
+    // and the knobbed view differs from the default-knob one-shot —
+    // proves the knobs actually reached the stream (n=4 finds spans
+    // the 8-gram stream cannot)
+    val defaultShot = graft.operators.TextOps.repeatedSpans(docs)
+    assert(settled.exceptAll(defaultShot).count() > 0)
+  }
+
   test("stationary span-count merge is bit-equal to recounting from scratch") {
     val docs = Tables.documents(spark, sf)
     val pa = graft.operators.TextOps
