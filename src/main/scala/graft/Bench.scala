@@ -513,7 +513,12 @@ object Bench {
       // r15.2: the session's two new families' flagships — the
       // ExactSubstr positional-gram span detector (token-scale
       // explode + checkpoint) and the audio aligned-vote near-dup
-      "repeated_spans", "audio_near_dup")
+      "repeated_spans", "audio_near_dup",
+      // r16: the round's three new families' flagships — held-out
+      // stupid-backoff scoring (five model joins), DSIR hashed-ngram
+      // weights (token-scale feature map), and SemDeDup (kmeans
+      // training + in-cell pairs + component closure per call)
+      "doc_trigram_backoff", "dsir_weights", "semdedup_prune")
     val qs = headline.flatMap(k => resultMap0.get(k).map(rep =>
         s"\"" + k + "\":" + r3(rep.wall)))
       .mkString("{", ",", "}")

@@ -338,6 +338,10 @@ object SparkEntry {
     "embedding_quantize" -> ((s, d) => Similarity.quantize(t(s, d, "embeddings"))),
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDup(t(s, d, "embeddings"))),
     "dedup_embedding_ivf" -> ((s, d) => Similarity.embeddingNearDupIvf(t(s, d, "embeddings"))),
+    // SemDeDup (Abbas et al. 2023): kmeans cells → τ-thresholded
+    // in-cell cosine components → keep the least-prototypical member
+    "semdedup_prune" -> ((s, d) => Similarity.semdedup(t(s, d, "embeddings"))),
+    "semdedup_summary" -> ((s, d) => Similarity.semdedupSummary(t(s, d, "embeddings"))),
     "embedding_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d, "embeddings"))),
     "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(t(s, d, "embeddings"))),
     "kmeans_centroids" -> ((s, d) => Similarity.kmeansCentroids(t(s, d, "embeddings"))),
@@ -494,6 +498,47 @@ object SparkEntry {
     "corpus_temperature_summary" ->
       ((s, d) => Corpus.temperatureSummary(t(s, d, "documents"))),
     "corpus_select_budget" -> ((s, d) => Corpus.selectBudget(t(s, d, "documents"))),
+    // DSIR (Xie et al. 2023): hashed-ngram importance weights of raw
+    // docs against the lang='en' target slice; deterministic top-k
+    // selection (zero-temperature resample)
+    "dsir_weights" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Corpus.dsirWeights(t(s, d, "documents"), col("lang") === "en")
+    }),
+    "dsir_select" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Corpus.dsirSelect(t(s, d, "documents"), col("lang") === "en")
+    }),
+    // model continuation: standing bucket counts + batch, scored
+    // under the merged models ≡ one-shot restricted to batch docs
+    "dsir_weights_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      val standing = docs.filter(col("doc_id") % 2 === 0)
+      val tgt = col("lang") === "en"
+      Corpus.dsirWeightsIncremental(docs.filter(col("doc_id") % 2 =!= 0), tgt,
+        Corpus.dsirBucketCounts(standing.filter(tgt)),
+        Corpus.dsirBucketCounts(standing.filter(!tgt)))
+    }),
+    // the dsirWeightsStream reconcile math, stated batch-side (the
+    // doc_perplexity_bucket_reconciled convention): %2-split bucket
+    // counts merged as the stream's carried state would be, the sunk
+    // compact feature streams re-scored under the final models — ≡
+    // the one-shot, so graded by the SAME dsir_weights oracle
+    "dsir_weights_reconciled" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      val tgt = col("lang") === "en"
+      val a = docs.filter(col("doc_id") % 2 === 0)
+      val b = docs.filter(col("doc_id") % 2 =!= 0)
+      Corpus.dsirWeightsFromFeatures(
+        Corpus.dsirFeatures(a.filter(!tgt))
+          .unionByName(Corpus.dsirFeatures(b.filter(!tgt))),
+        Corpus.mergeDsirCounts(Corpus.dsirBucketCounts(a.filter(tgt)),
+          Corpus.dsirBucketCounts(b.filter(tgt))),
+        Corpus.mergeDsirCounts(Corpus.dsirBucketCounts(a.filter(!tgt)),
+          Corpus.dsirBucketCounts(b.filter(!tgt))))
+    }),
     "corpus_curate" -> ((s, d) => Corpus.curate(t(s, d, "documents"))),
     // the r8 selector switch's other path: same verdict+dedup survivor
     // frame, metered by weighted A-Res sampling instead of the budget
@@ -583,6 +628,10 @@ object SparkEntry {
     // table inlined as VALUES at dump time (see bpeDictValues).
     "bpe_merges" -> ((s, d) => Bpe.merges(t(s, d, "documents"), nMerges = 8)),
     "bpe_token_counts" -> ((s, d) => Bpe.tokenCounts(t(s, d, "documents"), nMerges = 8)),
+    // per-language fertility/compression report under the same
+    // trained tokenizer (Rust et al. 2021's multilingual-fairness
+    // audit)
+    "bpe_fertility" -> ((s, d) => Bpe.fertility(t(s, d, "documents"), nMerges = 8)),
     "bpe_encode" -> ((s, d) => Bpe.encode(t(s, d, "documents"), nMerges = 8)),
     // SentencePiece-style unigram-LM trainer (r8 #8): unigram_vocab is
     // rows-only like bpe_merges — the training DP is sequential per
@@ -823,6 +872,23 @@ object SparkEntry {
       TextOps.bigramLoglossIncremental(docs.filter(col("doc_id") % 2 =!= 0),
         TextOps.bigramCounts(standing), TextOps.termCounts(standing))
     }),
+    // stupid-backoff trigram scoring (Brants et al. 2007), HELD-OUT
+    // by design: model counts from the even-doc_id half only, odd
+    // half scored — a self-trained model contains every trigram it
+    // scores, so backoff would never fire (spec-pinned degeneracy)
+    "doc_trigram_backoff" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      TextOps.trigramBackoff(docs.filter(col("doc_id") % 2 =!= 0),
+        docs.filter(col("doc_id") % 2 === 0))
+    }),
+    // per-source OOV-pressure report over the same held-out probes
+    "trigram_backoff_summary" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      TextOps.trigramBackoffSummary(docs.filter(col("doc_id") % 2 =!= 0),
+        docs.filter(col("doc_id") % 2 === 0))
+    }),
     // the perplexity-bucket stream's lambda split, settled in batch
     // (r10 VERDICT #2): two triggers' sunk (doc_id, bigram) pair
     // streams re-scored under the FINAL merged model, histogram
@@ -1019,6 +1085,55 @@ object SparkEntry {
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |${kmeansBlocksSql("", 8, 3)}""".stripMargin
+
+  /** SemDeDup CTE chain: the shared unrolled-Lloyd cells, final
+    * assignment, cos-to-own-centroid (dot and both norms as
+    * list_sums — the ordered-fold association the Spark side
+    * mirrors), τ=0.4 in-cell cosine edges, recursive component
+    * closure over them (the dedup_clusters reach convention, base =
+    * every vector so singletons self-label), and the survivor pick
+    * (min cos_centroid, tie min vec_id — the paper's
+    * least-prototypical exemplar).
+    */
+  private val semdedupCtes: String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${kmeansBlocksSql("", 8, 3)},
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, len(e.v)+1),
+       |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+       |  FROM e CROSS JOIN c3 c) WHERE rn = 1),
+       |cc AS (SELECT a.vec_id, a.cid,
+       |  list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i]))
+       |    / (sqrt(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*e.v[i])))
+       |       * sqrt(list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i]))))
+       |    AS cos_centroid
+       |  FROM asg a JOIN e USING (vec_id) JOIN c3 c ON a.cid = c.cid),
+       |nn AS (SELECT vec_id, v,
+       |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm
+       |  FROM e),
+       |pp AS (SELECT x.vec_id AS ia, y.vec_id AS ib
+       |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  JOIN nn na ON na.vec_id = x.vec_id JOIN nn nb ON nb.vec_id = y.vec_id
+       |  WHERE list_sum(list_transform(range(1, len(na.v)+1),
+       |    i -> na.v[i]*nb.v[i])) / (na.nrm * nb.nrm) >= 0.4),
+       |ed AS (SELECT ia AS src, ib AS dst FROM pp
+       |  UNION ALL SELECT ib, ia FROM pp),
+       |reach(vec_id, lbl) AS (
+       |  SELECT vec_id, vec_id FROM e
+       |  UNION
+       |  SELECT ed.src, r.lbl FROM ed JOIN reach r ON ed.dst = r.vec_id),
+       |lab AS (SELECT vec_id, min(lbl) AS component_id FROM reach GROUP BY vec_id),
+       |sz AS (SELECT vec_id, component_id,
+       |  count(*) OVER (PARTITION BY component_id) AS component_size FROM lab),
+       |sv AS (SELECT component_id, vec_id AS keep_id FROM (
+       |  SELECT lab.component_id, lab.vec_id,
+       |    row_number() OVER (PARTITION BY lab.component_id
+       |      ORDER BY cc.cos_centroid ASC, lab.vec_id ASC) AS rn
+       |  FROM lab JOIN cc USING (vec_id)) WHERE rn = 1)""".stripMargin
 
   /** Shared CTE chain for the product-quantization oracles: per
     * subspace i (8 subspaces × 8 dims over the 64-dim fixture), the
@@ -1461,7 +1576,7 @@ object SparkEntry {
 
   private val audioNearDupSql: String =
     s"""WITH $audioFpCteSql,
-      |b AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1 AND count(*) <= 1000),
+      |b AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1 AND count(*) <= ${Dedup.BandBucketCap}),
       |j AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.window_idx - c.window_idx AS delta
       |  FROM f a JOIN f c ON a.fp = c.fp AND a.doc_id < c.doc_id
       |  WHERE a.fp IN (SELECT fp FROM b)),
@@ -1471,7 +1586,7 @@ object SparkEntry {
       |SELECT m.doc_a AS doc_a, m.doc_b AS doc_b, m.n_fp_matches,
       |  CAST(m.mx AS BIGINT) AS n_aligned, min(d.delta) AS best_delta
       |FROM m JOIN d ON d.doc_a = m.doc_a AND d.doc_b = m.doc_b AND d.n = m.mx
-      |WHERE m.mx >= 2
+      |WHERE m.mx >= ${Multimodal.AudioMinAligned}
       |GROUP BY 1, 2, 3, 4 ORDER BY doc_a, doc_b""".stripMargin
 
   private def repeatedSpansSummarySql: String =
@@ -1877,6 +1992,25 @@ object SparkEntry {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
        |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** Per-language fertility under the same dump-time dictionary —
+    * tokens-per-word and chars-per-token as double divisions of
+    * exact corpus-total longs.
+    */
+  private lazy val bpeFertilitySql: String =
+    s"""WITH dict(word, syms, n_syms) AS (VALUES $BpeDictPlaceholder),
+       |w AS (SELECT doc_id, lang,
+       |  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |FROM documents),
+       |m AS (SELECT doc_id, lang, word, n_syms FROM w JOIN dict USING (word)
+       |  WHERE word <> '')
+       |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(len(word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_syms) AS DOUBLE) / count(*) AS fertility,
+       |  CAST(sum(len(word)) AS DOUBLE) / sum(n_syms) AS chars_per_token
+       |FROM m GROUP BY 1 ORDER BY lang""".stripMargin
 
   private lazy val unigramTokenCountsSql: String =
     s"""WITH dict(word, syms, n_pieces) AS (VALUES $UnigramDictPlaceholder),
@@ -3667,6 +3801,27 @@ object SparkEntry {
     "repeated_spans_summary" -> repeatedSpansSummarySql,
 
     "corpus_select_budget" -> selectBudgetSql,
+
+    // DSIR importance weights / deterministic top-k selection — the
+    // merged incremental model IS the full-corpus model, so the
+    // continuation oracle is the one-shot restricted to batch docs
+    "dsir_weights" ->
+      s"""WITH $dsirCtes
+        |SELECT doc_id, n_feats, weight_micro FROM dw ORDER BY doc_id""".stripMargin,
+    "dsir_select" ->
+      s"""WITH $dsirCtes
+        |SELECT dw.doc_id, d.lang, d.source, dw.n_feats, dw.weight_micro
+        |FROM dw JOIN documents d USING (doc_id)
+        |ORDER BY weight_micro DESC, doc_id LIMIT 50""".stripMargin,
+    "dsir_weights_incremental" ->
+      s"""WITH $dsirCtes
+        |SELECT doc_id, n_feats, weight_micro FROM dw
+        |WHERE doc_id % 2 <> 0 ORDER BY doc_id""".stripMargin,
+    // ≡ the one-shot by the reconcile contract (stationary-merged
+    // counts ARE the full-corpus counts; all features re-scored)
+    "dsir_weights_reconciled" ->
+      s"""WITH $dsirCtes
+        |SELECT doc_id, n_feats, weight_micro FROM dw ORDER BY doc_id""".stripMargin,
     "corpus_select_budget_incremental" -> selectBudgetSql,
 
     // CCNet-style unigram cross-entropy: per-token log2(corpus freq)
@@ -3712,6 +3867,11 @@ object SparkEntry {
     // to batch docs — stated literally
     "doc_bigram_logloss_incremental" ->
       bigramLoglossSql("WHERE doc_id % 2 <> 0"),
+
+    // stupid-backoff trigram scoring, held-out split stated literally
+    // (model = even half, probes = odd half)
+    "doc_trigram_backoff" -> trigramBackoffSql,
+    "trigram_backoff_summary" -> trigramBackoffSummarySql,
 
     "lang_id" ->
       """WITH s AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS tk FROM documents),
@@ -4452,6 +4612,28 @@ object SparkEntry {
         |SELECT cluster_id, id_a, id_b, cos_sim FROM p
         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 50""".stripMargin,
 
+    // SemDeDup: the same unrolled-Lloyd cells, τ=0.4 in-cell cosine
+    // edges, recursive component closure (the dedup_clusters reach
+    // convention), survivor = min (cos_centroid, vec_id) per component
+    "semdedup_prune" ->
+      s"""$semdedupCtes
+        |SELECT s.vec_id, emb.label, cc.cid AS cell_id, s.component_id,
+        |  CAST(s.component_size AS BIGINT) AS component_size,
+        |  cc.cos_centroid, s.vec_id = sv.keep_id AS is_kept
+        |FROM sz s JOIN cc USING (vec_id) JOIN sv USING (component_id)
+        |JOIN embeddings emb USING (vec_id)
+        |ORDER BY s.vec_id""".stripMargin,
+
+    "semdedup_summary" ->
+      s"""$semdedupCtes
+        |SELECT cc.cid AS cell_id, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(count(CASE WHEN s.vec_id = sv.keep_id THEN 1 END) AS BIGINT) AS n_kept,
+        |  CAST(count(CASE WHEN s.vec_id <> sv.keep_id THEN 1 END) AS BIGINT) AS n_dropped,
+        |  CAST(count(CASE WHEN s.vec_id <> sv.keep_id THEN 1 END) AS DOUBLE)
+        |    / count(*) AS drop_share
+        |FROM sz s JOIN cc USING (vec_id) JOIN sv USING (component_id)
+        |GROUP BY 1 ORDER BY cell_id""".stripMargin,
+
     // PQ code assignment: per-subspace unrolled-Lloyd codebooks (the
     // shared CTE), final argmin per subspace with the nano-quantized
     // subspace error; subspaces stack via UNION ALL
@@ -5090,6 +5272,7 @@ object SparkEntry {
     // pre-trained apply twin: output bit-identical by contract, same
     // dump-time dictionary, same SQL (r12 VERDICT #3)
     "bpe_token_counts_pretrained" -> bpeTokenCountsSql,
+    "bpe_fertility" -> bpeFertilitySql,
 
     // the unigram-LM apply surface under the SAME training-vs-apply
     // boundary: the trained word→piece-count dictionary inlines as
@@ -5369,6 +5552,112 @@ object SparkEntry {
       |    AS nll_micro
       |FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1 CROSS JOIN vv),
       |j AS (SELECT doc_id, nll_micro FROM p JOIN ct USING (bigram))""".stripMargin
+
+  /** Stupid-backoff trigram model CTEs (Brants et al. 2007) — model
+    * counts from the EVEN-doc_id half, probes from the odd half (the
+    * held-out split the operator states; a merged model would never
+    * back off). Per-probe −log2 score with every log2 on exact
+    * integer inputs, micro-quantized per term; one backoff level
+    * costs −log2(0.4) micro-units (the same correctly-rounded log2
+    * call in both engines); base level is Laplace (f(w)+1)/(N+V).
+    */
+  private val trigramBackoffCtes: String =
+    """tks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+      |  FROM documents),
+      |std AS (SELECT tk FROM tks WHERE doc_id % 2 = 0),
+      |c1 AS (SELECT term, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(tk) AS term FROM std) GROUP BY 1),
+      |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+      |    i -> tk[i] || ' ' || tk[i+1])) AS bg FROM std) GROUP BY 1),
+      |c3 AS (SELECT tg, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tg FROM std) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(f) AS BIGINT) AS n_total,
+      |  CAST(count(*) AS BIGINT) AS v FROM c1),
+      |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tri
+      |  FROM tks WHERE doc_id % 2 <> 0),
+      |kp AS (SELECT tri, string_split(tri, ' ') AS w
+      |  FROM (SELECT DISTINCT tri FROM pr)),
+      |ct AS (SELECT kp.tri,
+      |  CASE WHEN c3.f IS NOT NULL THEN CAST(0 AS BIGINT)
+      |       WHEN b2.f IS NOT NULL THEN CAST(1 AS BIGINT)
+      |       ELSE CAST(2 AS BIGINT) END AS lvl,
+      |  CASE WHEN c3.f IS NOT NULL THEN
+      |    CAST(floor(log2(CAST(c2c.f AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |    - CAST(floor(log2(CAST(c3.f AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |  WHEN b2.f IS NOT NULL THEN
+      |    - CAST(floor(log2(0.4) * 1000000 + 0.5) AS BIGINT)
+      |    + CAST(floor(log2(CAST(u1c.f AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |    - CAST(floor(log2(CAST(b2.f AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |  ELSE
+      |    - 2 * CAST(floor(log2(0.4) * 1000000 + 0.5) AS BIGINT)
+      |    + CAST(floor(log2(CAST(tot.n_total + tot.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |    - CAST(floor(log2(CAST(coalesce(u1.f, 0) + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |  END AS nll_micro
+      |  FROM kp
+      |  LEFT JOIN c3 ON kp.tri = c3.tg
+      |  LEFT JOIN c2 c2c ON w[1] || ' ' || w[2] = c2c.bg
+      |  LEFT JOIN c2 b2 ON w[2] || ' ' || w[3] = b2.bg
+      |  LEFT JOIN c1 u1c ON w[2] = u1c.term
+      |  LEFT JOIN c1 u1 ON w[3] = u1.term
+      |  CROSS JOIN tot),
+      |bj AS (SELECT pr.doc_id, ct.lvl, ct.nll_micro FROM pr JOIN ct USING (tri))""".stripMargin
+
+  private val trigramBackoffSql: String =
+    s"""WITH $trigramBackoffCtes
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+      |  CAST(count(CASE WHEN lvl = 1 THEN 1 END) AS BIGINT) AS n_bo1,
+      |  CAST(count(CASE WHEN lvl = 2 THEN 1 END) AS BIGINT) AS n_bo2,
+      |  CAST(sum(nll_micro) AS BIGINT) AS sum_nll_micro,
+      |  CAST(floor(CAST(sum(nll_micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+      |    AS logloss_microbits
+      |FROM bj GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  private val trigramBackoffSummarySql: String =
+    s"""WITH $trigramBackoffCtes
+      |SELECT d.source, CAST(count(DISTINCT bj.doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_trigrams,
+      |  CAST(count(CASE WHEN lvl = 1 THEN 1 END) AS BIGINT) AS n_bo1,
+      |  CAST(count(CASE WHEN lvl = 2 THEN 1 END) AS BIGINT) AS n_bo2,
+      |  CAST(count(CASE WHEN lvl = 2 THEN 1 END) AS DOUBLE) / count(*) AS bo2_share,
+      |  CAST(floor(CAST(sum(nll_micro) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+      |    AS logloss_microbits
+      |FROM bj JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** DSIR model CTEs (Xie et al. 2023): unigram+bigram features
+    * hashed to 60-bit md5 keys mod [[Corpus.DsirBuckets]]; target =
+    * lang 'en', raw = the rest; Laplace-smoothed bucket models; per-
+    * feature log-ratio contributions micro-quantized per term (every
+    * log2 on exact integer inputs — the bigram-model discipline).
+    */
+  private val dsirCtes: String = {
+    val b = Corpus.DsirBuckets
+    s"""tkd AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS tk
+      |  FROM documents),
+      |f AS (SELECT doc_id, lang, unnest(list_concat(
+      |    list_transform(tk, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % $b),
+      |    list_transform(range(1, len(tk)),
+      |      i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 15))::BIGINT % $b)
+      |  )) AS bucket FROM tkd),
+      |ctg AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nt FROM f
+      |  WHERE lang = 'en' GROUP BY 1),
+      |crw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nr FROM f
+      |  WHERE lang <> 'en' GROUP BY 1),
+      |tt AS (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) AS tot_t FROM ctg),
+      |tr AS (SELECT CAST(coalesce(sum(nr), 0) AS BIGINT) AS tot_r FROM crw),
+      |cb AS (SELECT crw.bucket,
+      |  CAST(floor(log2(CAST(coalesce(ctg.nt, 0) + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |  - CAST(floor(log2(CAST(tt.tot_t + $b AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |  - CAST(floor(log2(CAST(crw.nr + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |  + CAST(floor(log2(CAST(tr.tot_r + $b AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |    AS wt_micro
+      |  FROM crw LEFT JOIN ctg USING (bucket) CROSS JOIN tt CROSS JOIN tr),
+      |dw AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+      |  CAST(sum(wt_micro) AS BIGINT) AS weight_micro
+      |  FROM f JOIN cb USING (bucket) WHERE f.lang <> 'en' GROUP BY 1)""".stripMargin
+  }
 
   /** Bigram logloss oracle with a final doc filter — "" for the
     * one-shot, a doc_id predicate for the model-continuation form

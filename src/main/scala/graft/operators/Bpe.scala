@@ -372,6 +372,41 @@ object Bpe {
     counts
   }
 
+  /** Per-language tokenizer FERTILITY report (Rust et al. 2021, "How
+    * Good is Your Tokenizer?"): fertility = subword tokens per word,
+    * the multilingual-fairness metric a shared tokenizer is audited
+    * by (a language whose words shatter into many pieces pays more
+    * sequence length for the same content), plus chars-per-token (the
+    * compression view of the same imbalance). Both are one double
+    * division of exact corpus-total longs — engine-parity by the
+    * integer-sums discipline. Token counts are MARKER-INCLUSIVE (the
+    * Sennrich terminal `</w>` is a symbol like any other — n_syms =
+    * chars + 1 − merges applied), so chars_per_token can dip below 1
+    * at low merge counts; fertility comparisons across languages are
+    * unaffected (every word carries exactly one marker).
+    *
+    * Scale shape: [[tokenCounts]]'s salted word join (the dictionary
+    * side is vocabulary-scale), then a ≤|langs|-key aggregate with
+    * map-side partials.
+    */
+  def fertility(documents: DataFrame, nMerges: Int = 16): DataFrame = {
+    val (_, words) = train(documents, nMerges)
+    val sizes = words.select(col("word"), size(col("syms")).cast(LongType).as("n_syms"))
+    Partitioning
+      .saltedEquiJoin(docWords(documents), sizes, "word", col("doc_id"))
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"),
+        sum(length(col("word")).cast(LongType)).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        (col("n_bpe_tokens").cast("double") / col("n_words")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens")).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   /** The inverse of [[merges]]: read a persisted merge-table artifact
     * (rank, lhs, rhs, merged, pair_count — e.g. the parquet a
     * `merges().write.parquet(...)` landed) back into the [[Merge]]

@@ -1205,4 +1205,143 @@ object Corpus {
     val batchCap = capPerSource(batch, cap).select(cols.map(col): _*)
     capPerSource(state.select(cols.map(col): _*).unionByName(batchCap), cap)
   }
+
+  // ------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  // NeurIPS): select raw-corpus documents whose hashed n-gram feature
+  // distribution looks like a TARGET corpus. Features are unigrams +
+  // bigrams hashed into [[DsirBuckets]] buckets (the paper's hashed
+  // n-gram generative model); both the target and the raw feature
+  // distributions are Laplace-smoothed bucket unigram models, and a
+  // doc's log importance weight is Σ_feat (log p_target(bucket) −
+  // log p_raw(bucket)). The registry selection is the DETERMINISTIC
+  // top-k by weight — the zero-temperature limit of the paper's
+  // Gumbel-top-k resample (engine-portable where fresh Gumbel noise
+  // is not; the hash-threshold-not-rand() house rule).
+  //
+  // Every log2 runs on exact integer inputs (bucket counts, totals),
+  // micro-quantized per term — the bigramScore discipline — so both
+  // engines agree bit-for-bit. Bucket count tables are associative
+  // under summation (the carried-state contract): the incremental
+  // entry scores a batch under the MERGED models ≡ one-shot
+  // restricted to batch docs.
+  //
+  // Scale shape: the feature stream is one token-scale map stage
+  // (md5 per gram, mod B); both models are ≤B-row aggregates with
+  // map-side partials; the per-bucket contribution table is a ≤B-row
+  // BROADCAST join against the probe stream; the per-doc weight is
+  // one doc-keyed aggregate. No corpus-scale shuffle anywhere but
+  // the final doc aggregate; selection is top-k (TakeOrdered — per-
+  // partition heads, never a global sort materialization).
+  // ------------------------------------------------------------------
+
+  /** Hashed feature-model resolution. 2^13 in the paper; the fixture
+    * default keeps the oracle's bucket CTEs readable while leaving
+    * collisions REAL (vocab ≫ B). A production run raises it — cost
+    * is one ≤B-row broadcast either way.
+    */
+  val DsirBuckets: Int = 128
+
+  /** The hashed n-gram feature stream (doc_id, bucket): unigrams +
+    * adjacent bigrams, each md5-hashed to a 60-bit key mod
+    * [[DsirBuckets]] (the gramPairs key recipe). One map stage.
+    */
+  def dsirFeatures(documents: DataFrame, b: Int = DsirBuckets): DataFrame = {
+    val tk = split(lower(trim(col("text"))), " ")
+    def h(s: Column): Column =
+      pmod(conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast(LongType),
+        lit(b.toLong))
+    val uni = transform(tk, w => h(w))
+    val bi = transform(graft.functions.ColUtil.posRange(size(tk) - lit(1)),
+      i => h(concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+    documents.select(col("doc_id"),
+      explode(concat(uni, bi)).as("bucket"))
+  }
+
+  /** Bucket feature counts (bucket, n) — the DSIR model's carried
+    * state: integer sums, exactly associative.
+    */
+  def dsirBucketCounts(documents: DataFrame, b: Int = DsirBuckets): DataFrame =
+    dsirFeatures(documents, b).groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  def mergeDsirCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(sum(col("n")).as("n"))
+
+  /** Per-RAW-doc log importance weight in micro-bits under explicit
+    * target/raw bucket models — the deployment entry point (estimate
+    * the two models once, stream raw data through). Output per raw
+    * doc: n_feats, weight_micro = Σ_feat [micro(log2(n_t+1)) −
+    * micro(log2(N_t+B)) − micro(log2(n_r+1)) + micro(log2(N_r+B))].
+    * Positive = more target-like than raw-average.
+    */
+  def dsirWeightsWith(rawDocs: DataFrame, targetCounts: DataFrame,
+      rawCounts: DataFrame, b: Int = DsirBuckets): DataFrame =
+    dsirWeightsFromFeatures(dsirFeatures(rawDocs, b), targetCounts,
+      rawCounts, b)
+
+  /** The scoring tail over a pre-computed (doc_id, bucket) feature
+    * stream — what the streaming twin's reconcile re-scores (the
+    * bigramLoglossFromPairs shape: compact sunk features + the final
+    * carried models, never the texts).
+    */
+  def dsirWeightsFromFeatures(features: DataFrame, targetCounts: DataFrame,
+      rawCounts: DataFrame, b: Int = DsirBuckets): DataFrame = {
+    def micro(x: Column): Column =
+      floor(log2(x.cast("double")) * 1e6 + 0.5).cast(LongType)
+    val totT = targetCounts.agg(sum(col("n")).as("tot_t"))
+    val totR = rawCounts.agg(sum(col("n")).as("tot_r"))
+    // contribution per bucket seen in the raw model; a probe bucket
+    // is by construction in the raw stream, target count may be absent
+    val contrib = rawCounts.withColumnRenamed("n", "nr")
+      .join(targetCounts.withColumnRenamed("n", "nt"), Seq("bucket"), "left")
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
+      .select(col("bucket"),
+        (micro(coalesce(col("nt"), lit(0L)) + lit(1L)) -
+          micro(col("tot_t") + lit(b.toLong)) -
+          micro(col("nr") + lit(1L)) +
+          micro(col("tot_r") + lit(b.toLong))).as("wt_micro"))
+    features
+      .join(broadcast(contrib), Seq("bucket")) // ≤B rows
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("wt_micro")).as("weight_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** One-shot DSIR weights: target = docs matching `targetPred`
+    * (the paper's high-quality corpus), raw = the rest; every raw doc
+    * scored. The registry instance targets lang = 'en'.
+    */
+  def dsirWeights(documents: DataFrame, targetPred: Column,
+      b: Int = DsirBuckets): DataFrame =
+    dsirWeightsWith(documents.filter(!targetPred),
+      dsirBucketCounts(documents.filter(targetPred), b),
+      dsirBucketCounts(documents.filter(!targetPred), b), b)
+
+  /** The selection itself: top-`k` raw docs by (weight desc, doc_id)
+    * with their attributes — deterministic zero-temperature DSIR.
+    */
+  def dsirSelect(documents: DataFrame, targetPred: Column, k: Int = 50,
+      b: Int = DsirBuckets): DataFrame =
+    dsirWeights(documents, targetPred, b)
+      .join(documents.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "lang", "source", "n_feats", "weight_micro")
+
+  /** Model continuation: a standing corpus carried as its two bucket
+    * count tables, an arriving batch scored under the MERGED models
+    * (standing + batch) — exactly the one-shot [[dsirWeights]] over
+    * (corpus ∪ batch) restricted to batch raw docs (the
+    * bigramLoglossIncremental contract; oracle states the
+    * restriction literally).
+    */
+  def dsirWeightsIncremental(batch: DataFrame, targetPred: Column,
+      standingTarget: DataFrame, standingRaw: DataFrame,
+      b: Int = DsirBuckets): DataFrame =
+    dsirWeightsWith(batch.filter(!targetPred),
+      mergeDsirCounts(standingTarget,
+        dsirBucketCounts(batch.filter(targetPred), b)),
+      mergeDsirCounts(standingRaw,
+        dsirBucketCounts(batch.filter(!targetPred), b)), b)
 }

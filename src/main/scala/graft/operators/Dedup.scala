@@ -197,6 +197,15 @@ object Dedup {
     clustersCore(exploded.select(col("doc_id")).distinct(),
       pairsFromGraph(exploded))
 
+  /** Component closure over an ARBITRARY candidate-pair graph — the
+    * public entry point for consumers that build their own edges
+    * (Similarity.semdedup feeds in-cell cosine pairs). `ids` must
+    * carry `doc_id` (every node, including singletons), `pairs`
+    * `doc_a`/`doc_b`; output is the [[clusters]] schema.
+    */
+  def clustersFromPairs(ids: DataFrame, pairs: DataFrame): DataFrame =
+    clustersCore(ids, pairs)
+
   private def clustersCore(docIds: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)

@@ -242,6 +242,104 @@ object Similarity {
       .limit(topN)
   }
 
+  // ------------------------------------------------------------------
+  // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+  // at web-scale through semantic deduplication"): the semantic
+  // dedup INTERVENTION the embedding near-dup machinery exists for.
+  // Cluster the corpus with the k-means codebook the serving layer
+  // already maintains, threshold in-cell pairwise cosine at τ into
+  // duplicate components, and keep per component the exemplar with
+  // the LOWEST cosine to its cluster centroid (the paper's survivor
+  // rule — retain the least prototypical member), ties on min
+  // vec_id. τ here plays the role of the paper's 1−ε.
+  //
+  // Scale: assignment is the map-only literal-codebook argmin; the
+  // pair join is blocked per cell (populations ~n/k — raise k at
+  // 100 TB, the embeddingNearDupIvf knob); component closure is the
+  // Dedup min-label propagation (rounds = component diameter;
+  // near-dup components are τ-cliques, diameters stay tiny); the
+  // survivor pick is one component-keyed aggregate with map-side
+  // partials (struct-min, no corpus window).
+  // ------------------------------------------------------------------
+
+  /** Cosine against a LITERAL (double-array) centroid — an ordered
+    * left-to-right fold per accumulator, the same association as the
+    * oracle's list_sum(list_transform(...)), so cos values compare
+    * bit-identically across engines ([[sqDistTo]]'s discipline; the
+    * native [[graft.functions.CosineSim]] reads float arrays and
+    * cannot take the double-typed codebook literal).
+    */
+  private def cosToCentroid(v: Column, c: Column): Column = {
+    val dot = aggregate(zip_with(v, c, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+    val nv = aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val nc = aggregate(c, lit(0.0), (acc, x) => acc + x * x)
+    dot / (sqrt(nv) * sqrt(nc))
+  }
+
+  /** SemDeDup decision table: every vector with its cell, duplicate
+    * component, cosine to its own centroid, and the keep verdict.
+    * Singletons are their own component and trivially kept.
+    */
+  def semdedup(embeddings: DataFrame, tau: Double = 0.4, k: Int = 8,
+               iters: Int = 3): DataFrame =
+    semdedupWith(embeddings, kmeansCodebook(embeddings, k, iters), tau)
+
+  /** [[semdedup]] under a PRE-TRAINED codebook (the
+    * [[kmeansAssignWith]] overload pattern — one trained artifact,
+    * many consumers).
+    */
+  def semdedupWith(embeddings: DataFrame, code: Seq[(Long, Seq[Double])],
+                   tau: Double = 0.4): DataFrame = {
+    val centMap = typedLit(code.map { case (c, v) => c -> v }.toMap)
+    // feeds both pair-join sides, the node set and the final join —
+    // checkpointed once (the multiply-consumed-stream discipline)
+    val assigned = withNearestCentroid(embeddings, col("embedding"), code)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("__cluster_id").as("cell_id"))
+      .withColumn("cos_centroid",
+        cosToCentroid(col("embedding"), element_at(centMap, col("cell_id"))))
+      .localCheckpoint(true)
+    val a = assigned.select(col("cell_id"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("cell_id").as("cid_b"),
+      col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("cell_id") === col("cid_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        cosine(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+    val comp = Dedup.clustersFromPairs(
+        assigned.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"),
+        col("cluster_id").as("component_id"),
+        col("cluster_size").as("component_size"))
+    val joined = assigned.drop("embedding").join(comp, Seq("vec_id"))
+    val survivors = joined.groupBy(col("component_id"))
+      .agg(min(struct(col("cos_centroid"), col("vec_id"))).as("s"))
+      .select(col("component_id"), col("s.vec_id").as("keep_id"))
+    joined.join(survivors, Seq("component_id"))
+      .select(col("vec_id"), col("label"), col("cell_id"),
+        col("component_id"), col("component_size"), col("cos_centroid"),
+        (col("vec_id") === col("keep_id")).as("is_kept"))
+      .orderBy("vec_id")
+  }
+
+  /** The SemDeDup headline report: per-cell kept/dropped counts and
+    * the drop share (the paper's dedup-rate-per-cluster view).
+    */
+  def semdedupSummary(embeddings: DataFrame, tau: Double = 0.4, k: Int = 8,
+                      iters: Int = 3): DataFrame =
+    semdedup(embeddings, tau, k, iters)
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        count(when(col("is_kept"), 1)).as("n_kept"),
+        count(when(!col("is_kept"), 1)).as("n_dropped"))
+      .withColumn("drop_share",
+        col("n_dropped").cast("double") / col("n_vectors"))
+      .orderBy("cell_id")
+
   /** Per-label centroid vectors in exploded long format (label ×
     * dimension × mean): posexplode keys the shuffle on (label, dim) —
     * uniform, 64×|labels| groups — and element sums go through
@@ -360,6 +458,23 @@ object Similarity {
       .toDF("cluster_id", "dim_idx", "centroid_val")
       .orderBy("cluster_id", "dim_idx")
   }
+
+  /** Inverse of [[kmeansCentroids]]: read a persisted exploded
+    * codebook artifact (cluster_id, dim_idx, centroid_val — e.g. the
+    * parquet a `kmeansCentroids().write.parquet(...)` landed) back
+    * into the literal codebook the apply overloads take
+    * ([[kmeansAssignWith]], [[embeddingNearDupIvfWith]],
+    * [[semdedupWith]]) — closing the train → persist → load → apply
+    * deployment loop (the mergesFrom/piecesFrom convention). Rows are
+    * re-sorted on both indices, so storage order is irrelevant;
+    * bounded k×d collect.
+    */
+  def kmeansCodebookFrom(centroids: DataFrame): Seq[(Long, Seq[Double])] =
+    centroids.select(col("cluster_id"), col("dim_idx"), col("centroid_val"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
 
   /** Final cluster assignment under the trained codebook: one map-only
     * corpus pass (literal codebook, per-row argmin, zero shuffle

@@ -1289,6 +1289,161 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------------
+  // Stupid-backoff trigram scoring (Brants et al. 2007, "Large
+  // Language Models in Machine Translation" §4) — the scoring scheme
+  // Google's 2007-era large LMs shipped because, unlike Kneser-Ney,
+  // it needs NO discount fitting and its counts stay exactly
+  // associative (the property every carried state in this engine is
+  // classed by). Score chain: S(w|u v) = f(uvw)/f(uv) if the trigram
+  // was seen, else 0.4·S(w|v); S(w|v) = f(vw)/f(v) if seen, else
+  // 0.4·S(w); base S(w) = (f(w)+1)/(N+V) — the base level carries
+  // Laplace smoothing (a documented deviation from the paper, which
+  // never scores out-of-vocabulary words) so HELD-OUT scoring is
+  // total. Scored HELD-OUT by design: a self-trained model contains
+  // every trigram it scores, so backoff would never fire (the spec
+  // pins that degeneracy); the registry entry trains on the even-
+  // doc_id half and scores the odd half — the bigramLoglossIncremental
+  // split convention, and the deployment shape (score NEW data under
+  // a reference-corpus model, the CCNet/perplexity-filter posture).
+  // ------------------------------------------------------------------
+
+  /** Doc-local consecutive token triples as "w1 w2 w3" keys — ONE map
+    * stage (the [[bigramPairs]] shape, one wider). Every backoff probe
+    * key (context bigram, backoff bigram, context/scored unigrams) is
+    * a pure function of the trigram string, so the probe stream stays
+    * two columns and the model joins run at DISTINCT-trigram scale.
+    */
+  private def trigramPairs(documents: DataFrame): DataFrame = {
+    val tg = transform(graft.functions.ColUtil.posRange(size(toks) - lit(2)),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2)))
+    documents.select(col("doc_id"), explode(tg).as("trigram"))
+  }
+
+  /** The trigram model's carried state — associative under summation
+    * like [[bigramCounts]]/[[termCounts]], so a steady-state run
+    * absorbs batches by count merge.
+    */
+  def trigramCounts(documents: DataFrame): DataFrame =
+    trigramPairs(documents).groupBy("trigram")
+      .agg(count(lit(1)).as("trigram_freq"))
+
+  /** −log2 of the stupid-backoff score, micro-quantized PER LEVEL
+    * TERM (the [[bigramScore]] discipline — every log2 runs on exact
+    * integer inputs, so correctly-rounded log2 keeps both engines
+    * bit-identical): level 0 = micro(log2 f(uv)) − micro(log2 f(uvw));
+    * level 1 adds one backoff penalty −micro(log2 0.4) and uses
+    * f(v)/f(vw); level 2 adds two penalties over the Laplace base
+    * (N+V)/(f(w)+1). Published per probe: the level (0/1/2 — the
+    * OOV-pressure diagnostic) and nll_micro.
+    */
+  private def trigramBackoffContrib(keys: DataFrame, c3: DataFrame,
+      c2: DataFrame, c1: DataFrame): DataFrame = {
+    def micro(x: Column): Column =
+      floor(log2(x.cast("double")) * 1e6 + 0.5).cast(LongType)
+    // one backoff step multiplies the score by 0.4: −log2(0.4) > 0
+    val boPenalty = (-floor(log2(lit(0.4)) * 1e6 + 0.5)).cast(LongType)
+    val totals = c1.agg(sum(col("term_freq")).as("n_total"),
+      count(lit(1)).as("v"))
+    val parts = split(col("trigram"), " ")
+    val withKeys = keys
+      .withColumn("ctx2", concat_ws(" ", parts.getItem(0), parts.getItem(1)))
+      .withColumn("bo_bi", concat_ws(" ", parts.getItem(1), parts.getItem(2)))
+      .withColumn("ctx1", parts.getItem(1))
+      .withColumn("uni", parts.getItem(2))
+    withKeys
+      .join(c3.select(col("trigram"), col("trigram_freq").as("f3")),
+        Seq("trigram"), "left")
+      .join(c2.select(col("bigram").as("ctx2"), col("bigram_freq").as("f2c")),
+        Seq("ctx2"), "left")
+      .join(c2.select(col("bigram").as("bo_bi"), col("bigram_freq").as("f2")),
+        Seq("bo_bi"), "left")
+      .join(c1.select(col("term").as("ctx1"), col("term_freq").as("f1c")),
+        Seq("ctx1"), "left")
+      .join(c1.select(col("term").as("uni"), col("term_freq").as("f1")),
+        Seq("uni"), "left")
+      .crossJoin(broadcast(totals)) // 1-row scalar
+      .select(col("trigram"),
+        when(col("f3").isNotNull, lit(0L))
+          .when(col("f2").isNotNull, lit(1L))
+          .otherwise(lit(2L)).as("backoff_level"),
+        when(col("f3").isNotNull, micro(col("f2c")) - micro(col("f3")))
+          .when(col("f2").isNotNull,
+            boPenalty + micro(col("f1c")) - micro(col("f2")))
+          .otherwise(lit(2L) * boPenalty +
+            micro(col("n_total") + col("v")) -
+            micro(coalesce(col("f1"), lit(0L)) + lit(1L)))
+          .as("nll_micro"))
+  }
+
+  /** Per-document stupid-backoff trigram cross-entropy of `batch`
+    * under the model counts of `standing` (trigram/bigram/term counts
+    * all from [[trigramCounts]]/[[bigramCounts]]/[[termCounts]] of the
+    * standing corpus — NOT merged with the batch, so unseen batch
+    * n-grams genuinely back off). Output per batch doc (≥3 tokens):
+    * n_trigrams, per-level probe counts (n_bo1 = fell to the bigram,
+    * n_bo2 = fell to the smoothed unigram base), sum_nll_micro and
+    * the mean logloss in microbits.
+    *
+    * Scale shape: the probe stream is one batch map stage; the
+    * contribution table derives at DISTINCT-trigram scale (five
+    * vocabulary-scale left joins + a 1-row totals broadcast); the one
+    * corpus-scale join (probes ⋈ contrib) is SALTED on the trigram
+    * key — Zipf-head trigrams are the hot keys ([[bigramScore]]'s
+    * join discipline).
+    */
+  def trigramBackoff(batch: DataFrame, standing: DataFrame): DataFrame =
+    trigramBackoffScore(trigramPairs(batch), trigramCounts(standing),
+      bigramCounts(standing), termCounts(standing))
+
+  /** [[trigramBackoff]] over pre-computed model counts — the carried-
+    * state entry point (all three count tables merge by summation).
+    */
+  def trigramBackoffScore(probes: DataFrame, c3: DataFrame,
+      c2: DataFrame, c1: DataFrame): DataFrame = {
+    val contrib = trigramBackoffContrib(
+      probes.select("trigram").distinct(), c3, c2, c1)
+    Partitioning.saltedEquiJoin(probes, contrib, "trigram", col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        count(when(col("backoff_level") === 1L, 1)).as("n_bo1"),
+        count(when(col("backoff_level") === 2L, 1)).as("n_bo2"),
+        sum(col("nll_micro")).as("sum_nll_micro"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_bo1"), col("n_bo2"),
+        col("sum_nll_micro"),
+        floor(col("sum_nll_micro").cast("double") / col("n_trigrams") + 0.5)
+          .cast(LongType).as("logloss_microbits"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source backoff exposure report over [[trigramBackoff]]'s
+    * probe stream — which sources the standing model covers poorly
+    * (high bo2 share = OOV pressure = the source least like the
+    * reference corpus). Shares are exact-long divisions.
+    */
+  def trigramBackoffSummary(batch: DataFrame, standing: DataFrame): DataFrame = {
+    val contrib = trigramBackoffContrib(
+      trigramPairs(batch).select("trigram").distinct(),
+      trigramCounts(standing), bigramCounts(standing), termCounts(standing))
+    val scored = Partitioning.saltedEquiJoin(
+      trigramPairs(batch), contrib, "trigram", col("doc_id"))
+    scored
+      .join(batch.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_trigrams"),
+        count(when(col("backoff_level") === 1L, 1)).as("n_bo1"),
+        count(when(col("backoff_level") === 2L, 1)).as("n_bo2"),
+        sum(col("nll_micro")).as("sum_nll_micro"))
+      .select(col("source"), col("n_docs"), col("n_trigrams"),
+        col("n_bo1"), col("n_bo2"),
+        (col("n_bo2").cast("double") / col("n_trigrams")).as("bo2_share"),
+        floor(col("sum_nll_micro").cast("double") / col("n_trigrams") + 0.5)
+          .cast(LongType).as("logloss_microbits"))
+      .orderBy("source")
+  }
+
   /** Corpus-cleaning funnel: how many documents survive each filter
     * stage — quality gate, then exact dedup, then repetition — the
     * pipeline summary a training-data run reports (each stage is the

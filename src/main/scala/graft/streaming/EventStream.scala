@@ -991,6 +991,85 @@ object EventStream {
         .select(col("k").as("term"), col("n").as("term_freq")))
   }
 
+  /** Streaming twin of Corpus.dsirWeights (r16) — DSIR importance
+    * weighting as a continuous admission process, in the quality-gate
+    * DRIFT class: carried state = the two hashed-ngram bucket count
+    * tables (target/raw, packed on a `kind` column — both exactly
+    * associative under summation, and BOUNDED at ≤2·DsirBuckets rows:
+    * the histogram-class state, not the vocabulary²-class one). Each
+    * trigger scores its batch's RAW docs under the models of the
+    * corpus so far (batch included — exactly
+    * Corpus.dsirWeightsIncremental, spec-asserted) and sinks the
+    * COMPACT (doc_id, bucket) feature stream beside the scores.
+    * Online weights DRIFT as the models grow (any online
+    * corpus-relative statistic must); [[reconcileDsirWeights]]
+    * settles them by re-scoring the sunk features against the final
+    * models — no text re-scan — and equals the one-shot
+    * Corpus.dsirWeights over everything arrived (spec-asserted).
+    * Same versioned replay-idempotent state, checkpoint, pruning and
+    * block-release discipline as the family.
+    */
+  def dsirWeightsStream(spark: SparkSession, dir: String, sinkPath: String,
+                        splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    val tgt = col("lang") === "en"
+    documentsStream(spark, dir, splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val docs = batch.drop("ingest_ts")
+        val prev = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(String, Long, Long)].toDF("kind", "bucket", "n"))
+        val mt = graft.operators.Corpus.mergeDsirCounts(
+            prev.filter(col("kind") === "t").select("bucket", "n"),
+            graft.operators.Corpus.dsirBucketCounts(docs.filter(tgt)))
+          .localCheckpoint(eager = true)
+        val mr = graft.operators.Corpus.mergeDsirCounts(
+            prev.filter(col("kind") === "r").select("bucket", "n"),
+            graft.operators.Corpus.dsirBucketCounts(docs.filter(!tgt)))
+          .localCheckpoint(eager = true)
+        // checkpointed once: the raw feature stream feeds the scoring
+        // tail AND the compact sink
+        val feats = graft.operators.Corpus.dsirFeatures(docs.filter(!tgt))
+          .localCheckpoint(eager = true)
+        val scored = graft.operators.Corpus
+          .dsirWeightsFromFeatures(feats, mt, mr)
+        graft.sources.Loader.truncateAndLoad(scored, s"$sinkPath/batch_$batchId")
+        graft.sources.Loader.truncateAndLoad(feats, s"$sinkPath/feats_$batchId")
+        val packed = mt.select(lit("t").as("kind"), col("bucket"), col("n"))
+          .unionByName(mr.select(lit("r").as("kind"), col("bucket"), col("n")))
+        graft.sources.Loader.truncateAndLoad(packed, s"$stateDir/upto_$batchId")
+        releaseCheckpoints(mt, mr, feats)
+        pruneStateBefore(spark, stateDir, batchId - 1)
+        ()
+      }
+      .start()
+  }
+
+  /** The batch half of [[dsirWeightsStream]]'s lambda split: re-score
+    * every sunk (doc_id, bucket) feature against the FINAL models —
+    * settles the online drift (early batches saw younger models) and
+    * equals the one-shot Corpus.dsirWeights over everything that
+    * arrived. Compact inputs only: the feature streams and the
+    * carried ≤2·DsirBuckets-row count tables, never the texts.
+    */
+  def reconcileDsirWeights(spark: SparkSession, sinkPath: String): DataFrame = {
+    val stateDir = sinkPath + ".state"
+    val latest = graft.sources.Fs.childDirs(spark, stateDir)
+      .filter(_.startsWith("upto_"))
+      .map(_.stripPrefix("upto_").toLong)
+      .reduceOption(_ max _)
+      .getOrElse(throw new IllegalStateException(
+        s"no DSIR model state under $stateDir — has the stream committed a trigger?"))
+    val st = spark.read.parquet(s"$stateDir/upto_$latest")
+    graft.operators.Corpus.dsirWeightsFromFeatures(
+      spark.read.parquet(s"$sinkPath/feats_*"),
+      st.filter(col("kind") === "t").select("bucket", "n"),
+      st.filter(col("kind") === "r").select("bucket", "n"))
+  }
+
   /** Streaming twin of TextOps.perplexityBuckets (r8 VERDICT #2 /
     * r10 #2) — the DECISION layer over [[bigramLoglossStream]]'s
     * model state: an intake pipeline applies the head/middle/tail

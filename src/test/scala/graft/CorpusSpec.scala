@@ -880,4 +880,83 @@ class CorpusSpec extends AnyFunSuite {
       .collect().toSeq
     assert(contSwap === oneShot)
   }
+
+  // ---- DSIR (Xie et al. 2023) -----------------------------------------
+
+  /** Independent in-memory DSIR reference: same md5 60-bit bucket
+    * recipe, same Laplace models, same per-term micro quantization —
+    * deliberately a different formulation (plain Scala maps).
+    */
+  private def dsirReference(rows: Seq[(Long, String, Boolean)],
+      b: Int = Corpus.DsirBuckets): Map[Long, (Long, Long)] = {
+    def bucketOf(gram: String): Long =
+      java.lang.Long.parseLong(md5hex(gram).take(15), 16) % b
+    def feats(text: String): Seq[Long] = {
+      val tk = text.trim.toLowerCase.split(" ", -1).toSeq
+      tk.map(bucketOf) ++ tk.sliding(2).filter(_.size == 2)
+        .map(p => bucketOf(p.mkString(" "))).toSeq
+    }
+    def micro(x: Double): Long =
+      math.floor(math.log(x) / math.log(2.0) * 1e6 + 0.5).toLong
+    val tgt = rows.filter(_._3).flatMap(r => feats(r._2))
+    val raw = rows.filter(!_._3).flatMap(r => feats(r._2))
+    val ct = tgt.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cr = raw.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    rows.filter(!_._3).map { case (id, text, _) =>
+      val fs = feats(text)
+      val w = fs.map { f =>
+        micro((ct.getOrElse(f, 0L) + 1).toDouble) -
+          micro((tgt.size + b).toDouble) -
+          micro((cr(f) + 1).toDouble) + micro((raw.size + b).toDouble)
+      }.sum
+      id -> ((fs.size.toLong, w))
+    }.toMap
+  }
+
+  test("dsir weights: bit-equal to an independent in-memory reference; target-like raw docs rank higher") {
+    val planted = Seq(
+      doc(1L, "spark shuffle partition join broadcast spark shuffle"),
+      doc(2L, "spark shuffle partition join broadcast spark shuffle"),
+      // raw doc 3 repeats the target text verbatim; raw doc 4 is
+      // vocabulary-disjoint — importance must rank 3 above 4
+      doc(3L, "spark shuffle partition join broadcast spark shuffle", "fr"),
+      doc(4L, "zebra yak wombat xerus vole zebra yak", "fr"),
+      doc(5L, "spark zebra join yak broadcast wombat", "de"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tgt = col("lang") === "en"
+    val out = Corpus.dsirWeights(planted, tgt).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ref = dsirReference(Seq(
+      (1L, "spark shuffle partition join broadcast spark shuffle", true),
+      (2L, "spark shuffle partition join broadcast spark shuffle", true),
+      (3L, "spark shuffle partition join broadcast spark shuffle", false),
+      (4L, "zebra yak wombat xerus vole zebra yak", false),
+      (5L, "spark zebra join yak broadcast wombat", false)))
+    assert(out === ref)
+    assert(out(3L)._2 > out(5L)._2 && out(5L)._2 > out(4L)._2,
+      "weight order must follow target-likeness")
+    // the mixed doc sits strictly between; and the verbatim-target raw
+    // doc must score positive (more target-like than raw-average)
+    assert(out(3L)._2 > 0L)
+  }
+
+  test("dsir select is the weight top-k; incremental ≡ one-shot restricted to batch") {
+    val tgt = col("lang") === "en"
+    val weights = Corpus.dsirWeights(docs, tgt)
+    val selected = Corpus.dsirSelect(docs, tgt, k = 50).collect()
+    assert(selected.length === 50)
+    val wMap = weights.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = wMap.toSeq.sortBy { case (id, w) => (-w, id) }.take(50)
+      .map(_._1).toSet
+    assert(selected.map(_.getLong(0)).toSet === expected)
+    // model continuation: merged bucket models = full-corpus models
+    val standing = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+    val cont = Corpus.dsirWeightsIncremental(batch, tgt,
+      Corpus.dsirBucketCounts(standing.filter(tgt)),
+      Corpus.dsirBucketCounts(standing.filter(!tgt)))
+    val oneShot = weights.filter(col("doc_id") % 2 =!= 0)
+    assert(cont.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(cont).count() === 0)
+  }
 }

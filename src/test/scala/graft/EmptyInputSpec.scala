@@ -104,6 +104,17 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextOps.bigramLogloss(docs).count() === 0)
     assert(TextOps.bigramLoglossIncremental(docs,
       TextOps.bigramCounts(docs), TextOps.termCounts(docs)).count() === 0)
+    // stupid-backoff trigram family (r16): empty batch and/or empty
+    // model (null totals) → zero rows, no throw
+    assert(TextOps.trigramBackoff(docs, docs).count() === 0)
+    assert(TextOps.trigramBackoffSummary(docs, docs).count() === 0)
+    // DSIR family (r16): empty corpus → empty models (null totals
+    // stay unevaluated — the contribution table has no rows)
+    assert(Corpus.dsirWeights(docs, col("lang") === "en").count() === 0)
+    assert(Corpus.dsirSelect(docs, col("lang") === "en").count() === 0)
+    assert(Corpus.dsirWeightsIncremental(docs, col("lang") === "en",
+      Corpus.dsirBucketCounts(docs), Corpus.dsirBucketCounts(docs))
+      .count() === 0)
     assert(Corpus.report(docs).count() === 0)
     assert(Corpus.packManifest(docs).count() === 0)
     assert(Corpus.packSequences(docs).count() === 0)
@@ -208,6 +219,10 @@ class EmptyInputSpec extends AnyFunSuite {
       "empty corpus → empty codebook, zero rows, no throw")
     assert(Similarity.kmeansCentroids(emb).count() === 0)
     assert(Similarity.embeddingNearDupIvf(emb).count() === 0)
+    // SemDeDup (r16): empty corpus → empty codebook, zero components,
+    // zero summary cells, no throw
+    assert(Similarity.semdedup(emb).count() === 0)
+    assert(Similarity.semdedupSummary(emb).count() === 0)
     assert(Similarity.pqCodes(emb).count() === 0,
       "empty corpus → empty subspace codebooks, zero rows, no throw")
     assert(Similarity.knnPq(emb).count() === 0)

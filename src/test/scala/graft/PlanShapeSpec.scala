@@ -96,6 +96,19 @@ class PlanShapeSpec extends AnyFunSuite {
         "two-phase pack scan (its per-(lang,bucket) windows + tiny " +
         "offset rollup = the seq_pack shape); broadcasts are the " +
         "literal-dictionary and offset sides at fixture stats"),
+    ("dsir_weights", Shape(8, 2, 0, 0),
+      "token-scale feature explodes feed ≤B-row bucket aggregates " +
+        "(6 of the 8 exchanges move ≤B rows: two model aggs, two " +
+        "1-row totals, all inside the broadcast contrib build); the " +
+        "corpus pays ONE doc-keyed agg exchange + output sort; " +
+        "contrib attaches by broadcast, scalars by nested-loop cross"),
+    ("doc_trigram_backoff", Shape(10, 6, 0, 0),
+      "probe stream = one batch map stage; the five model left joins " +
+        "run at DISTINCT-trigram scale (its distinct is one of the " +
+        "vocab-scale exchanges) and broadcast at fixture stats " +
+        "(keyed shuffles at scale — either safe); the sixth " +
+        "broadcast is the salted probe⋈contrib (corpus-scale probe " +
+        "side streams); per-doc rollup + output sort"),
     ("doc_char_entropy", Shape(1, 0, 0, 0),
       "pure native-expression map; only the output sort exchanges"),
     ("quality_gopher", Shape(1, 0, 0, 0),
@@ -324,6 +337,12 @@ class PlanShapeSpec extends AnyFunSuite {
         "offset branch; ReuseExchange collapses them at runtime); " +
         "per-source offset windows ARE partitioned")),
     "basket_pairs" -> ((1, "1-row n_orders scalar final stage")),
+    "dsir_weights" -> ((2,
+      "the two 1-row model-total scalars (N_t, N_r) over ≤B-row " +
+        "bucket count tables — never data-scale input")),
+    "doc_trigram_backoff" -> ((1,
+      "the 1-row (N, V) model-totals scalar over the vocabulary-" +
+        "scale term count table")),
     "validate_benford" -> ((1, "1-row n_total count-scalar final stage")),
     "validate_distribution_drift" -> ((3,
       "all scalar finals over parallelism-scale partials: the union " +

@@ -578,6 +578,44 @@ class ScaleSpec extends AnyFunSuite {
     assert(oneShot.exceptAll(settled).count() === 0)
   }
 
+  test("streaming dsir weights: bounded bucket models carried; trigger-2 ≡ incremental; reconcile settles to one-shot") {
+    val sink = Files.createTempDirectory("graft_dsirstream").toString + "/dsir"
+    val q = EventStream.dsirWeightsStream(spark, sf, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val docs = Tables.documents(spark, sf)
+    val tgt = col("lang") === "en"
+    val oneShot = graft.operators.Corpus.dsirWeights(docs, tgt)
+    // online drift exists by construction (trigger-1 raw docs scored
+    // under the prefix models) — report, don't assert its size
+    val online = spark.read.parquet(s"$sink/batch_*")
+    info(s"online-vs-settled dsir weight drift: " +
+      s"${online.exceptAll(oneShot).count()} rows")
+    // trigger-2 scored under the merged (= full) models: exactly the
+    // incremental-admission view = one-shot restricted to its half
+    val t2 = spark.read.parquet(s"$sink/${batches.last}")
+    val first = docs.filter(col("doc_id") < 250)
+    val second = docs.filter(col("doc_id") >= 250)
+    val t2Inc = graft.operators.Corpus.dsirWeightsIncremental(second, tgt,
+      graft.operators.Corpus.dsirBucketCounts(first.filter(tgt)),
+      graft.operators.Corpus.dsirBucketCounts(first.filter(!tgt)))
+    assert(t2.exceptAll(t2Inc).count() === 0)
+    assert(t2Inc.exceptAll(t2).count() === 0)
+    // carried state is BOUNDED: ≤ 2·DsirBuckets rows regardless of
+    // corpus size — the histogram class, not the vocabulary² class
+    val latest = new java.io.File(sink + ".state").listFiles()
+      .map(_.getName).filter(_.startsWith("upto_")).max
+    val st = spark.read.parquet(s"$sink.state/$latest")
+    assert(st.count() <= 2L * graft.operators.Corpus.DsirBuckets)
+    // the settled answer: sunk compact features + final models, no
+    // text re-scan
+    val settled = EventStream.reconcileDsirWeights(spark, sink)
+    assert(settled.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(settled).count() === 0)
+  }
+
   test("streaming perplexity buckets: model+histogram carried; online buckets drift; reconcile settles to one-shot") {
     val sink = Files.createTempDirectory("graft_ppxstream").toString + "/ppx"
     val q = EventStream.perplexityBucketStream(spark, sf, sink, splitAt = Some(250L))

@@ -1213,4 +1213,82 @@ class SimilaritySpec extends AnyFunSuite {
     r.foreach(row => assert(row.getDouble(4) === 1.0,
       s"probe ${row.getLong(0)} recall ${row.getDouble(4)} != 1"))
   }
+
+  // ---- SemDeDup (Abbas et al. 2023) -----------------------------------
+
+  test("semdedup: planted near-identical group collapses to one survivor, the least-prototypical member") {
+    // 8 mutually-orthogonal/antipodal seed directions (vec_ids 0..7
+    // cover the first-k seeding) plus two tiny perturbations of seed
+    // 0's direction — {0, 8, 9} are pairwise cos ≈ 1, share seed 0's
+    // cell, and form ONE duplicate component at τ=0.9; everything
+    // else is a singleton (mutual cos ∈ {0, −1})
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val df = Seq(
+      (0L, v(1.0, 0, 0, 0), 0), (1L, v(0, 1.0, 0, 0), 0),
+      (2L, v(0, 0, 1.0, 0), 1), (3L, v(0, 0, 0, 1.0), 1),
+      (4L, v(-1.0, 0, 0, 0), 2), (5L, v(0, -1.0, 0, 0), 2),
+      (6L, v(0, 0, -1.0, 0), 3), (7L, v(0, 0, 0, -1.0), 3),
+      (8L, v(0.99, 0.02, 0, 0), 0), (9L, v(0.97, 0.05, 0, 0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semdedup(df, tau = 0.9).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    assert(out.size === 10, "every vector appears exactly once")
+    // {0, 8, 9} = one 3-member component labeled by its min id
+    assert(out(0L)._2 === 0L && out(8L)._2 === 0L && out(9L)._2 === 0L)
+    assert(Seq(0L, 8L, 9L).forall(out(_)._3 === 3L))
+    (1L to 7L).foreach(id => assert(out(id)._3 === 1L && out(id)._5,
+      s"vec $id must be a kept singleton"))
+    // survivor rule: exactly one kept, and it is the member with the
+    // LOWEST cosine to the shared centroid (tie: min id)
+    val group = Seq(0L, 8L, 9L).map(id => id -> out(id))
+    assert(group.count(_._2._5) === 1, "exactly one of the group survives")
+    val expected = group.minBy { case (id, g) => (g._4, id) }._1
+    assert(out(expected)._5,
+      s"survivor must minimize (cos_centroid, vec_id); got ${group.map(g => (g._1, g._2._4, g._2._5))}")
+  }
+
+  test("semdedup on the corpus: partition invariants hold; summary rolls the prune table") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.semdedup(emb)
+    val rows = out.collect()
+    assert(rows.length === emb.count().toInt)
+    // exactly one survivor per component, component sizes consistent
+    val byComp = rows.groupBy(_.getLong(3))
+    byComp.foreach { case (comp, ms) =>
+      assert(ms.count(_.getBoolean(6)) === 1, s"component $comp needs one survivor")
+      assert(ms.forall(_.getLong(4) === ms.length.toLong))
+      // all members share a cell (pairs are in-cell by construction)
+      assert(ms.map(_.getLong(2)).distinct.length === 1)
+      // the survivor is the (cos_centroid, vec_id) minimum
+      val keep = ms.filter(_.getBoolean(6)).head
+      val best = ms.minBy(r => (r.getDouble(5), r.getLong(0)))
+      assert(keep.getLong(0) === best.getLong(0))
+    }
+    val dropped = rows.count(!_.getBoolean(6))
+    info(s"semdedup at τ=0.4 on the fixture: $dropped of ${rows.length} dropped")
+    // summary = the prune table re-aggregated per cell
+    val summary = Similarity.semdedupSummary(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val byCell = rows.groupBy(_.getLong(2)).map { case (cell, ms) =>
+      cell -> ((ms.length.toLong, ms.count(_.getBoolean(6)).toLong,
+        ms.count(!_.getBoolean(6)).toLong))
+    }
+    assert(summary === byCell)
+  }
+
+  test("semdedup persistence loop: train → write → read → semdedupWith bit-equals self-training") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup_art")
+      .toString + "/codebook"
+    Similarity.kmeansCentroids(emb).write.parquet(dir)
+    // shuffle storage order on read-back: the reader must re-sort
+    val art = Similarity.kmeansCodebookFrom(
+      spark.read.parquet(dir).orderBy(col("centroid_val")))
+    val fromArtifact = Similarity.semdedupWith(emb, art)
+    val selfTrained = Similarity.semdedup(emb)
+    assert(fromArtifact.exceptAll(selfTrained).count() === 0)
+    assert(selfTrained.exceptAll(fromArtifact).count() === 0)
+  }
 }

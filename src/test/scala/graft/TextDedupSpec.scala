@@ -1090,4 +1090,66 @@ class TextDedupSpec extends AnyFunSuite {
     assert(math.abs(est - exact) / exact < 0.25,
       s"hll estimate $est vs exact $exact out of tolerance")
   }
+
+  test("stupid-backoff trigram: levels and micro-bit scores by hand math") {
+    // standing (even ids): N=8 tokens, V=5 {a,b,c,d,e};
+    // c3: "a b c":2, "b c d":1, "b c e":1; c2: "a b":2, "b c":2,
+    // "c d":1, "c e":1; c1: a:2 b:2 c:2 d:1 e:1
+    val planted = Seq(
+      (0L, "a b c d", "en", "s", 7L), (2L, "a b c e", "en", "s", 7L),
+      (1L, "a b c d", "en", "s", 7L), // both trigrams seen: level 0
+      (3L, "a b x", "en", "s", 5L),   // "b x" unseen too: level 2
+      (5L, "x b c", "en", "s", 5L),   // trigram unseen, "b c" seen: level 1
+      (7L, "a b", "en", "s", 3L))     // <3 tokens: absent
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val standing = planted.filter(col("doc_id") % 2 === 0)
+    val batch = planted.filter(col("doc_id") % 2 =!= 0)
+    val out = TextOps.trigramBackoff(batch, standing).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // doc 1: "a b c" P=2/2 → 0 bits; "b c d" P=1/2 → 1e6 micro
+    assert(out(1L) === ((2L, 0L, 0L, 1000000L, 500000L)))
+    // doc 5: one level-1 probe — penalty 1321928 (−log2 0.4) +
+    // micro(f(b)=2) − micro(f("b c")=2) = 1321928
+    assert(out(5L) === ((1L, 1L, 0L, 1321928L, 1321928L)))
+    // doc 3: one level-2 probe — 2·penalty + micro(N+V=13) −
+    // micro(f(x)+1=1) = 2643856 + 3700440
+    assert(out(3L) === ((1L, 0L, 1L, 6344296L, 6344296L)))
+    assert(!out.contains(7L), "a two-token doc has no trigram probes")
+    // held-out ordering sanity: a fully-covered doc scores below the
+    // OOV one
+    assert(out(1L)._5 < out(3L)._5)
+  }
+
+  test("stupid-backoff trigram: self-trained model never backs off; summary rolls the doc grain") {
+    val docs = Tables.documents(spark, sf)
+    val self = TextOps.trigramBackoff(docs, docs)
+    // every probe trigram is in its own training set: backoff is
+    // structurally dead on a self-trained model — the reason the
+    // registry entry is held-out
+    assert(self.filter(col("n_bo1") > 0 || col("n_bo2") > 0).isEmpty)
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+    val standing = docs.filter(col("doc_id") % 2 === 0)
+    val perDoc = TextOps.trigramBackoff(batch, standing)
+    // the held-out fixture really exercises backoff
+    val bo = perDoc.agg(sum(col("n_bo1")), sum(col("n_bo2"))).collect()(0)
+    info(s"fixture backoff pressure: ${bo.getLong(0)} bigram falls, " +
+      s"${bo.getLong(1)} unigram falls")
+    // summary = the doc grain re-aggregated by source (exact-long
+    // consistency, shares derived from the same longs)
+    val summary = TextOps.trigramBackoffSummary(batch, standing).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val byDoc = perDoc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("nd"), sum(col("n_trigrams")).as("nt"),
+        sum(col("n_bo1")).as("b1"), sum(col("n_bo2")).as("b2"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(summary === byDoc)
+  }
 }
