@@ -495,6 +495,10 @@ object SparkEntry {
     "corpus_mix_summary" -> ((s, d) => Corpus.mixSummary(t(s, d, "documents"))),
     "stratified_sample" -> ((s, d) => Corpus.stratifiedSample(t(s, d, "documents"))),
     "corpus_temperature" -> ((s, d) => Corpus.temperatureSample(t(s, d, "documents"))),
+    // UniMax (Chung et al. 2023): epoch-capped water-filling budget
+    // allocation — the structural fix for temperature sampling's
+    // tail-language over-repetition
+    "corpus_unimax" -> ((s, d) => Corpus.unimax(t(s, d, "documents"))),
     "corpus_temperature_summary" ->
       ((s, d) => Corpus.temperatureSummary(t(s, d, "documents"))),
     "corpus_select_budget" -> ((s, d) => Corpus.selectBudget(t(s, d, "documents"))),
@@ -4953,6 +4957,32 @@ object SparkEntry {
 
     // α = 1/2 temperature rebalance: sqrt is correctly rounded in both
     // engines, so rate (and every threshold decision) is bit-identical.
+    // UniMax epoch-capped water-filling: languages sorted by cap
+    // ascending; capped iff cap·(L−rk+1) < B − prefix_before (exact
+    // integer logic); the uncapped split the remainder equally
+    "corpus_unimax" ->
+      """WITH lt AS (SELECT lang,
+        |  CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY 1),
+        |c AS (SELECT lang, n_tokens, n_tokens * 1 AS cap_tokens FROM lt),
+        |r AS (SELECT lang, n_tokens, cap_tokens,
+        |  CAST(row_number() OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS rk,
+        |  CAST(sum(cap_tokens) OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS prefix
+        |FROM c),
+        |l AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM c),
+        |f AS (SELECT r.*, l.n_langs,
+        |  cap_tokens * (n_langs - rk + 1) < 20000 - (prefix - cap_tokens) AS capped
+        |FROM r CROSS JOIN l),
+        |k AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS k,
+        |  CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0) AS BIGINT) AS s_k
+        |FROM f)
+        |SELECT lang, n_tokens, cap_tokens, capped,
+        |  CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+        |    ELSE (CAST(20000 AS DOUBLE) - s_k) / (n_langs - k) END AS alloc_tokens,
+        |  CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+        |    ELSE (CAST(20000 AS DOUBLE) - s_k) / (n_langs - k) END / n_tokens AS epochs
+        |FROM f CROSS JOIN k ORDER BY lang""".stripMargin,
+
     "corpus_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
         |m AS (SELECT min(n_lang) AS n_min FROM c),

@@ -1329,6 +1329,63 @@ object Corpus {
       .limit(k)
       .select("doc_id", "lang", "source", "n_feats", "weight_micro")
 
+  /** UniMax language-sampling allocation (Chung et al. 2023, ICLR —
+    * "UniMax: Fairer and More Effective Language Sampling"): given a
+    * total token budget and a per-language repeat cap of `maxEpochs`
+    * epochs, allocate the budget as uniformly as possible WITHOUT
+    * over-repeating low-resource languages — the published
+    * alternative to temperature sampling (44p2) whose failure mode
+    * (tail languages epoch'd dozens of times at low α) UniMax caps
+    * structurally. Greedy water-filling in closed form: languages
+    * sorted by cap ascending; language i is capped iff its cap is
+    * below the equal share of what remains assuming all smaller
+    * languages capped — cap_i·(L−i+1) < B − prefix_{i−1}, exact
+    * integer logic (caps ascending make the inductive assumption
+    * sound); capped languages take their cap, the rest split the
+    * remainder equally (one double division of exact longs).
+    *
+    * Output per language: n_tokens, cap_tokens, capped, alloc_tokens,
+    * epochs = alloc/n (≤ maxEpochs by construction — the paper's
+    * fairness guarantee). If the budget exceeds every cap, everything
+    * is capped and Σalloc < B (the honest result — UniMax never
+    * repeats past the cap).
+    *
+    * Scale: one corpus token-count scan into a ≤|langs|-row table;
+    * the ordering window and both scalar aggregates run at language
+    * grain (the bounded-histogram class) — never per-doc.
+    */
+  def unimax(documents: DataFrame, budgetTokens: Long = 20000L,
+             maxEpochs: Int = 1): DataFrame = {
+    val langTok = documents
+      .select(col("lang"),
+        size(split(lower(trim(col("text"))), " ")).cast(LongType).as("n"))
+      .groupBy("lang").agg(sum(col("n")).as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * maxEpochs)
+    // global window over ≤|langs| rows — metadata scale by design
+    val w = Window.orderBy(col("cap_tokens"), col("lang"))
+    val ranked = langTok
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("prefix", sum(col("cap_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nLangs = langTok.agg(count(lit(1)).as("n_langs"))
+    val flagged = ranked.crossJoin(broadcast(nLangs))
+      .withColumn("capped",
+        col("cap_tokens") * (col("n_langs") - col("rk") + 1L) <
+          lit(budgetTokens) - (col("prefix") - col("cap_tokens")))
+    val kAgg = flagged.agg(
+      coalesce(sum(when(col("capped"), 1L)), lit(0L)).as("k"),
+      coalesce(sum(when(col("capped"), col("cap_tokens"))), lit(0L)).as("s_k"))
+    flagged.crossJoin(broadcast(kAgg))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens").cast("double"))
+          .otherwise((lit(budgetTokens.toDouble) - col("s_k")) /
+            (col("n_langs") - col("k"))))
+      .withColumn("epochs", col("alloc_tokens") / col("n_tokens"))
+      .select("lang", "n_tokens", "cap_tokens", "capped",
+        "alloc_tokens", "epochs")
+      .orderBy("lang")
+  }
+
   /** Model continuation: a standing corpus carried as its two bucket
     * count tables, an arriving batch scored under the MERGED models
     * (standing + batch) — exactly the one-shot [[dsirWeights]] over

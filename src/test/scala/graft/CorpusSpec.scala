@@ -881,6 +881,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(contSwap === oneShot)
   }
 
+  // ---- UniMax (Chung et al. 2023) --------------------------------------
+
+  test("unimax: water-filling hand math — capped tail takes its cap, the rest split equally") {
+    // caps (E=1): a=2, b=4, c=100; budget 30 → a capped (2·3 < 30),
+    // b capped (4·2 < 28), c uncapped → alloc (30−6)/1 = 24
+    val planted = Seq(
+      doc(1L, "w w", "a"), doc(2L, "w w w w", "b"),
+      doc(3L, (1 to 100).map(_ => "w").mkString(" "), "c"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.unimax(planted, budgetTokens = 30L, maxEpochs = 1)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out("a") === ((2L, 2L, true, 2.0, 1.0)))
+    assert(out("b") === ((4L, 4L, true, 4.0, 1.0)))
+    assert(out("c") === ((100L, 100L, false, 24.0, 0.24)))
+    // budget beyond every cap: everything capped, Σalloc < B — UniMax
+    // never repeats past the epoch cap
+    val all = Corpus.unimax(planted, budgetTokens = 1000L, maxEpochs = 1)
+      .collect()
+    assert(all.forall(_.getBoolean(3)))
+    assert(all.map(_.getDouble(4)).sum === 106.0)
+  }
+
+  test("unimax on the corpus: fairness invariants — epochs ≤ cap, Σalloc ≤ budget, uncapped share equal") {
+    val out = Corpus.unimax(docs, budgetTokens = 20000L, maxEpochs = 1).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(5) <= 1.0 + 1e-12,
+      s"lang ${r.getString(0)} exceeds the epoch cap"))
+    assert(out.map(_.getDouble(4)).sum <= 20000.0 + 1e-6)
+    val uncapped = out.filter(!_.getBoolean(3)).map(_.getDouble(4)).distinct
+    assert(uncapped.length <= 1, "uncapped languages must share one allocation")
+    info(s"unimax split: ${out.count(_.getBoolean(3))} capped / " +
+      s"${out.length} langs, uncapped share ${uncapped.headOption.getOrElse(-1.0)}")
+  }
+
   // ---- DSIR (Xie et al. 2023) -----------------------------------------
 
   /** Independent in-memory DSIR reference: same md5 60-bit bucket
