@@ -90,8 +90,9 @@ object GraftConfig {
       // unlucky rep than min-of-2 for ~2 min more (untimed) suite wall
       benchReps = getInt("bench.reps", "SPARK_GRAFT_BENCH_REPS", 3),
       // which metering stage Corpus.curate composes: "budget"
-      // (score-bucket token budgeting — the default, oracle-pinned)
-      // or "priority" (weighted A-Res sampling); validated at the
+      // (score-bucket token budgeting — the default, oracle-pinned),
+      // "priority" (weighted A-Res sampling) or "dsir" (importance-
+      // based top-k vs the lang='en' target slice); validated at the
       // operator, not here, so a bad value names the call site
       curateSelector = get("curate.selector", "SPARK_GRAFT_CURATE_SELECTOR")
         .getOrElse("budget"),

@@ -544,6 +544,11 @@ object SparkEntry {
           Corpus.dsirBucketCounts(b.filter(!tgt))))
     }),
     "corpus_curate" -> ((s, d) => Corpus.curate(t(s, d, "documents"))),
+    // the r16 selector switch's third path: same verdict+dedup
+    // survivor frame, metered by DSIR importance top-k vs the
+    // survivors' own lang='en' slice
+    "corpus_curate_dsir" -> ((s, d) =>
+      Corpus.curate(t(s, d, "documents"), selector = "dsir")),
     // the r8 selector switch's other path: same verdict+dedup survivor
     // frame, metered by weighted A-Res sampling instead of the budget
     "corpus_curate_priority" -> ((s, d) =>
@@ -3618,6 +3623,28 @@ object SparkEntry {
         |  bt.threshold_micro IS NOT NULL AND sv.score_micro >= bt.threshold_micro AS kept
         |FROM sv LEFT JOIN bt USING (lang) ORDER BY sv.doc_id""".stripMargin,
 
+    // The r16 selector switch's dsir path: the SAME verdict+dedup
+    // survivor CTEs, then the DSIR model + top-k tail trained on the
+    // SURVIVOR frame itself (target = its lang='en' slice).
+    "corpus_curate_dsir" ->
+      s"""WITH $verdictCtes,
+        |vd AS (SELECT g.doc_id,
+        |  g.gopher_keep AND NOT r.is_repetitive
+        |    AND (e.em BETWEEN 1000000 AND 6000000)
+        |    AND sc.score_micro >= th.threshold_micro AS keep
+        |FROM gq g JOIN rp r USING (doc_id) JOIN en e USING (doc_id)
+        |JOIN sc USING (doc_id) JOIN th ON sc.lang = th.lang),
+        |dd AS (SELECT doc_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS is_dup
+        |FROM documents),
+        |cd AS (SELECT d.doc_id, d.text, d.lang, d.source FROM documents d
+        |  JOIN vd USING (doc_id) JOIN dd USING (doc_id)
+        |  WHERE vd.keep AND NOT dd.is_dup),
+        |${dsirCtesOver("cd")}
+        |SELECT dw.doc_id, c.lang, c.source, dw.n_feats, dw.weight_micro
+        |FROM dw JOIN cd c USING (doc_id)
+        |ORDER BY weight_micro DESC, doc_id LIMIT 25""".stripMargin,
+
     // The r8 selector switch's priority path: the SAME verdict+dedup
     // survivor CTEs, then the A-Res tail (prioritySampleSql's
     // hash-priority arithmetic verbatim) over the survivors.
@@ -5656,21 +5683,26 @@ object SparkEntry {
       |    AS logloss_microbits
       |FROM bj JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY source""".stripMargin
 
-  /** DSIR model CTEs (Xie et al. 2023): unigram+bigram features
-    * hashed to 60-bit md5 keys mod [[Corpus.DsirBuckets]]; target =
-    * lang 'en', raw = the rest; Laplace-smoothed bucket models; per-
-    * feature log-ratio contributions micro-quantized per term (every
-    * log2 on exact integer inputs — the bigram-model discipline).
+  /** DSIR model CTEs (Xie et al. 2023): unigram+bigram features —
+    * ONE 28-bit md5 per token, bigram keys by the exact arithmetic
+    * combination h₀·2²⁸ + h₁ (the repetition-operator recipe), mod
+    * [[Corpus.DsirBuckets]]; target = lang 'en', raw = the rest;
+    * Laplace-smoothed bucket models; per-feature log-ratio
+    * contributions micro-quantized per term (every log2 on exact
+    * integer inputs — the bigram-model discipline).
     */
-  private val dsirCtes: String = {
+  private def dsirCtesOver(src: String): String = {
     val b = Corpus.DsirBuckets
     s"""tkd AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS tk
-      |  FROM documents),
+      |  FROM $src),
+      |hh AS (SELECT doc_id, lang,
+      |  list_transform(tk, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT) AS hs
+      |  FROM tkd),
       |f AS (SELECT doc_id, lang, unnest(list_concat(
-      |    list_transform(tk, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % $b),
-      |    list_transform(range(1, len(tk)),
-      |      i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 15))::BIGINT % $b)
-      |  )) AS bucket FROM tkd),
+      |    list_transform(hs, h -> h % $b),
+      |    list_transform(range(1, len(hs)),
+      |      i -> (hs[i] * 268435456 + hs[i+1]) % $b)
+      |  )) AS bucket FROM hh),
       |ctg AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nt FROM f
       |  WHERE lang = 'en' GROUP BY 1),
       |crw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nr FROM f
@@ -5688,6 +5720,8 @@ object SparkEntry {
       |  CAST(sum(wt_micro) AS BIGINT) AS weight_micro
       |  FROM f JOIN cb USING (bucket) WHERE f.lang <> 'en' GROUP BY 1)""".stripMargin
   }
+
+  private val dsirCtes: String = dsirCtesOver("documents")
 
   /** Bigram logloss oracle with a final doc filter — "" for the
     * one-shot, a doc_id predicate for the model-continuation form

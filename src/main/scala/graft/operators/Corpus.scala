@@ -702,8 +702,8 @@ object Corpus {
     */
   def curate(documents: DataFrame, budgetTokens: Long = 500L,
              selector: String = "budget", sampleN: Int = 25): DataFrame = {
-    require(selector == "budget" || selector == "priority",
-      s"curate selector must be 'budget' or 'priority', got '$selector'")
+    require(selector == "budget" || selector == "priority" || selector == "dsir",
+      s"curate selector must be 'budget', 'priority' or 'dsir', got '$selector'")
     // BOTH stage outputs are checkpointed before composing. The
     // verdict one is not about re-execution: combining the LAZY
     // verdict subtree (4 signal pipelines) with the dedup subtree in
@@ -724,7 +724,12 @@ object Corpus {
       .select(documents.columns.map(col): _*)
       .localCheckpoint(true)
     org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(v)
+    // "dsir" (r16): importance-based metering — DSIR models trained
+    // on the SURVIVOR frame itself (target = its lang='en' slice),
+    // top-sampleN most target-like raw survivors kept
     if (selector == "priority") prioritySample(surviving, sampleN)
+    else if (selector == "dsir")
+      dsirSelect(surviving, col("lang") === "en", k = sampleN)
     else selectBudget(surviving, budgetTokens)
   }
 
@@ -1243,20 +1248,27 @@ object Corpus {
   val DsirBuckets: Int = 128
 
   /** The hashed n-gram feature stream (doc_id, bucket): unigrams +
-    * adjacent bigrams, each md5-hashed to a 60-bit key mod
-    * [[DsirBuckets]] (the gramPairs key recipe). One map stage.
+    * adjacent bigrams. ONE md5 per TOKEN (28-bit ints, materialized
+    * in their own projection — referenced three times and non-cheap,
+    * so CollapseProject keeps it), then bigram keys by arithmetic
+    * combination h₀·2²⁸ + h₁ (56-bit exact) — the `repetition`
+    * operator's lesson verbatim: HOF lambda bodies run INTERPRETED,
+    * so per-gram work must be shallow (a digest per gram measured
+    * ~20 s at sf0.1 in the r16 first cut; the combine form is the
+    * ~1 s shape). Both engines hash identically, so bucket ids are
+    * exact.
     */
-  def dsirFeatures(documents: DataFrame, b: Int = DsirBuckets): DataFrame = {
-    val tk = split(lower(trim(col("text"))), " ")
-    def h(s: Column): Column =
-      pmod(conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast(LongType),
-        lit(b.toLong))
-    val uni = transform(tk, w => h(w))
-    val bi = transform(graft.functions.ColUtil.posRange(size(tk) - lit(1)),
-      i => h(concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
-    documents.select(col("doc_id"),
-      explode(concat(uni, bi)).as("bucket"))
-  }
+  def dsirFeatures(documents: DataFrame, b: Int = DsirBuckets): DataFrame =
+    documents
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("__tk"))
+      .select(col("doc_id"), transform(col("__tk"), w =>
+        conv(substring(md5(w.cast("binary")), 1, 7), 16, 10)
+          .cast(LongType)).as("__h"))
+      .select(col("doc_id"), explode(concat(
+        transform(col("__h"), h => pmod(h, lit(b.toLong))),
+        transform(graft.functions.ColUtil.posRange(size(col("__h")) - lit(1)),
+          i => pmod(element_at(col("__h"), i) * lit(1L << 28) +
+            element_at(col("__h"), i + 1), lit(b.toLong))))).as("bucket"))
 
   /** Bucket feature counts (bucket, n) — the DSIR model's carried
     * state: integer sums, exactly associative.
@@ -1282,18 +1294,27 @@ object Corpus {
   /** The scoring tail over a pre-computed (doc_id, bucket) feature
     * stream — what the streaming twin's reconcile re-scores (the
     * bigramLoglossFromPairs shape: compact sunk features + the final
-    * carried models, never the texts).
+    * carried models, never the texts). Both count frames feed TWO
+    * consumers (the contrib join and their 1-row total) and Spark
+    * does not dedupe shared subtrees, so each is checkpointed to its
+    * ≤B-row materialization first — without it a caller passing a
+    * counts-from-corpus subtree pays the token-scale feature scan
+    * twice per model (measured 18.7 s → the checkpointed form at
+    * sf0.1; the stream's already-checkpointed state frames re-
+    * materialize ≤2·B rows, a no-op-sized job).
     */
   def dsirWeightsFromFeatures(features: DataFrame, targetCounts: DataFrame,
       rawCounts: DataFrame, b: Int = DsirBuckets): DataFrame = {
     def micro(x: Column): Column =
       floor(log2(x.cast("double")) * 1e6 + 0.5).cast(LongType)
-    val totT = targetCounts.agg(sum(col("n")).as("tot_t"))
-    val totR = rawCounts.agg(sum(col("n")).as("tot_r"))
+    val tc = targetCounts.localCheckpoint(true)
+    val rc = rawCounts.localCheckpoint(true)
+    val totT = tc.agg(sum(col("n")).as("tot_t"))
+    val totR = rc.agg(sum(col("n")).as("tot_r"))
     // contribution per bucket seen in the raw model; a probe bucket
     // is by construction in the raw stream, target count may be absent
-    val contrib = rawCounts.withColumnRenamed("n", "nr")
-      .join(targetCounts.withColumnRenamed("n", "nt"), Seq("bucket"), "left")
+    val contrib = rc.withColumnRenamed("n", "nr")
+      .join(tc.withColumnRenamed("n", "nt"), Seq("bucket"), "left")
       .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
       .select(col("bucket"),
         (micro(coalesce(col("nt"), lit(0L)) + lit(1L)) -
@@ -1309,13 +1330,19 @@ object Corpus {
 
   /** One-shot DSIR weights: target = docs matching `targetPred`
     * (the paper's high-quality corpus), raw = the rest; every raw doc
-    * scored. The registry instance targets lang = 'en'.
+    * scored. The registry instance targets lang = 'en'. The raw
+    * feature stream feeds BOTH the raw model and the probe side, so
+    * it is checkpointed once (the decontaminate lesson: for
+    * md5-derived gram streams the checkpoint beats the double scan).
     */
   def dsirWeights(documents: DataFrame, targetPred: Column,
-      b: Int = DsirBuckets): DataFrame =
-    dsirWeightsWith(documents.filter(!targetPred),
+      b: Int = DsirBuckets): DataFrame = {
+    val raw = dsirFeatures(documents.filter(!targetPred), b)
+      .localCheckpoint(true)
+    dsirWeightsFromFeatures(raw,
       dsirBucketCounts(documents.filter(targetPred), b),
-      dsirBucketCounts(documents.filter(!targetPred), b), b)
+      raw.groupBy("bucket").agg(count(lit(1)).as("n")), b)
+  }
 
   /** The selection itself: top-`k` raw docs by (weight desc, doc_id)
     * with their attributes — deterministic zero-temperature DSIR.

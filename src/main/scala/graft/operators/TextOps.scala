@@ -1313,13 +1313,19 @@ object TextOps {
     * key (context bigram, backoff bigram, context/scored unigrams) is
     * a pure function of the trigram string, so the probe stream stays
     * two columns and the model joins run at DISTINCT-trigram scale.
+    * The token array is materialized in its own projection (referenced
+    * four times per lambda element and non-cheap, so CollapseProject
+    * keeps it) — HOF lambda bodies run interpreted, and an inlined
+    * split would re-tokenize the text per position.
     */
-  private def trigramPairs(documents: DataFrame): DataFrame = {
-    val tg = transform(graft.functions.ColUtil.posRange(size(toks) - lit(2)),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-        element_at(toks, i + 2)))
-    documents.select(col("doc_id"), explode(tg).as("trigram"))
-  }
+  private def trigramPairs(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), toks.as("__tk"))
+      .select(col("doc_id"), explode(transform(
+        graft.functions.ColUtil.posRange(size(col("__tk")) - lit(2)),
+        i => concat_ws(" ", element_at(col("__tk"), i),
+          element_at(col("__tk"), i + 1),
+          element_at(col("__tk"), i + 2)))).as("trigram"))
 
   /** The trigram model's carried state — associative under summation
     * like [[bigramCounts]]/[[termCounts]], so a steady-state run

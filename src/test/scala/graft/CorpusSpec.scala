@@ -881,6 +881,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(contSwap === oneShot)
   }
 
+  test("curate dsir selector: DSIR top-k over the verdict+dedup survivors; bad selector rejected") {
+    val out = Corpus.curate(docs, selector = "dsir").collect().toSeq
+    // recompose independently from the same published stages
+    val v = graft.operators.TextOps.qualityVerdict(docs)
+      .select(col("doc_id"), col("keep"))
+    val dd = Dedup.exact(docs).select(col("doc_id"), col("is_dup"))
+    val surviving = docs.join(v, "doc_id").join(dd, "doc_id")
+      .filter(col("keep") && !col("is_dup"))
+      .select(docs.columns.map(col): _*)
+    val expect = Corpus.dsirSelect(surviving, col("lang") === "en", k = 25)
+      .collect().toSeq
+    assert(out.toSet === expect.toSet)
+    assert(out.length === 25)
+    intercept[IllegalArgumentException] {
+      Corpus.curate(docs, selector = "nope")
+    }
+  }
+
   // ---- UniMax (Chung et al. 2023) --------------------------------------
 
   test("unimax: water-filling hand math — capped tail takes its cap, the rest split equally") {
@@ -926,12 +944,12 @@ class CorpusSpec extends AnyFunSuite {
     */
   private def dsirReference(rows: Seq[(Long, String, Boolean)],
       b: Int = Corpus.DsirBuckets): Map[Long, (Long, Long)] = {
-    def bucketOf(gram: String): Long =
-      java.lang.Long.parseLong(md5hex(gram).take(15), 16) % b
+    def hTok(w: String): Long =
+      java.lang.Long.parseLong(md5hex(w).take(7), 16)
     def feats(text: String): Seq[Long] = {
-      val tk = text.trim.toLowerCase.split(" ", -1).toSeq
-      tk.map(bucketOf) ++ tk.sliding(2).filter(_.size == 2)
-        .map(p => bucketOf(p.mkString(" "))).toSeq
+      val hs = text.trim.toLowerCase.split(" ", -1).toSeq.map(hTok)
+      hs.map(_ % b) ++ hs.sliding(2).filter(_.size == 2)
+        .map(p => ((p(0) << 28) + p(1)) % b).toSeq
     }
     def micro(x: Double): Long =
       math.floor(math.log(x) / math.log(2.0) * 1e6 + 0.5).toLong

@@ -96,12 +96,13 @@ class PlanShapeSpec extends AnyFunSuite {
         "two-phase pack scan (its per-(lang,bucket) windows + tiny " +
         "offset rollup = the seq_pack shape); broadcasts are the " +
         "literal-dictionary and offset sides at fixture stats"),
-    ("dsir_weights", Shape(8, 2, 0, 0),
-      "token-scale feature explodes feed ≤B-row bucket aggregates " +
-        "(6 of the 8 exchanges move ≤B rows: two model aggs, two " +
-        "1-row totals, all inside the broadcast contrib build); the " +
-        "corpus pays ONE doc-keyed agg exchange + output sort; " +
-        "contrib attaches by broadcast, scalars by nested-loop cross"),
+    ("dsir_weights", Shape(4, 2, 0, 0),
+      "the feature stream and both ≤B-row count tables are " +
+        "checkpointed (each feeds two consumers — Spark does not " +
+        "dedupe shared subtrees), so the final plan reads " +
+        "materialized RDDs: one doc-keyed agg exchange + output " +
+        "sort + the two 1-row total scalars; contrib and probe " +
+        "attach by broadcast"),
     ("doc_trigram_backoff", Shape(10, 6, 0, 0),
       "probe stream = one batch map stage; the five model left joins " +
         "run at DISTINCT-trigram scale (its distinct is one of the " +
