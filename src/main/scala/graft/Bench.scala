@@ -518,7 +518,11 @@ object Bench {
       // stupid-backoff scoring (five model joins), DSIR hashed-ngram
       // weights (token-scale feature map), and SemDeDup (kmeans
       // training + in-cell pairs + component closure per call)
-      "doc_trigram_backoff", "dsir_weights", "semdedup_prune")
+      "doc_trigram_backoff", "dsir_weights", "semdedup_prune",
+      // r17: the round's two heaviest new entries — graph-ANN beam
+      // search (edge build + 3 unrolled hops) and semantic admission
+      // (standing chain + collision join + batch-internal chain)
+      "knn_graph", "semdedup_admit")
     val qs = headline.flatMap(k => resultMap0.get(k).map(rep =>
         s"\"" + k + "\":" + r3(rep.wall)))
       .mkString("{", ",", "}")

@@ -16,6 +16,41 @@ object SparkEntry {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** Exact-cosine ANN ground truth, materialized ONCE per (session,
+    * fixture) and threaded through every recall/operating-curve
+    * evaluator (r16 VERDICT #6): truth is a pure deterministic
+    * function of the corpus and a BOUNDED artifact (nProbes·k pairs),
+    * so the 12-member quality family shares one localCheckpoint
+    * instead of re-deriving the same nProbes·|corpus| cosine scan per
+    * entry — in a bench/verify process the second consumer onward
+    * reads ~100 rows. Results are bit-identical to per-call
+    * re-derivation (the evaluators consume truth as data), so every
+    * oracle is unchanged. Keyed on session identity too: tests spin
+    * up fresh sessions and a checkpoint is session-owned.
+    */
+  private val knnTruthCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private def knnTruth(s: SparkSession, d: String): Option[DataFrame] =
+    Some(knnTruthCache.computeIfAbsent(
+      (System.identityHashCode(s), d),
+      _ => Similarity.knnTruthPairs(t(s, d, "embeddings"))
+        .localCheckpoint(true)))
+
+  /** The composed OPQ-IVFPQ deployment artifact, trained ONCE per
+    * (session, fixture) for the two `_pretrained` entries — the
+    * artifact is deterministic (fixed iteration counts, driver-side
+    * sequential arithmetic), and training-once-then-applying IS the
+    * deployment contract those entries exist to measure; re-training
+    * per call was the evaluator harness leaking into the measurement.
+    */
+  private val opqArtifactCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Similarity.IvfPqResidualOpqArtifact]()
+  private def opqArtifact(s: SparkSession,
+                          d: String): Similarity.IvfPqResidualOpqArtifact =
+    opqArtifactCache.computeIfAbsent(
+      (System.identityHashCode(s), d),
+      _ => Similarity.trainIvfPqResidualOpqArtifact(t(s, d, "embeddings")))
+
   /** Queries whose operators localCheckpoint (directly or via
     * Dedup.clusters) and so pin storage blocks until a GC lets the
     * ContextCleaner reap them. Bench and Verify both trigger a
@@ -60,7 +95,12 @@ object SparkEntry {
       // the ExactSubstr family checkpoints its positional gram stream
       "repeated_spans", "repeated_spans_incremental",
       "repeated_spans_scrub", "repeated_spans_summary",
-      "repeated_spans_reconciled")
+      "repeated_spans_reconciled",
+      // r17: the graph-ANN searches checkpoint edges + per-hop scored
+      // frames; semantic admission checkpoints two assignment frames;
+      // the trigram reconcile checkpoints its probe stream
+      "knn_graph", "ann_recall_graph", "semdedup_admit",
+      "trigram_backoff_reconciled")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -330,8 +370,16 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
     "knn_cosine_bruteforce" -> ((s, d) => Similarity.knnBrute(t(s, d, "embeddings"))),
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(t(s, d, "embeddings"))),
-    "ann_recall" -> ((s, d) => Similarity.annRecall(t(s, d, "embeddings"))),
-    "ann_recall_ivf" -> ((s, d) => Similarity.annRecallIvf(t(s, d, "embeddings"))),
+    "ann_recall" -> ((s, d) =>
+      Similarity.annRecall(t(s, d, "embeddings"), truth = knnTruth(s, d))),
+    // NSW graph ANN: capped in-cell top-M edges + medoid mesh, beam
+    // search unrolled to 3 hops — the HNSW-class recall-per-candidate
+    // member the quantization families don't cover
+    "knn_graph" -> ((s, d) => Similarity.knnGraph(t(s, d, "embeddings"))),
+    "ann_recall_graph" -> ((s, d) =>
+      Similarity.annRecallGraph(t(s, d, "embeddings"), truth = knnTruth(s, d))),
+    "ann_recall_ivf" -> ((s, d) =>
+      Similarity.annRecallIvf(t(s, d, "embeddings"), truth = knnTruth(s, d))),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(t(s, d, "embeddings"))),
     "multimodal_frames" -> ((s, d) => Multimodal.frameSample(t(s, d, "documents"))),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(t(s, d, "embeddings"))),
@@ -342,6 +390,17 @@ object SparkEntry {
     // in-cell cosine components → keep the least-prototypical member
     "semdedup_prune" -> ((s, d) => Similarity.semdedup(t(s, d, "embeddings"))),
     "semdedup_summary" -> ((s, d) => Similarity.semdedupSummary(t(s, d, "embeddings"))),
+    // semantic-dedup admission: even vec_ids = standing corpus (its
+    // kept exemplars form the index), odd = arriving batch, under the
+    // shared corpus-wide codebook artifact (one codebook, many
+    // consumers — the kmeansAssignWith convention)
+    "semdedup_admit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = t(s, d, "embeddings")
+      Similarity.semdedupAdmit(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 =!= 0),
+        Similarity.kmeansCodebook(emb, 8, 3))
+    }),
     "embedding_centroids" -> ((s, d) => Similarity.labelCentroids(t(s, d, "embeddings"))),
     "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(t(s, d, "embeddings"))),
     "kmeans_centroids" -> ((s, d) => Similarity.kmeansCentroids(t(s, d, "embeddings"))),
@@ -372,7 +431,7 @@ object SparkEntry {
     "knn_ivf_pq_residual" -> ((s, d) =>
       Similarity.knnIvfPqResidual(t(s, d, "embeddings"))),
     "ann_recall_ivf_pq" -> ((s, d) =>
-      Similarity.annRecallIvfPq(t(s, d, "embeddings"))),
+      Similarity.annRecallIvfPq(t(s, d, "embeddings"), truth = knnTruth(s, d))),
     // OPQ-style randomized-Hadamard pre-rotation (r8 VERDICT #4): PQ
     // trained and coded in the rotated space; recall scored against
     // the ORIGINAL-space exact truth (rotation preserves cosine)
@@ -383,57 +442,65 @@ object SparkEntry {
       Similarity.pqCodes(
         Similarity.opqRotate(t(s, d, "embeddings")).localCheckpoint(true))),
     "ann_recall_ivf_pq_opq" -> ((s, d) =>
-      Similarity.annRecallIvfPqOpq(t(s, d, "embeddings"))),
+      Similarity.annRecallIvfPqOpq(t(s, d, "embeddings"),
+        truth = knnTruth(s, d))),
     // the LEARNED rotation in the Hadamard slot (r11 VERDICT #5):
     // Ge §4 eigenvalue allocation over the deflated PCA eigenbasis;
     // oracle inlines the trained matrix at dump time (the BPE
     // training-vs-apply boundary)
     "ann_recall_ivf_pq_opq_learned" -> ((s, d) =>
-      Similarity.annRecallIvfPqOpqLearned(t(s, d, "embeddings"))),
+      Similarity.annRecallIvfPqOpqLearned(t(s, d, "embeddings"),
+        truth = knnTruth(s, d))),
     "ann_operating_curve" -> ((s, d) =>
-      Similarity.annOperatingCurve(t(s, d, "embeddings"))),
+      Similarity.annOperatingCurve(t(s, d, "embeddings"),
+        truthPairs = knnTruth(s, d))),
     // the LSH family's cost-knob sweep (r11 VERDICT #6): signature
     // length grid over ONE shared candidate set; full-signature row
     // cross-pins to ann_recall
     "lsh_operating_curve" -> ((s, d) =>
-      Similarity.lshOperatingCurve(t(s, d, "embeddings"))),
+      Similarity.lshOperatingCurve(t(s, d, "embeddings"),
+        truthPairs = knnTruth(s, d))),
     // the COMPOSED index's probeLists sweep (r12 VERDICT #4): one
     // shared candidate set at the widest config over the trained
     // IVF-PQ pipeline; np=2 row cross-pins to ann_recall_ivf_pq
     "ann_operating_curve_ivf_pq" -> ((s, d) =>
-      Similarity.annOperatingCurveIvfPq(t(s, d, "embeddings"))),
+      Similarity.annOperatingCurveIvfPq(t(s, d, "embeddings"),
+        truth = knnTruth(s, d))),
     // the r13 curve in the LEARNED rotation's space (the plain
     // curve's "ADC-limited" reading, answered with a measured table);
     // rotated frame checkpointed once (the annRecallIvfPqOpq pin)
     "ann_operating_curve_ivf_pq_opq_learned" -> ((s, d) =>
-      Similarity.annOperatingCurveIvfPqOpqLearned(t(s, d, "embeddings"))),
+      Similarity.annOperatingCurveIvfPqOpqLearned(t(s, d, "embeddings"),
+        truth = knnTruth(s, d))),
     // the residual member of the curve family (r13) — completes the
     // sweep matrix across raw / learned-rotation / residual
     "ann_operating_curve_ivf_pq_residual" -> ((s, d) =>
-      Similarity.annOperatingCurveIvfPqResidual(t(s, d, "embeddings"))),
+      Similarity.annOperatingCurveIvfPqResidual(t(s, d, "embeddings"),
+        truth = knnTruth(s, d))),
     // the COMPOSED production stack (r14, VERDICT r13 #3): learned
     // rotation THEN per-cell residual PQ — FAISS's real OPQ-IVFPQ;
     // search, point evaluator, and the curve matrix's fourth member
     "knn_ivf_pq_residual_opq_learned" -> ((s, d) =>
       Similarity.knnIvfPqResidualOpqLearned(t(s, d, "embeddings"))),
     "ann_recall_ivf_pq_residual_opq_learned" -> ((s, d) =>
-      Similarity.annRecallIvfPqResidualOpqLearned(t(s, d, "embeddings"))),
+      Similarity.annRecallIvfPqResidualOpqLearned(t(s, d, "embeddings"),
+        truth = knnTruth(s, d))),
     "ann_operating_curve_ivf_pq_residual_opq_learned" -> ((s, d) =>
-      Similarity.annOperatingCurveIvfPqResidualOpqLearned(t(s, d, "embeddings"))),
-    // r15 (VERDICT r14 #3): the APPLY-ONLY composed twins — train the
-    // deployment artifact once inside the entry (self-contained, the
-    // bpe_encode_pretrained pattern), then run the zero-training-jobs
-    // search under it; output bit-identical to the self-training keys,
-    // so the bench now shows the deployment-shaped cost beside the
-    // train-per-call trio.
-    "knn_ivf_pq_residual_opq_pretrained" -> ((s, d) => {
-      val art = Similarity.trainIvfPqResidualOpqArtifact(t(s, d, "embeddings"))
-      Similarity.knnIvfPqResidualOpqWith(t(s, d, "embeddings"), art)
-    }),
-    "ann_recall_ivf_pq_residual_opq_pretrained" -> ((s, d) => {
-      val art = Similarity.trainIvfPqResidualOpqArtifact(t(s, d, "embeddings"))
-      Similarity.annRecallIvfPqResidualOpqWith(t(s, d, "embeddings"), art)
-    }),
+      Similarity.annOperatingCurveIvfPqResidualOpqLearned(
+        t(s, d, "embeddings"), truth = knnTruth(s, d))),
+    // r15 (VERDICT r14 #3): the APPLY-ONLY composed twins — the
+    // deployment artifact trains once per session (the opqArtifact
+    // memo; r17 — previously once per CALL, which leaked the
+    // evaluator harness into the deployment-shaped measurement), then
+    // the zero-training-jobs search runs under it; output
+    // bit-identical to the self-training keys, so the bench shows the
+    // deployment-shaped cost beside the train-per-call trio.
+    "knn_ivf_pq_residual_opq_pretrained" -> ((s, d) =>
+      Similarity.knnIvfPqResidualOpqWith(t(s, d, "embeddings"),
+        opqArtifact(s, d))),
+    "ann_recall_ivf_pq_residual_opq_pretrained" -> ((s, d) =>
+      Similarity.annRecallIvfPqResidualOpqWith(t(s, d, "embeddings"),
+        opqArtifact(s, d), truth = knnTruth(s, d))),
     // r15 (VERDICT r14 #5): the last SURVEY §2 row without a registry
     // entry — IVF search over the Lloyd-trained coarse codebook; FULL
     // oracle re-deriving the codebook via the shared unrolled-Lloyd
@@ -499,6 +566,10 @@ object SparkEntry {
     // allocation — the structural fix for temperature sampling's
     // tail-language over-repetition
     "corpus_unimax" -> ((s, d) => Corpus.unimax(t(s, d, "documents"))),
+    // the apply stage: allocation → selected docs with copy counts
+    // (full epochs + deterministic-Bernoulli fractional remainder)
+    "corpus_unimax_select" ->
+      ((s, d) => Corpus.unimaxSelect(t(s, d, "documents"))),
     "corpus_temperature_summary" ->
       ((s, d) => Corpus.temperatureSummary(t(s, d, "documents"))),
     "corpus_select_budget" -> ((s, d) => Corpus.selectBudget(t(s, d, "documents"))),
@@ -512,6 +583,12 @@ object SparkEntry {
     "dsir_select" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       Corpus.dsirSelect(t(s, d, "documents"), col("lang") === "en")
+    }),
+    // the paper's sampled variant: Gumbel-top-k with hash-derived
+    // noise — P ∝ exp(weight/T) without replacement at T = 1
+    "dsir_select_gumbel" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Corpus.dsirSelectGumbel(t(s, d, "documents"), col("lang") === "en")
     }),
     // model continuation: standing bucket counts + batch, scored
     // under the merged models ≡ one-shot restricted to batch docs
@@ -891,6 +968,31 @@ object SparkEntry {
       TextOps.trigramBackoff(docs.filter(col("doc_id") % 2 =!= 0),
         docs.filter(col("doc_id") % 2 === 0))
     }),
+    // the trigram stream's lambda split settled in batch (the
+    // dsir_weights_reconciled convention): two triggers' model counts
+    // merged by summation, both triggers' sunk probe streams
+    // re-scored under the FINAL model — per the reconcile contract
+    // this equals the one-shot doc_trigram_backoff, and the
+    // one-shot's oracle grades it (the actual Structured Streaming
+    // twin rides the same helpers; the spec drives it)
+    "trigram_backoff_reconciled" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      val model = docs.filter(col("doc_id") % 2 === 0)
+      val probe = docs.filter(col("doc_id") % 2 =!= 0)
+      val (mA, mB) = (model.filter(col("doc_id") % 4 === 0),
+        model.filter(col("doc_id") % 4 =!= 0))
+      val (pA, pB) = (probe.filter(col("doc_id") % 4 === 1),
+        probe.filter(col("doc_id") % 4 =!= 1))
+      TextOps.trigramBackoffScore(
+        TextOps.trigramPairsOf(pA).unionByName(TextOps.trigramPairsOf(pB)),
+        TextOps.mergeTrigramCounts(TextOps.trigramCounts(mA),
+          TextOps.trigramCounts(mB)),
+        TextOps.mergeBigramCounts(TextOps.bigramCounts(mA),
+          TextOps.bigramCounts(mB)),
+        TextOps.mergeTermCounts(TextOps.termCounts(mA),
+          TextOps.termCounts(mB)))
+    }),
     // per-source OOV-pressure report over the same held-out probes
     "trigram_backoff_summary" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -1095,6 +1197,76 @@ object SparkEntry {
        |  FROM embeddings),
        |${kmeansBlocksSql("", 8, 3)}""".stripMargin
 
+  /** NSW graph-ANN CTE chain (knn_graph / ann_recall_graph): the
+    * shared unrolled-Lloyd cells, assignment WITH the distance (for
+    * medoids), capped in-cell top-M directed edges + the medoid mesh
+    * symmetrized, then the beam search UNROLLED per hop (entry =
+    * probes × medoids; hop t prunes hop t−1's scored set to the beam,
+    * expands along edges, re-scores; final = top-k over every scored
+    * candidate). Ends at gfin(qid, rank, nid, cos_sim).
+    */
+  private val nswCtes: String = {
+    val m = 6; val beam = 10; val hops = 3; val k = 5
+    def cosExpr(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, len($a.v)+1),
+         |      i -> $a.v[i]*$b.v[i])) / ($a.nrm * $b.nrm)""".stripMargin
+    val hopBlocks = (1 to hops).map { t =>
+      s"""gb${t - 1} AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, nid) AS rn FROM gs${t - 1}) WHERE rn <= $beam),
+         |gc$t AS (SELECT DISTINCT qid, nid FROM (
+         |  SELECT b.qid, ge.dst AS nid FROM gb${t - 1} b JOIN ge ON b.nid = ge.src
+         |  UNION ALL SELECT qid, nid FROM gb${t - 1})),
+         |gs$t AS (SELECT c.qid, c.nid, ${cosExpr("q", "x")} AS cos_sim
+         |  FROM gc$t c JOIN n q ON q.vec_id = c.qid JOIN n x ON x.vec_id = c.nid
+         |  WHERE c.qid <> c.nid)""".stripMargin
+    }.mkString(",\n")
+    val sqDist =
+      """list_sum(list_transform(range(1, len(e.v)+1),
+        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i])))""".stripMargin
+    s"""e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm
+       |  FROM e),
+       |${kmeansBlocksSql("", 8, 3)},
+       |gasg AS (SELECT vec_id, cid, d FROM (
+       |  SELECT e.vec_id, c.cid, $sqDist AS d,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      $sqDist ASC, c.cid ASC) AS rn
+       |  FROM e CROSS JOIN c3 c) WHERE rn = 1),
+       |gcap AS (SELECT cid FROM gasg GROUP BY cid
+       |  HAVING count(*) <= ${graft.operators.Similarity.SemDedupCellCap}),
+       |gic AS (SELECT src, dst FROM (
+       |  SELECT x.vec_id AS src, y.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY ${cosExpr("nx", "ny")} DESC, y.vec_id ASC) AS rn
+       |  FROM gasg x JOIN gcap ON x.cid = gcap.cid
+       |  JOIN gasg y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+       |  JOIN n nx ON nx.vec_id = x.vec_id JOIN n ny ON ny.vec_id = y.vec_id)
+       |  WHERE rn <= $m),
+       |gmed AS (SELECT vec_id FROM (SELECT cid, vec_id,
+       |  row_number() OVER (PARTITION BY cid ORDER BY d ASC, vec_id ASC) AS rn
+       |  FROM gasg) WHERE rn = 1),
+       |gdir AS (SELECT src, dst FROM gic
+       |  UNION ALL SELECT a.vec_id, b.vec_id FROM gmed a JOIN gmed b
+       |    ON a.vec_id <> b.vec_id),
+       |ge AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM gdir UNION ALL SELECT dst, src FROM gdir)),
+       |gc0 AS (SELECT q.vec_id AS qid, gmed.vec_id AS nid
+       |  FROM e q CROSS JOIN gmed WHERE q.vec_id < 20),
+       |gs0 AS (SELECT c.qid, c.nid, ${cosExpr("q", "x")} AS cos_sim
+       |  FROM gc0 c JOIN n q ON q.vec_id = c.qid JOIN n x ON x.vec_id = c.nid
+       |  WHERE c.qid <> c.nid),
+       |$hopBlocks,
+       |gall AS (SELECT DISTINCT qid, nid, cos_sim FROM (
+       |  SELECT * FROM gs0 ${(1 to hops).map(t => s"UNION ALL SELECT * FROM gs$t").mkString(" ")})),
+       |gfin AS (SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos_sim FROM (
+       |  SELECT qid, nid, cos_sim, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos_sim DESC, nid) AS rank FROM gall) WHERE rank <= $k)""".stripMargin
+  }
+
   /** SemDeDup CTE chain: the shared unrolled-Lloyd cells, final
     * assignment, cos-to-own-centroid (dot and both norms as
     * list_sums — the ordered-fold association the Spark side
@@ -1124,8 +1296,11 @@ object SparkEntry {
        |nn AS (SELECT vec_id, v,
        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm
        |  FROM e),
+       |cp AS (SELECT cid FROM asg GROUP BY cid
+       |  HAVING count(*) <= ${graft.operators.Similarity.SemDedupCellCap}),
        |pp AS (SELECT x.vec_id AS ia, y.vec_id AS ib
-       |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  FROM asg x JOIN cp ON x.cid = cp.cid
+       |  JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
        |  JOIN nn na ON na.vec_id = x.vec_id JOIN nn nb ON nb.vec_id = y.vec_id
        |  WHERE list_sum(list_transform(range(1, len(na.v)+1),
        |    i -> na.v[i]*nb.v[i])) / (na.nrm * nb.nrm) >= 0.4),
@@ -3844,6 +4019,19 @@ object SparkEntry {
         |SELECT dw.doc_id, d.lang, d.source, dw.n_feats, dw.weight_micro
         |FROM dw JOIN documents d USING (doc_id)
         |ORDER BY weight_micro DESC, doc_id LIMIT 50""".stripMargin,
+    // Gumbel-top-k: hash-derived open-interval uniform → Gumbel
+    // quantile in micro-bits (the Scala-side constant 1/ln2·1e6
+    // interpolated so both engines scale by the identical double)
+    "dsir_select_gumbel" ->
+      s"""WITH $dsirCtes
+        |SELECT doc_id, lang, source, weight_micro, gumbel_micro,
+        |  weight_micro + gumbel_micro AS score_micro
+        |FROM (SELECT dw.doc_id, d.lang, d.source, dw.weight_micro,
+        |  CAST(floor(${1.0 / math.log(2.0) * 1e6} *
+        |    (-ln(-ln((('0x' || substr(md5('gumbel:' || CAST(dw.doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |      + 0.5) / 268435456.0))) + 0.5) AS BIGINT) AS gumbel_micro
+        |  FROM dw JOIN documents d USING (doc_id))
+        |ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin,
     "dsir_weights_incremental" ->
       s"""WITH $dsirCtes
         |SELECT doc_id, n_feats, weight_micro FROM dw
@@ -3902,6 +4090,9 @@ object SparkEntry {
     // stupid-backoff trigram scoring, held-out split stated literally
     // (model = even half, probes = odd half)
     "doc_trigram_backoff" -> trigramBackoffSql,
+    // ≡ the one-shot by the reconcile contract (merged halves ARE the
+    // full model counts; all sunk probes re-scored)
+    "trigram_backoff_reconciled" -> trigramBackoffSql,
     "trigram_backoff_summary" -> trigramBackoffSummarySql,
 
     "lang_id" ->
@@ -4665,6 +4856,95 @@ object SparkEntry {
         |FROM sz s JOIN cc USING (vec_id) JOIN sv USING (component_id)
         |GROUP BY 1 ORDER BY cell_id""".stripMargin,
 
+    // SemDeDup admission: standing half's kept exemplars under the
+    // shared corpus codebook form the index; a batch (odd) vector is
+    // rejected at cos ≥ τ to any kept exemplar in its cell; the
+    // survivors run a batch-internal semdedup chain (same pair/reach/
+    // survivor recipe confined to the fresh set)
+    "semdedup_admit" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |${kmeansBlocksSql("", 8, 3)},
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.v)+1),
+        |        i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))) ASC, c.cid ASC) AS rn
+        |  FROM e CROSS JOIN c3 c) WHERE rn = 1),
+        |cc AS (SELECT a.vec_id, a.cid,
+        |  list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*e.v[i])))
+        |       * sqrt(list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i]))))
+        |    AS cos_centroid
+        |  FROM asg a JOIN e USING (vec_id) JOIN c3 c ON a.cid = c.cid),
+        |nn AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm
+        |  FROM e),
+        |sa AS (SELECT * FROM asg WHERE vec_id % 2 = 0),
+        |scp AS (SELECT cid FROM sa GROUP BY cid
+        |  HAVING count(*) <= ${graft.operators.Similarity.SemDedupCellCap}),
+        |spp AS (SELECT x.vec_id AS ia, y.vec_id AS ib
+        |  FROM sa x JOIN scp ON x.cid = scp.cid
+        |  JOIN sa y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  JOIN nn na ON na.vec_id = x.vec_id JOIN nn nb ON nb.vec_id = y.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(na.v)+1),
+        |    i -> na.v[i]*nb.v[i])) / (na.nrm * nb.nrm) >= 0.4),
+        |sed AS (SELECT ia AS src, ib AS dst FROM spp
+        |  UNION ALL SELECT ib, ia FROM spp),
+        |sreach(vec_id, lbl) AS (
+        |  SELECT vec_id, vec_id FROM sa
+        |  UNION
+        |  SELECT sed.src, r.lbl FROM sed JOIN sreach r ON sed.dst = r.vec_id),
+        |slab AS (SELECT vec_id, min(lbl) AS component_id FROM sreach GROUP BY vec_id),
+        |ssv AS (SELECT component_id, vec_id AS keep_id FROM (
+        |  SELECT slab.component_id, slab.vec_id,
+        |    row_number() OVER (PARTITION BY slab.component_id
+        |      ORDER BY cc.cos_centroid ASC, slab.vec_id ASC) AS rn
+        |  FROM slab JOIN cc USING (vec_id)) WHERE rn = 1),
+        |skept AS (SELECT slab.vec_id, sa.cid
+        |  FROM slab JOIN ssv USING (component_id) JOIN sa ON sa.vec_id = slab.vec_id
+        |  WHERE slab.vec_id = ssv.keep_id),
+        |ba AS (SELECT * FROM asg WHERE vec_id % 2 = 1),
+        |hits AS (SELECT DISTINCT b.vec_id
+        |  FROM ba b JOIN skept s ON b.cid = s.cid
+        |  JOIN nn nb ON nb.vec_id = b.vec_id JOIN nn ns ON ns.vec_id = s.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(nb.v)+1),
+        |    i -> nb.v[i]*ns.v[i])) / (nb.nrm * ns.nrm) >= 0.4),
+        |fr AS (SELECT * FROM ba WHERE vec_id NOT IN (SELECT vec_id FROM hits)),
+        |fcp AS (SELECT cid FROM fr GROUP BY cid
+        |  HAVING count(*) <= ${graft.operators.Similarity.SemDedupCellCap}),
+        |fpp AS (SELECT x.vec_id AS ia, y.vec_id AS ib
+        |  FROM fr x JOIN fcp ON x.cid = fcp.cid
+        |  JOIN fr y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  JOIN nn na ON na.vec_id = x.vec_id JOIN nn nb ON nb.vec_id = y.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(na.v)+1),
+        |    i -> na.v[i]*nb.v[i])) / (na.nrm * nb.nrm) >= 0.4),
+        |fed AS (SELECT ia AS src, ib AS dst FROM fpp
+        |  UNION ALL SELECT ib, ia FROM fpp),
+        |freach(vec_id, lbl) AS (
+        |  SELECT vec_id, vec_id FROM fr
+        |  UNION
+        |  SELECT fed.src, r.lbl FROM fed JOIN freach r ON fed.dst = r.vec_id),
+        |flab AS (SELECT vec_id, min(lbl) AS component_id FROM freach GROUP BY vec_id),
+        |fsz AS (SELECT vec_id, component_id,
+        |  count(*) OVER (PARTITION BY component_id) AS component_size FROM flab),
+        |fsv AS (SELECT component_id, vec_id AS keep_id FROM (
+        |  SELECT flab.component_id, flab.vec_id,
+        |    row_number() OVER (PARTITION BY flab.component_id
+        |      ORDER BY cc.cos_centroid ASC, flab.vec_id ASC) AS rn
+        |  FROM flab JOIN cc USING (vec_id)) WHERE rn = 1)
+        |SELECT f.vec_id, emb.label, fr.cid AS cell_id,
+        |  CAST(f.component_size AS BIGINT) AS component_size,
+        |  cc.cos_centroid,
+        |  CAST(f.component_size - 1 AS BIGINT) AS n_absorbed
+        |FROM fsz f JOIN fsv USING (component_id)
+        |JOIN fr ON fr.vec_id = f.vec_id
+        |JOIN cc ON cc.vec_id = f.vec_id
+        |JOIN embeddings emb ON emb.vec_id = f.vec_id
+        |WHERE f.vec_id = fsv.keep_id
+        |ORDER BY f.vec_id""".stripMargin,
+
     // PQ code assignment: per-subspace unrolled-Lloyd codebooks (the
     // shared CTE), final argmin per subspace with the nano-quantized
     // subspace error; subspaces stack via UNION ALL
@@ -5009,6 +5289,46 @@ object SparkEntry {
         |  CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
         |    ELSE (CAST(20000 AS DOUBLE) - s_k) / (n_langs - k) END / n_tokens AS epochs
         |FROM f CROSS JOIN k ORDER BY lang""".stripMargin,
+
+    // the UniMax apply: per-language epochs → full copies for every
+    // doc + a frac(epochs)-rate Bernoulli remainder pass on the
+    // deterministic "unimax:" sample key (map-only, the
+    // corpus_temperature decision shape)
+    "corpus_unimax_select" ->
+      """WITH lt AS (SELECT lang,
+        |  CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY 1),
+        |c AS (SELECT lang, n_tokens, n_tokens * 1 AS cap_tokens FROM lt),
+        |r AS (SELECT lang, n_tokens, cap_tokens,
+        |  CAST(row_number() OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS rk,
+        |  CAST(sum(cap_tokens) OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS prefix
+        |FROM c),
+        |l AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM c),
+        |f AS (SELECT r.*, l.n_langs,
+        |  cap_tokens * (n_langs - rk + 1) < 20000 - (prefix - cap_tokens) AS capped
+        |FROM r CROSS JOIN l),
+        |k AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS k,
+        |  CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0) AS BIGINT) AS s_k
+        |FROM f),
+        |ep AS (SELECT lang,
+        |  CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+        |    ELSE (CAST(20000 AS DOUBLE) - s_k) / (n_langs - k) END / n_tokens AS epochs
+        |FROM f CROSS JOIN k),
+        |al AS (SELECT lang, CAST(floor(epochs) AS BIGINT) AS full_epochs,
+        |  epochs - floor(epochs) AS rem_rate FROM ep),
+        |dk AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+        |  ('0x' || substr(md5('unimax:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |    / CAST(268435456 AS DOUBLE) AS sample_key
+        |FROM documents)
+        |SELECT dk.doc_id, dk.lang, dk.n_tokens, al.full_epochs,
+        |  dk.sample_key < al.rem_rate AS in_remainder,
+        |  al.full_epochs +
+        |    (CASE WHEN dk.sample_key < al.rem_rate THEN 1 ELSE 0 END) AS n_copies
+        |FROM dk JOIN al USING (lang)
+        |WHERE al.full_epochs +
+        |    (CASE WHEN dk.sample_key < al.rem_rate THEN 1 ELSE 0 END) >= 1
+        |ORDER BY doc_id""".stripMargin,
 
     "corpus_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
@@ -5433,6 +5753,32 @@ object SparkEntry {
         |r AS (SELECT qid, nid,
         |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM g),
         |l AS (SELECT qid, nid FROM r WHERE rank <= 5),
+        |h AS (SELECT b.qid, CAST(count(*) AS BIGINT) AS n_brute,
+        |  CAST(sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |FROM b LEFT JOIN l ON b.qid = l.qid AND b.nid = l.nid GROUP BY 1),
+        |nl AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_lsh FROM l GROUP BY 1)
+        |SELECT h.qid, n_brute, coalesce(n_lsh, CAST(0 AS BIGINT)) AS n_lsh, n_hit,
+        |  CAST(n_hit AS DOUBLE) / 5.0 AS recall
+        |FROM h LEFT JOIN nl ON h.qid = nl.qid ORDER BY h.qid""".stripMargin,
+
+    // NSW graph search replayed with unrolled hop CTEs (the shared
+    // nswCtes chain — fully deterministic: id ties, one cos fold)
+    "knn_graph" ->
+      s"""WITH $nswCtes
+        |SELECT qid, rank, nid, cos_sim FROM gfin ORDER BY qid, rank""".stripMargin,
+
+    // graph recall vs exact truth: gfin feeding the ann_recall
+    // set-arithmetic tail (n_lsh column name kept for schema parity
+    // with the evaluator's shared output shape)
+    "ann_recall_graph" ->
+      s"""WITH $nswCtes,
+        |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+        |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |br AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM bs),
+        |b AS (SELECT qid, nid FROM br WHERE rank <= 5),
+        |l AS (SELECT qid, nid FROM gfin),
         |h AS (SELECT b.qid, CAST(count(*) AS BIGINT) AS n_brute,
         |  CAST(sum(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
         |FROM b LEFT JOIN l ON b.qid = l.qid AND b.nid = l.nid GROUP BY 1),

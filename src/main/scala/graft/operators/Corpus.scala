@@ -1309,8 +1309,13 @@ object Corpus {
       floor(log2(x.cast("double")) * 1e6 + 0.5).cast(LongType)
     val tc = targetCounts.localCheckpoint(true)
     val rc = rawCounts.localCheckpoint(true)
-    val totT = tc.agg(sum(col("n")).as("tot_t"))
-    val totR = rc.agg(sum(col("n")).as("tot_r"))
+    // coalesce: sum over an EMPTY count frame is NULL, and an empty
+    // TARGET model is a realistic state (streaming early triggers
+    // before the first lang='en' doc; curate over a survivor set with
+    // no target docs) — without the guard every weight in the batch
+    // would come out null. Matches the oracle's coalesce(sum(nt), 0).
+    val totT = tc.agg(coalesce(sum(col("n")), lit(0L)).as("tot_t"))
+    val totR = rc.agg(coalesce(sum(col("n")), lit(0L)).as("tot_r"))
     // contribution per bucket seen in the raw model; a probe bucket
     // is by construction in the raw stream, target count may be absent
     val contrib = rc.withColumnRenamed("n", "nr")
@@ -1355,6 +1360,39 @@ object Corpus {
       .orderBy(col("weight_micro").desc, col("doc_id"))
       .limit(k)
       .select("doc_id", "lang", "source", "n_feats", "weight_micro")
+
+  /** The paper's SAMPLED selection ([[dsirSelect]] is its documented
+    * zero-temperature limit): Gumbel-top-k resampling — top-k of
+    * weight + T·Gumbel draws k docs WITHOUT replacement with
+    * P ∝ exp(weight/T), de-duplicating the head that deterministic
+    * top-k over-selects. The noise is hash-derived (the engine's
+    * determinism convention): u = (md5_28bit("gumbel:"+doc_id)+0.5)
+    * / 2^28 — the +0.5 keeps u in the OPEN interval so −ln(−ln u)
+    * never hits ±∞ — then the Gumbel quantile in micro-BITS
+    * (g/ln 2 · 1e6, same unit as weight_micro) floor-quantized to an
+    * exact long before the sum, so selection thresholds compare
+    * integers in both engines. Scale shape = [[dsirSelect]]: one
+    * map-only noise column over the weights frame, TakeOrdered k.
+    */
+  def dsirSelectGumbel(documents: DataFrame, targetPred: Column,
+      k: Int = 50, temperature: Double = 1.0,
+      b: Int = DsirBuckets): DataFrame = {
+    val h = conv(substring(md5(concat(lit("gumbel:"),
+        col("doc_id").cast("string")).cast("binary")), 1, 7), 16, 10)
+      .cast(LongType).cast("double")
+    val u = (h + lit(0.5)) / lit(268435456.0)
+    val g = -log(-log(u))
+    val c = temperature / math.log(2.0) * 1e6
+    dsirWeights(documents, targetPred, b)
+      .join(documents.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
+      .withColumn("gumbel_micro", floor(lit(c) * g + 0.5).cast(LongType))
+      .withColumn("score_micro", col("weight_micro") + col("gumbel_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "lang", "source", "weight_micro", "gumbel_micro",
+        "score_micro")
+  }
 
   /** UniMax language-sampling allocation (Chung et al. 2023, ICLR —
     * "UniMax: Fairer and More Effective Language Sampling"): given a
@@ -1411,6 +1449,42 @@ object Corpus {
       .select("lang", "n_tokens", "cap_tokens", "capped",
         "alloc_tokens", "epochs")
       .orderBy("lang")
+  }
+
+  /** The APPLY stage of [[unimax]] — the "which docs" answer the
+    * allocation table alone doesn't give (the corpus_temperature
+    * convention: rates AND the sampled corpus). A language allocated
+    * `epochs` passes = floor(epochs) FULL copies of every doc plus a
+    * FRACTIONAL remainder pass: each doc independently joins the
+    * remainder with probability frac(epochs) via the deterministic
+    * [[sampleKey]] Bernoulli ("unimax:" salt), so the remainder meets
+    * its token budget in expectation with a MAP-ONLY decision — the
+    * temperatureSample posture. (A cumulative-sum prefix fill would
+    * hit the budget exactly but needs a per-language running window —
+    * one task per language at corpus scale — so the rate form is the
+    * 100 TB-honest apply.) Output: every selected doc with its copy
+    * count (n_copies = full_epochs + in_remainder ≥ 1); docs outside
+    * the selection are omitted. Shuffle shape: the ≤|langs|-row
+    * allocation broadcasts back onto one corpus map pass.
+    */
+  def unimaxSelect(documents: DataFrame, budgetTokens: Long = 20000L,
+                   maxEpochs: Int = 1): DataFrame = {
+    val alloc = unimax(documents, budgetTokens, maxEpochs)
+      .select(col("lang"), col("epochs"))
+      .withColumn("full_epochs", floor(col("epochs")))
+      .withColumn("rem_rate", col("epochs") - col("full_epochs"))
+    documents
+      .select(col("doc_id"), col("lang"),
+        size(split(lower(trim(col("text"))), " ")).cast(LongType).as("n_tokens"),
+        sampleKey("unimax:", col("doc_id")).as("sample_key"))
+      .join(broadcast(alloc), Seq("lang"))
+      .withColumn("in_remainder", col("sample_key") < col("rem_rate"))
+      .withColumn("n_copies", col("full_epochs") +
+        when(col("in_remainder"), 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1L)
+      .select("doc_id", "lang", "n_tokens", "full_epochs", "in_remainder",
+        "n_copies")
+      .orderBy("doc_id")
   }
 
   /** Model continuation: a standing corpus carried as its two bucket

@@ -1335,6 +1335,18 @@ object TextOps {
     trigramPairs(documents).groupBy("trigram")
       .agg(count(lit(1)).as("trigram_freq"))
 
+  /** Public handle on the doc-local trigram probe stream — what the
+    * streaming twin sinks compactly beside its scores so the retro
+    * re-score never re-reads the texts (the [[bigramPairsOf]]
+    * convention).
+    */
+  def trigramPairsOf(documents: DataFrame): DataFrame =
+    trigramPairs(documents)
+
+  def mergeTrigramCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("trigram")
+      .agg(sum(col("trigram_freq")).as("trigram_freq"))
+
   /** −log2 of the stupid-backoff score, micro-quantized PER LEVEL
     * TERM (the [[bigramScore]] discipline — every log2 runs on exact
     * integer inputs, so correctly-rounded log2 keeps both engines
@@ -1405,12 +1417,18 @@ object TextOps {
 
   /** [[trigramBackoff]] over pre-computed model counts — the carried-
     * state entry point (all three count tables merge by summation).
+    * The probe stream feeds TWO consumers (the distinct contribution
+    * keys and the salted scoring join) and Spark does not dedupe
+    * shared subtrees, so it is checkpointed once — without it a
+    * caller passing a trigramPairs(batch) subtree re-tokenizes and
+    * re-explodes the batch per consumer (the dsirWeights discipline).
     */
   def trigramBackoffScore(probes: DataFrame, c3: DataFrame,
       c2: DataFrame, c1: DataFrame): DataFrame = {
+    val p = probes.localCheckpoint(true)
     val contrib = trigramBackoffContrib(
-      probes.select("trigram").distinct(), c3, c2, c1)
-    Partitioning.saltedEquiJoin(probes, contrib, "trigram", col("doc_id"))
+      p.select("trigram").distinct(), c3, c2, c1)
+    Partitioning.saltedEquiJoin(p, contrib, "trigram", col("doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
         count(when(col("backoff_level") === 1L, 1)).as("n_bo1"),
@@ -1429,11 +1447,14 @@ object TextOps {
     * reference corpus). Shares are exact-long divisions.
     */
   def trigramBackoffSummary(batch: DataFrame, standing: DataFrame): DataFrame = {
+    // one tokenize+explode pass shared by the contrib keys and the
+    // scoring join (trigramBackoffScore's checkpoint discipline)
+    val probes = trigramPairs(batch).localCheckpoint(true)
     val contrib = trigramBackoffContrib(
-      trigramPairs(batch).select("trigram").distinct(),
+      probes.select("trigram").distinct(),
       trigramCounts(standing), bigramCounts(standing), termCounts(standing))
     val scored = Partitioning.saltedEquiJoin(
-      trigramPairs(batch), contrib, "trigram", col("doc_id"))
+      probes, contrib, "trigram", col("doc_id"))
     scored
       .join(batch.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy("source")

@@ -1070,6 +1070,105 @@ object EventStream {
       st.filter(col("kind") === "r").select("bucket", "n"))
   }
 
+  /** Streaming twin of TextOps.trigramBackoff (r17 — the mechanical
+    * extension of [[bigramLoglossStream]]'s row-67 pattern the r16
+    * verdict called for): stupid-backoff trigram scoring as a
+    * continuous held-out process. Carried state = the trigram/bigram/
+    * term count tables of the MODEL slice (even doc_ids — the batch
+    * entry's held-out split), all three exactly associative under
+    * summation, packed into one versioned frame on a `kind` column
+    * ("3"/"2"/"1"). Each trigger scores its batch's PROBE slice (odd
+    * doc_ids) under the model of the corpus so far (batch's model
+    * docs included) and sinks the COMPACT (doc_id, trigram) probe
+    * stream beside the scores. Online scores DRIFT as the model grows
+    * (any online corpus-relative statistic must);
+    * [[reconcileTrigramBackoff]] settles them against the final model
+    * — no text re-scan — and equals the one-shot
+    * TextOps.trigramBackoff(odd, even) over everything arrived
+    * (spec-asserted). State is vocabulary³-scale in the worst case
+    * (the novelty-class cost — the g8-bucketed-store treatment
+    * applies at 100 TB). Same versioned replay-idempotent state,
+    * stable checkpoint, pruning and block-release discipline as the
+    * family.
+    */
+  def trigramBackoffStream(spark: SparkSession, dir: String, sinkPath: String,
+                           splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    documentsStream(spark, dir, splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val docs = batch.drop("ingest_ts")
+        val model = docs.filter(col("doc_id") % 2 === 0)
+        val probesDocs = docs.filter(col("doc_id") % 2 =!= 0)
+        val prev = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(String, String, Long)].toDF("kind", "k", "n"))
+        val m3 = graft.operators.TextOps.mergeTrigramCounts(
+            prev.filter(col("kind") === "3")
+              .select(col("k").as("trigram"), col("n").as("trigram_freq")),
+            graft.operators.TextOps.trigramCounts(model))
+          .localCheckpoint(eager = true)
+        val m2 = graft.operators.TextOps.mergeBigramCounts(
+            prev.filter(col("kind") === "2")
+              .select(col("k").as("bigram"), col("n").as("bigram_freq")),
+            graft.operators.TextOps.bigramCounts(model))
+          .localCheckpoint(eager = true)
+        val m1 = graft.operators.TextOps.mergeTermCounts(
+            prev.filter(col("kind") === "1")
+              .select(col("k").as("term"), col("n").as("term_freq")),
+            graft.operators.TextOps.termCounts(model))
+          .localCheckpoint(eager = true)
+        // one tokenize+explode pass, shared by the scoring tail and
+        // the compact sink (trigramBackoffScore re-checkpoints its
+        // probe input — a ≤sunk-rows re-materialization, no-op-sized)
+        val probes = graft.operators.TextOps.trigramPairsOf(probesDocs)
+          .localCheckpoint(eager = true)
+        val scored = graft.operators.TextOps
+          .trigramBackoffScore(probes, m3, m2, m1)
+        graft.sources.Loader.truncateAndLoad(scored, s"$sinkPath/batch_$batchId")
+        graft.sources.Loader.truncateAndLoad(probes, s"$sinkPath/probes_$batchId")
+        val packed = m3.select(lit("3").as("kind"), col("trigram").as("k"),
+            col("trigram_freq").as("n"))
+          .unionByName(m2.select(lit("2").as("kind"), col("bigram").as("k"),
+            col("bigram_freq").as("n")))
+          .unionByName(m1.select(lit("1").as("kind"), col("term").as("k"),
+            col("term_freq").as("n")))
+        graft.sources.Loader.truncateAndLoad(packed, s"$stateDir/upto_$batchId")
+        releaseCheckpoints(m3, m2, m1, probes)
+        pruneStateBefore(spark, stateDir, batchId - 1)
+        ()
+      }
+      .start()
+  }
+
+  /** The batch half of [[trigramBackoffStream]]'s lambda split:
+    * re-score every sunk (doc_id, trigram) probe against the FINAL
+    * model — settles the online drift and equals the one-shot
+    * TextOps.trigramBackoff(odd docs, even docs) over everything that
+    * arrived. Compact inputs only: the probe streams and the carried
+    * count tables, never the texts.
+    */
+  def reconcileTrigramBackoff(spark: SparkSession, sinkPath: String): DataFrame = {
+    val stateDir = sinkPath + ".state"
+    val latest = graft.sources.Fs.childDirs(spark, stateDir)
+      .filter(_.startsWith("upto_"))
+      .map(_.stripPrefix("upto_").toLong)
+      .reduceOption(_ max _)
+      .getOrElse(throw new IllegalStateException(
+        s"no trigram-model state under $stateDir — has the stream committed a trigger?"))
+    val st = spark.read.parquet(s"$stateDir/upto_$latest")
+    graft.operators.TextOps.trigramBackoffScore(
+      spark.read.parquet(s"$sinkPath/probes_*"),
+      st.filter(col("kind") === "3")
+        .select(col("k").as("trigram"), col("n").as("trigram_freq")),
+      st.filter(col("kind") === "2")
+        .select(col("k").as("bigram"), col("n").as("bigram_freq")),
+      st.filter(col("kind") === "1")
+        .select(col("k").as("term"), col("n").as("term_freq")))
+  }
+
   /** Streaming twin of TextOps.perplexityBuckets (r8 VERDICT #2 /
     * r10 #2) — the DECISION layer over [[bigramLoglossStream]]'s
     * model state: an intake pipeline applies the head/middle/tail

@@ -936,6 +936,66 @@ class CorpusSpec extends AnyFunSuite {
       s"${out.length} langs, uncapped share ${uncapped.headOption.getOrElse(-1.0)}")
   }
 
+  test("unimax select: apply = full epochs for all + Bernoulli(frac) remainder on the unimax sample key") {
+    val budget = 20000L
+    val out = Corpus.unimaxSelect(docs, budgetTokens = budget).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5))))
+      .toMap
+    assert(out.nonEmpty)
+    // recompose independently: per-language epochs from the
+    // allocation table, per-doc sample keys from sampleKey
+    val epochs = Corpus.unimax(docs, budgetTokens = budget).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val keys = docs.select(col("doc_id"), col("lang"),
+        Corpus.sampleKey("unimax:", col("doc_id")).as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = keys.flatMap { case (id, lang, k) =>
+      val e = epochs(lang)
+      val full = math.floor(e).toLong
+      val inRem = k < e - math.floor(e)
+      val copies = full + (if (inRem) 1L else 0L)
+      if (copies >= 1L) Some(id -> ((lang, full, inRem, copies))) else None
+    }.toMap
+    assert(out.view.mapValues(v => (v._1, v._3, v._4, v._5)).toMap === expected)
+    // fairness carried through the apply: copies never exceed the cap
+    assert(out.values.forall(_._5 <= 1L), "maxEpochs=1 bounds every copy count")
+    // a capped language at maxEpochs=1 has epochs exactly 1 → every
+    // doc selected exactly once, none via the remainder
+    val capped = Corpus.unimax(docs, budgetTokens = budget).collect()
+      .filter(_.getBoolean(3)).map(_.getString(0)).toSet
+    if (capped.nonEmpty) {
+      val langTotals = docs.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      capped.foreach { l =>
+        val sel = out.filter(_._2._1 == l)
+        assert(sel.size.toLong === langTotals(l), s"capped lang $l keeps all docs")
+        assert(sel.values.forall(v => v._3 === 1L && !v._4))
+      }
+    }
+    // stage composition: Σ selected n_tokens·n_copies per language ties
+    // to the allocation table — EXACTLY alloc_tokens for a capped
+    // language (epochs integral at maxEpochs=1, no remainder draw);
+    // for an uncapped one the Bernoulli remainder meets alloc in
+    // EXPECTATION, so pin full-copy mass ≤ Σ and the Bernoulli
+    // deviation bound |Σ − alloc| ≤ max single-doc tokens · a safe
+    // concentration factor (loose but deterministic on the fixture)
+    val alloc = Corpus.unimax(docs, budgetTokens = budget).collect()
+      .map(r => (r.getString(0), (r.getLong(4), r.getBoolean(3)))).toMap
+    val selTok = out.groupBy(_._2._1).view.mapValues(
+      _.values.map(v => v._2 * v._5).sum).toMap
+    selTok.foreach { case (l, s) =>
+      val (a, isCapped) = alloc(l)
+      if (isCapped) assert(s === a, s"capped lang $l: Σ tokens must equal alloc")
+      else {
+        val langDocs = out.filter(_._2._1 == l).values
+        val fullMass = langDocs.map(v => v._2 * v._3).sum
+        assert(s >= fullMass && math.abs(s - a) <= a,
+          s"uncapped lang $l: Σ=$s vs alloc=$a out of the expectation band")
+      }
+    }
+  }
+
   // ---- DSIR (Xie et al. 2023) -----------------------------------------
 
   /** Independent in-memory DSIR reference: same md5 60-bit bucket
@@ -1013,5 +1073,49 @@ class CorpusSpec extends AnyFunSuite {
     val oneShot = weights.filter(col("doc_id") % 2 =!= 0)
     assert(cont.exceptAll(oneShot).count() === 0)
     assert(oneShot.exceptAll(cont).count() === 0)
+  }
+
+  test("dsir gumbel select: Gumbel-top-k matches an independent recomputation; T→0 recovers the deterministic top-k") {
+    val tgt = col("lang") === "en"
+    val out = Corpus.dsirSelectGumbel(docs, tgt, k = 50).collect()
+    val weights = Corpus.dsirWeights(docs, tgt).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val c = 1.0 / math.log(2.0) * 1e6
+    val expected = weights.toSeq.map { case (id, w) =>
+      val h = java.lang.Long.parseLong(md5hex("gumbel:" + id).take(7), 16).toDouble
+      val u = (h + 0.5) / 268435456.0
+      val gm = math.floor(c * (-math.log(-math.log(u))) + 0.5).toLong
+      (id, w + gm)
+    }.sortBy { case (id, s) => (-s, id) }.take(50)
+    assert(out.map(r => (r.getLong(0), r.getLong(5))).toSeq === expected)
+    // zero-temperature limit: the noise term floors to 0 and the
+    // sampled selection degenerates to the deterministic top-k
+    val t0 = Corpus.dsirSelectGumbel(docs, tgt, k = 50, temperature = 1e-9)
+      .collect().map(_.getLong(0)).toSet
+    assert(t0 === Corpus.dsirSelect(docs, tgt, k = 50)
+      .collect().map(_.getLong(0)).toSet)
+    // and at T = 1 the noise genuinely reorders the selection
+    assert(out.map(_.getLong(0)).toSeq !==
+      Corpus.dsirSelect(docs, tgt, k = 50).collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("dsir weights: an EMPTY target model yields finite (non-null) weights matching the reference") {
+    // the streaming early-trigger / no-target-survivor state: the
+    // target count frame is empty, so the target total must coalesce
+    // to 0 (not null-poison every weight in the batch)
+    val planted = Seq(
+      doc(3L, "spark shuffle partition join", "fr"),
+      doc(4L, "zebra yak wombat xerus", "fr"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.dsirWeights(planted, col("lang") === "en").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(!r.isNullAt(2), s"doc ${r.getLong(0)} weight must not be null")
+    }
+    val ref = dsirReference(Seq(
+      (3L, "spark shuffle partition join", false),
+      (4L, "zebra yak wombat xerus", false)))
+    val got = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === ref)
   }
 }

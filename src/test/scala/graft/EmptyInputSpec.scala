@@ -112,9 +112,13 @@ class EmptyInputSpec extends AnyFunSuite {
     // stay unevaluated — the contribution table has no rows)
     assert(Corpus.dsirWeights(docs, col("lang") === "en").count() === 0)
     assert(Corpus.dsirSelect(docs, col("lang") === "en").count() === 0)
+    assert(Corpus.dsirSelectGumbel(docs, col("lang") === "en").count() === 0)
     assert(Corpus.dsirWeightsIncremental(docs, col("lang") === "en",
       Corpus.dsirBucketCounts(docs), Corpus.dsirBucketCounts(docs))
       .count() === 0)
+    // UniMax apply (r17): empty corpus → empty allocation → empty
+    // selection, no throw
+    assert(Corpus.unimaxSelect(docs).count() === 0)
     assert(Corpus.report(docs).count() === 0)
     assert(Corpus.packManifest(docs).count() === 0)
     assert(Corpus.packSequences(docs).count() === 0)
@@ -223,6 +227,13 @@ class EmptyInputSpec extends AnyFunSuite {
     // zero summary cells, no throw
     assert(Similarity.semdedup(emb).count() === 0)
     assert(Similarity.semdedupSummary(emb).count() === 0)
+    // semantic admission + graph ANN (r17): empty corpus → empty
+    // codebook/index/graph, zero rows everywhere, no throw
+    val emptyCode = Similarity.kmeansCodebook(emb, 8, 3)
+    assert(Similarity.semdedupIndex(emb, emptyCode).count() === 0)
+    assert(Similarity.semdedupAdmit(emb, emb, emptyCode).count() === 0)
+    assert(Similarity.knnGraph(emb).count() === 0)
+    assert(Similarity.annRecallGraph(emb).count() === 0)
     assert(Similarity.pqCodes(emb).count() === 0,
       "empty corpus → empty subspace codebooks, zero rows, no throw")
     assert(Similarity.knnPq(emb).count() === 0)

@@ -616,6 +616,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(oneShot.exceptAll(settled).count() === 0)
   }
 
+  test("streaming trigram backoff: held-out model carried across triggers; reconcile settles to one-shot") {
+    val sink = Files.createTempDirectory("graft_tgstream").toString + "/trigram"
+    val q = EventStream.trigramBackoffStream(spark, sf, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val docs = Tables.documents(spark, sf)
+    val oneShot = graft.operators.TextOps.trigramBackoff(
+      docs.filter(col("doc_id") % 2 =!= 0), docs.filter(col("doc_id") % 2 === 0))
+    // online drift exists by construction (trigger-1 probes scored
+    // under the prefix model) — report, don't assert its size
+    val online = spark.read.parquet(s"$sink/batch_*")
+    info(s"online-vs-settled trigram backoff drift: " +
+      s"${online.exceptAll(oneShot).count()} rows")
+    // trigger-2 scored under the merged (= full even-doc) model, so
+    // it already equals the one-shot restricted to its probe half
+    val t2 = spark.read.parquet(s"$sink/${batches.last}")
+    val t2Shot = oneShot.filter(col("doc_id") >= 250)
+    assert(t2.exceptAll(t2Shot).count() === 0)
+    assert(t2Shot.exceptAll(t2).count() === 0)
+    // the settled answer: sunk compact probes + final model, no text
+    // re-scan — equals the one-shot over everything arrived
+    val settled = EventStream.reconcileTrigramBackoff(spark, sink)
+    assert(settled.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(settled).count() === 0)
+  }
+
   test("streaming perplexity buckets: model+histogram carried; online buckets drift; reconcile settles to one-shot") {
     val sink = Files.createTempDirectory("graft_ppxstream").toString + "/ppx"
     val q = EventStream.perplexityBucketStream(spark, sf, sink, splitAt = Some(250L))

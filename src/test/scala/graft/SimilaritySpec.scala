@@ -54,6 +54,39 @@ class SimilaritySpec extends AnyFunSuite {
     ivf.unpersist()
   }
 
+  test("graph ann (nsw): structural guarantees; recall monotone in hops; beats the entry-only baseline") {
+    val emb = Tables.embeddings(spark, sf)
+    val g = Similarity.knnGraph(emb).cache()
+    assert(g.filter(col("qid") === col("nid")).count() === 0)
+    assert(g.groupBy("qid").count().filter(col("count") > 5).count() === 0)
+    // ranks contiguous from 1 per probe
+    g.collect().groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq ===
+        (1L to rs.length.toLong), s"probe $q ranks must be contiguous")
+    }
+    val brute = Similarity.knnBrute(emb)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val code = Similarity.kmeansCodebook(emb, 8, 3)
+    val r0 = recallOf(Similarity.knnGraphWith(emb, code, hops = 0))
+    val r1 = recallOf(Similarity.knnGraphWith(emb, code, hops = 1))
+    val r3 = recallOf(g)
+    info(f"graph recall@5: hops=0 $r0%.2f, hops=1 $r1%.2f, hops=3 $r3%.2f")
+    // candidate sets only grow with hops → recall monotone
+    assert(r1 >= r0 && r3 >= r1, "recall must be monotone in hops")
+    // the walk must actually buy recall over scoring the entry set
+    assert(r3 > r0, "3-hop beam search must beat the medoid-only baseline")
+    // the annRecallGraph report agrees with the independent join
+    val rep = Similarity.annRecallGraph(emb).collect()
+    val repAvg = rep.map(_.getDouble(4)).sum / rep.length
+    assert(math.abs(repAvg - r3) < 1e-9)
+    g.unpersist()
+  }
+
   test("trained-codebook ivf: structural guarantees; recall vs brute force reported") {
     val emb = Tables.embeddings(spark, sf)
     val ivf = Similarity.knnIvfTrained(emb).cache()
@@ -1290,5 +1323,114 @@ class SimilaritySpec extends AnyFunSuite {
     val selfTrained = Similarity.semdedup(emb)
     assert(fromArtifact.exceptAll(selfTrained).count() === 0)
     assert(selfTrained.exceptAll(fromArtifact).count() === 0)
+  }
+
+  test("semdedup admission: batch near-dups of standing kept exemplars rejected, in-batch twins collapse") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // even = standing: {0, 8} near-identical along +x (one kept),
+    // 2/4/6 orthogonal singletons. odd = batch: 9 ≈ +x (must be
+    // rejected against the standing kept exemplar), {1, 11, 13} ≈ +y
+    // (fresh vs the corpus, one in-batch component of 3), 3/5/7
+    // orthogonal (admitted singletons).
+    val df = Seq(
+      (0L, v(1.0, 0, 0, 0), 0), (1L, v(0, 1.0, 0, 0), 0),
+      (2L, v(0, 0, 1.0, 0), 1), (3L, v(0, 0, 0, 1.0), 1),
+      (4L, v(-1.0, 0, 0, 0), 2), (5L, v(0, -1.0, 0, 0), 2),
+      (6L, v(0, 0, -1.0, 0), 3), (7L, v(0, 0, 0, -1.0), 3),
+      (8L, v(0.99, 0.02, 0, 0), 0), (9L, v(0.97, 0.05, 0, 0), 0),
+      (11L, v(0, 0.99, 0.02, 0), 0), (13L, v(0, 0.97, 0.05, 0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val code = Similarity.kmeansCodebook(df, 8, 3)
+    val standing = df.filter(col("vec_id") % 2 === 0)
+    val batch = df.filter(col("vec_id") % 2 =!= 0)
+    val out = Similarity.semdedupAdmit(standing, batch, code, tau = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(5)))).toMap
+    // 9 rejected against the standing +x exemplar; {1,11,13} collapse
+    // to one survivor absorbing 2; 3/5/7 admitted untouched
+    assert(!out.contains(9L), "batch near-dup of a standing exemplar must be rejected")
+    val ySurvivors = Seq(1L, 11L, 13L).filter(out.contains)
+    assert(ySurvivors.size === 1, s"one survivor from the +y component, got $out")
+    assert(out(ySurvivors.head) === ((3L, 2L)))
+    Seq(3L, 5L, 7L).foreach(id => assert(out(id) === ((1L, 0L)),
+      s"vec $id must be an admitted singleton"))
+    assert(out.size === 4)
+    // the union invariant: standing kept ∪ admitted is pairwise
+    // cos < τ within every cell — admission preserves exactly the
+    // property semdedup established on the standing corpus
+    val keptIdx = Similarity.semdedupIndex(standing, code, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val admitted = Similarity.kmeansAssignWith(batch, code).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val embMap = df.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val pool = keptIdx.map(t => (t._1, t._2, t._3)) ++
+      out.keys.map(id => (id, admitted(id), embMap(id)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for {
+      (ia, ca, va) <- pool; (ib, cb, vb) <- pool
+      if ia < ib && ca == cb
+    } assert(cos(va, vb) < 0.9, s"union must stay pairwise below τ: $ia vs $ib")
+    // the index overload is the same operator
+    val viaIndex = Similarity.semdedupAdmitWithIndex(
+      Similarity.semdedupIndex(standing, code, tau = 0.9), batch, code, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(5)))).toMap
+    assert(viaIndex === out)
+  }
+
+  test("semdedup cell cap: an over-cap cell generates no pairs — its members pass through kept") {
+    // the planted duplicate-group fixture: {0, 8, 9} share seed 0's
+    // cell (population 3); with cellCap = 2 that cell is skipped for
+    // pair generation, so ALL vectors come out kept singletons —
+    // BandBucketCap's documented-drop semantics
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val df = Seq(
+      (0L, v(1.0, 0, 0, 0), 0), (1L, v(0, 1.0, 0, 0), 0),
+      (2L, v(0, 0, 1.0, 0), 1), (3L, v(0, 0, 0, 1.0), 1),
+      (4L, v(-1.0, 0, 0, 0), 2), (5L, v(0, -1.0, 0, 0), 2),
+      (6L, v(0, 0, -1.0, 0), 3), (7L, v(0, 0, 0, -1.0), 3),
+      (8L, v(0.99, 0.02, 0, 0), 0), (9L, v(0.97, 0.05, 0, 0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val code = Similarity.kmeansCodebook(df, 8, 3)
+    val capped = Similarity.semdedupWith(df, code, tau = 0.9, cellCap = 2)
+      .collect()
+    assert(capped.length === 10)
+    capped.foreach { r =>
+      assert(r.getLong(4) === 1L && r.getBoolean(6),
+        s"vec ${r.getLong(0)} must be a kept singleton under the cap")
+    }
+    // the default cap leaves the fixture untouched (cap >> any cell)
+    val uncapped = Similarity.semdedupWith(df, code, tau = 0.9).collect()
+    assert(uncapped.count(!_.getBoolean(6)) === 2,
+      "default-cap run still collapses the planted 3-member group")
+  }
+
+  test("kmeansCodebookFrom fails fast on a malformed persisted artifact") {
+    // duplicate (cluster_id, dim_idx) row
+    val dup = Seq((0L, 0L, 1.0), (0L, 0L, 2.0), (0L, 1L, 3.0))
+      .toDF("cluster_id", "dim_idx", "centroid_val")
+    intercept[IllegalArgumentException] { Similarity.kmeansCodebookFrom(dup) }
+    // missing dimension (gap in dim_idx)
+    val gap = Seq((0L, 0L, 1.0), (0L, 2L, 3.0))
+      .toDF("cluster_id", "dim_idx", "centroid_val")
+    intercept[IllegalArgumentException] { Similarity.kmeansCodebookFrom(gap) }
+    // ragged clusters (d differs)
+    val ragged = Seq((0L, 0L, 1.0), (0L, 1L, 2.0), (1L, 0L, 3.0))
+      .toDF("cluster_id", "dim_idx", "centroid_val")
+    intercept[IllegalArgumentException] { Similarity.kmeansCodebookFrom(ragged) }
+    // empty artifact
+    val empty = spark.emptyDataFrame
+      .withColumn("cluster_id", lit(0L)).withColumn("dim_idx", lit(0L))
+      .withColumn("centroid_val", lit(0.0)).filter(lit(false))
+    intercept[IllegalArgumentException] { Similarity.kmeansCodebookFrom(empty) }
+    // a well-formed artifact still loads
+    val ok = Seq((0L, 0L, 1.0), (0L, 1L, 2.0), (1L, 1L, 4.0), (1L, 0L, 3.0))
+      .toDF("cluster_id", "dim_idx", "centroid_val")
+    assert(Similarity.kmeansCodebookFrom(ok) ===
+      Seq((0L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0))))
   }
 }
