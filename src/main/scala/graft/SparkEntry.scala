@@ -99,8 +99,8 @@ object SparkEntry {
       // r17: the graph-ANN searches checkpoint edges + per-hop scored
       // frames; semantic admission checkpoints two assignment frames;
       // the trigram reconcile checkpoints its probe stream
-      "knn_graph", "ann_recall_graph", "semdedup_admit",
-      "trigram_backoff_reconciled")
+      "knn_graph", "ann_recall_graph", "ann_operating_curve_graph",
+      "semdedup_admit", "trigram_backoff_reconciled")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -378,6 +378,11 @@ object SparkEntry {
     "knn_graph" -> ((s, d) => Similarity.knnGraph(t(s, d, "embeddings"))),
     "ann_recall_graph" -> ((s, d) =>
       Similarity.annRecallGraph(t(s, d, "embeddings"), truth = knnTruth(s, d))),
+    // per-hop recall/cost sweep from ONE walk (candidate sets nest in
+    // hops structurally — the curve matrix's fourth member)
+    "ann_operating_curve_graph" -> ((s, d) =>
+      Similarity.graphOperatingCurve(t(s, d, "embeddings"),
+        truth = knnTruth(s, d))),
     "ann_recall_ivf" -> ((s, d) =>
       Similarity.annRecallIvf(t(s, d, "embeddings"), truth = knnTruth(s, d))),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(t(s, d, "embeddings"))),
@@ -5786,6 +5791,42 @@ object SparkEntry {
         |SELECT h.qid, n_brute, coalesce(n_lsh, CAST(0 AS BIGINT)) AS n_lsh, n_hit,
         |  CAST(n_hit AS DOUBLE) / 5.0 AS recall
         |FROM h LEFT JOIN nl ON h.qid = nl.qid ORDER BY h.qid""".stripMargin,
+
+    // the graph family's curve: the SAME unrolled walk, per-hop rows
+    // as filters over min_hop (candidate sets nest in hops by
+    // construction — the shared-candidate discipline is structural)
+    "ann_operating_curve_graph" ->
+      s"""WITH $nswCtes,
+        |gh AS (SELECT qid, nid, cos_sim, 0 AS hop FROM gs0
+        |  UNION ALL SELECT qid, nid, cos_sim, 1 FROM gs1
+        |  UNION ALL SELECT qid, nid, cos_sim, 2 FROM gs2
+        |  UNION ALL SELECT qid, nid, cos_sim, 3 FROM gs3),
+        |gp AS (SELECT qid, nid, min(hop) AS min_hop, max(cos_sim) AS cos_sim
+        |  FROM gh GROUP BY 1, 2),
+        |gg AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS n_hops),
+        |gcf AS (SELECT gp.qid, gp.nid, gp.cos_sim, gg.n_hops
+        |  FROM gp CROSS JOIN gg WHERE gp.min_hop <= gg.n_hops),
+        |gtk AS (SELECT n_hops, qid, nid FROM (
+        |  SELECT n_hops, qid, nid, row_number() OVER (PARTITION BY n_hops, qid
+        |    ORDER BY cos_sim DESC, nid) AS rn FROM gcf) WHERE rn <= 5),
+        |bs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+        |FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |br AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank FROM bs),
+        |gtr AS (SELECT br.qid, br.nid, gg.n_hops FROM br CROSS JOIN gg
+        |  WHERE br.rank <= 5),
+        |ghit AS (SELECT gtr.n_hops, CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN gtk.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |FROM gtr LEFT JOIN gtk ON gtr.n_hops = gtk.n_hops
+        |  AND gtr.qid = gtk.qid AND gtr.nid = gtk.nid GROUP BY 1),
+        |gnc AS (SELECT n_hops, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM gcf GROUP BY 1)
+        |SELECT ghit.n_hops, n_true,
+        |  coalesce(gnc.n_candidates, CAST(0 AS BIGINT)) AS n_candidates, n_hit,
+        |  CAST(n_hit AS DOUBLE) / n_true AS recall
+        |FROM ghit LEFT JOIN gnc ON ghit.n_hops = gnc.n_hops
+        |ORDER BY ghit.n_hops""".stripMargin,
 
     // Operating curve (r8 #5): the knn_ivf chain widened to the grid
     // maximum (crank ≤ 4, rank retained), every candidate pair

@@ -555,7 +555,24 @@ object Corpus {
     * materialize-once production shape, like Dedup.prune's overload).
     */
   def report(documents: DataFrame, clustered: DataFrame): DataFrame = {
-    val q = TextOps.textQuality(documents).select(col("doc_id"), col("keep"))
+    // The quality stage is checkpointed BEFORE the narrowing select
+    // (r17 — the corpus_report cpu adjudication): projecting straight
+    // to (doc_id, keep) lets CollapseProject inline the whole signal
+    // tree into ONE keep expression that re-evaluates
+    // split(lower(trim(text))) five times, and that collapsed
+    // projection then runs on the join's build side where it
+    // intermittently drops out of whole-stage codegen — the stage
+    // census showed a bimodal 7–10 cpu-s broadcast-build stage (vs
+    // 0.8 cpu-s for the standalone text_quality plan). Materializing
+    // the FULL textQuality frame first runs the standalone-shaped
+    // plan (per-signal columns, one split each, codegen'd), and the
+    // narrow select becomes a 2-column checkpoint scan. Checkpointing
+    // AFTER the select does NOT fix it — the collapse happens first
+    // and the checkpoint job pays the same mega-expression (measured:
+    // 6.1 s / 19.2 cpu-s vs 5.2 / 14.4 unfixed, vs ~3.6 with this
+    // ordering).
+    val q = TextOps.textQuality(documents).localCheckpoint(true)
+      .select(col("doc_id"), col("keep"))
     val c = clustered.select(col("doc_id"), col("is_canonical"))
     val s = sample(documents).select(col("doc_id"), lit(true).as("sampled"))
     val fin = col("keep") && col("is_canonical") && col("sampled")

@@ -731,8 +731,25 @@ object Similarity {
     */
   def knnGraphWith(embeddings: DataFrame, code: Seq[(Long, Seq[Double])],
                    nProbes: Int = 20, k: Int = 5, m: Int = 6,
-                   beamWidth: Int = 10, hops: Int = 3): DataFrame = {
-    val edges = nswEdges(embeddings, code, m).localCheckpoint(true)
+                   beamWidth: Int = 10, hops: Int = 3): DataFrame =
+    knnGraphWithArtifacts(embeddings, nswEdges(embeddings, code, m),
+      nswMedoids(embeddings, code), nProbes, k, beamWidth, hops)
+
+  /** Beam search against PRE-BUILT graph artifacts — the
+    * train → persist → load → apply deployment shape every other
+    * index family here ships (kmeansCodebookFrom /
+    * ivfPqResidualOpqArtifactFrom convention): `edges` (src, dst) and
+    * `medoids` (vec_id) are plain parquet-persistable tables, so a
+    * serving layer searches without re-running the graph build.
+    * Spec-asserted bit-equal to the self-building [[knnGraphWith]]
+    * through a parquet round-trip (storage order irrelevant — the
+    * search consumes edges as an unordered relation).
+    */
+  def knnGraphWithArtifacts(embeddings: DataFrame, edgesArtifact: DataFrame,
+                            medoids: DataFrame, nProbes: Int = 20,
+                            k: Int = 5, beamWidth: Int = 10,
+                            hops: Int = 3): DataFrame = {
+    val edges = edgesArtifact.localCheckpoint(true)
     val probes = embeddings.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val corpus = embeddings.select(col("vec_id").as("nid"),
@@ -743,7 +760,7 @@ object Similarity {
         .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos_sim"))
     val bw = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
     val entry = probes.select("qid")
-      .crossJoin(nswMedoids(embeddings, code).select(col("vec_id").as("nid")))
+      .crossJoin(medoids.select(col("vec_id").as("nid")))
     // each hop's scored frame feeds the beam prune AND the final
     // union — checkpointed per hop (the multiply-consumed discipline;
     // also keeps the lineage from doubling per hop)
@@ -774,6 +791,84 @@ object Similarity {
                      k: Int = 5, truth: Option[DataFrame] = None): DataFrame =
     recallAgainstBrute(embeddings, knnGraph(embeddings, nProbes, k),
       nProbes, k, truth)
+
+  /** The graph family's operating curve — the fourth member of the
+    * curve matrix (IVF probes / LSH planes / composed probeLists /
+    * graph HOPS): per-hop recall@k and cumulative candidate volume
+    * from ONE walk at the maximum hop count. The shared-candidate
+    * discipline holds STRUCTURALLY here: the beam search's candidate
+    * sets are nested in hops by construction (each hop only ADDS
+    * scored pairs), so hop h's row is a filter (`min_hop ≤ h`) over
+    * the one full walk — no re-search per grid point, exactly the
+    * annOperatingCurve construction with the nesting coming from the
+    * traversal itself rather than from probe-rank bookkeeping. Recall
+    * is monotone non-decreasing in hops (nested sets + exact-cosine
+    * ranking — the IVF curve's argument verbatim), so the table reads
+    * top-down as "walk until recall clears the bar, deploy that hop
+    * budget"; the candidate column is the cost axis (scored pairs =
+    * point lookups into the corpus). Fully deterministic; the oracle
+    * replays the walk with the SAME unrolled hop CTEs as knn_graph
+    * and filters per grid row.
+    */
+  def graphOperatingCurve(embeddings: DataFrame, nProbes: Int = 20,
+                          k: Int = 5, m: Int = 6, beamWidth: Int = 10,
+                          hops: Int = 3, kClusters: Int = 8,
+                          iters: Int = 3,
+                          truth: Option[DataFrame] = None): DataFrame = {
+    val code = kmeansCodebook(embeddings, kClusters, iters)
+    val edges = nswEdges(embeddings, code, m).localCheckpoint(true)
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = embeddings.select(col("vec_id").as("nid"),
+      col("embedding").as("nv"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(corpus, Seq("nid")).join(broadcast(probes), Seq("qid"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos_sim"))
+    val bw = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    val entry = probes.select("qid")
+      .crossJoin(nswMedoids(embeddings, code).select(col("vec_id").as("nid")))
+    var scored = score(entry).localCheckpoint(true)
+    var all = scored.withColumn("hop", lit(0L))
+    (1 to hops).foreach { t =>
+      val beam = scored.withColumn("rn", row_number().over(bw))
+        .filter(col("rn") <= beamWidth).select("qid", "nid")
+      val cand = beam.join(edges, col("nid") === col("src"))
+        .select(col("qid"), col("dst").as("nid"))
+        .unionByName(beam)
+        .distinct()
+      scored = score(cand).localCheckpoint(true)
+      all = all.unionByName(scored.withColumn("hop", lit(t.toLong)))
+    }
+    // first hop each pair was scored at = the narrowest grid row that
+    // includes it; cos is identical across re-scores (same fold), so
+    // max() is a deterministic pick
+    val gridLit = typedLit((0 to hops).map(_.toLong))
+    val pairs = all.groupBy("qid", "nid")
+      .agg(min(col("hop")).as("min_hop"), max(col("cos_sim")).as("cos_sim"))
+    val confs = pairs
+      .select(col("qid"), col("nid"), col("cos_sim"), col("min_hop"),
+        explode(gridLit).as("n_hops"))
+      .filter(col("min_hop") <= col("n_hops"))
+    val w = Window.partitionBy("n_hops", "qid")
+      .orderBy(col("cos_sim").desc, col("nid"))
+    val topk = confs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("n_hops"), col("qid"), col("nid"), lit(1L).as("hit"))
+    val truthRows = truth.getOrElse(knnTruthPairs(embeddings, nProbes, k))
+      .select(col("qid"), col("nid"), explode(gridLit).as("n_hops"))
+    val hits = truthRows.join(topk, Seq("n_hops", "qid", "nid"), "left")
+      .groupBy("n_hops")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    val nCand = confs.groupBy("n_hops")
+      .agg(count(lit(1)).as("n_candidates"))
+    hits.join(nCand, Seq("n_hops"), "left")
+      .select(col("n_hops"), col("n_true"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true")).as("recall"))
+      .orderBy("n_hops")
+  }
 
   /** Embedding-space decontamination audit — the semantic twin of
     * TextOps.decontaminate: gram overlap catches VERBATIM benchmark

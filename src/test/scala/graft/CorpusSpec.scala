@@ -981,12 +981,13 @@ class CorpusSpec extends AnyFunSuite {
     // deviation bound |Σ − alloc| ≤ max single-doc tokens · a safe
     // concentration factor (loose but deterministic on the fixture)
     val alloc = Corpus.unimax(docs, budgetTokens = budget).collect()
-      .map(r => (r.getString(0), (r.getLong(4), r.getBoolean(3)))).toMap
+      .map(r => (r.getString(0), (r.getDouble(4), r.getBoolean(3)))).toMap
     val selTok = out.groupBy(_._2._1).view.mapValues(
       _.values.map(v => v._2 * v._5).sum).toMap
     selTok.foreach { case (l, s) =>
       val (a, isCapped) = alloc(l)
-      if (isCapped) assert(s === a, s"capped lang $l: Σ tokens must equal alloc")
+      if (isCapped) assert(s.toDouble === a,
+        s"capped lang $l: Σ tokens must equal alloc")
       else {
         val langDocs = out.filter(_._2._1 == l).values
         val fullMass = langDocs.map(v => v._2 * v._3).sum

@@ -241,6 +241,14 @@ class PlanShapeSpec extends AnyFunSuite {
         "gram projection (broadcast at fixture stats), then both " +
         "pair-side gram joins broadcast; TakeOrdered top-100, no " +
         "window, no SinglePartition"),
+    ("corpus_report", Shape(6, 2, 2, 0),
+      "the r17 adjudication pin: quality stage materialized BEFORE " +
+        "the narrowing select (checkpoint scan on the q build side — " +
+        "the 5x-split collapsed keep expression no longer evaluates " +
+        "in a broadcast build), cluster tail reads the propagation " +
+        "checkpoint; 6 exchanges = the two doc_id SMJ sides + sizes " +
+        "agg + lang rollup pair + output sort; 2 bhj = q and s " +
+        "(bounded bool frames at fixture stats), 0 windows"),
     ("corpus_vocab_hll", Shape(4, 0, 0, 0),
       "register aggregate map-side-combines to ≤256 rows/partition; " +
         "the two scalar finals (register summary + exact distinct) " +

@@ -644,6 +644,68 @@ class ScaleSpec extends AnyFunSuite {
     assert(oneShot.exceptAll(settled).count() === 0)
   }
 
+  test("streaming semantic admission: kept-exemplar index carried; per-trigger ≡ sequential batch admission") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("graft_semadm").toString + "/semadm"
+    val emb = Tables.embeddings(spark, sf)
+    val code = graft.operators.Similarity.kmeansCodebook(emb, 8, 3)
+    val q = EventStream.semdedupAdmissionStream(spark, sf, sink, code,
+      splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    // sequential replay through the BATCH operator (the admission
+    // contract is order-dependent; per-trigger frame equality IS the
+    // twin's correctness statement)
+    val first = emb.filter(col("vec_id") < 250)
+    val second = emb.filter(col("vec_id") >= 250)
+    val empty = Seq.empty[(Long, Long, Array[Float])]
+      .toDF("vec_id", "cell_id", "embedding")
+    def indexRows(adm: org.apache.spark.sql.DataFrame,
+                  vecs: org.apache.spark.sql.DataFrame) =
+      adm.select(col("vec_id"), col("cell_id"))
+        .join(vecs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select("vec_id", "cell_id", "embedding")
+    val adm1 = graft.operators.Similarity
+      .semdedupAdmitWithIndex(empty, first, code)
+    val idx1 = empty.unionByName(indexRows(adm1, first))
+      .localCheckpoint(true)
+    val adm2 = graft.operators.Similarity
+      .semdedupAdmitWithIndex(idx1, second, code)
+    val t1 = spark.read.parquet(s"$sink/${batches.head}")
+    val t2 = spark.read.parquet(s"$sink/${batches.last}")
+    assert(t1.exceptAll(adm1).count() === 0)
+    assert(adm1.exceptAll(t1).count() === 0)
+    assert(t2.exceptAll(adm2).count() === 0)
+    assert(adm2.exceptAll(t2).count() === 0)
+    // index-maintenance invariant: final carried state = trigger-1
+    // index ∪ trigger-2 admitted rows (maintained, never recomputed)
+    val stDir = new java.io.File(sink + ".state").listFiles()
+      .map(_.getName).filter(_.startsWith("upto_")).max
+    val finalIdx = spark.read.parquet(s"$sink.state/$stDir")
+      .select("vec_id", "cell_id")
+    val expectIdx = idx1.select("vec_id", "cell_id")
+      .unionByName(adm2.select("vec_id", "cell_id"))
+    assert(finalIdx.exceptAll(expectIdx).count() === 0)
+    assert(expectIdx.exceptAll(finalIdx).count() === 0)
+    // boundedness argument carried across triggers: within every cell
+    // the final index is pairwise cos < τ (τ-packing — the reason the
+    // state can't grow unboundedly at fixed codebook)
+    val idxFull = spark.read.parquet(s"$sink.state/$stDir").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cosv(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for {
+      (ia, ca, va) <- idxFull; (ib, cb, vb) <- idxFull
+      if ia < ib && ca == cb
+    } assert(cosv(va, vb) < 0.4,
+      s"index must stay pairwise below τ in-cell: $ia vs $ib")
+  }
+
   test("streaming perplexity buckets: model+histogram carried; online buckets drift; reconcile settles to one-shot") {
     val sink = Files.createTempDirectory("graft_ppxstream").toString + "/ppx"
     val q = EventStream.perplexityBucketStream(spark, sf, sink, splitAt = Some(250L))

@@ -87,6 +87,42 @@ class SimilaritySpec extends AnyFunSuite {
     g.unpersist()
   }
 
+  test("graph ann artifacts: edges+medoids survive a parquet round-trip; apply-only search bit-equal to self-building") {
+    val emb = Tables.embeddings(spark, sf)
+    val code = Similarity.kmeansCodebook(emb, 8, 3)
+    val selfBuilt = Similarity.knnGraphWith(emb, code)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsw_art").toString
+    // persist the two graph artifacts; re-read SHUFFLED so storage
+    // order provably doesn't matter (the search consumes edges as an
+    // unordered relation)
+    Similarity.nswEdges(emb, code).write.parquet(s"$dir/edges")
+    Similarity.nswMedoids(emb, code).write.parquet(s"$dir/medoids")
+    val fromArtifacts = Similarity.knnGraphWithArtifacts(emb,
+      spark.read.parquet(s"$dir/edges").orderBy(rand(7)),
+      spark.read.parquet(s"$dir/medoids").orderBy(rand(11)))
+    assert(fromArtifacts.exceptAll(selfBuilt).count() === 0)
+    assert(selfBuilt.exceptAll(fromArtifacts).count() === 0)
+  }
+
+  test("graph operating curve: recall and candidates monotone in hops; max-hop row cross-pins to ann_recall_graph") {
+    val emb = Tables.embeddings(spark, sf)
+    val curve = Similarity.graphOperatingCurve(emb).collect()
+    assert(curve.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    val recalls = curve.map(_.getDouble(4))
+    assert(recalls.sliding(2).forall(p => p(1) >= p(0) - 1e-12),
+      s"recall must be monotone in hops: ${recalls.toSeq}")
+    val cands = curve.map(_.getLong(2))
+    assert(cands.sliding(2).forall(p => p(1) >= p(0)),
+      s"candidate volume nests: ${cands.toSeq}")
+    // the hop-3 row IS the point evaluator: same candidate set, same
+    // ranking, so total hits agree exactly
+    val rep = Similarity.annRecallGraph(emb).collect()
+    assert(curve.last.getLong(3) === rep.map(_.getLong(3)).sum,
+      "max-hop row ≡ ann_recall_graph's total hits")
+    info(s"graph curve: hops ${curve.map(r =>
+      f"${r.getLong(0)}:${r.getDouble(4)}%.2f@${r.getLong(2)}").mkString(" ")}")
+  }
+
   test("trained-codebook ivf: structural guarantees; recall vs brute force reported") {
     val emb = Tables.embeddings(spark, sf)
     val ivf = Similarity.knnIvfTrained(emb).cache()
