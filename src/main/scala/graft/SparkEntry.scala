@@ -100,7 +100,8 @@ object SparkEntry {
       // frames; semantic admission checkpoints two assignment frames;
       // the trigram reconcile checkpoints its probe stream
       "knn_graph", "ann_recall_graph", "ann_operating_curve_graph",
-      "semdedup_admit", "trigram_backoff_reconciled")
+      "ann_family_comparison", "semdedup_admit",
+      "trigram_backoff_reconciled")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. dimensional warehouse ----
@@ -383,6 +384,11 @@ object SparkEntry {
     "ann_operating_curve_graph" -> ((s, d) =>
       Similarity.graphOperatingCurve(t(s, d, "embeddings"),
         truth = knnTruth(s, d))),
+    // the three point-sweep curves normalized and unioned — the
+    // which-family-wins table over ONE shared truth
+    "ann_family_comparison" -> ((s, d) =>
+      Similarity.annFamilyComparison(t(s, d, "embeddings"),
+        truth = knnTruth(s, d))),
     "ann_recall_ivf" -> ((s, d) =>
       Similarity.annRecallIvf(t(s, d, "embeddings"), truth = knnTruth(s, d))),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(t(s, d, "embeddings"))),
@@ -571,10 +577,16 @@ object SparkEntry {
     // allocation — the structural fix for temperature sampling's
     // tail-language over-repetition
     "corpus_unimax" -> ((s, d) => Corpus.unimax(t(s, d, "documents"))),
+    // the epochs>1 branch of the cap logic, full-oracle (r17)
+    "corpus_unimax_epochs" ->
+      ((s, d) => Corpus.unimax(t(s, d, "documents"), 60000L, 3)),
     // the apply stage: allocation → selected docs with copy counts
     // (full epochs + deterministic-Bernoulli fractional remainder)
     "corpus_unimax_select" ->
       ((s, d) => Corpus.unimaxSelect(t(s, d, "documents"))),
+    // multi-copy apply (full_epochs >= 2) under oracle (r17)
+    "corpus_unimax_select_epochs" ->
+      ((s, d) => Corpus.unimaxSelect(t(s, d, "documents"), 60000L, 3)),
     "corpus_temperature_summary" ->
       ((s, d) => Corpus.temperatureSummary(t(s, d, "documents"))),
     "corpus_select_budget" -> ((s, d) => Corpus.selectBudget(t(s, d, "documents"))),
@@ -1195,6 +1207,58 @@ object SparkEntry {
        |${p}c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k),
        |$iterBlocks""".stripMargin
   }
+
+  /** UniMax allocation oracle, templated on (budget, maxEpochs) —
+    * the ONE water-filling recipe graded at both the default point
+    * and the epochs>1 branch (corpus_unimax_epochs).
+    */
+  private def unimaxCoreCtes(budget: Long, maxEpochs: Int): String =
+    s"""lt AS (SELECT lang,
+      |  CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS n_tokens
+      |FROM documents GROUP BY 1),
+      |c AS (SELECT lang, n_tokens, n_tokens * $maxEpochs AS cap_tokens FROM lt),
+      |r AS (SELECT lang, n_tokens, cap_tokens,
+      |  CAST(row_number() OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS rk,
+      |  CAST(sum(cap_tokens) OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS prefix
+      |FROM c),
+      |l AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM c),
+      |f AS (SELECT r.*, l.n_langs,
+      |  cap_tokens * (n_langs - rk + 1) < $budget - (prefix - cap_tokens) AS capped
+      |FROM r CROSS JOIN l),
+      |k AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS k,
+      |  CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0) AS BIGINT) AS s_k
+      |FROM f)""".stripMargin
+
+  private def unimaxAllocSql(budget: Long, maxEpochs: Int): String =
+    s"""WITH ${unimaxCoreCtes(budget, maxEpochs)}
+      |SELECT lang, n_tokens, cap_tokens, capped,
+      |  CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+      |    ELSE (CAST($budget AS DOUBLE) - s_k) / (n_langs - k) END AS alloc_tokens,
+      |  CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+      |    ELSE (CAST($budget AS DOUBLE) - s_k) / (n_langs - k) END / n_tokens AS epochs
+      |FROM f CROSS JOIN k ORDER BY lang""".stripMargin
+
+  private def unimaxSelectSql(budget: Long, maxEpochs: Int): String =
+    s"""WITH ${unimaxCoreCtes(budget, maxEpochs)},
+      |ep AS (SELECT lang,
+      |  CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+      |    ELSE (CAST($budget AS DOUBLE) - s_k) / (n_langs - k) END / n_tokens AS epochs
+      |FROM f CROSS JOIN k),
+      |al AS (SELECT lang, CAST(floor(epochs) AS BIGINT) AS full_epochs,
+      |  epochs - floor(epochs) AS rem_rate FROM ep),
+      |dk AS (SELECT doc_id, lang,
+      |  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+      |  ('0x' || substr(md5('unimax:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+      |    / CAST(268435456 AS DOUBLE) AS sample_key
+      |FROM documents)
+      |SELECT dk.doc_id, dk.lang, dk.n_tokens, al.full_epochs,
+      |  dk.sample_key < al.rem_rate AS in_remainder,
+      |  al.full_epochs +
+      |    (CASE WHEN dk.sample_key < al.rem_rate THEN 1 ELSE 0 END) AS n_copies
+      |FROM dk JOIN al USING (lang)
+      |WHERE al.full_epochs +
+      |    (CASE WHEN dk.sample_key < al.rem_rate THEN 1 ELSE 0 END) >= 1
+      |ORDER BY doc_id""".stripMargin
 
   private val kmeansCteSql: String =
     s"""WITH e AS (SELECT vec_id,
@@ -2356,7 +2420,26 @@ object SparkEntry {
       |WHERE plr.qid <> cell.vec_id),
       |${curveGridTailSql(truthSrc)}""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql +
+    // the cross-family deployment question — "which index wins
+    // recall-per-candidate on THIS corpus" — as one table: the three
+    // point-sweep curves (IVF probes / LSH planes / graph hops)
+    // normalized to (family, knob, ...) and unioned; each branch is
+    // the EXACT per-family oracle as a subquery, so the comparison
+    // can never drift from its members
+    ("ann_family_comparison" ->
+      s"""SELECT * FROM (
+         |SELECT 'graph' AS family, n_hops AS knob, n_true, n_candidates,
+         |  n_hit, recall FROM (${baseOracleSql("ann_operating_curve_graph")})
+         |UNION ALL
+         |SELECT 'ivf' AS family, n_probe_lists AS knob, n_true, n_candidates,
+         |  n_hit, recall FROM (${baseOracleSql("ann_operating_curve")})
+         |UNION ALL
+         |SELECT 'lsh' AS family, n_planes AS knob, n_true, n_candidates,
+         |  n_hit, recall FROM (${baseOracleSql("lsh_operating_curve")}))
+         |ORDER BY family, knob""".stripMargin)
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "dim_date" ->
       s"""WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_value FROM orders),
          |e AS (SELECT date_value, year(date_value) AS y, month(date_value) AS m,
@@ -5272,68 +5355,19 @@ object SparkEntry {
     // UniMax epoch-capped water-filling: languages sorted by cap
     // ascending; capped iff cap·(L−rk+1) < B − prefix_before (exact
     // integer logic); the uncapped split the remainder equally
-    "corpus_unimax" ->
-      """WITH lt AS (SELECT lang,
-        |  CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS n_tokens
-        |FROM documents GROUP BY 1),
-        |c AS (SELECT lang, n_tokens, n_tokens * 1 AS cap_tokens FROM lt),
-        |r AS (SELECT lang, n_tokens, cap_tokens,
-        |  CAST(row_number() OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS rk,
-        |  CAST(sum(cap_tokens) OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS prefix
-        |FROM c),
-        |l AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM c),
-        |f AS (SELECT r.*, l.n_langs,
-        |  cap_tokens * (n_langs - rk + 1) < 20000 - (prefix - cap_tokens) AS capped
-        |FROM r CROSS JOIN l),
-        |k AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS k,
-        |  CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0) AS BIGINT) AS s_k
-        |FROM f)
-        |SELECT lang, n_tokens, cap_tokens, capped,
-        |  CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
-        |    ELSE (CAST(20000 AS DOUBLE) - s_k) / (n_langs - k) END AS alloc_tokens,
-        |  CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
-        |    ELSE (CAST(20000 AS DOUBLE) - s_k) / (n_langs - k) END / n_tokens AS epochs
-        |FROM f CROSS JOIN k ORDER BY lang""".stripMargin,
+    "corpus_unimax" -> unimaxAllocSql(20000L, 1),
+    // the epochs>1 branch of the cap logic under full oracle (r17 —
+    // previously spec-only): caps at 3 epochs with a budget that
+    // leaves small languages capped and the head sharing the rest
+    "corpus_unimax_epochs" -> unimaxAllocSql(60000L, 3),
 
     // the UniMax apply: per-language epochs → full copies for every
     // doc + a frac(epochs)-rate Bernoulli remainder pass on the
     // deterministic "unimax:" sample key (map-only, the
     // corpus_temperature decision shape)
-    "corpus_unimax_select" ->
-      """WITH lt AS (SELECT lang,
-        |  CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS n_tokens
-        |FROM documents GROUP BY 1),
-        |c AS (SELECT lang, n_tokens, n_tokens * 1 AS cap_tokens FROM lt),
-        |r AS (SELECT lang, n_tokens, cap_tokens,
-        |  CAST(row_number() OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS rk,
-        |  CAST(sum(cap_tokens) OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS prefix
-        |FROM c),
-        |l AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM c),
-        |f AS (SELECT r.*, l.n_langs,
-        |  cap_tokens * (n_langs - rk + 1) < 20000 - (prefix - cap_tokens) AS capped
-        |FROM r CROSS JOIN l),
-        |k AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS k,
-        |  CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0) AS BIGINT) AS s_k
-        |FROM f),
-        |ep AS (SELECT lang,
-        |  CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
-        |    ELSE (CAST(20000 AS DOUBLE) - s_k) / (n_langs - k) END / n_tokens AS epochs
-        |FROM f CROSS JOIN k),
-        |al AS (SELECT lang, CAST(floor(epochs) AS BIGINT) AS full_epochs,
-        |  epochs - floor(epochs) AS rem_rate FROM ep),
-        |dk AS (SELECT doc_id, lang,
-        |  CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
-        |  ('0x' || substr(md5('unimax:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
-        |    / CAST(268435456 AS DOUBLE) AS sample_key
-        |FROM documents)
-        |SELECT dk.doc_id, dk.lang, dk.n_tokens, al.full_epochs,
-        |  dk.sample_key < al.rem_rate AS in_remainder,
-        |  al.full_epochs +
-        |    (CASE WHEN dk.sample_key < al.rem_rate THEN 1 ELSE 0 END) AS n_copies
-        |FROM dk JOIN al USING (lang)
-        |WHERE al.full_epochs +
-        |    (CASE WHEN dk.sample_key < al.rem_rate THEN 1 ELSE 0 END) >= 1
-        |ORDER BY doc_id""".stripMargin,
+    "corpus_unimax_select" -> unimaxSelectSql(20000L, 1),
+    // the multi-copy apply: full_epochs >= 2 exercised under oracle
+    "corpus_unimax_select_epochs" -> unimaxSelectSql(60000L, 3),
 
     "corpus_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),

@@ -1437,11 +1437,32 @@ object Corpus {
     * grain (the bounded-histogram class) — never per-doc.
     */
   def unimax(documents: DataFrame, budgetTokens: Long = 20000L,
-             maxEpochs: Int = 1): DataFrame = {
-    val langTok = documents
+             maxEpochs: Int = 1): DataFrame =
+    unimaxFromLangTokens(langTokenCounts(documents), budgetTokens, maxEpochs)
+
+  /** The ≤|langs|-row (lang, n_tokens) table [[unimax]] water-fills
+    * over — public so the STREAMING twin can carry it as state
+    * (exactly associative Long sums; the bounded histogram-class
+    * carry, like the DSIR bucket counts).
+    */
+  def langTokenCounts(documents: DataFrame): DataFrame =
+    documents
       .select(col("lang"),
         size(split(lower(trim(col("text"))), " ")).cast(LongType).as("n"))
       .groupBy("lang").agg(sum(col("n")).as("n_tokens"))
+
+  def mergeLangTokenCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("lang").agg(sum(col("n_tokens")).as("n_tokens"))
+
+  /** [[unimax]] over a PRE-AGGREGATED language token table — the
+    * carried-state entry point (allocation is a pure function of the
+    * ≤|langs|-row totals, so a stream carrying them republishes the
+    * EXACT one-shot allocation at every trigger — no drift class).
+    */
+  def unimaxFromLangTokens(langTokens: DataFrame,
+                           budgetTokens: Long = 20000L,
+                           maxEpochs: Int = 1): DataFrame = {
+    val langTok = langTokens
       .withColumn("cap_tokens", col("n_tokens") * maxEpochs)
     // global window over ≤|langs| rows — metadata scale by design
     val w = Window.orderBy(col("cap_tokens"), col("lang"))

@@ -870,6 +870,36 @@ object Similarity {
       .orderBy("n_hops")
   }
 
+  /** The cross-family comparison a deployment actually reads before
+    * picking an index (r17): the IVF, LSH and graph operating curves
+    * normalized to (family, knob, n_true, n_candidates, n_hit,
+    * recall) and unioned — "which family wins recall-per-candidate on
+    * THIS corpus" as one table instead of three separately-shaped
+    * sweeps. All three share ONE exact-cosine truth (the
+    * [[knnTruthPairs]] artifact, checkpointed here if not supplied),
+    * so the recall axis is comparable row for row; the candidate
+    * column is each family's own cost axis. Each branch is the
+    * member curve verbatim — this operator adds zero search
+    * machinery, only the normalization, so it can never disagree
+    * with its members.
+    */
+  def annFamilyComparison(embeddings: DataFrame, nProbes: Int = 20,
+                          k: Int = 5,
+                          truth: Option[DataFrame] = None): DataFrame = {
+    val tr = Some(truth.getOrElse(
+      knnTruthPairs(embeddings, nProbes, k).localCheckpoint(true)))
+    val graph = graphOperatingCurve(embeddings, nProbes, k, truth = tr)
+      .select(lit("graph").as("family"), col("n_hops").as("knob"),
+        col("n_true"), col("n_candidates"), col("n_hit"), col("recall"))
+    val ivf = annOperatingCurve(embeddings, nProbes, k, truthPairs = tr)
+      .select(lit("ivf").as("family"), col("n_probe_lists").as("knob"),
+        col("n_true"), col("n_candidates"), col("n_hit"), col("recall"))
+    val lsh = lshOperatingCurve(embeddings, nProbes, k, truthPairs = tr)
+      .select(lit("lsh").as("family"), col("n_planes").as("knob"),
+        col("n_true"), col("n_candidates"), col("n_hit"), col("recall"))
+    graph.unionByName(ivf).unionByName(lsh).orderBy("family", "knob")
+  }
+
   /** Embedding-space decontamination audit — the semantic twin of
     * TextOps.decontaminate: gram overlap catches VERBATIM benchmark
     * leakage, embedding cosine catches the PARAPHRASED leakage the

@@ -1481,6 +1481,47 @@ object EventStream {
       .orderBy("doc_id")
   }
 
+  /** Streaming UniMax allocation (r17) — the language-budget monitor
+    * an intake pipeline publishes continuously: carried state is the
+    * ≤|langs|-row (lang, n_tokens) table (exactly associative Long
+    * sums — the bounded histogram-class carry, the cheapest in the
+    * repo alongside the DSIR bucket counts), and the allocation is a
+    * PURE FUNCTION of those totals, so every trigger's published
+    * table is BIT-identical to the one-shot Corpus.unimax over
+    * everything arrived — the covariance-class no-drift contract, no
+    * reconcile step needed (the latest trigger IS the settled
+    * answer; ScaleSpec asserts trigger-2 ≡ one-shot frame equality
+    * and the ≤|langs| state bound). Per-trigger cost = one batch
+    * tokenize + a ≤|langs|-row merge + the metadata-scale
+    * water-filling.
+    */
+  def unimaxStream(spark: SparkSession, dir: String, sinkPath: String,
+                   budgetTokens: Long = 20000L, maxEpochs: Int = 1,
+                   splitAt: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val stateDir = sinkPath + ".state"
+    documentsStream(spark, dir, splitAt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", sinkPath + ".ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch.drop("ingest_ts")
+        val prev = latestStateBefore(spark, stateDir, batchId)
+          .map(spark.read.parquet(_))
+          .getOrElse(Seq.empty[(String, Long)].toDF("lang", "n_tokens"))
+        val merged = graft.operators.Corpus.mergeLangTokenCounts(prev,
+            graft.operators.Corpus.langTokenCounts(docs))
+          .localCheckpoint(eager = true)
+        val alloc = graft.operators.Corpus
+          .unimaxFromLangTokens(merged, budgetTokens, maxEpochs)
+        graft.sources.Loader.truncateAndLoad(alloc, s"$sinkPath/batch_$batchId")
+        graft.sources.Loader.truncateAndLoad(merged, s"$stateDir/upto_$batchId")
+        releaseCheckpoints(merged)
+        pruneStateBefore(spark, stateDir, batchId - 1)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming twin of Corpus.sample: the weighted mixing filter is a
     * stateless per-row predicate on a deterministic hash key, so it
     * applies to a document stream unchanged — no state, no watermark,

@@ -234,6 +234,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.semdedupAdmit(emb, emb, emptyCode).count() === 0)
     assert(Similarity.knnGraph(emb).count() === 0)
     assert(Similarity.annRecallGraph(emb).count() === 0)
+    assert(Similarity.graphOperatingCurve(emb).count() === 0)
+    assert(Similarity.annFamilyComparison(emb).count() === 0)
     assert(Similarity.pqCodes(emb).count() === 0,
       "empty corpus → empty subspace codebooks, zero rows, no throw")
     assert(Similarity.knnPq(emb).count() === 0)

@@ -644,6 +644,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(oneShot.exceptAll(settled).count() === 0)
   }
 
+  test("streaming unimax: bounded lang-token state carried; every trigger bit-identical to the one-shot over arrivals") {
+    val sink = Files.createTempDirectory("graft_unimax").toString + "/unimax"
+    val q = EventStream.unimaxStream(spark, sf, sink, splitAt = Some(250L))
+    q.processAllAvailable(); q.stop()
+    val batches = new java.io.File(sink).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(batches.length === 2, s"expected two triggers, got ${batches.toSeq}")
+    val docs = Tables.documents(spark, sf)
+    // no-drift contract: each trigger IS the one-shot over the prefix
+    val t1 = spark.read.parquet(s"$sink/${batches.head}")
+    val shot1 = graft.operators.Corpus.unimax(docs.filter(col("doc_id") < 250))
+    assert(t1.exceptAll(shot1).count() === 0)
+    assert(shot1.exceptAll(t1).count() === 0)
+    val t2 = spark.read.parquet(s"$sink/${batches.last}")
+    val shot2 = graft.operators.Corpus.unimax(docs)
+    assert(t2.exceptAll(shot2).count() === 0)
+    assert(shot2.exceptAll(t2).count() === 0)
+    // the carried state is ≤|langs| rows — the bounded histogram class
+    val stDir = new java.io.File(sink + ".state").listFiles()
+      .map(_.getName).filter(_.startsWith("upto_")).max
+    val nLangs = docs.select("lang").distinct().count()
+    assert(spark.read.parquet(s"$sink.state/$stDir").count() <= nLangs)
+  }
+
   test("streaming semantic admission: kept-exemplar index carried; per-trigger ≡ sequential batch admission") {
     import spark.implicits._
     val sink = Files.createTempDirectory("graft_semadm").toString + "/semadm"
