@@ -16,40 +16,26 @@ object SparkEntry {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
-  /** Exact-cosine ANN ground truth, materialized ONCE per (session,
-    * fixture) and threaded through every recall/operating-curve
-    * evaluator (r16 VERDICT #6): truth is a pure deterministic
-    * function of the corpus and a BOUNDED artifact (nProbes·k pairs),
-    * so the 12-member quality family shares one localCheckpoint
-    * instead of re-deriving the same nProbes·|corpus| cosine scan per
-    * entry — in a bench/verify process the second consumer onward
-    * reads ~100 rows. Results are bit-identical to per-call
-    * re-derivation (the evaluators consume truth as data), so every
-    * oracle is unchanged. Keyed on session identity too: tests spin
-    * up fresh sessions and a checkpoint is session-owned.
+  /** Exact-cosine ANN ground-truth PLAN threaded through every
+    * recall/operating-curve evaluator. Derived fresh per call — every
+    * invocation computes truth from the parquet inputs inside its own
+    * timed region (evaluators that consume it more than once
+    * checkpoint it themselves). No cross-query materialization: each
+    * registry entry's cost is its own.
     */
-  private val knnTruthCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
   private def knnTruth(s: SparkSession, d: String): Option[DataFrame] =
-    Some(knnTruthCache.computeIfAbsent(
-      (System.identityHashCode(s), d),
-      _ => Similarity.knnTruthPairs(t(s, d, "embeddings"))
-        .localCheckpoint(true)))
+    Some(Similarity.knnTruthPairs(t(s, d, "embeddings")))
 
-  /** The composed OPQ-IVFPQ deployment artifact, trained ONCE per
-    * (session, fixture) for the two `_pretrained` entries — the
-    * artifact is deterministic (fixed iteration counts, driver-side
-    * sequential arithmetic), and training-once-then-applying IS the
-    * deployment contract those entries exist to measure; re-training
-    * per call was the evaluator harness leaking into the measurement.
+  /** The composed OPQ-IVFPQ deployment artifact for the two
+    * `_pretrained` entries — trained per call, inside the timed
+    * region (the r15/r16 convention), so the entries' published cost
+    * includes everything they compute from the parquet inputs. The
+    * artifact is deterministic, so results are bit-identical to any
+    * train-once shape.
     */
-  private val opqArtifactCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), Similarity.IvfPqResidualOpqArtifact]()
   private def opqArtifact(s: SparkSession,
                           d: String): Similarity.IvfPqResidualOpqArtifact =
-    opqArtifactCache.computeIfAbsent(
-      (System.identityHashCode(s), d),
-      _ => Similarity.trainIvfPqResidualOpqArtifact(t(s, d, "embeddings")))
+    Similarity.trainIvfPqResidualOpqArtifact(t(s, d, "embeddings"))
 
   /** Queries whose operators localCheckpoint (directly or via
     * Dedup.clusters) and so pin storage blocks until a GC lets the

@@ -886,8 +886,11 @@ object Similarity {
   def annFamilyComparison(embeddings: DataFrame, nProbes: Int = 20,
                           k: Int = 5,
                           truth: Option[DataFrame] = None): DataFrame = {
-    val tr = Some(truth.getOrElse(
-      knnTruthPairs(embeddings, nProbes, k).localCheckpoint(true)))
+    // truth is consumed by all three member curves — materialize it
+    // ONCE per call whether supplied as a plan or derived here (a
+    // bounded nProbes·k artifact; the multiply-consumed discipline)
+    val tr = Some(truth.getOrElse(knnTruthPairs(embeddings, nProbes, k))
+      .localCheckpoint(true))
     val graph = graphOperatingCurve(embeddings, nProbes, k, truth = tr)
       .select(lit("graph").as("family"), col("n_hops").as("knob"),
         col("n_true"), col("n_candidates"), col("n_hit"), col("recall"))
