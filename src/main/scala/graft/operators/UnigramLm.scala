@@ -81,6 +81,16 @@ object UnigramLm {
     * over-complete seed universe, generated dictionary-side.
     */
   private def substrings(word: Column): Column =
+    graft.functions.UnigramExpressions.allSubstrings(word, MaxPieceLen)
+
+  private[graft] def substringsNative(word: Column): Column = substrings(word)
+
+  /** The declarative HOF form of [[substrings]], kept as the portable
+    * reference the native expression is spec-pinned against (r17: the
+    * HOF tree's per-call planning cost dominated the Zipf-tiny
+    * dictionary scan; see UnigramExpressions).
+    */
+  private[graft] def substringsDeclarative(word: Column): Column =
     flatten(transform(graft.functions.ColUtil.posRange(length(word)),
       i => filter(
         transform(graft.functions.ColUtil.posRange(
@@ -98,8 +108,17 @@ object UnigramLm {
     * Single characters are guaranteed in-vocabulary, so every word
     * segments. Pure codegen'd HOF pipeline: no UDF, no shuffle.
     */
-  private[operators] def viterbiPieces(word: Column,
-                                       costs: Map[String, Long]): Column = {
+  private[graft] def viterbiPieces(word: Column,
+                                   costs: Map[String, Long]): Column =
+    graft.functions.UnigramExpressions.unigramViterbi(word, costs, MaxPieceLen)
+
+  /** The declarative HOF form of [[viterbiPieces]] — the portable
+    * reference implementation the native expression is spec-pinned
+    * bit-equal against (same candidate order, same strict-less argmin,
+    * same traceback).
+    */
+  private[graft] def viterbiPiecesDeclarative(word: Column,
+                                              costs: Map[String, Long]): Column = {
     val vm = typedLit(costs)
     val inf = Long.MaxValue / 4
     val n = length(word)
@@ -154,9 +173,20 @@ object UnigramLm {
     * to 1e3–1e6 — same discipline, wider headroom — instead of
     * silently wrapping the aggregate.
     */
-  private[operators] def fbExpectedNano(word: Column,
-                                        costs: Map[String, Long],
-                                        quantum: Double = 1e9): Column = {
+  private[graft] def fbExpectedNano(word: Column,
+                                    costs: Map[String, Long],
+                                    quantum: Double = 1e9): Column =
+    graft.functions.UnigramExpressions.unigramFbExpected(word, costs,
+      quantum, MaxPieceLen)
+
+  /** The declarative HOF form of [[fbExpectedNano]] — the portable
+    * reference the native expression is spec-pinned bit-equal against
+    * (same term-sum order, same ((α·p)·β)/Z association, same
+    * round-half-up nano quantization).
+    */
+  private[graft] def fbExpectedNanoDeclarative(word: Column,
+                                               costs: Map[String, Long],
+                                               quantum: Double = 1e9): Column = {
     val pm = typedLit(costs.map { case (s, c) =>
       s -> StrictMath.pow(2.0, -(c.toDouble / 1e6)) })
     val n = length(word)

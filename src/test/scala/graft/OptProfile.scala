@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.sources.Tables
+
+/** Scratch stage-level profiler for the optimization rounds: times
+  * named sub-stages of the heavy registry entries with the noop sink
+  * (guide §1.4) so the per-call cost breaks down into train / search /
+  * truth / evaluate. Run: sbt "Test/runMain graft.OptProfile <case>".
+  */
+object OptProfile {
+  def main(args: Array[String]): Unit = {
+    val cfg = GraftConfig.load()
+    val spark = SparkSession.builder()
+      .master(s"local[${cfg.cpus}]")
+      .config("spark.sql.shuffle.partitions", cfg.cpus.toString)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = cfg.sfDir
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stage] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    val emb = Tables(spark, d, "embeddings")
+    args.headOption.getOrElse("opq") match {
+      case "opq" =>
+        // warm
+        noop(Similarity.knnBrute(emb))
+        (1 to 2).foreach { i =>
+          println(s"--- rep $i")
+          val art = time("trainIvfPqResidualOpqArtifact") {
+            Similarity.trainIvfPqResidualOpqArtifact(emb)
+          }
+          time("search (knnIvfPqResidualOpqWith)") {
+            noop(Similarity.knnIvfPqResidualOpqWith(emb, art))
+          }
+          time("truth (knnTruthPairs)") {
+            noop(Similarity.knnTruthPairs(emb))
+          }
+          time("full recall entry") {
+            noop(SparkEntry.queries("ann_recall_ivf_pq_residual_opq_pretrained")(spark, d))
+          }
+        }
+      case "opqtrain" =>
+        noop(Similarity.knnBrute(emb))
+        (1 to 2).foreach { i =>
+          println(s"--- rep $i")
+          val rotation = time("opqLearnedRotationRows") {
+            Similarity.opqLearnedRotationRows(emb)
+          }
+          val rot = time("rotate + checkpoint") {
+            Similarity.opqRotateRows(emb,
+              rotation.map(_.toIndexedSeq).toIndexedSeq).localCheckpoint(true)
+          }
+          val coarse = time("kmeansCodebook(rot)") {
+            Similarity.kmeansCodebook(rot, 8, 3)
+          }
+          time("kmeans+pq via train (delta = pq)") {
+            Similarity.trainIvfPqResidualOpqArtifact(emb)
+          }
+        }
+      case "graph" =>
+        noop(Similarity.knnBrute(emb))
+        (1 to 2).foreach { i =>
+          println(s"--- rep $i")
+          val code = time("kmeansCodebook") {
+            Similarity.kmeansCodebook(emb, 8, 3)
+          }
+          val edges = time("nswEdges build+checkpoint") {
+            Similarity.nswEdges(emb, code, 6).localCheckpoint(true)
+          }
+          time("beam search (knnGraphWithArtifacts)") {
+            noop(Similarity.knnGraphWithArtifacts(emb, edges,
+              Similarity.nswMedoids(emb, code)))
+          }
+          time("full knn_graph entry") {
+            noop(SparkEntry.queries("knn_graph")(spark, d))
+          }
+        }
+      case "unigram" =>
+        val docs = Tables(spark, d, "documents")
+        noop(TextOps.textStats(docs))
+        (1 to 2).foreach { i =>
+          println(s"--- rep $i")
+          time("unigram_encode entry") {
+            noop(SparkEntry.queries("unigram_encode")(spark, d))
+          }
+          time("unigram vocab (train only)") {
+            noop(UnigramLm.vocab(docs))
+          }
+          time("seq_pack_unigram entry") {
+            noop(SparkEntry.queries("seq_pack_unigram")(spark, d))
+          }
+        }
+      case "unigram2" =>
+        val docs = Tables(spark, d, "documents")
+        val words = Bpe.wordCounts(docs).localCheckpoint(true)
+        println(s"dict rows = ${words.count()}")
+        (1 to 2).foreach { i =>
+          time(s"vocab train $i") { noop(UnigramLm.vocab(docs)) }
+          time(s"vocab soft train $i") { noop(UnigramLm.vocabSoftEm(docs)) }
+        }
+      case "semdedup" =>
+        noop(Similarity.knnBrute(emb))
+        (1 to 2).foreach { i =>
+          println(s"--- rep $i")
+          val code = time("kmeansCodebook") {
+            Similarity.kmeansCodebook(emb, 8, 3)
+          }
+          time("semdedupWith") {
+            noop(Similarity.semdedupWith(emb, code))
+          }
+          time("semdedup_admit entry") {
+            noop(SparkEntry.queries("semdedup_admit")(spark, d))
+          }
+        }
+    }
+    spark.stop()
+  }
+}
