@@ -298,7 +298,13 @@ object Similarity {
     * native [[graft.functions.CosineSim]] reads float arrays and
     * cannot take the double-typed codebook literal).
     */
-  private def cosToCentroid(v: Column, c: Column): Column = {
+  private def cosToCentroid(v: Column, c: Column): Column =
+    graft.functions.VectorDpExpressions.cosineAny(v, c)
+
+  /** The declarative HOF form of [[cosToCentroid]] — the spec-pinned
+    * portable reference (same per-accumulator left-to-right folds).
+    */
+  private[graft] def cosToCentroidDeclarative(v: Column, c: Column): Column = {
     val dot = aggregate(zip_with(v, c, (x, y) => x.cast("double") * y),
       lit(0.0), (acc, x) => acc + x)
     val nv = aggregate(v, lit(0.0),
@@ -477,6 +483,14 @@ object Similarity {
   def sqDist(a: Column, b: Column): Column = sqDistTo(a, b)
 
   private def sqDistTo(v: Column, c: Column): Column =
+    graft.functions.VectorDpExpressions.sqDist(v, c)
+
+  /** The declarative HOF form of [[sqDistTo]] — the portable reference
+    * the native expression is spec-pinned bit-equal against (r17: the
+    * fold trees' per-call planning cost dominated fixture-scale scans;
+    * see VectorDpExpressions).
+    */
+  private[graft] def sqDistDeclarative(v: Column, c: Column): Column =
     aggregate(zip_with(v, c, (x, y) =>
       (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, x) => acc + x)
@@ -493,8 +507,8 @@ object Similarity {
   private def withNearestCentroid(df: DataFrame, v: Column,
                                   code: Seq[(Long, Seq[Double])]): DataFrame = {
     val cids = typedLit(code.map(_._1))
-    val cents = typedLit(code.map(_._2))
-    df.withColumn("__dists", transform(cents, c => sqDistTo(v, c)))
+    df.withColumn("__dists",
+        graft.functions.VectorDpExpressions.distancesTo(v, code.map(_._2)))
       .withColumn("__sq_dist", array_min(col("__dists")))
       .withColumn("__cluster_id", element_at(cids,
         array_position(col("__dists"), col("__sq_dist")).cast("int")))
@@ -1001,10 +1015,11 @@ object Similarity {
                           dim: Int): DataFrame = {
     val sub = dim / books.length
     books.zipWithIndex.foldLeft(df) { case (d, (code, i)) =>
-      val cents = typedLit(code.map(_._2))
       val cids = typedLit(code.map(_._1))
       d.withColumn(s"__s_$i", slice(col("embedding"), i * sub + 1, sub))
-        .withColumn(s"__d_$i", transform(cents, c => sqDistTo(col(s"__s_$i"), c)))
+        .withColumn(s"__d_$i",
+          graft.functions.VectorDpExpressions.distancesTo(col(s"__s_$i"),
+            code.map(_._2)))
         .withColumn(s"__min_$i", array_min(col(s"__d_$i")))
         .withColumn(s"__c_$i", element_at(cids,
           array_position(col(s"__d_$i"), col(s"__min_$i")).cast("int")))
@@ -1131,7 +1146,7 @@ object Similarity {
     val cidsLit = typedLit(coarse.map(_._1))
     val centsLit = typedLit(coarse.map(_._2))
     def rankedCells(v: Column) = array_sort(zip_with(
-      transform(centsLit, c => sqDistTo(v, c)),
+      graft.functions.VectorDpExpressions.distancesTo(v, coarse.map(_._2)),
       cidsLit, (d, c) => struct(d.as("d"), c.as("cid"))))
     def cells(v: Column, n: Int) =
       explode(transform(slice(rankedCells(v), 1, n), r => r.getField("cid")))
@@ -1207,7 +1222,7 @@ object Similarity {
     val cidsLit = typedLit(coarse.map(_._1))
     val centsLit = typedLit(coarse.map(_._2))
     def rankedCells(v: Column) = array_sort(zip_with(
-      transform(centsLit, c => sqDistTo(v, c)),
+      graft.functions.VectorDpExpressions.distancesTo(v, coarse.map(_._2)),
       cidsLit, (d, c) => struct(d.as("d"), c.as("cid"))))
     def cells(v: Column, n: Int) =
       explode(transform(slice(rankedCells(v), 1, n), r => r.getField("cid")))
@@ -1237,7 +1252,7 @@ object Similarity {
     val cidsLit = typedLit(coarse.map(_._1))
     val centsLit = typedLit(coarse.map(_._2))
     def rankedCells(v: Column) = array_sort(zip_with(
-      transform(centsLit, c => sqDistTo(v, c)),
+      graft.functions.VectorDpExpressions.distancesTo(v, coarse.map(_._2)),
       cidsLit, (d, c) => struct(d.as("d"), c.as("cid"))))
     def cells(v: Column, n: Int) =
       explode(transform(slice(rankedCells(v), 1, n), r => r.getField("cid")))
@@ -1718,37 +1733,14 @@ object Similarity {
     * multiply-adds per row, one corpus scan, output re-cast to float.
     */
   def opqRotateRows(embeddings: DataFrame,
-                    rows: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
-    val dim = rows.length
-    val base = embeddings.select(col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    val yCols = (0 until dim).map { i =>
-      val coef = typedLit(rows(i).toSeq)
-      // `dim` is a HARD contract (r11 ADVICE): the old
-      // least(size, dim) bound silently truncated a longer embedding,
-      // breaking orthonormality — the rotation then no longer
-      // preserves norms/cosine and the original-space ground truth of
-      // annRecallIvfPqOpq becomes an invalid comparison. Enforced at
-      // EXECUTION (codegen'd, one int compare per row riding inside
-      // y0 — it cannot be column-pruned away) because the driver
-      // never sees the rows; a short row would also fail on its own
-      // via ANSI element_at, but the explicit raise names the
-      // contract instead of an index error.
-      val init =
-        if (i == 0)
-          when(size(col("v")) === lit(dim), lit(0.0))
-            .otherwise(raise_error(concat(
-              lit(s"opqRotateRows: embedding dimension must be exactly $dim, got "),
-              size(col("v")).cast("string"))).cast("double"))
-        else lit(0.0)
-      aggregate(
-        graft.functions.ColUtil.posRange(lit(dim)),
-        init,
-        (acc, p) => acc + element_at(col("v"), p) * element_at(coef, p))
-        .cast("float")
-    }
-    base.select(col("vec_id"), col("label"), array(yCols: _*).as("embedding"))
-  }
+                    rows: IndexedSeq[IndexedSeq[Double]]): DataFrame =
+    // ONE native plan node (r17 — see VectorDpExpressions): the old
+    // form built dim separate fold columns (~16k expression nodes) that
+    // Catalyst re-analyzed per call; the dimension contract (r11
+    // ADVICE) still fails fast at execution with the same message.
+    embeddings.select(col("vec_id"), col("label"),
+      graft.functions.VectorDpExpressions.matVecFloat(col("embedding"),
+        rows.map(_.toSeq)).as("embedding"))
 
   /** Recall@k of IVF-PQ built in the ROTATED space against the same
     * exact-cosine ground truth in the ORIGINAL space (rotation
@@ -2355,7 +2347,7 @@ object Similarity {
     val cidsLit = typedLit(coarse.map(_._1))
     val centsLit = typedLit(coarse.map(_._2))
     def rankedCells(v: Column) = array_sort(zip_with(
-      transform(centsLit, c => sqDistTo(v, c)),
+      graft.functions.VectorDpExpressions.distancesTo(v, coarse.map(_._2)),
       cidsLit, (d, c) => struct(d.as("d"), c.as("cid"))))
     val corpus = withPqRecon(embeddings, books, dim)
       .select(col("vec_id").as("nid"), col("__recon").as("nv"),
@@ -2478,7 +2470,7 @@ object Similarity {
     val cidsLit = typedLit(coarse.map(_._1))
     val centsLit = typedLit(coarse.map(_._2))
     def rankedCells(v: Column) = array_sort(zip_with(
-      transform(centsLit, c => sqDistTo(v, c)),
+      graft.functions.VectorDpExpressions.distancesTo(v, coarse.map(_._2)),
       cidsLit, (d, c) => struct(d.as("d"), c.as("cid"))))
     def centOf(cid: Column) =
       element_at(centsLit, array_position(cidsLit, cid).cast("int"))

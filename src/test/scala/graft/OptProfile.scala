@@ -105,6 +105,20 @@ object OptProfile {
           time(s"vocab train $i") { noop(UnigramLm.vocab(docs)) }
           time(s"vocab soft train $i") { noop(UnigramLm.vocabSoftEm(docs)) }
         }
+      case "plantime" =>
+        noop(Similarity.knnBrute(emb))
+        for (q <- Seq("knn_ivf_pq_residual_opq_learned", "knn_ivf_pq",
+            "ann_recall_ivf_pq_residual_opq_pretrained", "knn_graph",
+            "semdedup_prune", "knn_ivf_pq_residual")) {
+          (1 to 2).foreach { i =>
+            val df = time(s"$q build plan $i") {
+              val x = SparkEntry.queries(q)(spark, d)
+              x.queryExecution.executedPlan // force analysis+optimization
+              x
+            }
+            time(s"$q execute $i") { noop(df) }
+          }
+        }
       case "semdedup" =>
         noop(Similarity.knnBrute(emb))
         (1 to 2).foreach { i =>

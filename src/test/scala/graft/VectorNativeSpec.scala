@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.functions.VectorDpExpressions
+
+/** r17 optimization: the ANN vector primitives moved from declarative
+  * HOF folds to native expressions (VectorDpExpressions). Pins the
+  * native forms BIT-EQUAL to the declarative references on float and
+  * double arrays, including the length-mismatch null and the
+  * rotation's dimension contract.
+  */
+class VectorNativeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val fvecs: Seq[(Long, Seq[Float])] = (0L until 6L).map { i =>
+    i -> (0 until 8).map(j => ((i * 31 + j * 17 % 13) - 6).toFloat / 7f)
+  }
+  private val code: Seq[Seq[Double]] = (0 until 3).map { c =>
+    (0 until 8).map(j => (c * 13 + j * 7 % 11 - 5).toDouble / 9.0)
+  }
+
+  test("SqDist bit-equals the declarative fold (float x double-literal)") {
+    val df = fvecs.toDF("vec_id", "v")
+    val cl = typedLit(code.head)
+    val native = df.select(VectorDpExpressions.sqDist(col("v"), cl)).collect().map(_.getDouble(0))
+    val decl = df.select(Similarity.sqDistDeclarative(col("v"), cl)).collect().map(_.getDouble(0))
+    assert(native.toSeq == decl.toSeq)
+  }
+
+  test("SqDist null on length mismatch, like zip_with padding") {
+    val df = Seq(Seq(1.0f, 2.0f)).toDF("v")
+    val short = typedLit(Seq(1.0))
+    assert(df.select(VectorDpExpressions.sqDist(col("v"), short)).collect()(0).isNullAt(0))
+    assert(df.select(Similarity.sqDistDeclarative(col("v"), short)).collect()(0).isNullAt(0))
+  }
+
+  test("DistancesTo bit-equals per-centroid declarative folds") {
+    val df = fvecs.toDF("vec_id", "v")
+    val native = df.select(VectorDpExpressions.distancesTo(col("v"), code).as("d"))
+      .collect().map(_.getSeq[Double](0))
+    val decl = df.select(array(code.map(c =>
+        Similarity.sqDistDeclarative(col("v"), typedLit(c))): _*).as("d"))
+      .collect().map(_.getSeq[Double](0))
+    assert(native.toSeq == decl.toSeq)
+  }
+
+  test("CosineSimAny bit-equals the declarative cosToCentroid folds") {
+    val df = fvecs.toDF("vec_id", "v")
+    val cl = typedLit(code.head)
+    val native = df.select(VectorDpExpressions.cosineAny(col("v"), cl)).collect().map(_.getDouble(0))
+    val decl = df.select(Similarity.cosToCentroidDeclarative(col("v"), cl)).collect().map(_.getDouble(0))
+    assert(native.toSeq == decl.toSeq)
+  }
+
+  test("MatVecFloat bit-equals the declarative rotation columns") {
+    val dim = 8
+    val rows: IndexedSeq[IndexedSeq[Double]] = (0 until dim).map { i =>
+      (0 until dim).map(j => ((i * 5 + j * 3) % 7 - 3).toDouble / 4.0)
+    }
+    val df = fvecs.toDF("vec_id", "v")
+    val declCols = (0 until dim).map { i =>
+      val coef = typedLit(rows(i).toSeq)
+      aggregate(graft.functions.ColUtil.posRange(lit(dim)), lit(0.0),
+        (acc, p) => acc + element_at(col("v"), p).cast("double") * element_at(coef, p))
+        .cast("float")
+    }
+    val native = df.select(VectorDpExpressions.matVecFloat(col("v"), rows.map(_.toSeq)).as("y"))
+      .collect().map(_.getSeq[Float](0))
+    val decl = df.select(array(declCols: _*).as("y"))
+      .collect().map(_.getSeq[Float](0))
+    assert(native.toSeq == decl.toSeq)
+  }
+
+  test("MatVecFloat enforces the dimension contract with the named message") {
+    val df = Seq(Seq(1.0f, 2.0f)).toDF("v")
+    val rows = (0 until 8).map(_ => (0 until 8).map(_ => 1.0).toSeq).toSeq
+    val e = intercept[Exception] {
+      df.select(VectorDpExpressions.matVecFloat(col("v"), rows)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains(
+      "embedding dimension must be exactly 8, got 2")))
+  }
+}
