@@ -87,6 +87,71 @@ object VecDpHelper {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+
+  /** Spark Round(HALF_UP, scale 0) on a double, then the double→long
+    * cast — the covarianceTerms nano-quantization, bit-exact.
+    */
+  @inline private def roundToLong(x: Double): Long = {
+    val r = if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    r.toLong
+  }
+
+  /** The covariance term fan-out — first the d linear terms
+    * (di, −1, round(vᵢ·1e9)), then the upper-triangle second moments
+    * (di, dj, round(vᵢ·vⱼ·1e9)) in (i, j≥i) order, exactly the
+    * declarative concat(lin, pairs) layout.
+    */
+  def covTerms(v: ArrayData, vF: Boolean): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n + n * (n + 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val xi = get(v, i, vF)
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i.toLong, -1L, roundToLong(xi * 1e9)))
+      k += 1
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      val xi = get(v, i, vF)
+      var j = i
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i.toLong, j.toLong, roundToLong(xi * get(v, j, vF) * 1e9)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Random-hyperplane signature bits — per plane the ordered signed
+    * fold, '1' iff strictly positive; a length-mismatched vector
+    * yields the declarative form's all-'0' null-propagation result.
+    */
+  def lshBits(v: ArrayData, planes: Array[Array[Double]],
+              vF: Boolean): org.apache.spark.unsafe.types.UTF8String = {
+    val chars = new Array[Byte](planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      if (v.numElements() != plane.length) chars(p) = '0'
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < plane.length) { acc += get(v, i, vF) * plane(i); i += 1 }
+        chars(p) = if (acc > 0.0) '1' else '0'
+      }
+      p += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(chars)
+  }
+
   /** y = R·v, each output coordinate an ordered fold, rounded to
     * float — the opqRotateRows map with its hard dimension contract.
     */
@@ -202,6 +267,47 @@ case class MatVecFloat(child: Expression, rows: Seq[Seq[Double]])
     copy(child = c)
 }
 
+
+case class CovTermsNative(child: Expression)
+    extends UnaryExpression with ArrayElemTypes {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("di", LongType, nullable = false),
+      StructField("dj", LongType, nullable = false),
+      StructField("t", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cov_terms"
+  @transient private lazy val vF = elemIsFloat(child)
+
+  override def nullSafeEval(v: Any): Any =
+    VecDpHelper.covTerms(v.asInstanceOf[ArrayData], vF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VecDpHelper.covTerms($v, $vF);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class LshBits(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression with ArrayElemTypes {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lsh_bits"
+  @transient private lazy val vF = elemIsFloat(child)
+  @transient private lazy val table: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    VecDpHelper.lshBits(v.asInstanceOf[ArrayData], table, vF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("planes", table, "double[][]")
+      s"${ev.value} = graft.functions.VecDpHelper.lshBits($v, $ref, $vF);"
+    })
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorDpExpressions {
   def sqDist(a: Column, b: Column): Column =
     ColumnBridge.column(SqDistNative(ColumnBridge.expression(a),
@@ -216,4 +322,11 @@ object VectorDpExpressions {
 
   def matVecFloat(v: Column, rows: Seq[Seq[Double]]): Column =
     ColumnBridge.column(MatVecFloat(ColumnBridge.expression(v), rows))
+
+  def covTerms(v: Column): Column =
+    ColumnBridge.column(CovTermsNative(ColumnBridge.expression(v)))
+
+  def lshBits(v: Column, planes: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(LshBits(ColumnBridge.expression(v), planes))
+
 }

@@ -84,7 +84,17 @@ object Similarity {
     * corpus size — 8 bits for the registered sf-scale queries, 16-24
     * at 100 TB so per-bucket populations stay bounded).
     */
-  def lshSignature(v: Column, nPlanes: Int = 8, dim: Int = 64): Column = {
+  def lshSignature(v: Column, nPlanes: Int = 8, dim: Int = 64): Column =
+    graft.functions.VectorDpExpressions.lshBits(v,
+      (0 until nPlanes).map(p => lshPlaneCoefs(p, dim).toSeq))
+
+  /** The declarative HOF form of [[lshSignature]] — the spec-pinned
+    * portable reference (same ordered signed folds, same strict-
+    * positive bit rule, same all-'0' null propagation on a
+    * length-mismatched vector).
+    */
+  private[graft] def lshSignatureDeclarative(v: Column, nPlanes: Int = 8,
+                                             dim: Int = 64): Column = {
     val bits = (0 until nPlanes).map { p =>
       // dot(v, ±1 plane) = ordered sum of signed components
       val signed = aggregate(
@@ -1462,7 +1472,22 @@ object Similarity {
     val par = embeddings.sparkSession.sparkContext.defaultParallelism
     val src = if (embeddings.rdd.getNumPartitions < par)
       embeddings.repartition(par) else embeddings
-    val base = src.select(col("vec_id"),
+    // ONE native plan node for the d(d+3)/2-struct fan-out (r17 —
+    // see VectorDpExpressions.covTerms): same term order, same Spark
+    // HALF_UP nano rounding, spec-pinned bit-equal to the declarative
+    // form below.
+    src.select(explode(
+        graft.functions.VectorDpExpressions.covTerms(col("embedding"))).as("c"))
+      .select(col("c.di").as("di"), col("c.dj").as("dj"), col("c.t").as("t"))
+      .groupBy("di", "dj")
+      .agg(sum(col("t")).as("s"), count(lit(1)).as("n"))
+  }
+
+  /** The declarative HOF form of [[covarianceTerms]]' fan-out — the
+    * spec-pinned portable reference.
+    */
+  private[graft] def covarianceTermsDeclarative(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val idx = graft.functions.ColUtil.posRange(size(col("v")))
     val lin = transform(idx, i =>

@@ -86,4 +86,44 @@ class VectorNativeSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains(
       "embedding dimension must be exactly 8, got 2")))
   }
+
+  test("CovTermsNative bit-equals the declarative covarianceTerms fan-out") {
+    val df = fvecs.toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("di", "dj").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val native = rows(Similarity.covarianceTerms(df)
+      .select(col("di"), col("dj"), col("s"), col("n")))
+    val decl = rows(Similarity.covarianceTermsDeclarative(df)
+      .select(col("di"), col("dj"), col("s"), col("n")))
+    assert(native == decl)
+    assert(native.nonEmpty)
+    // negative values exercise the HALF_UP (away-from-zero) rounding
+    val neg = Seq((0L, Seq(-0.5f, 0.25f, -0.75f)),
+      (1L, Seq(0.125f, -0.375f, 0.5f))).toDF("vec_id", "embedding")
+    val nn = rows(Similarity.covarianceTerms(neg)
+      .select(col("di"), col("dj"), col("s"), col("n")))
+    val nd = rows(Similarity.covarianceTermsDeclarative(neg)
+      .select(col("di"), col("dj"), col("s"), col("n")))
+    assert(nn == nd)
+    assert(nn.exists(_._3 < 0))
+  }
+
+  test("LshBits bit-equals the declarative lshSignature") {
+    val dim = 64
+    val vecs = (0L until 8L).map { i =>
+      i -> (0 until dim).map(j =>
+        (((i * 37 + j * 11) % 19).toFloat - 9f) / 5f)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val native = df.select(Similarity.lshSignature(col("embedding"))).collect().map(_.getString(0))
+    val decl = df.select(Similarity.lshSignatureDeclarative(col("embedding"))).collect().map(_.getString(0))
+    assert(native.toSeq == decl.toSeq)
+    assert(native.exists(_.contains("1")))
+    // mismatched dimension: the declarative null-propagation yields all zeros
+    val short = Seq(Seq(1.0f, 2.0f)).toDF("embedding")
+    val nm = short.select(Similarity.lshSignature(col("embedding"))).collect()(0).getString(0)
+    val dm = short.select(Similarity.lshSignatureDeclarative(col("embedding"))).collect()(0).getString(0)
+    assert(nm == dm && nm == "00000000")
+  }
 }
