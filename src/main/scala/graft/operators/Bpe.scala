@@ -156,6 +156,20 @@ object Bpe {
     */
   def train(documents: DataFrame, nMerges: Int = 16,
             byteLevel: Boolean = false): (Seq[Merge], DataFrame) = {
+    // r17 optimization: delegate to the batched trainer at K = 1 —
+    // spec-pinned ("batched K=1 degenerates to the unbatched trainer
+    // exactly") to produce the IDENTICAL merge table and dictionary,
+    // while running ONE Spark round per merge (constant-size plan, no
+    // per-round checkpoint job) instead of two. The historical
+    // incremental implementation stays below as the reference
+    // semantics the equivalence spec compares against.
+    val (m, words, _) = trainBatched(documents, nMerges, 1, byteLevel)
+    (m, words)
+  }
+
+  private[graft] def trainUnbatchedReference(
+      documents: DataFrame, nMerges: Int = 16,
+      byteLevel: Boolean = false): (Seq[Merge], DataFrame) = {
     var words = wordCounts(documents)
       .select(col("word"), col("n"),
         initialSyms(col("word"), byteLevel).as("syms"))

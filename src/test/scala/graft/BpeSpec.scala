@@ -385,10 +385,15 @@ class BpeSpec extends AnyFunSuite {
 
   test("batched K=1 degenerates to the unbatched trainer exactly (r15)") {
     // with one acceptance per round the batch IS the argmax — the
-    // schedules coincide by construction, so the tables must too
+    // schedules coincide by construction, so the tables must too.
+    // Compared against the retained UNBATCHED reference implementation
+    // (r17: the public train() now delegates to the batched loop at
+    // K = 1, so this pin is what licenses that delegation).
     val docs = Tables.documents(spark, sf)
     val (got, rounds) = collectBatched(docs, nMerges = 8, batchK = 1)
-    assert(got === collectMerges(Bpe.merges(docs, nMerges = 8)))
+    val (refM, refW) = Bpe.trainUnbatchedReference(docs, nMerges = 8)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(refW)
+    assert(got === refM.map(x => (x.rank, x.lhs, x.rhs, x.merged, x.pair_count)))
     assert(rounds === 8,
       s"K=1 must run exactly one round per merge, ran $rounds")
   }
