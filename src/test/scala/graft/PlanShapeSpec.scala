@@ -270,13 +270,14 @@ class PlanShapeSpec extends AnyFunSuite {
         "where BPE's plan reads its training-time CHECKPOINT; the " +
         "pack tail (per-(lang,bucket) windows + offset rollup) is " +
         "unchanged; the one SMJ is the fixture-stats offset join"),
-    ("ann_operating_curve_ivf_pq", Shape(6, 2, 2, 3),
+    ("ann_operating_curve_ivf_pq", Shape(8, 2, 2, 6),
       "knn_ivf_pq's literal-codebook search widened to the grid: " +
         "corpus cell assign + broadcast probe join + config fan-out; " +
-        "3 windows = the curve's rank + 2 WindowGroupLimit — the " +
-        "brute-truth side is the SHARED memoized checkpoint since " +
-        "r17 (knnTruth), so its window trio and 2 exchanges left the " +
-        "plan; the 2 SMJs join CONFIG-scale aggregates (4 grid rows " +
+        "the brute-truth side derives PER CALL (r17 optimization " +
+        "round: the cross-query memoized truth checkpoint was result " +
+        "caching and was removed), so its rank window + 2 " +
+        "WindowGroupLimit and 2 exchanges sit beside the curve's own " +
+        "trio; the 2 SMJs join CONFIG-scale aggregates (4 grid rows " +
         "x 20 probes x k) — metadata joins, broadcast-vs-SMJ " +
         "immaterial at any scale"),
     ("knn_ivf_pq_residual_opq_learned", Shape(2, 1, 0, 3),
@@ -285,7 +286,7 @@ class PlanShapeSpec extends AnyFunSuite {
         "it adds NO plan structure — literal-codebook residual + ADC " +
         "map stages, broadcast probes, cell-id bucket join, the " +
         "knn-family 1-rank-Window + 2-WindowGroupLimit top-k"),
-    ("ann_operating_curve_ivf_pq_residual_opq_learned", Shape(6, 2, 2, 3),
+    ("ann_operating_curve_ivf_pq_residual_opq_learned", Shape(8, 2, 2, 6),
       "EXACTLY ann_operating_curve_ivf_pq's shape for the same reason " +
         "(checkpointed rotated frame = plain scan; shared memoized " +
         "truth = plain scan since r17): widest-config candidate set + " +
