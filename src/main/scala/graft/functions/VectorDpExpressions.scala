@@ -88,6 +88,35 @@ object VecDpHelper {
   }
 
 
+  /** Per-centroid [[cosineAny]] fold vector under a literal codebook —
+    * the cosine twin of [[distancesTo]] (r18, VERDICT r17 #8: the
+    * remaining ivfSearch/annOperatingCurve transform-over-codebook
+    * tree). Null element on length mismatch, matching the declarative
+    * transform(cents, c -> cosine(v, c)).
+    */
+  def cosinesTo(v: ArrayData, cents: Array[Array[Double]],
+                vF: Boolean): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      if (cent.length != n) out(c) = null
+      else {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = get(v, i, vF); val y = cent(i)
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        out(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Spark Round(HALF_UP, scale 0) on a double, then the double→long
     * cast — the covarianceTerms nano-quantization, bit-exact.
     */
@@ -247,6 +276,26 @@ case class DistancesTo(child: Expression, cents: Seq[Seq[Double]])
     copy(child = c)
 }
 
+case class CosinesTo(child: Expression, cents: Seq[Seq[Double]])
+    extends UnaryExpression with ArrayElemTypes {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "cosines_to"
+  @transient private lazy val vF = elemIsFloat(child)
+  @transient private lazy val table: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    VecDpHelper.cosinesTo(v.asInstanceOf[ArrayData], table, vF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("cents", table, "double[][]")
+      s"${ev.value} = graft.functions.VecDpHelper.cosinesTo($v, $ref, $vF);"
+    })
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class MatVecFloat(child: Expression, rows: Seq[Seq[Double]])
     extends UnaryExpression with ArrayElemTypes {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
@@ -319,6 +368,9 @@ object VectorDpExpressions {
 
   def distancesTo(v: Column, cents: Seq[Seq[Double]]): Column =
     ColumnBridge.column(DistancesTo(ColumnBridge.expression(v), cents))
+
+  def cosinesTo(v: Column, cents: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(CosinesTo(ColumnBridge.expression(v), cents))
 
   def matVecFloat(v: Column, rows: Seq[Seq[Double]]): Column =
     ColumnBridge.column(MatVecFloat(ColumnBridge.expression(v), rows))

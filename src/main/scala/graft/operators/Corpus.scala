@@ -1359,10 +1359,31 @@ object Corpus {
     */
   def dsirWeights(documents: DataFrame, targetPred: Column,
       b: Int = DsirBuckets): DataFrame = {
-    val raw = dsirFeatures(documents.filter(!targetPred), b)
+    // ONE token-scale feature scan for BOTH models (r18, VERDICT r17
+    // #7): the old form ran dsirFeatures twice — once over the target
+    // slice, once over the raw slice. Features are per-doc, so
+    // deriving them over the whole corpus with the target flag staged
+    // and filtering the CHECKPOINTED stream yields bit-identical
+    // models from half the document scans; the target model, the raw
+    // model, and the probe stream are all filters over one
+    // materialization.
+    val flagged = documents
+      .select(col("doc_id"), targetPred.as("__target"), col("text"))
+      .select(col("doc_id"), col("__target"),
+        split(lower(trim(col("text"))), " ").as("__tk"))
+      .select(col("doc_id"), col("__target"), transform(col("__tk"), w =>
+        conv(substring(md5(w.cast("binary")), 1, 7), 16, 10)
+          .cast(LongType)).as("__h"))
+      .select(col("doc_id"), col("__target"), explode(concat(
+        transform(col("__h"), h => pmod(h, lit(b.toLong))),
+        transform(graft.functions.ColUtil.posRange(size(col("__h")) - lit(1)),
+          i => pmod(element_at(col("__h"), i) * lit(1L << 28) +
+            element_at(col("__h"), i + 1), lit(b.toLong))))).as("bucket"))
       .localCheckpoint(true)
+    val raw = flagged.filter(!col("__target")).select("doc_id", "bucket")
     dsirWeightsFromFeatures(raw,
-      dsirBucketCounts(documents.filter(targetPred), b),
+      flagged.filter(col("__target"))
+        .groupBy("bucket").agg(count(lit(1)).as("n")),
       raw.groupBy("bucket").agg(count(lit(1)).as("n")), b)
   }
 

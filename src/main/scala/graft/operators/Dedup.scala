@@ -219,12 +219,21 @@ object Dedup {
       val neigh = sym.join(labels, sym("doc_b") === labels("doc_id"))
         .groupBy(sym("doc_a").as("doc_id"))
         .agg(min(col("cluster_id")).as("neigh_min"))
-      val next = labels.withColumnRenamed("cluster_id", "prev")
-        .join(neigh, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("prev"),
-          least(col("prev"), coalesce(col("neigh_min"), col("prev"))).as("cluster_id"))
-        .localCheckpoint(true)
-      converged = next.filter(col("cluster_id") < col("prev")).isEmpty
+      // the convergence probe rides the checkpoint's own
+      // materialization job (r18, VERDICT r17 #6 — an accumulator
+      // counts shrunk labels during the pass), where it used to be a
+      // separate filter+isEmpty job per round
+      val (next, nChanged) =
+        org.apache.spark.sql.graft.ColumnBridge.localCheckpointCounting(
+          labels.withColumnRenamed("cluster_id", "prev")
+            .join(neigh, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("prev"), coalesce(col("neigh_min"), col("prev")))
+                .as("cluster_id"),
+              (coalesce(col("neigh_min"), col("prev")) < col("prev"))
+                .as("__chg")),
+          "__chg")
+      converged = nChanged == 0L
       // `next` is materialized, so the previous round's checkpoint
       // blocks are dead weight — release them instead of letting every
       // round pin more of the executor storage pool until a GC.

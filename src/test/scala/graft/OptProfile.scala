@@ -120,6 +120,7 @@ object OptProfile {
           }
         }
       case "semdedup" =>
+        import org.apache.spark.sql.functions.col
         noop(Similarity.knnBrute(emb))
         (1 to 2).foreach { i =>
           println(s"--- rep $i")
@@ -129,8 +130,93 @@ object OptProfile {
           time("semdedupWith") {
             noop(Similarity.semdedupWith(emb, code))
           }
+          val standing = emb.filter(col("vec_id") % 2 === 0)
+          val batch = emb.filter(col("vec_id") % 2 =!= 0)
+          val index = time("semdedupIndex(standing)") {
+            Similarity.semdedupIndex(standing, code).localCheckpoint(true)
+          }
+          time("admitWithIndex (collision + internal)") {
+            noop(Similarity.semdedupAdmitWithIndex(index, batch, code))
+          }
           time("semdedup_admit entry") {
             noop(SparkEntry.queries("semdedup_admit")(spark, d))
+          }
+        }
+      case "truthread" =>
+        noop(Similarity.knnBrute(emb))
+        noop(SparkEntry.queries("ann_exact_truth")(spark, d))
+        for (q <- Seq("ann_recall_ivf", "ann_recall_ivf_pq", "ann_recall")) {
+          (1 to 3).foreach { i =>
+            val df = time(s"$q fn call (incl. truth read) $i") {
+              SparkEntry.queries(q)(spark, d)
+            }
+            time(s"$q plan+exec $i") { noop(df) }
+          }
+        }
+      case "truthexec" =>
+        noop(Similarity.knnBrute(emb))
+        noop(SparkEntry.queries("ann_exact_truth")(spark, d))
+        val dg = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.substring(0, 8)
+        val pth = s"target/graft_truth/$dg/live/knn_truth.parquet"
+        val books = Similarity.pqCodebooks(emb)
+        val cents = Similarity.kmeansCodebook(emb, 8, 3)
+        // pre-train once; time ONLY the recall tail execution per
+        // truth variant (the knnIvfPq search is identical across them)
+        def searchDf() = Similarity.knnIvfPq(emb)
+        (1 to 3).foreach { i =>
+          val litTruth = Similarity.knnTruthFrom(spark.read.parquet(pth))
+          time(s"exec truth=fresh   $i") {
+            noop(Similarity.annRecallIvfPq(emb, truth = None))
+          }
+          time(s"exec truth=literal $i") {
+            noop(Similarity.annRecallIvfPq(emb, truth = Some(litTruth)))
+          }
+          time(s"exec truth=ckpt    $i") {
+            noop(Similarity.annRecallIvfPq(emb,
+              truth = Some(spark.read.parquet(pth)
+                .select(org.apache.spark.sql.functions.col("qid"),
+                  org.apache.spark.sql.functions.col("nid"))
+                .localCheckpoint(true))))
+          }
+        }
+      case "truthread2" =>
+        noop(Similarity.knnBrute(emb))
+        noop(SparkEntry.queries("ann_exact_truth")(spark, d))
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.substring(0, 8)
+        val p = s"target/graft_truth/$digest/live/knn_truth.parquet"
+        (1 to 3).foreach { i =>
+          time(s"knnTruthFrom read $i") {
+            Similarity.knnTruthFrom(spark.read.parquet(p))
+          }
+          time(s"knnIvfPq fn call (trainings only) $i") {
+            Similarity.knnIvfPq(emb)
+          }
+          time(s"kmeansCodebook $i") {
+            Similarity.kmeansCodebook(emb, 8, 3)
+          }
+          time(s"pqCodebooks $i") {
+            Similarity.pqCodebooks(emb)
+          }
+        }
+      case "truth" =>
+        noop(Similarity.knnBrute(emb))
+        (1 to 2).foreach { i =>
+          println(s"--- rep $i")
+          time("ann_exact_truth entry (derive+persist+readback)") {
+            noop(SparkEntry.queries("ann_exact_truth")(spark, d))
+          }
+          time("ann_recall entry (artifact-read truth)") {
+            noop(SparkEntry.queries("ann_recall")(spark, d))
+          }
+          time("ann_operating_curve_ivf_pq entry") {
+            noop(SparkEntry.queries("ann_operating_curve_ivf_pq")(spark, d))
+          }
+          time("ann_family_comparison entry") {
+            noop(SparkEntry.queries("ann_family_comparison")(spark, d))
           }
         }
     }

@@ -104,6 +104,114 @@ class SimilaritySpec extends AnyFunSuite {
     assert(selfBuilt.exceptAll(fromArtifacts).count() === 0)
   }
 
+  test("graph ann: driver-walk search bit-equals the distributed per-hop reference (r18)") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf)
+    val code = Similarity.kmeansCodebook(emb, 8, 3)
+    val got = Similarity.knnGraphWith(emb, code)
+    // the pre-r18 formulation, restated from public pieces: per-hop
+    // checkpointed score frames, window beam prune, final
+    // distinct+rank window — the independent distributed reference
+    // the driver-side beam bookkeeping must reproduce bit-for-bit
+    val edges = Similarity.nswEdges(emb, code).localCheckpoint(true)
+    val medoids = Similarity.nswMedoids(emb, code)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    def score(cand: org.apache.spark.sql.DataFrame) =
+      cand.join(corpus, Seq("nid")).join(broadcast(probes), Seq("qid"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          Similarity.cosine(col("qv"), col("nv")).as("cos_sim"))
+    val bw = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    val entry = probes.select("qid")
+      .crossJoin(medoids.select(col("vec_id").as("nid")))
+    var scored = score(entry).localCheckpoint(true)
+    var all = scored
+    (1 to 3).foreach { _ =>
+      val beam = scored.withColumn("rn", row_number().over(bw))
+        .filter(col("rn") <= 10).select("qid", "nid")
+      val cand = beam.join(edges, col("nid") === col("src"))
+        .select(col("qid"), col("dst").as("nid"))
+        .unionByName(beam).distinct()
+      scored = score(cand).localCheckpoint(true)
+      all = all.unionByName(scored)
+    }
+    val ref = all.distinct()
+      .withColumn("rank", row_number().over(bw).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "nid", "cos_sim")
+    assert(got.exceptAll(ref).count() === 0)
+    assert(ref.exceptAll(got).count() === 0)
+  }
+
+  test("knnTruthFrom: parquet round-trip bit-equals self-derivation; malformed artifacts fail fast (r18)") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_truth").toString
+    Similarity.knnBrute(emb).write.parquet(s"$dir/truth")
+    val loaded = Similarity.knnTruthFrom(
+      spark.read.parquet(s"$dir/truth").orderBy(rand(3)))
+    val self = Similarity.knnTruthPairs(emb)
+    assert(loaded.exceptAll(self).count() === 0)
+    assert(self.exceptAll(loaded).count() === 0)
+    // validation: qid outside the probe range
+    val badQid = Seq((99L, 1L, 3L)).toDF("qid", "rank", "nid")
+    intercept[IllegalArgumentException] { Similarity.knnTruthFrom(badQid) }
+    // validation: non-contiguous ranks
+    val badRank = Seq((0L, 1L, 3L), (0L, 3L, 4L)).toDF("qid", "rank", "nid")
+    intercept[IllegalArgumentException] { Similarity.knnTruthFrom(badRank) }
+    // validation: repeated neighbor
+    val dupNid = Seq((0L, 1L, 3L), (0L, 2L, 3L)).toDF("qid", "rank", "nid")
+    intercept[IllegalArgumentException] { Similarity.knnTruthFrom(dupNid) }
+    // validation: more than k rows for one probe
+    val tooMany = (1L to 6L).map(r => (0L, r, r + 10L)).toDF("qid", "rank", "nid")
+    intercept[IllegalArgumentException] { Similarity.knnTruthFrom(tooMany) }
+  }
+
+  test("semdedup index and admission: single-scan forms bit-equal the compose-from-decision references (r18)") {
+    val emb = Tables.embeddings(spark, sf)
+    val code = Similarity.kmeansCodebook(emb, 8, 3)
+    val standing = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 =!= 0)
+    // index reference: re-attach embeddings to the kept decision rows
+    val refIndex = standing.select(col("vec_id"), col("embedding"))
+      .join(Similarity.semdedupWith(standing, code)
+        .filter(col("is_kept")).select("vec_id", "cell_id"), Seq("vec_id"))
+      .select("vec_id", "cell_id", "embedding")
+    val gotIndex = Similarity.semdedupIndex(standing, code)
+    assert(gotIndex.exceptAll(refIndex).count() === 0)
+    assert(refIndex.exceptAll(gotIndex).count() === 0)
+    // admission reference: collision filter over the index, then the
+    // batch-internal semdedupWith over the surviving projection (the
+    // pre-r18 two-assignment-scan formulation, from public pieces)
+    val index = Similarity.semdedupIndex(standing, code).localCheckpoint(true)
+    val cells = Similarity.kmeansAssignWith(batch, code)
+      .select(col("vec_id"), col("cluster_id").as("cell_id"))
+    val withCell = batch.join(cells, Seq("vec_id"))
+    val hits = withCell
+      .join(index.select(col("cell_id"), col("embedding").as("se")),
+        Seq("cell_id"))
+      .filter(Similarity.cosine(col("embedding"), col("se")) >= 0.4)
+      .select("vec_id").distinct()
+    val fresh = withCell.join(hits, Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding", "label")
+    val refAdmit = Similarity.semdedupWith(fresh, code)
+      .filter(col("is_kept"))
+      .select(col("vec_id"), col("label"), col("cell_id"),
+        col("component_size"), col("cos_centroid"),
+        (col("component_size") - 1L).as("n_absorbed"))
+      .orderBy("vec_id")
+    val gotAdmit = Similarity.semdedupAdmitWithIndex(index, batch, code)
+    assert(gotAdmit.exceptAll(refAdmit).count() === 0)
+    assert(refAdmit.exceptAll(gotAdmit).count() === 0)
+    // the one-scan split form (the registry entry's shape) is
+    // bit-equal to the two-scan compose
+    val gotSplit = Similarity.semdedupAdmitSplit(emb,
+      col("vec_id") % 2 === 0, code)
+    assert(gotSplit.exceptAll(refAdmit).count() === 0)
+    assert(refAdmit.exceptAll(gotSplit).count() === 0)
+  }
+
   test("graph operating curve: recall and candidates monotone in hops; max-hop row cross-pins to ann_recall_graph") {
     val emb = Tables.embeddings(spark, sf)
     val curve = Similarity.graphOperatingCurve(emb).collect()

@@ -30,16 +30,23 @@ object TestSpark {
     val sc = spark.sparkContext
     val st = sc.statusTracker
     def defaultGroupJobs = st.getJobIdsForGroup(null).length
+    def drain(tag: String): Unit = {
+      val sentinel = s"jobs-during-$tag-${System.nanoTime()}"
+      sc.setJobGroup(sentinel, "listener-bus drain sentinel")
+      try spark.range(1).count() finally sc.clearJobGroup()
+      val deadline = System.currentTimeMillis + 30000
+      while (st.getJobIdsForGroup(sentinel).isEmpty &&
+        System.currentTimeMillis < deadline) Thread.sleep(20)
+      assert(st.getJobIdsForGroup(sentinel).nonEmpty,
+        "sentinel job never reached the status tracker")
+    }
+    // drain BEFORE sampling too (r18): the tracker is listener-bus-fed,
+    // so job-end events from a heavy preceding test can land inside the
+    // measured window and charge the block with jobs it never launched
+    drain("pre")
     val before = defaultGroupJobs
     body
-    val sentinel = s"jobs-during-sentinel-${System.nanoTime()}"
-    sc.setJobGroup(sentinel, "listener-bus drain sentinel")
-    try spark.range(1).count() finally sc.clearJobGroup()
-    val deadline = System.currentTimeMillis + 30000
-    while (st.getJobIdsForGroup(sentinel).isEmpty &&
-      System.currentTimeMillis < deadline) Thread.sleep(20)
-    assert(st.getJobIdsForGroup(sentinel).nonEmpty,
-      "sentinel job never reached the status tracker")
+    drain("post")
     defaultGroupJobs - before
   }
 }

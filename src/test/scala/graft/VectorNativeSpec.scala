@@ -47,6 +47,32 @@ class VectorNativeSpec extends AnyFunSuite {
     assert(native.toSeq == decl.toSeq)
   }
 
+  test("CosinesTo bit-equals per-centroid declarative cosine folds (r18)") {
+    val df = fvecs.toDF("vec_id", "v")
+    val native = df.select(VectorDpExpressions.cosinesTo(col("v"), code).as("c"))
+      .collect().map(_.getSeq[Double](0))
+    val decl = df.select(array(code.map(c =>
+        Similarity.cosToCentroidDeclarative(col("v"), typedLit(c))): _*).as("c"))
+      .collect().map(_.getSeq[Double](0))
+    assert(native.toSeq == decl.toSeq)
+    // double input path too
+    val dd = fvecs.map { case (i, v) => (i, v.map(_.toDouble)) }.toDF("vec_id", "v")
+    val nd = dd.select(VectorDpExpressions.cosinesTo(col("v"), code).as("c"))
+      .collect().map(_.getSeq[Double](0))
+    val dd2 = dd.select(array(code.map(c =>
+        Similarity.cosToCentroidDeclarative(col("v"), typedLit(c))): _*).as("c"))
+      .collect().map(_.getSeq[Double](0))
+    assert(nd.toSeq == dd2.toSeq)
+  }
+
+  test("CosinesTo yields a null element on length mismatch, like the declarative transform") {
+    val df = Seq(Seq(1.0f, 2.0f)).toDF("v")
+    val mixed = Seq(Seq(1.0, 2.0), Seq(1.0)) // second centroid mismatched
+    val got = df.select(VectorDpExpressions.cosinesTo(col("v"), mixed).as("c"))
+      .collect()(0).getSeq[java.lang.Double](0)
+    assert(got(0) != null && got(1) == null)
+  }
+
   test("CosineSimAny bit-equals the declarative cosToCentroid folds") {
     val df = fvecs.toDF("vec_id", "v")
     val cl = typedLit(code.head)
